@@ -1,0 +1,43 @@
+"""Table catalog: the driver's synthetic star schema (TESTDATA.md).
+
+The reference's implicit "catalog" is an object-store prefix layout
+(``dmi_ingestor/ingestor.py:159-161``); ours is a set of Parquet tables
+read through the vectorized Parquet reader so Catalyst gets column
+pruning + predicate pushdown for free (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table.
+
+    Plain ``spark.read.parquet`` — no schema override, so the scan stays
+    on the vectorized reader and pushdown-capable path. At cluster scale
+    the same call reads a partitioned directory tree; nothing here
+    assumes a single file.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

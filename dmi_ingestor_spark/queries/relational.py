@@ -1,0 +1,105 @@
+"""Relational operator pack: scans, σ/π, aggregation, sort (SURVEY.md §2.2, §2.4, §2.6).
+
+The reference's only relational moves are server-side column pruning
+(``parameter-name``) and a bbox predicate (``dmi_ingestor/ingestor.py:175-181``);
+everything here is the [ext] surface mandated by SURVEY.md §2, expressed as
+pure Catalyst plans so pushdown/pruning/partial-agg come free (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import (
+    avg_exact,
+    sql_avg_exact,
+    sql_sum_exact,
+    sum_exact,
+)
+from dmi_ingestor_spark.registry import register
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — the flagship (TPC-H Q1 shape; SURVEY.md §7 M0).
+# Exercises scan → filter (pushed to Parquet) → project → partial+final
+# hash agg → sort. The relational analogue of the reference's
+# select-parameter → slice-bbox → summarize flow.
+# --------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_sum_exact("l_quantity", "sum_qty")},
+      {sql_sum_exact("l_extendedprice", "sum_base_price")},
+      {sql_sum_exact("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+      {sql_sum_exact("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+      {sql_avg_exact("l_quantity", "avg_qty")},
+      {sql_avg_exact("l_extendedprice", "avg_price")},
+      {sql_avg_exact("l_discount", "avg_disc")},
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary; flagship scan→filter→agg→sort plan.",
+    tags=("aggregation", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(f"{Q1_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_exact("l_quantity", "sum_qty"),
+            sum_exact("l_extendedprice", "sum_base_price"),
+            sum_exact(disc_price, "sum_disc_price"),
+            sum_exact(charge, "sum_charge"),
+            avg_exact("l_quantity", "avg_qty"),
+            avg_exact("l_extendedprice", "avg_price"),
+            avg_exact("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P5 generic filter/project pack (SURVEY.md §2.2) — σ/π with pushdown.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      o_totalprice,
+      UPPER(o_orderpriority) AS priority_uc
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+    """,
+    doc="σ/π: predicate + projection, both pushed into the Parquet scan.",
+    tags=("filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.upper("o_orderpriority").alias("priority_uc"),
+        )
+    )
