@@ -9,6 +9,7 @@ pruning + predicate pushdown for free (SURVEY.md §4.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -34,6 +35,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which the
+        # Spark 4 reader rejects outright. Read it as raw nanos and
+        # truncate to the engine's µs timestamp — `ts div 1000` stays in
+        # 64-bit integer arithmetic (a double division would lose
+        # precision at 1e18 ns) and matches DuckDB's ns→µs truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

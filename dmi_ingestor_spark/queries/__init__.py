@@ -1,3 +1,10 @@
 """Query modules. Importing this package populates the registry."""
 
-from dmi_ingestor_spark.queries import relational  # noqa: F401
+from dmi_ingestor_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    relational,
+    scalars,
+    setops,
+    windows,
+)

@@ -1,0 +1,324 @@
+"""Aggregation surface A1-A5 (SURVEY.md §2.4).
+
+The reference's only aggregation is the manifest collect-to-map fold
+(``dmi_ingestor/ingestor.py:102,116-118``); A1 reproduces it relationally,
+the rest is the [ext] pack. All double aggregates use the exact-decimal
+path (``functions/exact.py``) so the DuckDB hash-match holds bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import (
+    DEC,
+    avg_exact,
+    sql_avg_exact,
+    sql_sum_exact,
+    sum_exact,
+)
+from dmi_ingestor_spark.registry import register
+
+
+# -- A1: the reference's manifest fold, relationally ------------------------
+@register(
+    "manifest_collect",
+    oracle="""
+    SELECT
+      event_type AS collection,
+      COUNT(*) AS n_entries,
+      MIN(strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S')) AS first_time_str,
+      MAX(strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S')) AS last_time_str
+    FROM events
+    GROUP BY event_type
+    ORDER BY collection
+    """,
+    doc=(
+        "A1 analogue of the reference's manifest {time_str: url} fold "
+        "(ingestor.py:102,116-118): per collection, the time-key span in "
+        "the reference's yyyymmddTHHMMSS format (ingestor.py:104 string "
+        "surgery → one date_format call, SURVEY.md F1). The full map "
+        "variant is `manifest_map_json` (rows-only)."
+    ),
+    tags=("aggregation", "reference"),
+)
+def manifest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    tstr = F.date_format("ts", "yyyyMMdd'T'HHmmss")
+    return (
+        e.groupBy(F.col("event_type").alias("collection"))
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.min(tstr).alias("first_time_str"),
+            F.max(tstr).alias("last_time_str"),
+        )
+        .orderBy("collection")
+    )
+
+
+@register(
+    "manifest_map_json",
+    oracle=None,  # MapType not ANSI-SQL-expressible; invariants in tests
+    doc=(
+        "A1 exact manifest shape: one JSON object {time_str: url} per "
+        "(collection=event_type) partition, like forecasts.json "
+        "(ingestor.py:219-227). map_from_entries(collect_list(struct)) "
+        "then to_json; single-row-per-group output so collect_list stays "
+        "bounded (manifests are tiny by construction, SURVEY.md §7.4)."
+    ),
+    tags=("aggregation", "reference", "rows-only"),
+)
+def manifest_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    tstr = F.date_format("ts", "yyyyMMdd'T'HHmmss")
+    url = F.concat(
+        F.lit("https://bucket.example/forecasts/"),
+        F.col("event_type"),
+        F.lit("/"),
+        tstr,
+        F.lit(".tif"),
+    )
+    return (
+        e.select(F.col("event_type").alias("collection"), tstr.alias("time_str"), url.alias("url"))
+        # dict-overwrite semantics of the reference's manifest build:
+        # one entry per time key (last writer wins ≡ max url here),
+        # pre-aggregated so collect_list never sees duplicate keys
+        .groupBy("collection", "time_str")
+        .agg(F.max("url").alias("url"))
+        .groupBy("collection")
+        .agg(
+            F.to_json(
+                F.map_from_entries(F.sort_array(F.collect_list(F.struct("time_str", "url"))))
+            ).alias("manifest_json")
+        )
+        .orderBy("collection")
+    )
+
+
+# -- A3: distinct / count-distinct -----------------------------------------
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="A3: exact count-distinct (expand+two-phase agg in Spark). The HLL variant is `agg_approx_distinct` (rows-only).",
+    tags=("aggregation",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific; invariant-checked in tests
+    doc=(
+        "A3 at 100 TB: approx_count_distinct (HyperLogLog++) — "
+        "mergeable sketch, no expand, one pass. rows-only check; the "
+        "test asserts the estimate is within the documented 5% rsd of "
+        "the exact count."
+    ),
+    tags=("aggregation", "approx", "rows-only"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# -- A4: rollup / cube / grouping sets -------------------------------------
+@register(
+    "agg_rollup_region_nation",
+    oracle=f"""
+    SELECT
+      r.r_name,
+      n.n_name,
+      GROUPING(r.r_name) + GROUPING(n.n_name) AS lvl,
+      COUNT(*) AS n_customers,
+      {sql_sum_exact("c.c_acctbal", "sum_acctbal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY lvl, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="A4: rollup over region→nation with grouping level indicator.",
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") + F.grouping("n_name")).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_customers"),
+            sum_exact("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy("lvl", F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS lvl,
+      COUNT(*) AS n_orders,
+      {sql_sum_exact("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY lvl, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="A4: cube over (status, priority) — all four grouping sets.",
+    tags=("aggregation", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice", "sum_price"),
+        )
+        .orderBy(
+            "lvl",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# -- A5: statistics ---------------------------------------------------------
+@register(
+    "agg_stats_per_mktsegment",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      COUNT(*) AS n,
+      {sql_sum_exact("c_acctbal", "sum_bal")},
+      {sql_avg_exact("c_acctbal", "avg_bal")},
+      CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+      CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+      SQRT(
+        (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+         - CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE)
+           * CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE) / COUNT(*))
+        / (COUNT(*) - 1)
+      ) AS stddev_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc=(
+        "A5: moment statistics. stddev is computed from exact decimal "
+        "sums of x and x² (order-independent → reproducible vs DuckDB), "
+        "not the built-in streaming stddev whose float accumulation "
+        "order differs per engine. Same shape works distributed: two "
+        "decimal partial sums + count, combined map-side."
+    ),
+    tags=("aggregation", "stats"),
+)
+def agg_stats_per_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    sum_x = F.sum(x.cast(DEC)).cast("double")
+    sum_x2 = F.sum((x * x).cast("decimal(30,8)")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_x2 - sum_x * sum_x / n) / (n - 1)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n"),
+            sum_exact(x, "sum_bal"),
+            avg_exact(x, "avg_bal"),
+            F.min(x).cast("double").alias("min_bal"),
+            F.max(x).cast("double").alias("max_bal"),
+            F.sqrt(var).alias("stddev_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
+      CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+      CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "A5: exact percentiles (SQL `percentile` ≡ DuckDB quantile_cont, "
+        "linear interpolation). l_quantity is integer-valued so the "
+        "interpolated midpoints are exact binary fractions — safe for the "
+        "exact hash-match. At 100 TB swap to percentile_approx (t-digest "
+        "sketch, mergeable): `agg_percentiles_approx` (rows-only)."
+    ),
+    tags=("aggregation", "stats"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_percentiles_approx",
+    oracle=None,
+    doc="A5 scale path: percentile_approx sketch; test asserts sandwich between exact p25/p75.",
+    tags=("aggregation", "stats", "approx", "rows-only"),
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price_approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price_exact"),
+        )
+        .orderBy("l_returnflag")
+    )

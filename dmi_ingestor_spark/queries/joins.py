@@ -1,0 +1,277 @@
+"""Join surface J1-J6 (SURVEY.md §2.3).
+
+Joins are absent from the reference (one cube at a time,
+``dmi_ingestor/ingestor.py:102-122``); this is the [ext] surface over the
+driver's star schema. Scale notes per query: small dimensions are
+broadcast explicitly (no shuffle of the fact side), fact-fact joins
+shuffle on their equi-keys where AQE can rebalance/skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import sql_sum_exact, sum_exact
+from dmi_ingestor_spark.registry import register
+
+
+# -- J1 equi inner join (fact ⋈ fact shape: shuffle hash/sort-merge) -------
+@register(
+    "join_inner_orders_lineitem",
+    oracle="""
+    SELECT
+      o.o_orderkey,
+      o.o_orderstatus,
+      l.l_linenumber,
+      l.l_quantity,
+      l.l_extendedprice
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 50000.0 AND l.l_quantity >= 40.0
+    """,
+    doc="J1: equi inner join orders⋈lineitem; both filters pushed below the join.",
+    tags=("join",),
+)
+def join_inner_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000.0)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40.0)
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# -- J1 left outer join (null-producing side preserved) --------------------
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      o.o_orderkey,
+      o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000.0
+    """,
+    doc="J1: left outer join with an ON-clause filter on the right side.",
+    tags=("join",),
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+# -- J2 broadcast dimension join chain (TPC-H Q5 shape) --------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT
+      n.n_name,
+      {sql_sum_exact("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc=(
+        "J2: TPC-H Q5 — fact-fact shuffle join with every dimension "
+        "(supplier/nation/region/customer) broadcast; region filter prunes "
+        "the broadcast side before it ships."
+    ),
+    tags=("join", "broadcast", "flagship"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(sum_exact(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# -- J3 semi / anti ---------------------------------------------------------
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="J3: left-semi join — customers having at least one open order.",
+    tags=("join",),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti_parts_never_shipped",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    """,
+    doc="J3: left-anti join — parts that never appear in lineitem.",
+    tags=("join",),
+)
+def join_anti_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+# -- J4 theta / range join --------------------------------------------------
+@register(
+    "join_range_quantity_bands",
+    oracle="""
+    SELECT
+      b.band_id,
+      COUNT(*) AS n_items,
+      CAST(MIN(l.l_quantity) AS DOUBLE) AS min_qty,
+      CAST(MAX(l.l_quantity) AS DOUBLE) AS max_qty
+    FROM (
+      SELECT n_nationkey AS band_id,
+             CAST(n_nationkey * 2 AS DOUBLE) AS lo,
+             CAST(n_nationkey * 2 + 2 AS DOUBLE) AS hi
+      FROM nation
+    ) b
+    JOIN lineitem l ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_id
+    ORDER BY b.band_id
+    """,
+    doc=(
+        "J4: range (theta) join — lineitem quantities bucketed into bands "
+        "derived from nation keys; the band table is broadcast so the "
+        "non-equi predicate runs as BroadcastNestedLoop, never a cartesian "
+        "shuffle."
+    ),
+    tags=("join", "range"),
+)
+def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = (
+        table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("band_id"),
+            (F.col("n_nationkey") * 2).cast("double").alias("lo"),
+            (F.col("n_nationkey") * 2 + 2).cast("double").alias("hi"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_quantity").cast("double").alias("min_qty"),
+            F.max("l_quantity").cast("double").alias("max_qty"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# -- J5 as-of join ----------------------------------------------------------
+@register(
+    "join_asof_latest_order_per_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        e.event_id,
+        e.user_id,
+        e.event_type,
+        o.o_orderkey,
+        o.o_orderdate,
+        ROW_NUMBER() OVER (
+          PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        ) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, event_type, o_orderkey, o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "J5 as-of join: for each event, the latest order of that user at "
+        "or before the event time. Composed as equi-join on the key + "
+        "range predicate + row_number over (event, time desc) — the "
+        "standard Spark formulation; ties broken by o_orderkey for "
+        "determinism. Scale note: shuffles both sides on the user key "
+        "once; the window repartitions by event_id which AQE coalesces."
+    ),
+    tags=("join", "asof", "window"),
+)
+def join_asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    joined = e.join(
+        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "o_orderkey", "o_orderdate")
+    )
+
+
+# -- J6 cross join ----------------------------------------------------------
+@register(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    doc="J6: bounded cross join of two tiny dimensions (5×25 rows).",
+    tags=("join",),
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)

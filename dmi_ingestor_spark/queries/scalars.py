@@ -1,0 +1,233 @@
+"""Scalar function pack F1-F8 (SURVEY.md §2.8).
+
+F1 is the reference's one nontrivial scalar — the timestamp →
+``yyyymmddTHHMMSS`` string surgery at ``dmi_ingestor/ingestor.py:104``
+(split on '.', strip '-'/':'), replaced by a single ``date_format``.
+F2-F4 are its URL/path helpers (``ingestor.py:105-118,175-191``); F8 is
+the [ext] string/date/math/array/JSON pack over the fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+
+@register(
+    "scalar_time_format",
+    oracle="""
+    SELECT
+      event_id,
+      strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') AS time_str,
+      CAST(year(ts) AS BIGINT) AS y,
+      CAST(month(ts) AS BIGINT) AS m,
+      CAST(day(ts) AS BIGINT) AS d,
+      CAST(hour(ts) AS BIGINT) AS h,
+      epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS hour_bucket_us
+    FROM events
+    """,
+    doc=(
+        "F1: the reference's yyyymmddTHHMMSS key (ingestor.py:104) as one "
+        "date_format, plus the date-extract pack. Integer extracts cast "
+        "to BIGINT on both sides so schemas agree."
+    ),
+    tags=("scalar", "reference"),
+)
+def scalar_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyyMMdd'T'HHmmss").alias("time_str"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp")).alias(
+            "hour_bucket_us"
+        ),
+    )
+
+
+@register(
+    "scalar_url_build_parse",
+    oracle="""
+    SELECT
+      event_type AS collection,
+      strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') AS time_str,
+      'https://bucket.example/base/' || event_type || '/'
+        || strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') || '.tif' AS url,
+      regexp_replace(
+        'https://bucket.example/base/' || event_type || '/'
+          || strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') || '.tif',
+        '^https://', '') AS url_no_scheme,
+      string_split(
+        'base/' || event_type || '/'
+          || strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') || '.tif', '/'
+      )[-1] AS basename
+    FROM events
+    WHERE event_id < 200
+    """,
+    doc=(
+        "F2-F4: URL build (ingestor.py:175-191), https-prefix strip "
+        "(:117 removeprefix), and path basename (:105,111) — concat / "
+        "regexp_replace / split+element_at."
+    ),
+    tags=("scalar", "reference"),
+)
+def scalar_url_build_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    tstr = F.date_format("ts", "yyyyMMdd'T'HHmmss")
+    url = F.concat(F.lit("https://bucket.example/base/"), F.col("event_type"), F.lit("/"), tstr, F.lit(".tif"))
+    path = F.concat(F.lit("base/"), F.col("event_type"), F.lit("/"), tstr, F.lit(".tif"))
+    return e.select(
+        F.col("event_type").alias("collection"),
+        tstr.alias("time_str"),
+        url.alias("url"),
+        F.regexp_replace(url, "^https://", "").alias("url_no_scheme"),
+        F.element_at(F.split(path, "/"), -1).alias("basename"),
+    )
+
+
+@register(
+    "scalar_string_pack",
+    oracle="""
+    SELECT
+      p_partkey,
+      UPPER(p_name) AS name_uc,
+      LOWER(p_brand) AS brand_lc,
+      TRIM(p_type) AS type_trim,
+      SUBSTRING(p_name, 1, 5) AS name_pre,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+      CASE WHEN contains(p_name, 'a') THEN 1 ELSE 0 END AS has_a,
+      replace(p_brand, '#', '-') AS brand_dash,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+    doc="F8 string pack: case/trim/substring/length/regexp/contains/replace/lpad.",
+    tags=("scalar",),
+)
+def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_uc"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+        F.when(F.contains("p_name", F.lit("a")), 1).otherwise(0).alias("has_a"),
+        F.replace("p_brand", F.lit("#"), F.lit("-")).alias("brand_dash"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "scalar_math_pack",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      round(l_extendedprice * 0.5, 3) AS half_price,
+      CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+      floor(l_quantity / 10.0) AS qty_decile,
+      ceil(l_tax * 100.0) AS tax_pct_ceil,
+      CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
+      round(ln(l_extendedprice + 1.0), 6) AS log_price,
+      CAST(greatest(l_discount, l_tax) AS DOUBLE) AS max_rate,
+      l_orderkey % 7 AS bucket7
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 3 = 0
+    """,
+    doc=(
+        "F8 math pack. round() operands are exact 2-decimal-representable "
+        "products (x*0.5 of cents) and ln outputs rounded at 6 digits — "
+        "no half-way rounding divergence between engines."
+    ),
+    tags=("scalar",),
+)
+def scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 3 == 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # scale 3: cents*0.5 has exactly 3 decimals, so this round never
+        # sits on a half-way boundary where Spark/DuckDB modes differ
+        F.round(F.col("l_extendedprice") * 0.5, 3).alias("half_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.ceil(F.col("l_tax") * 100.0).alias("tax_pct_ceil"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        (F.col("l_orderkey") % 7).alias("bucket7"),
+    )
+
+
+@register(
+    "scalar_json_events",
+    oracle="""
+    SELECT
+      event_id,
+      event_type,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+           THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+    doc=(
+        "F8 JSON: parse the events.props JSON payload "
+        "(get_json_object ≡ DuckDB json_extract_string) + derived banding."
+    ),
+    tags=("scalar", "json", "events"),
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        "event_type",
+        k.alias("prop_k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "scalar_conditional_pack",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE o_orderstatus
+        WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'pending'
+      END AS status_word,
+      COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'default') AS prio_or_default,
+      CASE WHEN o_totalprice > 150000.0 THEN 'big'
+           WHEN o_totalprice > 50000.0 THEN 'mid'
+           ELSE 'small' END AS size_band
+    FROM orders
+    """,
+    doc="F8 conditionals: CASE/WHEN chains, coalesce, nullif.",
+    tags=("scalar",),
+)
+def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_word"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("default")).alias(
+            "prio_or_default"
+        ),
+        F.when(F.col("o_totalprice") > 150000.0, "big")
+        .when(F.col("o_totalprice") > 50000.0, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+    )

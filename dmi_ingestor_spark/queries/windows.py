@@ -1,0 +1,237 @@
+"""Window-function surface (SURVEY.md §2.5) and sort/limit/top-k (§2.6).
+
+Absent from the reference (its only ordered scan is the band loop,
+``dmi_ingestor/ingestor.py:103``). Every orderBy used for ranking or
+limits includes a unique tiebreaker column so results are total-ordered
+and reproducible against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import sql_sum_exact, sum_exact
+from dmi_ingestor_spark.registry import register
+
+
+@register(
+    "window_rank_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        ROW_NUMBER() OVER w AS rn,
+        RANK() OVER w AS rnk,
+        DENSE_RANK() OVER w AS drnk,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) t
+    WHERE rn <= 3
+    """,
+    doc=(
+        "row_number/rank/dense_rank/ntile per customer; rn<=3 filter is "
+        "the top-k-per-group idiom (Catalyst pushes the rank filter into "
+        "the window via LimitPushDownThroughWindow at scale)."
+    ),
+    tags=("window", "topk"),
+)
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      event_type,
+      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) AS prev_ts_us,
+      LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "lag/lead over per-user event-time order. Timestamps are emitted "
+        "as epoch microseconds (BIGINT) on both sides — tz- and "
+        "precision-proof for the hash compare (FIXTURES.md ns→µs note)."
+    ),
+    tags=("window", "events"),
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    to_us = lambda c: (F.unix_micros(F.col(c).cast("timestamp")))  # noqa: E731
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        to_us("ts").alias("ts_us"),
+        F.unix_micros(F.lag("ts").over(w).cast("timestamp")).alias("prev_ts_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle=f"""
+    SELECT
+      user_id,
+      event_id,
+      CAST(SUM(CAST(value AS DECIMAL(22,8))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_value,
+      COUNT(*) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS running_n
+    FROM events
+    """,
+    doc=(
+        "Running (cumulative) sum per user in event-time order, explicit "
+        "ROWS frame; decimal accumulation keeps the prefix sums "
+        "order-exact so every row hash-matches the oracle."
+    ),
+    tags=("window", "events"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(22,8)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_first_last_value",
+    oracle="""
+    SELECT DISTINCT
+      user_id,
+      FIRST_VALUE(event_type) OVER w AS first_type,
+      LAST_VALUE(event_type) OVER w AS last_type,
+      COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="first/last value over the full per-user frame, deduped to one row per user.",
+    tags=("window", "events"),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+        )
+        .distinct()
+    )
+
+
+# -- §2.6 sort / limit / top-k ---------------------------------------------
+@register(
+    "sort_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc=(
+        "Global top-k: orderBy+limit, which Catalyst rewrites to "
+        "TakeOrderedAndProject (per-partition heap + driver merge — no "
+        "global sort shuffle). Unique tiebreaker keeps the k-boundary "
+        "deterministic."
+    ),
+    tags=("sort", "topk"),
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l.l_orderkey,
+      {sql_sum_exact("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+      o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape: selective dim filter → broadcast customer → "
+        "shuffle join orders⋈lineitem → agg → top-10. The revenue sort "
+        "key is an exact decimal sum, so the LIMIT boundary is "
+        "deterministic."
+    ),
+    tags=("join", "topk", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum_exact(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

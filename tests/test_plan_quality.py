@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the 100 TB design contract (SURVEY.md §4.2).
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one we'd want on a 1000-executor cluster: dimension joins broadcast,
+filters pushed into the Parquet scan, projections pruned to the read
+schema, global top-k planned as TakeOrderedAndProject (no total sort).
+"""
+
+from __future__ import annotations
+
+from dmi_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # the only shuffle-side join is lineitem⋈orders
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q1_schema_pruned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # only the 7 needed columns are read, not all 11
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema, read_schema
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_top_orders")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_quantity_bands")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    # map-side combine: partial_sum before the exchange, final after —
+    # the property that keeps the q1 shuffle O(groups), not O(rows)
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange") or "Exchange" in plan
+
+
+def test_q1_whole_stage_codegen_executed(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].builder(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark WholeStageCodegen spans in the executed tree
+    assert "*(1)" in executed and "*(2)" in executed, executed[:2000]
