@@ -1,0 +1,151 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY.md U2/U8).
+
+The model: media lives in a ``payload binary`` column next to typed
+metadata (mime, n_bytes, …) and derived features — exactly how the
+reference's NetCDF/GeoTIFF bytes would sit in a table
+(``dmi_ingestor/ingestor.py:200``: bytes → decode → arrays).
+
+Decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` transforms (iterator→iterator: one input row may emit
+many output rows, the U2 "cube explode" shape). The real image/audio
+codecs (PIL/librosa/ffmpeg) are NOT in this container, so the codec
+call is isolated in :func:`_decode_bytes`, gated behind an import-try
+with a deterministic fallback decoder — the Spark-side plumbing
+(schemas, Arrow batches, partition behavior) is real and tested either
+way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+N_FEATURES = 8
+N_FRAMES = 4
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def _decode_bytes(payload: bytes) -> list[float]:
+    """Decode a media payload into a feature vector.
+
+    Real codec path is stubbed: PIL/librosa are not available in this
+    container. The fallback is a *deterministic* byte-statistics
+    decoder so tests and the driver exercise the full distributed
+    plumbing with stable outputs.
+    """
+    try:  # pragma: no cover - codec libs absent by design
+        import PIL.Image  # noqa: F401
+
+        raise NotImplementedError(
+            "real image decode goes here when codec libs are installed"
+        )
+    except ImportError:
+        digest = hashlib.sha256(payload).digest()
+        n = max(len(payload), 1)
+        feats = [float(len(payload))]
+        feats += [digest[i] / 255.0 for i in range(N_FEATURES - 2)]
+        feats.append(sum(payload[:256]) / (255.0 * min(n, 256)))
+        return feats
+
+
+def attach_payloads(documents: DataFrame) -> DataFrame:
+    """documents → multimodal table: (doc_id, mime, payload binary).
+
+    Stands in for ``spark.read.format("binaryFile")`` over a media
+    bucket; the payload is the utf-8 document body so everything stays
+    deterministic and self-contained.
+    """
+    return documents.select(
+        "doc_id",
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: payload → checksum + feature vector.
+
+    mapInPandas (not a scalar UDF) so one task handles a whole Arrow
+    batch, the decoder can be vectorized, and output need not be 1:1
+    with input. Partitioning is preserved — no shuffle.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": payloads.map(lambda b: _decode_bytes(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling: one input payload → n output frame rows.
+
+    The U2 explode shape (one blob in, many rows out) — for video this
+    is ffmpeg keyframe extraction; the stub slices the payload into
+    n_frames even chunks.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_payload": [],
+                "frame_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(chunk)
+                    out["frame_checksum"].append(
+                        hashlib.sha256(chunk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)

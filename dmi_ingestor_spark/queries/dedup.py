@@ -1,0 +1,456 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.10 U4/U5).
+
+The full LLM-pipeline dedup ladder:
+
+* exact        — md5-groupBy representative pick (U4)
+* n-gram Jaccard — shingle self-join, exact similarity (U5 baseline)
+* MinHash+LSH  — banded signature buckets → candidates → exact verify
+* SimHash      — 48-bit fingerprint, chunk-banded Hamming pairs
+* embedding    — quantized cosine within label blocks (near-dup by vector)
+
+Everything is built-in Catalyst expressions — the shared hash across
+engines is ``md5`` (identical algorithm in Spark and DuckDB), which is
+what makes even the MinHash/SimHash pipelines oracle-checkable: the
+minimum of md5 hex strings is a lexicographic MIN both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.vector import cosine, quantize, sql_cosine
+from dmi_ingestor_spark.registry import register
+
+# --------------------------------------------------------------------------
+# U4 exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT
+      md5(text) AS text_hash,
+      MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc=(
+        "U4 exact dedup: hash-groupBy on content, keep the smallest "
+        "doc_id as representative. At 100 TB the md5 key makes the "
+        "shuffle key 16 bytes instead of the full document, and the "
+        "aggregate is partial+final (no document ever moves twice)."
+    ),
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    doc="U4: plain DISTINCT (dropDuplicates) over a projection.",
+    tags=("dedup",),
+)
+def dedup_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# --------------------------------------------------------------------------
+# Shared shingle machinery
+# --------------------------------------------------------------------------
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams, built JVM-side.
+
+    tokens[i..i+n-1] joined by space, via transform over an index
+    sequence (guarded for short docs — Spark's sequence() runs
+    *descending* when start > stop, so the guard is required, not
+    cosmetic).
+    """
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        ),
+    )
+    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+_SQL_SHINGLES = """
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# U5 n-gram Jaccard (exact pairwise over shared-shingle candidates)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.20
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+      i.a_id, i.b_id,
+      CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "U5 baseline: exact 3-gram Jaccard. Candidate pairs come from the "
+        "shared-shingle self-join (never an n² cross join); the Jaccard "
+        "value is an exact integer ratio so the threshold and hash match "
+        "bit-for-bit. Scale note: the join key is the shingle — skewed "
+        "hot shingles are the known hazard; the MinHash variant below is "
+        "the 100 TB path."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(table(spark, sf_dir, "documents")).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, ["a_id"])
+        .join(sb, ["b_id"])
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# U5 MinHash + LSH
+# --------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 bands × 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_cols() -> list[Column]:
+    """16 MinHash signature components: MIN of seeded md5 hex strings.
+
+    Lexicographic MIN over md5('s{i}:'||shingle) is a valid MinHash
+    (uniform permutation per seed), is a plain partial+final aggregate,
+    and — because Spark md5 ≡ DuckDB md5 — is oracle-reproducible.
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n        ".join(
+        f"MIN(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+    )
+
+
+def _band_key(band: int) -> Column:
+    parts = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws("|", *parts).cast("binary"))
+
+
+def _sql_band_key(band: int) -> str:
+    parts = " || '|' || ".join(
+        f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({parts})"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    sig AS (
+      SELECT doc_id,
+        {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a_id
+      JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT v.a_id, v.b_id,
+      CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.a_id
+    JOIN sizes sb ON sb.doc_id = v.b_id
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= 0.5
+    """,
+    doc=(
+        "U5 at scale: MinHash(16 perms) + LSH(4 bands × 4). Signature = "
+        "one groupBy over shingles (16 MIN aggregates, partial+final); "
+        "candidates = equi-join on (band, band_key) — O(collisions) not "
+        "O(n²); exact-Jaccard verification only on candidates. The "
+        "published banding scheme of Leskovec/Rajaraman/Ullman ch.3, "
+        "expressed as three shuffles."
+    ),
+    tags=("dedup", "similarity", "flagship"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(table(spark, sf_dir, "documents")).cache()
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band_id"), _band_key(b).alias("band_key")
+        )
+        bands = part if bands is None else bands.union(part)
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_key"
+    )
+    b_ = bands.select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_key"
+    )
+    cand = (
+        a.join(b_, ["band_id", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    verified = (
+        cand.join(x, ["a_id"])
+        .join(y, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    )
+    return (
+        verified.join(sa, ["a_id"])
+        .join(sb, ["b_id"])
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# U5 SimHash (48-bit, md5-derived, fully deterministic)
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+HAMMING_MAX = 3
+N_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // N_CHUNKS
+
+
+def _hex_digit(hexstr: Column, pos: int) -> Column:
+    return F.conv(F.substring(hexstr, pos + 1, 1), 16, 10).cast("long")
+
+
+def _simhash_agg_cols() -> list[Column]:
+    """Per-bit signed vote sums over a doc's tokens (with multiplicity)."""
+    h = F.md5(F.col("token").cast("binary"))
+    cols = []
+    for j in range(SIMHASH_BITS):
+        bit = F.shiftright(_hex_digit(h, j // 4), j % 4).bitwiseAND(F.lit(1))
+        cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}"))
+    return cols
+
+
+def _sql_simhash_votes() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        digit = f"(strpos('0123456789abcdef', substr(md5(token), {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} >> {j % 4}) & 1)"
+        terms.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{j}")
+    return ",\n        ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+        {_sql_simhash_votes()}
+      FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+        {" + ".join(f"(CASE WHEN v{j} >= 0 THEN 1 ELSE 0 END) * {1 << j}" for j in range(SIMHASH_BITS))}
+        AS simhash
+      FROM votes
+    ),
+    chunks AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS chunk_id, (simhash >> {k * CHUNK_BITS}) & {(1 << CHUNK_BITS) - 1} AS chunk FROM sig"
+        for k in range(N_CHUNKS)
+      )}
+    )
+    SELECT DISTINCT
+      a.doc_id AS a_id,
+      b.doc_id AS b_id,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM chunks a
+    JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    doc=(
+        "U5 SimHash: 48-bit md5-derived fingerprint (per-bit ±1 votes "
+        "over tokens, one groupBy with 48 partial sums), then the "
+        "standard pigeonhole trick — split into 4 chunks of 12 bits; any "
+        "pair within Hamming≤3 must share ≥1 exact chunk, so candidates "
+        "come from 4 equi-joins, never O(n²)."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    votes = toks.groupBy("doc_id").agg(*_simhash_agg_cols())
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") >= 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        ) * F.lit(1 << j).cast("long")
+        simhash = term if simhash is None else simhash + term
+    sig = votes.select("doc_id", simhash.alias("simhash"))
+    chunks = None
+    for k in range(N_CHUNKS):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(k).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), k * CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+            .alias("chunk"),
+        )
+        chunks = part if chunks is None else chunks.union(part)
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"), "chunk_id", "chunk"
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("long")
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (label-blocked)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    )
+    SELECT
+      a.label,
+      a.vec_id AS a_id,
+      b.vec_id AS b_id,
+      {sql_cosine("a.qv", "b.qv")} AS sim
+    FROM q a
+    JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.qv", "b.qv")} >= 0.40
+    """,
+    doc=(
+        "U5/U6 embedding near-dup: quantized cosine over pairs *within a "
+        "label block* — the blocking key bounds the pair count (the same "
+        "role LSH buckets play when no label exists). Join shuffles on "
+        "label; cosine is a codegen'd zip_with/aggregate expression."
+    ),
+    tags=("dedup", "similarity", "embeddings"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    )
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("a_id"), F.col("qv").alias("a_v")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("b_id"), F.col("qv").alias("b_v")
+    )
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("sim") >= 0.40)
+        .select("label", "a_id", "b_id", "sim")
+    )

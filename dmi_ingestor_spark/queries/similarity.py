@@ -1,0 +1,167 @@
+"""Similarity search over embeddings (SURVEY.md §2.10 U6).
+
+Exact brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH bucketed variant as the 100 TB scale path
+(candidates only within matching sign-buckets, then exact re-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.vector import cosine, quantize, sql_cosine
+from dmi_ingestor_spark.registry import register
+
+N_QUERY = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        {sql_cosine("a.qv", "b.qv")} AS sim,
+        ROW_NUMBER() OVER (
+          PARTITION BY a.vec_id
+          ORDER BY {sql_cosine("a.qv", "b.qv")} DESC, b.vec_id
+        ) AS rk
+      FROM q a JOIN q b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    )
+    SELECT query_id, neighbor_id, sim, rk
+    FROM scored WHERE rk <= {TOP_K}
+    """,
+    doc=(
+        "U6 exact ANN baseline: brute-force cosine top-k for a query set, "
+        "quantized vectors for cross-engine bit-exactness. Spark plan: "
+        "broadcast the (tiny) query side, score JVM-side via "
+        "zip_with/aggregate, per-query top-k via window. At scale the "
+        "candidate side stays partitioned — no shuffle of the corpus."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
+    )
+    pairs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("qv")
+    ).join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+@register(
+    "sim_topk_float",
+    oracle=None,  # float accumulation order is engine-specific
+    doc=(
+        "U6 production variant: same plan over raw float vectors "
+        "(no quantization). rows-only; test asserts ranking agreement "
+        "with the quantized twin."
+    ),
+    tags=("similarity", "embeddings", "rows-only"),
+)
+def sim_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("query_vec")
+    )
+    pairs = emb.select(F.col("vec_id").alias("neighbor_id"), "v").join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("sim", cosine(F.col("query_vec"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+# -- LSH scale path ---------------------------------------------------------
+N_PLANES = 8  # one 8-bit bucket key (256 buckets)
+
+
+def _hyperplane_sign_bits(vec_col: F.Column) -> F.Column:
+    """8-bit random-hyperplane signature as a BIGINT bucket key.
+
+    Hyperplane j's i-th component is a deterministic pseudo-random ±1
+    derived from md5 — no stored model, reproducible across runs and
+    engines. sign bit j = (Σᵢ hᵢⱼ·vᵢ) >= 0.
+    """
+    def bit(j: int) -> F.Column:
+        # h_ij = +1 if hex digit of md5("p{j}-{i}") is even else -1;
+        # element index comes from zip_with against a positions array
+        positions = F.sequence(F.lit(0), F.size(vec_col) - 1)
+        signed = F.zip_with(
+            vec_col,
+            positions,
+            lambda x, i: F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"p{j}-"), i.cast("string"))), 1, 1),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                x,
+            ).otherwise(-x),
+        )
+        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * (2**j)
+
+    out = bit(0)
+    for j in range(1, N_PLANES):
+        out = out + bit(j)
+    return out
+
+
+@register(
+    "sim_ann_lsh_buckets",
+    oracle=None,  # approximate by design; recall invariant in tests
+    doc=(
+        "U6 scale path: random-hyperplane LSH. Each vector gets an 8-bit "
+        "sign signature (deterministic md5-derived hyperplanes, computed "
+        "JVM-side); candidates are pairs sharing a bucket, re-ranked by "
+        "exact cosine. At 100 TB this is a bucket-key shuffle "
+        "(O(n) + O(Σ bucket²)) instead of an O(n²) cross join."
+    ),
+    tags=("similarity", "embeddings", "approx", "rows-only"),
+)
+def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = emb.withColumn("bucket", _hyperplane_sign_bits(F.col("v")))
+    a = sig.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "bucket"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("sim") >= 0.25)
+        .select("bucket", "a_id", "b_id", "sim")
+    )

@@ -1,0 +1,233 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.10 U7).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting — all as Catalyst expressions (no Python in the row
+path), each with a DuckDB twin. Ratios are emitted as raw exact
+divisions (integer numerator/denominator), never rounded, so the
+hash-match is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+STOPWORDS = ("the", "a")
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        AS n_tokens_bpeish,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+      n_chars
+    FROM documents
+    """,
+    doc=(
+        "U7 token counting: whitespace tokens and a BPE-ish regex "
+        "tokenizer (letter runs | digit runs | single punctuation) — the "
+        "standard pre-tokenizer shape. Pure regexp_extract_all; "
+        "validates the fixture's n_chars column on the way."
+    ),
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_tokens_bpeish"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT
+        doc_id,
+        lang,
+        string_split(text, ' ') AS toks,
+        CAST(LENGTH(text) AS DOUBLE) AS n_chars_d,
+        CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(toks, x -> x IN {STOPWORDS})) AS DOUBLE) / len(toks)
+        AS stopword_ratio,
+      n_alpha / n_chars_d AS alpha_ratio,
+      (n_chars_d - (len(toks) - 1)) / len(toks) AS avg_token_len,
+      CASE WHEN len(toks) >= 20
+            AND n_alpha / n_chars_d > 0.5
+            AND CAST(len(list_filter(toks, x -> x IN {STOPWORDS})) AS DOUBLE)
+                / len(toks) < 0.5
+           THEN 1 ELSE 0 END AS quality_keep
+    FROM t
+    """,
+    doc=(
+        "U7 quality scoring: stopword ratio, alphabetic ratio, mean token "
+        "length, and a keep/drop gate — the Gopher/C4-style heuristic "
+        "filter family, as pure column expressions."
+    ),
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_chars = F.length("text").cast("double")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_toks
+    )
+    alpha_ratio = n_alpha / n_chars
+    avg_tok = (n_chars - (n_toks - 1)) / n_toks
+    keep = (
+        F.when((n_toks >= 20) & (alpha_ratio > 0.5) & (stop_ratio < 0.5), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_toks.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        avg_tok.alias("avg_token_len"),
+        keep.alias("quality_keep"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT
+      doc_id,
+      list_reduce(
+        list_prepend(
+          CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
+        ),
+        (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+      ) AS fingerprint
+    FROM documents
+    """,
+    doc=(
+        "U7 document fingerprint: polynomial rolling hash over characters "
+        "(base 31 mod 1e9+7), the Rabin-Karp family. One aggregate() "
+        "fold, exact 64-bit integer arithmetic both engines. Content-"
+        "defined chunking at scale reuses the same fold per window."
+    ),
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Language ID: n-gram/function-word profile voting.
+# --------------------------------------------------------------------------
+
+# (token, lang, weight) — tiny function-word profiles. The synthetic
+# corpus is English word salad for every `lang` label (no real signal),
+# so most docs resolve to 'en' or the 'und' fallback — the operator
+# demonstrates and tests the *mechanism*; real profiles drop in as data.
+LANG_PROFILES: tuple[tuple[str, str, int], ...] = (
+    ("the", "en", 2),
+    ("a", "en", 1),
+    ("le", "fr", 2),
+    ("la", "fr", 2),
+    ("der", "de", 2),
+    ("die", "de", 2),
+    ("el", "es", 2),
+    ("los", "es", 2),
+    ("de", "es", 1),
+)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    profiles(token, plang, weight) AS (
+      VALUES {", ".join(f"('{t}', '{lg}', {w})" for t, lg, w in LANG_PROFILES)}
+    ),
+    scores AS (
+      SELECT t.doc_id, p.plang, SUM(p.weight) AS score
+      FROM toks t JOIN profiles p ON t.token = p.token
+      GROUP BY t.doc_id, p.plang
+    ),
+    best AS (
+      SELECT doc_id, plang, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, plang
+             ) AS rn
+      FROM scores
+    )
+    SELECT
+      d.doc_id,
+      d.lang AS labeled_lang,
+      COALESCE(b.plang, 'und') AS detected_lang,
+      COALESCE(b.score, 0) AS score
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """,
+    doc=(
+        "U7 language ID: function-word profile voting — explode tokens, "
+        "broadcast-join the profile table, argmax score per doc "
+        "(deterministic tiebreak), 'und' fallback. The standard "
+        "n-gram-profile approach with the profile table as data."
+    ),
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    profiles = F.broadcast(
+        d.sparkSession.createDataFrame(
+            list(LANG_PROFILES), schema="token string, plang string, weight long"
+        )
+    )
+    scores = (
+        toks.join(profiles, "token")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("plang"))
+    best = scores.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"))
+        .join(best.select("doc_id", "plang", "score"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.coalesce(F.col("plang"), F.lit("und")).alias("detected_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Invariants for dedup / similarity operators, incl. planted duplicates.
+
+The synthetic corpus has no true near-duplicates (max pairwise cosine
+≈0.48, no repeated texts), so recall-style properties are exercised on
+small planted fixtures built inline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, sf_dir, tmp_path_factory):
+    """A tiny corpus with exact dups and near-dups written as parquet,
+    laid out like the driver's sf dirs so builders can run on it."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)  # one token differs
+    other = "completely different content about spark query engines " * 6
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, base, "en", "src1", len(base)),      # exact dup of 0
+        (2, near, "en", "src2", len(near)),      # near dup of 0
+        (3, other, "en", "src3", len(other)),
+        (4, other + "extra tail tokens", "en", "src4", len(other) + 17),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("planted")
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_finds_planted_dups(spark, planted_docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, planted_docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (2, 0) in pairs or (0, 2) in pairs  # near dup (1 token diff)
+    assert not any({a, b} == {0, 3} for a, b in pairs)  # unrelated pair absent
+
+
+def test_simhash_finds_planted_dups(spark, planted_docs):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in REGISTRY["dedup_simhash"].builder(spark, planted_docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_exact_dedup_groups_planted(spark, planted_docs):
+    rows = REGISTRY["dedup_exact"].builder(spark, planted_docs).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in rows}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse, representative = min id
+    assert len(rows) == 4
+
+
+def test_float_and_quantized_topk_agree(spark, sf_dir):
+    exact = REGISTRY["sim_topk_bruteforce"].builder(spark, sf_dir)
+    flt = REGISTRY["sim_topk_float"].builder(spark, sf_dir)
+    e = {(r.query_id, r.rk): r.neighbor_id for r in exact.collect()}
+    f = {(r.query_id, r.rk): r.neighbor_id for r in flt.collect()}
+    agree = sum(1 for k in e if f.get(k) == e[k])
+    # quantization at 1e-3 may swap near-tied neighbors; ≥90% rank agreement
+    assert agree / len(e) >= 0.9
+
+
+def test_ann_lsh_pairs_are_truly_similar(spark, sf_dir):
+    rows = REGISTRY["sim_ann_lsh_buckets"].builder(spark, sf_dir).collect()
+    assert rows, "8-bit buckets over 500 vectors must yield some candidate pairs"
+    # every reported pair passed the exact-cosine re-rank threshold
+    for r in rows:
+        assert r.sim >= 0.25
+        assert r.a_id < r.b_id
+
+
+def test_embedding_selfsim_is_one(spark, sf_dir):
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.functions.vector import cosine
+
+    emb = table(spark, sf_dir, "embeddings").limit(20).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = emb.select(cosine(F.col("v"), F.col("v")).alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-12 for r in rows)

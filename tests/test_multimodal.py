@@ -1,0 +1,54 @@
+"""Multimodal plumbing invariants (SURVEY.md U2/U8)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.operators.multimodal import (
+    N_FEATURES,
+    N_FRAMES,
+    attach_payloads,
+    decode_features,
+    sample_frames,
+)
+from dmi_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_decode_schema_and_checksums(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = attach_payloads(docs)
+    decoded = decode_features(media)
+    assert [f.name for f in decoded.schema.fields] == [
+        "doc_id", "mime", "n_bytes", "checksum", "features",
+    ]
+    rows = {r.doc_id: r for r in decoded.collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(rows) == set(src)
+    for doc_id, text in list(src.items())[:25]:
+        raw = text.encode("utf-8")
+        r = rows[doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.checksum == hashlib.sha256(raw).hexdigest()
+        assert len(r.features) == N_FEATURES
+        assert r.features[0] == float(len(raw))
+
+
+def test_frame_sample_explodes_rows(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payloads(docs))
+    n_docs = docs.count()
+    assert frames.count() == n_docs * N_FRAMES
+    one = frames.filter("doc_id = 0").orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in one] == list(range(N_FRAMES))
+    for r in one:
+        assert r.frame_checksum == hashlib.sha256(bytes(r.frame_payload)).hexdigest()
+
+
+def test_decode_preserves_partitioning(spark, sf_dir):
+    # mapInPandas is a narrow transform: partition count unchanged → no shuffle
+    media = attach_payloads(table(spark, sf_dir, "documents")).repartition(7)
+    decoded = decode_features(media)
+    assert decoded.rdd.getNumPartitions() == 7
