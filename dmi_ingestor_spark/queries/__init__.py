@@ -3,12 +3,14 @@
 from dmi_ingestor_spark.queries import (  # noqa: F401
     aggregates,
     dedup,
+    ingestion,
     joins,
     multimodal,
     relational,
     scalars,
     setops,
     similarity,
+    streaming,
     textops,
     windows,
 )

@@ -1,0 +1,185 @@
+"""Ingestion-semantics queries (SURVEY.md §7 M2).
+
+The grid-explode / bbox-slice / per-timestep-rollup semantics of the
+pipeline are oracle-checked over an *in-plan synthetic cube*: both Spark
+and DuckDB generate the identical deterministic (time, y, x, value)
+grid from integer ranges — the relational twin of a decoded DMI cube
+(FIXTURES.md §B) — so the DuckDB twin can verify the math without HTTP
+or binary payloads. The full binary pipeline (fetch→decode→write→
+manifest) runs in ``ingest_e2e_local`` (rows-only) and is asserted
+in detail by ``tests/test_ingest.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.functions.exact import sql_avg_exact, avg_exact
+from dmi_ingestor_spark.registry import register
+
+T0 = 1_767_225_600  # 2026-01-01T00:00:00Z
+NT, NY, NX = 4, 8, 8
+
+# value = t*10000 + iy*100 + ix — integer-exact in float64 (cube_format.synthetic_cube)
+_SQL_GRID = f"""
+      SELECT
+        (i // {NY * NX}) AS t,
+        ((i % {NY * NX}) // {NX}) AS iy,
+        (i % {NX}) AS ix,
+        {T0} + 3600 * (i // {NY * NX}) AS time_s,
+        55.0 + 0.1 * ((i % {NY * NX}) // {NX}) AS y,
+        11.0 + 0.1 * (i % {NX}) AS x,
+        CAST((i // {NY * NX}) * 10000 + ((i % {NY * NX}) // {NX}) * 100 + (i % {NX}) AS DOUBLE) AS value
+      FROM (SELECT unnest(generate_series(0, {NT * NY * NX - 1})) AS i)
+"""
+
+
+def _spark_grid(spark: SparkSession) -> DataFrame:
+    """The same synthetic grid, built from spark.range — no data read;
+    this is the long-form relational model of a decoded cube
+    (SURVEY.md §1.3)."""
+    n = NT * NY * NX
+    df = spark.range(n)
+    t = (F.col("id") / (NY * NX)).cast("long")
+    iy = ((F.col("id") % (NY * NX)) / NX).cast("long")
+    ix = (F.col("id") % NX).cast("long")
+    return df.select(
+        t.alias("t"),
+        iy.alias("iy"),
+        ix.alias("ix"),
+        (F.lit(T0) + 3600 * t).alias("time_s"),
+        (F.lit(55.0) + 0.1 * iy).alias("y"),
+        (F.lit(11.0) + 0.1 * ix).alias("x"),
+        (t * 10000 + iy * 100 + ix).cast("double").alias("value"),
+    )
+
+
+@register(
+    "ingest_grid_timestep_rollup",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID})
+    SELECT
+      strftime(to_timestamp(time_s), '%Y%m%dT%H%M%S') AS time_str,
+      COUNT(*) AS n_cells,
+      {sql_avg_exact("value", "avg_value")},
+      CAST(MIN(value) AS DOUBLE) AS min_value,
+      CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM grid
+    GROUP BY time_str
+    ORDER BY time_str
+    """,
+    doc=(
+        "M2 core semantics: decoded cube → long-form rows → per-timestep "
+        "rollup keyed by the reference's yyyymmddTHHMMSS string "
+        "(ingestor.py:104). The per-band statistics the reference's "
+        "GeoTIFF split implies, as one partial+final aggregate."
+    ),
+    tags=("ingest", "reference"),
+)
+def ingest_grid_timestep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _spark_grid(spark)
+    return (
+        grid.groupBy(
+            F.date_format(F.timestamp_seconds("time_s"), "yyyyMMdd'T'HHmmss").alias(
+                "time_str"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            avg_exact("value", "avg_value"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("time_str")
+    )
+
+
+@register(
+    "ingest_bbox_slice",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID})
+    SELECT time_s, y, x, value
+    FROM grid
+    WHERE y >= 55.25 AND y <= 55.55 AND x >= 11.15 AND x <= 11.45
+    """,
+    doc=(
+        "P2: the reference's bbox predicate (ingestor.py:146,179) as a "
+        "relational filter over grid rows — at rest this prunes Parquet "
+        "row groups on (y, x) min/max stats instead of asking the API."
+    ),
+    tags=("ingest", "filter", "reference"),
+)
+def ingest_bbox_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_grid(spark).filter(
+        (F.col("y") >= 55.25)
+        & (F.col("y") <= 55.55)
+        & (F.col("x") >= 11.15)
+        & (F.col("x") <= 11.45)
+    ).select("time_s", "y", "x", "value")
+
+
+@register(
+    "ingest_regrid_coarsen",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID})
+    SELECT
+      time_s,
+      (iy // 2) AS cell_y,
+      (ix // 2) AS cell_x,
+      {sql_avg_exact("value", "avg_value")},
+      COUNT(*) AS n_points
+    FROM grid
+    GROUP BY time_s, cell_y, cell_x
+    """,
+    doc=(
+        "M2 regrid: 2×2 cell coarsening as groupBy(cell).agg(avg) — the "
+        "relational form of the resampling rio.reproject performs "
+        "(ingestor.py:83-87); SURVEY.md §3.2 maps regridding to exactly "
+        "this aggregate."
+    ),
+    tags=("ingest", "reference"),
+)
+def ingest_regrid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _spark_grid(spark)
+    return grid.groupBy(
+        "time_s",
+        (F.col("iy") / 2).cast("long").alias("cell_y"),
+        (F.col("ix") / 2).cast("long").alias("cell_x"),
+    ).agg(
+        avg_exact("value", "avg_value"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@register(
+    "ingest_e2e_local",
+    oracle=None,  # full binary pipeline; asserted in tests/test_ingest.py
+    doc=(
+        "M2 end-to-end: offline transport → FCUBE decode → LCC→WGS84 "
+        "pandas UDF → dynamic-partition-overwrite parquet → manifest "
+        "JSON; returns the written grid (rows-only smoke for the "
+        "driver)."
+    ),
+    tags=("ingest", "reference", "rows-only"),
+)
+def ingest_e2e_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.ingest.pipeline import run_ingest
+    from dmi_ingestor_spark.sources.cube_format import encode_cube, synthetic_cube
+    from dmi_ingestor_spark.sources.http_edr import IngestConfig
+
+    def transport(url: str) -> bytes:
+        parameter = url.split("parameter-name=")[1].split("&")[0]
+        return encode_cube(synthetic_cube(parameter, lambert=True))
+
+    config = IngestConfig(
+        collection="harmonie_dini_sf",
+        parameters=("temperature-2m", "wind-speed"),
+        bbox="250,-50,400,100",
+    )
+    out_dir = tempfile.mkdtemp(prefix="ingest-e2e-")
+    run_ingest(spark, config, out_dir, transport)
+    return spark.read.parquet(os.path.join(out_dir, "grid"))

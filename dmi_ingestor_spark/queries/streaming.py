@@ -1,0 +1,167 @@
+"""Streaming operators St1-St6 in batch mode (SURVEY.md §2.9).
+
+The window()/session_window() expressions are the *same objects* the
+streaming runner executes (``streaming/windows.py``) — batch mode is
+what the DuckDB oracle can check; streaming execution is covered by
+``tests/test_streaming.py`` and the two rows-only entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import sql_sum_exact
+from dmi_ingestor_spark.registry import register
+from dmi_ingestor_spark.streaming.windows import (
+    dedup_by_key,
+    session_windows,
+    sliding_counts,
+    streaming_dedup_watermarked,
+    streaming_tumbling_watermarked,
+    tumbling_counts,
+)
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+GAP_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "st_tumbling_counts",
+    oracle=f"""
+    SELECT
+      (epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US}) * {HOUR_US} AS win_start_us,
+      (epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US}) * {HOUR_US} + {HOUR_US} AS win_end_us,
+      event_type,
+      COUNT(*) AS n_events,
+      {sql_sum_exact("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="St1: tumbling 1h event-time windows per event_type (epoch-aligned).",
+    tags=("streaming", "events"),
+)
+def st_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "st_sliding_counts",
+    oracle=f"""
+    WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+    assigned AS (
+      SELECT t, (t // {HALF_HOUR_US}) * {HALF_HOUR_US} - k * {HALF_HOUR_US} AS win_start_us
+      FROM e, UNNEST([0, 1]) AS u(k)
+      WHERE (t // {HALF_HOUR_US}) * {HALF_HOUR_US} - k * {HALF_HOUR_US} + {HOUR_US} > t
+    )
+    SELECT
+      win_start_us,
+      win_start_us + {HOUR_US} AS win_end_us,
+      COUNT(*) AS n_events
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "St2: sliding 1h/30min windows — every event counted in 2 "
+        "overlapping windows (oracle reproduces Spark's window "
+        "assignment arithmetic)."
+    ),
+    tags=("streaming", "events"),
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "st_session_windows",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t,
+        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                  > {GAP_US}
+             OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, t,
+        SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sess_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      MIN(t) AS sess_start_us,
+      MAX(t) + {GAP_US} AS sess_end_us,
+      COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+    doc=(
+        "St3: per-user session windows, 5-minute gap. Spark "
+        "session_window merges events with gap < 5min and reports "
+        "end = last_event + gap; the oracle rebuilds exactly that via "
+        "the lag/flag/cumsum idiom. Note Spark's gap comparison is "
+        "strict (an event exactly gap-after extends nothing), matched "
+        "by `>` in the oracle."
+    ),
+    tags=("streaming", "events", "window"),
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(table(spark, sf_dir, "events"))
+
+
+@register(
+    "st_dedup_by_key",
+    oracle="""
+    SELECT DISTINCT event_id, user_id, event_type, value
+    FROM (
+      SELECT event_id, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type, value FROM events
+    ) doubled
+    """,
+    doc=(
+        "St5 batch twin: keyed dedup over a deliberately doubled input "
+        "(simulating at-least-once delivery). Identical copies collapse "
+        "deterministically; in streaming mode the same dropDuplicates "
+        "runs state-backed under the watermark."
+    ),
+    tags=("streaming", "dedup", "events"),
+)
+def st_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return dedup_by_key(e.union(e))
+
+
+@register(
+    "st_stream_tumbling_watermarked",
+    oracle=None,  # real streaming execution; invariants in tests
+    doc=(
+        "St1+St4+St6 executed as a real stream: readStream → "
+        "withWatermark(10m) → tumbling agg → Trigger.AvailableNow → "
+        "memory sink. Append mode withholds windows newer than the "
+        "final watermark (late-data safety), asserted in tests."
+    ),
+    tags=("streaming", "rows-only"),
+)
+def st_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_tumbling_watermarked(spark, sf_dir)
+
+
+@register(
+    "st_stream_dedup",
+    oracle=None,
+    doc="St5 executed as a real stream: watermarked stateful dropDuplicates.",
+    tags=("streaming", "rows-only"),
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_dedup_watermarked(spark, sf_dir)

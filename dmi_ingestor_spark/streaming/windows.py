@@ -1,0 +1,149 @@
+"""Event-time windowing, shared between batch and streaming (SURVEY.md §2.9).
+
+The reference achieves "streaming" by re-running a batch container per
+forecast cycle (``Dockerfile:28``, delete+replace at
+``dmi_ingestor/ingestor.py:199``); the Spark-native analogue is the same
+declarative window expressions executed either on a static DataFrame
+(batch, DuckDB-checkable) or under ``readStream`` with a watermark and
+``Trigger.AvailableNow`` (St6 — incremental re-runs with state kept in
+the checkpoint, not re-read from scratch).
+
+Every builder here takes the *events DataFrame*, so the identical
+expression tree serves both modes — the batch queries in
+``queries/streaming.py`` and the streaming runner below.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.functions.exact import sum_exact
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """St1: tumbling event-time window aggregate per event_type."""
+    return (
+        events.groupBy(F.window("ts", size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_exact("value", "sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.unix_micros(F.col("window.end")).alias("win_end_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """St2: sliding window — each event lands in size/slide windows."""
+    return (
+        events.groupBy(F.window("ts", size, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            F.unix_micros(F.col("window.end")).alias("win_end_us"),
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """St3: per-user session windows (gap-merged; end = last event + gap)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_by_key(events: DataFrame) -> DataFrame:
+    """St5: keyed dedup — in streaming, state-backed under a watermark."""
+    return events.dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming execution (St4/St6)
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs conversion.
+
+    Schema must be supplied for streaming file sources; ts arrives as
+    raw nanos (catalog.py note) and is truncated in-plan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        # streaming file sources require a directory; glob-filter down
+        # to the events file within the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan to completion with Trigger.AvailableNow
+    into an in-memory sink; return the materialized result.
+
+    This is St6 — the reference's "re-run the container per cycle"
+    becomes an incremental drain of whatever data is available, with
+    exactly-once state in the checkpoint dir.
+    """
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="ckpt-") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_tumbling_watermarked(
+    spark: SparkSession, sf_dir: str, size: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """St1+St4 under real streaming: watermarked tumbling counts.
+
+    Append mode: only windows closed w.r.t. the final watermark
+    (max event time − 10 min) are emitted — the tail window is
+    withheld, which the invariant test asserts explicitly.
+    """
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = tumbling_counts(events, size)
+    return run_available_now(agg, "st_tumbling_sink", "append")
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St5 under real streaming: watermark-scoped keyed dedup."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    return run_available_now(
+        dedup_by_key(events).select("event_id", "user_id", "event_type", "value"),
+        "st_dedup_sink",
+        "append",
+    )

@@ -1,0 +1,38 @@
+"""Streaming-execution invariants: the batch twin is the oracle."""
+
+from __future__ import annotations
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import load_all
+from dmi_ingestor_spark.streaming.windows import tumbling_counts
+
+REGISTRY = load_all()
+
+
+def test_stream_tumbling_matches_batch_up_to_watermark(spark, sf_dir):
+    streamed = REGISTRY["st_stream_tumbling_watermarked"].builder(spark, sf_dir)
+    batch = tumbling_counts(table(spark, sf_dir, "events"))
+    s = {
+        (r.win_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in streamed.collect()
+    }
+    b = {
+        (r.win_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert s, "stream produced no closed windows"
+    # every emitted window agrees exactly with batch
+    for key, val in s.items():
+        assert b[key] == val, key
+    # append mode must withhold the windows newer than the final watermark
+    max_win = max(k[0] for k in b)
+    assert all(k[0] < max_win for k in s)
+    # and all but the tail windows were emitted
+    assert len(s) >= len(b) - 2 * 5  # ≤2 withheld windows × 5 event types
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    streamed = REGISTRY["st_stream_dedup"].builder(spark, sf_dir)
+    n_events = table(spark, sf_dir, "events").count()
+    got = streamed.count()
+    assert got == n_events  # event_ids are unique; dedup is lossless here
