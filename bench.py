@@ -23,10 +23,21 @@ if REPO not in sys.path:
 from dmi_ingestor_spark.registry import load_all
 from dmi_ingestor_spark.session import get_spark
 
-# Headline set: kept to plan-shape-diverse, scale-sensitive queries.
+# Headline set: plan-shape-diverse, scale-sensitive queries — one per
+# operator family (scan-agg, fact-fact join, star join, agg→semi,
+# window, explode, dedup, similarity, streaming-batch window).
 BENCH_QUERIES: tuple[str, ...] = (
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_volume_customer",
     "filter_project",
+    "window_rank_orders_per_customer",
+    "explode_token_counts",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "st_tumbling_counts",
 )
 
 
@@ -36,6 +47,9 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # One tiny action to pay JVM/codegen/session warmup outside the timings.
+    spark.range(1).count()
 
     names = [n for n in BENCH_QUERIES if n in registry]
     timings: dict[str, float] = {}

@@ -7,10 +7,12 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    reshape,
     scalars,
     setops,
     similarity,
     streaming,
     textops,
+    tpch,
     windows,
 )

@@ -1,0 +1,261 @@
+"""Reshape & lateral pack: pivot, unpivot, grouping sets, explode, array ops.
+
+[ext] surface (absent from the reference — its whole pipeline is
+``dmi_ingestor/ingestor.py:1-233``): the column↔row reshapes and
+collection laterals every analytics engine ships. The closest reference
+analogue is the band split at ``dmi_ingestor/ingestor.py:101-107`` —
+one multi-band cube fanned out to per-timestep files — which is exactly
+an `explode` in relational terms.
+
+Scale notes:
+- `pivot` is called with an explicit value list — without it Spark runs
+  an extra distinct-collect job over the fact table to discover values,
+  a full extra scan at 100 TB.
+- `explode` of tokenized text multiplies row count ~100×; the grouped
+  count that follows is partial-aggregated map-side, so the shuffle
+  carries (token, count) pairs, not raw tokens.
+- Array ops (`transform`/`filter`/`aggregate`/`array_max`) run inside
+  whole-stage codegen on the JVM — no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import sql_sum_exact, sum_exact
+from dmi_ingestor_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Pivot: long → wide. Explicit value list avoids the value-discovery scan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_F,
+      COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_O,
+      {sql_sum_exact("CASE WHEN l_linestatus = 'F' THEN l_quantity END", "qty_F")},
+      {sql_sum_exact("CASE WHEN l_linestatus = 'O' THEN l_quantity END", "qty_O")}
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Pivot l_linestatus to columns (explicit values — no discovery scan).",
+    tags=("pivot", "aggregation"),
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(22,8)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_cnt").alias("cnt_F"),
+        F.col("O_cnt").alias("cnt_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Unpivot: wide → long (melt). Spark 4 DataFrame.unpivot == ANSI UNPIVOT.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+    doc="Unpivot (melt) two part measures into (measure, value) rows.",
+    tags=("unpivot",),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: non-hierarchical grouping (neither rollup nor cube).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT
+      c_mktsegment,
+      c_nationkey,
+      GROUPING(c_mktsegment) + GROUPING(c_nationkey) AS lvl,
+      COUNT(*) AS n_customers,
+      {sql_sum_exact("c_acctbal", "sum_acctbal")}
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    ORDER BY lvl, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    """,
+    doc="GROUPING SETS ((segment),(nation)) — disjoint single-column sets.",
+    tags=("aggregation", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupingSets(
+            [["c_mktsegment"], ["c_nationkey"]], "c_mktsegment", "c_nationkey"
+        )
+        .agg(
+            (F.grouping("c_mktsegment") + F.grouping("c_nationkey"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_customers"),
+            sum_exact("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy(
+            "lvl",
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Explode / lateral: tokenize → explode → grouped count (the reference's
+# band-split fan-out, dmi_ingestor/ingestor.py:101-107, in relational form).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "explode_token_counts",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+    WHERE tok <> ''
+    GROUP BY tok
+    HAVING COUNT(*) >= 10
+    ORDER BY n DESC, tok
+    """,
+    doc="explode(split(text)) → grouped token counts (map-side partial agg).",
+    tags=("explode", "lateral", "aggregation", "text"),
+)
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .orderBy(F.col("n").desc(), "tok")
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS tok
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ) t
+    """,
+    doc="posexplode: token with 0-based position (ordinality lateral).",
+    tags=("explode", "lateral", "text"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions: ntile / percent_rank / cume_dist.
+# Deterministic ordering: o_totalprice with o_orderkey tiebreaker.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WHERE o_totalprice > 50000.0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="ntile/percent_rank/cume_dist per priority partition.",
+    tags=("window",),
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000.0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array function pack over embeddings: JVM-side higher-order functions.
+# Left-fold accumulation in element order is deterministic on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "array_fn_pack",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) AS el_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS el_max
+    FROM embeddings
+    WHERE vec_id < 500
+    """,
+    doc="Higher-order array ops (transform/filter/aggregate/max) in codegen.",
+    tags=("array", "functions"),
+)
+def array_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("el_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.array_max("embedding").cast("double").alias("el_max"),
+    )
