@@ -79,18 +79,50 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     sequence (guarded for short docs — Spark's sequence() runs
     *descending* when start > stop, so the guard is required, not
     cosmetic).
+
+    The token array is materialized in its own projection first: an
+    inlined ``split()`` would be re-evaluated inside every lambda
+    element (O(tokens²) splits per row — measured 6.5× slower at
+    sf0.1). ``slice``+``array_join`` keeps the n-gram build a single
+    pass per index under whole-stage codegen.
     """
-    toks = F.split(F.col("text"), " ")
+    return _shingle_arrays(d, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
+    )
+
+
+def _shingle_arrays(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr): the distinct shingle *set* per doc, as an array.
+
+    Dedup happens per doc with ``array_distinct`` BEFORE any explode: a
+    row-level ``distinct()`` would shuffle every raw shingle string,
+    while per-doc distinct is the same set (shingles are keyed by doc)
+    and keeps the whole build a narrow map stage — at 100 TB that's the
+    difference between shuffling the full shingle set and shuffling
+    nothing.
+    """
+    toks = F.col("toks")
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-        ),
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).select(
+        "doc_id", F.array_distinct(grams).alias("sh_arr")
     )
-    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def _spread(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Plan-time parallelism fix for CPU-heavy per-row pipelines.
+
+    A small parquet input arrives as one partition, serializing the
+    hash/signature work onto one core. Repartition only when the scan is
+    narrower than the cluster — at 100 TB the scan already has ~1e6
+    partitions and this is a no-op (no shuffle inserted).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        return d.repartition(target)
+    return d
 
 
 _SQL_SHINGLES = """
@@ -251,44 +283,63 @@ def _sql_band_key(band: int) -> str:
     tags=("dedup", "similarity", "flagship"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(table(spark, sf_dir, "documents")).cache()
-    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band_id"), _band_key(b).alias("band_key")
-        )
-        bands = part if bands is None else bands.union(part)
-    a = bands.select(
-        F.col("doc_id").alias("a_id"), "band_id", "band_key"
+    # Array-form MinHash: the shingle set stays an array column, so the
+    # 16 signature components are array_min(transform(...)) — a pure map
+    # stage with NO shuffle of shingles at all (the grouped-aggregate
+    # formulation would shuffle every shingle string to compute the same
+    # 16 MINs). Only doc_id + band keys ever move.
+    docs = (
+        _shingle_arrays(_spread(spark, table(spark, sf_dir, "documents")))
+        .filter(F.size("sh_arr") > 0)
+        .cache()
     )
-    b_ = bands.select(
-        F.col("doc_id").alias("b_id"), "band_id", "band_key"
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "sh_arr",
+                lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g).cast("binary")),
+            )
+        ).alias(f"mh{i}")
+        for i in range(N_HASHES)
+    ]
+    sig = docs.select("doc_id", *sig_cols)
+    # Bands as one exploded array of structs (a union of N_BANDS selects
+    # would re-run the signature per band); cached because the candidate
+    # self-join scans it from both sides. Tiny by construction.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"), _band_key(b).alias("band_key")
+            )
+            for b in range(N_BANDS)
+        ]
     )
+    bands = (
+        sig.select("doc_id", F.explode(band_arr).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.band_key")
+        .cache()
+    )
+    a = bands.select(F.col("doc_id").alias("a_id"), "band_id", "band_key")
+    b_ = bands.select(F.col("doc_id").alias("b_id"), "band_id", "band_key")
     cand = (
         a.join(b_, ["band_id", "band_key"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    x = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    y = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    verified = (
-        cand.join(x, ["a_id"])
-        .join(y, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    # Exact verification: fetch both shingle arrays per candidate pair by
+    # broadcasting the (tiny) candidate set against the streaming doc
+    # table — the corpus never shuffles — then array_intersect in-place.
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
+    db = docs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
+    cand_a = da.join(F.broadcast(cand), ["a_id"])
+    pairs = db.join(F.broadcast(cand_a), ["b_id"])
+    n_common = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = n_common.cast("double") / (
+        F.size("a_sh") + F.size("b_sh") - n_common
     )
     return (
-        verified.join(sa, ["a_id"])
-        .join(sb, ["b_id"])
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id", "jaccard")
     )
@@ -308,12 +359,22 @@ def _hex_digit(hexstr: Column, pos: int) -> Column:
     return F.conv(F.substring(hexstr, pos + 1, 1), 16, 10).cast("long")
 
 
+def _simhash_digit_cols() -> list[Column]:
+    """Materialize the 12 hex digits of md5(token) once, pre-aggregation.
+
+    Inlining ``md5(token)`` into all 48 vote aggregates would
+    re-evaluate the hash (and the conv/substring digit extraction) per
+    bit — measured ~3× slower at sf0.1 than this two-step projection.
+    """
+    h = F.md5(F.col("token").cast("binary"))
+    return [_hex_digit(h, p).alias(f"d{p}") for p in range(SIMHASH_BITS // 4)]
+
+
 def _simhash_agg_cols() -> list[Column]:
     """Per-bit signed vote sums over a doc's tokens (with multiplicity)."""
-    h = F.md5(F.col("token").cast("binary"))
     cols = []
     for j in range(SIMHASH_BITS):
-        bit = F.shiftright(_hex_digit(h, j // 4), j % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
         cols.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}"))
     return cols
 
@@ -370,7 +431,9 @@ def _sql_simhash_votes() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).select("doc_id", *_simhash_digit_cols())
     votes = toks.groupBy("doc_id").agg(*_simhash_agg_cols())
     simhash = None
     for j in range(SIMHASH_BITS):
@@ -379,17 +442,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * F.lit(1 << j).cast("long")
         simhash = term if simhash is None else simhash + term
     sig = votes.select("doc_id", simhash.alias("simhash"))
-    chunks = None
-    for k in range(N_CHUNKS):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("chunk_id"),
-            F.shiftright(F.col("simhash"), k * CHUNK_BITS)
-            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
-            .alias("chunk"),
-        )
-        chunks = part if chunks is None else chunks.union(part)
+    # Chunks via one exploded array (a union of N_CHUNKS selects would
+    # re-run the 48-sum aggregate per chunk); cached because the
+    # candidate self-join scans it from both sides.
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), k * CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                .alias("chunk"),
+            )
+            for k in range(N_CHUNKS)
+        ]
+    )
+    chunks = (
+        sig.select("doc_id", "simhash", F.explode(chunk_arr).alias("cc"))
+        .select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+        .cache()
+    )
     a = chunks.select(
         F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"), "chunk_id", "chunk"
     )
