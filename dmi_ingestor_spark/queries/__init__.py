@@ -14,5 +14,6 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     streaming,
     textops,
     tpch,
+    udaf,
     windows,
 )

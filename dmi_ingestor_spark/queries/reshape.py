@@ -259,3 +259,44 @@ def array_fn_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
         F.array_max("embedding").cast("double").alias("el_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range-frame window: trailing 30-day revenue per customer. rangeBetween
+# over epoch seconds (Spark range frames need a numeric ordering key);
+# the frame sum stays in decimal so it is order-independent.
+# --------------------------------------------------------------------------
+
+_THIRTY_DAYS_S = 30 * 86400
+
+
+@register(
+    "window_range_trailing_30d",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN {_THIRTY_DAYS_S} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_30d
+    FROM orders
+    """,
+    doc="RANGE frame: per-customer trailing-30-day revenue sum.",
+    tags=("window", "range-frame"),
+)
+def window_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-_THIRTY_DAYS_S, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(22,8)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )

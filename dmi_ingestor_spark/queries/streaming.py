@@ -165,3 +165,19 @@ def st_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_watermarked(spark, sf_dir)
+
+
+@register(
+    "st_stateful_user_totals",
+    oracle=None,  # custom state-store operator; invariants in tests
+    doc=(
+        "Custom stateful streaming operator: applyInPandasWithState "
+        "running (count, sum) per user under Trigger.AvailableNow. "
+        "Final emission per key equals the batch groupBy (tested)."
+    ),
+    tags=("streaming", "stateful", "pandas", "rows-only"),
+)
+def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import stateful_user_totals
+
+    return stateful_user_totals(spark, sf_dir)

@@ -147,3 +147,44 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st_dedup_sink",
         "append",
     )
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (SURVEY.md §2.9 / U9 streaming form).
+
+    The state (event count, value sum) lives in the streaming state
+    store keyed by user_id — the engine-native replacement for the
+    reference's "keep everything in one process' RAM" model
+    (``dmi_ingestor/ingestor.py:200``). Each micro-batch updates the
+    state from its Arrow batches and emits the cumulative row, so the
+    final emission per key equals the global aggregate (invariant
+    tested against the batch groupBy).
+
+    Scale: state is O(distinct users), partitioned by key across the
+    cluster's state stores; each task sees only its keys' rows.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(out, "st_stateful_sink", "update")

@@ -64,3 +64,46 @@ def test_q1_whole_stage_codegen_executed(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark WholeStageCodegen spans in the executed tree
     assert "*(1)" in executed and "*(2)" in executed, executed[:2000]
+
+
+def test_q9_star_join_broadcasts_dimensions(spark, sf_dir):
+    # part/supplier/nation legs broadcast; only lineitem⋈orders shuffles
+    plan = plan_of(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q18_semi_join_broadcast(spark, sf_dir):
+    # the having-filtered order list is small → broadcast left-semi
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_corpus_never_shuffles(spark, sf_dir):
+    # the dedup pipeline's contract at 100 TB: candidate generation and
+    # verification move band keys / candidate pairs only — every join is
+    # a broadcast, never a sort-merge over shingles
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pivot_has_no_values_discovery_job(spark, sf_dir):
+    # pivot with an explicit value list plans a single aggregate —
+    # no extra distinct-collect scan of the fact table
+    plan = plan_of(spark, sf_dir, "pivot_status_by_flag")
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan

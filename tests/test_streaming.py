@@ -36,3 +36,33 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
     n_events = table(spark, sf_dir, "events").count()
     got = streamed.count()
     assert got == n_events  # event_ids are unique; dedup is lossless here
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    """The last emission per key from applyInPandasWithState must equal
+    the batch groupBy — the state store saw every event exactly once."""
+    from pyspark.sql import functions as F
+
+    streamed = REGISTRY["st_stateful_user_totals"].builder(spark, sf_dir)
+    # update-mode memory sink keeps one row per key per micro-batch;
+    # totals are cumulative, so the max row per key is the final state
+    final = (
+        streamed.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    )
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for r in final:
+        n, total = batch[r.user_id]
+        assert r.n_events == n, r.user_id
+        assert abs(r.total_value - total) <= 1e-9 * max(1.0, abs(total))
