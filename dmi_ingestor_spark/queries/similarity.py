@@ -165,3 +165,68 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.25)
         .select("bucket", "a_id", "b_id", "sim")
     )
+
+
+# --------------------------------------------------------------------------
+# U6 scale path #2: IVF (inverted-file) ANN — coarse quantizer + probing.
+# --------------------------------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _cell_assignments(emb: DataFrame, seeds: DataFrame, top: int) -> DataFrame:
+    """Assign each vector to its `top` nearest coarse cells.
+
+    seeds is tiny (N_CELLS rows) and broadcast; the corpus streams
+    through one narrow join — at 100 TB the assignment pass is a single
+    map-shaped stage, and the per-vector window ranks only N_CELLS rows.
+    """
+    scored = emb.join(F.broadcast(seeds), F.col("vec_id") != F.lit(-1)).withColumn(
+        "cell_sim", cosine(F.col("v"), F.col("cell_v"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("cell_rk", F.row_number().over(w))
+        .filter(F.col("cell_rk") <= top)
+        .select("vec_id", "v", "cell_id", "cell_rk")
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # approximate by design; invariants in tests
+    doc=(
+        "U6 scale path: IVF-style ANN. Coarse centroids = a fixed, "
+        "deterministic sample of the corpus (vec_id < 16); every vector "
+        "joins its nearest cell (inverted lists), queries probe their 4 "
+        "nearest cells and brute-force only those lists. At 100 TB: "
+        "corpus partitioned/bucketed BY cell_id, probe = partition "
+        "pruning — the O(n²) scan becomes O(n/N_CELLS × N_PROBE) per "
+        "query. Top-1 self-match invariant tested."
+    ),
+    tags=("similarity", "embeddings", "approx", "rows-only"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cell_v")
+    )
+    # inverted lists: each corpus vector in exactly one cell
+    lists = _cell_assignments(emb, seeds, 1).select(
+        F.col("cell_id"), F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n_v")
+    )
+    # queries probe their N_PROBE nearest cells
+    probes = _cell_assignments(
+        emb.filter(F.col("vec_id") < N_QUERY), seeds, N_PROBE
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_v"), "cell_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        lists.join(F.broadcast(probes), ["cell_id"])
+        .withColumn("sim", cosine(F.col("q_v"), F.col("n_v")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

@@ -91,3 +91,20 @@ def test_embedding_selfsim_is_one(spark, sf_dir):
     )
     rows = emb.select(cosine(F.col("v"), F.col("v")).alias("s")).collect()
     assert all(abs(r.s - 1.0) < 1e-12 for r in rows)
+
+
+def test_ivf_self_match_and_shape(spark, sf_dir):
+    """IVF invariants: each query returns TOP_K ranked rows from its
+    probed cells, and finds itself at sim≈1 (its own cell is probe #1)."""
+    from dmi_ingestor_spark.queries.similarity import N_QUERY, TOP_K
+
+    rows = REGISTRY["sim_ann_ivf"].builder(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERY))
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+        assert sorted(r.rk for r in rs) == list(range(1, TOP_K + 1))
+        self_hits = [r for r in rs if r.neighbor_id == q]
+        assert self_hits and self_hits[0].sim > 0.999999, q
