@@ -687,3 +687,174 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 shape (adapted: no partsupp) — min-cost selection per group: window min
+# over p_type, keep the argmin rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_part",
+    oracle="""
+    SELECT p_type, p_partkey, p_name, p_retailprice
+    FROM (
+      SELECT p_type, p_partkey, p_name, p_retailprice,
+             MIN(p_retailprice) OVER (PARTITION BY p_type) AS mn
+      FROM part
+    ) t
+    WHERE p_retailprice = mn
+    ORDER BY p_type, p_partkey
+    """,
+    doc="TPC-H Q2 shape: per-group argmin via window (ties kept).",
+    tags=("window", "tpch"),
+)
+def q2_min_cost_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("mn", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("mn"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — important stock: per-part quantity share above a global
+# threshold (scalar subquery → broadcast one-row aggregate).
+# --------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.0005
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, qty
+    FROM per_part
+    WHERE qty > (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(22,8))) AS DOUBLE) * {_Q11_FRACTION}
+      FROM lineitem
+    )
+    ORDER BY qty DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: grouped sum filtered by a global-total threshold.",
+    tags=("aggregation", "subquery", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(sum_exact("l_quantity", "qty"))
+    total = li.agg(
+        (F.sum(F.col("l_quantity").cast("decimal(22,8)")).cast("double") * _Q11_FRACTION)
+        .alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("qty") > F.col("_thr"))
+        .select("l_partkey", "qty")
+        .orderBy(F.col("qty").desc(), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 shape — small-quantity revenue: correlated per-part average threshold
+# (decorrelated to an agg + join; quantity sums are integer-exact).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_sum_exact("l_extendedprice", "total_price")},
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2 * (SUM(l_quantity) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    doc=(
+        "TPC-H Q17: correlated avg subquery, decorrelated into a "
+        "per-part aggregate joined back (quantities are integers, so "
+        "sum/count is exact and order-independent)."
+    ),
+    tags=("join", "subquery", "aggregation", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    # decorrelate: avg quantity per part (exact: integer-valued doubles)
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            sum_exact("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 shape (adapted: no receipt/commit dates) — suppliers who shipped last
+# on multi-supplier orders: window max + distinct-count per order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q21_last_shipper",
+    oracle="""
+    WITH marked AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate,
+             MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship,
+             COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM lineitem
+    )
+    SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS numwait
+    FROM marked
+    WHERE l_shipdate = max_ship AND n_supp >= 2
+    GROUP BY l_suppkey
+    ORDER BY numwait DESC, l_suppkey
+    LIMIT 25
+    """,
+    doc=(
+        "TPC-H Q21 shape: the 'kept everyone waiting' supplier — latest "
+        "shipper on orders touched by ≥2 suppliers, via two window "
+        "aggregates over the same partition (one shuffle)."
+    ),
+    tags=("window", "aggregation", "topk", "tpch"),
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+    )
+    return (
+        marked.filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(25)
+    )
