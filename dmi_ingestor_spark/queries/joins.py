@@ -237,28 +237,27 @@ def join_range_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "J5 as-of join: for each event, the latest order of that user at "
-        "or before the event time. Composed as equi-join on the key + "
-        "range predicate + row_number over (event, time desc) — the "
-        "standard Spark formulation; ties broken by o_orderkey for "
-        "determinism. Scale note: shuffles both sides on the user key "
-        "once; the window repartitions by event_id which AQE coalesces."
+        "or before the event time. Equi-join on the key + range predicate, "
+        "then max(struct(time, key)) per event — lexicographic struct max "
+        "≡ row_number()=1 over (time DESC, key DESC), but it partial-"
+        "aggregates map-side: the join's range blowup (every qualifying "
+        "order per event) is reduced to one row per event BEFORE the "
+        "shuffle, where the window formulation would shuffle it all."
     ),
-    tags=("join", "asof", "window"),
+    tags=("join", "asof", "aggregation"),
 )
 def join_asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    joined = e.join(
-        o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts)
+    from dmi_ingestor_spark.operators.asof import asof_join_latest
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type", "o_orderkey", "o_orderdate")
-    )
+    return asof_join_latest(
+        e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey", "event_id"
+    ).select("event_id", "user_id", "event_type", "o_orderkey", "o_orderdate")
 
 
 # -- J6 cross join ----------------------------------------------------------

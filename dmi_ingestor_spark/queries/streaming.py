@@ -9,6 +9,7 @@ what the DuckDB oracle can check; streaming execution is covered by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
 from dmi_ingestor_spark.functions.exact import sql_sum_exact
@@ -181,3 +182,53 @@ def st_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.streaming.windows import stateful_user_totals
 
     return stateful_user_totals(spark, sf_dir)
+
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "sessionize_events_lag",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S} THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM gaps
+    """,
+    doc=(
+        "Sessionization via lag+cumsum (the window-composition twin of "
+        "session_window): gap > 30 min opens a session; session_id is "
+        "the running count of opens. One shuffle on user_id serves both "
+        "window passes."
+    ),
+    tags=("window", "sessionization", "events"),
+)
+def sessionize_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(prev_ts.isNull(), 1).when(
+        F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_S, 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.select("event_id", "user_id", "ts", new_sess.alias("new_sess"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum("new_sess").over(wsum).cast("long").alias("session_id"),
+        )
+    )

@@ -231,3 +231,77 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("score"), F.lit(0)).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF (ratio form): tf × N / df. No logarithm — libm ulps differ across
+# engines, while integer-ratio division of identical ints is bit-exact —
+# and rank order per document is identical to the log form for fixed N.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      WHERE tok <> '' GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id ORDER BY
+                 CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / df.df DESC,
+                 tf.tok
+             ) AS rk
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, tf, df, score, rk
+    FROM scored WHERE rk <= {TFIDF_TOP}
+    """,
+    doc=(
+        "U7 TF-IDF: term frequency × N/df (ratio form, log-free for "
+        "cross-engine bit-exactness), top-3 terms per document. Scale: "
+        "tf and df are partial-aggregated token-count shuffles; the df "
+        "side is vocabulary-sized and joins the tf side on the token key."
+    ),
+    tags=("text", "aggregation", "window"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks_all = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = (
+        toks_all.filter(F.col("doc_id") < 50)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks_all.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, ["tok"])
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "tok", "tf", "df", "score", "rk")
+    )
