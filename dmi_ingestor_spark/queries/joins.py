@@ -274,3 +274,40 @@ def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").select("r_name")
     n = table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+# -- skew-salted join -------------------------------------------------------
+@register(
+    "join_salted_orders_lineitem",
+    oracle=f"""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_items,
+      {sql_sum_exact("l_extendedprice", "sum_price")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Skew-salted fact-fact join (operators/salted.py): lineitem "
+        "(probe, salted 8 ways by row hash) ⋈ orders (build, replicated "
+        "8×). Semantics identical to the plain join — checked against "
+        "the unsalted DuckDB oracle — while a single hot orderkey's rows "
+        "spread across 8 reducers instead of one."
+    ),
+    tags=("join", "skew", "aggregation"),
+)
+def join_salted_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.salted import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum_exact("l_extendedprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
