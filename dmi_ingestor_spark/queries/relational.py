@@ -103,3 +103,47 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("o_orderpriority").alias("priority_uc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SQL API surface: the engine's tables are addressable from spark.sql()
+# directly. ONE dialect-common string serves as both the Spark query and
+# the DuckDB oracle — the strongest possible parity statement.
+# --------------------------------------------------------------------------
+
+_SQL_API_QUERY = """
+    WITH nation_rev AS (
+      SELECT n.n_name, r.r_name,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(22,8))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT r_name, n_name, revenue,
+           CAST(RANK() OVER (
+             PARTITION BY r_name ORDER BY revenue DESC
+           ) AS BIGINT) AS rev_rank
+    FROM nation_rev
+    ORDER BY r_name, rev_rank, n_name
+"""
+
+
+@register(
+    "sql_api_nation_revenue_rank",
+    oracle=_SQL_API_QUERY,
+    doc=(
+        "spark.sql() front end over registered temp views; the identical "
+        "ANSI string runs on DuckDB as the oracle. Catalyst plans it like "
+        "the DataFrame twin: dims broadcast, one fact-fact shuffle."
+    ),
+    tags=("sql-api", "join", "window", "aggregation"),
+)
+def sql_api_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_API_QUERY)

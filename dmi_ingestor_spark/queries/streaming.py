@@ -232,3 +232,19 @@ def sessionize_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_sess").over(wsum).cast("long").alias("session_id"),
         )
     )
+
+
+@register(
+    "st_stream_static_join",
+    oracle=None,  # streaming execution; equality-to-batch in tests
+    doc=(
+        "Stream-static join: readStream events ⋈ broadcast static "
+        "customer dim → per-segment counts (complete mode). The batch "
+        "twin (same expressions on static frames) is the test oracle."
+    ),
+    tags=("streaming", "join", "rows-only"),
+)
+def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import stream_static_enriched_counts
+
+    return stream_static_enriched_counts(spark, sf_dir)

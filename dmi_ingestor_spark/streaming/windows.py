@@ -188,3 +188,26 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(out, "st_stateful_sink", "update")
+
+
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (static)
+    customer dimension, then counted per market segment.
+
+    The static side is planned per micro-batch and broadcast — the
+    stream never shuffles for the join; only the small grouped state
+    (segment × count) persists. This is the streaming analogue of the
+    engine's broadcast-dimension rule for batch joins.
+    """
+    events = read_events_stream(spark, sf_dir)
+    customers = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    enriched = events.join(
+        F.broadcast(customers), events.user_id == customers.c_custkey, "left"
+    )
+    agg = enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return run_available_now(agg, "st_stream_static_sink", "complete")

@@ -66,3 +66,22 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
         n, total = batch[r.user_id]
         assert r.n_events == n, r.user_id
         assert abs(r.total_value - total) <= 1e-9 * max(1.0, abs(total))
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    got = {
+        r.segment: r.n_events
+        for r in REGISTRY["st_stream_static_join"].builder(spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    want = {
+        r.segment: r.n
+        for r in e.join(c, e.user_id == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
