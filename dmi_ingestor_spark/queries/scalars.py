@@ -231,3 +231,126 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# Map-function pack (F8): construction, concat, keys, lookup — all JVM-side.
+# The oracle derives each output directly from the source columns (the map
+# is built from known entries), so it checks the map ops' *values*.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(3 AS BIGINT) AS n_keys,
+           'okey,priority,status' AS keys_sorted,
+           o_orderstatus AS status_val,
+           CAST(o_orderkey AS VARCHAR) AS okey_val
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    doc=(
+        "F8 maps: map_from_arrays + map_concat + map_keys/array_sort + "
+        "element_at, asserted against column-derived expected values."
+    ),
+    tags=("functions", "map"),
+)
+def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    base = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    m = F.map_concat(
+        base,
+        F.create_map(F.lit("okey"), F.col("o_orderkey").cast("string")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, F.lit("status")).alias("status_val"),
+        F.element_at(m, F.lit("okey")).alias("okey_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-arithmetic pack (F8): add/trunc/last_day/quarter/ISO weekday.
+# Spark weekday() is 0=Monday; DuckDB isodow is 1=Monday — offset by 1.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 7 DAY AS DATE) AS TIMESTAMP)
+             AS d_plus7,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="F8 dates: date_add/date_trunc/last_day/quarter/weekday/datediff.",
+    tags=("functions", "datetime"),
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        # DATE outputs are lifted to TIMESTAMP: pandas represents Spark
+        # DateType as datetime.date but DuckDB DATE as Timestamp — same
+        # value, different object — so both sides emit timestamps.
+        F.date_add(d.cast("date"), 7).cast("timestamp").alias("d_plus7"),
+        F.date_trunc("month", d).cast("timestamp").alias("month_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        (F.weekday(d) + 1).cast("long").alias("iso_dow"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance pack (F8 / U5-adjacent): fuzzy part-name matching.
+# levenshtein has identical semantics in Spark and DuckDB.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 150 AND b.p_partkey < 150
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc=(
+        "F8 strings: levenshtein fuzzy pairs over a bounded block — the "
+        "string-edit-distance leg of the near-dup ladder (block-join "
+        "pattern: at scale the self-join is bounded per block, not n²)."
+    ),
+    tags=("functions", "strings", "dedup"),
+)
+def scalar_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150).select(
+        "p_partkey", "p_name"
+    )
+    a = p.select(F.col("p_partkey").alias("a_key"), F.col("p_name").alias("a_name"))
+    b = p.select(F.col("p_partkey").alias("b_key"), F.col("p_name").alias("b_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select("a_key", "b_key", "dist")
+    )
