@@ -858,3 +858,50 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "l_suppkey")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape — dominant supplier per part: two-level aggregate + share
+# threshold (quantities are integers → exact in any order), ending in a
+# broadcast dimension join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_dominant_supplier",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, qty, l_suppkey,
+             SUM(qty) OVER (PARTITION BY l_partkey) AS total
+      FROM per
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+    FROM tot JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty > 0.15 * total
+    GROUP BY s_suppkey, s_name
+    ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q20 shape: per-(part,supplier) quantity vs the part total "
+        "(window-over-agg), suppliers holding >15% of a part's volume. "
+        "Integer quantity sums are exact in any accumulation order."
+    ),
+    tags=("aggregation", "window", "join", "tpch"),
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("l_partkey")
+    dominant = per.withColumn("total", F.sum("qty").over(w)).filter(
+        F.col("qty") > 0.15 * F.col("total")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy("s_suppkey")
+    )
