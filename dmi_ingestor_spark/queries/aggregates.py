@@ -322,3 +322,29 @@ def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -- A3+: mergeable sketches ------------------------------------------------
+@register(
+    "agg_sketch_pack",
+    oracle=None,  # sketch binaries are engine-specific; accuracy in tests
+    doc=(
+        "Mergeable-sketch surface for 100 TB rollups: Datasketches HLL "
+        "(hll_sketch_agg → estimate) for distinct users per event_type, "
+        "plus exact counts for the accuracy invariant. Sketches are the "
+        "scale answer when pre-aggregates must compose across partitions "
+        "/ days — union the sketch, never recount the raw data."
+    ),
+    tags=("aggregation", "sketch", "approx", "rows-only"),
+)
+def agg_sketch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

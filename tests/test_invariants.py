@@ -37,3 +37,10 @@ def test_manifest_map_json_shape(spark, sf_dir):
             # embeds its own key (ingestor.py:116-118)
             assert len(time_str) == 15 and time_str[8] == "T"
             assert url.startswith("https://") and time_str in url
+
+
+def test_hll_sketch_within_3pct(spark, sf_dir):
+    rows = REGISTRY["agg_sketch_pack"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(0.03 * r.exact_users, 2), r
