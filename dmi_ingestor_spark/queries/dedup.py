@@ -235,10 +235,8 @@ def _sql_band_key(band: int) -> str:
     return f"md5({parts})"
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+# CTE chain shared by the pair query and the clustering query's oracle.
+_SQL_MINHASH_CTES = f"""sh AS ({_SQL_SHINGLES}),
     sig AS (
       SELECT doc_id,
         {_sql_minhash_cols()}
@@ -265,12 +263,23 @@ def _sql_band_key(band: int) -> str:
       JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
       GROUP BY c.a_id, c.b_id
     )
+"""
+
+_SQL_MINHASH_PAIRS = """
     SELECT v.a_id, v.b_id,
       CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) AS jaccard
     FROM verified v
     JOIN sizes sa ON sa.doc_id = v.a_id
     JOIN sizes sb ON sb.doc_id = v.b_id
     WHERE CAST(v.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - v.n_common) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_CTES}
+    {_SQL_MINHASH_PAIRS}
     """,
     doc=(
         "U5 at scale: MinHash(16 perms) + LSH(4 bands × 4). Signature = "
@@ -524,4 +533,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
         .filter(F.col("sim") >= 0.40)
         .select("label", "a_id", "b_id", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over the MinHash pair graph.
+# Iterative min-label propagation on Spark; transitive closure via
+# recursive CTE in the oracle — the "iterative algorithm" category,
+# still hash-checked.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+    doc=(
+        "Near-dup CLUSTERS (what a dedup pipeline actually drops on): "
+        "connected components over the MinHash-LSH pair graph via "
+        "iterative min-label propagation (operators/components.py), "
+        "singletons labeled with their own id. Converges in O(cluster "
+        "diameter) rounds, each one edge-set shuffle — the corpus never "
+        "iterates."
+    ),
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(F.broadcast(comp), d.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )

@@ -108,3 +108,18 @@ def test_ivf_self_match_and_shape(spark, sf_dir):
         assert sorted(r.rk for r in rs) == list(range(1, TOP_K + 1))
         self_hits = [r for r in rs if r.neighbor_id == q]
         assert self_hits and self_hits[0].sim > 0.999999, q
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, triangle 10-11-12 (+edge 12-10), isolated pair 20-21:
+    min-label propagation must find exactly these three components."""
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "a long, b long",
+    ).repartition(3)
+    got = {
+        r.node: r.component for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
