@@ -183,3 +183,52 @@ def ingest_e2e_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="ingest-e2e-")
     run_ingest(spark, config, out_dir, transport)
     return spark.read.parquet(os.path.join(out_dir, "grid"))
+
+
+@register(
+    "ingest_datasource_grid",
+    oracle="""
+    WITH g AS (
+      SELECT t.t, iy.iy, ix.ix
+      FROM generate_series(0, 3) t(t),
+           generate_series(0, 7) iy(iy),
+           generate_series(0, 7) ix(ix)
+    )
+    SELECT 'sea-mean-deviation' AS parameter,
+           CAST(1767225600 + 3600 * t AS BIGINT) AS time_s,
+           CAST(SUM(t * 10000 + iy * 100 + ix) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_cells
+    FROM g
+    GROUP BY t
+    ORDER BY time_s
+    """,
+    doc=(
+        "S1/S2 as a Spark 4 Python DataSource: spark.read.format('dmi_edr') "
+        "with one fetch partition per parameter and parameter-filter "
+        "pushdown (sources/edr_datasource.py), rolled up per timestep. "
+        "The oracle rebuilds the deterministic synthetic cube in closed "
+        "form from generate_series — no source needed."
+    ),
+    tags=("ingest", "source", "datasource"),
+)
+def ingest_datasource_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.sources.edr_datasource import register as reg_ds
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    reg_ds(spark)
+    df = (
+        spark.read.format("dmi_edr")
+        .option("collection", "dkss_if")
+        .option("parameters", "sea-mean-deviation,total-precipitation")
+        .option("transport", "synthetic")
+        .load()
+        .filter(F.col("parameter") == "sea-mean-deviation")
+    )
+    return (
+        df.groupBy("parameter", "time_s")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .orderBy("time_s")
+    )
