@@ -41,11 +41,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate to the engine's µs timestamp — `ts div 1000` stays in
         # 64-bit integer arithmetic (a double division would lose
         # precision at 1e18 ns) and matches DuckDB's ns→µs truncation.
+        # Guarded on the physical type: an events table written by THIS
+        # engine already has a µs timestamp and must pass through as-is.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -354,3 +354,39 @@ def scalar_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .select("a_key", "b_key", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Variant (Spark 4 semi-structured type): parse_json → variant_get with a
+# type hint. The binary variant encoding is engine-internal, so outputs
+# are extracted scalars; the oracle reads the same JSON with DuckDB's
+# JSON functions.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+           CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    WHERE event_id < 3000
+    """,
+    doc=(
+        "F8 semi-structured: Spark 4 VariantType — parse_json(props) once, "
+        "variant_get typed extractions (missing path → NULL). At scale "
+        "variant beats repeated get_json_object: one parse, many reads."
+    ),
+    tags=("functions", "json", "variant"),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "long").alias("missing"),
+    )

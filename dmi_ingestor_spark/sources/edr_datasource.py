@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -129,6 +130,56 @@ class EdrDataSource(DataSource):
     def reader(self, schema: StructType) -> EdrReader:
         return EdrReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "EdrStreamReader":
+        return EdrStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EdrDataSource)
+
+
+class EdrStreamReader(SimpleDataSourceStreamReader):
+    """Streaming EDR source: one micro-batch per forecast cycle (St6).
+
+    The reference re-runs its container per cycle and deletes the old
+    forecast (``dmi_ingestor/ingestor.py:199``); here each cycle is an
+    incremental micro-batch with exactly-once offsets in the checkpoint.
+    Offsets are ``{"cycle": n}``; ``max_cycles`` bounds the synthetic
+    feed so tests drain it (a live feed would poll the API forever).
+    """
+
+    CYCLE_STEP_S = 4 * 3600  # one synthetic cycle = 4 hourly steps
+
+    def __init__(self, options: dict) -> None:
+        self.collection = options.get("collection", "dkss_if")
+        self.parameter = options.get("parameters", "sea-mean-deviation").split(",")[0]
+        self.max_cycles = int(options.get("max_cycles", "3"))
+
+    def initialOffset(self) -> dict:
+        return {"cycle": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        from dmi_ingestor_spark.sources.cube_format import synthetic_cube
+
+        cycle = start["cycle"]
+        if cycle >= self.max_cycles:
+            return iter([]), start
+        cube = synthetic_cube(
+            self.parameter,
+            t0=1_767_225_600 + cycle * self.CYCLE_STEP_S,
+            lambert=self.collection.startswith("harmonie"),
+        )
+        rows = [
+            (
+                self.collection,
+                self.parameter,
+                int(t),
+                float(y),
+                float(x),
+                float(cube.values[t_i, y_i, x_i]),
+            )
+            for t_i, t in enumerate(cube.times)
+            for y_i, y in enumerate(cube.ys)
+            for x_i, x in enumerate(cube.xs)
+        ]
+        return iter(rows), {"cycle": cycle + 1}

@@ -66,3 +66,29 @@ def test_composes_with_catalyst(spark):
     rows = per_t.collect()
     assert len(rows) == 4
     assert rows[1].s - rows[0].s == 64 * 10_000
+
+
+def test_stream_reader_one_batch_per_cycle(spark, tmp_path):
+    """readStream over dmi_edr: 3 forecast cycles arrive as micro-batches
+    with exactly-once offsets; the drained sink holds every cycle once."""
+    stream = (
+        spark.readStream.format("dmi_edr")
+        .option("parameters", "sea-mean-deviation")
+        .option("max_cycles", "3")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("edr_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("edr_stream_sink")
+    assert got.count() == 3 * 4 * 64
+    # cycles shift t0 by 4h: all 12 hourly timesteps distinct
+    assert got.select("time_s").distinct().count() == 12

@@ -1,0 +1,45 @@
+"""Empty-input hardening: representative builders from each operator
+family must plan and run (0 rows, stable schema) on empty tables — the
+all-partitions-pruned / empty-upstream case every 100 TB pipeline hits.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dmi_ingestor_spark.catalog import TABLES, table
+from dmi_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+# one per family: scan-agg, fact join, window, dedup ladder, similarity,
+# text, as-of, set op, clustering
+EMPTY_SAFE = [
+    "q1_pricing_summary",
+    "join_inner_orders_lineitem",
+    "window_rank_orders_per_customer",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "sim_topk_bruteforce",
+    "text_tfidf_top_terms",
+    "join_asof_latest_order_per_event",
+    "setop_union_all",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        df = table(spark, sf_dir, t)
+        df.filter("1 = 0").coalesce(1).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_empty(spark, empty_sf_dir, name):
+    df = REGISTRY[name].builder(spark, empty_sf_dir)
+    assert df.count() == 0
+    assert len(df.schema.fields) > 0
