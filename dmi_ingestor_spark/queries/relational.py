@@ -147,3 +147,53 @@ def sql_api_nation_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_API_QUERY)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — a monthly date spine spanning
+# past the data's max date, left-joined to monthly order revenue so empty
+# months surface as zeros. Gap-filling a time series is a core pipeline
+# op the reference's per-timestep tif loop (dmi_ingestor/ingestor.py:
+# 103-120) only gets implicitly from upstream; here it is declarative.
+# The identical ANSI string runs on DuckDB as the oracle.
+# --------------------------------------------------------------------------
+
+_RECURSIVE_SPINE_QUERY = """
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM spine
+      WHERE month_start < TIMESTAMP '2001-12-01 00:00:00'
+    ),
+    monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY DATE_TRUNC('month', o_orderdate)
+    )
+    SELECT s.month_start,
+           COALESCE(m.revenue, CAST(0 AS DOUBLE)) AS revenue,
+           CAST(COALESCE(m.n_orders, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    ORDER BY s.month_start
+"""
+
+
+@register(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_QUERY,
+    doc=(
+        "WITH RECURSIVE monthly date spine left-joined to monthly revenue "
+        "(gap-filled time series); the same ANSI string is the DuckDB "
+        "oracle. Spine is driver-trivial (84 rows); the monthly agg is "
+        "the only shuffle, and the spine join broadcasts."
+    ),
+    tags=("sql-api", "recursive-cte", "aggregation", "time-series"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_QUERY)

@@ -248,3 +248,21 @@ def st_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.streaming.windows import stream_static_enriched_counts
 
     return stream_static_enriched_counts(spark, sf_dir)
+
+
+@register(
+    "st_stream_stream_join",
+    oracle=None,  # streaming execution; equality-to-batch in tests
+    doc=(
+        "Stream-stream inner join: purchases ⋈ clicks per user within "
+        "the preceding hour, watermarks on both sides bound the state "
+        "store. Batch twin equality asserted in tests."
+    ),
+    tags=("streaming", "join", "rows-only"),
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import (
+        stream_stream_purchase_after_click,
+    )
+
+    return stream_stream_purchase_after_click(spark, sf_dir)

@@ -905,3 +905,58 @@ def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 shape — shipping-mode priority: orders ⋈ lineitem with a date-window
+# predicate on the fact side, conditional counts of urgent vs other orders
+# per lineitem category. The synthetic lineitem has no l_shipmode /
+# l_commitdate / l_receiptdate, so l_returnflag stands in for the mode and
+# the l_shipdate window replaces the commit/receipt sandwich; the plan
+# shape (pushed fact filter, shuffle join on orderkey, conditional agg)
+# is Q12's.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc=(
+        "TPC-H Q12 shape: date-windowed fact scan joined to orders, "
+        "conditional urgent/other line counts per category (ref has no "
+        "joins at all — dmi_ingestor/ingestor.py:1-233; this is the "
+        "mandated relational surface)."
+    ),
+    tags=("join", "aggregation", "conditional", "tpch"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )

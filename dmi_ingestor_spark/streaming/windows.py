@@ -211,3 +211,39 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     return run_available_now(agg, "st_stream_static_sink", "complete")
+
+
+def stream_stream_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds (St surface):
+    purchases joined to a click by the same user within the preceding
+    hour. Both sides carry watermarks so the state store can evict
+    clicks older than the join window — the property that keeps
+    stream-stream join state bounded on an unbounded feed.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return run_available_now(joined, "st_ss_join_sink", "append")

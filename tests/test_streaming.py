@@ -85,3 +85,31 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    streamed = REGISTRY["st_stream_stream_join"].builder(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    # single availableNow batch: no row is dropped by the watermark, so
+    # stream output must equal the batch join exactly
+    assert got == want and len(got) > 0
