@@ -266,3 +266,20 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_stream_purchase_after_click(spark, sf_dir)
+
+
+@register(
+    "st_stream_stream_outer_join",
+    oracle=None,  # streaming execution; equality-to-batch in tests
+    doc=(
+        "Left-outer stream-stream join: purchases with their preceding-"
+        "hour click or NULL once the watermark proves none can arrive. "
+        "Null emission exercised via a multi-batch staged feed; batch "
+        "left-join equality asserted in tests."
+    ),
+    tags=("streaming", "join", "outer", "rows-only"),
+)
+def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import stream_stream_purchase_outer
+
+    return stream_stream_purchase_outer(spark, sf_dir)

@@ -305,3 +305,60 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP)
         .select("doc_id", "tok", "tf", "df", "score", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split — md5(doc_id) compared against hex
+# thresholds. Hash-based assignment is the standard way to split training
+# corpora at 100 TB: no shuffle, no global sort, no RNG state; every
+# executor assigns rows independently and the split is stable across
+# reruns and engines (Spark and DuckDB emit identical lowercase-hex md5).
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_LT = "cc"  # ~79.7% of the uniform hex space
+SPLIT_VAL_LT = "e6"  # next ~10.2%; remainder is test
+
+
+@register(
+    "text_hash_split",
+    oracle=f"""
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_TRAIN_LT}'
+                    THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < '{SPLIT_VAL_LT}'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc=(
+        "Deterministic hash-based train/val/test corpus split "
+        "(md5 hex-range assignment), counts per (split, lang). "
+        "Embarrassingly parallel: the assignment is a narrow projection; "
+        "the only shuffle is the final small aggregate."
+    ),
+    tags=("text", "training-pipeline", "sampling"),
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = F.md5(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -247,3 +247,104 @@ def stream_stream_purchase_after_click(spark: SparkSession, sf_dir: str) -> Data
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
     return run_available_now(joined, "st_ss_join_sink", "append")
+
+
+def stream_stream_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream join with watermark-driven null emission.
+
+    Purchases left-joined to clicks by the same user within the
+    preceding hour. An unmatched purchase can only be emitted (with a
+    NULL click) once the watermark proves no qualifying click can still
+    arrive — i.e. after the watermark passes ``purchase_ts + 1h``. A
+    single availableNow batch never advances the watermark past its own
+    data, so the feed is staged as two chronologically ordered files
+    (``maxFilesPerTrigger=1``): the real events, then one far-future
+    sentinel click that drags the watermark past every real purchase's
+    eviction bound and flushes the outer rows. The sentinel is on the
+    right side of the left join, so it adds no output row itself.
+
+    Scale: state is bounded by the 1 h interval on both sides; the
+    sentinel trick is test scaffolding — a production feed advances its
+    own watermark.
+    """
+    import glob
+    import os
+    import shutil
+
+    from dmi_ingestor_spark.catalog import table
+
+    staged = tempfile.mkdtemp(prefix="ss-outer-")
+    try:
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        ev.coalesce(1).write.parquet(f"{staged}/w0")
+        # two sentinel batches: the first advances the watermark past
+        # every real purchase's eviction bound, the second triggers the
+        # eviction pass that emits the remaining null-padded rows
+        # (availableNow stops once the last file is consumed, so the
+        # flush must ride an actual file batch).
+        # Each sentinel file carries BOTH a click and a purchase (on
+        # disjoint negative user ids so they can't join anything): the
+        # global watermark is the MIN across both sides' watermark
+        # operators, so a click-only sentinel would leave the purchase
+        # watermark pinned at the last real purchase and the final
+        # outer row withheld forever.
+        for i, days in ((1, 400), (2, 401)):
+            sentinel = spark.createDataFrame(
+                [(-2 * i, max_ts, -1, "click", 0.0),
+                 (-2 * i - 1, max_ts, -2, "purchase", 0.0)],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+            sentinel.coalesce(1).write.parquet(f"{staged}/w{i}")
+        for i in (0, 1, 2):
+            part = glob.glob(f"{staged}/w{i}/part-*.parquet")[0]
+            os.rename(part, f"{staged}/data{i}.parquet")
+            shutil.rmtree(f"{staged}/w{i}")
+            os.utime(f"{staged}/data{i}.parquet", times=(1000 + i, 1000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(staged)
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
+        out = run_available_now(joined, "st_ss_outer_sink", "append")
+        # Drop the sentinel purchases AFTER materializing: a filter
+        # inside the streaming plan is pushed below the watermark node
+        # by Catalyst, which would strip the sentinels before they can
+        # advance the purchase-side watermark (verified: the tail outer
+        # rows were withheld with an in-plan filter).
+        return out.filter(F.col("p_user") >= 0)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

@@ -113,3 +113,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     # single availableNow batch: no row is dropped by the watermark, so
     # stream output must equal the batch join exactly
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    streamed = REGISTRY["st_stream_stream_outer_join"].builder(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    # the sentinel advances the final watermark past every real
+    # purchase's eviction bound, so unmatched purchases MUST surface
+    # with a NULL click — full equality with the batch left join
+    assert got == want
+    assert any(c is None for _, c in got), "expected null-padded outer rows"
