@@ -232,3 +232,68 @@ def ingest_datasource_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("time_s")
     )
+
+
+@register(
+    "sink_format_roundtrip",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE)
+               AS sum_price,
+             MIN(o_orderdate) AS min_date,
+             MAX(o_orderdate) AS max_date
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT fmt, n_rows, sum_price, min_date, max_date
+    FROM a CROSS JOIN (
+      VALUES ('csv'), ('json'), ('orc'), ('parquet')
+    ) AS t(fmt)
+    ORDER BY fmt
+    """,
+    doc=(
+        "Sink/source fidelity across every built-in columnar/row format "
+        "(S3-S5 analogue: the reference round-trips NetCDF→COG→tif, "
+        "dmi_ingestor/ingestor.py:203-218; the engine's interchange "
+        "formats are csv/json/orc/parquet). Writes an orders slice to "
+        "each format, reads it back with an explicit schema, and "
+        "aggregates — every format row must hash-match the oracle "
+        "computed on the ORIGINAL table, proving lossless round-trips "
+        "including timestamps."
+    ),
+    tags=("ingest", "sink", "source", "formats"),
+)
+def sink_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate"]
+    src = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000).select(*cols)
+    # the synthetic orders.o_orderdate is TIMESTAMP_NTZ; the read-back
+    # schema must match or the ORC reader refuses the NTZ->LTZ coercion
+    schema = "o_orderkey long, o_totalprice double, o_orderdate timestamp_ntz"
+    out = tempfile.mkdtemp(prefix="fmt-roundtrip-")
+    aggs = []
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = os.path.join(out, fmt)
+        writer = src.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
+        reader = spark.read.format(fmt).schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        back = reader.load(path)
+        aggs.append(
+            back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(22,8)"))
+                .cast("double")
+                .alias("sum_price"),
+                F.min("o_orderdate").alias("min_date"),
+                F.max("o_orderdate").alias("max_date"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_price", "min_date", "max_date")
+        )
+    res = aggs[0]
+    for a in aggs[1:]:
+        res = res.unionAll(a)
+    return res.orderBy("fmt")
