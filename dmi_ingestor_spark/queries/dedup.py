@@ -201,25 +201,25 @@ N_HASHES = 16
 N_BANDS = 4  # 4 bands × 4 rows
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
-
-def _minhash_cols() -> list[Column]:
-    """16 MinHash signature components: MIN of seeded md5 hex strings.
-
-    Lexicographic MIN over md5('s{i}:'||shingle) is a valid MinHash
-    (uniform permutation per seed), is a plain partial+final aggregate,
-    and — because Spark md5 ≡ DuckDB md5 — is oracle-reproducible.
-    """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")).cast("binary"))).alias(
-            f"mh{i}"
-        )
-        for i in range(N_HASHES)
-    ]
+# Universal-hash MinHash (Carter-Wegman): one md5 per shingle yields a
+# 60-bit base hash h; the i-th permutation is (a_i*h + b_i) mod P with
+# P = 2^31-1 (Mersenne prime). h mod P < 2^31 and a_i < 2^31 keep every
+# product under 2^62 — exact in int64 on BOTH engines, so the signature
+# is oracle-reproducible while costing 1 string hash + 16 multiply-adds
+# per shingle instead of 16 seeded md5 string hashes. (At sf0.1 the
+# wall time is codegen-bound either way; the 16× hash reduction is the
+# 100 TB design win.)
+MINHASH_P = (1 << 31) - 1
+# Fixed odd multipliers/offsets (Knuth multiplicative constant, reduced
+# mod P); deterministic at plan time — no runtime randomness.
+MINHASH_A = [((2 * i + 1) * 2654435761) % MINHASH_P for i in range(N_HASHES)]
+MINHASH_B = [((i + 1) * 40503 * 65537) % MINHASH_P for i in range(N_HASHES)]
 
 
 def _sql_minhash_cols() -> str:
     return ",\n        ".join(
-        f"MIN(md5('s{i}:' || shingle)) AS mh{i}" for i in range(N_HASHES)
+        f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(N_HASHES)
     )
 
 
@@ -230,17 +230,24 @@ def _band_key(band: int) -> Column:
 
 def _sql_band_key(band: int) -> str:
     parts = " || '|' || ".join(
-        f"mh{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
     )
     return f"md5({parts})"
 
 
 # CTE chain shared by the pair query and the clustering query's oracle.
 _SQL_MINHASH_CTES = f"""sh AS ({_SQL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+               % {MINHASH_P} AS h
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
         {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id
+      FROM hashed GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -282,8 +289,9 @@ _SQL_MINHASH_PAIRS = """
     {_SQL_MINHASH_PAIRS}
     """,
     doc=(
-        "U5 at scale: MinHash(16 perms) + LSH(4 bands × 4). Signature = "
-        "one groupBy over shingles (16 MIN aggregates, partial+final); "
+        "U5 at scale: MinHash(16 universal-hash perms over one md5 base "
+        "hash) + LSH(4 bands × 4). Signature = array_min over per-doc "
+        "shingle arrays (pure map stage, shingles never shuffle); "
         "candidates = equi-join on (band, band_key) — O(collisions) not "
         "O(n²); exact-Jaccard verification only on candidates. The "
         "published banding scheme of Leskovec/Rajaraman/Ullman ch.3, "
@@ -296,22 +304,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 signature components are array_min(transform(...)) — a pure map
     # stage with NO shuffle of shingles at all (the grouped-aggregate
     # formulation would shuffle every shingle string to compute the same
-    # 16 MINs). Only doc_id + band keys ever move.
+    # 16 MINs). Only doc_id + band keys ever move. The 60-bit base hash
+    # array is materialized in its own projection so md5 runs ONCE per
+    # shingle; the 16 permutations are multiply-add-mod int64 lambdas.
+    base_h = F.transform(
+        "sh_arr",
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
     docs = (
         _shingle_arrays(_spread(spark, table(spark, sf_dir, "documents")))
         .filter(F.size("sh_arr") > 0)
+        .withColumn("h_arr", base_h)
         .cache()
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "sh_arr",
-                lambda g, i=i: F.md5(F.concat(F.lit(f"s{i}:"), g).cast("binary")),
-            )
+    def _perm(i: int) -> Column:
+        # NB: the transform lambda must be single-arg — a second arg
+        # (even a defaulted one) makes PySpark pass the array index in.
+        a, b, p = MINHASH_A[i], MINHASH_B[i], MINHASH_P
+        return F.array_min(
+            F.transform("h_arr", lambda h: (h * a + b) % p)
         ).alias(f"mh{i}")
-        for i in range(N_HASHES)
-    ]
-    sig = docs.select("doc_id", *sig_cols)
+
+    sig = docs.select("doc_id", *[_perm(i) for i in range(N_HASHES)])
     # Bands as one exploded array of structs (a union of N_BANDS selects
     # would re-run the signature per band); cached because the candidate
     # self-join scans it from both sides. Tiny by construction.
