@@ -46,18 +46,81 @@ def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB lacks direct byte indexing into sha256 output, so the oracle
+# decodes hex pairs by hand: byte_i = 16*hex(2i+1) + hex(2i+2).
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(sha256(text), {lo}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(sha256(text), {hi}, 1)) - 1))"
+)
+
+
+def _mm_oracle() -> str:
+    # Mirrors operators/multimodal._decode_bytes exactly: f0 = len,
+    # f1..f6 = digest byte i / 255.0, f7 = sum(bytes[:256]) / (255*min(n,256)).
+    # Quantized round(x*1000) → BIGINT on both sides (integer-exact compare).
+    feat_cols = ["CAST(ROUND(CAST(LENGTH(text) AS DOUBLE) * 1000) AS BIGINT) AS q0"]
+    for i in range(6):
+        hexpair = _HEXBYTE.format(lo=2 * i + 1, hi=2 * i + 2)
+        feat_cols.append(
+            f"CAST(ROUND(CAST({hexpair} AS DOUBLE) / 255.0 * 1000) AS BIGINT) AS q{i + 1}"
+        )
+    feat_cols.append(
+        "CAST(ROUND("
+        "  CAST(list_aggregate(list_transform(string_split(substr(text, 1, 256), ''),"
+        "       x -> ascii(x)), 'sum') AS DOUBLE)"
+        "  / (255.0 * LEAST(LENGTH(text), 256)) * 1000) AS BIGINT) AS q7"
+    )
+    cols = ",\n      ".join(feat_cols)
+    return f"""
+    SELECT
+      doc_id,
+      'application/octet-stream' AS mime,
+      CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+      sha256(text) AS checksum,
+      {cols}
+    FROM documents
+    """
+
+
 @register(
     "mm_decode_features",
-    oracle=None,  # Arrow-batched Python decode; invariants in tests
+    oracle=_mm_oracle(),
     doc=(
         "U2/U8 decode: mapInPandas over binary payloads → checksum + "
-        "8-dim feature vector (codec stubbed, plumbing real)."
+        "8-dim feature vector (codec stubbed, plumbing real). The vector "
+        "is emitted as quantized q0..q7 BIGINT columns so the driver's "
+        "canonicalizer can sort/hash it (round-1 failure: raw "
+        "array<double> cells are unhashable in pandas), and so the "
+        "byte-statistics decode is itself DuckDB-checkable."
     ),
-    tags=("multimodal", "rows-only"),
+    tags=("multimodal",),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payloads(table(spark, sf_dir, "documents"))
-    return decode_features(media)
+    decoded = decode_features(media)
+    quantized = [
+        F.round(F.col("features")[i] * 1000).cast("long").alias(f"q{i}")
+        for i in range(8)
+    ]
+    return decoded.select("doc_id", "mime", "n_bytes", "checksum", *quantized)
+
+
+@register(
+    "mm_decode_features_raw",
+    oracle=None,  # raw array<double> column: invariant tests only
+    doc=(
+        "U2/U8 decode, raw-vector variant: the unquantized "
+        "features array<double> for downstream consumers (ANN, dedup). "
+        "Serialized via to_json so the driver's rows-only canonicalizer "
+        "never sees an unhashable list cell."
+    ),
+    tags=("multimodal", "rows-only"),
+)
+def mm_decode_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    return decode_features(media).withColumn(
+        "features", F.to_json(F.col("features"))
+    )
 
 
 @register(
