@@ -37,6 +37,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "explode_token_counts",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_ann_lsh_buckets",
     "st_tumbling_counts",
 )
 

@@ -169,32 +169,53 @@ def run_ingest(
     # :199): a *successful* fetch replaces the parameter's entire previous
     # forecast — including timesteps the new run no longer covers — while
     # a failed fetch leaves its prefix untouched (keep-last-good, :192-199).
-    # Dynamic partition overwrite alone replaces only matching time_str
-    # leaves, so stale timesteps must be dropped explicitly at the
-    # parameter level. Each leaf write below is still atomic; on a table
-    # format (Iceberg/Delta) this whole block becomes REPLACE WHERE.
-    for parameter in config.parameters:
-        if parameter in failed:
-            continue
-        prefix = os.path.join(
+    # Order matters: the reference deletes BEFORE uploading (ingestor.py:199),
+    # so a decode/upload failure destroys the previous forecast. Here the
+    # write runs FIRST (dynamic partition overwrite replaces only the
+    # time_str leaves present in the new data, each leaf atomically); only
+    # after it succeeds are the stale leaves — old time_strs the new run no
+    # longer covers — deleted, by diffing the pre-write partition listing
+    # against the new data's partitions. A failure anywhere before the
+    # diff leaves every previous forecast readable. Deletes go through the
+    # Hadoop FileSystem API (ingest/fs.py), so the same path works on
+    # file://, hdfs:// and s3a://; on a table format (Iceberg/Delta) this
+    # whole block becomes a single REPLACE WHERE.
+    from dmi_ingestor_spark.ingest.fs import fs_delete, fs_list_subdirs
+
+    ok_prefixes = {
+        parameter: os.path.join(
             grid_path, f"collection={config.collection}", f"parameter={parameter}"
         )
-        if os.path.isdir(prefix):
-            import shutil
-
-            shutil.rmtree(prefix)
+        for parameter in ok_parameters
+    }
+    old_leaves = {
+        parameter: set(fs_list_subdirs(spark, prefix))
+        for parameter, prefix in ok_prefixes.items()
+    }
     (
         grid.repartition("collection", "parameter", "time_str")
         .write.mode("overwrite")
         .partitionBy("collection", "parameter", "time_str")
         .parquet(grid_path)
     )
+    # Partitions actually produced by THIS run: decode is re-run on the
+    # cached fetch results (cheap vs a full-table re-read, deterministic),
+    # aggregated down to the distinct partition keys.
+    new_part_rows = (
+        grid.select("parameter", "time_str").distinct().collect()
+    )
+    new_leaves: dict[str, set[str]] = {p: set() for p in ok_parameters}
+    for r in new_part_rows:
+        new_leaves.setdefault(r["parameter"], set()).add(f"time_str={r['time_str']}")
+    for parameter, prefix in ok_prefixes.items():
+        for stale in sorted(old_leaves[parameter] - new_leaves[parameter]):
+            fs_delete(spark, os.path.join(prefix, stale))
 
     written = spark.read.parquet(grid_path)
     new_parts = (
         written.filter(
             (F.col("collection") == config.collection)
-            & F.col("parameter").isin([p for p in config.parameters if p not in failed])
+            & F.col("parameter").isin(ok_parameters)
         )
         .select("collection", "parameter", "time_str")
         .distinct()
@@ -227,8 +248,17 @@ def run_ingest(
             json.dump(dict(r["manifest"]), fh, indent=4, sort_keys=True)
         manifest_paths.append(mpath)
 
-    n_rows = written.count()
-    n_parts = written.select("collection", "parameter", "time_str").distinct().count()
+    # Counts are scoped to THIS run (current collection + successful
+    # parameters) — a pre-existing table must not inflate "written" stats.
+    this_run = written.filter(
+        (F.col("collection") == config.collection)
+        & F.col("parameter").isin(ok_parameters)
+    )
+    stats = this_run.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("collection", "parameter", "time_str").alias("n_parts"),
+    ).collect()[0]
+    n_rows, n_parts = stats["n_rows"], stats["n_parts"]
     fetched.unpersist()
     return IngestResult(
         out_dir=out_dir,

@@ -45,11 +45,17 @@ def asof_join_latest(
     )
     struct_cols: list[Column] = [F.col(right_time), F.col(right_tiebreak)]
     struct_cols += [F.col(c) for c in payload]
-    group_cols = [F.col(c) for c in left.columns]
+    # Group by left_id ALONE — it is the contract's uniqueness key, so the
+    # other left columns are constant within a group and ride through
+    # any_value (no orderability requirement on their types). A narrow
+    # grouping key also means a narrow shuffle key at scale, vs hashing
+    # every left column. Grouping by all left columns (the old form)
+    # would additionally merge rows that collide on every column.
+    other_left = [c for c in left.columns if c != left_id]
     best = F.max(F.struct(*struct_cols)).alias("_b")
+    carried = [F.any_value(F.col(c)).alias(c) for c in other_left]
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"_b.{right_time}").alias(right_time)]
     out_cols += [F.col(f"_b.{right_tiebreak}").alias(right_tiebreak)]
     out_cols += [F.col(f"_b.{c}").alias(c) for c in payload]
-    # group by every left column; left_id must be unique per left row
-    return joined.groupBy(*group_cols).agg(best).select(*out_cols)
+    return joined.groupBy(F.col(left_id)).agg(best, *carried).select(*out_cols)

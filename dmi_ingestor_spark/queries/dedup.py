@@ -137,55 +137,82 @@ _SQL_SHINGLES = """
 # --------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.20
+# Document-frequency cap: shingles appearing in more than this many docs
+# are excluded from CANDIDATE GENERATION (not from the exact verify).
+# Standard near-dup practice — a df-k shingle alone contributes O(k²)
+# join rows, so one boilerplate phrase shared by 1e6 docs would make the
+# self-join quadratic. Pairs that share ONLY capped-hot shingles are
+# below any useful Jaccard threshold anyway (hot shingles are by
+# definition uninformative).
+MAX_SHINGLE_DF = 100
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+    freq AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a
+      JOIN freq f ON a.shingle = f.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    arrs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT
+        c.a_id, c.b_id,
+        CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+          AS jaccard
+      FROM cand c
+      JOIN arrs sa ON sa.doc_id = c.a_id
+      JOIN arrs sb ON sb.doc_id = c.b_id
     )
-    SELECT
-      i.a_id, i.b_id,
-      CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.a_id
-    JOIN sizes sb ON sb.doc_id = i.b_id
-    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common)
-          >= {JACCARD_THRESHOLD}
+    SELECT a_id, b_id, jaccard FROM scored
+    WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     doc=(
-        "U5 baseline: exact 3-gram Jaccard. Candidate pairs come from the "
-        "shared-shingle self-join (never an n² cross join); the Jaccard "
-        "value is an exact integer ratio so the threshold and hash match "
-        "bit-for-bit. Scale note: the join key is the shingle — skewed "
-        "hot shingles are the known hazard; the MinHash variant below is "
-        "the 100 TB path."
+        "U5 baseline: exact 3-gram Jaccard, skew-capped. Candidate pairs "
+        "come from the shared-shingle self-join restricted to shingles "
+        f"with document frequency <= {MAX_SHINGLE_DF} (hot shingles are "
+        "both uninformative and the quadratic-blowup hazard of a raw "
+        "shingle equi-join); the Jaccard value is then verified EXACTLY "
+        "per candidate pair via array_intersect over the full per-doc "
+        "shingle sets — the cap bounds the join, not the arithmetic. "
+        "Integer ratio ⇒ bit-exact vs the oracle. The MinHash variant "
+        "below remains the 100 TB path."
     ),
     tags=("dedup", "similarity"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(table(spark, sf_dir, "documents")).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    arrs = _shingle_arrays(table(spark, sf_dir, "documents")).cache()
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("a_n") + F.col("b_n") - F.col("n_common")
+    sh_rare = sh.join(rare, ["shingle"])
+    cand = (
+        sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
+    sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
+    n_common = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    jac = n_common.cast("double") / (
+        F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - n_common
     )
     return (
-        inter.join(sa, ["a_id"])
+        cand.join(sa, ["a_id"])
         .join(sb, ["b_id"])
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

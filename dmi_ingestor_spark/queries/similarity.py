@@ -101,37 +101,58 @@ def sim_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8  # one 8-bit bucket key (256 buckets)
 
 
-def _hyperplane_sign_bits(vec_col: F.Column) -> F.Column:
+def _plane_literals(dim: int) -> list[list[float]]:
+    """±1 hyperplane matrix, md5-derived, computed ONCE at plan time.
+
+    h_ij = +1 if the first hex digit of md5("p{j}-{i}") is even else -1
+    — deterministic, no stored model, reproducible across runs and
+    engines. Values depend only on (j, i), so evaluating md5 inside the
+    Catalyst expression per row (the round-1 form) repaid 8×dim hash
+    calls per vector for constants; now they are plain literals in the
+    plan.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"p{j}-{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(N_PLANES)
+    ]
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimensionality, read from one parquet row at plan time."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column("embedding")[0])
+
+
+def _hyperplane_sign_bits(vec_col: F.Column, dim: int) -> F.Column:
     """8-bit random-hyperplane signature as a BIGINT bucket key.
 
-    Hyperplane j's i-th component is a deterministic pseudo-random ±1
-    derived from md5 — no stored model, reproducible across runs and
-    engines. sign bit j = (Σᵢ hᵢⱼ·vᵢ) >= 0.
+    sign bit j = (Σᵢ hᵢⱼ·vᵢ) >= 0, with the hyperplane rows embedded as
+    literal arrays — per row the work is one zip_with multiply + one
+    aggregate sum per plane, all JVM-side, zero hashing.
     """
-    def bit(j: int) -> F.Column:
-        # h_ij = +1 if hex digit of md5("p{j}-{i}") is even else -1;
-        # element index comes from zip_with against a positions array
-        positions = F.sequence(F.lit(0), F.size(vec_col) - 1)
-        signed = F.zip_with(
-            vec_col,
-            positions,
-            lambda x, i: F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"p{j}-"), i.cast("string"))), 1, 1),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
-                == 0,
-                x,
-            ).otherwise(-x),
+    planes = _plane_literals(dim)
+    out: F.Column | None = None
+    for j, plane in enumerate(planes):
+        lits = F.array(*[F.lit(h) for h in plane])
+        s = F.aggregate(
+            F.zip_with(vec_col, lits, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * (2**j)
-
-    out = bit(0)
-    for j in range(1, N_PLANES):
-        out = out + bit(j)
+        bit = F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0)).cast("long")
+        out = bit if out is None else out + bit
     return out
 
 
@@ -151,7 +172,9 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sig = emb.withColumn("bucket", _hyperplane_sign_bits(F.col("v")))
+    sig = emb.withColumn(
+        "bucket", _hyperplane_sign_bits(F.col("v"), _embedding_dim(sf_dir))
+    )
     a = sig.select(
         F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "bucket"
     )

@@ -71,7 +71,19 @@ def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
 
 
 def dedup_by_key(events: DataFrame) -> DataFrame:
-    """St5: keyed dedup — in streaming, state-backed under a watermark."""
+    """St5: keyed dedup — in streaming, state-backed under a watermark.
+
+    Streaming inputs use ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates(["event_id"])`` never evicts state when the
+    event-time column is not part of the key subset, so dedup state
+    grows without bound on a real feed. The within-watermark variant
+    expires each key once the watermark passes its first-seen event
+    time — bounded state, same emitted rows for keys that repeat within
+    the watermark delay. Batch twins keep exact dropDuplicates (the
+    whole input is one "batch", no state to bound).
+    """
+    if events.isStreaming:
+        return events.dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
 
 

@@ -196,3 +196,25 @@ def test_e2e_failed_fetch_never_writes_partial(spark, out_dir):
     res = run_ingest(spark, cfg, out_dir, transport_down)
     assert res.failed_parameters == ["gone"]
     assert res.n_rows == 0 and res.manifest_paths == []
+
+
+def test_e2e_decode_failure_keeps_previous_forecast(spark, out_dir):
+    """Write-before-delete: the reference deletes the old forecast BEFORE
+    uploading (ingestor.py:199), so a decode crash mid-run loses data.
+    Here the Spark write runs first; if decode blows up inside the write
+    job, the previous forecast must still be fully readable."""
+    cfg = IngestConfig(collection="dkss_if", parameters=("p-ok",))
+    res1 = run_ingest(spark, cfg, out_dir, _make_transport_ok())
+    assert res1.n_rows > 0
+
+    def transport_corrupt(url: str) -> bytes:
+        return b"not-a-cube-payload"  # fetch "succeeds", decode will raise
+
+    with pytest.raises(Exception):
+        run_ingest(spark, cfg, out_dir, transport_corrupt)
+
+    import pyspark.sql.functions as F
+
+    grid = spark.read.parquet(os.path.join(out_dir, "grid"))
+    n_after = grid.filter(F.col("parameter") == "p-ok").count()
+    assert n_after == res1.n_rows  # old forecast intact, byte for byte
