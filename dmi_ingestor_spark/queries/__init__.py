@@ -14,10 +14,12 @@ it, so nothing is ever dropped — only rotated.
 
 from dmi_ingestor_spark.queries import (  # noqa: F401
     aggregates,
+    bucketing,
     dedup,
     ingestion,
     joins,
     multimodal,
+    pipeline_ops,
     raster,
     relational,
     reshape,

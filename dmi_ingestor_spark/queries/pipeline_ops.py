@@ -1,0 +1,234 @@
+"""Training-data pipeline operators beyond dedup/similarity (brief §LLM):
+corpus sampling, profiling, PII scrubbing, benchmark decontamination.
+
+These are the remaining stages of a production pretraining-data pipeline
+(sample → profile → scrub → decontaminate), each expressed as pure
+Catalyst built-ins (no Python in the row path) with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+# md5-hex lexicographic thresholds per language stratum: 'c' ≈ 75%,
+# '8' ≈ 50%, '4' ≈ 25% of the hash space. Deterministic (no RNG state),
+# embarrassingly parallel, and reproducible across engines and runs —
+# the property that matters when a 100 TB corpus is resampled
+# incrementally: membership is a pure function of the row key.
+_STRATUM_RATES = {"en": "c", "da": "8"}
+_DEFAULT_RATE = "4"
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+      CASE lang
+        WHEN 'en' THEN '{_STRATUM_RATES["en"]}'
+        WHEN 'da' THEN '{_STRATUM_RATES["da"]}'
+        ELSE '{_DEFAULT_RATE}'
+      END
+    """,
+    doc=(
+        "Per-stratum deterministic corpus sampling: keep-fraction varies "
+        "by language (75% en, 50% da, 25% rest) via md5-hex range "
+        "membership — a narrow projection + filter, no shuffle, no RNG "
+        "state, stable under re-runs and incremental appends."
+    ),
+    tags=("sampling", "training-pipeline", "documents"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    threshold = F.when(F.col("lang") == "en", _STRATUM_RATES["en"]).when(
+        F.col("lang") == "da", _STRATUM_RATES["da"]
+    ).otherwise(_DEFAULT_RATE)
+    return d.filter(h < threshold)
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+    WITH per_col AS (
+      SELECT 'o_totalprice' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(MIN(o_custkey) AS DOUBLE),
+             CAST(MAX(o_custkey) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+             CAST(MIN(o_orderkey) AS DOUBLE),
+             CAST(MAX(o_orderkey) AS DOUBLE)
+      FROM orders
+    )
+    SELECT * FROM per_col ORDER BY col_name
+    """,
+    doc=(
+        "Data-profiling stage: per-column null/distinct/min/max summary "
+        "in long form. ONE pass over the table — all columns' aggregates "
+        "run in a single aggregate node, then explode(array(struct...)) "
+        "reshapes wide→long (measured: union-of-selects re-runs the scan "
+        "per column; the explode form does not)."
+    ),
+    tags=("profiling", "training-pipeline", "orders"),
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cols = ["o_totalprice", "o_custkey", "o_orderkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").cast("long").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style scrubbing
+# ---------------------------------------------------------------------------
+
+_DIGIT_RUN = "[0-9]{3,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT
+      event_id,
+      CAST(len(regexp_extract_all(props, '{_DIGIT_RUN}')) AS BIGINT)
+        AS n_redacted,
+      regexp_replace(props, '{_DIGIT_RUN}', '#', 'g') AS scrubbed,
+      sha256(regexp_replace(props, '{_DIGIT_RUN}', '#', 'g'))
+        AS scrubbed_sha
+    FROM events
+    """,
+    doc=(
+        "Rule-based content scrubbing (the PII-filter stage of a "
+        "training pipeline): redact digit runs >= 3 in the event props "
+        "payload, report the redaction count and the checksum of the "
+        "scrubbed text. Pure JVM regexp — the pattern is shared verbatim "
+        "with the oracle (RE2/Java-compatible subset)."
+    ),
+    tags=("scrubbing", "training-pipeline", "events"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_id", "props")
+    scrubbed = F.regexp_replace(F.col("props"), _DIGIT_RUN, "#")
+    return e.select(
+        "event_id",
+        F.size(F.regexp_extract_all(F.col("props"), F.lit(_DIGIT_RUN), 0))
+        .cast("long")
+        .alias("n_redacted"),
+        scrubbed.alias("scrubbed"),
+        F.sha2(F.encode(scrubbed, "utf-8"), 256).alias("scrubbed_sha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_BENCH_MAX_ID = 20  # doc_id < 20 plays the held-out benchmark set
+_CONTAM_N = 5  # 5-gram overlap
+
+_SQL_5GRAMS = """
+      SELECT DISTINCT doc_id,
+        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+          AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+"""
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH grams AS ({_SQL_5GRAMS})
+    SELECT
+      c.doc_id AS corpus_doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_grams,
+      CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs_hit
+    FROM grams c
+    JOIN grams b ON c.gram = b.gram
+    WHERE c.doc_id >= {_BENCH_MAX_ID} AND b.doc_id < {_BENCH_MAX_ID}
+    GROUP BY c.doc_id
+    """,
+    doc=(
+        "Decontamination stage: flag corpus documents sharing 5-grams "
+        "with a held-out benchmark set (docs 0..19 stand in). The "
+        "benchmark gram set is tiny by construction (benchmarks are "
+        "small) and broadcast — the corpus side never shuffles, so the "
+        "check is a map-side join at 100 TB. Per-doc shingle sets are "
+        "built with the same no-shuffle array machinery as dedup "
+        "(queries/dedup.py:_shingle_arrays)."
+    ),
+    tags=("decontamination", "training-pipeline", "documents"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.queries.dedup import _shingles
+
+    grams = _shingles(table(spark, sf_dir, "documents"), n=_CONTAM_N)
+    corpus = grams.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shingle").alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") < _BENCH_MAX_ID).select(
+        F.col("doc_id").alias("bench_doc_id"), F.col("shingle").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), ["gram"])
+        .groupBy("corpus_doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
+            F.count_distinct("bench_doc_id").cast("long").alias("n_bench_docs_hit"),
+        )
+    )

@@ -283,3 +283,38 @@ def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.streaming.windows import stream_stream_purchase_outer
 
     return stream_stream_purchase_outer(spark, sf_dir)
+
+
+@register(
+    "st_static_join_batch",
+    oracle="""
+    SELECT
+      COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      COUNT(*) AS n_events
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc=(
+        "Batch twin of st_stream_static_join with a full DuckDB oracle — "
+        "the hash-green anchor for the streaming-join family: identical "
+        "expressions (broadcast customer dim, per-segment counts) run on "
+        "the static frames, so the rows-only streaming variant is checked "
+        "against this via tests AND this query is checked against SQL."
+    ),
+    tags=("streaming", "join", "batch-twin"),
+)
+def st_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    customers = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        events.join(
+            F.broadcast(customers),
+            events.user_id == customers.c_custkey,
+            "left",
+        )
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

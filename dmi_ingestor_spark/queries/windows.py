@@ -166,6 +166,49 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      CAST(RANK() OVER w AS BIGINT) AS rk,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rk_q,
+      CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_q,
+      NTH_VALUE(o_orderkey, 2) OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS second_best_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc=(
+        "Rank-family coverage beyond rank/ntile: percent_rank and "
+        "cume_dist (quantized x1e6 to integers — both engines compute "
+        "the same exact rational, so the rounding is deterministic) and "
+        "nth_value with an explicit running frame. One window spec "
+        "shared by all ranks = a single sort per partition."
+    ),
+    tags=("window", "orders"),
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.round(F.percent_rank().over(w) * 1_000_000).cast("long").alias("pct_rk_q"),
+        F.round(F.cume_dist().over(w) * 1_000_000).cast("long").alias("cume_q"),
+        F.nth_value("o_orderkey", 2).over(running).alias("second_best_order"),
+    )
+
+
 # -- §2.6 sort / limit / top-k ---------------------------------------------
 @register(
     "sort_limit_top_orders",
