@@ -107,3 +107,39 @@ def test_pivot_has_no_values_discovery_job(spark, sf_dir):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
     assert len(scans) == 1, plan
+
+
+# -- round-2 additions ------------------------------------------------------
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark gram set must broadcast — the corpus side of the
+    decontamination join never shuffles (map-side join at 100 TB)."""
+    plan = plan_of(spark, sf_dir, "decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_sample_is_narrow(spark, sf_dir):
+    """Hash sampling is a projection+filter — no Exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "sample_stratified_hash")
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string" in plan, plan
+
+
+def test_profile_is_single_aggregate_pass(spark, sf_dir):
+    """All columns' stats in ONE aggregate over ONE scan (no union of
+    per-column scans re-reading the table)."""
+    plan = plan_of(spark, sf_dir, "profile_table_stats")
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_ann_lsh_hyperplanes_are_literals(spark, sf_dir):
+    """Plan-time hyperplanes: no md5/conv calls in the bucket
+    expressions (the round-1 form hashed 8x dim times per row)."""
+    plan = plan_of(spark, sf_dir, "sim_ann_lsh_buckets")
+    assert "md5" not in plan, plan[:3000]
