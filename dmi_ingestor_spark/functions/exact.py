@@ -6,14 +6,30 @@ the last few ulps of a 600k-row double sum are not reproducible. The
 oracle comparison is an exact value-hash, so every money/measure
 aggregate in this engine goes through *exact decimal arithmetic*:
 
-    sum_money(x)  ==  CAST(SUM(CAST(x AS DECIMAL(22,8))) AS DOUBLE)
+    sum_money(x)  ==  to_double(SUM(CAST(x AS DECIMAL(22,8))))
 
 Casting each (deterministic, IEEE-754) double to DECIMAL(22,8) is
-order-independent, the decimal sum is exact integer arithmetic, and the
-final cast back to DOUBLE is deterministic — so Spark and DuckDB agree
-bit-for-bit. This is also the right call at 100 TB: decimal partial
-aggregates are still map-side combinable and whole-stage-codegen'd;
-there is no performance cliff versus double sums.
+order-independent and the decimal sum is exact integer arithmetic. The
+FINAL decimal→double conversion is the subtle part: once the unscaled
+value (sum × 10^8) exceeds 2^53, a naive ``CAST(dec AS DOUBLE)`` is no
+longer exactly representable and engines round differently (Spark goes
+through BigDecimal → correctly-rounded; DuckDB converts the unscaled
+integer to double FIRST and then divides by 10^scale — two roundings).
+Observed at sf0.1: sums ≥ ~1e8 differ in the last ulp. So the
+conversion is split into two pieces that each convert exactly the same
+way in both engines:
+
+    to_double(S) = CAST(FLOOR(S) AS DOUBLE)      -- integer part
+                 + CAST(S - FLOOR(S) AS DOUBLE)  -- fraction, unscaled < 1e8
+
+Both addends are identical bit patterns in both engines (integer→double
+is correctly rounded everywhere; the fraction's unscaled value fits in
+53 bits), and one IEEE addition of identical inputs is deterministic —
+so the result is bit-identical at ANY magnitude, not just below 2^53.
+
+This is also the right call at 100 TB: decimal partial aggregates are
+map-side combinable and whole-stage-codegen'd; the split conversion is
+two scalar ops on the final row per group.
 """
 
 from __future__ import annotations
@@ -28,26 +44,36 @@ from pyspark.sql import functions as F
 DEC = "decimal(22,8)"
 
 
+def dec_to_double(s: Column) -> Column:
+    """Decimal → double, bit-identical across engines at any magnitude
+    (see module docstring: split integer/fraction conversion)."""
+    return F.floor(s).cast("double") + (s - F.floor(s)).cast("double")
+
+
+def sql_dec_to_double(s: str) -> str:
+    """DuckDB twin of :func:`dec_to_double`."""
+    return f"(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE))"
+
+
 def sum_exact(col: Column | str, alias: str) -> Column:
     """Order-independent double SUM via exact decimal accumulation."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return dec_to_double(F.sum(c.cast(DEC))).alias(alias)
 
 
 def avg_exact(col: Column | str, alias: str) -> Column:
     """Order-independent double AVG: exact decimal sum / count."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+    return (dec_to_double(F.sum(c.cast(DEC))) / F.count(c)).alias(alias)
 
 
 def sql_sum_exact(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`sum_exact`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,8))) AS DOUBLE) AS {alias}"
+    s = f"SUM(CAST({expr} AS DECIMAL(22,8)))"
+    return f"{sql_dec_to_double(s)} AS {alias}"
 
 
 def sql_avg_exact(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`avg_exact`."""
-    return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(22,8))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
-    )
+    s = f"SUM(CAST({expr} AS DECIMAL(22,8)))"
+    return f"{sql_dec_to_double(s)} / COUNT({expr}) AS {alias}"

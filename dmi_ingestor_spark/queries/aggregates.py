@@ -15,6 +15,7 @@ from dmi_ingestor_spark.catalog import table
 from dmi_ingestor_spark.functions.exact import (
     DEC,
     avg_exact,
+    dec_to_double,
     sql_avg_exact,
     sql_sum_exact,
     sum_exact,
@@ -233,9 +234,16 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
       SQRT(
-        (CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
-         - CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE)
-           * CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8))) AS DOUBLE) / COUNT(*))
+        ((CAST(FLOOR(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))) AS DOUBLE)
+          + CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))
+                 - FLOOR(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,8)))) AS DOUBLE))
+         - (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(22,8)))) AS DOUBLE)
+            + CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8)))
+                   - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(22,8)))) AS DOUBLE))
+           * (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(c_acctbal AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(22,8)))) AS DOUBLE))
+           / COUNT(*))
         / (COUNT(*) - 1)
       ) AS stddev_bal
     FROM customer
@@ -254,8 +262,8 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats_per_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     x = F.col("c_acctbal")
-    sum_x = F.sum(x.cast(DEC)).cast("double")
-    sum_x2 = F.sum((x * x).cast("decimal(30,8)")).cast("double")
+    sum_x = dec_to_double(F.sum(x.cast(DEC)))
+    sum_x2 = dec_to_double(F.sum((x * x).cast("decimal(30,8)")))
     n = F.count(F.lit(1))
     var = (sum_x2 - sum_x * sum_x / n) / (n - 1)
     return (

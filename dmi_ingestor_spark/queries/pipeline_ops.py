@@ -232,3 +232,177 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("bench_doc_id").cast("long").alias("n_bench_docs_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per training sequence
+_PACK_SHARDS = 16  # deterministic shards bounding window-partition size
+
+
+@register(
+    "pack_sequences_cumsum",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT lang, shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT lang, shard,
+           CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY lang, shard, seq_id
+    """,
+    doc=(
+        "Sequence packing for LLM training: assign each document to a "
+        "fixed-token-budget training sequence by its starting offset in a "
+        "deterministic (lang, shard, doc_id) order — the streaming-"
+        "concatenation packing used by pretraining loaders. The window "
+        "partitions on (lang, shard) where shard = doc_id % "
+        f"{_PACK_SHARDS}, so no single ordered partition ever exceeds "
+        "1/N of the corpus — a window partitioned by lang alone would "
+        "serialize ~all of a 100 TB corpus through a handful of tasks. "
+        "Token counts stay JVM-side (split + size); one shuffle for the "
+        "window, map-side combinable count/sum after it."
+    ),
+    tags=("packing", "training-pipeline", "documents", "window"),
+)
+def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    seq = F.floor(
+        (F.col("cum_tokens") - F.col("n_tokens")) / float(_PACK_BUDGET)
+    ).alias("seq_id")
+    return (
+        cum.select("lang", "shard", seq, "n_tokens")
+        .groupBy("lang", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition filter
+# ---------------------------------------------------------------------------
+
+# A doc is "repetitive" when fewer than 80% of its 3-grams are distinct.
+# The flag is the pure-integer comparison 10*distinct < 8*total, so no
+# float enters the predicate and both engines agree exactly.
+_REP_N = 3
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+           10 * COUNT(DISTINCT gram) < 8 * COUNT(*) AS is_repetitive
+    FROM grams
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Gopher-style repetition removal signal: per-document duplicate "
+        "3-gram fraction, flagging docs whose distinct-gram ratio falls "
+        "below 0.8. Grams are built and counted per row with array HOFs "
+        "(transform over sequence + array_distinct) — ZERO shuffle, no "
+        "explode: at 100 TB this is a pure map stage, unlike the "
+        "explode-then-groupBy shape which would shuffle every gram."
+    ),
+    tags=("quality", "training-pipeline", "documents"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split() is materialized ONCE as a column before the lambda: Spark
+    # does no CSE inside HOF lambdas, so inlining it would re-split the
+    # text 3x per gram (measured 6.5x slower on textops).
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= _REP_N)
+    )
+    grams = F.expr(
+        "transform(sequence(0, size(toks) - 3),"
+        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    n_total = F.size("grams").cast("long")
+    n_uniq = F.size(F.array_distinct("grams")).cast("long")
+    return g.select(
+        "doc_id",
+        n_total.alias("n_grams"),
+        n_uniq.alias("n_distinct_grams"),
+        (n_uniq * 10 < n_total * 8).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain / language mixing
+# ---------------------------------------------------------------------------
+
+# Epoch-style corpus mixing: upsample high-value strata by an integer
+# replication factor (en x3, zh x2, rest x1), emitting an epoch index
+# per copy so downstream shuffles can salt on it.
+_MIX_WEIGHTS = {"en": 3, "zh": 2}
+
+
+@register(
+    "mix_strata_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(u.epoch AS BIGINT) AS epoch
+    FROM documents
+    CROSS JOIN UNNEST(generate_series(1,
+      CASE lang WHEN 'en' THEN {_MIX_WEIGHTS["en"]}
+                WHEN 'zh' THEN {_MIX_WEIGHTS["zh"]}
+                ELSE 1 END)) AS u(epoch)
+    """,
+    doc=(
+        "Weighted corpus mixing: integer-factor upsampling per language "
+        "stratum (en x3, zh x2) with an explicit epoch index — the "
+        "DoReMi/data-mixture replication stage of a pretraining "
+        "pipeline. explode(sequence(1, w)) is a narrow map-side "
+        "operation: no shuffle, output partitions grow in place, and "
+        "the epoch column gives downstream dedup-aware shuffles a salt "
+        "key so replication never concentrates a key."
+    ),
+    tags=("mixing", "training-pipeline", "documents"),
+)
+def mix_strata_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = (
+        F.when(F.col("lang") == "en", F.lit(_MIX_WEIGHTS["en"]))
+        .when(F.col("lang") == "zh", F.lit(_MIX_WEIGHTS["zh"]))
+        .otherwise(F.lit(1))
+    )
+    return d.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), w)).alias("e")
+    ).select("doc_id", "lang", F.col("e").cast("long").alias("epoch"))
