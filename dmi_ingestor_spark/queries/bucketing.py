@@ -49,3 +49,95 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("l_extendedprice", "sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8  # bits per dimension -> 16-bit z-value, 16x16 bucket grid
+
+
+def _z_terms_spark(x: str, y: str) -> str:
+    """Unrolled Morton interleave as a Spark SQL expression string."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright({x}, {k}) & 1, {2 * k})")
+        terms.append(f"shiftleft(shiftright({y}, {k}) & 1, {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def _z_terms_duck(x: str, y: str) -> str:
+    """Identical interleave in DuckDB's operator dialect."""
+    terms = []
+    for k in range(_Z_BITS):
+        terms.append(f"((({x} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({y} >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_buckets",
+    oracle=f"""
+    WITH ext AS (
+      SELECT MAX(l_partkey) + 1 AS pmax, MAX(l_suppkey) + 1 AS smax
+      FROM lineitem
+    ), z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_z_terms_duck(
+                 f"(l_partkey * {1 << _Z_BITS} // pmax)",
+                 f"(l_suppkey * {1 << _Z_BITS} // smax)")})
+               AS zval
+      FROM lineitem CROSS JOIN ext
+    )
+    SELECT CAST(zval >> {_Z_BITS} AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+    FROM z
+    GROUP BY z_bucket
+    """,
+    doc=(
+        "Z-order (Morton) clustering key over (l_partkey, l_suppkey): "
+        "each dim is range-scaled to 8 bits against its max (a scalar "
+        "aggregate broadcast into the scan — the standard cheap global "
+        "statistic), bits interleaved by an unrolled plan-time "
+        "expression (pure JVM integer ops, whole-stage codegen'd — no "
+        "UDF), then rows are grouped by the top-8-bit z-bucket with "
+        "per-bucket min/max of BOTH dims. Those min/max spans are "
+        "exactly the parquet column stats a z-ordered file layout would "
+        "carry: narrow on both dims simultaneously, so point/range "
+        "predicates on EITHER column prune most files — the multi-dim "
+        "analogue of partition pruning. Write-side usage at 100 TB: "
+        "repartitionByRange(zval).write — the z-value computation "
+        "itself is a shuffle-free map stage."
+    ),
+    tags=("layout", "scale", "lineitem", "zorder"),
+)
+def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ext = li.agg(
+        (F.max("l_partkey") + 1).alias("pmax"),
+        (F.max("l_suppkey") + 1).alias("smax"),
+    )
+    scaled_x = f"(l_partkey * {1 << _Z_BITS} div pmax)"
+    scaled_y = f"(l_suppkey * {1 << _Z_BITS} div smax)"
+    zval = F.expr(_z_terms_spark(scaled_x, scaled_y)).alias("zval")
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .select("l_partkey", "l_suppkey", zval)
+        .groupBy(
+            F.shiftright(F.col("zval"), _Z_BITS).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("min_part"),
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.min("l_suppkey").cast("long").alias("min_supp"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
+    )

@@ -114,8 +114,17 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_API_QUERY = """
     WITH nation_rev AS (
       SELECT n.n_name, r.r_name,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                  AS DECIMAL(22,8))) AS DOUBLE) AS revenue
+             -- split decimal->double conversion (functions/exact.py):
+             -- integer and fraction parts each convert exactly, so the
+             -- result is bit-identical in Spark and DuckDB at any
+             -- magnitude (a bare CAST diverges once the unscaled sum
+             -- exceeds 2^53)
+             CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(22,8)))) AS DOUBLE)
+             + CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(22,8)))
+                - FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(22,8)))) AS DOUBLE) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey

@@ -300,3 +300,98 @@ def window_range_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python UDTF + LATERAL: run-length encoding of token streams.
+# --------------------------------------------------------------------------
+
+
+class _RunLengthUDTF:
+    """Run-length encoder over a token array.
+
+    A UDTF is the right surface when one input row yields a DATA-DEPENDENT
+    number of output rows from stateful per-element logic. RLE is the
+    minimal honest example (each run closes only when the next token
+    differs). Registered per-session and invoked through SQL `LATERAL`,
+    so the plan is scan → Generate (Python UDTF) — the fan-out happens
+    in place on each partition with no shuffle. Python-row-path caveat:
+    at 100 TB prefer the HOF/window formulation unless per-row state is
+    genuinely required; this query exists to exercise (and correctness-
+    gate) the UDTF + lateral-correlation surface itself.
+    """
+
+    def eval(self, toks):  # noqa: ANN001 - UDTF protocol
+        if toks is None:
+            return
+        run_idx = 0
+        cur = None
+        n = 0
+        for t in toks:
+            if cur is not None and t == cur:
+                n += 1
+            else:
+                if cur is not None:
+                    yield cur, n, run_idx
+                    run_idx += 1
+                cur = t
+                n = 1
+        if cur is not None:
+            yield cur, n, run_idx
+
+
+_RLE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, t[i] AS tok, i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ), marked AS (
+      SELECT doc_id, tok, i,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS DISTINCT FROM tok
+                  THEN 1 ELSE 0 END AS is_start
+      FROM toks
+    ), grp AS (
+      SELECT doc_id, tok, i,
+             SUM(is_start) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(run_id - 1 AS BIGINT) AS run_idx,
+           tok AS token,
+           CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM grp
+    GROUP BY doc_id, run_id, tok
+"""
+
+
+@register(
+    "udtf_rle_tokens",
+    oracle=_RLE_ORACLE,
+    doc=(
+        "Python UDTF (Spark 4) invoked via SQL LATERAL correlation: "
+        "run-length encode each document's token stream into "
+        "(run_idx, token, run_len) rows. The DuckDB oracle recomputes "
+        "the runs with gaps-and-islands windows, so the UDTF's stateful "
+        "Python logic is hash-checked, not just row-counted."
+    ),
+    tags=("udtf", "lateral", "documents", "reshape"),
+)
+def udtf_rle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    rle = udtf(
+        _RunLengthUDTF,
+        returnType="token string, run_len bigint, run_idx bigint",
+    )
+    spark.udtf.register("rle_tokens", rle)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.run_idx, r.token, r.run_len
+        FROM documents d,
+             LATERAL rle_tokens(split(d.text, ' ')) r
+        """
+    )
