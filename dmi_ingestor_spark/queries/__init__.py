@@ -16,6 +16,7 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     aggregates,
     bucketing,
     dedup,
+    graph,
     ingestion,
     joins,
     multimodal,

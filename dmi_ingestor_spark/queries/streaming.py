@@ -318,3 +318,29 @@ def st_static_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "st_foreachbatch_upsert",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_sum_exact("value", "sum_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "foreachBatch keyed-upsert sink: 4 real micro-batches "
+        "(maxFilesPerTrigger=1) of an update-mode aggregation merged "
+        "into a parquet target via staging + Hadoop FS rename. The "
+        "final table is batch-boundary-independent, so DuckDB's "
+        "one-shot global aggregate is an exact oracle — the streaming "
+        "sink family's second hash-green anchor (with "
+        "st_static_join_batch)."
+    ),
+    tags=("streaming", "sink", "foreachBatch", "events"),
+)
+def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import foreachbatch_upsert_totals
+
+    return foreachbatch_upsert_totals(spark, sf_dir)

@@ -360,3 +360,93 @@ def stream_stream_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.filter(F.col("p_user") >= 0)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def foreachbatch_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """St-sink: exactly-once-style keyed upsert via ``foreachBatch``.
+
+    The production micro-batch sink pattern Structured Streaming ships
+    no built-in for: an update-mode aggregation emits the CURRENT
+    totals of every key touched by each micro-batch, and foreachBatch
+    merges them into a parquet target — replace touched keys, keep the
+    rest — through a staging-dir + rename swap (Hadoop ``FileSystem``,
+    so the same code path works on hdfs:// and s3a://; cf.
+    ``ingest/fs.py``). The source is re-split into 4 files and drained
+    with ``maxFilesPerTrigger=1``, so the merge genuinely runs 4 times
+    against the accumulating target.
+
+    The invariant that makes this oracle-checkable: the final table is
+    BATCH-BOUNDARY-INDEPENDENT — any interleaving of micro-batches
+    converges to the global per-key aggregate, which DuckDB recomputes
+    in one shot. Sums accumulate in decimal(22,8) inside the streaming
+    state so the parity is bit-exact (functions/exact.py).
+
+    Aggregation state here is unevicted by design (no watermark): the
+    key space is the bounded event_type domain, the same call a
+    production totals table makes. Per-event keys would need
+    dropDuplicatesWithinWatermark/TTL instead.
+    """
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+    from dmi_ingestor_spark.ingest.fs import _fs_and_path, fs_delete, fs_exists
+
+    workdir = _tf.mkdtemp(prefix="febupsert-")
+    src_dir = f"{workdir}/src"
+    target = f"{workdir}/totals"
+    staging = f"{workdir}/totals.staging"
+
+    # Deterministic 4-way re-split of the events file so AvailableNow +
+    # maxFilesPerTrigger=1 yields multiple real micro-batches.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .repartitionByRange(4, "event_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    totals = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if fs_exists(s, target):
+            old = s.read.parquet(target)
+            merged = old.join(
+                batch_df.select("event_type"), "event_type", "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(staging)
+        fs_delete(s, target)
+        fs, jtarget = _fs_and_path(s, target)
+        _, jstaging = _fs_and_path(s, staging)
+        fs.rename(jstaging, jtarget)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt-") as ckpt:
+        q = (
+            totals.writeStream.foreachBatch(_merge)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return spark.read.parquet(target).select(
+        "event_type",
+        "n_events",
+        dec_to_double(F.col("sum_dec")).alias("sum_value"),
+    )
