@@ -311,3 +311,76 @@ def join_salted_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# J4-scale: binned interval join (the range join that scales).
+# --------------------------------------------------------------------------
+
+_FUNNEL_GAP_US = 300_000_000  # 5 minutes
+
+
+@register(
+    "join_range_binned_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    )
+    SELECT a.event_id AS lead_id, b.event_id AS follow_id,
+           a.user_id, CAST(b.t - a.t AS BIGINT) AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.t > a.t AND b.t <= a.t + {_FUNNEL_GAP_US}
+    """,
+    doc=(
+        "Funnel pairs: same-user event followed by another within 5 "
+        "minutes — an interval self-join executed as a BINNED EQUI-JOIN, "
+        "not a nested loop. Each left event expands to its two possible "
+        "5-minute bins (explode of 2), the join runs on "
+        "(user_id, bin) — a plain shuffled hash/merge join — and the "
+        "exact range predicate filters afterwards. This is the 100 TB "
+        "range-join strategy: `join_range_quantity_bands` shows the "
+        "BroadcastNestedLoop form for small dims; at fact×fact scale a "
+        "BNLJ is O(n*m) while the bin join shuffles each side once and "
+        "touches only co-binned candidates. The plan is asserted "
+        "nested-loop-free in tests/test_plan_quality.py."
+    ),
+    tags=("join", "range", "binned", "scale", "events"),
+)
+def join_range_binned_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
+    )
+    # integer floor-div binning: double division + cast could round a
+    # boundary value into the wrong bin and silently drop a pair
+    bin_of = lambda c: c.cast("long") - (c.cast("long") % _FUNNEL_GAP_US)  # noqa: E731
+    a = e.select(
+        F.col("event_id").alias("lead_id"),
+        "user_id",
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.array(bin_of(F.col("t")), bin_of(F.col("t")) + _FUNNEL_GAP_US)
+        ).alias("bin"),
+    )
+    b = e.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("t").alias("t_b"),
+        bin_of(F.col("t")).alias("b_bin"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (a.bin == b.b_bin)
+            & (b.t_b > a.t_a)
+            & (b.t_b <= a.t_a + _FUNNEL_GAP_US),
+        )
+        .select(
+            "lead_id",
+            "follow_id",
+            "user_id",
+            (F.col("t_b") - F.col("t_a")).cast("long").alias("gap_us"),
+        )
+    )

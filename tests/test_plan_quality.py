@@ -143,3 +143,22 @@ def test_ann_lsh_hyperplanes_are_literals(spark, sf_dir):
     expressions (the round-1 form hashed 8x dim times per row)."""
     plan = plan_of(spark, sf_dir, "sim_ann_lsh_buckets")
     assert "md5" not in plan, plan[:3000]
+
+
+def test_range_binned_join_has_no_nested_loop(spark, sf_dir):
+    """The binned interval join must plan as an equi-join (hash/merge),
+    never BroadcastNestedLoop/CartesianProduct — that is its reason to
+    exist next to the BNLJ-form join_range_quantity_bands."""
+    plan = plan_of(spark, sf_dir, "join_range_binned_funnel")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_zorder_is_codegen_no_udf(spark, sf_dir):
+    """The Morton interleave must stay inside whole-stage codegen -
+    no Python evaluation nodes in the plan."""
+    plan = plan_of(spark, sf_dir, "layout_zorder_buckets")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # (WholeStageCodegen spans aren't visible in the pre-AQE formatted
+    # plan; absence of Python eval nodes is the JVM-side guarantee)
