@@ -23,6 +23,7 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     pipeline_ops,
     raster,
     relational,
+    scd,
     reshape,
     scalars,
     setops,

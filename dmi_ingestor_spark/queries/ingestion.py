@@ -297,3 +297,53 @@ def sink_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in aggs[1:]:
         res = res.unionAll(a)
     return res.orderBy("fmt")
+
+
+# --------------------------------------------------------------------------
+# S-maintenance: small-file compaction (OPTIMIZE).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "compact_small_files",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_avg_exact("value", "avg_value")}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Small-file compaction cycle: the events table is written out "
+        "deliberately fragmented (16-way repartition before a "
+        "partitionBy(event_type) write -> up to 16 files per partition "
+        "directory), compacted to 1 file per partition by "
+        "ingest/compact.py (repartition on the partition key, staging "
+        "write, per-directory Hadoop-FS swap), then read back and "
+        "aggregated. The oracle aggregates the ORIGINAL table, so the "
+        "hash match proves the rewrite is content-preserving; "
+        "tests/test_storage_layout.py asserts the file counts actually "
+        "collapse. At 100 TB this is the nightly OPTIMIZE that keeps "
+        "scan planning off the metadata path."
+    ),
+    tags=("ingest", "maintenance", "compaction", "events"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.functions.exact import avg_exact
+    from dmi_ingestor_spark.ingest.compact import compact_table
+
+    out = tempfile.mkdtemp(prefix="compact-") + "/events_parted"
+    (
+        table(spark, sf_dir, "events")
+        .repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    compact_table(spark, out, ["event_type"])
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        avg_exact("value", "avg_value"),
+    )

@@ -92,3 +92,45 @@ def test_dynamic_partition_overwrite_keeps_others(spark, sf_dir, tmp_path):
     after = spark.read.parquet(out)
     assert after.filter(F.col("event_type") == "click").count() == 1
     assert after.count() == total_before - n_click + 1
+
+
+def test_compaction_collapses_files_preserving_content(spark, sf_dir):
+    """ingest/compact.py: fragmented partitions collapse to 1 file each;
+    row count and a value checksum survive the rewrite byte-for-byte."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.ingest.compact import compact_table, data_file_counts
+
+    out = tempfile.mkdtemp(prefix="compact-test-") + "/events_parted"
+    e = table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e.repartition(8).write.partitionBy("event_type").parquet(out)
+
+    before_files = data_file_counts(spark, out)
+    assert max(before_files.values()) > 1, before_files
+    before_rows = spark.read.parquet(out).count()
+    before_sum = (
+        spark.read.parquet(out)
+        .agg(F.sum(F.col("value").cast("decimal(22,8)")))
+        .collect()[0][0]
+    )
+
+    compact_table(spark, out, ["event_type"])
+
+    after_files = data_file_counts(spark, out)
+    assert set(after_files) == set(before_files)
+    assert max(after_files.values()) == 1, after_files
+    after = spark.read.parquet(out)
+    assert after.count() == before_rows
+    assert (
+        after.agg(F.sum(F.col("value").cast("decimal(22,8)"))).collect()[0][0]
+        == before_sum
+    )
+
+    # multi-file knob: oversized partitions can split deterministically
+    compact_table(spark, out, ["event_type"], files_per_partition=2)
+    split_files = data_file_counts(spark, out)
+    assert max(split_files.values()) <= 2
+    assert spark.read.parquet(out).count() == before_rows
