@@ -356,3 +356,61 @@ def agg_sketch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram (dashboard/profiling staple).
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+
+@register(
+    "agg_histogram_totalprice",
+    oracle=f"""
+    WITH ext AS (
+      SELECT CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS vmin,
+             CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS vmax
+      FROM orders
+    ), b AS (
+      SELECT LEAST({_HIST_BUCKETS - 1},
+                   ((CAST(FLOOR(o_totalprice * 100) AS BIGINT) - vmin)
+                    * {_HIST_BUCKETS}) // (vmax - vmin + 1)) AS bucket
+      FROM orders CROSS JOIN ext
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM b
+    GROUP BY bucket
+    """,
+    doc=(
+        "Equal-width 16-bucket histogram of order totals. Min/max come "
+        "from one scalar aggregate broadcast back into the scan (the "
+        "same two-pass shape every profiler uses); bucket assignment is "
+        "ALL-INTEGER on floor(price*100) cents so Spark and DuckDB "
+        "agree exactly (double width-division would round buckets "
+        "differently at the edges). Map-side combinable count after a "
+        "narrow projection."
+    ),
+    tags=("aggregation", "histogram", "orders", "profiling"),
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    ext = o.agg(
+        F.min("cents").alias("vmin"), F.max("cents").alias("vmax")
+    )
+    return (
+        o.crossJoin(F.broadcast(ext))
+        .select(
+            F.least(
+                F.lit(_HIST_BUCKETS - 1),
+                F.expr(f"((cents - vmin) * {_HIST_BUCKETS}) div (vmax - vmin + 1)"),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )

@@ -278,3 +278,148 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (product-analytics staple).
+# --------------------------------------------------------------------------
+
+_T0_US = 1_704_067_200_000_000  # 2024-01-01 UTC in epoch micros
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             (epoch_us(CAST(ts AS TIMESTAMP)) - {_T0_US}) // {_WEEK_US} AS wk
+      FROM events
+    ), f AS (
+      SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      FROM t
+    )
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_week,
+           CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM f
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Weekly cohort retention: users bucketed by first-activity week "
+        "(all-integer epoch-micros arithmetic — no date-type parity "
+        "hazards), counted distinct per (cohort_week, week_offset). One "
+        "shuffle on user_id serves BOTH the min-over-window cohort "
+        "assignment and (via partial aggregation) the distinct count — "
+        "the join-back formulation would shuffle the events twice."
+    ),
+    tags=("window", "cohort", "events", "analytics"),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(unix_micros(ts) - {_T0_US}) div {_WEEK_US}").alias("wk"),
+    )
+    w = Window.partitionBy("user_id")
+    f = e.withColumn("cohort_wk", F.min("wk").over(w))
+    return (
+        f.groupBy(
+            F.col("cohort_wk").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-step funnel conversion.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEP_US = 3_600_000_000  # 1 hour per step
+
+
+@register(
+    "funnel_conversion_3step",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events
+    ), s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN t END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM t
+    ), s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click'
+                          AND t > t1 AND t <= t1 + {_FUNNEL_STEP_US}
+                         THEN t END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                          AND t > t2 AND t <= t2 + {_FUNNEL_STEP_US}
+                         THEN t END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    )
+    SELECT
+      CAST(COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+           AS BIGINT) AS n_viewed,
+      CAST(COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+           AS BIGINT) AS n_clicked,
+      CAST(COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+           AS BIGINT) AS n_purchased
+    FROM s3
+    """,
+    doc=(
+        "3-step funnel (view -> click within 1h -> purchase within 1h): "
+        "each step's earliest qualifying time is a conditional MIN over "
+        "the user partition, chained across three window passes that "
+        "all share ONE user_id shuffle (Catalyst reuses the "
+        "partitioning, so steps add window nodes, not Exchanges — "
+        "check PLANS.md). All-integer epoch-micros comparisons; final "
+        "row is the three distinct-user step counts."
+    ),
+    tags=("window", "funnel", "events", "analytics"),
+)
+def funnel_conversion_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    s = e.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t") > F.col("t1"))
+                & (F.col("t") <= F.col("t1") + _FUNNEL_STEP_US),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") > F.col("t2"))
+                & (F.col("t") <= F.col("t2") + _FUNNEL_STEP_US),
+                F.col("t"),
+            )
+        ).over(w),
+    )
+    return s.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).cast("long").alias("n_viewed"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).cast("long").alias("n_clicked"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).cast("long").alias("n_purchased"),
+    )
