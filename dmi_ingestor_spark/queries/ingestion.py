@@ -347,3 +347,126 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         avg_exact("value", "avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Order-independent table fingerprint (replication / migration checks).
+# --------------------------------------------------------------------------
+
+_FP_MOD = 1_000_000_007  # keeps the int64 sum far from overflow
+
+
+@register(
+    "integrity_table_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+             CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderpriority || '|' ||
+               CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 15) AS BIGINT) AS rh
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh % {_FP_MOD}) AS BIGINT) AS fp_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS fp_xor
+    FROM h
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Order-independent per-partition table fingerprint: md5 row "
+        "hash (60-bit int) folded with commutative SUM-mod and BIT_XOR "
+        "aggregates. This is the anti-entropy primitive for verifying "
+        "replication/migration of a 100 TB table WITHOUT sorting or "
+        "moving it: both sides compute partition fingerprints with one "
+        "map-combinable pass and compare a handful of rows. Float "
+        "columns enter the hash as floor(cents) so both engines hash "
+        "identical strings (raw double rendering differs engine to "
+        "engine)."
+    ),
+    tags=("integrity", "fingerprint", "orders", "maintenance"),
+)
+def integrity_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        o.select("o_orderpriority", rh.alias("rh"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("rh") % _FP_MOD).cast("long").alias("fp_sum"),
+            F.bit_xor("rh").cast("long").alias("fp_xor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corrupt-tolerant semi-structured ingest (PERMISSIVE JSON).
+# --------------------------------------------------------------------------
+
+_CORRUPT_MOD = 50  # every 50th record is mangled
+
+
+@register(
+    "ingest_corrupt_tolerant_json",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(CASE WHEN event_id % {_CORRUPT_MOD} <> 0 THEN 1 END)
+           AS BIGINT) AS n_good,
+      CAST(COUNT(CASE WHEN event_id % {_CORRUPT_MOD} = 0 THEN 1 END)
+           AS BIGINT) AS n_corrupt,
+      CAST(SUM(CASE WHEN event_id % {_CORRUPT_MOD} <> 0 THEN event_id END)
+           AS BIGINT) AS sum_good_ids
+    FROM events
+    """,
+    doc=(
+        "Bad-record tolerance (the 100 TB ingest reality: some of every "
+        "trillion JSON lines are garbage): events are dumped to JSON "
+        "lines with every 50th record deliberately mangled, read back "
+        "in PERMISSIVE mode with an explicit `_corrupt_record` column, "
+        "and triaged — corrupt rows are counted and quarantined, good "
+        "rows are verified by id-sum against the oracle on the original "
+        "table. No schema inference (a second full scan at scale); the "
+        "read never throws."
+    ),
+    tags=("ingest", "json", "robustness", "events"),
+)
+def ingest_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    out = tempfile.mkdtemp(prefix="corrupt-json-") + "/events_jsonl"
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    mangled = F.when(
+        F.col("event_id") % _CORRUPT_MOD == 0, F.concat(F.lit("{broken::"), line)
+    ).otherwise(line)
+    e.select(mangled.alias("value")).write.mode("overwrite").text(out)
+
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).cast("long").alias("n_good"),
+        F.count(F.when(~good, 1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("event_id"))).cast("long").alias("sum_good_ids"),
+    )

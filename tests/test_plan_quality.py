@@ -162,3 +162,30 @@ def test_zorder_is_codegen_no_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     # (WholeStageCodegen spans aren't visible in the pre-AQE formatted
     # plan; absence of Python eval nodes is the JVM-side guarantee)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column, so at 100 TB only
+    the dim-selected partition directories are scanned."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+
+    out = tempfile.mkdtemp(prefix="dpp-") + "/events_parted"
+    table(spark, sf_dir, "events").select(
+        "event_id", "value", "event_type"
+    ).write.partitionBy("event_type").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 2.0), ("view", 3.0), ("error", 4.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 2.0)
+    joined = fact.join(dim, "event_type").agg(F.count(F.lit(1)))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
