@@ -39,6 +39,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_ann_lsh_buckets",
     "st_tumbling_counts",
+    "graph_pagerank_trade",
 )
 
 

@@ -113,11 +113,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
+    # cache the EDGE BUILD (the expensive fact join): outw, e and nodes
+    # all branch from it — uncached, the join would run once per branch
+    edges = edges.cache()
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(outw, "src").select("src", "dst", "w", "out_w").cache()
+    e = edges.join(F.broadcast(outw), "src").select("src", "dst", "w", "out_w")
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select("dst"))
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
         .distinct()
         .cache()
     )
