@@ -44,3 +44,36 @@ def test_hll_sketch_within_3pct(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(0.03 * r.exact_users, 2), r
+
+
+def test_observe_inflight_quality_metrics(spark, sf_dir):
+    """df.observe(): data-quality metrics (row count, null count, sum)
+    collected DURING a query action — at 100 TB this is how a pipeline
+    monitors itself without a second scan. The observed values must
+    match a direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    obs = Observation("quality")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+        F.sum(F.col("value").cast("decimal(22,8)")).alias("sum_value"),
+    )
+    # run the real downstream work; metrics ride along on the same pass
+    n_types = observed.groupBy("event_type").count().count()
+    assert n_types == 5
+
+    direct = e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+        F.sum(F.col("value").cast("decimal(22,8)")).alias("sum_value"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == direct["n_rows"]
+    assert (got["n_null_value"] or 0) == (direct["n_null_value"] or 0)
+    assert got["sum_value"] == direct["sum_value"]

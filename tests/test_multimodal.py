@@ -52,3 +52,25 @@ def test_decode_preserves_partitioning(spark, sf_dir):
     media = attach_payloads(table(spark, sf_dir, "documents")).repartition(7)
     decoded = decode_features(media)
     assert decoded.rdd.getNumPartitions() == 7
+
+
+def test_mapinarrow_decode_equals_mapinpandas(spark, sf_dir):
+    """decode_features (mapInPandas) and decode_features_arrow
+    (mapInArrow) are independent implementations of the same decode;
+    their outputs must agree row for row."""
+    from dmi_ingestor_spark.operators.multimodal import (
+        attach_payloads,
+        decode_features,
+        decode_features_arrow,
+    )
+
+    media = attach_payloads(table(spark, sf_dir, "documents")).limit(50)
+    a = {
+        r["doc_id"]: (r["n_bytes"], r["checksum"], tuple(r["features"]))
+        for r in decode_features(media).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bytes"], r["checksum"], tuple(r["features"]))
+        for r in decode_features_arrow(media).collect()
+    }
+    assert a == b and len(a) == 50
