@@ -384,3 +384,53 @@ def join_range_binned_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_b") - F.col("t_a")).cast("long").alias("gap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe join semantics.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe_semantics",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE event_id % 7 END AS k
+      FROM events
+    ), dim AS (
+      SELECT * FROM (VALUES
+        (NULL, 'missing'), (1, 'one'), (2, 'two'), (3, 'three'),
+        (4, 'four'), (5, 'five'), (6, 'six')
+      ) AS t(k, label)
+    )
+    SELECT dim.label, CAST(COUNT(e.k IS NULL OR TRUE) AS BIGINT) AS n
+    FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+    GROUP BY dim.label
+    """,
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): a key with "
+        "injected NULLs joined to a dim whose 'missing' row carries a "
+        "NULL key — NULL matches NULL exactly once, so unknown keys "
+        "classify instead of dropping. Still a hash-joinable equality "
+        "predicate in both engines (null-safe equality is an equi-key, "
+        "NOT a theta predicate); the dim broadcasts."
+    ),
+    tags=("join", "null-semantics", "events"),
+)
+def join_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(None).cast("long")
+        ).otherwise(F.col("event_id") % 7).alias("k")
+    )
+    dim = spark.createDataFrame(
+        [(None, "missing"), (1, "one"), (2, "two"), (3, "three"),
+         (4, "four"), (5, "five"), (6, "six")],
+        "k long, label string",
+    )
+    return (
+        e.join(F.broadcast(dim), e.k.eqNullSafe(dim.k))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

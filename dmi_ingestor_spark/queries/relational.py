@@ -176,8 +176,12 @@ _RECURSIVE_SPINE_QUERY = """
     ),
     monthly AS (
       SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS DOUBLE)
-               AS revenue,
+             -- split decimal->double conversion (functions/exact.py):
+             -- bit-identical across engines at any magnitude
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(22,8)))) AS DOUBLE)
+             + CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8)))
+                    - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(22,8))))
+               AS DOUBLE) AS revenue,
              COUNT(*) AS n_orders
       FROM orders
       GROUP BY DATE_TRUNC('month', o_orderdate)
@@ -206,3 +210,45 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_QUERY)
+
+
+# --------------------------------------------------------------------------
+# SQL front end: correlated EXISTS / NOT EXISTS / scalar subqueries.
+# --------------------------------------------------------------------------
+
+_SQL_SUBQUERY_QUERY = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_totalprice > 200000.0
+           ) THEN 1 END) AS BIGINT) AS n_with_big_order,
+           CAST(COUNT(CASE WHEN NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           ) THEN 1 END) AS BIGINT) AS n_never_ordered
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2)
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "sql_api_correlated_subqueries",
+    oracle=_SQL_SUBQUERY_QUERY,
+    doc=(
+        "Correlated EXISTS / NOT EXISTS plus an uncorrelated scalar "
+        "subquery, as ONE ANSI string planned by both engines. Catalyst "
+        "de-correlates: EXISTS becomes a left-semi-ish existence join, "
+        "NOT EXISTS an anti join, the scalar subquery a broadcast — no "
+        "per-row subquery execution anywhere (the per-row reading is "
+        "the semantic, not the plan). AVG over doubles is safe here "
+        "because it only feeds a > comparison, not the output."
+    ),
+    tags=("sql-api", "subquery", "join", "customer"),
+)
+def sql_api_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_SUBQUERY_QUERY)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
 from dmi_ingestor_spark.functions.exact import (
+    dec_to_double,
     sql_sum_exact,
     sum_exact,
 )
@@ -372,16 +373,24 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle="""
+    WITH s AS (
+      SELECT SUM(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))
+               ELSE CAST(0 AS DECIMAL(22,8)) END) AS sp,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8)))
+               AS st
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    )
+    -- split decimal->double conversions (functions/exact.py): exact at
+    -- any magnitude in both engines
     SELECT 100.0
-      * CAST(SUM(CASE WHEN p_type = 'PROMO'
-              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8))
-              ELSE CAST(0 AS DECIMAL(22,8)) END) AS DOUBLE)
-      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,8)))
-             AS DOUBLE) AS promo_revenue_pct
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+      * (CAST(FLOOR(sp) AS DOUBLE) + CAST(sp - FLOOR(sp) AS DOUBLE))
+      / (CAST(FLOOR(st) AS DOUBLE) + CAST(st - FLOOR(st) AS DOUBLE))
+        AS promo_revenue_pct
+    FROM s
     """,
     doc="TPC-H Q14: conditional agg (promo share of revenue) over broadcast join.",
     tags=("join", "broadcast", "aggregation", "tpch"),
@@ -401,8 +410,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(disc).cast("double")
+                * dec_to_double(F.sum(promo))
+                / dec_to_double(F.sum(disc))
             ).alias("promo_revenue_pct")
         )
     )
