@@ -84,11 +84,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("names", nargs="*")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (driver fidelity: no session.py configs)",
+    )
     args = ap.parse_args()
 
     registry = load_all()
     names = args.names or list(registry)
-    spark = get_spark("oracle-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duck_connection(args.sf_dir)
 
     n_pass = n_fail = n_rows_only = 0
