@@ -24,6 +24,19 @@ EMPTY_SAFE = [
     "text_tfidf_top_terms",
     "join_asof_latest_order_per_event",
     "setop_union_all",
+    # round-2 second-wave families
+    "pack_sequences_cumsum",
+    "text_repetition_filter",
+    "mix_strata_weighted",
+    "udtf_rle_tokens",
+    "layout_zorder_buckets",
+    "graph_pagerank_trade",
+    "join_range_binned_funnel",
+    "scd2_dimension_merge",
+    "cohort_weekly_retention",
+    "agg_histogram_totalprice",
+    "integrity_table_fingerprint",
+    "join_null_safe_semantics",
 ]
 
 
