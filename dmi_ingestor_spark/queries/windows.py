@@ -423,3 +423,117 @@ def funnel_conversion_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("t3").isNotNull(), F.col("user_id"))
         ).cast("long").alias("n_purchased"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + linear interpolation (hypertable staple).
+# --------------------------------------------------------------------------
+
+_GF_HOUR_US = 3_600_000_000
+_GF_MIN_N = 4  # hours with fewer click events are treated as gaps
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    WITH base AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // {_GF_HOUR_US} AS h,
+             COUNT(*) AS n,
+             CAST(FLOOR(SUM(CAST(value AS DECIMAL(22,8)))) AS DOUBLE)
+             + CAST(SUM(CAST(value AS DECIMAL(22,8)))
+                    - FLOOR(SUM(CAST(value AS DECIMAL(22,8)))) AS DOUBLE)
+               AS sum_v
+      FROM events WHERE event_type = 'click'
+      GROUP BY h
+    ), sparse AS (
+      SELECT h, sum_v / n AS v FROM base WHERE n >= {_GF_MIN_N}
+    ), ext AS (
+      SELECT MIN(h) AS hmin, MAX(h) AS hmax FROM base
+    ), spine AS (
+      SELECT u.h FROM ext, UNNEST(generate_series(hmin, hmax)) AS u(h)
+    ), joined AS (
+      SELECT spine.h, sparse.v FROM spine LEFT JOIN sparse ON spine.h = sparse.h
+    ), f AS (
+      SELECT h, v,
+        last_value(v IGNORE NULLS) OVER (
+          ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER (
+          ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER (
+          ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           v IS NOT NULL AS was_observed,
+           CAST(FLOOR(1000000 * (
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (h - ph) / (nh - ph) END
+           )) AS BIGINT) AS interp_q
+    FROM f
+    """,
+    doc=(
+        "Hypertable gap-fill: hourly click averages sparsified (hours "
+        "under a count threshold become gaps), re-densified onto a full "
+        "hour spine, and linearly interpolated between the nearest "
+        "observed neighbors via IGNORE-NULLS window frames (edges "
+        "carry-forward/backward). Averages go through exact-decimal "
+        "sums so both engines interpolate IDENTICAL doubles with the "
+        "identical op sequence; the output is floor-quantized x1e6. "
+        "One sort-per-series at scale: partition the window by series "
+        "key (single series here), never a global sort."
+    ),
+    tags=("window", "timeseries", "gapfill", "events"),
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    base = (
+        e.select(F.expr(f"unix_micros(ts) div {_GF_HOUR_US}").alias("h"), "value")
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_to_double(F.sum(F.col("value").cast(DEC))).alias("sum_v"),
+        )
+    )
+    sparse = base.filter(F.col("n") >= _GF_MIN_N).select(
+        "h", (F.col("sum_v") / F.col("n")).alias("v")
+    )
+    ext = base.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+    spine = ext.select(
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias("h")
+    )
+    joined = spine.join(sparse, "h", "left")
+    w_before = (
+        Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_after = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = joined.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_before).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_before).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_after).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_after).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("h") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return f.select(
+        F.col("h").cast("long").alias("h"),
+        F.col("v").isNotNull().alias("was_observed"),
+        F.floor(F.lit(1_000_000) * interp).cast("long").alias("interp_q"),
+    )
