@@ -37,6 +37,7 @@ EMPTY_SAFE = [
     "agg_histogram_totalprice",
     "integrity_table_fingerprint",
     "join_null_safe_semantics",
+    "ts_gapfill_interpolate",
 ]
 
 
