@@ -414,3 +414,81 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+
+
+# -- [ext] incremental materialized-view maintenance ------------------------
+_MV_CUTOFF = "1997-01-01"
+
+
+@register(
+    "rollup_incremental_merge",
+    oracle=f"""
+    SELECT
+      o_custkey AS custkey,
+      COUNT(*) AS n_orders,
+      {sql_sum_exact("o_totalprice", "sum_total")},
+      MAX(o_totalprice) AS max_total,
+      MIN(o_totalprice) AS min_total,
+      MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order_ts
+    FROM orders
+    GROUP BY custkey
+    """,
+    doc=(
+        "[ext] Incremental rollup (materialized-view) maintenance: the "
+        "per-customer order summary is computed as agg(base facts before "
+        "the cutoff) FULL OUTER JOIN agg(delta facts after it), merging "
+        "the mergeable partials (count: add, decimal sum: add, min/max: "
+        "least/greatest) — the refresh pattern where yesterday's stored "
+        "aggregate absorbs today's partition without rescanning the "
+        "base. At 100 TB the stored aggregate is bucketed by the group "
+        "key, the delta agg is map-side combined, and the merge is a "
+        "co-partitioned join of two aggregate-sized tables — O(groups), "
+        "not O(facts). The DuckDB oracle computes the DIRECT group-by "
+        "over all facts, so the hash match is a proof that incremental "
+        "merge == full recompute (why count-distinct is absent here: it "
+        "is not mergeable — that needs the HLL sketches of "
+        "agg_sketch_pack). [ext — the reference, dmi_ingestor/"
+        "ingestor.py:102-118, only ever folds a manifest dict]"
+    ),
+    tags=("aggregation", "incremental", "warehouse", "scale"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def part_agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias(f"s_{tag}"),
+            F.max("o_totalprice").alias(f"mx_{tag}"),
+            F.min("o_totalprice").alias(f"mn_{tag}"),
+            F.max(F.col("o_orderdate").cast("timestamp")).alias(f"ts_{tag}"),
+        )
+
+    base = part_agg(o.filter(F.col("o_orderdate") < F.lit(_MV_CUTOFF)), "b")
+    delta = part_agg(o.filter(F.col("o_orderdate") >= F.lit(_MV_CUTOFF)), "d")
+
+    def pick(combine: str, b: str, d: str) -> F.Column:
+        return (
+            F.when(F.col(b).isNull(), F.col(d))
+            .when(F.col(d).isNull(), F.col(b))
+            .otherwise(F.expr(f"{combine}({b}, {d})"))
+        )
+
+    return (
+        base.join(delta, "custkey", "full_outer")
+        .select(
+            "custkey",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            dec_to_double(
+                F.coalesce("s_b", F.lit(0).cast(DEC))
+                + F.coalesce("s_d", F.lit(0).cast(DEC))
+            ).alias("sum_total"),
+            pick("greatest", "mx_b", "mx_d").alias("max_total"),
+            pick("least", "mn_b", "mn_d").alias("min_total"),
+            pick("greatest", "ts_b", "ts_d").alias("last_order_ts"),
+        )
+    )

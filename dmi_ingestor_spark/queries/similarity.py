@@ -125,14 +125,20 @@ def _plane_literals(dim: int) -> list[list[float]]:
 
 
 def _embedding_dim(sf_dir: str) -> int:
-    """Vector dimensionality, read from one parquet row at plan time."""
+    """Vector dimensionality, read from one parquet row at plan time.
+
+    Handles both single-file and Spark directory parquet layouts;
+    returns -1 for an empty table (all-partitions-pruned upstream).
+    """
     import os
 
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    return len(batch.column("embedding")[0])
+    d = ds.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    rows = d.head(1, columns=["embedding"])
+    if rows.num_rows == 0:
+        return -1
+    return len(rows.column("embedding")[0])
 
 
 def _hyperplane_sign_bits(vec_col: F.Column, dim: int) -> F.Column:
@@ -187,6 +193,211 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
         .filter(F.col("sim") >= 0.25)
         .select("bucket", "a_id", "b_id", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# U6 scale path #3: product quantization (PQ) + asymmetric distance (ADC).
+# --------------------------------------------------------------------------
+
+PQ_DIM = 64  # embeddings table dimensionality (asserted at runtime)
+PQ_M = 8  # subspaces
+PQ_SUB = PQ_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # centroids per subspace → 4-bit codes
+
+
+def _pq_codebook() -> list[list[list[int]]]:
+    """Deterministic md5-derived codebook, computed ONCE at plan time.
+
+    C[m][k][j] = (md5int("pq-{m}-{k}-{j}") % 601) - 300 — integers in
+    the quantized vector space (round(x*1000), data range ≈ ±400), no
+    stored model, identical literals embedded in the Spark plan and the
+    DuckDB oracle. A trained codebook would drop in unchanged: only the
+    literals change, not the plan shape.
+    """
+    import hashlib
+
+    def h(m: int, k: int, j: int) -> int:
+        d = hashlib.md5(f"pq-{m}-{k}-{j}".encode()).hexdigest()
+        return int(d[:12], 16) % 601 - 300
+
+    return [
+        [[h(m, k, j) for j in range(PQ_SUB)] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_oracle() -> str:
+    """Unrolled integer-exact PQ encode + ADC top-k as DuckDB SQL."""
+    cb = _pq_codebook()
+    vals = ",\n      ".join(
+        f"({m}, {k}, [{', '.join(str(c) for c in cb[m][k])}]::BIGINT[])"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    # dist(vec subspace m, centroid list c): Σ_j (iv[m*SUB+j] - c[j])²
+    d2 = " + ".join(
+        f"(iv[m*{PQ_SUB}+{j + 1}]-c[{j + 1}])*(iv[m*{PQ_SUB}+{j + 1}]-c[{j + 1}])"
+        for j in range(PQ_SUB)
+    )
+    adc = " + ".join(
+        f"(q.iv[cb.m*{PQ_SUB}+{j + 1}]-cb.c[{j + 1}])"
+        f"*(q.iv[cb.m*{PQ_SUB}+{j + 1}]-cb.c[{j + 1}])"
+        for j in range(PQ_SUB)
+    )
+    return f"""
+    WITH cb(m, k, c) AS (VALUES
+      {vals}
+    ),
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT vq.vec_id, cb.m, cb.k, {d2} AS dist
+      FROM vq CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, k) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id,
+             SUM({adc}) AS adc_dist
+      FROM vq q
+      JOIN codes co ON co.vec_id <> q.vec_id
+      JOIN cb ON cb.m = co.m AND cb.k = co.code
+      WHERE q.vec_id < {N_QUERY}
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+def _int_vec(vec: F.Column) -> F.Column:
+    """array<float> → array<bigint>, round(x*1000) — exact both engines."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+
+
+@register(
+    "sim_pq_adc",
+    oracle=_pq_oracle(),
+    doc=(
+        "U6 scale path: product quantization. Each 64-dim vector is "
+        "split into 8 subspaces and encoded as its nearest of 16 "
+        "deterministic centroids per subspace (argmin via array_min "
+        "over (dist, k) structs — pure codegen, map-only, no shuffle): "
+        "64 floats become 8 codes, a 32× compression, which is what "
+        "lets a 100 TB corpus fit a memory-resident index. Queries "
+        "compute asymmetric distance (exact query subvector vs coded "
+        "centroid, looked up from the literal codebook with "
+        "element_at) against the broadcast query side; the corpus "
+        "never shuffles. All-integer arithmetic end-to-end, so even "
+        "the ENCODE step is hash-checked against the DuckDB oracle's "
+        "unrolled argmin. [ext — absent from the reference, "
+        "dmi_ingestor/ingestor.py has no vector ops]"
+    ),
+    tags=("similarity", "embeddings", "scale"),
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _embedding_dim(sf_dir)
+    assert dim in (PQ_DIM, -1), "codebook is built for dim 64"
+    cb = _pq_codebook()
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_vec(F.col("embedding")).alias("iv")
+    )
+    # materialize each subvector once — HOF lambdas are not CSE'd, so the
+    # slice must not live inside the per-centroid transform
+    subs = emb.select(
+        "vec_id",
+        "iv",
+        *[
+            F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias(f"s{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+    # literal codebook, subspace m: array of 16 (cent array, k) structs —
+    # keeps the plan small vs unrolling 16×8 squared-diff terms per code
+    cb_structs = [
+        F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(c) for c in cb[m][k]]).alias("cent"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        for m in range(PQ_M)
+    ]
+
+    def d2(sub: F.Column, cent: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # encode: code_m = argmin_k d2(s_m, C[m][k]), ties → min k, via
+    # array_min over (dist, k) structs
+    def code_for(m: int) -> F.Column:
+        scored = F.transform(
+            cb_structs[m],
+            lambda s: F.struct(
+                d2(F.col(f"s{m}"), s["cent"]).alias("d"), s["k"].alias("k")
+            ),
+        )
+        return F.array_min(scored)["k"]
+
+    coded = subs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[code_for(m).alias(f"c{m}") for m in range(PQ_M)],
+    )
+
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+
+    # ADC: Σ_m Σ_j (q_sub[j] - C[m][code_m][j])², codebook as literal
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(c) for c in cb[m][k]]) for k in range(PQ_K)])
+        for m in range(PQ_M)
+    ]
+    dist = None
+    for m in range(PQ_M):
+        cent = F.element_at(cb_lits[m], F.col(f"c{m}") + 1)
+        dm = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_iv"), m * PQ_SUB + 1, PQ_SUB),
+                cent,
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dist = dm if dist is None else dist + dm
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        coded.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
     )
 
 

@@ -110,6 +110,38 @@ def test_ivf_self_match_and_shape(spark, sf_dir):
         assert self_hits and self_hits[0].sim > 0.999999, q
 
 
+def test_pq_adc_shape_and_quality(spark, sf_dir):
+    """PQ invariants: full top-k shape per query, and the ADC-selected
+    neighbors are genuinely closer than the corpus average in TRUE
+    (uncompressed) integer L2 — i.e. the compressed index is
+    informative, not noise."""
+    import numpy as np
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.queries.similarity import N_QUERY, TOP_K
+
+    rows = REGISTRY["sim_pq_adc"].builder(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(N_QUERY))
+
+    emb = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000)
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+        assert sorted(r.rk for r in rs) == list(range(1, TOP_K + 1))
+        qv = emb[q]
+        true = {i: float(((qv - v) ** 2).sum()) for i, v in emb.items() if i != q}
+        picked = sum(true[r.neighbor_id] for r in rs) / TOP_K
+        corpus_avg = sum(true.values()) / len(true)
+        assert picked < corpus_avg, (q, picked, corpus_avg)
+
+
 def test_connected_components_known_graph(spark):
     """Chain 1-2-3, triangle 10-11-12 (+edge 12-10), isolated pair 20-21:
     min-label propagation must find exactly these three components."""

@@ -38,6 +38,8 @@ EMPTY_SAFE = [
     "integrity_table_fingerprint",
     "join_null_safe_semantics",
     "ts_gapfill_interpolate",
+    "sim_pq_adc",
+    "rollup_incremental_merge",
 ]
 
 
