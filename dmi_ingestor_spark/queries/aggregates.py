@@ -492,3 +492,63 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick("greatest", "ts_b", "ts_d").alias("last_order_ts"),
         )
     )
+
+
+# -- [ext] hypertable rollup: time-bucketed OHLC continuous aggregate -------
+@register(
+    "ts_rollup_ohlc",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+             ts, event_id, value
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, bucket_ts,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {sql_sum_exact("value", "sum_value")}
+    FROM w
+    GROUP BY event_type, bucket_ts
+    """,
+    doc=(
+        "[ext] Hypertable continuous-aggregate rollup: per "
+        "(event_type, hour) OHLC bars over the event stream. Open/close "
+        "are min/max over (ts, event_id, value) STRUCTS — one "
+        "map-side-combinable aggregate, no window pass over the raw "
+        "facts (the oracle's row_number formulation is what engines "
+        "without struct-ordered min/max must do; Spark's struct min IS "
+        "the arg-min). event_id breaks ts ties deterministically. At "
+        "100 TB: ONE shuffle keyed (type, hour), all six measures "
+        "partial-aggregated before it, and the output is exactly the "
+        "mergeable-partial shape rollup_incremental_merge refreshes "
+        "incrementally. [ext — the reference, dmi_ingestor/"
+        "ingestor.py:102-118, has no time-series aggregation]"
+    ),
+    tags=("aggregation", "timeseries", "rollup", "events", "scale"),
+)
+def ts_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        F.struct("ts", "event_id", "value").alias("tsv"),
+        "value",
+    )
+    return e.groupBy("event_type", "bucket_ts").agg(
+        F.min("tsv")["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max("tsv")["value"].alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        sum_exact("value", "sum_value"),
+    )

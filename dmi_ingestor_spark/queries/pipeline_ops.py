@@ -406,3 +406,131 @@ def mix_strata_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", F.explode(F.sequence(F.lit(1), w)).alias("e")
     ).select("doc_id", "lang", F.col("e").cast("long").alias("epoch"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (Deequ/dbt-test style constraint suite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_summary",
+    oracle="""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) AS v_null,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dup
+      FROM orders
+    ),
+    r AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS v_ref
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    l AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+               AS v_range,
+             COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1999-01-01')
+               AS v_future
+      FROM lineitem
+    ),
+    c AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000)
+               AS v_bal
+      FROM customer
+    )
+    SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'orders.o_custkey_not_null' AS check_name,
+             n AS n_checked, v_null AS n_violations FROM o
+      UNION ALL
+      SELECT 'orders.o_orderkey_unique', n, v_dup FROM o
+      UNION ALL
+      SELECT 'orders.o_custkey_ref_customer', n, v_ref FROM r
+      UNION ALL
+      SELECT 'lineitem.l_quantity_in_1_50', n, v_range FROM l
+      UNION ALL
+      SELECT 'lineitem.l_shipdate_not_future', n, v_future FROM l
+      UNION ALL
+      SELECT 'customer.c_acctbal_in_range', n, v_bal FROM c
+    )
+    """,
+    doc=(
+        "[ext] Data-quality expectation suite (Deequ / dbt-test shape): "
+        "six constraints — null check, key uniqueness, referential "
+        "integrity orders→customer, two range checks, staleness — "
+        "evaluated as conditional aggregates, ONE pass per fact table "
+        "(count + all violation counters in the same partial agg, "
+        "map-side combined), referential integrity as a left-join miss "
+        "count on the join key. The per-check rows come from "
+        "explode(array(struct...)) over each 1-row aggregate — no "
+        "re-scan per check, which is the difference between 6 table "
+        "scans and 3 at 100 TB. [ext — the reference, dmi_ingestor/"
+        "ingestor.py, validates nothing]"
+    ),
+    tags=("quality", "expectations", "scale"),
+)
+def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stack(agg: DataFrame, checks: list[tuple[str, str]]) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col(vcol).alias("n_violations"),
+                )
+                for name, vcol in checks
+            ]
+        )
+        return agg.select(F.explode(pairs).alias("s")).select("s.*")
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_custkey").isNull()).alias("v_null"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("v_dup"),
+    )
+    r_agg = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("c_custkey").isNull()).alias("v_ref"),
+        )
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("v_range"),
+        F.count_if(F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")).alias(
+            "v_future"
+        ),
+    )
+    c_agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)
+        ).alias("v_bal"),
+    )
+
+    out = (
+        stack(o_agg, [("orders.o_custkey_not_null", "v_null"),
+                      ("orders.o_orderkey_unique", "v_dup")])
+        .unionAll(stack(r_agg, [("orders.o_custkey_ref_customer", "v_ref")]))
+        .unionAll(stack(l_agg, [("lineitem.l_quantity_in_1_50", "v_range"),
+                                ("lineitem.l_shipdate_not_future", "v_future")]))
+        .unionAll(stack(c_agg, [("customer.c_acctbal_in_range", "v_bal")]))
+    )
+    return out.select(
+        "check_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -40,7 +40,11 @@ EMPTY_SAFE = [
     "ts_gapfill_interpolate",
     "sim_pq_adc",
     "rollup_incremental_merge",
+    "ts_rollup_ohlc",
 ]
+# dq_expectations_summary is deliberately NOT here: on empty tables it
+# still emits its 6 check rows (n_checked=0, passed) — that IS the
+# contract of an expectation suite, asserted in test_invariants.py.
 
 
 @pytest.fixture(scope="module")

@@ -77,3 +77,35 @@ def test_observe_inflight_quality_metrics(spark, sf_dir):
     assert got["n_rows"] == direct["n_rows"]
     assert (got["n_null_value"] or 0) == (direct["n_null_value"] or 0)
     assert got["sum_value"] == direct["sum_value"]
+
+
+def test_dq_expectations_contract(spark, sf_dir, tmp_path):
+    """DQ suite invariants: fixed check set, passed == (violations==0),
+    n_checked consistent per source table; on EMPTY tables the suite
+    still reports every check (n_checked=0) instead of vanishing."""
+    from dmi_ingestor_spark.catalog import TABLES, table
+
+    rows = REGISTRY["dq_expectations_summary"].builder(spark, sf_dir).collect()
+    names = {r.check_name for r in rows}
+    assert names == {
+        "orders.o_custkey_not_null",
+        "orders.o_orderkey_unique",
+        "orders.o_custkey_ref_customer",
+        "lineitem.l_quantity_in_1_50",
+        "lineitem.l_shipdate_not_future",
+        "customer.c_acctbal_in_range",
+    }
+    n_orders = table(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert r.passed == (r.n_violations == 0)
+        assert 0 <= r.n_violations <= r.n_checked
+        if r.check_name.startswith("orders."):
+            assert r.n_checked == n_orders
+
+    for t in ("orders", "customer", "lineitem"):
+        table(spark, sf_dir, t).filter("1=0").write.mode("overwrite").parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    empty = REGISTRY["dq_expectations_summary"].builder(spark, str(tmp_path)).collect()
+    assert {r.check_name for r in empty} == names
+    assert all(r.n_checked == 0 and r.passed for r in empty)
