@@ -185,3 +185,41 @@ def decode_features_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(_decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("payload_out", BinaryType()),
+    ]
+)
+
+
+def resize_payloads(media: DataFrame, factor: int = 2) -> DataFrame:
+    """U2 resize stage: payload → downscaled payload, Arrow-batched.
+
+    The real op is an image resample (PIL/cv2, absent from this
+    container); the stub keeps every ``factor``-th byte — a genuine
+    1-D downsample with the same data-flow shape (binary in, smaller
+    binary out, size metadata alongside). Runs as ``mapInPandas`` so
+    the per-batch work is vectorized and the exchange stays Arrow; at
+    100 TB this is a map-only stage, no shuffle, output partition
+    count = input partition count.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": pdf["payload"].map(len),
+                    "payload_out": pdf["payload"].map(
+                        lambda b: bytes(b[::factor])
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )

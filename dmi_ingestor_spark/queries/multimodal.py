@@ -135,3 +135,37 @@ def mm_decode_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payloads(table(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+@register(
+    "mm_resize_stride",
+    oracle=r"""
+    SELECT
+      doc_id,
+      CAST(LENGTH(text) AS BIGINT) AS n_bytes_in,
+      CAST(LENGTH(regexp_replace(text, '(.).', '\1', 'gs')) AS BIGINT)
+        AS n_bytes_out,
+      sha256(regexp_replace(text, '(.).', '\1', 'gs')) AS checksum
+    FROM documents
+    """,
+    doc=(
+        "U2 resize stage: mapInPandas payload downsample (every-2nd-"
+        "byte stride stub standing in for the absent PIL resample; "
+        "plumbing — Arrow batches, binary-in/binary-out schema, "
+        "map-only no-shuffle plan — is real). Hash-green: the stride "
+        "is mirrored in DuckDB as a global dotall regexp_replace over "
+        "the ASCII payload text, and the resized bytes are compared "
+        "by sha256."
+    ),
+    tags=("multimodal",),
+)
+def mm_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.multimodal import resize_payloads
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    return resize_payloads(media).select(
+        "doc_id",
+        "n_bytes_in",
+        F.length("payload_out").cast("long").alias("n_bytes_out"),
+        F.sha2(F.col("payload_out"), 256).alias("checksum"),
+    )

@@ -74,3 +74,31 @@ def test_mapinarrow_decode_equals_mapinpandas(spark, sf_dir):
         for r in decode_features_arrow(media).collect()
     }
     assert a == b and len(a) == 50
+
+
+def test_resize_stride_halves_bytes(spark, sf_dir):
+    """resize keeps ceil(n/factor) bytes, and resizing by 2 twice
+    equals resizing by 4 once (stride composition — the invariant a
+    real image pyramid also satisfies)."""
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.operators.multimodal import resize_payloads
+
+    media = attach_payloads(table(spark, sf_dir, "documents")).limit(40)
+    once = {
+        r["doc_id"]: (r["n_bytes_in"], bytes(r["payload_out"]))
+        for r in resize_payloads(media, factor=2).collect()
+    }
+    assert len(once) == 40
+    for n_in, out in once.values():
+        assert len(out) == (n_in + 1) // 2
+
+    twice = resize_payloads(
+        resize_payloads(media, factor=2)
+        .select("doc_id", F.col("payload_out").alias("payload")),
+        factor=2,
+    )
+    by4 = resize_payloads(media, factor=4)
+    a = {r["doc_id"]: bytes(r["payload_out"]) for r in twice.collect()}
+    b = {r["doc_id"]: bytes(r["payload_out"]) for r in by4.collect()}
+    assert a == b
