@@ -350,7 +350,7 @@ _FUNNEL_GAP_US = 300_000_000  # 5 minutes
 )
 def join_range_binned_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("t")
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
     # integer floor-div binning: double division + cast could round a
     # boundary value into the wrong bin and silently drop a pair
@@ -433,4 +433,90 @@ def join_null_safe_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(dim), e.k.eqNullSafe(dim.k))
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# -- J-scale: broadcast Bloom-filter pre-join (runtime filter) -------------
+_BLOOM_BITS = 4096  # 64 longs; sized for the small build side at test SF
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT
+      l.l_returnflag,
+      {sql_sum_exact("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    WHERE l.l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "Hand-built runtime filter: the urgent-orders key set is folded "
+        "into a 4096-bit Bloom bitmap (two xxhash64 probes per key) with "
+        "one tiny pre-aggregation, the 64-long bitmap is embedded as a "
+        "plan-time literal array, and the fact side is pre-filtered "
+        "JVM-side with two bit tests BEFORE the shuffle of the exact "
+        "left-semi verify join. This is the manual analogue of Spark's "
+        "InjectRuntimeFilter / DPP for non-partition keys: at 100 TB the "
+        "bitmap (a few KB) trims the fact-side shuffle by the build "
+        "side's selectivity, and false positives are removed by the "
+        "exact semi join, so the result is byte-identical to the plain "
+        "semi join the oracle runs. Empty build side => all-zero bitmap "
+        "=> fact side filtered to nothing without a scan of the probe "
+        "relation."
+    ),
+    tags=("join", "bloom", "runtime-filter", "scale"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    def positions(key):
+        # k=2 probes; seeds differ by an extra literal hashed in
+        return F.array(
+            F.pmod(F.xxhash64(key), F.lit(_BLOOM_BITS)),
+            F.pmod(F.xxhash64(key, F.lit(1)), F.lit(_BLOOM_BITS)),
+        )
+
+    # Build: <=64 (word, bits) rows — a plan-time collect of a few KB,
+    # exactly how runtime-filter build sides materialize on the driver.
+    built = (
+        urgent.select(F.explode(positions(F.col("o_orderkey"))).alias("pos"))
+        .groupBy((F.col("pos") / 64).cast("int").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, int(pmod(pos, 64))))").alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for row in built:
+        words[row["word"]] = row["bits"]
+    bitmap_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    # The Python shiftright() API only accepts a literal bit count; the
+    # SQL function takes expressions for both operands, so the two-probe
+    # membership test is one whole-stage-codegen'd expr.
+    def bit_set_sql(seed_sql: str) -> str:
+        h = f"pmod(xxhash64(l_orderkey{seed_sql}), {_BLOOM_BITS})"
+        return (
+            f"(shiftright(element_at({bitmap_sql}, int({h} div 64) + 1),"
+            f" int(pmod({h}, 64))) & 1) = 1"
+        )
+
+    candidates = li.filter(F.expr(f"{bit_set_sql('')} AND {bit_set_sql(', 1')}"))
+    exact = candidates.join(urgent, candidates.l_orderkey == urgent.o_orderkey, "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
     )

@@ -362,3 +362,108 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    )
+    SELECT
+      tok AS token,
+      CAST(COUNT(*) AS BIGINT) AS doc_freq,
+      array_to_string(
+        list_transform(list(doc_id ORDER BY doc_id)[1:20],
+                       x -> CAST(x AS VARCHAR)), ',') AS postings_head
+    FROM tok
+    GROUP BY tok
+    """,
+    doc=(
+        "U7/IR: inverted-index build — token -> document frequency + the "
+        "first 20 postings (sorted doc ids, serialized to a string so the "
+        "driver canonicalizer can hash it). Distinct-per-doc explode, one "
+        "shuffle on token; the postings head is capped so a hot token "
+        "(stopword) cannot blow up a group. At 100 TB the same plan holds "
+        "with a df-cap filter before collect_set; skew on hot tokens is "
+        "bounded by the slice."
+    ),
+    tags=("text", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), big AS (
+      SELECT b.pair[1] AS tok, b.pair[2] AS nxt
+      FROM w, unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS b(pair)
+    ), cnt AS (
+      SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM big GROUP BY tok, nxt
+    ), tot AS (
+      SELECT tok, SUM(n) AS tot_n FROM cnt GROUP BY tok
+    )
+    SELECT
+      c.tok,
+      c.nxt,
+      c.n,
+      CAST((c.n * 1000) // t.tot_n AS BIGINT) AS permille
+    FROM cnt c JOIN tot t USING (tok)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.tok ORDER BY c.n DESC, c.nxt) <= 3
+    """,
+    doc=(
+        "U7: bigram language-model counts — per token, the top-3 next "
+        "tokens with integer permille conditional probability. Bigrams "
+        "come from a zero-shuffle zip of the token array with its own "
+        "tail (transform over sequence), then one groupBy(tok, nxt); the "
+        "per-token total reuses the pair aggregate (partial sums, no "
+        "second scan). Integer permille (floor div) keeps the hash exact."
+    ),
+    tags=("text", "lm"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    big = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i - 1] AS tok,"
+                "             split(text, ' ')[i] AS nxt))"
+            )
+        ).alias("p")
+    ).select("p.tok", "p.nxt")
+    cnt = big.groupBy("tok", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("tok")
+    wr = Window.partitionBy("tok").orderBy(F.col("n").desc(), "nxt")
+    return (
+        cnt.withColumn("tot_n", F.sum("n").over(wt))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "tok",
+            "nxt",
+            "n",
+            ((F.col("n") * 1000) / F.col("tot_n")).cast("long").alias("permille"),
+        )
+    )

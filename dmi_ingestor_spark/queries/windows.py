@@ -318,7 +318,9 @@ _WEEK_US = 7 * 24 * 3_600_000_000
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id",
-        F.expr(f"(unix_micros(ts) - {_T0_US}) div {_WEEK_US}").alias("wk"),
+        F.expr(
+            f"(unix_micros(cast(ts as timestamp)) - {_T0_US}) div {_WEEK_US}"
+        ).alias("wk"),
     )
     w = Window.partitionBy("user_id")
     f = e.withColumn("cohort_wk", F.min("wk").over(w))
@@ -384,7 +386,7 @@ _FUNNEL_STEP_US = 3_600_000_000  # 1 hour per step
 )
 def funnel_conversion_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
     w = Window.partitionBy("user_id")
     s = e.withColumn(
@@ -493,7 +495,10 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     base = (
-        e.select(F.expr(f"unix_micros(ts) div {_GF_HOUR_US}").alias("h"), "value")
+        e.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_GF_HOUR_US}").alias("h"),
+            "value",
+        )
         .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("n"),

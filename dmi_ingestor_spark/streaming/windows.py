@@ -23,8 +23,25 @@ from pyspark.sql import functions as F
 from dmi_ingestor_spark.functions.exact import sum_exact
 
 
+
+def _event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP.
+
+    The driver's parquet fixtures carry ts as TIMESTAMP_NTZ (no UTC
+    adjustment); window()/session_window() then emit NTZ bounds, which
+    unix_micros() rejects. A cast on the NTZ batch input (UTC session)
+    is a pure type change; streaming inputs already build TIMESTAMP via
+    timestamp_micros, and a no-op cast would detach the watermark, so
+    only NTZ inputs are touched.
+    """
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
     """St1: tumbling event-time window aggregate per event_type."""
+    events = _event_time(events)
     return (
         events.groupBy(F.window("ts", size), "event_type")
         .agg(
@@ -45,6 +62,7 @@ def sliding_counts(
     events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:
     """St2: sliding window — each event lands in size/slide windows."""
+    events = _event_time(events)
     return (
         events.groupBy(F.window("ts", size, slide))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -58,6 +76,7 @@ def sliding_counts(
 
 def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """St3: per-user session windows (gap-merged; end = last event + gap)."""
+    events = _event_time(events)
     return (
         events.groupBy(F.session_window("ts", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -93,24 +112,32 @@ def dedup_by_key(events: DataFrame) -> DataFrame:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the ns→µs conversion.
+    """readStream over the events parquet, normalizing ts to TIMESTAMP.
 
-    Schema must be supplied for streaming file sources; ts arrives as
-    raw nanos (catalog.py note) and is truncated in-plan.
+    Schema must be supplied for streaming file sources, and the
+    fixtures have shipped ts as raw int64 nanos in one generation and
+    as µs TIMESTAMP_NTZ in another — so the batch reader's inferred
+    type decides which decode the stream applies (one cheap footer
+    read; no data scan).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_kind = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
+        f"event_id long, ts {'long' if ts_kind == 'bigint' else ts_kind}, "
+        "user_id long, event_type string, value double, props string"
     )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         # streaming file sources require a directory; glob-filter down
         # to the events file within the sf dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_kind == "bigint":  # int64 nanos → µs timestamp
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_available_now(
@@ -406,10 +433,9 @@ def foreachbatch_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
 
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    # ts is unused by the totals aggregate; a ts-free subset schema
+    # sidesteps the fixtures' ns-long vs µs-NTZ encoding difference.
+    schema = "event_id long, user_id long, event_type string, value double"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
