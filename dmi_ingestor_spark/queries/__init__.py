@@ -15,6 +15,7 @@ it, so nothing is ever dropped — only rotated.
 from dmi_ingestor_spark.queries import (  # noqa: F401
     aggregates,
     bucketing,
+    clustering,
     dedup,
     graph,
     ingestion,

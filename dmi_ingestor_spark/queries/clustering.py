@@ -1,0 +1,154 @@
+"""Iterative clustering over ``embeddings`` (north-star extension).
+
+Lloyd's k-means is THE canonical iterative Spark job: broadcast the k
+centroids, assign every point to its nearest centroid (map-only), and
+re-aggregate the centroids (one small shuffle per round). Here the
+whole 3-round loop is unrolled into ONE lazy Catalyst plan — no
+per-iteration ``collect``; the k×d centroid relation stays a broadcast
+relation between rounds, which is exactly how the job should behave on
+a 1000-executor cluster (the per-round shuffle carries k rows, not n).
+
+Everything runs in integer arithmetic so even the ITERATION is
+oracle-checkable: coordinates quantize to ``floor(x * 10^4)`` (double
+multiply + floor are IEEE-deterministic in both engines), distances are
+exact BIGINT sums of squares, and centroid updates use
+``FLOOR(SUM/COUNT)`` on a <2^53 numerator — bit-identical everywhere.
+Ties break on the lowest centroid id, mirrored in the oracle's
+ROW_NUMBER ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+_K = 4
+_DIM = 8  # first 8 of the 64 dims: keeps the unrolled oracle SQL readable
+_ITERS = 3
+_SCALE = 10_000
+
+
+def _quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cols = [
+        F.floor(F.col("embedding")[i].cast("double") * _SCALE)
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(_DIM)
+    ]
+    return e.select("vec_id", *cols)
+
+
+def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per point: broadcast k rows, argmin by (dist, cid)."""
+    dist = sum(
+        (F.col(f"q{i}") - F.col(f"c{i}")) * (F.col(f"q{i}") - F.col(f"c{i}"))
+        for i in range(_DIM)
+    ).alias("dist")
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        points.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cid", *[f"q{i}" for i in range(_DIM)], dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=None,  # replaced below by the generated unrolled SQL
+    doc=(
+        "U6/ML: Lloyd's k-means (k=4, 3 rounds, first 8 dims) as one "
+        "unrolled lazy plan — per round: broadcast-crossJoin the k "
+        "centroids, integer argmin assignment, FLOOR(SUM/COUNT) "
+        "centroid update (k-row shuffle). Integer-exact quantization "
+        "makes the full iteration hash-green against a generated "
+        "4-level CTE oracle. The same plan shape at 100 TB keeps every "
+        "round map-only + one k-row shuffle; rounds-to-convergence is "
+        "the only serial dimension."
+    ),
+    tags=("clustering", "iterative", "embeddings"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _quantize(spark, sf_dir)
+    centroids = (
+        pts.filter(F.col("vec_id") < _K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            *[F.col(f"q{i}").alias(f"c{i}") for i in range(_DIM)],
+        )
+    )
+    for _ in range(_ITERS):
+        assigned = _assign(pts, centroids)
+        centroids = assigned.groupBy("cid").agg(
+            *[
+                F.floor(
+                    F.sum(f"q{i}").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias(f"c{i}")
+                for i in range(_DIM)
+            ]
+        )
+    final = _assign(pts, centroids)
+    return final.select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("dist").cast("long").alias("dist_sq"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q{i}"
+        for i in range(_DIM)
+    )
+    dist = " + ".join(f"(p.q{i} - c.c{i}) * (p.q{i} - c.c{i})" for i in range(_DIM))
+    upd = ", ".join(
+        f"CAST(FLOOR(CAST(SUM(q{i}) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c{i}"
+        for i in range(_DIM)
+    )
+    sql = [
+        f"WITH pts AS (SELECT vec_id, {qcols} FROM embeddings)",
+        f", cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, "
+        + ", ".join(f"q{i} AS c{i}" for i in range(_DIM))
+        + f" FROM pts WHERE vec_id < {_K})",
+    ]
+    prev = "cent0"
+    for r in range(1, _ITERS + 1):
+        sql.append(
+            f", asg{r} AS (SELECT p.vec_id, c.cid, "
+            + ", ".join(f"p.q{i}" for i in range(_DIM))
+            + f", {dist} AS dist,"
+            f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {dist}, c.cid) AS rn"
+            f" FROM pts p CROSS JOIN {prev} c QUALIFY rn = 1)"
+        )
+        sql.append(f", cent{r} AS (SELECT cid, {upd} FROM asg{r} GROUP BY cid)")
+        prev = f"cent{r}"
+    sql.append(
+        f", fin AS (SELECT p.vec_id, c.cid, {dist} AS dist,"
+        f" ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {dist}, c.cid) AS rn"
+        f" FROM pts p CROSS JOIN {prev} c QUALIFY rn = 1)"
+    )
+    sql.append(
+        "SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq FROM fin"
+    )
+    return "\n".join(sql)
+
+
+# The oracle is generated (4-level CTE chain mirroring the unrolled
+# plan); dataclass is frozen, so re-register with the SQL attached.
+from dmi_ingestor_spark.registry import REGISTRY, QuerySpec  # noqa: E402
+
+_spec = REGISTRY["cluster_kmeans_embeddings"]
+REGISTRY["cluster_kmeans_embeddings"] = QuerySpec(
+    name=_spec.name,
+    builder=_spec.builder,
+    oracle=_kmeans_oracle(),
+    doc=_spec.doc,
+    tags=_spec.tags,
+)

@@ -625,3 +625,44 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )
+
+
+@register(
+    "dedup_bag_of_words",
+    oracle="""
+    WITH norm AS (
+      SELECT
+        doc_id,
+        md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_key
+      FROM documents
+    )
+    SELECT
+      bag_key,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+      CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM norm
+    GROUP BY bag_key
+    """,
+    doc=(
+        "U5: bag-of-words dedup — documents that are word-for-word "
+        "permutations of each other collapse to one representative "
+        "(sorted-token canonical form -> md5 -> min-doc_id winner). "
+        "Sits between exact dedup (order-sensitive) and MinHash "
+        "(partial overlap) on the dedup ladder; one 16-byte-key "
+        "shuffle, same plan shape as dedup_exact, so it scales the "
+        "same way."
+    ),
+    tags=("dedup", "documents"),
+)
+def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.split(F.col("text"), " ")), " ")).alias(
+            "bag_key"
+        ),
+    )
+    return norm.groupBy("bag_key").agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )

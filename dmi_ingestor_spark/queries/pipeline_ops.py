@@ -534,3 +534,125 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff by row hash (anti-entropy / CDC shape)
+# ---------------------------------------------------------------------------
+
+_DIFF_HASH = (
+    "md5(concat_ws('|', o_custkey, o_orderstatus, price_int, "
+    "epoch_us, o_orderpriority))"
+)
+
+
+@register(
+    "table_diff_rowhash",
+    oracle="""
+    WITH base AS (
+      SELECT
+        o_orderkey,
+        o_custkey,
+        o_orderstatus,
+        CAST(o_totalprice * 100 AS BIGINT) AS price_int,
+        epoch_us(o_orderdate) AS epoch_us,
+        o_orderpriority
+      FROM orders
+    ), old AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_custkey, o_orderstatus, price_int,
+                 epoch_us, o_orderpriority)) AS row_hash
+      FROM base
+    ), new AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', o_custkey, o_orderstatus,
+                 price_int + CASE WHEN o_orderkey % 101 = 0 THEN 7 ELSE 0 END,
+                 epoch_us, o_orderpriority)) AS row_hash
+      FROM base WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000,
+             md5(concat_ws('|', o_custkey, o_orderstatus, price_int,
+                 epoch_us, o_orderpriority)) AS row_hash
+      FROM base WHERE o_orderkey % 103 = 0
+    )
+    SELECT
+      COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      CASE
+        WHEN o.o_orderkey IS NULL THEN 'added'
+        WHEN n.o_orderkey IS NULL THEN 'removed'
+        ELSE 'changed'
+      END AS status
+    FROM old o
+    FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.row_hash <> n.row_hash
+    """,
+    doc=(
+        "Warehouse anti-entropy: diff two table snapshots by per-row "
+        "md5 over a canonical column encoding (doubles integer-scaled, "
+        "timestamps as epoch micros — never string-cast floats, whose "
+        "formatting is engine-specific). One full-outer shuffle on the "
+        "key classifies every row as added/removed/changed; unchanged "
+        "rows (equal hashes) drop out so the output is the delta, not "
+        "the table. The 'new' snapshot is derived in-query from orders "
+        "with deterministic mutations (drop %97, bump price %101, "
+        "re-key %103 as inserts) so both engines diff identical inputs. "
+        "At 100 TB the same plan runs partition-parallel, and the "
+        "row-hash can be pre-aggregated per partition (integrity_"
+        "table_fingerprint) to skip untouched partitions first."
+    ),
+    tags=("pipeline", "diff", "cdc"),
+)
+def table_diff_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 100).cast("long").alias("price_int"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_us"),
+        "o_orderpriority",
+    )
+
+    def row_hash(df, price):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                price,
+                F.col("epoch_us"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    old = base.select("o_orderkey", row_hash(base, F.col("price_int")).alias("row_hash"))
+    bumped = F.col("price_int") + F.when(F.col("o_orderkey") % 101 == 0, 7).otherwise(0)
+    new = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey", row_hash(base, bumped).alias("row_hash"))
+        .unionAll(
+            base.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                row_hash(base, F.col("price_int")).alias("row_hash"),
+            )
+        )
+    )
+    oldr = old.select(
+        F.col("o_orderkey").alias("k_old"), F.col("row_hash").alias("h_old")
+    )
+    newr = new.select(
+        F.col("o_orderkey").alias("k_new"), F.col("row_hash").alias("h_new")
+    )
+    joined = oldr.join(newr, oldr.k_old == newr.k_new, "full_outer")
+    return joined.filter(
+        F.col("k_old").isNull()
+        | F.col("k_new").isNull()
+        | (F.col("h_old") != F.col("h_new"))
+    ).select(
+        F.coalesce(F.col("k_old"), F.col("k_new")).alias("o_orderkey"),
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )

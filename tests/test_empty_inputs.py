@@ -41,6 +41,13 @@ EMPTY_SAFE = [
     "sim_pq_adc",
     "rollup_incremental_merge",
     "ts_rollup_ohlc",
+    # round-2 third wave
+    "join_bloom_prefilter",
+    "dedup_bag_of_words",
+    "table_diff_rowhash",
+    "text_inverted_index",
+    "text_bigram_lm",
+    "cluster_kmeans_embeddings",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -189,3 +189,31 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bloom_prefilter_runs_before_semi_join(spark, sf_dir):
+    """The Bloom bitmap bit-test must sit in the lineitem scan's Filter
+    (JVM-side, pre-shuffle) and the exactness join must stay a semi
+    join — i.e. the runtime filter trims the fact side before any
+    exchange, which is the whole point at 100 TB."""
+    from dmi_ingestor_spark.registry import load_all
+
+    df = load_all()["join_bloom_prefilter"].builder(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "shiftright" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_kmeans_single_plan_broadcasts_centroids(spark, sf_dir):
+    """The unrolled k-means plan must broadcast the k-row centroid
+    relation in every assignment round (no shuffle of the point set for
+    the cross join) — 4 rounds total (3 updates + final assign)."""
+    from dmi_ingestor_spark.registry import load_all
+
+    df = load_all()["cluster_kmeans_embeddings"].builder(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
