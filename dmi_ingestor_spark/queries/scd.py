@@ -126,3 +126,81 @@ def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return historical.unionByName(opened)
+
+
+_PIT_SWITCH = "1997-01-01"
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle=f"""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment AS seg, 1 AS version_no,
+             TIMESTAMP '{_ORIGIN} 00:00:00' AS valid_from,
+             TIMESTAMP '{_PIT_SWITCH} 00:00:00' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_acctbal > {_BAL_CUT} THEN 'PREMIUM'
+                  ELSE c_mktsegment END,
+             2, TIMESTAMP '{_PIT_SWITCH} 00:00:00', NULL
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           h.seg AS seg_at_order,
+           CAST(h.version_no AS INTEGER) AS version_no
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    """,
+    doc=(
+        "Temporal / point-in-time join: each order is matched to the "
+        "dimension version whose [valid_from, valid_to) interval "
+        "contains o_orderdate — the lookup every SCD2 warehouse runs "
+        "on every fact load. The history (2 versions per key, derived "
+        "deterministically from customer like scd2_dimension_merge) "
+        "joins as a plain EQUI join on the business key with the "
+        "interval as a post-join filter: versions-per-key is small and "
+        "bounded, so this shuffles each side once and never "
+        "nested-loops — the right plan at fact scale, vs. a pure range "
+        "join that BNLJs the whole fact table."
+    ),
+    tags=("scd2", "join", "temporal", "orders"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("version_no"),
+        F.lit(_ORIGIN).cast("timestamp").alias("valid_from"),
+        F.lit(_PIT_SWITCH).cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > _BAL_CUT, F.lit("PREMIUM"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.lit(2).alias("version_no"),
+        F.lit(_PIT_SWITCH).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od")
+    )
+    return (
+        o.join(hist, o.o_custkey == hist.c_custkey)
+        .filter(
+            (F.col("od") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("seg").alias("seg_at_order"),
+            F.col("version_no").cast("int").alias("version_no"),
+        )
+    )
