@@ -552,3 +552,43 @@ def ts_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         sum_exact("value", "sum_value"),
     )
+
+
+@register(
+    "agg_argmax_pack",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey AS ordk
+      FROM orders
+    )
+    SELECT
+      o_orderpriority,
+      CAST(arg_max(o_orderkey, ordk) AS BIGINT) AS best_order,
+      CAST(arg_min(o_orderkey, ordk) AS BIGINT) AS worst_order,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM k
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "A5 argmax surface: max_by/min_by (SQL arg_max/arg_min) pick "
+        "the highest- and lowest-priced order id per priority in ONE "
+        "hash aggregate — no window, no self-join, map-side combinable "
+        "(the partial state is a single (arg, key) pair per group). "
+        "Price ties are broken deterministically by folding the unique "
+        "order key into the ordering key integer — argmax over doubles "
+        "with ties is engine-defined, so the pack never relies on it."
+    ),
+    tags=("agg", "argmax"),
+)
+def agg_argmax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ordk = (F.col("o_totalprice") * 100).cast("long") * 10_000_000 + F.col(
+        "o_orderkey"
+    )
+    k = o.select("o_orderpriority", "o_orderkey", ordk.alias("ordk"))
+    return k.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", F.col("ordk")).cast("long").alias("best_order"),
+        F.min_by("o_orderkey", F.col("ordk")).cast("long").alias("worst_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )

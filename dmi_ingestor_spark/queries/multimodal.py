@@ -125,16 +125,37 @@ def mm_decode_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    oracle=None,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, GREATEST(LENGTH(text) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT
+      t.doc_id,
+      CAST(r.i AS INTEGER) AS frame_idx,
+      CAST(LENGTH(substr(t.text, r.i * t.step + 1, t.step)) AS BIGINT)
+        AS n_bytes,
+      sha256(substr(t.text, r.i * t.step + 1, t.step)) AS frame_checksum
+    FROM t CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    """,
     doc=(
         "U2 explode shape: one payload → 4 frame rows via mapInPandas "
-        "(video keyframe-sampling plumbing; slicing stub)."
+        "(video keyframe-sampling plumbing; slicing stub). Hash-green "
+        "since r2: the even-chunk slicing is mirrored as substr math in "
+        "DuckDB over the ASCII payload text, frames compared by length "
+        "+ sha256 (the binary payload itself stays available through "
+        "operators/multimodal.sample_frames for the invariant tests)."
     ),
-    tags=("multimodal", "rows-only"),
+    tags=("multimodal",),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payloads(table(spark, sf_dir, "documents"))
-    return sample_frames(media)
+    return sample_frames(media).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+        F.col("frame_checksum"),
+    )
 
 
 @register(

@@ -159,6 +159,23 @@ def st_stream_tumbling_watermarked(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "st_stream_session_windows",
+    oracle=None,  # real streaming execution; invariants in tests
+    doc=(
+        "St3+St4 executed as a real stream: readStream → watermark → "
+        "session_window(5m) per user → availableNow → append. Emitted "
+        "sessions are exactly the batch twin's sessions sealed by the "
+        "final watermark (tested)."
+    ),
+    tags=("streaming", "rows-only"),
+)
+def st_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import streaming_session_watermarked
+
+    return streaming_session_watermarked(spark, sf_dir)
+
+
+@register(
     "st_stream_dedup",
     oracle=None,
     doc="St5 executed as a real stream: watermarked stateful dropDuplicates.",

@@ -178,6 +178,20 @@ def streaming_tumbling_watermarked(
     return run_available_now(agg, "st_tumbling_sink", "append")
 
 
+def streaming_session_watermarked(
+    spark: SparkSession, sf_dir: str, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """St3+St4 under real streaming: watermarked per-user session
+    windows. Session state merges adjacent events until the watermark
+    passes a session's close (last event + gap); append mode emits only
+    sessions the watermark has sealed — the tail sessions stay in
+    state, which the invariant test asserts.
+    """
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    agg = session_windows(events, gap)
+    return run_available_now(agg, "st_session_exec_sink", "append")
+
+
 def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """St5 under real streaming: watermark-scoped keyed dedup."""
     events = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")

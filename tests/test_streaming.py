@@ -144,3 +144,26 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
     # with a NULL click — full equality with the batch left join
     assert got == want
     assert any(c is None for _, c in got), "expected null-padded outer rows"
+
+
+def test_stream_session_matches_batch_sealed_sessions(spark, sf_dir):
+    """Streaming session windows: every emitted (sealed) session must
+    match the batch twin exactly; sessions past the final watermark are
+    withheld by append mode."""
+    from dmi_ingestor_spark.streaming.windows import session_windows
+
+    streamed = REGISTRY["st_stream_session_windows"].builder(spark, sf_dir)
+    batch = session_windows(table(spark, sf_dir, "events"))
+    s = {
+        (r.user_id, r.sess_start_us): (r.sess_end_us, r.n_events)
+        for r in streamed.collect()
+    }
+    b = {
+        (r.user_id, r.sess_start_us): (r.sess_end_us, r.n_events)
+        for r in batch.collect()
+    }
+    assert s, "stream produced no sealed sessions"
+    for key, val in s.items():
+        assert b[key] == val, key
+    # everything but the watermark tail must be emitted
+    assert len(s) >= len(b) * 0.9
