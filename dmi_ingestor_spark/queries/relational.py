@@ -8,7 +8,7 @@ pure Catalyst plans so pushdown/pruning/partial-agg come free (SURVEY.md §4.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
@@ -252,3 +252,56 @@ def sql_api_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_SUBQUERY_QUERY)
+
+
+@register(
+    "skyline_pareto_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+             CAST(p_retailprice * 100 AS BIGINT) AS y
+      FROM part
+    )
+    SELECT p.p_partkey, p.x AS p_size, p.y AS price_int
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+    )
+    """,
+    doc=(
+        "Skyline (Pareto-maximal) query over part(size, price): a part "
+        "survives iff nothing is >= in both dimensions and > in one. "
+        "The oracle states the quadratic NOT EXISTS definition; the "
+        "engine computes the same set in O(n log n) with ONE window "
+        "pass — max(y) over the strictly-greater-x range frame plus a "
+        "per-x group max for the equal-x case — so the skyline of a "
+        "100 TB relation costs one range-partitioned sort, not a "
+        "self-join."
+    ),
+    tags=("window", "skyline", "part"),
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("x"),
+        (F.col("p_retailprice") * 100).cast("long").alias("y"),
+    )
+    # max y among points with strictly greater x (integer range frame)
+    w_gt = (
+        Window.orderBy("x")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("x")
+    flagged = pts.select(
+        "p_partkey",
+        "x",
+        "y",
+        F.max("y").over(w_gt).alias("maxy_gt"),
+        F.max("y").over(w_eq).alias("maxy_eq"),
+    )
+    return flagged.filter(
+        (F.col("maxy_gt").isNull() | (F.col("maxy_gt") < F.col("y")))
+        & (F.col("maxy_eq") <= F.col("y"))
+    ).select("p_partkey", F.col("x").alias("p_size"), F.col("y").alias("price_int"))
