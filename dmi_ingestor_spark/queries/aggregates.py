@@ -559,7 +559,7 @@ def ts_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
       SELECT o_orderpriority, o_orderkey,
-             CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey AS ordk
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey AS ordk
       FROM orders
     )
     SELECT
@@ -583,7 +583,7 @@ def ts_rollup_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_argmax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    ordk = (F.col("o_totalprice") * 100).cast("long") * 10_000_000 + F.col(
+    ordk = F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000 + F.col(
         "o_orderkey"
     )
     k = o.select("o_orderpriority", "o_orderkey", ordk.alias("ordk"))
@@ -591,4 +591,52 @@ def agg_argmax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", F.col("ordk")).cast("long").alias("best_order"),
         F.min_by("o_orderkey", F.col("ordk")).cast("long").alias("worst_order"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_histogram_equifreq",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_int,
+             NTILE(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                             o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT
+      CAST(bucket AS INTEGER) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(price_int) AS lo,
+      MAX(price_int) AS hi
+    FROM t
+    GROUP BY bucket
+    """,
+    doc=(
+        "A5: equal-frequency histogram (decile bounds of order value) — "
+        "the quantile-binning twin of agg_histogram_totalprice's "
+        "equal-width buckets. NTILE over a deterministic total order "
+        "(integer price, order key tie-break — NTILE on doubles with "
+        "ties is engine-defined); both engines fill uneven buckets "
+        "front-first by the same rule. This is the single-sort shape "
+        "range-partitioning statistics (repartitionByRange boundaries) "
+        "come from at scale."
+    ),
+    tags=("agg", "histogram", "quantile"),
+)
+def agg_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_int"),
+    ).withColumn(
+        "bucket",
+        F.ntile(10).over(Window.orderBy("price_int", "o_orderkey")),
+    )
+    return t.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("price_int").alias("lo"),
+        F.max("price_int").alias("hi"),
     )

@@ -666,3 +666,60 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("keep_doc_id"),
         F.count(F.lit(1)).cast("long").alias("group_size"),
     )
+
+
+@register(
+    "dedup_substring_containment",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT p.doc_id AS container_id, q.doc_id AS contained_id
+    FROM docs p, docs q
+    WHERE p.doc_id <> q.doc_id
+      AND position(q.text IN p.text) > 0
+    """,
+    doc=(
+        "U5: substring-containment dedup — finds documents wholly "
+        "contained in another (the boilerplate/quote case MinHash "
+        "underweights). The oracle is the quadratic definition; the "
+        "engine never goes all-pairs: any document contained in "
+        "another shares its FIRST 3-token shingle with the container, "
+        "so candidates are (first-shingle of q) equi-joined to the "
+        "container's distinct-shingle explosion — lossless blocking, "
+        "shuffle O(shingles), then contains() verifies candidates "
+        "only. Same candidate-verify scale shape as MinHash-LSH."
+    ),
+    tags=("dedup", "containment", "documents"),
+)
+def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    toks = d.select("doc_id", "text", F.split(F.col("text"), " ").alias("w"))
+    # contained side: keyed by its first 3-token shingle
+    q = toks.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("text").alias("q_text"),
+        F.concat_ws(" ", F.slice(F.col("w"), 1, 3)).alias("shingle"),
+    )
+    # container side: all distinct 3-shingles
+    p = toks.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("text").alias("p_text"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', slice(w, i, 3)))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    cand = p.join(q, "shingle").filter(
+        F.col("container_id") != F.col("contained_id")
+    )
+    return cand.filter(
+        F.expr("position(q_text IN p_text) > 0")
+    ).select("container_id", "contained_id").distinct()

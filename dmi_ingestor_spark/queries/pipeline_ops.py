@@ -554,7 +554,7 @@ _DIFF_HASH = (
         o_orderkey,
         o_custkey,
         o_orderstatus,
-        CAST(o_totalprice * 100 AS BIGINT) AS price_int,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS price_int,
         epoch_us(o_orderdate) AS epoch_us,
         o_orderpriority
       FROM orders
@@ -609,7 +609,7 @@ def table_diff_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        (F.col("o_totalprice") * 100).cast("long").alias("price_int"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_int"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("epoch_us"),
         "o_orderpriority",
     )

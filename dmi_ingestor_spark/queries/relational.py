@@ -259,7 +259,7 @@ def sql_api_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH pts AS (
       SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
-             CAST(p_retailprice * 100 AS BIGINT) AS y
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
       FROM part
     )
     SELECT p.p_partkey, p.x AS p_size, p.y AS price_int
@@ -286,7 +286,7 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = p.select(
         "p_partkey",
         F.col("p_size").cast("long").alias("x"),
-        (F.col("p_retailprice") * 100).cast("long").alias("y"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
     )
     # max y among points with strictly greater x (integer range frame)
     w_gt = (

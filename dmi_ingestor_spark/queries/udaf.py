@@ -130,3 +130,77 @@ def udaf_grouped_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(mean_cents("cents").alias("mean_acctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "cogroup_reconcile_pandas",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      o.o_orderkey,
+      CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_int,
+      COALESCE(l.n_items, 0) AS n_items,
+      COALESCE(l.sum_qty, 0) AS sum_qty
+    FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc=(
+        "U9 cogroup surface: ``groupBy(key).cogroup(other.groupBy(key))"
+        ".applyInPandas`` — both tables arrive per-key as pandas frames "
+        "in ONE co-partitioned shuffle (the Arrow twin of a sort-merge "
+        "join + grouped map). Reconciles each order against its "
+        "lineitems with integer-exact sums so the Python path is "
+        "hash-checkable against the plain join+agg oracle. This is the "
+        "API for keyed multi-table Python logic (per-entity model "
+        "scoring over features + labels) where two joins + a grouped "
+        "map would shuffle twice."
+    ),
+    tags=("udaf", "cogroup", "pandas"),
+)
+def cogroup_reconcile_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    # Cogroup on a BUCKET of the key, not the key itself: one Python
+    # call per bucket (vectorized pandas merge inside) instead of one
+    # per order — per-group Arrow/pandas dispatch overhead is the cost
+    # that kills fine-grained applyInPandas at scale.
+    ob = o.withColumn("bucket", F.pmod(F.col("o_orderkey"), F.lit(512)))
+    lb = li.withColumn("bucket", F.pmod(F.col("l_orderkey"), F.lit(512)))
+
+    def reconcile(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # lineitems with no order row: nothing to emit
+            return pd.DataFrame(
+                columns=["o_orderkey", "price_int", "n_items", "sum_qty"]
+            )
+        agg = (
+            ldf.groupby("l_orderkey")["l_quantity"]
+            .agg(n_items="size", sum_qty="sum")
+            .reset_index()
+        )
+        m = odf.merge(
+            agg, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"],
+                "price_int": (m["o_totalprice"] * 100).round().astype("int64"),
+                "n_items": m["n_items"].fillna(0).astype("int64"),
+                "sum_qty": m["sum_qty"].fillna(0).astype("int64"),
+            }
+        )
+
+    return (
+        ob.groupBy("bucket")
+        .cogroup(lb.groupBy("bucket"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, price_int long, n_items long, sum_qty long",
+        )
+    )
