@@ -48,6 +48,13 @@ EMPTY_SAFE = [
     "text_inverted_index",
     "text_bigram_lm",
     "cluster_kmeans_embeddings",
+    "join_point_in_time_scd2",
+    "agg_argmax_pack",
+    "skyline_pareto_parts",
+    "vector_int8_quantize",
+    "dedup_substring_containment",
+    "agg_histogram_equifreq",
+    "cogroup_reconcile_pandas",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
