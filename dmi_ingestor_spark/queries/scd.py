@@ -204,3 +204,70 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version_no").cast("int").alias("version_no"),
         )
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+      -- deterministic change stream over the customer dimension:
+      -- seq 1: upsert every key (the initial snapshot load)
+      SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      -- seq 2: segment upgrade for high-balance keys
+      SELECT c_custkey, 2, 'U', 'PREMIUM'
+      FROM customer WHERE c_acctbal > 7500.0
+      UNION ALL
+      -- seq 3: delete every 23rd key
+      SELECT c_custkey, 3, 'D', NULL
+      FROM customer WHERE c_custkey % 23 = 0
+    ), latest AS (
+      SELECT k,
+             arg_max(op, seq) AS op,
+             arg_max(seg, seq) AS seg
+      FROM changes GROUP BY k
+    )
+    SELECT k AS c_custkey, seg AS c_mktsegment
+    FROM latest WHERE op <> 'D'
+    """,
+    doc=(
+        "CDC apply: fold an ordered change stream (upserts + deletes, "
+        "ordered by sequence number) onto a snapshot — the batch "
+        "MERGE-equivalent every lakehouse table maintenance job runs. "
+        "Last-writer-wins is ONE hash aggregate (max_by(op/val, seq) "
+        "is map-side combinable), then deletes drop out — no window, "
+        "no per-key sort, no iterative apply. The change stream is "
+        "derived deterministically from customer so both engines fold "
+        "identical input."
+    ),
+    tags=("cdc", "merge", "scd2"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    load = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    upgrade = c.filter(F.col("c_acctbal") > 7500.0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("PREMIUM").alias("seg"),
+    )
+    delete = c.filter(F.col("c_custkey") % 23 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    changes = load.unionByName(upgrade).unionByName(delete)
+    latest = changes.groupBy("k").agg(
+        F.max_by("op", F.col("seq")).alias("op"),
+        F.max_by("seg", F.col("seq")).alias("seg"),
+    )
+    return latest.filter(F.col("op") != "D").select(
+        F.col("k").alias("c_custkey"), F.col("seg").alias("c_mktsegment")
+    )

@@ -93,3 +93,56 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _high_value_customers(spark, sf_dir).subtract(
         _building_customers(spark, sf_dir)
     )
+
+
+def _qty_bag_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset with real duplicates: quantities of low-line lineitems."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+
+
+def _qty_bag_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") >= 2).select(
+        F.col("l_quantity").cast("long").alias("qty")
+    )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_linenumber >= 2
+    """,
+    doc=(
+        "INTERSECT ALL (bag semantics): each qty survives "
+        "min(count_a, count_b) times — the multiset variant distinct "
+        "INTERSECT destroys. Planned as a single hash aggregate per "
+        "side + join under the hood; duplicates are real here (25k "
+        "rows over ~50 distinct quantities)."
+    ),
+    tags=("setop",),
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qty_bag_a(spark, sf_dir).intersectAll(_qty_bag_b(spark, sf_dir))
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_linenumber >= 2
+    EXCEPT ALL
+    SELECT CAST(l_quantity AS BIGINT) FROM lineitem WHERE l_linenumber <= 2
+    """,
+    doc=(
+        "EXCEPT ALL (bag difference): each qty survives "
+        "max(count_a - count_b, 0) times. With the distinct variant "
+        "already covered, this completes the §2.7 set-op surface."
+    ),
+    tags=("setop",),
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qty_bag_b(spark, sf_dir).exceptAll(_qty_bag_a(spark, sf_dir))

@@ -361,3 +361,64 @@ def st_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.streaming.windows import foreachbatch_upsert_totals
 
     return foreachbatch_upsert_totals(spark, sf_dir)
+
+
+@register(
+    "st_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'error' THEN 120000000
+                  ELSE 300000000 END AS gap_us
+      FROM events
+    ), m AS (
+      SELECT user_id, t, gap_us,
+             MAX(t + gap_us) OVER (
+               PARTITION BY user_id ORDER BY t, gap_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM e
+    ), s AS (
+      SELECT user_id, t, gap_us,
+             SUM(CASE WHEN prev_end IS NULL OR t >= prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t, gap_us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(t) AS sess_start_us,
+           MAX(t + gap_us) AS sess_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc=(
+        "St3 with a DYNAMIC gap: session_window(ts, expr) where the "
+        "inactivity gap depends on the row (errors seal after 2 min, "
+        "everything else 5 min) — the adaptive-session shape Spark "
+        "added in 3.2 that fixed-gap engines can't express directly. "
+        "The oracle restates it as classic interval merging (running "
+        "MAX of t+gap, break when t >= prev running end) in integer "
+        "micros, proving the built-in's merge semantics exactly."
+    ),
+    tags=("streaming", "session", "events"),
+)
+def st_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_type") == "error", "2 minutes")
+        .otherwise("5 minutes")
+        .alias("gap"),
+    )
+    return (
+        e.groupBy(F.session_window("ts", F.col("gap")), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+            "n_events",
+        )
+    )
