@@ -640,3 +640,40 @@ def agg_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price_int").alias("lo"),
         F.max("price_int").alias("hi"),
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag, qty
+    )
+    SELECT l_returnflag,
+           arg_max(qty, n * 1000 + qty) AS mode_qty,
+           MAX(n) AS mode_n
+    FROM cnt GROUP BY l_returnflag
+    """,
+    doc=(
+        "A5: exact mode (most frequent quantity per return flag) as "
+        "two stacked hash aggregates — count per (group, value), then "
+        "argmax with the value folded into the ordering key so ties "
+        "break deterministically toward the larger value (built-in "
+        "mode() tie rules are engine-defined; this never relies on "
+        "them). Both levels are map-side combinable; no sort, no "
+        "window."
+    ),
+    tags=("agg", "mode"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cnt = (
+        li.select("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cnt.groupBy("l_returnflag").agg(
+        F.max_by("qty", F.col("n") * 1000 + F.col("qty")).alias("mode_qty"),
+        F.max("n").alias("mode_n"),
+    )

@@ -395,3 +395,46 @@ def udtf_rle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL rle_tokens(split(d.text, ' ')) r
         """
     )
+
+
+@register(
+    "reshape_explode_outer_nulls",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE string_split(text, ' ')[1:3] END AS head_toks
+      FROM documents
+    )
+    , z AS (
+      SELECT doc_id,
+             CASE WHEN head_toks IS NULL
+                  THEN list_zip([CAST(NULL AS BIGINT)], [CAST(NULL AS VARCHAR)])
+                  ELSE list_zip(range(len(head_toks)), head_toks) END AS pairs
+      FROM d
+    )
+    SELECT z.doc_id,
+           CAST(u.pair[1] AS INTEGER) AS pos,
+           u.pair[2] AS tok
+    FROM z, unnest(z.pairs) AS u(pair)
+    """,
+    doc=(
+        "F5 null semantics: posexplode_outer keeps the parent row with "
+        "NULL pos/element when the array is NULL — the row-preserving "
+        "explode a LEFT JOIN LATERAL unnest expresses in SQL. Plain "
+        "explode silently drops those parents, which corrupts "
+        "row-level joins downstream; every 7th doc's array is nulled "
+        "to pin the difference."
+    ),
+    tags=("reshape", "explode", "documents"),
+)
+def reshape_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.slice(F.split(F.col("text"), " "), 1, 3)
+        ).alias("head_toks"),
+    )
+    return d.select(
+        "doc_id", F.posexplode_outer("head_toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")

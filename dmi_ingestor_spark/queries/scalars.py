@@ -390,3 +390,43 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "long").alias("missing"),
     )
+
+
+@register(
+    "scalar_bitwise_pack",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      bit_and(CAST(o_orderkey AS BIGINT)) AS and_keys,
+      bit_or(CAST(o_custkey AS BIGINT)) AS or_custs,
+      bit_xor(CAST(o_orderkey AS BIGINT)) AS xor_keys,
+      CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_low_byte,
+      CAST(SUM(CASE WHEN (o_orderkey >> 3) % 2 = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_bit3_set
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "F8 bitwise surface: bit_and/bit_or/bit_xor aggregates plus "
+        "shift/mask scalars — the primitives behind bitmap indexes, "
+        "bloom words (join_bloom_prefilter) and the XOR table "
+        "fingerprint (integrity_table_fingerprint). All JVM-side, "
+        "map-combinable."
+    ),
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(F.col("o_orderkey").cast("long")).alias("and_keys"),
+        F.bit_or(F.col("o_custkey").cast("long")).alias("or_custs"),
+        F.bit_xor(F.col("o_orderkey").cast("long")).alias("xor_keys"),
+        F.sum(F.col("o_orderkey").bitwiseAND(F.lit(255))).cast("long").alias(
+            "sum_low_byte"
+        ),
+        F.sum(
+            F.when(F.expr("(o_orderkey >> 3) % 2 = 1"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bit3_set"),
+    )
