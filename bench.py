@@ -40,6 +40,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "sim_ann_lsh_buckets",
     "st_tumbling_counts",
     "graph_pagerank_trade",
+    "cluster_kmeans_embeddings",
 )
 
 

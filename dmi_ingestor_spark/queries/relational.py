@@ -305,3 +305,93 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxy_gt").isNull() | (F.col("maxy_gt") < F.col("y")))
         & (F.col("maxy_eq") <= F.col("y"))
     ).select("p_partkey", F.col("x").alias("p_size"), F.col("y").alias("price_int"))
+
+
+_HINTED_BODY = """
+SELECT
+  n.n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql_api_join_hints",
+    oracle=_HINTED_BODY,
+    doc=(
+        "SQL-front-end join hints: /*+ BROADCAST(c), BROADCAST(n) */ "
+        "pins both dimensions to broadcast-hash joins regardless of "
+        "autoBroadcastJoinThreshold — the explicit-control escape "
+        "hatch when statistics mislead the planner at scale. Hints "
+        "never change semantics, so the oracle is the hint-free body."
+    ),
+    tags=("sql-api", "join", "hints"),
+)
+def sql_api_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    hinted = _HINTED_BODY.replace(
+        "SELECT", "SELECT /*+ BROADCAST(c), BROADCAST(n) */", 1
+    )
+    return spark.sql(hinted)
+
+
+@register(
+    "anomaly_zscore_acctbal",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s1,
+             SUM(CAST(cents AS HUGEINT) * cents) AS s2
+      FROM c GROUP BY c_mktsegment
+    )
+    SELECT
+      c.c_custkey,
+      c.c_mktsegment,
+      c.cents,
+      ((s.n * c.cents - s.s1) * (s.n * c.cents - s.s1)
+         > 4 * (s.n * s.s2 - s.s1 * s.s1)) AS is_outlier
+    FROM c JOIN s USING (c_mktsegment)
+    """,
+    doc=(
+        "Exact outlier flag without floating point: |x - mean| > 2*std "
+        "is algebraically (n*x - S1)^2 > 4*(n*S2 - S1^2) — one grouped "
+        "pass for the integer moment sums (S1, S2), broadcast back, "
+        "and a 128-bit integer comparison per row (Spark decimal(38,0) "
+        "== DuckDB HUGEINT). No sqrt, no epsilon, hash-exact; the "
+        "standard z-score filter made deterministic enough to gate a "
+        "pipeline on."
+    ),
+    tags=("agg", "anomaly", "stats", "customer"),
+)
+def anomaly_zscore_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D = "decimal(38,0)"
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast(D).alias("n"),
+        F.sum("cents").cast(D).alias("s1"),
+        F.sum(F.col("cents").cast(D) * F.col("cents")).cast(D).alias("s2"),
+    )
+    j = c.join(F.broadcast(s), "c_mktsegment")
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cents",
+        (dev * dev > var4).alias("is_outlier"),
+    )
