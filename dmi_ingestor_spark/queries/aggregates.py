@@ -618,9 +618,11 @@ def agg_argmax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "equal-width buckets. NTILE over a deterministic total order "
         "(integer price, order key tie-break — NTILE on doubles with "
         "ties is engine-defined); both engines fill uneven buckets "
-        "front-first by the same rule. This is the single-sort shape "
-        "range-partitioning statistics (repartitionByRange boundaries) "
-        "come from at scale."
+        "front-first by the same rule. NTILE over a total order is "
+        "inherently a global sort (exact quantiles cannot shard); this "
+        "is the exact-answer twin of agg_percentiles_approx, which is "
+        "the 100 TB path — use this shape when the input is already "
+        "reduced (per-group stats), the sketch when it is not."
     ),
     tags=("agg", "histogram", "quantile"),
 )

@@ -282,29 +282,44 @@ def sql_api_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("window", "skyline", "part"),
 )
 def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def local_skyline(pts: DataFrame, part_cols: list[str]) -> DataFrame:
+        """Drop points dominated WITHIN each partition — a sound filter,
+        because in-partition domination implies global domination."""
+        w_gt = (
+            Window.partitionBy(*part_cols)
+            .orderBy("x")
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        w_eq = Window.partitionBy(*part_cols, "x")
+        flagged = pts.select(
+            "p_partkey",
+            "x",
+            "y",
+            F.max("y").over(w_gt).alias("maxy_gt"),
+            F.max("y").over(w_eq).alias("maxy_eq"),
+        )
+        return flagged.filter(
+            (F.col("maxy_gt").isNull() | (F.col("maxy_gt") < F.col("y")))
+            & (F.col("maxy_eq") <= F.col("y"))
+        ).drop("maxy_gt", "maxy_eq")
+
     p = table(spark, sf_dir, "part")
     pts = p.select(
         "p_partkey",
         F.col("p_size").cast("long").alias("x"),
         F.round(F.col("p_retailprice") * 100).cast("long").alias("y"),
     )
-    # max y among points with strictly greater x (integer range frame)
-    w_gt = (
-        Window.orderBy("x")
-        .rangeBetween(1, Window.unboundedFollowing)
+    # Phase 1: hash-bucketed local skylines in parallel (the skyline of
+    # a union is the skyline of the per-bucket skylines, so this prunes
+    # the global phase's input without changing the result). Phase 2:
+    # the same window over the few survivors — the only stage that sees
+    # a single ordered range, and its input is skyline-sized, not
+    # table-sized.
+    bucketed = pts.withColumn("b", F.pmod(F.hash("p_partkey"), F.lit(32)))
+    survivors = local_skyline(bucketed, ["b"]).drop("b")
+    return local_skyline(survivors.withColumn("g", F.lit(1)), ["g"]).select(
+        "p_partkey", F.col("x").alias("p_size"), F.col("y").alias("price_int")
     )
-    w_eq = Window.partitionBy("x")
-    flagged = pts.select(
-        "p_partkey",
-        "x",
-        "y",
-        F.max("y").over(w_gt).alias("maxy_gt"),
-        F.max("y").over(w_eq).alias("maxy_eq"),
-    )
-    return flagged.filter(
-        (F.col("maxy_gt").isNull() | (F.col("maxy_gt") < F.col("y")))
-        & (F.col("maxy_eq") <= F.col("y"))
-    ).select("p_partkey", F.col("x").alias("p_size"), F.col("y").alias("price_int"))
 
 
 _HINTED_BODY = """
