@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.functions.exact import sql_sum_exact
 from dmi_ingestor_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -655,4 +656,96 @@ def table_diff_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("k_new").isNull(), "removed")
         .otherwise("changed")
         .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shuffle_deterministic_hash",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(concat('shuf-', doc_id)) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(hkey, 1, 4)) AS BIGINT) % 8 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(concat('0x', substr(hkey, 1, 4)) AS BIGINT) % 8
+             ORDER BY hkey, doc_id) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+    doc=(
+        "Training-order shuffle: every epoch pipeline needs a "
+        "reproducible pseudorandom permutation of the corpus. Keyed "
+        "md5 gives the randomness, the first 16 bits pick 1-of-8 "
+        "shards, and rank-by-hash within the shard gives the in-shard "
+        "order — so the 'shuffle' is ONE hash partition + per-shard "
+        "sort (embarrassingly parallel), never a global sort. Seed "
+        "change = salt change; same seed = byte-identical order on "
+        "any cluster size."
+    ),
+    tags=("pipeline", "shuffle", "documents"),
+)
+def shuffle_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.md5(F.concat(F.lit("shuf-"), F.col("doc_id"))).alias("hkey")
+    ).withColumn("shard", F.conv(F.substring("hkey", 1, 4), 16, 10).cast("long") % 8)
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "layout_partition_prune_count",
+    oracle=f"""
+    SELECT
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      {sql_sum_exact("value", "sum_value")}
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+    doc=(
+        "S5/S7 as a driver-checked query: events re-written "
+        "partitionBy(event_type) (one directory per type — the engine "
+        "twin of the reference's one-object-per-timestep layout, "
+        "ingestor.py:159-161), then read back with an IN filter that "
+        "Catalyst turns into PartitionFilters — only 2 of 5 "
+        "directories are listed or scanned (asserted in "
+        "tests/test_storage_layout.py). The aggregate over the "
+        "round-tripped data hash-matches the direct oracle, proving "
+        "the layout is lossless."
+    ),
+    tags=("layout", "partitioning", "events"),
+)
+def layout_partition_prune_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dmi_ingestor_spark.functions.exact import sum_exact
+
+    out = tempfile.mkdtemp(prefix="prune-") + "/events_by_type"
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "value", "event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        sum_exact("value", "sum_value"),
     )
