@@ -61,15 +61,34 @@ def manifest_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "manifest_map_json",
-    oracle=None,  # MapType not ANSI-SQL-expressible; invariants in tests
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS collection,
+             strftime(CAST(ts AS TIMESTAMP), '%Y%m%dT%H%M%S') AS time_str
+      FROM events
+    ), entries AS (
+      SELECT collection, time_str,
+             MAX('https://bucket.example/forecasts/' || collection || '/'
+                 || time_str || '.tif') AS url
+      FROM e GROUP BY collection, time_str
+    )
+    SELECT collection,
+           '{' || string_agg('"' || time_str || '":"' || url || '"',
+                             ',' ORDER BY time_str) || '}' AS manifest_json
+    FROM entries GROUP BY collection ORDER BY collection
+    """,
     doc=(
         "A1 exact manifest shape: one JSON object {time_str: url} per "
         "(collection=event_type) partition, like forecasts.json "
-        "(ingestor.py:219-227). map_from_entries(collect_list(struct)) "
-        "then to_json; single-row-per-group output so collect_list stays "
-        "bounded (manifests are tiny by construction, SURVEY.md §7.4)."
+        "(ingestor.py:219-227). map_from_entries(sort_array(collect_list"
+        "(struct))) then to_json; the sorted entries make the JSON "
+        "string deterministic, so since r2 the whole object is "
+        "hash-checked against a string_agg-built oracle (keys/urls are "
+        "escape-free by construction). Single-row-per-group output so "
+        "collect_list stays bounded (manifests are tiny, SURVEY.md "
+        "§7.4)."
     ),
-    tags=("aggregation", "reference", "rows-only"),
+    tags=("aggregation", "reference"),
 )
 def manifest_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")

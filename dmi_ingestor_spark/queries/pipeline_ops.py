@@ -735,14 +735,10 @@ def layout_partition_prune_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.functions.exact import sum_exact
 
     out = tempfile.mkdtemp(prefix="prune-") + "/events_by_type"
-    (
-        table(spark, sf_dir, "events")
-        .select("event_id", "value", "event_type")
-        .write.mode("overwrite")
-        .partitionBy("event_type")
-        .parquet(out)
-    )
-    back = spark.read.parquet(out).filter(
+    src = table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    src.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # explicit schema: an all-empty write leaves no footers to infer from
+    back = spark.read.schema(src.schema).parquet(out).filter(
         F.col("event_type").isin("click", "purchase")
     )
     return back.groupBy("event_type").agg(

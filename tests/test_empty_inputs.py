@@ -55,6 +55,17 @@ EMPTY_SAFE = [
     "dedup_substring_containment",
     "agg_histogram_equifreq",
     "cogroup_reconcile_pandas",
+    "setop_intersect_all",
+    "setop_except_all",
+    "cdc_apply_changes",
+    "st_session_dynamic_gap",
+    "agg_mode_exact",
+    "scalar_bitwise_pack",
+    "reshape_explode_outer_nulls",
+    "anomaly_zscore_acctbal",
+    "shuffle_deterministic_hash",
+    "layout_partition_prune_count",
+    "sql_api_join_hints",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
