@@ -59,3 +59,38 @@ def asof_join_latest(
     out_cols += [F.col(f"_b.{right_tiebreak}").alias(right_tiebreak)]
     out_cols += [F.col(f"_b.{c}").alias(c) for c in payload]
     return joined.groupBy(F.col(left_id)).agg(best, *carried).select(*out_cols)
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    left_id: str,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of: the EARLIEST right row strictly after the left
+    time (ties broken by min tiebreak) — the look-ahead twin of
+    :func:`asof_join_latest` (next forecast after an observation, next
+    order after a touchpoint). Same map-side-combining min(struct)
+    design; inner semantics.
+    """
+    payload = payload or []
+    joined = left.join(
+        right,
+        (left[left_key] == right[right_key])
+        & (right[right_time] > left[left_time]),
+    )
+    struct_cols: list[Column] = [F.col(right_time), F.col(right_tiebreak)]
+    struct_cols += [F.col(c) for c in payload]
+    other_left = [c for c in left.columns if c != left_id]
+    best = F.min(F.struct(*struct_cols)).alias("_b")
+    carried = [F.any_value(F.col(c)).alias(c) for c in other_left]
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"_b.{right_time}").alias(right_time)]
+    out_cols += [F.col(f"_b.{right_tiebreak}").alias(right_tiebreak)]
+    out_cols += [F.col(f"_b.{c}").alias(c) for c in payload]
+    return joined.groupBy(F.col(left_id)).agg(best, *carried).select(*out_cols)

@@ -723,3 +723,92 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(
         F.expr("position(q_text IN p_text) > 0")
     ).select("container_id", "contained_id").distinct()
+
+
+# --------------------------------------------------------------------------
+# U5 incremental dedup: delta batch vs existing corpus
+# --------------------------------------------------------------------------
+
+_INCR_SPLIT = 400  # doc_id < split = existing corpus, >= split = new batch
+
+_SQL_INCR_CTES = _SQL_MINHASH_CTES.replace(
+    "AND a.doc_id < b.doc_id",
+    f"AND a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}",
+)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SQL_INCR_CTES}
+    {_SQL_MINHASH_PAIRS}
+    """,
+    doc=(
+        "U5 incremental: near-dup check of a NEW document batch "
+        "against the EXISTING corpus — the shape production dedup "
+        "actually runs (nobody re-pairs the whole corpus per "
+        "ingest). Same MinHash/LSH machinery as dedup_minhash_lsh, "
+        "but the band join is asymmetric (delta bands probe base "
+        "bands), so per ingest the work is O(delta × collisions): "
+        "the base side's signatures are precomputed once and reused "
+        "as the persisted index. Base/delta split is doc_id-derived "
+        "so both engines see identical inputs."
+    ),
+    tags=("dedup", "similarity", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_h = F.transform(
+        "sh_arr",
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    docs = (
+        _shingle_arrays(_spread(spark, table(spark, sf_dir, "documents")))
+        .filter(F.size("sh_arr") > 0)
+        .withColumn("h_arr", base_h)
+        .cache()
+    )
+
+    def _perm(i: int) -> Column:
+        a, b, p = MINHASH_A[i], MINHASH_B[i], MINHASH_P
+        return F.array_min(
+            F.transform("h_arr", lambda h: (h * a + b) % p)
+        ).alias(f"mh{i}")
+
+    sig = docs.select("doc_id", *[_perm(i) for i in range(N_HASHES)])
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", F.explode(band_arr).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.band_key")
+        .cache()
+    )
+    base = bands.filter(F.col("doc_id") < _INCR_SPLIT).select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_key"
+    )
+    delta = bands.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_key"
+    )
+    cand = (
+        delta.join(base, ["band_id", "band_key"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
+    db = docs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
+    cand_a = da.join(F.broadcast(cand), ["a_id"])
+    pairs = db.join(F.broadcast(cand_a), ["b_id"])
+    n_common = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = n_common.cast("double") / (
+        F.size("a_sh") + F.size("b_sh") - n_common
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+    )

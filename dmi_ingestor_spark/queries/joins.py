@@ -520,3 +520,53 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "join_asof_next_purchase_after_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT
+        c.event_id,
+        c.user_id,
+        p.purchase_id,
+        p.p_ts,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.event_id
+          ORDER BY p.p_ts ASC, p.purchase_id ASC
+        ) AS rn
+      FROM clicks c
+      JOIN purchases p ON p.p_user = c.user_id AND p.p_ts > c.ts
+    )
+    SELECT event_id, user_id, purchase_id, p_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "J5 forward as-of: for each click, the same user's EARLIEST "
+        "purchase strictly after it — the attribution/look-ahead "
+        "direction (touchpoint -> next conversion). min(struct) twin "
+        "of the backward operator, same map-side partial-aggregation "
+        "of the range blowup (operators/asof.py:asof_join_next)."
+    ),
+    tags=("join", "asof", "aggregation"),
+)
+def join_asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.asof import asof_join_next
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return asof_join_next(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts", "purchase_id", "event_id"
+    ).select("event_id", "user_id", "purchase_id", "p_ts")
