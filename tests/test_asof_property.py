@@ -51,3 +51,32 @@ def test_asof_matches_brute_force(spark, lrows, rrows):
         ).collect()
     }
     assert got == brute_force(lrows, rrows)
+
+
+def brute_force_next(lrows, rrows):
+    out = {}
+    for lk, lt in lrows:
+        cands = [(rt, tie) for rk, rt, tie in rrows if rk == lk and rt > lt]
+        if cands:
+            out[(lk, lt)] = min(cands)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_rows, right_rows)
+def test_asof_next_matches_brute_force(spark, lrows, rrows):
+    from dmi_ingestor_spark.operators.asof import asof_join_next
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, lt long"
+    ).repartition(4)
+    right = spark.createDataFrame(
+        rrows or [(None, None, None)], "rk long, rt long, tie long"
+    ).filter("rk is not null").repartition(3)
+    got = {
+        (r.k, r.lt): (r.rt, r.tie)
+        for r in asof_join_next(
+            left, right, "k", "rk", "lt", "rt", "tie", "lid"
+        ).collect()
+    }
+    assert got == brute_force_next(lrows, rrows)

@@ -66,6 +66,8 @@ EMPTY_SAFE = [
     "shuffle_deterministic_hash",
     "layout_partition_prune_count",
     "sql_api_join_hints",
+    "dedup_incremental_minhash",
+    "join_asof_next_purchase_after_click",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
