@@ -745,3 +745,70 @@ def layout_partition_prune_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         sum_exact("value", "sum_value"),
     )
+
+
+@register(
+    "pipeline_e2e_corpus",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE lang = 'en' AND n_chars >= 50
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id,
+             arg_min(n_tokens, doc_id) AS n_tokens
+      FROM filtered GROUP BY md5(text)
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(doc_id % 4 AS INTEGER) AS shard,
+             SUM(n_tokens) OVER (
+               PARTITION BY doc_id % 4 ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM deduped
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS seq_id
+    FROM packed
+    """,
+    doc=(
+        "The LLM-corpus pipeline end-to-end as ONE lazy plan: language "
+        "+ length filter -> exact dedup (md5 group, min-id winner) -> "
+        "token count -> shard -> greedy 256-token sequence packing "
+        "(cumsum // budget). Each stage is an operator the engine "
+        "ships standalone (text_quality_score, dedup_exact, "
+        "pack_sequences_cumsum); this query pins that they COMPOSE — "
+        "filters push into the scan, the dedup shuffle is the only "
+        "wide stage, and packing reuses the shard partitioning. The "
+        "oracle mirrors all four stages in one SQL chain."
+    ),
+    tags=("pipeline", "e2e", "documents", "flagship"),
+)
+def pipeline_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 50)).select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    deduped = filtered.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tokens", F.col("doc_id")).alias("n_tokens"),
+    )
+    sharded = deduped.select(
+        "doc_id", "n_tokens", (F.col("doc_id") % 4).cast("int").alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sharded.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.expr("(cum_tokens - n_tokens) div 256").alias("seq_id"),
+    )
