@@ -470,3 +470,90 @@ def ingest_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~good, 1)).cast("long").alias("n_corrupt"),
         F.sum(F.when(good, F.col("event_id"))).cast("long").alias("sum_good_ids"),
     )
+
+
+@register(
+    "ingest_regrid_bilinear",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID}),
+    tgt AS (
+      SELECT
+        (j // {(2 * NY - 1) * (2 * NX - 1)}) AS t,
+        ((j % {(2 * NY - 1) * (2 * NX - 1)}) // {2 * NX - 1}) AS jy,
+        (j % {2 * NX - 1}) AS jx
+      FROM (SELECT unnest(generate_series(0, {NT * (2 * NY - 1) * (2 * NX - 1) - 1})) AS j)
+    ),
+    contrib AS (
+      SELECT t.t, t.jy, t.jx,
+             (t.jy // 2) + d.dy AS iy,
+             (t.jx // 2) + d.dx AS ix,
+             (CASE d.dy WHEN 0 THEN 1 - 0.5 * (t.jy % 2)
+                        ELSE 0.5 * (t.jy % 2) END)
+           * (CASE d.dx WHEN 0 THEN 1 - 0.5 * (t.jx % 2)
+                        ELSE 0.5 * (t.jx % 2) END) AS w
+      FROM tgt t
+      CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dy, dx)
+      WHERE (CASE d.dy WHEN 0 THEN 1 - 0.5 * (t.jy % 2)
+                       ELSE 0.5 * (t.jy % 2) END)
+          * (CASE d.dx WHEN 0 THEN 1 - 0.5 * (t.jx % 2)
+                       ELSE 0.5 * (t.jx % 2) END) > 0
+    )
+    SELECT c.t AS t, c.jy AS jy, c.jx AS jx,
+           SUM(c.w * g.value) AS value
+    FROM contrib c
+    JOIN grid g ON g.t = c.t AND g.iy = c.iy AND g.ix = c.ix
+    GROUP BY c.t, c.jy, c.jx
+    """,
+    doc=(
+        "M2 regrid, refine direction: 2× bilinear upsampling of the "
+        "cube grid — the relational form of rio.reproject onto a finer "
+        "target (ingestor.py:83-87), completing the regrid pair with "
+        "ingest_regrid_coarsen. Each target cell explodes into its "
+        "<=4 (neighbor, weight) contributions (zero-weight neighbors "
+        "filtered BEFORE the join, so edges never reference "
+        "out-of-grid cells), one equi-join gathers source values, one "
+        "aggregate applies the weights. Dyadic weights (0.25/0.5/1) × "
+        "integer-exact values keep every sum order-independent — "
+        "hash-exact without decimal help. At scale: target cells "
+        "partition freely; the join key (t, iy, ix) co-locates with "
+        "the source grid's layout."
+    ),
+    tags=("ingest", "reference", "regrid"),
+)
+def ingest_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _spark_grid(spark)
+    ny2, nx2 = 2 * NY - 1, 2 * NX - 1
+    j = F.col("id")
+    tgt = spark.range(NT * ny2 * nx2).select(
+        (j / (ny2 * nx2)).cast("long").alias("t"),
+        ((j % (ny2 * nx2)) / nx2).cast("long").alias("jy"),
+        (j % nx2).alias("jx"),
+    )
+    offsets = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], "dy long, dx long"
+    )
+    wy = 0.5 * (F.col("jy") % 2)
+    wx = 0.5 * (F.col("jx") % 2)
+    w = (
+        F.when(F.col("dy") == 0, 1 - wy).otherwise(wy)
+        * F.when(F.col("dx") == 0, 1 - wx).otherwise(wx)
+    )
+    contrib = (
+        tgt.crossJoin(F.broadcast(offsets))
+        .withColumn("w", w)
+        .filter(F.col("w") > 0)
+        .select(
+            "t",
+            "jy",
+            "jx",
+            (F.expr("jy div 2") + F.col("dy")).alias("iy"),
+            (F.expr("jx div 2") + F.col("dx")).alias("ix"),
+            "w",
+        )
+    )
+    src = grid.select("t", "iy", "ix", "value")
+    return (
+        contrib.join(src, ["t", "iy", "ix"])
+        .groupBy("t", "jy", "jx")
+        .agg(F.sum(F.col("w") * F.col("value")).alias("value"))
+    )

@@ -812,3 +812,34 @@ def pipeline_e2e_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.expr("(cum_tokens - n_tokens) div 256").alias("seq_id"),
     )
+
+
+_BERN_THRESHOLD = 858_993_459  # floor(0.2 * 2^32): 20% keep rate
+
+
+@register(
+    "sample_bernoulli_hash",
+    oracle=f"""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('bern-', doc_id)), 1, 8))
+               AS BIGINT) < {_BERN_THRESHOLD}
+    """,
+    doc=(
+        "Row-level Bernoulli sampling, reproducible: keep a row iff "
+        "the first 32 bits of a keyed md5 fall under floor(p * 2^32) — "
+        "pure integer compare, no RNG state, no float threshold. "
+        "Unlike TABLESAMPLE/df.sample the decision is a property of "
+        "the ROW, so re-runs, retries and different partitionings all "
+        "keep the identical sample — the only sampling that's safe to "
+        "use inside a retried 100 TB job. Complements the per-stratum "
+        "variant (sample_stratified_hash)."
+    ),
+    tags=("pipeline", "sampling", "documents"),
+)
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bern-"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+    return d.filter(h32 < _BERN_THRESHOLD).select("doc_id", "source", "n_chars")

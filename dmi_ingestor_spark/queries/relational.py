@@ -410,3 +410,37 @@ def anomaly_zscore_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (dev * dev > var4).alias("is_outlier"),
     )
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT
+  l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_all,
+  CAST(COUNT(*) FILTER (WHERE l_quantity >= 40) AS BIGINT) AS n_bulk,
+  CAST(COUNT(DISTINCT l_orderkey) FILTER (WHERE l_discount > 0.05)
+       AS BIGINT) AS n_discounted_orders,
+  CAST(MIN(l_extendedprice) FILTER (WHERE l_tax = 0) AS DOUBLE)
+    AS min_price_untaxed
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_api_filter_clause",
+    oracle=_FILTER_CLAUSE_SQL,
+    doc=(
+        "ANSI FILTER (WHERE ...) aggregate modifiers through the SQL "
+        "front end — one shared string runs on both engines. Catalyst "
+        "rewrites each filtered aggregate to a conditional input "
+        "(count_if shape), so N differently-filtered aggregates still "
+        "cost ONE scan + one hash aggregate, not N passes — the "
+        "pivot-free way to compute cohort columns at scale."
+    ),
+    tags=("sql-api", "agg", "filter-clause"),
+)
+def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_SQL)
