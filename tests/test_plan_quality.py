@@ -217,3 +217,48 @@ def test_kmeans_single_plan_broadcasts_centroids(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("BroadcastNestedLoopJoin") >= 4, plan
+
+
+def _plan(spark, name, sf_dir):
+    from dmi_ingestor_spark.registry import load_all
+
+    df = load_all()[name].builder(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_inverted_index_partial_aggregates(spark, sf_dir):
+    """Token postings must partial-aggregate map-side before the token
+    shuffle (partial_count / partial collect on the explode side)."""
+    plan = _plan(spark, "text_inverted_index", sf_dir)
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_incremental_minhash_broadcasts_candidates(spark, sf_dir):
+    """The verify stage must broadcast the candidate pair set — the
+    corpus-side shingle arrays never shuffle."""
+    plan = _plan(spark, "dedup_incremental_minhash", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bilinear_regrid_single_shuffle_join(spark, sf_dir):
+    """The 4-row offset fan-out is a broadcast cross (fine at any
+    scale); the neighbor GATHER must be a BroadcastHashJoin and the
+    only shuffle Exchange is the final aggregate's."""
+    plan = _plan(spark, "ingest_regrid_bilinear", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "- Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) == 1, plan
+
+
+def test_bloom_prefilter_no_extra_exchange(spark, sf_dir):
+    """The Bloom candidate filter must not introduce an Exchange of its
+    own — it rides the scan."""
+    plan = _plan(spark, "join_bloom_prefilter", sf_dir)
+    scan_to_first_exchange = plan.split("Exchange")[0]
+    assert "shiftright" in plan, plan
