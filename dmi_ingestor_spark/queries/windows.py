@@ -542,3 +542,60 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("was_observed"),
         F.floor(F.lit(1_000_000) * interp).cast("long").alias("interp_q"),
     )
+
+
+@register(
+    "window_frame_semantics",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, cents,
+           SUM(user_id) OVER (
+             PARTITION BY event_type ORDER BY cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS range_sum,
+           SUM(user_id) OVER (
+             PARTITION BY event_type ORDER BY cents, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS rows_sum
+    FROM e
+    """,
+    doc=(
+        "§2.5 frame semantics, pinned: a RANGE frame includes all "
+        "PEERS of the current order value (ties share one running "
+        "total), a ROWS frame cuts between them — the classic silent "
+        "wrong-number bug when a cumulative sum meets duplicate keys. "
+        "The ROWS variant totals over a UNIQUE order (tie-broken by "
+        "event_id) because a ROWS frame over a non-unique order is "
+        "nondeterministic by definition; integer sums keep both "
+        "hash-exact."
+    ),
+    tags=("window", "frames", "events"),
+)
+def window_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_range = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rows = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.sum("user_id").over(w_range).alias("range_sum"),
+        F.sum("user_id").over(w_rows).alias("rows_sum"),
+    )
