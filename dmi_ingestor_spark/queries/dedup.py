@@ -812,3 +812,60 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+@register(
+    "dedup_cluster_select",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    pairs AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rr.r FROM edges e JOIN reach rr ON rr.id = e.v
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT component,
+           arg_max(doc_id, n_chars * 100000 + (99999 - doc_id)) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY component
+    """,
+    doc=(
+        "The curation step after clustering: per near-dup cluster, "
+        "keep the HIGHEST-QUALITY document (longest, ties to the "
+        "lowest id via an integer-folded argmax key) instead of the "
+        "arbitrary min-id — what production dedup actually ships to "
+        "training. Composes the full ladder in one plan: MinHash -> "
+        "LSH -> verify -> connected components -> quality argmax; the "
+        "oracle replays it with a recursive-CTE closure, so even the "
+        "composed iterative pipeline is hash-checked end to end."
+    ),
+    tags=("dedup", "components", "curation"),
+)
+def dedup_cluster_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(F.broadcast(comp), d.doc_id == comp.node, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    ordk = F.col("n_chars") * 100_000 + (99_999 - F.col("doc_id"))
+    return labeled.groupBy("component").agg(
+        F.max_by("doc_id", ordk).alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
