@@ -698,3 +698,82 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("qty", F.col("n") * 1000 + F.col("qty")).alias("mode_qty"),
         F.max("n").alias("mode_n"),
     )
+
+
+@register(
+    "transform_winsorize_values",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), ranked AS (
+      SELECT event_type, cents,
+             COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_le,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ), cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN 100 * cnt_le >= 5 * n THEN cents END) AS p05,
+             MIN(CASE WHEN 100 * cnt_le >= 95 * n THEN cents END) AS p95
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           GREATEST(c.p05, LEAST(c.p95, e.cents)) AS cents_winsorized,
+           (e.cents < c.p05 OR e.cents > c.p95) AS clipped
+    FROM e JOIN cuts c USING (event_type)
+    """,
+    doc=(
+        "Winsorization (clip to [P5, P95] per group) with EXACT "
+        "discrete percentiles: the cut is the smallest value whose "
+        "cumulative count reaches the quantile, stated as the integer "
+        "inequality 100*cnt_le >= q*n — no interpolation, no floats, "
+        "so the clipped training signal is bit-reproducible. One "
+        "windowed pass for the cuts, broadcast back, clip per row. At "
+        "100 TB the cuts stage swaps for approx_percentile; the clip "
+        "stage is unchanged."
+    ),
+    tags=("agg", "stats", "winsorize", "events"),
+)
+def transform_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_le = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w_le).alias("cnt_le"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(F.when(100 * F.col("cnt_le") >= 5 * F.col("n"), F.col("cents"))).alias(
+            "p05"
+        ),
+        F.min(F.when(100 * F.col("cnt_le") >= 95 * F.col("n"), F.col("cents"))).alias(
+            "p95"
+        ),
+    )
+    j = e.join(F.broadcast(cuts), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("cents"))).alias(
+            "cents_winsorized"
+        ),
+        ((F.col("cents") < F.col("p05")) | (F.col("cents") > F.col("p95"))).alias(
+            "clipped"
+        ),
+    )

@@ -557,3 +557,59 @@ def ingest_regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "jy", "jx")
         .agg(F.sum(F.col("w") * F.col("value")).alias("value"))
     )
+
+
+# cos(55.676°) precomputed at plan time; the same decimal literal is
+# embedded in both engines' expressions, so no libm trig runs anywhere.
+_GEO_LAT0, _GEO_LON0 = 55.676, 12.568
+_GEO_COSLAT = 0.5638720347338333
+_GEO_KM_PER_DEG = 111.195
+
+
+@register(
+    "ingest_geo_distance",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID}),
+    g AS (
+      -- coordinates re-derived in pure DOUBLE arithmetic: the grid
+      -- CTE's y/x literals bind as DECIMAL in DuckDB, which would
+      -- diverge from Spark's double math in the last ulp
+      SELECT time_s, iy, ix, value,
+             CAST(55.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * iy AS yd,
+             CAST(11.0 AS DOUBLE) + CAST(0.1 AS DOUBLE) * ix AS xd
+      FROM grid
+    ),
+    d AS (
+      SELECT time_s, iy, ix, value,
+             {_GEO_KM_PER_DEG} * sqrt(
+               (yd - {_GEO_LAT0}) * (yd - {_GEO_LAT0})
+               + ((xd - {_GEO_LON0}) * {_GEO_COSLAT})
+               * ((xd - {_GEO_LON0}) * {_GEO_COSLAT})
+             ) AS dist_km
+      FROM g
+    )
+    SELECT time_s, iy, ix, dist_km, value FROM d WHERE dist_km < 60.0
+    """,
+    doc=(
+        "Geospatial distance filter over the cube grid: equirectangular "
+        "approximation with the reference-point cosine folded in as a "
+        "PLAN-TIME literal — the only runtime math is -,*,+,sqrt, all "
+        "IEEE-754 correctly-rounded, so the double distances hash-match "
+        "across engines (trig in the row path would not: libm sin/cos "
+        "differ in final ulps between runtimes). The valid regime "
+        "(~km-scale neighborhoods) is exactly the bbox-slice use case "
+        "of the reference (README.md:20); full great-circle math would "
+        "be a pandas UDF like the LCC reprojection (U1)."
+    ),
+    tags=("ingest", "geo", "scalar"),
+)
+def ingest_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _spark_grid(spark)
+    yd = F.lit(55.0) + F.lit(0.1) * F.col("iy")
+    xd = F.lit(11.0) + F.lit(0.1) * F.col("ix")
+    dy = yd - _GEO_LAT0
+    dx = (xd - _GEO_LON0) * _GEO_COSLAT
+    dist = _GEO_KM_PER_DEG * F.sqrt(dy * dy + dx * dx)
+    return grid.select(
+        "time_s", "iy", "ix", dist.alias("dist_km"), "value"
+    ).filter(F.col("dist_km") < 60.0)
