@@ -68,6 +68,12 @@ EMPTY_SAFE = [
     "sql_api_join_hints",
     "dedup_incremental_minhash",
     "join_asof_next_purchase_after_click",
+    "pipeline_e2e_corpus",
+    "sample_bernoulli_hash",
+    "sql_api_filter_clause",
+    "window_frame_semantics",
+    "dedup_cluster_select",
+    "transform_winsorize_values",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
