@@ -20,6 +20,7 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     graph,
     ingestion,
     joins,
+    mllib,
     multimodal,
     pipeline_ops,
     raster,

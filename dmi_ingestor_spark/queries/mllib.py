@@ -1,0 +1,85 @@
+"""MLlib LSH surface (SURVEY.md §2.10 U5/U6 "maps to" column).
+
+The engine's primary dedup/ANN path is the custom md5-based machinery
+in ``queries/dedup.py`` / ``queries/similarity.py`` — built-in
+expressions chosen precisely so the DuckDB oracle can hash-check the
+whole pipeline. These two queries cover the OTHER route SURVEY §2.10
+names: ``pyspark.ml.feature`` MinHashLSH / BucketedRandomProjectionLSH,
+the library implementations a Spark user would reach for first. They
+are rows-only (MLlib's hash families are seeded differently from any
+SQL-reproducible form) with correctness pinned by invariants instead:
+every emitted near-dup pair's EXACT Jaccard is recomputed in-plan and
+filtered, so a false positive cannot survive, and the ANN result must
+contain the query itself at distance 0 (tests/test_dedup_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+
+@register(
+    "ml_minhash_lsh_join",
+    oracle=None,  # MLlib hash family is not SQL-reproducible; invariants in tests
+    doc=(
+        "U5 via pyspark.ml: HashingTF token-set vectors → MinHashLSH "
+        "(3 tables) → approxSimilarityJoin(0.5). The reported distance "
+        "IS the exact Jaccard distance on candidate pairs, so the "
+        "emitted pairs are exact-verified — the library twin of "
+        "dedup_minhash_lsh, kept rows-only because the seeded hash "
+        "family has no cross-engine oracle form."
+    ),
+    tags=("dedup", "mllib", "rows-only"),
+)
+def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
+    )
+    vecs = tf.transform(d).filter(F.col("doc_id").isNotNull())
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=3, seed=42
+    ).fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+
+@register(
+    "ml_brp_lsh_ann",
+    oracle=None,  # seeded random projections; invariants in tests
+    doc=(
+        "U6 via pyspark.ml: embeddings → BucketedRandomProjectionLSH "
+        "approxNearestNeighbors(k=5) around vec_id 0 — the library ANN "
+        "twin of sim_ann_lsh_buckets/sim_ann_ivf. Invariant-tested: "
+        "the query vector itself must come back first at distance 0."
+    ),
+    tags=("similarity", "mllib", "rows-only"),
+)
+def ml_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, seed=42
+    ).fit(e)
+    query = e.filter(F.col("vec_id") == 0).head()
+    ann = model.approxNearestNeighbors(e, query.features, 5, distCol="dist")
+    return ann.select("vec_id", "dist")
