@@ -430,3 +430,47 @@ def scalar_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bit3_set"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CASE WHEN o_orderkey % 10 = 0 THEN NULL
+           ELSE o_custkey / (o_orderkey % 10) END AS safe_div,
+      TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                    ELSE CAST(o_custkey AS VARCHAR) END AS BIGINT)
+        AS parsed_key,
+      CASE WHEN o_custkey > 0 THEN NULL
+           ELSE 9223372036854775807 + o_custkey END AS overflow_add
+    FROM orders
+    """,
+    doc=(
+        "Error-safe arithmetic surface: try_divide / try_cast / "
+        "try_add return NULL where strict ANSI evaluation would abort "
+        "the job (divide-by-zero, bad parse, int64 overflow) — the "
+        "semantics that keep a 100 TB batch from dying on one bad row. "
+        "The oracle states each NULL condition explicitly (CASE / "
+        "TRY_CAST), so Spark's try_* short-circuits are pinned "
+        "value-by-value. Division output stays double on both sides."
+    ),
+    tags=("scalar", "try", "null-semantics"),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_custkey"), F.col("o_orderkey") % 10).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")).otherwise(
+                F.col("o_custkey").cast("string")
+            ),
+            F.lit("999999999999"),
+        )
+        .cast("long")
+        .alias("parsed_key"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_custkey")).alias(
+            "overflow_add"
+        ),
+    )
