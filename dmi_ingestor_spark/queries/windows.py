@@ -599,3 +599,55 @@ def window_frame_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").over(w_range).alias("range_sum"),
         F.sum("user_id").over(w_rows).alias("rows_sum"),
     )
+
+
+@register(
+    "window_null_ordering",
+    oracle="""
+    WITH last_order AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             MAX(epoch_us(o.o_orderdate)) AS last_us
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, last_us,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY last_us DESC NULLS LAST, c_custkey
+           ) AS BIGINT) AS recency_rank
+    FROM last_order
+    """,
+    doc=(
+        "Null-ordering semantics, pinned: customers ranked by last "
+        "order recency, never-ordered customers (NULL) explicitly "
+        "LAST. This column exists because the engines DISAGREE by "
+        "default — Spark sorts ascending NULLS FIRST / descending "
+        "NULLS LAST, DuckDB defaults to NULLS LAST everywhere — so "
+        "any rank over a nullable key that doesn't spell the "
+        "placement out is silently engine-dependent. desc_nulls_last "
+        "+ unique tiebreak makes the rank total and portable."
+    ),
+    tags=("window", "null-semantics", "customer"),
+)
+def window_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    last = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max(
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            ).alias("last_us")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("last_us").desc_nulls_last(), "c_custkey"
+    )
+    return last.select(
+        "c_custkey",
+        "c_mktsegment",
+        "last_us",
+        F.row_number().over(w).cast("long").alias("recency_rank"),
+    )

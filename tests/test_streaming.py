@@ -167,3 +167,56 @@ def test_stream_session_matches_batch_sealed_sessions(spark, sf_dir):
         assert b[key] == val, key
     # everything but the watermark tail must be emitted
     assert len(s) >= len(b) * 0.9
+
+
+def test_available_now_checkpoint_processes_only_delta(spark, sf_dir, tmp_path):
+    """St6 incremental re-run: a second Trigger.AvailableNow start from
+    the SAME checkpoint must read only files added since the first run
+    — the engine-native version of the reference's re-run-per-cycle
+    container (Dockerfile:28), with the checkpoint replacing 'delete
+    and refetch everything'."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    first_half = ev.filter(F.col("event_id") % 2 == 0)
+    second_half = ev.filter(F.col("event_id") % 2 == 1)
+
+    def stage(df, name):
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(src, exist_ok=True)
+        os.rename(part, f"{src}/{name}.parquet")
+
+    seen: list[int] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: seen.append(bdf.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(first_half, "a")
+    run_once()
+    n_first = sum(seen)
+    assert n_first == first_half.count()
+
+    seen.clear()
+    stage(second_half, "b")
+    run_once()
+    # ONLY the delta file is read on the second start
+    assert sum(seen) == second_half.count()
