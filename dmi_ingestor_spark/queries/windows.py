@@ -651,3 +651,57 @@ def window_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_us",
         F.row_number().over(w).cast("long").alias("recency_rank"),
     )
+
+
+@register(
+    "analytics_top_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events
+      GROUP BY user_id
+    ), counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_users
+    FROM counted
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_users DESC, path) <= 20
+    """,
+    doc=(
+        "Behavioral path analysis (trajectory-mining shape): each "
+        "user's full event-type sequence in time order becomes one "
+        "path string, then the 20 most common paths. The sequence "
+        "build is sort_array(collect_list(struct)) inside ONE "
+        "aggregate — per-user data never leaves its group, no window "
+        "over raw events; the top-k over path counts is "
+        "TakeOrdered-sized. Ordered string_agg is the DuckDB twin."
+    ),
+    tags=("window", "paths", "events", "analytics"),
+)
+def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    paths = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("t", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy(F.col("n_users").desc(), "path")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
