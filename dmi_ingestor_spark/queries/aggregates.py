@@ -777,3 +777,67 @@ def transform_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group, aggregate form (§2.6 — the shuffle-light alternative to
+# the row_number window in window_rank_orders_per_customer)
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_GROUP = 3
+
+
+@register(
+    "topk_per_group_aggregate",
+    oracle=f"""
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= {_TOPK_PER_GROUP}
+    """,
+    doc=(
+        f"Top-{_TOPK_PER_GROUP} orders per customer expressed as ONE "
+        "aggregate — slice(sort_array(collect_list(struct)), k) — instead "
+        "of a row_number window. The window form sorts EVERY row of every "
+        "hash partition before discarding all but k per group; the "
+        "aggregate form ships the same rows but sorts only within each "
+        "group's collected array and keeps the plan a single "
+        "partial+final ObjectHashAggregate. Correct trade-off when the "
+        "per-group cardinality is bounded (orders per customer here); "
+        "for unbounded groups use the window form, which spills. "
+        "Tie-break is total (price DESC, orderkey ASC) via a "
+        "(price, -orderkey) struct sorted descending, so both engines "
+        "pick identical winners."
+    ),
+    tags=("topk", "aggregate", "orders"),
+)
+def topk_per_group_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    top = o.groupBy("o_custkey").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_totalprice"),
+                        (-F.col("o_orderkey")).alias("negkey"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            _TOPK_PER_GROUP,
+        ).alias("top")
+    )
+    return top.select(
+        "o_custkey", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "o_custkey",
+        (F.col("pos") + 1).cast("long").alias("rnk"),
+        (-F.col("t.negkey")).alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
+    )

@@ -843,3 +843,110 @@ def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.concat(F.lit("bern-"), F.col("doc_id"))), 1, 8), 16, 10
     ).cast("long")
     return d.filter(h32 < _BERN_THRESHOLD).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_WINDOW = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+    SELECT doc_id,
+           k AS chunk_idx,
+           CAST(len(list_slice(toks, CAST(k * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                               CAST(k * {_CHUNK_STRIDE} + {_CHUNK_WINDOW} AS BIGINT)))
+                AS BIGINT) AS chunk_n_tokens,
+           array_to_string(
+             list_slice(toks, CAST(k * {_CHUNK_STRIDE} + 1 AS BIGINT),
+                        CAST(k * {_CHUNK_STRIDE} + {_CHUNK_WINDOW} AS BIGINT)), ' ')
+             AS chunk_text
+    FROM (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, (len(toks) + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE} - 1)) AS k
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+    doc=(
+        "Sliding-window document chunking — the context-window prep stage "
+        "of an LLM pipeline: each document becomes ceil(n/stride) chunks "
+        f"of up to {_CHUNK_WINDOW} tokens starting every {_CHUNK_STRIDE} "
+        "tokens (8-token overlap so no span falls on a boundary). "
+        "Pure map-side fan-out: split -> sequence -> explode -> slice, "
+        "ZERO shuffles — at 100 TB the chunker is embarrassingly "
+        "parallel and its output partitioning inherits the input's. "
+        "Chunk membership is a pure function of (doc_id, k), so re-runs "
+        "and incremental appends chunk identically."
+    ),
+    tags=("pipeline", "chunking", "documents"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_chunks = F.expr(f"(size(toks) + {_CHUNK_STRIDE - 1}) div {_CHUNK_STRIDE}")
+    exploded = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("k") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_WINDOW)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+
+
+@register(
+    "sample_cap_per_domain",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= {_DOMAIN_CAP}
+    """,
+    doc=(
+        "Per-domain document cap — the anti-domination stage of corpus "
+        f"curation: keep at most {_DOMAIN_CAP} documents per source, "
+        "chosen by md5(doc_id) order so the survivors are a stable "
+        "pseudo-random subset (no RNG state, identical under re-runs "
+        "and engine changes). One hash-partitioned window per source; "
+        "at 100 TB the heavy tail (a single giant domain) is exactly "
+        "what this bounds, and since only rank <= cap survives, AQE "
+        "skew-split plus the rank filter keeps any one domain's "
+        "partition from dominating the stage."
+    ),
+    tags=("pipeline", "sampling", "documents"),
+)
+def sample_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "rn")
+    )

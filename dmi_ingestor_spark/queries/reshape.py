@@ -438,3 +438,45 @@ def reshape_explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode_outer("head_toks").alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union (unionByName with missing columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reshape_union_by_name_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'v1' AS snapshot
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS snapshot
+    FROM orders
+    WHERE o_orderkey % 2 = 1
+    """,
+    doc=(
+        "Schema-evolution union: a v1 snapshot (2 columns) unioned with "
+        "a v2 snapshot that added o_orderpriority, via "
+        "unionByName(allowMissingColumns=True) — the missing column "
+        "back-fills NULL, matching parquet mergeSchema read semantics. "
+        "This is how a 100 TB table whose schema grew over time is read "
+        "as one relation: position-based union would silently misalign "
+        "columns; name-based union is the only safe form. Zero shuffle — "
+        "a union is purely logical and each leg keeps its own "
+        "partitioning and pushed filters."
+    ),
+    tags=("reshape", "schema-evolution", "orders"),
+)
+def reshape_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("snapshot")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        F.lit("v2").alias("snapshot"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

@@ -74,6 +74,11 @@ EMPTY_SAFE = [
     "window_frame_semantics",
     "dedup_cluster_select",
     "transform_winsorize_values",
+    # round-2 seventh wave
+    "text_chunk_sliding",
+    "sample_cap_per_domain",
+    "topk_per_group_aggregate",
+    "reshape_union_by_name_evolution",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

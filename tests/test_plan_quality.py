@@ -262,3 +262,32 @@ def test_bloom_prefilter_no_extra_exchange(spark, sf_dir):
     plan = _plan(spark, "join_bloom_prefilter", sf_dir)
     scan_to_first_exchange = plan.split("Exchange")[0]
     assert "shiftright" in plan, plan
+
+
+def test_chunker_has_zero_exchanges(spark, sf_dir):
+    # split -> sequence -> explode -> slice is pure map-side fan-out;
+    # any Exchange here would be a scale bug.
+    plan = plan_of(spark, sf_dir, "text_chunk_sliding")
+    assert "Exchange" not in plan, plan
+
+
+def test_topk_aggregate_has_no_window_sort(spark, sf_dir):
+    # the aggregate form must plan as partial+final ObjectHashAggregate —
+    # no Window operator, no per-partition total Sort, ONE key shuffle.
+    import re
+
+    plan = plan_of(spark, sf_dir, "topk_per_group_aggregate")
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 0, plan
+
+
+def test_union_by_name_keeps_leg_pushdown(spark, sf_dir):
+    # union is logical-only: each leg keeps its own pushed filter and
+    # there is no shuffle.
+    import re
+
+    plan = plan_of(spark, sf_dir, "reshape_union_by_name_evolution")
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
