@@ -109,3 +109,47 @@ def test_dq_expectations_contract(spark, sf_dir, tmp_path):
     empty = REGISTRY["dq_expectations_summary"].builder(spark, str(tmp_path)).collect()
     assert {r.check_name for r in empty} == names
     assert all(r.n_checked == 0 and r.passed for r in empty)
+
+
+def test_chunker_covers_and_reconstructs(spark, sf_dir):
+    """Chunk semantics invariants: chunk k holds tokens
+    [k*stride, k*stride+window); the stride-prefix of each chunk
+    concatenated in order reconstructs the document exactly (overlap
+    tokens are redundant by construction); every token position is
+    covered."""
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.queries.pipeline_ops import (
+        _CHUNK_STRIDE,
+        _CHUNK_WINDOW,
+    )
+
+    out = (
+        REGISTRY["text_chunk_sliding"]
+        .builder(spark, sf_dir)
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    )
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").filter("doc_id < 20").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        toks = docs[doc_id]
+        rows.sort(key=lambda r: r.chunk_idx)
+        # contiguous chunk indices 0..n-1, correct count
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert len(rows) == (len(toks) + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+        rebuilt: list[str] = []
+        for r in rows:
+            start = r.chunk_idx * _CHUNK_STRIDE
+            chunk = r.chunk_text.split(" ")
+            assert chunk == toks[start : start + _CHUNK_WINDOW]
+            assert r.chunk_n_tokens == len(chunk)
+            rebuilt.extend(chunk[:_CHUNK_STRIDE])
+        assert rebuilt == toks

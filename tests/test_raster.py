@@ -119,3 +119,42 @@ def test_pipeline_export_tifs(spark, tmp_path):
         with open(p, "rb") as fh:
             d = decode_geotiff(fh.read())
         assert d["levels"][0].shape == (8, 8)
+
+
+def test_binaryfile_source_reads_exports(spark, tmp_path):
+    """S-family source coverage: Spark's binaryFile format reads the
+    exported GeoTIFFs back as (path, length, content) rows — the
+    idiomatic way a 100 TB image/raster corpus enters the engine
+    (multimodal ingestion path; content stays an opaque binary column).
+    Verifies pathGlobFilter pushdown selects only .tif files and that
+    content round-trips byte-exactly."""
+    from dmi_ingestor_spark.queries.ingestion import _spark_grid
+
+    import pyspark.sql.functions as F
+
+    grid = (
+        _spark_grid(spark)
+        .withColumn("parameter", F.lit("t2m"))
+        .withColumn(
+            "time_str",
+            F.date_format(F.timestamp_seconds("time_s"), "yyyyMMdd'T'HHmmss"),
+        )
+    )
+    rows = rasterize_timesteps(grid, str(tmp_path)).collect()
+    (tmp_path / "README.txt").write_text("not a raster")
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path))
+        .select("path", "length", "content")
+        .collect()
+    )
+    assert len(bf) == len(rows) == 4
+    by_path = {r.path.removeprefix("file:"): r for r in bf}
+    for r in rows:
+        got = by_path[r.path]
+        assert got.length == r.n_bytes
+        with open(r.path, "rb") as fh:
+            assert bytes(got.content) == fh.read()
