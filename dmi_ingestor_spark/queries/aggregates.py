@@ -841,3 +841,41 @@ def topk_per_group_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("t.negkey")).alias("o_orderkey"),
         F.col("t.o_totalprice").alias("o_totalprice"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple COUNT(DISTINCT) — the Expand/gid rewrite (A3 at scale)
+# ---------------------------------------------------------------------------
+
+_SQL_MULTI_DISTINCT = """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "agg_multi_distinct_expand",
+    oracle=_SQL_MULTI_DISTINCT,
+    doc=(
+        "Two COUNT(DISTINCT ...) over DIFFERENT columns plus a plain "
+        "COUNT(*) in one grouped aggregate — the shape Catalyst rewrites "
+        "via Expand: each input row fans out to one row per distinct "
+        "group (tagged gid), a first aggregate dedups (key, gid, value) "
+        "with map-side partials, and a second aggregate counts per gid "
+        "with FILTER clauses. Two bounded shuffles instead of one job "
+        "per distinct column — the only shape that scales when a 100 TB "
+        "fact needs several distinct counts in one pass. For counts "
+        "where exactness is negotiable, agg_approx_distinct's HLL "
+        "sketch avoids the Expand entirely."
+    ),
+    tags=("aggregate", "distinct", "orders"),
+)
+def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_MULTI_DISTINCT)

@@ -444,3 +444,44 @@ def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+# --------------------------------------------------------------------------
+# SQL front end: LATERAL correlated derived table (per-group top-1).
+# --------------------------------------------------------------------------
+
+_SQL_LATERAL_QUERY = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 1
+    ) t
+"""
+
+
+@register(
+    "sql_api_lateral_topn",
+    oracle=_SQL_LATERAL_QUERY,
+    doc=(
+        "LATERAL correlated derived table — each customer's single "
+        "most-expensive order via a per-row ORDER BY ... LIMIT 1 "
+        "subquery; ONE ANSI string planned by both engines. The "
+        "semantic is per-row subquery execution; Catalyst decorrelates "
+        "it to WindowGroupLimit(row_number, 1) over orders — crucially "
+        "a PARTIAL group-limit runs before the o_custkey Exchange, so "
+        "at 100 TB each map task forwards at most one order per "
+        "customer it sees instead of all of them — then a broadcast "
+        "join back to customer. The total ORDER BY (price DESC, "
+        "orderkey) makes the surviving row identical in both engines."
+    ),
+    tags=("sql-api", "lateral", "topk", "orders"),
+)
+def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_QUERY)

@@ -79,6 +79,8 @@ EMPTY_SAFE = [
     "sample_cap_per_domain",
     "topk_per_group_aggregate",
     "reshape_union_by_name_evolution",
+    "sql_api_lateral_topn",
+    "agg_multi_distinct_expand",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -291,3 +291,24 @@ def test_union_by_name_keeps_leg_pushdown(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "reshape_union_by_name_evolution")
     assert "Exchange" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_lateral_topn_has_partial_group_limit(spark, sf_dir):
+    # the decorrelated LATERAL must push a Partial WindowGroupLimit
+    # BELOW the o_custkey Exchange (map-side top-1) and join back to
+    # customer via broadcast — no per-row subquery execution.
+    plan = plan_of(spark, sf_dir, "sql_api_lateral_topn")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    # several COUNT(DISTINCT col_i) in one aggregate must become the
+    # Expand/gid rewrite (one scan, two shuffles), not N separate jobs.
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_multi_distinct_expand")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
