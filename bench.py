@@ -41,6 +41,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "st_tumbling_counts",
     "graph_pagerank_trade",
     "cluster_kmeans_embeddings",
+    "text_chunk_sliding",
 )
 
 

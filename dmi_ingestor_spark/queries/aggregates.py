@@ -879,3 +879,40 @@ def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_MULTI_DISTINCT)
+
+
+# ---------------------------------------------------------------------------
+# Boolean aggregate pack (bool_and / bool_or / count_if)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_boolean_pack",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000.0)   AS all_over_1k,
+           bool_or(o_totalprice > 400000.0)  AS any_over_400k,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+           CAST(count_if(o_totalprice IS NULL) AS BIGINT) AS n_null_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Boolean aggregate pack: bool_and / bool_or / count_if per "
+        "order status — the predicate-rollup surface (ANSI EVERY/ANY). "
+        "All partial-aggregatable single-bit/long states, so the "
+        "shuffle carries one boolean or counter per (group, agg) "
+        "regardless of fact size; identical semantics in DuckDB "
+        "including NULL handling (nulls are ignored by bool_and/"
+        "bool_or, unmatched rows by count_if)."
+    ),
+    tags=("aggregate", "boolean", "orders"),
+)
+def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
+    )
