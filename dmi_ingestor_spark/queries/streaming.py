@@ -422,3 +422,23 @@ def st_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "st_stream_stream_full_outer_join",
+    oracle=None,  # streaming execution; equality-to-batch in tests
+    doc=(
+        "Full-outer stream-stream join (the last join mode in the "
+        "matrix): matched purchase/click pairs, purchases with no "
+        "preceding-hour click (NULL click), AND clicks with no "
+        "following-hour purchase (NULL purchase) — each unmatched row "
+        "emitted only once the watermark proves its partner can no "
+        "longer arrive. State stays bounded by the 1 h interval on "
+        "both sides. Batch full-outer equality asserted in tests."
+    ),
+    tags=("streaming", "join", "outer", "rows-only"),
+)
+def st_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import stream_stream_purchase_outer
+
+    return stream_stream_purchase_outer(spark, sf_dir, how="full_outer")

@@ -302,8 +302,13 @@ def stream_stream_purchase_after_click(spark: SparkSession, sf_dir: str) -> Data
     return run_available_now(joined, "st_ss_join_sink", "append")
 
 
-def stream_stream_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer stream-stream join with watermark-driven null emission.
+def stream_stream_purchase_outer(
+    spark: SparkSession, sf_dir: str, how: str = "left_outer"
+) -> DataFrame:
+    """Outer stream-stream join with watermark-driven null emission
+    (``how`` = ``left_outer`` or ``full_outer``; full-outer additionally
+    emits clicks that never saw a following-hour purchase, once the
+    watermark passes their eviction bound).
 
     Purchases left-joined to clicks by the same user within the
     preceding hour. An unmatched purchase can only be emitted (with a
@@ -385,19 +390,26 @@ def stream_stream_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withWatermark("purchase_ts", "1 hour")
         )
+        out_cols = ["p_user", "purchase_id", "purchase_ts", "click_id", "click_ts"]
+        if how == "full_outer":
+            out_cols.insert(3, "c_user")
         joined = purchases.join(
             clicks,
             (F.col("p_user") == F.col("c_user"))
             & (F.col("click_ts") <= F.col("purchase_ts"))
             & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
-            "left_outer",
-        ).select("p_user", "purchase_id", "purchase_ts", "click_id", "click_ts")
-        out = run_available_now(joined, "st_ss_outer_sink", "append")
-        # Drop the sentinel purchases AFTER materializing: a filter
-        # inside the streaming plan is pushed below the watermark node
-        # by Catalyst, which would strip the sentinels before they can
-        # advance the purchase-side watermark (verified: the tail outer
+            how,
+        ).select(*out_cols)
+        out = run_available_now(joined, f"st_ss_outer_sink_{how}", "append")
+        # Drop the sentinel rows AFTER materializing: a filter inside
+        # the streaming plan is pushed below the watermark node by
+        # Catalyst, which would strip the sentinels before they can
+        # advance the per-side watermarks (verified: the tail outer
         # rows were withheld with an in-plan filter).
+        keep_p = F.col("p_user").isNull() | (F.col("p_user") >= 0)
+        if how == "full_outer":
+            keep_c = F.col("c_user").isNull() | (F.col("c_user") >= 0)
+            return out.filter(keep_p & keep_c)
         return out.filter(F.col("p_user") >= 0)
     finally:
         shutil.rmtree(staged, ignore_errors=True)

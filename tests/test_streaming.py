@@ -220,3 +220,33 @@ def test_available_now_checkpoint_processes_only_delta(spark, sf_dir, tmp_path):
     run_once()
     # ONLY the delta file is read on the second start
     assert sum(seen) == second_half.count()
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    streamed = REGISTRY["st_stream_stream_full_outer_join"].builder(spark, sf_dir)
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    got = {(r.purchase_id, r.click_id) for r in streamed.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want
+    # both null-padded directions must be present
+    assert any(p is None for p, _ in got), "expected purchase-side nulls"
+    assert any(c is None for _, c in got), "expected click-side nulls"
