@@ -146,3 +146,54 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qty_bag_b(spark, sf_dir).exceptAll(_qty_bag_a(spark, sf_dir))
+
+
+@register(
+    "setop_null_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS prio,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderpriority END AS prio,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT 'intersect' AS op, prio, status FROM (
+      SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'except' AS op, prio, status FROM (
+      SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+    doc=(
+        "Set-op NULL semantics pin: unlike '=' (where NULL = NULL is "
+        "NULL), INTERSECT/EXCEPT use group-equivalence — two (NULL, "
+        "status) rows MATCH each other. Both legs inject NULLs on "
+        "different key patterns, so any engine that compared set-op "
+        "rows with join equality would drop the NULL-keyed rows from "
+        "the intersection and duplicate them in the difference; the "
+        "hash match proves Spark and DuckDB agree row-for-row. Same "
+        "distinct-aggregate machinery as the other set ops at scale."
+    ),
+    tags=("setop", "null-semantics"),
+)
+def setop_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    prio = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    prio_b = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        prio.alias("prio"), F.col("o_orderstatus").alias("status")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        prio_b.alias("prio"), F.col("o_orderstatus").alias("status")
+    )
+    inter = a.intersect(b).select(F.lit("intersect").alias("op"), "prio", "status")
+    exc = a.subtract(b).select(F.lit("except").alias("op"), "prio", "status")
+    return inter.unionByName(exc)

@@ -82,6 +82,7 @@ EMPTY_SAFE = [
     "sql_api_lateral_topn",
     "agg_multi_distinct_expand",
     "agg_boolean_pack",
+    "setop_null_semantics",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
