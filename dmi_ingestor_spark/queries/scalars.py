@@ -474,3 +474,57 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_add"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# XML parsing (Spark 4 native from_xml)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_xml_parse",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             concat('<order><key>', o_orderkey, '</key><prio>',
+                    o_orderpriority, '</prio><price>', o_totalprice,
+                    '</price></order>') AS xml
+      FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT o_orderkey,
+           CAST(regexp_extract(xml, '<key>(\\d+)</key>', 1) AS BIGINT)
+             AS parsed_key,
+           regexp_extract(xml, '<prio>([^<]*)</prio>', 1) AS parsed_prio,
+           CAST(regexp_extract(xml, '<price>([^<]*)</price>', 1) AS DOUBLE)
+             AS parsed_price
+    FROM x
+    """,
+    doc=(
+        "XML ingestion surface (Spark 4 native from_xml): order rows "
+        "serialized to XML strings, then parsed back through a typed "
+        "schema (key BIGINT, prio STRING, price DOUBLE) — the "
+        "semi-structured decode path for feeds that arrive as XML "
+        "rather than JSON. DuckDB has no XML type, so the oracle "
+        "mirrors the extraction with anchored regexes over the "
+        "identically-constructed strings; the hash match proves the "
+        "parser and the regexes agree on every field including the "
+        "double round-trip. from_xml is JVM-side codegen — no Python "
+        "in the row path, same scaling story as from_json."
+    ),
+    tags=("scalar", "xml", "orders"),
+)
+def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    xml = F.concat(
+        F.lit("<order><key>"), F.col("o_orderkey"),
+        F.lit("</key><prio>"), F.col("o_orderpriority"),
+        F.lit("</prio><price>"), F.col("o_totalprice"),
+        F.lit("</price></order>"),
+    )
+    parsed = F.from_xml(xml, "key BIGINT, prio STRING, price DOUBLE")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("key").alias("parsed_key"),
+        parsed.getField("prio").alias("parsed_prio"),
+        parsed.getField("price").alias("parsed_price"),
+    )

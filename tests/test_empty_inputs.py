@@ -83,6 +83,7 @@ EMPTY_SAFE = [
     "agg_multi_distinct_expand",
     "agg_boolean_pack",
     "setop_null_semantics",
+    "scalar_xml_parse",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

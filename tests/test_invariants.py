@@ -153,3 +153,38 @@ def test_chunker_covers_and_reconstructs(spark, sf_dir):
             assert r.chunk_n_tokens == len(chunk)
             rebuilt.extend(chunk[:_CHUNK_STRIDE])
         assert rebuilt == toks
+
+
+def test_arrow_optimized_udf_matches_builtin(spark, sf_dir):
+    """Spark 4 Arrow-optimized scalar Python UDF (useArrow=True):
+    batch-serialized via Arrow instead of pickled row-at-a-time. The
+    engine's UDF discipline keeps Python out of hot paths, but where a
+    scalar UDF is unavoidable this is the required form — pinned here
+    to produce byte-identical results to the JVM builtin expression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from dmi_ingestor_spark.catalog import table
+
+    @udf(returnType="double", useArrow=True)
+    def margin(price, qty):
+        if price is None or qty is None:
+            return None
+        return price * 0.96 - qty * 2.0
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    ).limit(2000)
+    got = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        margin("l_extendedprice", "l_quantity").alias("m"),
+    )
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * 0.96 - F.col("l_quantity") * 2.0).alias("m"),
+    )
+    lhs = sorted((r.l_orderkey, r.l_linenumber, r.m) for r in got.collect())
+    rhs = sorted((r.l_orderkey, r.l_linenumber, r.m) for r in want.collect())
+    assert lhs == rhs and len(lhs) == 2000
