@@ -705,3 +705,70 @@ def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over an irregular series (hypertable TWAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_int,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(v_int * (t_next - t)) AS BIGINT) AS twap_num,
+           CAST(SUM(t_next - t) AS BIGINT) AS twap_den,
+           CAST(SUM(v_int * (t_next - t)) // SUM(t_next - t) AS BIGINT)
+             AS twap_c
+    FROM seq
+    WHERE t_next IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc=(
+        "Time-weighted average over an irregularly sampled series "
+        "(TimescaleDB time_weight / kdb twap): each observation's value "
+        "is held until the next one, so the mean weights by holding "
+        "duration, not sample count — THE correct average for "
+        "event-driven feeds where quiet periods under-sample. "
+        "All-integer: values in centi-units, durations in epoch-micros "
+        "deltas via lead(), numerator/denominator summed as BIGINTs "
+        "and floor-divided, so the iteration-free plan (one window "
+        "Exchange on event_type reused by the grouped agg) is "
+        "hash-exact. The totally-ordered (ts, event_id) sort key makes "
+        "lead() deterministic under timestamp ties."
+    ),
+    tags=("window", "timeseries", "events"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_int"),
+        t.alias("t"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    return (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("v_int") * (F.col("t_next") - F.col("t"))).alias("twap_num"),
+            F.sum(F.col("t_next") - F.col("t")).alias("twap_den"),
+        )
+        .select(
+            "event_type",
+            "twap_num",
+            "twap_den",
+            F.expr("twap_num div twap_den").alias("twap_c"),
+        )
+    )

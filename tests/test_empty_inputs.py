@@ -84,6 +84,7 @@ EMPTY_SAFE = [
     "agg_boolean_pack",
     "setop_null_semantics",
     "scalar_xml_parse",
+    "ts_time_weighted_avg",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
