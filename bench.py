@@ -42,6 +42,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "graph_pagerank_trade",
     "cluster_kmeans_embeddings",
     "text_chunk_sliding",
+    "pipeline_e2e_corpus",
 )
 
 

@@ -916,3 +916,61 @@ def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
         F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance (algebraic decimal-128 form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_covariance_exact",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(
+             CAST(COUNT(*) AS DECIMAL(38,0))
+               * SUM(CAST(round(value * 100) AS DECIMAL(38,0))
+                     * CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)))
+             - SUM(CAST(round(value * 100) AS DECIMAL(38,0)))
+               * SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)))
+             AS DECIMAL(38,0)) AS cov_num
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Exact sample-covariance numerator n·Σxy − Σx·Σy between "
+        "centi-scaled event value and hour-of-day, per event type — the "
+        "algebraic single-pass form (no mean subtraction, no second "
+        "scan) carried in decimal(38,0) so the 128-bit integer result "
+        "is hash-exact where float covar_samp would drift. This is the "
+        "form a 100 TB profile pass uses: one partial+final aggregate, "
+        "three extra decimal sums per group, and the sign/magnitude of "
+        "the association available without any floating point. "
+        "(cov_samp = cov_num / (n·(n−1)) when a float is wanted.)"
+    ),
+    tags=("aggregate", "statistics", "events"),
+)
+def agg_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    y = F.hour(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+        )
+        .select(
+            "event_type",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            (
+                F.col("n_obs").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            )
+            .cast("decimal(38,0)")
+            .alias("cov_num"),
+        )
+    )

@@ -485,3 +485,39 @@ def sql_api_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_QUERY)
+
+
+# --------------------------------------------------------------------------
+# SQL front end: GROUP BY ALL (Spark 4 + DuckDB shared syntax)
+# --------------------------------------------------------------------------
+
+_SQL_GROUP_BY_ALL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    GROUP BY ALL
+"""
+
+
+@register(
+    "sql_api_group_by_all",
+    oracle=_SQL_GROUP_BY_ALL,
+    doc=(
+        "GROUP BY ALL — every non-aggregate select item becomes a "
+        "grouping key (modern ANSI-adjacent sugar both Spark 4 and "
+        "DuckDB ship); ONE shared string proves the two engines infer "
+        "the identical key set. Same partial+final hash aggregate as "
+        "an explicit key list — the sugar is resolved at analysis "
+        "time, costs nothing at 100 TB."
+    ),
+    tags=("sql-api", "aggregate", "orders"),
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP_BY_ALL)

@@ -85,6 +85,8 @@ EMPTY_SAFE = [
     "setop_null_semantics",
     "scalar_xml_parse",
     "ts_time_weighted_avg",
+    "agg_covariance_exact",
+    "sql_api_group_by_all",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
