@@ -772,3 +772,55 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("twap_num div twap_den").alias("twap_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count (COUNT(DISTINCT) OVER — Spark lacks it; the
+# first-seen-flag cumulative sum is the standard equivalent)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_type, event_id,
+           COUNT(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_dist
+    FROM events
+    """,
+    doc=(
+        "Running distinct-user count per event type. Spark does not "
+        "support COUNT(DISTINCT) as a window function; the engine uses "
+        "the standard equivalent — flag each (type, user)'s FIRST "
+        "occurrence via row_number()==1, then a cumulative SUM of the "
+        "flags — while the DuckDB oracle runs the native "
+        "COUNT(DISTINCT) OVER, so the hash match PROVES the rewrite is "
+        "semantically identical, not merely similar. Two window passes "
+        "sharing hash-partitioning by event_type; the first-seen pass "
+        "keys by (type, user) so its Exchange is the finer one, and "
+        "at 100 TB both are plain bounded-state window scans — no "
+        "per-row distinct set is materialized anywhere (the naive "
+        "implementation holds a hash set per frame, O(users) memory "
+        "per row; the rewrite is O(1))."
+    ),
+    tags=("window", "distinct", "events"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "user_id"
+    )
+    w_seen = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "first_seen", (F.row_number().over(w_seen) == 1).cast("long")
+        )
+        .withColumn("run_dist", F.sum("first_seen").over(w_run))
+        .select("event_type", "event_id", "run_dist")
+    )

@@ -87,6 +87,7 @@ EMPTY_SAFE = [
     "ts_time_weighted_avg",
     "agg_covariance_exact",
     "sql_api_group_by_all",
+    "window_running_distinct",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
