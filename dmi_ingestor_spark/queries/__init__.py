@@ -10,6 +10,16 @@ setops, windows, textops, similarity, udaf, streaming batch twins,
 remaining scalars) to the front, plus the fixed ``mm_decode_features``.
 Queries not in the priority list keep their import-order position after
 it, so nothing is ever dropped — only rotated.
+
+Round-3 note (do this at the START of round 3, not before round 2's
+driver check runs): 97 queries still have no driver row after r1+r2.
+Replace ``_DRIVER_PRIORITY`` with the first 50 of the never-checked
+set, oracle-bearing first — compute it as
+``[n for n in REGISTRY if n not in CORRECTNESS_r01 keys and n not in
+CORRECTNESS_r02 keys]`` — e.g. the agg_* extras, dedup third-wave
+rungs, pipeline_ops family, sql_api_* pack, scd/cdc, reshape/scalar
+extras, setop_*_all; round 4 takes the remainder (sim_* rows-only,
+st_stream_* rows-only, windows extras, ts_*, analytics_top_paths).
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401
