@@ -974,3 +974,36 @@ def agg_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_num"),
         )
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5)  AS p50d,
+           quantile_disc(l_quantity, 0.9)  AS p90d,
+           quantile_disc(l_quantity, 0.99) AS p99d
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Discrete percentiles (PERCENTILE_DISC WITHIN GROUP ≡ DuckDB "
+        "quantile_disc): returns an ACTUAL data value — the smallest "
+        "value whose cumulative share reaches p — where the continuous "
+        "form (agg_percentiles) interpolates between neighbors. The "
+        "hash match pins that both engines pick the same element under "
+        "the same tie/cumulation rule. Same scale story as the cont "
+        "form: exact percentile is a sort-based aggregate; at 100 TB "
+        "use the mergeable approx sketch (agg_percentiles_approx) and "
+        "reserve DISC for the final small aggregate."
+    ),
+    tags=("aggregate", "percentile", "lineitem"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    wg = "percentile_disc({p}) WITHIN GROUP (ORDER BY l_quantity)"
+    return li.groupBy("l_returnflag").agg(
+        F.expr(wg.format(p=0.5)).alias("p50d"),
+        F.expr(wg.format(p=0.9)).alias("p90d"),
+        F.expr(wg.format(p=0.99)).alias("p99d"),
+    )
