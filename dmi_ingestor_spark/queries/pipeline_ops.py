@@ -930,11 +930,12 @@ _DOMAIN_CAP = 15
         f"curation: keep at most {_DOMAIN_CAP} documents per source, "
         "chosen by md5(doc_id) order so the survivors are a stable "
         "pseudo-random subset (no RNG state, identical under re-runs "
-        "and engine changes). One hash-partitioned window per source; "
-        "at 100 TB the heavy tail (a single giant domain) is exactly "
-        "what this bounds, and since only rank <= cap survives, AQE "
-        "skew-split plus the rank filter keeps any one domain's "
-        "partition from dominating the stage."
+        "and engine changes). The rank<=cap filter lets Spark plan a "
+        "PARTIAL WindowGroupLimit below the Exchange (plan-asserted): "
+        "each map task forwards at most cap rows per domain it sees, "
+        "so at 100 TB a giant domain ships O(cap x map_tasks) rows "
+        "into the window stage, not its entire contents — the heavy "
+        "tail this op exists to bound never dominates the shuffle."
     ),
     tags=("pipeline", "sampling", "documents"),
 )

@@ -312,3 +312,11 @@ def test_multi_distinct_uses_expand(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_domain_cap_has_partial_group_limit(spark, sf_dir):
+    # rank<=cap must plan a Partial WindowGroupLimit BELOW the Exchange
+    # so a giant domain ships O(cap x map_tasks) rows, not all of them.
+    plan = plan_of(spark, sf_dir, "sample_cap_per_domain")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
