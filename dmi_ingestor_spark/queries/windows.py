@@ -798,8 +798,8 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flags — while the DuckDB oracle runs the native "
         "COUNT(DISTINCT) OVER, so the hash match PROVES the rewrite is "
         "semantically identical, not merely similar. Two window passes "
-        "sharing hash-partitioning by event_type; the first-seen pass "
-        "keys by (type, user) so its Exchange is the finer one, and "
+        "(two Exchanges: the first-seen pass keys by (type, user), the "
+        "running sum re-keys by type alone), and "
         "at 100 TB both are plain bounded-state window scans — no "
         "per-row distinct set is materialized anywhere (the naive "
         "implementation holds a hash set per frame, O(users) memory "
