@@ -824,3 +824,57 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("run_dist", F.sum("first_seen").over(w_run))
         .select("event_type", "event_id", "run_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-lite pattern detection (MATCH_RECOGNIZE / Flink CEP analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_cep_pattern",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN regexp_matches(
+                  path, '(^|>)click>click>purchase(>|$)')
+                THEN 1 ELSE 0 END AS BIGINT) AS has_funnel
+    FROM paths
+    """,
+    doc=(
+        "Complex-event-processing pattern detection without "
+        "MATCH_RECOGNIZE (which Spark lacks): per user, the ordered "
+        "event-type sequence is folded to ONE path string inside a "
+        "single aggregate (array_sort(collect_list(struct)) — no "
+        "window pass, no self-joins), then the pattern 'two "
+        "consecutive clicks immediately followed by a purchase' is a "
+        "regex over the path. Any regular pattern compiles to this "
+        "form, which is why it is the scalable CEP fallback: one "
+        "user-keyed Exchange, state bounded by events-per-user, and "
+        "the regex runs JVM-side in codegen. The oracle builds the "
+        "identical path with ORDER BY string_agg, so ordering ties "
+        "(ts, event_id) are pinned too."
+    ),
+    tags=("analytics", "cep", "events"),
+)
+def analytics_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ),
+    )
+    return e.groupBy("user_id").agg(
+        F.when(path.rlike("(^|>)click>click>purchase(>|$)"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("has_funnel")
+    )

@@ -1,0 +1,31 @@
+"""The driver consumes bench.py's stdout as ONE JSON line — a syntax
+error or a stray print would void the round's BENCH artifact. Run the
+real CLI at sf0.001 and validate the contract."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = r.stdout.strip().splitlines()[-1]
+    doc = json.loads(line)
+    assert doc["unit"] == "sec" and doc["sf"] == 0.001
+    assert doc["value"] > 0
+    from bench import BENCH_QUERIES
+
+    assert set(doc["queries"]) == set(BENCH_QUERIES)
+    assert all(v >= 0 for v in doc["queries"].values())

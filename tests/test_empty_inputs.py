@@ -89,6 +89,7 @@ EMPTY_SAFE = [
     "sql_api_group_by_all",
     "window_running_distinct",
     "agg_percentile_disc",
+    "analytics_cep_pattern",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
