@@ -1007,3 +1007,46 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(wg.format(p=0.9)).alias("p90d"),
         F.expr(wg.format(p=0.99)).alias("p99d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap exact distinct (Spark 4 bitmap aggregate family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "EXACT distinct count via Spark 4's bitmap aggregates: keys "
+        "bucket into 32k-bit bitmaps (bitmap_bucket_number / "
+        "bitmap_bit_position), bitmap_construct_agg ORs per-bucket "
+        "membership bits, and SUM(bitmap_count) totals them. Unlike "
+        "COUNT(DISTINCT) — whose dedup re-shuffles raw keys — the "
+        "bitmap partial state is a fixed 4 KB page per (group, bucket): "
+        "mergeable, cacheable as a materialized rollup, and exact "
+        "where HLL (agg_approx_distinct) trades accuracy. The oracle "
+        "is the plain COUNT(DISTINCT), so the hash match proves the "
+        "bitmap pipeline loses nothing. This is the "
+        "pre-aggregated-distinct pattern warehouses ship as BITMAP "
+        "types; at 100 TB it turns repeated distinct queries into "
+        "sums over stored bitmaps."
+    ),
+    tags=("aggregate", "distinct", "bitmap", "orders"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    return buckets.groupBy("o_orderstatus").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_cust")
+    )

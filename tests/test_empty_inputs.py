@@ -90,6 +90,7 @@ EMPTY_SAFE = [
     "window_running_distinct",
     "agg_percentile_disc",
     "analytics_cep_pattern",
+    "agg_bitmap_distinct",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
