@@ -1050,3 +1050,35 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("o_orderstatus").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct_cust")
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(o_orderpriority, ',' ORDER BY o_orderkey) AS prios
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Ordered string aggregation — Spark 4's LISTAGG ... WITHIN "
+        "GROUP (ORDER BY), the ANSI form of DuckDB's string_agg(... "
+        "ORDER BY): per status, order priorities concatenated in "
+        "o_orderkey order. The deterministic ORDER BY inside the "
+        "aggregate is the whole point (unordered listagg output is "
+        "partitioning-dependent and would never hash-match); the "
+        "filter keeps the concatenated state small — at scale, ordered "
+        "listagg buffers each group, so it belongs after reduction, "
+        "not on raw 100 TB facts (analytics_top_paths shows the same "
+        "discipline with capped per-user paths)."
+    ),
+    tags=("aggregate", "listagg", "orders"),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "listagg(o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderkey)"
+        ).alias("prios")
+    )

@@ -91,6 +91,7 @@ EMPTY_SAFE = [
     "agg_percentile_disc",
     "analytics_cep_pattern",
     "agg_bitmap_distinct",
+    "agg_listagg_ordered",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
