@@ -166,3 +166,46 @@ def test_parquet_codec_roundtrip(spark, sf_dir, tmp_path):
             F.sum(F.col("o_orderkey")).alias("s"),
         ).collect()[0]
         assert (got.n, got.s) == (want.n, want.s), codec
+
+
+def test_sorted_write_narrows_file_ranges(spark, sf_dir, tmp_path):
+    """Layout: writing repartitionByRange(col).sortWithinPartitions(col)
+    produces files with (near-)disjoint min/max spans on the sort key —
+    the footer statistics a 100 TB scan prunes on — while an unsorted
+    multi-file write leaves every file spanning the whole domain.
+    Verified from the actual parquet footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dmi_ingestor_spark.catalog import table
+
+    src = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_custkey")
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    sorted_out = str(tmp_path / "sorted")
+    (src.repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(sorted_out))
+    unsorted_out = str(tmp_path / "unsorted")
+    src.repartition(4).write.parquet(unsorted_out)
+
+    s = sorted(spans(sorted_out))
+    assert len(s) == 4
+    # range-partitioned + sorted => file spans are pairwise disjoint
+    for (_, hi), (lo2, _) in zip(s, s[1:]):
+        assert hi <= lo2, s
+    u = spans(unsorted_out)
+    # hash-shuffled files all span (essentially) the full key domain
+    dom_lo = min(lo for lo, _ in u)
+    dom_hi = max(hi for _, hi in u)
+    assert all(hi - lo > (dom_hi - dom_lo) * 0.9 for lo, hi in u), u
