@@ -528,3 +528,70 @@ def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("prio").alias("parsed_prio"),
         parsed.getField("price").alias("parsed_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions (transform_values / map_filter / map_zip_with)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_hof_pack",
+    oracle="""
+    SELECT o_orderkey,
+           concat_ws(',', 2 * (o_orderkey % 5), 2 * (o_orderkey % 7),
+                     2 * (o_orderkey % 13)) AS doubled_vals,
+           concat_ws(',',
+             CASE WHEN (o_orderkey % 5) % 2 = 1 THEN 'a' END,
+             CASE WHEN (o_orderkey % 7) % 2 = 1 THEN 'b' END,
+             CASE WHEN (o_orderkey % 13) % 2 = 1 THEN 'c' END) AS odd_keys,
+           concat_ws(',', (o_orderkey % 5) + (o_orderkey % 11),
+                     (o_orderkey % 7) + (o_orderkey % 11),
+                     (o_orderkey % 13) + (o_orderkey % 11)) AS zipped_sums
+    FROM orders
+    WHERE o_orderkey % 6 = 0
+    """,
+    doc=(
+        "Map higher-order functions — transform_values, map_filter, "
+        "map_zip_with — completing the F8 map surface next to "
+        "scalar_map_pack's constructors. Each HOF's result is emitted "
+        "in key-sorted order (transform(array_sort(map_keys)) lookup) "
+        "so map iteration order can never leak into the hash. DuckDB "
+        "has no map lambdas, so the oracle computes the same values "
+        "algebraically from the synthetic key material — proving the "
+        "HOFs apply the lambda to exactly the right entries. All "
+        "JVM-codegen, zero shuffle, same scale story as every scalar "
+        "pack."
+    ),
+    tags=("scalar", "map", "hof", "orders"),
+)
+def scalar_map_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 6 == 0)
+    k = F.col("o_orderkey")
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array(k % 5, k % 7, k % 13),
+    )
+    m2 = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+        F.array(k % 11, k % 11, k % 11),
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    odd = F.map_filter(m, lambda _, v: v % 2 == 1)
+    zipped = F.map_zip_with(m, m2, lambda _, v1, v2: v1 + v2)
+
+    def vals_sorted(mp):
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_keys(mp)),
+                lambda key: F.element_at(mp, key).cast("string"),
+            ),
+        )
+
+    return o.select(
+        "o_orderkey",
+        vals_sorted(doubled).alias("doubled_vals"),
+        F.concat_ws(",", F.array_sort(F.map_keys(odd))).alias("odd_keys"),
+        vals_sorted(zipped).alias("zipped_sums"),
+    )
