@@ -467,3 +467,74 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n") * 1000) / F.col("tot_n")).cast("long").alias("permille"),
         )
     )
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), big AS (
+      SELECT doc_id, b.pair[1] AS tok, b.pair[2] AS nxt
+      FROM w, unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS b(pair)
+    ), cnt AS (
+      SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM big GROUP BY tok, nxt
+    ), tot AS (
+      SELECT tok, SUM(n) AS tot_n FROM cnt GROUP BY tok
+    ), lm AS (
+      SELECT c.tok, c.nxt, CAST((c.n * 1000) // t.tot_n AS BIGINT) AS permille
+      FROM cnt c JOIN tot t USING (tok)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lm.permille) AS BIGINT) AS sum_permille,
+           CAST(SUM(lm.permille) // COUNT(*) AS BIGINT) AS avg_permille
+    FROM big b JOIN lm ON b.tok = lm.tok AND b.nxt = lm.nxt
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "Model-apply scoring — the quality-filter stage that closes the "
+        "text_bigram_lm loop: every document is scored by the mean "
+        "integer-permille conditional probability of its bigrams under "
+        "the corpus bigram LM. The LM (vocab² bounded) broadcasts, so "
+        "the corpus-side bigram stream never shuffles for the join — "
+        "the exact shape of applying ANY small learned artifact "
+        "(n-gram LM, quality classifier weights, stop-list) to a "
+        "100 TB corpus: train small, broadcast, score map-side, one "
+        "doc_id aggregate. All-integer permille arithmetic keeps "
+        "train AND apply hash-exact."
+    ),
+    tags=("text", "lm", "training-pipeline"),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i - 1] AS tok,"
+                "             split(text, ' ')[i] AS nxt))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tok", "p.nxt")
+    cnt = big.groupBy("tok", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("tok").agg(F.sum("n").alias("tot_n"))
+    lm = cnt.join(tot, "tok").select(
+        "tok", "nxt", ((F.col("n") * 1000) / F.col("tot_n")).cast("long").alias("permille")
+    )
+    return (
+        big.join(F.broadcast(lm), ["tok", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("permille").cast("long").alias("sum_permille"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_permille",
+            (F.col("sum_permille") / F.col("n_bigrams")).cast("long").alias("avg_permille"),
+        )
+    )

@@ -93,6 +93,7 @@ EMPTY_SAFE = [
     "agg_bitmap_distinct",
     "agg_listagg_ordered",
     "scalar_map_hof_pack",
+    "text_lm_score",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
