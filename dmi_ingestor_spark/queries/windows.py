@@ -878,3 +878,57 @@ def analytics_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("has_funnel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (lag over an aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month, rev_c,
+           LAG(rev_c) OVER (ORDER BY month) AS prev_rev_c,
+           rev_c - LAG(rev_c) OVER (ORDER BY month) AS delta_c
+    FROM monthly
+    """,
+    doc=(
+        "Month-over-month revenue growth — the canonical "
+        "window-over-aggregate composition: one grouped aggregate "
+        "collapses the fact table to per-month cent totals (exact "
+        "integer cents), then a single unpartitioned lag window walks "
+        "the month spine. The global window is safe ONLY because it "
+        "runs over the aggregate's output (dozens of rows), never the "
+        "fact — at 100 TB the heavy lifting is all in the "
+        "partial+final sum; the lag stage is O(months). Deltas stay "
+        "integer cents (no ratio) so sign-dependent floor-vs-truncate "
+        "division semantics never enter the hash."
+    ),
+    tags=("analytics", "window", "orders"),
+)
+def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "rev_c",
+        F.lag("rev_c").over(w).alias("prev_rev_c"),
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("delta_c"),
+    )
