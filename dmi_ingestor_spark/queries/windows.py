@@ -932,3 +932,63 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev_c").over(w).alias("prev_rev_c"),
         (F.col("rev_c") - F.lag("rev_c").over(w)).alias("delta_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, freq, monetary_c,
+           CAST(NTILE(5) OVER (ORDER BY last_us DESC, o_custkey) AS BIGINT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS BIGINT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS BIGINT)
+             AS m_score
+    FROM per_cust
+    """,
+    doc=(
+        "RFM segmentation — the classic customer-analytics composition: "
+        "ONE grouped aggregate reduces orders to per-customer "
+        "(last-order epoch, order count, lifetime cents), then three "
+        "NTILE(5) windows rank the reduced relation on each dimension. "
+        "Like analytics_mom_growth, the unpartitioned windows are safe "
+        "only because they run over the aggregate's output (customers, "
+        "not orders); every NTILE order includes the o_custkey "
+        "tiebreaker so quintile boundaries are total-ordered and "
+        "hash-stable. All-integer (epoch-micros, counts, cents)."
+    ),
+    tags=("analytics", "window", "orders"),
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    r = Window.orderBy(F.col("last_us").desc(), "o_custkey")
+    f = Window.orderBy(F.col("freq").desc(), "o_custkey")
+    m = Window.orderBy(F.col("monetary_c").desc(), "o_custkey")
+    return per_cust.select(
+        "o_custkey",
+        "freq",
+        "monetary_c",
+        F.ntile(5).over(r).cast("long").alias("r_score"),
+        F.ntile(5).over(f).cast("long").alias("f_score"),
+        F.ntile(5).over(m).cast("long").alias("m_score"),
+    )
