@@ -992,3 +992,60 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(f).cast("long").alias("f_score"),
         F.ntile(5).over(m).cast("long").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (pair generation without a self-join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_copurchase_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, p1, p2
+    LIMIT 50
+    """,
+    doc=(
+        "Market-basket co-occurrence: top co-purchased part pairs with "
+        "support >= 2. The oracle states it as the textbook self-join "
+        "(op a JOIN op b ON same order, p1 < p2) — the form that "
+        "re-shuffles the fact against itself. The engine instead "
+        "groups each order once into a sorted part array (baskets are "
+        "small and bounded) and generates the C(k,2) pairs with "
+        "nested transform/slice/flatten — pure codegen, ONE pass over "
+        "lineitem, and the only shuffles are the basket groupBy and "
+        "the bounded pair count. The hash match proves the array "
+        "enumeration is exactly the relational self-join. Top-50 by "
+        "(support, p1, p2) is total-ordered → TakeOrdered, no global "
+        "sort."
+    ),
+    tags=("analytics", "basket", "lineitem"),
+)
+def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                "           y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+        .limit(50)
+    )

@@ -96,6 +96,7 @@ EMPTY_SAFE = [
     "text_lm_score",
     "analytics_mom_growth",
     "analytics_rfm_segments",
+    "analytics_copurchase_pairs",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
