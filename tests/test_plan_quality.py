@@ -320,3 +320,14 @@ def test_domain_cap_has_partial_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_cap_per_domain")
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan
+
+
+def test_copurchase_has_single_scan_no_self_join(spark, sf_dir):
+    # pair generation must come from grouped arrays, not the oracle's
+    # self-join: one lineitem scan, no join operator at all.
+    import re
+
+    plan = plan_of(spark, sf_dir, "analytics_copurchase_pairs")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
