@@ -1049,3 +1049,75 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "p1", "p2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration by customer decile (Pareto / Gini-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev_c,
+             CAST(NTILE(10) OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT)
+               AS decile
+      FROM per_cust
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS decile_rev_c,
+           CAST((SUM(rev_c) * 1000) // (SELECT SUM(rev_c) FROM ranked)
+                AS BIGINT) AS share_permille
+    FROM ranked
+    GROUP BY decile
+    """,
+    doc=(
+        "Revenue concentration — 'what share do the top deciles hold': "
+        "per-customer cent totals (one aggregate over the fact), "
+        "NTILE(10) deciles over the reduced relation, then per-decile "
+        "sums with an integer-permille share of the grand total (the "
+        "scalar subquery broadcasts). The 80/20 concentration readout "
+        "every revenue dashboard ships, all-integer so the division "
+        "(positive operands: floor == truncate) hash-matches. Window "
+        "runs over customers, never orders — same reduced-relation "
+        "discipline as analytics_rfm_segments."
+    ),
+    tags=("analytics", "window", "orders"),
+)
+def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev_c",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("rev_c").desc(), "o_custkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    total = ranked.agg(F.sum("rev_c").alias("grand_c"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_c").cast("long").alias("decile_rev_c"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev_c",
+            F.expr("(decile_rev_c * 1000) div grand_c").alias("share_permille"),
+        )
+    )

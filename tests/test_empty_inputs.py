@@ -97,6 +97,7 @@ EMPTY_SAFE = [
     "analytics_mom_growth",
     "analytics_rfm_segments",
     "analytics_copurchase_pairs",
+    "analytics_revenue_concentration",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
