@@ -570,3 +570,38 @@ def join_asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> Dat
     return asof_join_next(
         clicks, purchases, "user_id", "p_user", "ts", "p_ts", "purchase_id", "event_id"
     ).select("event_id", "user_id", "purchase_id", "p_ts")
+
+
+@register(
+    "join_right_outer_lineitem_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey,
+           CAST(COUNT(l.l_linenumber) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RIGHT OUTER join — the last explicit J1 mode (inner/left/"
+        "semi/anti/full/cross are elsewhere): lineitem⋈orders shuffled "
+        "on the fact key, then right-preserved against customer so "
+        "order-less customers survive with NULL orders. Catalyst plans "
+        "a right join as the mirrored left join (build side swap); at "
+        "100 TB the customer side broadcasts and preservation costs "
+        "nothing. NULL-safe count (COUNT(col) skips NULLs) keeps the "
+        "preserved rows hash-identical."
+    ),
+    tags=("join", "outer", "customer"),
+)
+def join_right_outer_lineitem_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_mktsegment", "o_orderkey")
+        .agg(F.count("l_linenumber").cast("long").alias("n_lines"))
+    )
