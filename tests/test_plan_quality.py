@@ -331,3 +331,28 @@ def test_copurchase_has_single_scan_no_self_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cache_reuse_across_actions(spark, sf_dir):
+    """df.cache() must materialize once and serve later plans from
+    InMemoryTableScan — the iterative-workload pattern (k-means,
+    PageRank, LSH self-joins all cache their loop-invariant side)."""
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    try:
+        base.collect()  # materialize
+        second = base.filter(F.col("n") > 0)
+        executed = second._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in executed, executed[:1500]
+        # the cached plan must NOT rescan parquet
+        assert "FileScan" not in executed.split("InMemoryRelation")[0], executed[:1500]
+    finally:
+        base.unpersist()
