@@ -1082,3 +1082,43 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(o_orderpriority, ',') WITHIN GROUP (ORDER BY o_orderkey)"
         ).alias("prios")
     )
+
+
+@register(
+    "agg_grouping_id_pin",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderstatus END AS status,
+           o_orderpriority AS prio,
+           CAST(GROUPING(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                              ELSE o_orderstatus END) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(1, 2)
+    """,
+    doc=(
+        "GROUPING() disambiguation under ROLLUP with REAL NULL keys "
+        "injected: a subtotal row's NULL status and a genuine NULL "
+        "status group are indistinguishable by value — GROUPING(col) "
+        "(1 = column rolled up, 0 = real group, possibly NULL-keyed) "
+        "is the only correct discriminator, and any consumer that "
+        "filters subtotals by `status IS NULL` silently merges real "
+        "NULL groups into totals. The hash match pins that both "
+        "engines emit identical grouping flags for every rollup "
+        "level. Same Expand-based plan as the other grouping-set "
+        "queries."
+    ),
+    tags=("aggregate", "rollup", "null-semantics", "orders"),
+)
+def agg_grouping_id_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    status = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    d = o.select(status.alias("status"), F.col("o_orderpriority").alias("prio"))
+    return d.rollup("status", "prio").agg(
+        F.grouping("status").cast("long").alias("g_status"),
+        F.grouping("prio").cast("long").alias("g_prio"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select("status", "prio", "g_status", "g_prio", "n")
