@@ -480,3 +480,50 @@ def reshape_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit("v2").alias("snapshot"),
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Map explode (the MapType generator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reshape_explode_map",
+    oracle="""
+    SELECT o_orderkey, mk, mv
+    FROM (
+      SELECT o_orderkey, 'status' AS mk, o_orderstatus AS mv
+      FROM orders WHERE o_orderkey % 8 = 0
+      UNION ALL
+      SELECT o_orderkey, 'prio', o_orderpriority
+      FROM orders WHERE o_orderkey % 8 = 0
+      UNION ALL
+      SELECT o_orderkey, 'bucket', CAST(o_orderkey % 4 AS VARCHAR)
+      FROM orders WHERE o_orderkey % 8 = 0
+    )
+    """,
+    doc=(
+        "explode() over a MapType column — the map-typed generator "
+        "completing the lateral family (array explode/posexplode/"
+        "_outer, struct-array UDTF): each order's 3-entry attribute "
+        "map fans out to (key, value) rows. DuckDB has no map "
+        "generator, so the oracle states the same fan-out as a "
+        "UNION ALL of the entries — proving Spark enumerates exactly "
+        "the map's entry set (order-insensitively, per the driver's "
+        "sorted compare). Map generators are the natural decode for "
+        "sparse attribute blobs (headers, tags, feature maps) and "
+        "fan out map-side with zero shuffle."
+    ),
+    tags=("reshape", "explode", "map", "orders"),
+)
+def reshape_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("prio"), F.lit("bucket")),
+        F.array(
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            (F.col("o_orderkey") % 4).cast("string"),
+        ),
+    )
+    return o.select("o_orderkey", F.explode(m).alias("mk", "mv"))

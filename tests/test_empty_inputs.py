@@ -100,6 +100,7 @@ EMPTY_SAFE = [
     "analytics_revenue_concentration",
     "join_right_outer_lineitem_customer",
     "agg_grouping_id_pin",
+    "reshape_explode_map",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
