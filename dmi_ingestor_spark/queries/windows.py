@@ -1121,3 +1121,40 @@ def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFra
             F.expr("(decile_rev_c * 1000) div grand_c").alias("share_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pagination (ORDER BY ... LIMIT with OFFSET, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+    doc=(
+        "Keyset-free pagination — page 3 (rows 51-75) of the "
+        "price-ordered order book via ORDER BY + OFFSET/LIMIT "
+        "(DataFrame.offset, Spark 3.4+). The total order (price DESC, "
+        "orderkey) makes the page deterministic; the planner still "
+        "computes only a top-(offset+limit) per partition and merges "
+        "(GlobalLimit over LocalLimits), never a full sort — but note "
+        "the honest scale caveat: OFFSET cost grows with page depth, "
+        "so deep pagination at 100 TB should switch to keyset "
+        "pagination (WHERE (price, key) < last_seen ORDER BY ... "
+        "LIMIT n), which sort_limit_top_orders' TakeOrdered shape "
+        "covers."
+    ),
+    tags=("sort", "limit", "pagination", "orders"),
+)
+def sort_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").offset(50).limit(25)
+    )

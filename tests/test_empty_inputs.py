@@ -101,6 +101,7 @@ EMPTY_SAFE = [
     "join_right_outer_lineitem_customer",
     "agg_grouping_id_pin",
     "reshape_explode_map",
+    "sort_limit_offset_page",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
