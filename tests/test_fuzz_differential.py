@@ -110,3 +110,70 @@ def test_random_shape_matches_duckdb(spark, sf_dir, duck, seed):
     ddf = duck.execute(sql).fetchdf()
     problems = compare(f"fuzz_seed_{seed}", normalize(sdf.toPandas()), normalize(ddf))
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Join-shape fuzzing: random join type × predicate × aggregation
+# ---------------------------------------------------------------------------
+
+_JOIN_TYPES = ["inner", "left", "right", "full", "semi", "anti"]
+
+_O_PRED = [
+    (lambda: F.col("o_orderkey") % 3 == 1, "o.o_orderkey % 3 = 1"),
+    (lambda: F.col("o_totalprice") > 150000.0, "o.o_totalprice > 150000.0"),
+    (lambda: F.col("o_orderstatus") != "F", "o.o_orderstatus <> 'F'"),
+]
+_C_PRED = [
+    (lambda: F.col("c_acctbal") > 0.0, "c.c_acctbal > 0.0"),
+    (lambda: F.col("c_mktsegment") == "BUILDING", "c.c_mktsegment = 'BUILDING'"),
+    (lambda: F.col("c_custkey") % 2 == 0, "c.c_custkey % 2 = 0"),
+]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_join_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(1000 + seed)
+    how = rng.choice(_JOIN_TYPES)
+    op, osql = rng.choice(_O_PRED)
+    cp, csql = rng.choice(_C_PRED)
+
+    o = table(spark, sf_dir, "orders").filter(op())
+    c = table(spark, sf_dir, "customer").filter(cp())
+    joined = o.join(c, o.o_custkey == c.c_custkey, how)
+    if how in ("semi", "anti"):
+        sdf = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("agg_n"),
+            F.min("o_orderkey").alias("agg_min_key"),
+        )
+        exists = "EXISTS" if how == "semi" else "NOT EXISTS"
+        sql = f"""
+          SELECT o.o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS agg_n,
+                 MIN(o.o_orderkey) AS agg_min_key
+          FROM orders o
+          WHERE {osql} AND {exists} (
+            SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey AND {csql})
+          GROUP BY 1
+        """
+    else:
+        sdf = joined.groupBy("o_orderstatus", "c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("agg_n"),
+            F.count("c_custkey").cast("long").alias("agg_n_cust"),
+        )
+        jt = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+              "full": "FULL JOIN"}[how]
+        sql = f"""
+          SELECT o_orderstatus, c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS agg_n,
+                 CAST(COUNT(c_custkey) AS BIGINT) AS agg_n_cust
+          FROM (SELECT * FROM orders o WHERE {osql}) o
+          {jt} (SELECT * FROM customer c WHERE {csql}) c
+            ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_join_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed} how={how}: {problems}\nSQL: {sql}"
