@@ -11,6 +11,7 @@ import random
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
@@ -177,3 +178,62 @@ def test_random_join_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_join_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed} how={how}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Window-shape fuzzing: random function × partition × order direction
+# ---------------------------------------------------------------------------
+
+_WIN_FUNCS = [
+    (lambda w: F.row_number().over(w).cast("long").alias("wv"),
+     "CAST(ROW_NUMBER() OVER w AS BIGINT) AS wv"),
+    (lambda w: F.rank().over(w).cast("long").alias("wv"),
+     "CAST(RANK() OVER w AS BIGINT) AS wv"),
+    (lambda w: F.dense_rank().over(w).cast("long").alias("wv"),
+     "CAST(DENSE_RANK() OVER w AS BIGINT) AS wv"),
+    (lambda w: F.lag("o_orderkey").over(w).alias("wv"),
+     "LAG(o_orderkey) OVER w AS wv"),
+    (lambda w: F.lead("o_orderkey").over(w).alias("wv"),
+     "LEAD(o_orderkey) OVER w AS wv"),
+    (
+        lambda w: F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("wv"),
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER "
+        "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS wv",
+    ),
+]
+
+_WIN_PARTS = [("o_orderstatus", "o_orderstatus"), ("o_orderpriority", "o_orderpriority")]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_window_matches_duckdb(spark, sf_dir, duck, seed):
+    from pyspark.sql import Window as W
+
+    rng = random.Random(2000 + seed)
+    fn, fsql = rng.choice(_WIN_FUNCS)
+    part, psql = rng.choice(_WIN_PARTS)
+    desc = rng.random() < 0.5
+    frame_in_sql = "ROWS BETWEEN" in fsql
+
+    order = F.col("o_orderkey").desc() if desc else F.col("o_orderkey")
+    w = W.partitionBy(part).orderBy(order)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    sdf = o.select("o_orderkey", part, fn(w))
+
+    dir_sql = "DESC" if desc else "ASC"
+    # the running-sum variant embeds its frame; WINDOW w must then be
+    # frameless in the SQL too
+    sql = f"""
+      SELECT o_orderkey, {psql}, {fsql}
+      FROM orders
+      WHERE o_orderkey % 11 = 0
+      WINDOW w AS (PARTITION BY {psql} ORDER BY o_orderkey {dir_sql})
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_window_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
