@@ -237,3 +237,55 @@ def test_random_window_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_window_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Scalar-expression fuzzing: random string/math/conditional projections
+# ---------------------------------------------------------------------------
+
+_SCALARS = [
+    (lambda: F.upper(F.col("o_orderpriority")).alias("sv"),
+     "upper(o_orderpriority) AS sv"),
+    (lambda: F.lower(F.col("o_orderstatus")).alias("sv"),
+     "lower(o_orderstatus) AS sv"),
+    (lambda: F.substring(F.col("o_orderpriority"), 3, 4).alias("sv"),
+     "substr(o_orderpriority, 3, 4) AS sv"),
+    (lambda: F.length(F.col("o_orderpriority")).cast("long").alias("sv"),
+     "CAST(length(o_orderpriority) AS BIGINT) AS sv"),
+    (lambda: F.concat_ws("-", F.col("o_orderstatus"),
+                         (F.col("o_orderkey") % 10).cast("string")).alias("sv"),
+     "concat_ws('-', o_orderstatus, CAST(o_orderkey % 10 AS VARCHAR)) AS sv"),
+    (lambda: F.abs(F.col("o_orderkey") % 13 - 6).cast("long").alias("sv"),
+     "CAST(abs(o_orderkey % 13 - 6) AS BIGINT) AS sv"),
+    (lambda: F.when(F.col("o_orderkey") % 2 == 0, F.lit("even"))
+              .otherwise(F.lit("odd")).alias("sv"),
+     "CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS sv"),
+    (lambda: F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")),
+                        F.lit("PENDING")).alias("sv"),
+     "coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS sv"),
+    (lambda: F.greatest(F.col("o_orderkey") % 7, F.col("o_custkey") % 7)
+              .cast("long").alias("sv"),
+     "CAST(greatest(o_orderkey % 7, o_custkey % 7) AS BIGINT) AS sv"),
+    (lambda: F.lpad((F.col("o_orderkey") % 100).cast("string"), 4, "0").alias("sv"),
+     "lpad(CAST(o_orderkey % 100 AS VARCHAR), 4, '0') AS sv"),
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_scalar_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(3000 + seed)
+    picks = rng.sample(_SCALARS, 3)
+    mod = rng.choice([7, 11, 13])
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % mod == 0)
+    cols = [fn().alias(f"sv{i}") for i, (fn, _) in enumerate(picks)]
+    sdf = o.select("o_orderkey", *cols)
+    sel = ", ".join(
+        s.replace(" AS sv", f" AS sv{i}") for i, (_, s) in enumerate(picks)
+    )
+    sql = f"SELECT o_orderkey, {sel} FROM orders WHERE o_orderkey % {mod} = 0"
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_scalar_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
