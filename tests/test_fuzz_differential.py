@@ -289,3 +289,48 @@ def test_random_scalar_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_scalar_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Set-op fuzzing: union/intersect/except × distinct/all × leg predicates
+# ---------------------------------------------------------------------------
+
+_SETOPS = [
+    ("union_all", "UNION ALL"),
+    ("union", "UNION"),
+    ("intersect", "INTERSECT"),
+    ("intersect_all", "INTERSECT ALL"),
+    ("except", "EXCEPT"),
+    ("except_all", "EXCEPT ALL"),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_setop_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(4000 + seed)
+    op, opsql = rng.choice(_SETOPS)
+    ma, mb = rng.sample([2, 3, 4, 5], 2)
+
+    o = table(spark, sf_dir, "orders")
+    proj = ["o_orderstatus", "o_orderpriority"]
+    a = o.filter(F.col("o_orderkey") % ma == 0).select(*proj)
+    b = o.filter(F.col("o_orderkey") % mb == 0).select(*proj)
+    sdf = {
+        "union_all": lambda: a.unionAll(b),
+        "union": lambda: a.union(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[op]()
+
+    sql = f"""
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % {ma} = 0
+      {opsql}
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % {mb} = 0
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_setop_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed} op={op}: {problems}\nSQL: {sql}"
