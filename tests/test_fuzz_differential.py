@@ -334,3 +334,40 @@ def test_random_setop_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_setop_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed} op={op}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# HAVING fuzzing: post-aggregation predicates
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_having_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(5000 + seed)
+    mod = rng.choice([2, 3])
+    thresh = rng.choice([10, 50, 200])
+    key = rng.choice(["o_orderstatus", "o_orderpriority"])
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % mod == 0)
+    sdf = (
+        o.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("agg_n"),
+            F.min("o_orderkey").alias("agg_min_key"),
+        )
+        .filter(F.col("agg_n") > thresh)
+    )
+    sql = f"""
+      SELECT {key},
+             CAST(COUNT(*) AS BIGINT) AS agg_n,
+             MIN(o_orderkey) AS agg_min_key
+      FROM orders
+      WHERE o_orderkey % {mod} = 0
+      GROUP BY {key}
+      HAVING COUNT(*) > {thresh}
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_having_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
