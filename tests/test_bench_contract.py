@@ -29,3 +29,27 @@ def test_bench_emits_one_json_line():
 
     assert set(doc["queries"]) == set(BENCH_QUERIES)
     assert all(v >= 0 for v in doc["queries"].values())
+
+
+def test_oracle_check_cli_contract():
+    """tools/oracle_check.py is the local replica of the driver's t2
+    gate — its CLI (arg parsing, per-query PASS lines, exit code) must
+    keep working, including --vanilla."""
+    r = subprocess.run(
+        [
+            sys.executable,
+            "tools/oracle_check.py",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "q1_pricing_summary",
+            "agg_approx_distinct",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-500:]
+    assert "PASS q1_pricing_summary" in r.stdout
+    assert "ROWS-ONLY agg_approx_distinct" in r.stdout
+    assert "1 pass, 0 fail, 1 rows-only of 2" in r.stdout
