@@ -188,3 +188,22 @@ def test_arrow_optimized_udf_matches_builtin(spark, sf_dir):
     lhs = sorted((r.l_orderkey, r.l_linenumber, r.m) for r in got.collect())
     rhs = sorted((r.l_orderkey, r.l_linenumber, r.m) for r in want.collect())
     assert lhs == rhs and len(lhs) == 2000
+
+
+def test_topk_aggregate_rank1_equals_lateral_top1(spark, sf_dir):
+    """Two independent top-per-group implementations must agree: the
+    aggregate form's rank-1 rows (slice/sort_array/collect_list) and
+    the decorrelated LATERAL ORDER BY LIMIT 1 (WindowGroupLimit) pick
+    identical (customer, order, price) triples."""
+    agg = {
+        (r.o_custkey, r.o_orderkey, r.o_totalprice)
+        for r in REGISTRY["topk_per_group_aggregate"]
+        .builder(spark, sf_dir)
+        .filter("rnk = 1")
+        .collect()
+    }
+    lat = {
+        (r.c_custkey, r.o_orderkey, r.o_totalprice)
+        for r in REGISTRY["sql_api_lateral_topn"].builder(spark, sf_dir).collect()
+    }
+    assert agg == lat and len(agg) > 0
