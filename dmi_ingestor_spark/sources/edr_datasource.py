@@ -26,11 +26,13 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -133,6 +135,9 @@ class EdrDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "EdrStreamReader":
         return EdrStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "ManifestJsonlWriter":
+        return ManifestJsonlWriter(self.options, schema, overwrite)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EdrDataSource)
@@ -183,3 +188,88 @@ class EdrStreamReader(SimpleDataSourceStreamReader):
             for x_i, x in enumerate(cube.xs)
         ]
         return iter(rows), {"cycle": cycle + 1}
+
+
+# ---------------------------------------------------------------------------
+# Writer side (S8 manifest sink as a first-class Python DataSource)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    """``df.write.format("dmi_edr").option("path", dir).save()`` —
+    the reference's publish step (`dmi_ingestor/ingestor.py:108-118`:
+    per-band upload + one JSON manifest) as a Spark 4 Python
+    DataSourceWriter with the committer protocol done right:
+
+    * each task streams its partition to ``_tmp.part-NNNNN.jsonl``
+      and returns a commit message (filename, row count);
+    * ``commit()`` — driver-side, exactly once, only after EVERY task
+      succeeded — renames the temp files into place and writes
+      ``_MANIFEST.json`` (file list + per-file and total row counts),
+      the atomic "the dataset is now complete" marker readers key on;
+    * ``abort()`` removes temp files, so a failed job leaves no
+      half-published output — the keep-last-good semantics the
+      reference's delete-then-write loop lacks.
+
+    Local-FS rename here; on an object store the same protocol rides
+    the Hadoop committer (cf. ingest/fs.py).
+    """
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dmi_edr writer requires .option('path', ...)")
+        self.field_names = list(schema.fieldNames())
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartFile:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{pid:05d}.jsonl"
+        tmp = os.path.join(self.path, f"_tmp.{name}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.field_names, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return _PartFile(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files = {}
+        for m in messages:
+            tmp = os.path.join(self.path, f"_tmp.{m.filename}")
+            os.replace(tmp, os.path.join(self.path, m.filename))
+            files[m.filename] = m.n_rows
+        manifest = {
+            "files": dict(sorted(files.items())),
+            "n_files": len(files),
+            "n_rows": sum(files.values()),
+            "columns": self.field_names,
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True, indent=1)
+
+    def abort(self, messages) -> None:
+        import glob
+        import os
+
+        for tmp in glob.glob(os.path.join(self.path, "_tmp.part-*.jsonl")):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass

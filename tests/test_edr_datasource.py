@@ -92,3 +92,67 @@ def test_stream_reader_one_batch_per_cycle(spark, tmp_path):
     assert got.count() == 3 * 4 * 64
     # cycles shift t0 by 4h: all 12 hourly timesteps distinct
     assert got.select("time_s").distinct().count() == 12
+
+
+def test_writer_commit_protocol_roundtrip(spark, sf_dir, tmp_path):
+    """df.write.format('dmi_edr') — task temp files, driver-side
+    commit rename, _MANIFEST.json totals; content round-trips through
+    spark.read.json byte-for-value."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.sources.edr_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "published")
+    src = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .repartition(4)
+    )
+    src.write.format("dmi_edr").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_files"] == 4
+    assert manifest["n_rows"] == src.count()
+    assert manifest["columns"] == ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    assert not glob.glob(os.path.join(out, "_tmp.*")), "temp files must be gone"
+    for name, n in manifest["files"].items():
+        with open(os.path.join(out, name)) as fh:
+            assert sum(1 for _ in fh) == n
+
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    got = {(r.o_orderkey, r.o_orderstatus, r.o_orderpriority) for r in back.collect()}
+    want = {tuple(r) for r in src.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_writer_abort_leaves_no_output(spark, sf_dir, tmp_path):
+    """A failing write job must abort cleanly: no _MANIFEST.json, no
+    committed part files (keep-last-good by construction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.sources.edr_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "aborted")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected failure")
+
+    src = table(spark, sf_dir, "orders").select(boom("o_orderkey").alias("k"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        src.write.format("dmi_edr").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert not [f for f in os.listdir(out) if f.startswith("part-")] if os.path.exists(out) else True
