@@ -613,3 +613,54 @@ def ingest_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select(
         "time_s", "iy", "ix", dist.alias("dist_km"), "value"
     ).filter(F.col("dist_km") < 60.0)
+
+
+@register(
+    "sink_datasource_manifest",
+    oracle="""
+    SELECT 'part-00000.jsonl' AS filename,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    """,
+    doc=(
+        "S8 sink through the Python DataSource WRITER "
+        "(sources/edr_datasource.py ManifestJsonlWriter): filtered "
+        "orders are published via df.write.format('dmi_edr') — task "
+        "temp file, driver-side commit rename, _MANIFEST.json marker — "
+        "then the query returns the manifest's accounting joined with "
+        "a read-back checksum of the published JSONL. Driver-green "
+        "means the full write-commit-readback cycle is lossless. "
+        "Single-partition here so the manifest is SQL-predictable; "
+        "the multi-partition commit/abort protocol is pinned in "
+        "tests/test_edr_datasource.py. Cites the reference's publish "
+        "step dmi_ingestor/ingestor.py:108-118."
+    ),
+    tags=("ingest", "sink", "datasource", "orders"),
+)
+def sink_datasource_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.sources.edr_datasource import register as reg_ds
+
+    reg_ds(spark)
+    out = tempfile.mkdtemp(prefix="dmi-edr-sink-")
+    src = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .coalesce(1)
+    )
+    src.write.format("dmi_edr").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    (fname, n_rows) = next(iter(manifest["files"].items()))
+    return back.agg(
+        F.lit(fname).alias("filename"),
+        F.lit(manifest["n_files"]).cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
