@@ -371,3 +371,58 @@ def test_random_having_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_having_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Date/time fuzzing over NTZ event timestamps — the classic cross-engine
+# divergence zone (weekday numbering, week-of-year, truncation, formats)
+# ---------------------------------------------------------------------------
+
+# (spark_sql_expr, duckdb_sql_expr) — pre-verified atom pairs, including
+# the divergent-numbering pins: Spark weekday (0=Mon) + 1 == DuckDB
+# isodow (1=Mon); Spark weekofyear (ISO) == DuckDB week.
+_DT_ATOMS = [
+    ("CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(minute(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(minute(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(month(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(quarter(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(quarter(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(weekday(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)",
+     "CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("date_format(CAST(ts AS TIMESTAMP), 'yyyy-MM-dd HH:mm')",
+     "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M')"),
+    ("unix_micros(date_trunc('hour', CAST(ts AS TIMESTAMP)))",
+     "epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))"),
+    ("CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(week(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ("CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+     "CAST(dayofyear(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_datetime_matches_duckdb(spark, sf_dir, duck, seed):
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    rng = random.Random(6000 + seed)
+    picks = rng.sample(_DT_ATOMS, 3)
+    mod = rng.choice([3, 5, 7])
+
+    ssel = ", ".join(f"{s} AS dt{i}" for i, (s, _) in enumerate(picks))
+    dsel = ", ".join(f"{d} AS dt{i}" for i, (_, d) in enumerate(picks))
+    sdf = spark.sql(
+        f"SELECT event_id, {ssel} FROM events WHERE event_id % {mod} = 0"
+    )
+    ddf = duck.execute(
+        f"SELECT event_id, {dsel} FROM events WHERE event_id % {mod} = 0"
+    ).fetchdf()
+    problems = compare(
+        f"fuzz_dt_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}"
