@@ -595,3 +595,49 @@ def scalar_map_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.map_keys(odd))).alias("odd_keys"),
         vals_sorted(zipped).alias("zipped_sums"),
     )
+
+
+@register(
+    "scalar_array_index_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             [o_orderstatus, o_orderpriority, CAST(o_orderkey % 3 AS VARCHAR)]
+               AS arr,
+             CAST(o_orderkey % 5 + 1 AS BIGINT) AS idx
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT o_orderkey,
+           arr[CAST(idx AS INT)] AS maybe_oob,
+           arr[-1] AS from_end,
+           arr[2] AS second
+    FROM a
+    """,
+    doc=(
+        "Array indexing semantics pinned for ANSI mode: "
+        "try_element_at(arr, i) returns NULL past the end (i in 1..5 "
+        "over a 3-element array, so ~40%% of rows go out of bounds) "
+        "instead of ANSI element_at's runtime error — matching "
+        "DuckDB's NULL-on-OOB bracket indexing — and negative indexes "
+        "count from the end in BOTH engines (arr[-1] = last). The pin "
+        "matters because Spark 4 enables ANSI by default: any plan "
+        "using plain element_at on data-driven indexes is one bad row "
+        "away from a job abort at 100 TB; try_element_at is the "
+        "total function."
+    ),
+    tags=("scalar", "array", "null-semantics", "orders"),
+)
+def scalar_array_index_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    arr = F.array(
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 3).cast("string"),
+    )
+    idx = (F.col("o_orderkey") % 5 + 1).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.try_element_at(arr, idx).alias("maybe_oob"),
+        F.try_element_at(arr, F.lit(-1)).alias("from_end"),
+        F.try_element_at(arr, F.lit(2)).alias("second"),
+    )

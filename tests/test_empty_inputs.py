@@ -102,6 +102,7 @@ EMPTY_SAFE = [
     "agg_grouping_id_pin",
     "reshape_explode_map",
     "sort_limit_offset_page",
+    "scalar_array_index_semantics",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
