@@ -223,3 +223,48 @@ def resize_payloads(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _resize, schema=RESIZED_SCHEMA
     )
+
+
+AUDIO_FRAME = 128  # samples per analysis window
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Audio modality stub: PCM16-LE windowed energy, Arrow-batched.
+
+    Interprets each payload as little-endian int16 samples (the real
+    librosa/soundfile decode is the codec stub, same policy as
+    :func:`_decode_bytes`) and emits one row per COMPLETE ``frame``-
+    sample window with its integer energy Σ s² — the map-only windowed
+    feature-extraction shape (VAD, loudness normalization, silence
+    trimming) over an opaque audio column. numpy-vectorized per Arrow
+    batch; partitioning preserved, no shuffle, output rows ≠ input rows.
+    """
+    import numpy as np
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            es: list[int] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                arr = np.frombuffer(raw[: 2 * (len(raw) // 2)], dtype="<i2")
+                nf = len(arr) // frame
+                if nf == 0:
+                    continue
+                windows = arr[: nf * frame].astype(np.int64).reshape(nf, frame)
+                energy = (windows * windows).sum(axis=1)
+                ids.extend([doc_id] * nf)
+                idxs.extend(range(nf))
+                es.extend(int(e) for e in energy)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "energy": es})
+
+    return media.mapInPandas(_energy, AUDIO_SCHEMA)

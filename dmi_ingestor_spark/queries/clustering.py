@@ -152,3 +152,83 @@ REGISTRY["cluster_kmeans_embeddings"] = QuerySpec(
     doc=_spec.doc,
     tags=_spec.tags,
 )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic deduplication = k-means blocking + in-cluster cosine.
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.40  # same near-dup threshold as dedup_embedding_cosine
+
+
+def _semdedup_oracle() -> str:
+    from dmi_ingestor_spark.functions.vector import sql_cosine
+
+    cos = sql_cosine("a.qv", "b.qv")
+    return f"""
+    WITH asg AS (SELECT vec_id, cluster_id FROM ({_kmeans_oracle()})),
+    vq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    pts AS (
+      SELECT a.vec_id, a.cluster_id, v.qv FROM asg a JOIN vq v USING (vec_id)
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM pts a JOIN pts b
+        ON a.cluster_id = b.cluster_id AND b.vec_id > a.vec_id
+      WHERE {cos} >= {_SEM_TAU}
+    )
+    SELECT p.vec_id, p.cluster_id, (d.vec_id IS NULL) AS is_kept
+    FROM pts p LEFT JOIN dups d ON d.vec_id = p.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup (Abbas et al. 2023) shape: semantic dedup via k-means "
+        "blocking. The unrolled integer-exact k-means assignment "
+        "(cluster_kmeans_embeddings) is the blocking key; full-dim "
+        "quantized cosine runs only WITHIN clusters (pair count bounded "
+        "by Σ cluster², never n²); a row is dropped when a smaller-id "
+        "in-cluster neighbor has sim ≥ 0.40. At 100 TB the cluster "
+        "count scales with n so in-cluster blocks stay bounded, the "
+        "per-round k-means shuffle carries k rows, and the verify join "
+        "shuffles on cluster_id only. The whole composition — iteration "
+        "included — is hash-checked against a nested-CTE oracle."
+    ),
+    tags=("dedup", "clustering", "embeddings", "iterative"),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.vector import cosine, quantize
+
+    asg = cluster_kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    pts = asg.join(emb, ["vec_id"])
+    a = pts.select(
+        F.col("cluster_id"), F.col("vec_id").alias("a_id"), F.col("qv").alias("a_v")
+    )
+    b = pts.select(
+        F.col("cluster_id"), F.col("vec_id").alias("b_id"), F.col("qv").alias("b_v")
+    )
+    dups = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("b_id") > F.col("a_id"))
+        .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("sim") >= _SEM_TAU)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return pts.join(
+        dups, pts["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.col("dup_id").isNull().alias("is_kept"),
+    )

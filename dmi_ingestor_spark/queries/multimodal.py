@@ -190,3 +190,49 @@ def mm_resize_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload_out").cast("long").alias("n_bytes_out"),
         F.sha2(F.col("payload_out"), 256).alias("checksum"),
     )
+
+
+@register(
+    "mm_audio_energy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, LENGTH(text) // 2 AS n_samp FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(n_samp // 128)) AS BIGINT) AS frame_idx
+      FROM t
+      WHERE n_samp >= 128
+    )
+    SELECT doc_id, frame_idx,
+           CAST(list_aggregate(list_transform(range(128), j ->
+             POWER(
+               CASE WHEN ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 1 AS INTEGER), 1))
+                    + 256 * ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 2 AS INTEGER), 1))
+                    >= 32768
+                    THEN ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 1 AS INTEGER), 1))
+                       + 256 * ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 2 AS INTEGER), 1))
+                       - 65536
+                    ELSE ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 1 AS INTEGER), 1))
+                       + 256 * ascii(substr(text, CAST((frame_idx * 128 + j) * 2 + 2 AS INTEGER), 1))
+               END, 2)), 'sum') AS BIGINT) AS energy
+    FROM f
+    """,
+    doc=(
+        "U2/U8 audio modality: payload bytes as PCM16-LE samples → one "
+        "row per complete 128-sample window with integer energy Σ s² "
+        "(operators/multimodal.audio_energy, numpy-vectorized "
+        "mapInPandas — the windowed feature-extraction shape behind "
+        "VAD/loudness/silence-trim stages; real soundfile decode is the "
+        "codec stub per the brief). Map-only: no shuffle, rows fan out "
+        "per frame. All-integer energies (|s|<2^15, 128 terms < 2^37) "
+        "make the Arrow decode path itself hash-green against a "
+        "byte-arithmetic DuckDB oracle."
+    ),
+    tags=("multimodal", "audio"),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.multimodal import audio_energy
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    return audio_energy(media)

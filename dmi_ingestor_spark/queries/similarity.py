@@ -162,30 +162,68 @@ def _hyperplane_sign_bits(vec_col: F.Column, dim: int) -> F.Column:
     return out
 
 
+LSH_DIM = 64  # embeddings table dimensionality (same contract as PQ_DIM)
+
+
+def _lsh_bucket_sql(qv: str) -> str:
+    """DuckDB twin of :func:`_hyperplane_sign_bits` over quantized vectors.
+
+    The same ±1 literal hyperplane rows are unrolled into
+    ``list_dot_product`` calls, so both engines compute identical exact
+    integer sums and identical sign bits.
+    """
+    planes = _plane_literals(LSH_DIM)
+    terms = [
+        f"CASE WHEN list_dot_product({qv}, "
+        f"[{', '.join(str(int(h)) for h in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {2 ** j} ELSE 0 END"
+        for j, plane in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "sim_ann_lsh_buckets",
-    oracle=None,  # approximate by design; recall invariant in tests
+    oracle=f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    sig AS (SELECT vec_id, qv, {{bucket}} AS bucket FROM vq)
+    SELECT a.bucket,
+           a.vec_id AS a_id,
+           b.vec_id AS b_id,
+           {sql_cosine("a.qv", "b.qv")} AS sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_cosine("a.qv", "b.qv")} >= 0.25
+    """.replace("{bucket}", _lsh_bucket_sql("qv")),
     doc=(
         "U6 scale path: random-hyperplane LSH. Each vector gets an 8-bit "
-        "sign signature (deterministic md5-derived hyperplanes, computed "
-        "JVM-side); candidates are pairs sharing a bucket, re-ranked by "
-        "exact cosine. At 100 TB this is a bucket-key shuffle "
-        "(O(n) + O(Σ bucket²)) instead of an O(n²) cross join."
+        "sign signature (deterministic md5-derived hyperplanes embedded "
+        "as plan-time ±1 literal arrays, evaluated JVM-side); candidates "
+        "are pairs sharing a bucket, re-ranked by exact cosine. At "
+        "100 TB this is a bucket-key shuffle (O(n) + O(Σ bucket²)) "
+        "instead of an O(n²) cross join. Quantized round(x*1000) "
+        "vectors keep every dot product an exact <2^53 integer, so the "
+        "whole approximate index — bucket keys included — is "
+        "hash-checked against the unrolled DuckDB oracle (upgraded from "
+        "rows-only in round 2)."
     ),
-    tags=("similarity", "embeddings", "approx", "rows-only"),
+    tags=("similarity", "embeddings", "approx"),
 )
 def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", quantize(F.col("embedding")).alias("qv")
     )
     sig = emb.withColumn(
-        "bucket", _hyperplane_sign_bits(F.col("v"), _embedding_dim(sf_dir))
+        "bucket", _hyperplane_sign_bits(F.col("qv"), LSH_DIM)
     )
     a = sig.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"), "bucket"
+        F.col("vec_id").alias("a_id"), F.col("qv").alias("a_v"), "bucket"
     )
     b = sig.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"), "bucket"
+        F.col("vec_id").alias("b_id"), F.col("qv").alias("b_v"), "bucket"
     )
     return (
         a.join(b, ["bucket"])
@@ -193,6 +231,86 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
         .filter(F.col("sim") >= 0.25)
         .select("bucket", "a_id", "b_id", "sim")
+    )
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    sig AS (SELECT vec_id, qv, {{bucket}} AS bucket FROM vq),
+    exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine("a.qv", "b.qv")} DESC, b.vec_id
+             ) AS rk
+      FROM vq a JOIN vq b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+      QUALIFY rk <= {TOP_K}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    ),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e
+      JOIN cand c ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) * 200 AS recall_permille
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+    """.replace("{bucket}", _lsh_bucket_sql("qv")),
+    doc=(
+        "U6 index-quality evaluation as a first-class query: recall@5 of "
+        "the LSH candidate generator against the exact brute-force "
+        "ground truth, per query vector. Both sides are deterministic "
+        "integer-exact pipelines, so the recall numbers themselves are "
+        "hash-checked (recall_permille = hits × 1000/5). The production "
+        "loop this models — sample queries, compute exact truth on the "
+        "sample only (O(sample·n), broadcast sample), probe the index, "
+        "join — never materializes all-pairs, so it runs at any corpus "
+        "size; sweeping N_PLANES against this query is how the "
+        "bucket-count/recall trade-off gets tuned before a 100 TB build."
+    ),
+    tags=("similarity", "embeddings", "eval"),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    sig = emb.withColumn("bucket", _hyperplane_sign_bits(F.col("qv"), LSH_DIM))
+    a = sig.select(F.col("vec_id").alias("query_id"), "bucket").filter(
+        F.col("query_id") < N_QUERY
+    )
+    b = sig.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    hits = (
+        exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    n = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return qs.join(hits, ["query_id"], "left").select(
+        "query_id",
+        n.alias("n_hits"),
+        (n * F.lit(200)).cast("long").alias("recall_permille"),
     )
 
 
@@ -429,7 +547,41 @@ def _cell_assignments(emb: DataFrame, seeds: DataFrame, top: int) -> DataFrame:
 
 @register(
     "sim_ann_ivf",
-    oracle=None,  # approximate by design; invariants in tests
+    oracle=f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cell_id, qv AS cv FROM vq WHERE vec_id < {N_CELLS}),
+    asgn AS (
+      SELECT e.vec_id, s.cell_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_cosine("e.qv", "s.cv")} DESC, s.cell_id
+             ) AS cell_rk
+      FROM vq e CROSS JOIN seeds s
+    ),
+    lists AS (
+      SELECT a.cell_id, a.vec_id AS neighbor_id, v.qv AS nv
+      FROM asgn a JOIN vq v USING (vec_id) WHERE a.cell_rk = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, v.qv AS qqv, a.cell_id
+      FROM asgn a JOIN vq v USING (vec_id)
+      WHERE a.vec_id < {N_QUERY} AND a.cell_rk <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             {sql_cosine("p.qqv", "l.nv")} AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {sql_cosine("p.qqv", "l.nv")} DESC, l.neighbor_id
+             ) AS rk
+      FROM lists l JOIN probes p USING (cell_id)
+    )
+    SELECT query_id, neighbor_id, sim, rk FROM scored WHERE rk <= {TOP_K}
+    """,
     doc=(
         "U6 scale path: IVF-style ANN. Coarse centroids = a fixed, "
         "deterministic sample of the corpus (vec_id < 16); every vector "
@@ -437,13 +589,17 @@ def _cell_assignments(emb: DataFrame, seeds: DataFrame, top: int) -> DataFrame:
         "nearest cells and brute-force only those lists. At 100 TB: "
         "corpus partitioned/bucketed BY cell_id, probe = partition "
         "pruning — the O(n²) scan becomes O(n/N_CELLS × N_PROBE) per "
-        "query. Top-1 self-match invariant tested."
+        "query. Top-1 self-match invariant tested. Quantized "
+        "round(x*1000) vectors make cell assignment, probe order and "
+        "re-rank all integer-deterministic, so the full index is "
+        "hash-checked against a 5-level CTE oracle (upgraded from "
+        "rows-only in round 2)."
     ),
-    tags=("similarity", "embeddings", "approx", "rows-only"),
+    tags=("similarity", "embeddings", "approx"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", quantize(F.col("embedding")).alias("v")
     )
     seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cell_v")

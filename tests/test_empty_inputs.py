@@ -103,6 +103,11 @@ EMPTY_SAFE = [
     "reshape_explode_map",
     "sort_limit_offset_page",
     "scalar_array_index_semantics",
+    "sim_ann_lsh_buckets",
+    "sim_ann_recall_eval",
+    "dedup_semantic_cluster",
+    "join_fuzzy_token_blocked",
+    "mm_audio_energy",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -356,3 +356,30 @@ def test_cache_reuse_across_actions(spark, sf_dir):
         assert "FileScan" not in executed.split("InMemoryRelation")[0], executed[:1500]
     finally:
         base.unpersist()
+
+
+def test_fuzzy_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    # ER blocking contract: the edit-distance match must ride an
+    # equi-join on the block key; a BroadcastNestedLoopJoin here means
+    # the blocking key fell out of the join condition (O(n²) at scale).
+    plan = plan_of(spark, sf_dir, "join_fuzzy_token_blocked")
+    assert "NestedLoop" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_audio_energy_is_map_only(spark, sf_dir):
+    # Windowed feature extraction must not shuffle: payload → frames is
+    # per-row fan-out inside one mapInPandas stage.
+    plan = plan_of(spark, sf_dir, "mm_audio_energy")
+    assert "Exchange" not in plan, plan
+
+
+def test_lsh_buckets_hyperplanes_are_literals(spark, sf_dir):
+    # The ±1 hyperplane rows must be plan-time literal arrays — no
+    # md5()/conv() evaluated per row for (j, i)-only constants.
+    plan = plan_of(spark, sf_dir, "sim_ann_lsh_buckets")
+    assert "md5" not in plan and "conv(" not in plan, plan
