@@ -20,9 +20,11 @@ CORRECTNESS_r02 keys]`` — e.g. the agg_* extras, dedup third-wave
 rungs, pipeline_ops family, sql_api_* pack, scd/cdc, reshape/scalar
 extras, setop_*_all; round 4 takes the remainder (sim_* rows-only,
 st_stream_* rows-only, windows extras, ts_*, analytics_top_paths).
-Ninth-wave additions (sim_ann_recall_eval, dedup_semantic_cluster,
-join_fuzzy_token_blocked, mm_audio_energy, plus the upgraded
-sim_ann_lsh_buckets oracle) are also never-checked — include them.
+Ninth/tenth-wave additions (sim_ann_recall_eval, dedup_semantic_cluster,
+join_fuzzy_token_blocked, mm_audio_energy, ts_ewma_trailing,
+graph_triangle_count, ml_negative_sampling, plus the upgraded
+sim_ann_lsh_buckets / sim_ann_ivf oracles) are also never-checked —
+include them.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401

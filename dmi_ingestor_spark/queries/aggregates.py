@@ -1122,3 +1122,85 @@ def agg_grouping_id_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("prio").cast("long").alias("g_prio"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).select("status", "prio", "g_status", "g_prio", "n")
+
+
+_EWMA_N = 16  # trailing window length (α = 1/2, dyadic weights)
+
+
+@register(
+    "ts_ewma_trailing",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 1000) AS BIGINT) AS iv
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, ts,
+             list(iv) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW
+             ) AS lv
+      FROM q
+    )
+    SELECT event_type, event_id, ts,
+           CAST(list_sum(list_transform(range(len(lv)),
+             i -> lv[i + 1] * (CAST(1 AS BIGINT) << CAST(i + {_EWMA_N} - len(lv) AS INTEGER))
+           )) AS BIGINT) AS ewma_scaled
+    FROM w
+    """,
+    doc=(
+        "Timeseries trailing EWMA (α=1/2) over an irregular event "
+        "stream: per event_type, the last 16 observations weighted "
+        "2^k by recency — the smoothing stage behind monitoring/"
+        "trend features. The frame is BOUNDED (ROWS 15 PRECEDING), so "
+        "window state is O(16) per key — unlike a from-start recursive "
+        "EWMA this parallelizes: one shuffle on event_type, then "
+        "map-side list + higher-order weighted sum, no iteration. "
+        "Dyadic integer weights (1<<k on quantized values) keep every "
+        "sum an exact <2^53 integer, so the smoothed series is "
+        "hash-green. A true infinite-memory EWMA needs a sequential "
+        "scan (Spark: applyInPandasWithState per key); the bounded "
+        "form is the scale-correct approximation (tail weight < 2^-16)."
+    ),
+    tags=("timeseries", "window", "events"),
+)
+def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("iv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_N - 1), 0)
+    )
+    lv = F.collect_list("iv").over(w)
+    # dyadic weights as a literal lookup array (shiftleft needs a plain
+    # int for its bit count, so 2^k is indexed, not computed, per row)
+    weights = F.array(*[F.lit(2**j).cast("long") for j in range(_EWMA_N)])
+    weighted = F.aggregate(
+        F.zip_with(
+            lv,
+            F.sequence(F.lit(0), F.size(lv) - 1),
+            lambda x, i: x
+            * F.element_at(
+                weights, (i + F.lit(_EWMA_N) - F.size(lv) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.withColumn("lv", lv)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            weighted.alias("ewma_scaled"),
+        )
+    )

@@ -147,3 +147,160 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.select(
         F.col("node").alias("nationkey"), F.col("rank").alias("rank_scaled")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting with degree ordering (the MapReduce-classic idiom).
+# --------------------------------------------------------------------------
+
+_TRI_EDGE_SQL = """
+    dir_e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ),
+    und AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+             SUM(w) AS w
+      FROM dir_e WHERE src <> dst
+      GROUP BY u, v
+    ),
+    tot AS (SELECT COUNT(*) AS n_e, SUM(w) AS sum_w FROM und),
+    kept AS MATERIALIZED (
+      SELECT u, v FROM und CROSS JOIN tot WHERE w * n_e >= sum_w
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM kept UNION ALL SELECT v FROM kept
+      ) GROUP BY node
+    ),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN (du.d, k.u) < (dv.d, k.v) THEN k.u ELSE k.v END AS a,
+             CASE WHEN (du.d, k.u) < (dv.d, k.v) THEN k.v ELSE k.u END AS b
+      FROM kept k
+      JOIN deg du ON du.node = k.u
+      JOIN deg dv ON dv.node = k.v
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_TRI_EDGE_SQL},
+    o2 AS MATERIALIZED (
+      SELECT o.a, o.b, d1.d AS da, d2.d AS db
+      FROM oriented o
+      JOIN deg d1 ON d1.node = o.a JOIN deg d2 ON d2.node = o.b
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o2 e1 JOIN o2 e2
+        ON e2.a = e1.a AND (e2.db, e2.b) > (e1.db, e1.b)
+      WHERE EXISTS (
+        SELECT 1 FROM oriented c WHERE c.a = e1.b AND c.b = e2.b
+      )
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY node
+    """,
+    doc=(
+        "Per-node triangle counts over the above-average-weight "
+        "undirected nation co-trade graph, via DEGREE ORDERING: every "
+        "edge is oriented from its lower-(degree, id) endpoint, wedges "
+        "are enumerated only at each triangle's lowest-degree apex, "
+        "and a semi-join on the closing oriented edge confirms the "
+        "triangle — each found exactly once. This is the MR-classic "
+        "idiom (Suri & Vassilvitskii 2011): wedge count is bounded by "
+        "Σ min-degree² instead of Σ degree², which is what keeps "
+        "hub-heavy 100 TB graphs from exploding at the wedge join; "
+        "all joins are equi-joins on vertex keys, closing check is a "
+        "left-semi (no row multiplication). The above-mean weight "
+        "filter is an integer cross-compare (w·|E| ≥ Σw) against a "
+        "broadcast 1-row aggregate — no doubles anywhere."
+    ),
+    tags=("graph", "triangles", "scale"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dir_e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = (
+        dir_e.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .agg(F.sum("w").alias("w"))
+        .cache()  # branches: tot, kept — don't redo the fact join
+    )
+    tot = und.agg(
+        F.count(F.lit(1)).alias("n_e"), F.sum("w").alias("sum_w")
+    )
+    kept = (
+        und.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n_e") >= F.col("sum_w"))
+        .select("u", "v")
+        .cache()  # branches: deg + two orientation joins + closing semi
+    )
+    deg = (
+        kept.select(F.col("u").alias("node"))
+        .unionAll(kept.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        kept.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .cache()  # three consumers below
+    )
+    e1 = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    e2 = oriented.select("a", F.col("b").alias("z"), F.col("db").alias("dz"))
+    wedges = e1.join(e2, "a").filter(
+        (F.col("dz") > F.col("dy"))
+        | ((F.col("dz") == F.col("dy")) & (F.col("z") > F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("a").alias("y"), F.col("b").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"], "left_semi").select(
+        F.col("a").alias("x"), "y", "z"
+    )
+    return (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -694,3 +694,108 @@ def vector_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("q", 3).alias("c2"),
         F.element_at("q", 4).alias("c3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive-training triplet generation (anchor, positive, negatives).
+# --------------------------------------------------------------------------
+
+NEG_K = 4  # negatives per anchor
+
+
+@register(
+    "ml_negative_sampling",
+    oracle=f"""
+    WITH vq AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    anchors AS (SELECT * FROM vq WHERE vec_id < {N_QUERY}),
+    pos AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine("a.qv", "b.qv")} DESC, b.vec_id
+             ) AS rk
+      FROM anchors a
+      JOIN vq b ON b.label = a.label AND b.vec_id <> a.vec_id
+      QUALIFY rk = 1
+    ),
+    neg AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(CONCAT(CAST(a.vec_id AS VARCHAR), '-',
+                                   CAST(b.vec_id AS VARCHAR))), b.vec_id
+             ) AS neg_rank
+      FROM anchors a
+      JOIN vq b ON b.label <> a.label
+      QUALIFY neg_rank <= {NEG_K}
+    )
+    SELECT n.anchor_id, p.pos_id, n.neg_id,
+           CAST(n.neg_rank AS INTEGER) AS neg_rank
+    FROM neg n JOIN pos p ON p.anchor_id = n.anchor_id
+    """,
+    doc=(
+        "Contrastive-training data prep: (anchor, positive, k hashed "
+        "negatives) triplets. Positive = nearest same-label neighbor "
+        "by exact quantized cosine; negatives = 4 different-label rows "
+        "chosen by md5(anchor-candidate) order — deterministic hashed "
+        "sampling, so the 'random' negatives are reproducible, "
+        "retry-safe, and hash-checked cross-engine (the same property "
+        "sample_bernoulli_hash relies on). Plan: the tiny anchor set "
+        "broadcasts against the corpus for both the positive scan and "
+        "the negative hash-rank — the corpus never shuffles; per-anchor "
+        "ranking windows see only that anchor's candidates. At 100 TB "
+        "you'd first hash-prefilter candidates (md5 < threshold) so "
+        "the rank window is bounded — same two-stage shape as "
+        "sample_cap_per_domain."
+    ),
+    tags=("similarity", "embeddings", "ml", "sampling"),
+)
+def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    )
+    anchors = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("qv").alias("a_qv"),
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("pos_id")
+    )
+    pos = (
+        emb.select(F.col("vec_id").alias("pos_id"), "label", "qv")
+        .join(
+            F.broadcast(anchors),
+            (F.col("label") == F.col("a_label"))
+            & (F.col("pos_id") != F.col("anchor_id")),
+        )
+        .withColumn("sim", cosine(F.col("a_qv"), F.col("qv")))
+        .withColumn("rk", F.row_number().over(wpos))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", "pos_id")
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    neg = (
+        emb.select(F.col("vec_id").alias("neg_id"), "label")
+        .join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn("neg_rank", F.row_number().over(wneg))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("anchor_id", "neg_id", F.col("neg_rank").cast("int").alias("neg_rank"))
+    )
+    return neg.join(pos, ["anchor_id"]).select(
+        "anchor_id", "pos_id", "neg_id", "neg_rank"
+    )

@@ -108,6 +108,9 @@ EMPTY_SAFE = [
     "dedup_semantic_cluster",
     "join_fuzzy_token_blocked",
     "mm_audio_energy",
+    "ts_ewma_trailing",
+    "graph_triangle_count",
+    "ml_negative_sampling",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
