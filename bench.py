@@ -43,6 +43,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
     "text_chunk_sliding",
     "pipeline_e2e_corpus",
+    "text_bpe_merges",
 )
 
 

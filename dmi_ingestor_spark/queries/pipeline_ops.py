@@ -951,3 +951,60 @@ def sample_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "source", "rn")
     )
+
+
+@register(
+    "sample_exact_stratified",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn * 10 <= n * 8 THEN 'train'
+                WHEN rn * 10 <= n * 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+    doc=(
+        "Exact-count stratified corpus split: within each lang stratum, "
+        "rows ranked by md5(doc_id) take the first ⌊0.8n⌋ as train, "
+        "next ⌊0.1n⌋ as val, rest test — integer boundary compares "
+        "(rn·10 ≤ n·8), so per-stratum proportions are GUARANTEED, not "
+        "just expected (the complement to text_hash_split's Bernoulli "
+        "thresholding, whose realized fractions drift ±O(1/√n)). One "
+        "shuffle on the stratum key; the rank window and the count "
+        "window share it. At extreme per-stratum cardinalities the "
+        "single-partition-per-stratum sort is the bound — then you "
+        "pre-aggregate stratum sizes and fall back to hash "
+        "thresholding, trading exactness for parallelism."
+    ),
+    tags=("pipeline", "sampling", "documents"),
+)
+def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -538,3 +538,140 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_permille") / F.col("n_bigrams")).cast("long").alias("avg_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style merge training: the tokenizer-learning loop as a lazy plan.
+# --------------------------------------------------------------------------
+
+_BPE_K = 4  # merge rounds
+
+
+def _bpe_oracle() -> str:
+    """Unrolled K-round merge training as a MATERIALIZED CTE chain."""
+    sep = "chr(3) || chr(2)"  # token boundary: ...tok<3><2>tok...
+    parts = [
+        f"""
+    WITH d0 AS MATERIALIZED (
+      SELECT doc_id,
+             chr(2) || array_to_string(string_split(text, ' '), {sep}) || chr(3)
+               AS doc
+      FROM documents
+    )"""
+    ]
+    for k in range(_BPE_K):
+        parts.append(
+            f""", tk{k} AS (
+      SELECT string_split(substr(doc, 2, length(doc) - 2), {sep}) AS toks
+      FROM d{k}
+    ), px{k} AS (
+      SELECT toks, unnest(range(len(toks) - 1)) AS i FROM tk{k}
+    ), p{k} AS MATERIALIZED (
+      SELECT toks[CAST(i + 1 AS INTEGER)] AS a,
+             toks[CAST(i + 2 AS INTEGER)] AS b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM px{k} GROUP BY a, b
+    ), best{k} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{k}
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ), d{k + 1} AS MATERIALIZED (
+      SELECT d.doc_id,
+             replace(d.doc,
+                     chr(2) || w.a || chr(3) || chr(2) || w.b || chr(3),
+                     chr(2) || w.a || '_' || w.b || chr(3)) AS doc
+      FROM d{k} d CROSS JOIN best{k} w
+    )"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k + 1} AS merge_rank, a, b, pair_count FROM best{k}"
+        for k in range(_BPE_K)
+    )
+    parts.append(f"\n    {sel}")
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc=(
+        "Tokenizer training as a distributed job: K rounds of BPE-style "
+        "merge learning over the word alphabet — each round counts "
+        "adjacent token pairs corpus-wide, picks the argmax pair "
+        "(count desc, lexicographic tie-break), and rewrites every "
+        "document with the merged token. Documents are carried as "
+        "sentinel-delimited strings (chr(2) tok chr(3)) so the merge is "
+        "one JVM replace() — both engines scan left-to-right non-"
+        "overlapping, which IS greedy BPE application. Per round: one "
+        "pair-count shuffle + a 1-row TakeOrdered + a broadcast cross "
+        "join; the corpus itself never shuffles and the whole K-round "
+        "loop is ONE lazy plan (cached per round — at 100 TB each round "
+        "checkpoints the rewritten corpus instead). The learned merge "
+        "table, counts included, is hash-green against the unrolled "
+        "CTE-chain oracle — an ITERATIVE text algorithm with exact "
+        "cross-engine parity, like cluster_kmeans/pagerank."
+    ),
+    tags=("text", "tokenizer", "iterative", "scale"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sep = "\x03\x02"
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("\x02"),
+            F.array_join(F.split(F.col("text"), " "), sep),
+            F.lit("\x03"),
+        ).alias("doc"),
+    )
+
+    def pair_counts(d: DataFrame) -> DataFrame:
+        inner = F.col("doc").substr(F.lit(2), F.length("doc") - 2)
+        toks = F.split(inner, sep)
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            d.select(toks.alias("toks"), F.explode(idx).alias("i"))
+            .select(
+                F.element_at("toks", F.col("i")).alias("a"),
+                F.element_at("toks", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        )
+
+    bests: list[DataFrame] = []
+    d = docs
+    for _ in range(_BPE_K):
+        best = (
+            pair_counts(d)
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .cache()  # consumed by the output union AND the next rewrite
+        )
+        bests.append(best)
+        d = (
+            d.crossJoin(F.broadcast(best))
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("doc"),
+                    F.concat(
+                        F.lit("\x02"), F.col("a"), F.lit("\x03"),
+                        F.lit("\x02"), F.col("b"), F.lit("\x03"),
+                    ),
+                    F.concat(
+                        F.lit("\x02"), F.col("a"), F.lit("_"), F.col("b"),
+                        F.lit("\x03"),
+                    ),
+                ).alias("doc"),
+            )
+            .cache()  # each round's corpus feeds the next round's count
+        )
+    out = None
+    for k, best in enumerate(bests):
+        row = best.select(
+            F.lit(k + 1).alias("merge_rank"), "a", "b", "pair_count"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

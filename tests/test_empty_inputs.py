@@ -111,6 +111,8 @@ EMPTY_SAFE = [
     "ts_ewma_trailing",
     "graph_triangle_count",
     "ml_negative_sampling",
+    "text_bpe_merges",
+    "sample_exact_stratified",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
