@@ -1204,3 +1204,69 @@ def ts_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighted.alias("ewma_scaled"),
         )
     )
+
+
+@register(
+    "ts_rolling_anomaly",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 1000) AS BIGINT) AS iv
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, event_id, ts, iv,
+             CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+             CAST(SUM(iv) OVER fr AS BIGINT) AS s,
+             CAST(SUM(iv * iv) OVER fr AS BIGINT) AS ss
+      FROM q
+      WINDOW fr AS (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_type, event_id, ts, n,
+           ((n * iv - s) * (n * iv - s) > 4 * (n * ss - s * s))
+             AS is_anomaly
+    FROM w
+    """,
+    doc=(
+        "Rolling z-score anomaly detection (control-chart shape) over "
+        "the irregular event stream: per event_type, trailing-16 count/"
+        "sum/sum-of-squares in ONE shared bounded window frame, and the "
+        "|x−μ| > 2σ test algebraically cleared of division and sqrt — "
+        "(n·x−Σ)² > 4(n·Σx²−Σ²) — so the flag is an exact BIGINT "
+        "comparison (quantized values keep every term < 2^48): a FLOAT-"
+        "free statistical test that hash-matches across engines. Same "
+        "scale shape as ts_ewma_trailing: one shuffle on the key, O(16) "
+        "window state, all three aggregates computed in the same frame "
+        "pass."
+    ),
+    tags=("timeseries", "window", "anomaly", "events"),
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1000, 0).cast("long").alias("iv"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_N - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(fr).cast("long")
+    s = F.sum("iv").over(fr).cast("long")
+    ss = F.sum(F.col("iv") * F.col("iv")).over(fr).cast("long")
+    dev = n * F.col("iv") - s
+    var4 = F.lit(4) * (n * ss - s * s)
+    return q.select(
+        "event_type",
+        "event_id",
+        "ts",
+        n.alias("n"),
+        (dev * dev > var4).alias("is_anomaly"),
+    )

@@ -590,43 +590,25 @@ def _bpe_oracle() -> str:
     return "".join(parts)
 
 
-@register(
-    "text_bpe_merges",
-    oracle=_bpe_oracle(),
-    doc=(
-        "Tokenizer training as a distributed job: K rounds of BPE-style "
-        "merge learning over the word alphabet — each round counts "
-        "adjacent token pairs corpus-wide, picks the argmax pair "
-        "(count desc, lexicographic tie-break), and rewrites every "
-        "document with the merged token. Documents are carried as "
-        "sentinel-delimited strings (chr(2) tok chr(3)) so the merge is "
-        "one JVM replace() — both engines scan left-to-right non-"
-        "overlapping, which IS greedy BPE application. Per round: one "
-        "pair-count shuffle + a 1-row TakeOrdered + a broadcast cross "
-        "join; the corpus itself never shuffles and the whole K-round "
-        "loop is ONE lazy plan (cached per round — at 100 TB each round "
-        "checkpoints the rewritten corpus instead). The learned merge "
-        "table, counts included, is hash-green against the unrolled "
-        "CTE-chain oracle — an ITERATIVE text algorithm with exact "
-        "cross-engine parity, like cluster_kmeans/pagerank."
-    ),
-    tags=("text", "tokenizer", "iterative", "scale"),
-)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sep = "\x03\x02"
+_BPE_SEP = "\x03\x02"
 
+
+def _bpe_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """K rounds of merge learning; returns (per-round argmax rows, final docs)."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.lit("\x02"),
-            F.array_join(F.split(F.col("text"), " "), sep),
+            F.array_join(F.split(F.col("text"), " "), _BPE_SEP),
             F.lit("\x03"),
         ).alias("doc"),
     )
 
     def pair_counts(d: DataFrame) -> DataFrame:
         inner = F.col("doc").substr(F.lit(2), F.length("doc") - 2)
-        toks = F.split(inner, sep)
+        toks = F.split(inner, _BPE_SEP)
         idx = F.when(
             F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
         ).otherwise(F.array().cast("array<int>"))
@@ -668,6 +650,51 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()  # each round's corpus feeds the next round's count
         )
+    return bests, d
+
+
+def _bpe_apply_oracle() -> str:
+    """Same K-round chain, but emitting per-doc token counts after apply."""
+    chain = _bpe_oracle()
+    cut = chain.rindex("\n    SELECT 1 AS merge_rank")
+    chain = chain[:cut]
+    sep = "chr(3) || chr(2)"
+    return (
+        chain
+        + f"""
+    SELECT d.doc_id,
+           CAST(len(string_split(orig.text, ' ')) AS BIGINT) AS n_before,
+           CAST(len(string_split(substr(d.doc, 2, length(d.doc) - 2),
+                                 {sep})) AS BIGINT) AS n_after
+    FROM d{_BPE_K} d JOIN documents orig ON orig.doc_id = d.doc_id
+    """
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(),
+    doc=(
+        "Tokenizer training as a distributed job: K rounds of BPE-style "
+        "merge learning over the word alphabet — each round counts "
+        "adjacent token pairs corpus-wide, picks the argmax pair "
+        "(count desc, lexicographic tie-break), and rewrites every "
+        "document with the merged token. Documents are carried as "
+        "sentinel-delimited strings (chr(2) tok chr(3)) so the merge is "
+        "one JVM replace() — both engines scan left-to-right non-"
+        "overlapping, which IS greedy BPE application. Per round: one "
+        "pair-count shuffle + a 1-row TakeOrdered + a broadcast cross "
+        "join; the corpus itself never shuffles and the whole K-round "
+        "loop is ONE lazy plan (cached per round — at 100 TB each round "
+        "checkpoints the rewritten corpus instead). The learned merge "
+        "table, counts included, is hash-green against the unrolled "
+        "CTE-chain oracle — an ITERATIVE text algorithm with exact "
+        "cross-engine parity, like cluster_kmeans/pagerank."
+    ),
+    tags=("text", "tokenizer", "iterative", "scale"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bests, _ = _bpe_loop(spark, sf_dir)
     out = None
     for k, best in enumerate(bests):
         row = best.select(
@@ -675,3 +702,31 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    doc=(
+        "Tokenizer INFERENCE closing text_bpe_merges' loop: the learned "
+        "merge table is applied to every document (K chained broadcast "
+        "rewrites — in production the merges are a plan-time literal "
+        "list, making this stage pure map-side) and per-doc token "
+        "counts before/after come out. Compression is visible as "
+        "n_after < n_before exactly where merges hit. Same lazy "
+        "K-round plan as training; the final join back to the source "
+        "table is on the narrow doc_id key."
+    ),
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, d_final = _bpe_loop(spark, sf_dir)
+    orig = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_before")
+    )
+    inner = F.col("doc").substr(F.lit(2), F.length("doc") - 2)
+    after = d_final.select(
+        "doc_id",
+        F.size(F.split(inner, _BPE_SEP)).cast("long").alias("n_after"),
+    )
+    return after.join(orig, ["doc_id"]).select("doc_id", "n_before", "n_after")

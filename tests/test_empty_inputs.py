@@ -113,6 +113,8 @@ EMPTY_SAFE = [
     "ml_negative_sampling",
     "text_bpe_merges",
     "sample_exact_stratified",
+    "text_bpe_apply",
+    "ts_rolling_anomaly",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

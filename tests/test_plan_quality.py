@@ -383,3 +383,54 @@ def test_lsh_buckets_hyperplanes_are_literals(spark, sf_dir):
     # md5()/conv() evaluated per row for (j, i)-only constants.
     plan = plan_of(spark, sf_dir, "sim_ann_lsh_buckets")
     assert "md5" not in plan and "conv(" not in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join contract: a pathologically hot key is split at runtime.
+
+    This is the no-code-change answer to fact⋈fact skew at 100 TB
+    (operators/salted.py is the explicit-salt fallback): with AQE on,
+    the oversized shuffle partition is divided across tasks and the
+    join is marked skew=true in the FINAL adaptive plan. Thresholds are
+    lowered so a local[32]-sized dataset trips the same machinery a
+    real cluster would.
+    """
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 350_000, 0)
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = big.join(right, "k")
+        assert len(df.collect()) == 400_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
