@@ -869,3 +869,87 @@ def dedup_cluster_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# U5+: paragraph-level (chunk) dedup with document reconstruction
+# --------------------------------------------------------------------------
+
+# Fixed chunk width in whitespace tokens. Real corpora chunk on paragraph
+# boundaries (\n\n); the fixture's documents are single-line token streams,
+# so fixed-width windows stand in for paragraphs with identical plumbing.
+PARA_CHUNK_TOKENS = 10
+
+
+@register(
+    "dedup_paragraph_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i - 1 AS INT) AS chunk_idx,
+             array_to_string(
+               t[(i-1)*{PARA_CHUNK_TOKENS}+1 : i*{PARA_CHUNK_TOKENS}], ' '
+             ) AS chunk
+      FROM toks,
+           UNNEST(range(1,
+             CAST(ceil(len(t) / {PARA_CHUNK_TOKENS}.0) AS BIGINT) + 1)) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+    FROM ranked
+    WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Paragraph-level corpus dedup with document rewrite (the "
+        "C4/RefinedWeb move): chunk every document into fixed "
+        f"{PARA_CHUNK_TOKENS}-token windows, keep only the globally FIRST "
+        "occurrence of each chunk (ordered by doc_id, chunk_idx), then "
+        "reassemble each document from its surviving chunks in original "
+        "order. Scale shape: the keep-first pick is groupBy(md5(chunk)) → "
+        "min(struct(doc_id, chunk_idx)) — a 16-byte shuffle key and a "
+        "partial+final aggregate, NOT a global window — followed by an "
+        "equi-join of winners back to chunk rows and an ordered "
+        "collect_list per doc. Chunks shuffle at most twice; documents "
+        "whose every chunk is elsewhere-first vanish (fully redundant)."
+    ),
+    tags=("dedup", "text", "training-pipeline"),
+)
+def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = F.lit(PARA_CHUNK_TOKENS)
+    n_chunks = F.ceil(F.size(toks) / k).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * k + F.lit(1), PARA_CHUNK_TOKENS), " "),
+    )
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    ).withColumn("h", F.md5(F.col("chunk").cast("binary")))
+    # Global keep-first per chunk hash: partial+final MIN on a 16-byte key.
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    ).select("h", F.col("w.doc_id").alias("doc_id"), F.col("w.chunk_idx").alias("chunk_idx"))
+    kept = chunks.join(winners, ["h", "doc_id", "chunk_idx"], "inner")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

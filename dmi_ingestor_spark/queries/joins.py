@@ -658,3 +658,90 @@ def join_fuzzy_token_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("a_name", "b_name", "dist")
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap self-join via bucketed range join
+# --------------------------------------------------------------------------
+
+IV_BUCKET_S = 600  # range-join bucket width (seconds)
+IV_BASE_S = 60  # minimum interval duration
+IV_MOD = 241  # deterministic per-event duration spread (prime)
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + {IV_BASE_S} + event_id % {IV_MOD} AS e
+      FROM events
+    )
+    SELECT a.user_id,
+           a.event_id AS a_id,
+           b.event_id AS b_id,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_s
+    FROM iv a
+    JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND a.s <= b.e
+     AND b.s <= a.e
+    """,
+    doc=(
+        "Interval-overlap self-join (events become [ts, ts+duration] "
+        "intervals; find same-user overlapping pairs) executed as a "
+        "BUCKETED range join, the scalable alternative to an inequality "
+        f"theta-join: each interval explodes to the {IV_BUCKET_S}s buckets "
+        "it covers (bounded: duration ≤ "
+        f"{IV_BASE_S + IV_MOD - 1}s → ≤ 2 buckets), pairs meet through an "
+        "EQUI-join on (user_id, bucket), and each pair is emitted exactly "
+        "once by the canonical-bucket guard bucket = floor(max(s_a, s_b) / "
+        "W) — no distinct, no double counting. At 100 TB this is O(n) "
+        "shuffle on integer keys instead of the O(n²) "
+        "BroadcastNestedLoopJoin a raw theta-join plans to."
+    ),
+    tags=("join", "range", "events"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").alias("s")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s,
+        (F.unix_timestamp("ts") + F.lit(IV_BASE_S) + F.col("event_id") % IV_MOD).alias("e"),
+    )
+    w = F.lit(IV_BUCKET_S)
+    exploded = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(F.sequence(F.floor(F.col("s") / w), F.floor(F.col("e") / w))).alias("bucket"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pair = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+        "inner",
+    ).where(
+        (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        # canonical-bucket guard: emit the pair only from the bucket that
+        # contains the later interval start, so multi-bucket co-occurrence
+        # never duplicates a pair.
+        & (F.col("a.bucket") == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / w))
+    )
+    return pair.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        (F.least(F.col("a.e"), F.col("b.e")) - F.greatest(F.col("a.s"), F.col("b.s")))
+        .cast("long")
+        .alias("overlap_s"),
+    )

@@ -83,3 +83,75 @@ def ml_brp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = e.filter(F.col("vec_id") == 0).head()
     ann = model.approxNearestNeighbors(e, query.features, 5, distCol="dist")
     return ann.select("vec_id", "dist")
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (the "hashing trick")
+# --------------------------------------------------------------------------
+
+FH_DIM = 16  # feature-vector dimensionality (buckets)
+
+
+@register(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('fh-', tok)), 1, 8)) AS BIGINT)
+               % {FH_DIM} AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('fh-', tok)), 9, 1))
+                        AS INT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+      FROM hashed GROUP BY doc_id, bucket HAVING SUM(sgn) <> 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+           string_agg(bucket || ':' || w, ',' ORDER BY bucket) AS fvec
+    FROM agg GROUP BY doc_id
+    """,
+    doc=(
+        "Hashing-trick featurization (Weinberger et al. 2009): every "
+        f"token hashes to one of {FH_DIM} buckets via md5, with a signed "
+        "±1 contribution from a second hash digit (sign hashing keeps the "
+        "estimator unbiased); per-document sparse vectors come back as "
+        "deterministic 'bucket:weight' strings. Vocabulary-free — no "
+        "dictionary build, no OOV, fixed output dim — so the 100 TB plan "
+        "is two partial+final aggregates on small integer keys: "
+        "(doc_id, bucket) → weight, then doc_id → ordered sparse string. "
+        "No joins, no broadcast state, nothing driver-side."
+    ),
+    tags=("ml", "text", "training-pipeline"),
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    h = F.md5(F.concat(F.lit("fh-"), F.col("tok")).cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % FH_DIM).alias("bucket")
+    sgn = (
+        F.when(F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn")
+    )
+    agg = (
+        toks.select("doc_id", bucket, sgn)
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("w"))
+        .where(F.col("w") != 0)
+    )
+    return agg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "w"))),
+                lambda s: F.concat_ws(":", s.bucket.cast("string"), s.w.cast("string")),
+            ),
+            ",",
+        ).alias("fvec"),
+    )

@@ -1158,3 +1158,63 @@ def sort_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").offset(50).limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-month order streaks per customer
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_gaps_islands",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mnum
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey, mnum,
+             mnum - ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY mnum
+             ) AS grp
+      FROM m
+    ),
+    runs AS (
+      SELECT o_custkey, grp,
+             COUNT(*) AS len,
+             MIN(mnum) AS start_m
+      FROM isl GROUP BY o_custkey, grp
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(MIN(start_m) AS BIGINT) AS first_month
+    FROM runs GROUP BY o_custkey
+    """,
+    doc=(
+        "Gaps-and-islands: per customer, group the DISTINCT months with "
+        "at least one order into maximal runs of consecutive months via "
+        "the classic mnum - row_number() island key, then report island "
+        "count, longest streak, and first active month. Scale shape: the "
+        "window partitions by customer (cardinality ≈ rows/10, no global "
+        "sort), input is pre-shrunk by DISTINCT to ≤ months-spanned rows "
+        "per customer, and both downstream aggregates reuse the same "
+        "hash-partitioning on o_custkey — Catalyst plans one Exchange."
+    ),
+    tags=("window", "analytics"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("mnum")
+    m = o.select("o_custkey", mnum).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mnum")
+    isl = m.withColumn("grp", F.col("mnum") - F.row_number().over(w))
+    runs = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("mnum").alias("start_m")
+    )
+    return runs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min("start_m").cast("long").alias("first_month"),
+    )
