@@ -45,6 +45,7 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    spatial,
     streaming,
     textops,
     tpch,

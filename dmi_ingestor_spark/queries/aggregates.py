@@ -1270,3 +1270,99 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         (dev * dev > var4).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# A3++: Datasketches frequent-items and theta set-operation sketches
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 3
+    """,
+    doc=(
+        "Heavy hitters via the Spark 4 approx_top_k sketch, exercised "
+        "through its MERGEABLE split: one accumulate per half of the "
+        "data (event_id parity stands in for 'per partition / per "
+        "day'), approx_top_k_combine unions the partials, estimate "
+        "materializes (item, count) rows — the 100 TB rollup pattern "
+        "where you NEVER re-touch raw data to re-rank. The fixture's 5 "
+        "event types sit far under the sketch's tracked-item budget, "
+        "so counts are in the sketch's EXACT regime and the final "
+        "top-3 (count desc, item tie-break) hash-matches the plain "
+        "GROUP BY oracle; past the budget the same plan degrades to "
+        "ε-approximate instead of failing."
+    ),
+    tags=("aggregation", "sketch", "events"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2).alias("half")
+    )
+    halves = ev.groupBy("half").agg(
+        F.expr("approx_top_k_accumulate(event_type, 10)").alias("st")
+    )
+    combined = halves.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st, 10), 10)").alias(
+            "items"
+        )
+    )
+    rows = combined.select(F.explode("items").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("long").alias("n_events"),
+    )
+    return rows.orderBy(F.desc("n_events"), "event_type").limit(3)
+
+
+@register(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS n_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+             AS n_inter,
+           (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS n_diff
+    """,
+    doc=(
+        "Distinct-set ALGEBRA on sketches (Datasketches theta): one "
+        "pass builds per-cohort user sketches with FILTER clauses, then "
+        "union / intersection / difference — the audience-overlap "
+        "query families (clicked AND purchased, clicked NOT purchased) "
+        "— evaluate on the tiny sketch blobs, never re-scanning users. "
+        "The fixture's user cardinality (≤1.5k at sf0.1) is below the "
+        "sketch's 4096-entry exact threshold, so all five counts are "
+        "EXACT and hash-match the DISTINCT/INTERSECT/EXCEPT oracle; "
+        "beyond it the identical plan returns ~2% relative-error "
+        "estimates. At 100 TB the sketches are partial+final "
+        "aggregates (bytes per cohort, broadcast-size state) where the "
+        "exact oracle would need three full distinct shuffles."
+    ),
+    tags=("aggregation", "sketch", "events"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click')"
+        ).alias("cs"),
+        F.expr(
+            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase')"
+        ).alias("ps"),
+    )
+    est = lambda e, a: F.expr(f"CAST(theta_sketch_estimate({e}) AS BIGINT)").alias(a)  # noqa: E731
+    return sk.select(
+        est("cs", "n_click"),
+        est("ps", "n_purchase"),
+        est("theta_union(cs, ps)", "n_union"),
+        est("theta_intersection(cs, ps)", "n_inter"),
+        est("theta_difference(cs, ps)", "n_diff"),
+    )

@@ -521,3 +521,52 @@ def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_SQL_GROUP_BY_ALL)
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 SQL surface)
+# --------------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+|> AGGREGATE COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS s
+   GROUP BY o_orderpriority
+|> WHERE n_orders >= 10
+|> SELECT o_orderpriority,
+          n_orders,
+          CAST(FLOOR(s) AS DOUBLE) + CAST(s - FLOOR(s) AS DOUBLE) AS sum_price
+"""
+
+
+@register(
+    "sql_api_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(22,8)))) AS DOUBLE)
+            + CAST(SUM(CAST(o_totalprice AS DECIMAL(22,8)))
+                   - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(22,8)))) AS DOUBLE))
+             AS sum_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 10
+    """,
+    doc=(
+        "Spark 4 SQL PIPE syntax (SQL has problems, pipes fix some — "
+        "the |> operator chain: FROM |> WHERE |> AGGREGATE |> WHERE "
+        "|> SELECT), proving the pipe form plans to the IDENTICAL "
+        "filter→partial/final-aggregate→having shape as the ANSI "
+        "oracle: pipes are pure parser sugar, zero plan cost at any "
+        "scale. The money sum goes through the engine's exact-decimal "
+        "accumulation (functions/exact.py) inline in pipe stages."
+    ),
+    tags=("sql-api", "aggregate", "orders"),
+)
+def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)

@@ -527,3 +527,68 @@ def reshape_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return o.select("o_orderkey", F.explode(m).alias("mk", "mv"))
+
+
+# --------------------------------------------------------------------------
+# Polymorphic Python UDTF: output schema computed by analyze()
+# --------------------------------------------------------------------------
+
+
+class _UnpackTokensUDTF:
+    """Spark 4 polymorphic UDTF: ``analyze()`` inspects the LITERAL
+    second argument n at plan time and declares n output columns
+    tok_0..tok_{n-1} — the schema is a function of the call site, not
+    fixed at registration (the DataSourceV2-era answer to 'SELECT into
+    a dynamic column set'). eval() NULL-pads short token lists so the
+    arity contract always holds."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not n.isConstantExpression or n.value is None:
+            raise ValueError("n must be a constant integer literal")
+        schema = StructType()
+        for i in range(int(n.value)):
+            schema = schema.add(f"tok_{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, n):  # noqa: ANN001
+        toks = (text or "").split(" ")
+        yield tuple(toks[i] if i < len(toks) else None for i in range(int(n)))
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok_0,
+           string_split(text, ' ')[2] AS tok_1,
+           string_split(text, ' ')[3] AS tok_2
+    FROM documents
+    """,
+    doc=(
+        "Polymorphic Python UDTF (Spark 4 analyze()): the output schema "
+        "tok_0..tok_{n-1} is derived from the call-site literal at "
+        "ANALYSIS time, so Catalyst plans column pruning and downstream "
+        "ops against real per-call columns — no MapType escape hatch, "
+        "no parse-after-the-fact. Arrow-batched like every Python row "
+        "path in this engine; the oracle recomputes the unpack with "
+        "list indexing (DuckDB [i] is NULL-on-OOB, matching the "
+        "UDTF's NULL padding)."
+    ),
+    tags=("udtf", "lateral", "documents", "reshape"),
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    unpack = udtf(_UnpackTokensUDTF)
+    spark.udtf.register("unpack_tokens", unpack)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, u.tok_0, u.tok_1, u.tok_2
+        FROM documents d, LATERAL unpack_tokens(d.text, 3) u
+        """
+    )

@@ -1,0 +1,133 @@
+"""Spatial operators: grid-cell (geohash-style) radius joins.
+
+The reference's only spatial surface is the bbox slice + LCC
+reprojection (`dmi_ingestor/ingestor.py:170-173,83-87`); a real
+analytics engine over geo data also needs the SPATIAL JOIN — "find all
+pairs of points within R km" — which naive SQL plans as an O(n²)
+theta-join. The scalable idiom (identical to geohash bucketing, PostGIS
+ST_DWithin tiling, or Sedona's grid partitioner) is:
+
+1. assign every point to a grid cell sized ≥ the search radius,
+2. explode ONE side to its 3×3 neighbor cells,
+3. equi-join on the cell id (hash shuffle on small int keys),
+4. verify the exact distance on the tiny candidate set.
+
+Trig stays out of the row path (libm ulps differ across engines): the
+equirectangular cos(lat₀) correction binds as a PLAN-TIME literal, so
+the remaining row math (-, *, +, sqrt) is IEEE-exact and hash-green.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.catalog import table
+from dmi_ingestor_spark.registry import register
+
+# Deterministic synthetic coordinates: a Denmark-ish lattice keyed off
+# c_custkey (the fixtures carry no lat/lon). Multiples of 2^-4 minus
+# integer parts are exact in binary doubles? 0.05 is NOT exact — but
+# exactness is irrelevant: both engines evaluate the SAME double
+# expression tree, so the bits agree. floor() on the shared value is
+# likewise bit-stable.
+GEO_LAT_BASE = 54.0
+GEO_LON_BASE = 8.0
+GEO_LAT_STEP = 0.05
+GEO_LON_STEP = 0.07
+GEO_LAT_MOD = 97
+GEO_LON_MOD = 83
+
+GEO_RADIUS_KM = 25.0
+GEO_KM_PER_DEG = 111.195  # mean earth radius * pi / 180
+_COSLAT = math.cos(math.radians(56.0))  # plan-time literal, mid-domain
+# Cell sized so that any pair within R km is at most one cell apart in
+# each axis: R km in degrees latitude, and R/cos(lat) in longitude.
+CELL_H = GEO_RADIUS_KM / GEO_KM_PER_DEG
+CELL_W = GEO_RADIUS_KM / (GEO_KM_PER_DEG * _COSLAT)
+
+
+@register(
+    "spatial_radius_join_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST({GEO_LAT_BASE} AS DOUBLE)
+               + CAST({GEO_LAT_STEP} AS DOUBLE) * (c_custkey % {GEO_LAT_MOD}) AS lat,
+             CAST({GEO_LON_BASE} AS DOUBLE)
+               + CAST({GEO_LON_STEP} AS DOUBLE) * (c_custkey % {GEO_LON_MOD}) AS lon
+      FROM customer
+    )
+    SELECT a.c_custkey AS a_cust,
+           b.c_custkey AS b_cust,
+           {GEO_KM_PER_DEG} * sqrt(
+             (a.lat - b.lat) * (a.lat - b.lat)
+             + ((a.lon - b.lon) * {_COSLAT!r}) * ((a.lon - b.lon) * {_COSLAT!r})
+           ) AS dist_km
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+    WHERE {GEO_KM_PER_DEG} * sqrt(
+            (a.lat - b.lat) * (a.lat - b.lat)
+            + ((a.lon - b.lon) * {_COSLAT!r}) * ((a.lon - b.lon) * {_COSLAT!r})
+          ) < {GEO_RADIUS_KM}
+    """,
+    doc=(
+        "Spatial radius self-join (all customer pairs within "
+        f"{GEO_RADIUS_KM} km) via GRID-CELL bucketing: each point lands "
+        "in a radius-sized cell, the LEFT side explodes to its 3×3 "
+        "neighbor cells, candidates meet through an EQUI-join on the "
+        "(cell_y, cell_x) int pair, and the exact equirectangular "
+        "distance verifies the survivors. The oracle is the O(n²) "
+        "theta-join — hash-equality proves the bucketing loses no pair "
+        "(the 3×3 neighborhood is a superset of the radius ball by "
+        "construction). At 100 TB the candidate set is O(n · density), "
+        "the shuffle key is two ints, and hot urban cells are exactly "
+        "the AQE skew-split case proven in test_plan_quality."
+    ),
+    tags=("spatial", "join", "customer"),
+)
+def spatial_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (
+            F.lit(GEO_LAT_BASE) + F.lit(GEO_LAT_STEP) * (F.col("c_custkey") % GEO_LAT_MOD)
+        ).alias("lat"),
+        (
+            F.lit(GEO_LON_BASE) + F.lit(GEO_LON_STEP) * (F.col("c_custkey") % GEO_LON_MOD)
+        ).alias("lon"),
+    ).withColumns(
+        {
+            "cy": F.floor(F.col("lat") / F.lit(CELL_H)),
+            "cx": F.floor(F.col("lon") / F.lit(CELL_W)),
+        }
+    )
+    # Left side visits its 9 neighbor cells; right side stays home.
+    off = F.expr("explode(array(-1, 0, 1))")
+    left = (
+        pts.select("c_custkey", "lat", "lon", "cy", "cx", off.alias("dy"))
+        .select("c_custkey", "lat", "lon", "cy", "cx", "dy", off.alias("dx"))
+        .select(
+            F.col("c_custkey").alias("a_cust"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+        )
+    )
+    right = pts.select(
+        F.col("c_custkey").alias("b_cust"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cy").alias("jy"),
+        F.col("cx").alias("jx"),
+    )
+    cand = left.join(right, ["jy", "jx"], "inner").where(F.col("a_cust") < F.col("b_cust"))
+    dlat = F.col("a_lat") - F.col("b_lat")
+    dlon = (F.col("a_lon") - F.col("b_lon")) * F.lit(_COSLAT)
+    dist = F.lit(GEO_KM_PER_DEG) * F.sqrt(dlat * dlat + dlon * dlon)
+    return cand.select("a_cust", "b_cust", dist.alias("dist_km")).where(
+        F.col("dist_km") < GEO_RADIUS_KM
+    )

@@ -442,3 +442,32 @@ def st_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFr
     from dmi_ingestor_spark.streaming.windows import stream_stream_purchase_outer
 
     return stream_stream_purchase_outer(spark, sf_dir, how="full_outer")
+
+
+@register(
+    "st_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Spark 4 transformWithStateInPandas (typed ValueState, RocksDB "
+        "provider) running per-user (count, max) under availableNow "
+        "(import-gated: the TWS worker needs google.protobuf, absent in "
+        "this container, so an applyInPandasWithState fallback computes "
+        "IDENTICAL state semantics until it exists); "
+        "the wrapped emissions reduce to the final state, and because "
+        "count/max are order-independent the result is HASH-checkable "
+        "against the plain batch aggregate — a real-streaming-execution "
+        "query with a full SQL oracle, not rows-only. See "
+        "streaming/windows.py transform_with_state_user_stats."
+    ),
+    tags=("streaming", "stateful", "pandas"),
+)
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.streaming.windows import transform_with_state_user_stats
+
+    return transform_with_state_user_stats(spark, sf_dir)

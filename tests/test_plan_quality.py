@@ -434,3 +434,38 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_analyze_table_column_stats_feed_cbo(spark, sf_dir, tmp_path):
+    """Catalog statistics pipeline: ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS populates row-count + per-column NDV/null stats, and the
+    optimizer's stats estimate for the analyzed table reflects the real
+    row count (the input CBO join-reordering and broadcast decisions
+    consume at 100 TB, where file size alone misprices selective
+    filters)."""
+    name = "stats_nation"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.option(
+        "path", str(tmp_path / "stats_nation")
+    ).saveAsTable(name)
+    try:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name"
+        )
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {name} n_nationkey").collect()
+        }
+        assert desc["distinct_count"] == "25"
+        assert desc["num_nulls"] == "0"
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+            )
+            assert stats.rowCount().get() == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

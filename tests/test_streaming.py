@@ -250,3 +250,24 @@ def test_stream_stream_full_outer_join_matches_batch(spark, sf_dir):
     # both null-padded directions must be present
     assert any(p is None for p, _ in got), "expected purchase-side nulls"
     assert any(c is None for _, c in got), "expected click-side nulls"
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The TWS/fallback per-user (count, max) equals the batch aggregate
+    regardless of which state API the protobuf import-gate selected."""
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.streaming.windows import transform_with_state_user_stats
+
+    got = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in transform_with_state_user_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["mx"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == want
