@@ -44,6 +44,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "text_chunk_sliding",
     "pipeline_e2e_corpus",
     "text_bpe_merges",
+    "dedup_paragraph_rewrite",
+    "spatial_radius_join_grid",
 )
 
 

@@ -1008,3 +1008,96 @@ def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Privacy / data-governance operators
+# --------------------------------------------------------------------------
+
+K_ANON = 5
+
+_K_ANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n,
+         GROUPING(c_mktsegment) AS lvl
+  FROM customer
+  GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey))
+)
+SELECT CAST(lvl AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) FILTER (WHERE n < {K_ANON}) AS BIGINT) AS n_small_classes,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < {K_ANON}), 0) AS BIGINT)
+         AS n_suppressed_rows
+FROM classes
+GROUP BY lvl
+"""
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=_K_ANON_SQL,
+    doc=(
+        f"k-anonymity audit (k={K_ANON}) over the quasi-identifier pair "
+        "(nationkey, mktsegment) at TWO generalization levels in one "
+        "scan — GROUPING SETS emits both the full-QI classes and the "
+        "nation-only generalization; per level: equivalence-class "
+        "count, classes under k, and rows needing suppression. The "
+        "release-gate query every privacy-reviewed 100 TB export runs "
+        "first: one Expand + partial/final aggregate, output is "
+        "O(classes), and the generalization ladder extends by adding "
+        "grouping sets, not passes. ONE shared SQL string runs on both "
+        "engines (GROUPING SETS + FILTER are ANSI)."
+    ),
+    tags=("pipeline", "privacy", "customer", "sql-api"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_K_ANON_SQL)
+
+
+@register(
+    "profile_skew_keys",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts)
+    SELECT c.l_suppkey, c.n,
+           CAST(c.n * 1000 // t.total AS BIGINT) AS permille,
+           CAST(t.n_keys AS BIGINT) AS n_keys
+    FROM counts c, tot t
+    ORDER BY c.n DESC, c.l_suppkey
+    LIMIT 20
+    """,
+    doc=(
+        "Skew diagnostic: per-key cardinality profile for a join/agg "
+        "key — top-20 heaviest keys with their integer permille of all "
+        "rows and the total key count, deterministic tie-break. This is "
+        "the query you run BEFORE choosing salting vs AQE skew-join on "
+        "a 100 TB fact table: one partial+final count on the key, a "
+        "1-row broadcast total (crossJoin, no shuffle), TakeOrdered "
+        "top-k — the profile costs one scan. Integer permille keeps it "
+        "hash-exact."
+    ),
+    tags=("pipeline", "profiling", "lineitem"),
+)
+def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            (F.col("n") * 1000 / F.col("total")).cast("long").alias("permille"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.desc("n"), "l_suppkey")
+        .limit(20)
+    )

@@ -641,3 +641,83 @@ def scalar_array_index_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(arr, F.lit(-1)).alias("from_end"),
         F.try_element_at(arr, F.lit(2)).alias("second"),
     )
+
+
+# --------------------------------------------------------------------------
+# Business-day arithmetic (closed form, no calendar explode)
+# --------------------------------------------------------------------------
+
+# f(n) = weekdays among epoch days [0, n): epoch day 0 = Thu 1970-01-01,
+# so a week starting at day offset r contributes substr-table lookups.
+# The '0122234' prefix table is the running weekday count of the
+# Thu,Fri,Sat,Sun,Mon,Tue,Wed cycle.
+_BD_PREFIX = "0122234"
+
+
+def _sql_busday_f(n: str) -> str:
+    return (
+        f"(({n}) // 7 * 5 + CAST(substr('{_BD_PREFIX}', ({n}) % 7 + 1, 1) AS INT))"
+    )
+
+
+def _spark_busday_f(n):  # noqa: ANN001, ANN202
+    return (F.floor(n / 7) * 5).cast("long") + F.substring(
+        F.lit(_BD_PREFIX), (n % 7 + 1).cast("int"), 1
+    ).cast("long")
+
+
+@register(
+    "scalar_business_days",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS n_ship,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS n_ord
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= o_orderdate
+    ),
+    b AS (
+      SELECT l_returnflag, l_linestatus,
+             {_sql_busday_f('n_ship + 1')} - {_sql_busday_f('n_ord + 1')}
+               AS bus_days
+      FROM d
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(bus_days) AS BIGINT) AS sum_bus_days,
+           CAST(SUM(bus_days) * 1000 // COUNT(*) AS BIGINT) AS avg_permille
+    FROM b
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "Business-day (Mon–Fri) shipping delay in CLOSED FORM: weekdays "
+        "in (order, ship] computed from epoch-day integers with a "
+        "7-entry prefix table — O(1) integer math per row, no calendar "
+        "spine, no sequence explode (a naive explode over the fixture's "
+        "±2400-day spans would generate 10⁸ rows at sf0.1). Pure "
+        "integer arithmetic end to end (sums and floor-permille means) "
+        "so the cross-engine hash is exact; the weekday anchoring "
+        "(epoch day 0 = Thursday) is pinned by the shared prefix table "
+        "rather than each engine's dow() numbering, which disagree."
+    ),
+    tags=("scalar", "date", "lineitem"),
+)
+def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner").where(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    n_ship = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+    n_ord = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    bus = _spark_busday_f(n_ship + 1) - _spark_busday_f(n_ord + 1)
+    b = j.select("l_returnflag", "l_linestatus", bus.alias("bus_days"))
+    return b.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("bus_days").cast("long").alias("sum_bus_days"),
+        F.floor(F.sum("bus_days") * 1000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_permille"),
+    )

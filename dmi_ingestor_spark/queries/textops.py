@@ -730,3 +730,59 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(inner, _BPE_SEP)).cast("long").alias("n_after"),
     )
     return after.join(orig, ["doc_id"]).select("doc_id", "n_before", "n_after")
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality filter (Arrow-batched Python path)
+# --------------------------------------------------------------------------
+
+CR_LEVEL = 6  # zlib level — fixed so results are reproducible run-to-run
+CR_KEEP_MAX_PERMILLE = 900  # keep docs with compressed/raw < 0.9
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib is not expressible in SQL; invariants in tests
+    doc=(
+        "Gopher-style compression-ratio quality signal: docs whose "
+        "zlib-compressed size is a large fraction of the raw size are "
+        "high-entropy (random junk), tiny fractions are degenerate "
+        "repetition — both filter targets for LLM corpora. Runs as "
+        "mapInPandas (Arrow batches, one zlib call per doc inside a "
+        "vectorized loop — no JVM round-trips), emitting integer byte "
+        "sizes and permille so downstream thresholds are exact. "
+        "Rows-only by necessity (no SQL zlib); determinism (same bytes "
+        "→ same sizes) and the dup-doc invariance are pinned in "
+        "tests/test_invariants.py."
+    ),
+    tags=("text", "training-pipeline", "pandas", "rows-only"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, CR_LEVEL))).astype(
+                "int64"
+            )
+            permille = (n_comp * 1000 // n_raw).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": n_raw,
+                    "n_compressed": n_comp,
+                    "ratio_permille": permille,
+                    "keep": (permille < CR_KEEP_MAX_PERMILLE).astype("int32"),
+                }
+            )
+
+    return d.mapInPandas(
+        score,
+        "doc_id long, n_raw long, n_compressed long, ratio_permille long, keep int",
+    )

@@ -1218,3 +1218,183 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.min("start_m").cast("long").alias("first_month"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast + backtest (MAE) over the monthly revenue series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_naive_mae",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mnum,
+             SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS rev
+      FROM orders
+      GROUP BY o_orderpriority, year(o_orderdate) * 12 + month(o_orderdate)
+    ),
+    fc AS (
+      SELECT o_orderpriority, mnum, rev,
+             LAG(rev, 12) OVER w AS rev_fc,
+             LAG(mnum, 12) OVER w AS mnum_fc
+      FROM monthly
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY mnum)
+    ),
+    err AS (
+      SELECT o_orderpriority, ABS(rev - rev_fc) AS e
+      FROM fc
+      WHERE rev_fc IS NOT NULL AND mnum_fc = mnum - 12
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+           (CAST(FLOOR(SUM(e)) AS DOUBLE)
+            + CAST(SUM(e) - FLOOR(SUM(e)) AS DOUBLE)) / COUNT(*) AS mae
+    FROM err
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Forecast backtesting: seasonal-naive (ŷ_m = y_{m-12}) monthly "
+        "revenue forecast per order priority, scored by MAE over every "
+        "month with a 12-months-prior observation (the contiguity guard "
+        "lag(mnum,12) = mnum-12 keeps gapped series honest). The "
+        "standard baseline any forecasting pipeline must beat — and the "
+        "eval is ONE window pass over the already-aggregated O(months × "
+        "priorities) series, so the 100 TB cost is the monthly rollup, "
+        "which reuses the partial+final aggregate; errors accumulate in "
+        "exact decimal and convert via the split decimal→double, so "
+        "the MAE doubles are bit-identical."
+    ),
+    tags=("window", "timeseries", "forecast", "orders"),
+)
+def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    o = table(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    monthly = o.groupBy(
+        "o_orderpriority", mnum.alias("mnum")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("mnum")
+    fc = monthly.select(
+        "o_orderpriority",
+        "mnum",
+        "rev",
+        F.lag("rev", 12).over(w).alias("rev_fc"),
+        F.lag("mnum", 12).over(w).alias("mnum_fc"),
+    )
+    err = fc.where(
+        F.col("rev_fc").isNotNull() & (F.col("mnum_fc") == F.col("mnum") - 12)
+    ).select("o_orderpriority", F.abs(F.col("rev") - F.col("rev_fc")).alias("e"))
+    return err.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_months"),
+        (dec_to_double(F.sum("e")) / F.count(F.lit(1))).alias("mae"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout: conversion rates + two-proportion z statistic
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_ab_test_z",
+    oracle="""
+    WITH u AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+             CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') >= 14
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant,
+             CAST(SUM(viewed) AS BIGINT) AS n_exposed,
+             CAST(SUM(CASE WHEN viewed = 1 AND converted = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM u GROUP BY variant
+    )
+    SELECT a.n_exposed AS n_exposed_a, a.n_converted AS n_converted_a,
+           b.n_exposed AS n_exposed_b, b.n_converted AS n_converted_b,
+           CAST(a.n_converted * 1000 // a.n_exposed AS BIGINT) AS conv_permille_a,
+           CAST(b.n_converted * 1000 // b.n_exposed AS BIGINT) AS conv_permille_b,
+           ((CAST(a.n_converted AS DOUBLE) / a.n_exposed)
+            - (CAST(b.n_converted AS DOUBLE) / b.n_exposed))
+           / sqrt(
+               (CAST(a.n_converted + b.n_converted AS DOUBLE)
+                / (a.n_exposed + b.n_exposed))
+               * (1.0 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                        / (a.n_exposed + b.n_exposed))
+               * (1.0 / a.n_exposed + 1.0 / b.n_exposed)
+             ) AS z_score
+    FROM (SELECT * FROM v WHERE variant = 0) a,
+         (SELECT * FROM v WHERE variant = 1) b
+    """,
+    doc=(
+        "Experimentation readout: per-variant (user_id parity stands in "
+        "for the assignment hash) exposed users and heavy-buyer "
+        "conversions (>= 14 purchase events, the fixture's median — a "
+        "threshold that actually splits the synthetic population), "
+        "integer-permille conversion rates, and the pooled "
+        "two-proportion z statistic. The per-user collapse is ONE "
+        "partial+final aggregate (user grain), the per-variant rollup "
+        "is 2 rows, and the z math runs on the 1-row join of the two "
+        "variants — so at 100 TB the cost is the user-grain aggregate, "
+        "everything after is constant. The z double hash-matches "
+        "because both engines evaluate the IDENTICAL expression tree "
+        "over identical integers (/,*,-,sqrt are all IEEE "
+        "correctly-rounded)."
+    ),
+    tags=("analytics", "events", "experiment"),
+)
+def analytics_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # per-user collapse first (viewed/purchased flags), then variant rollup
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("viewed"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    v = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.sum("viewed").cast("long").alias("n_exposed"),
+        F.sum(
+            F.when((F.col("viewed") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+    a = v.where(F.col("variant") == 0).select(
+        F.col("n_exposed").alias("n_exposed_a"),
+        F.col("n_converted").alias("n_converted_a"),
+    )
+    b = v.where(F.col("variant") == 1).select(
+        F.col("n_exposed").alias("n_exposed_b"),
+        F.col("n_converted").alias("n_converted_b"),
+    )
+    j = a.crossJoin(b)
+    ca = F.col("n_converted_a").cast("double")
+    cb = F.col("n_converted_b").cast("double")
+    na, nb = F.col("n_exposed_a"), F.col("n_exposed_b")
+    pool = (F.col("n_converted_a") + F.col("n_converted_b")).cast("double") / (
+        na + nb
+    )
+    z = ((ca / na) - (cb / nb)) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return j.select(
+        "n_exposed_a",
+        "n_converted_a",
+        "n_exposed_b",
+        "n_converted_b",
+        F.floor(F.col("n_converted_a") * 1000 / na).cast("long").alias(
+            "conv_permille_a"
+        ),
+        F.floor(F.col("n_converted_b") * 1000 / nb).cast("long").alias(
+            "conv_permille_b"
+        ),
+        z.alias("z_score"),
+    )

@@ -207,3 +207,24 @@ def test_topk_aggregate_rank1_equals_lateral_top1(spark, sf_dir):
         for r in REGISTRY["sql_api_lateral_topn"].builder(spark, sf_dir).collect()
     }
     assert agg == lat and len(agg) > 0
+
+
+def test_compression_ratio_deterministic_and_dup_invariant(spark, sf_dir):
+    """Same text bytes -> same compressed size (duplicate documents get
+    identical scores), ratios land in a sane band, and the column is
+    reproducible across runs (zlib level pinned)."""
+    from dmi_ingestor_spark.registry import load_all
+
+    q = load_all()["text_compression_ratio"].builder
+    a = {r["doc_id"]: (r["n_compressed"], r["ratio_permille"]) for r in q(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["n_compressed"], r["ratio_permille"]) for r in q(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_text: dict[str, set] = {}
+    for doc_id, t in texts.items():
+        by_text.setdefault(t, set()).add(a[doc_id])
+    assert all(len(v) == 1 for v in by_text.values())
+    assert all(0 < nc <= len(texts[d].encode()) + 64 for d, (nc, _) in a.items())
