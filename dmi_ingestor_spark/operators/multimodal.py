@@ -268,3 +268,64 @@ def audio_energy(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "energy": es})
 
     return media.mapInPandas(_energy, AUDIO_SCHEMA)
+
+
+IMG_SIDE = 16  # synthetic grayscale image side (bytes)
+IMG_PATCH = 4  # ViT-style square patch side
+
+IMG_PATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("patch_row", LongType()),
+        StructField("patch_col", LongType()),
+        StructField("sum_intensity", LongType()),
+    ]
+)
+
+
+def image_patches(
+    media: DataFrame, side: int = IMG_SIDE, patch: int = IMG_PATCH
+) -> DataFrame:
+    """Image modality stub: ViT-style patch grid, Arrow-batched.
+
+    Interprets the first ``side²`` payload bytes as an 8-bit grayscale
+    ``side×side`` image (real PIL/cv2 decode is the codec stub, same
+    policy as :func:`_decode_bytes`) and emits one row per ``patch×
+    patch`` block with its integer intensity sum — the patch-embedding
+    front half of every vision transformer pipeline, as a map-only
+    Spark op: numpy reshape-sum per Arrow batch, no shuffle, documents
+    shorter than one image are skipped (complete-frames-only, like
+    :func:`audio_energy`)."""
+    import numpy as np
+
+    n_px = side * side
+    grid = side // patch
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            prs: list[int] = []
+            pcs: list[int] = []
+            sums: list[int] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                if len(raw) < n_px:
+                    continue
+                img = np.frombuffer(raw[:n_px], dtype=np.uint8).astype(np.int64)
+                blocks = img.reshape(grid, patch, grid, patch).sum(axis=(1, 3))
+                for pr in range(grid):
+                    for pc in range(grid):
+                        ids.append(doc_id)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(blocks[pr, pc]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_row": prs,
+                    "patch_col": pcs,
+                    "sum_intensity": sums,
+                }
+            )
+
+    return media.mapInPandas(_patches, IMG_PATCH_SCHEMA)

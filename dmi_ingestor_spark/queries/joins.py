@@ -745,3 +745,93 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with tolerance, executed as a bucketed (2-probe) equi-join
+# --------------------------------------------------------------------------
+
+ASOF_TOL_S = 86400  # look back at most one day
+
+
+@register(
+    "join_asof_tolerance_bucketed",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT
+        c.event_id,
+        c.user_id,
+        p.event_id AS purchase_id,
+        p.ts AS purchase_ts,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.event_id
+          ORDER BY p.ts DESC, p.event_id DESC
+        ) AS rn
+      FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts <= c.ts
+       AND CAST(floor(epoch(p.ts)) AS BIGINT)
+             >= CAST(floor(epoch(c.ts)) AS BIGINT) - {ASOF_TOL_S}
+      WHERE c.event_type = 'click'
+    )
+    SELECT event_id, user_id, purchase_id, purchase_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "Tolerance-bounded as-of join (pandas merge_asof(tolerance=...) "
+        "semantics: each click joined to the user's latest purchase "
+        "within the trailing 24h) — and the tolerance is what makes the "
+        "SCALABLE plan possible: with lookback T, bucket both sides by "
+        "width-T time cells; every qualifying right row lives in the "
+        "left row's cell or the one before, so the left side explodes "
+        "exactly 2 probe buckets and the join is a pure EQUI-join on "
+        "(user, bucket) — no range theta-join, no unbounded per-key "
+        "scan, and state is bounded exactly like a stream-stream "
+        "interval join's watermark. Candidates are range-filtered then "
+        "reduced map-side by max(struct(ts, id)) before the final "
+        "per-event shuffle. The unbounded-asof operator "
+        "(operators/asof.py) stays for semantics that need all history."
+    ),
+    tags=("join", "asof", "events"),
+)
+def join_asof_tolerance_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("p_s"),
+    ).withColumn("bk", F.floor(F.col("p_s") / ASOF_TOL_S))
+    b = F.floor(F.col("ts_s") / ASOF_TOL_S)
+    probe = clicks.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.explode(F.array(b - 1, b)).alias("bk"),
+    )
+    j = probe.join(
+        purchases,
+        (probe.user_id == purchases.p_user) & (probe.bk == purchases.bk),
+        "inner",
+    ).where(
+        (F.col("p_s") <= F.col("ts_s"))
+        & (F.col("p_s") >= F.col("ts_s") - ASOF_TOL_S)
+    )
+    best = j.groupBy("event_id").agg(
+        F.any_value(F.col("user_id")).alias("user_id"),
+        F.max(F.struct("purchase_ts", "purchase_id")).alias("_b"),
+    )
+    return best.select(
+        "event_id",
+        "user_id",
+        F.col("_b.purchase_id").alias("purchase_id"),
+        F.col("_b.purchase_ts").alias("purchase_ts"),
+    )

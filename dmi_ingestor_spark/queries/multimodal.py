@@ -236,3 +236,41 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_payloads(table(spark, sf_dir, "documents"))
     return audio_energy(media)
+
+
+@register(
+    "mm_image_patches",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 256
+    ),
+    grid AS (
+      SELECT doc_id, text,
+             CAST(pr AS BIGINT) AS patch_row,
+             CAST(pc AS BIGINT) AS patch_col
+      FROM imgs, UNNEST(range(4)) AS a(pr), UNNEST(range(4)) AS b(pc)
+    )
+    SELECT doc_id, patch_row, patch_col,
+           CAST(list_aggregate(list_transform(range(16), j ->
+             ascii(substr(text,
+               CAST((patch_row * 4 + j // 4) * 16 + patch_col * 4 + j % 4 + 1
+                    AS INTEGER), 1))), 'sum') AS BIGINT) AS sum_intensity
+    FROM grid
+    """,
+    doc=(
+        "U2/U8 image modality: payload bytes as an 8-bit 16×16 "
+        "grayscale image → 4×4 ViT-style patch grid, one row per patch "
+        "with integer intensity sum (operators/multimodal.image_patches "
+        "— numpy reshape-sum over mapInPandas Arrow batches; real "
+        "PIL/cv2 decode is the codec stub per the brief). Map-only: no "
+        "shuffle, rows fan out per patch; the all-integer sums make the "
+        "Arrow decode path hash-green against a byte-arithmetic DuckDB "
+        "oracle, same technique as mm_audio_energy."
+    ),
+    tags=("multimodal", "image"),
+)
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.multimodal import attach_payloads, image_patches
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    return image_patches(media)

@@ -786,3 +786,113 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         score,
         "doc_id long, n_raw long, n_compressed long, ratio_permille long, keep int",
     )
+
+
+# --------------------------------------------------------------------------
+# Model-eval harness: confusion matrix + per-class metrics for lang-id
+# --------------------------------------------------------------------------
+
+# The predictions CTE is the text_lang_id oracle verbatim — the eval is
+# a composition on the SAME definition both engines already agree on.
+_LANG_EVAL_ORACLE = None  # assigned below once text_lang_id is registered
+
+
+def _lang_eval_sql() -> str:
+    from dmi_ingestor_spark.registry import REGISTRY
+
+    pairs = REGISTRY["text_lang_id"].oracle
+    return f"""
+    WITH pairs AS ({pairs}),
+    conf AS (
+      SELECT labeled_lang AS l, detected_lang AS p, COUNT(*) AS n
+      FROM pairs GROUP BY labeled_lang, detected_lang
+    ),
+    lt AS (SELECT l, SUM(n) AS n_labeled FROM conf GROUP BY l),
+    pt AS (SELECT p, SUM(n) AS n_predicted FROM conf GROUP BY p)
+    SELECT lt.l AS lang,
+           CAST(COALESCE(diag.n, 0) AS BIGINT) AS tp,
+           CAST(lt.n_labeled AS BIGINT) AS n_labeled,
+           CAST(COALESCE(pt.n_predicted, 0) AS BIGINT) AS n_predicted,
+           CAST(CASE WHEN COALESCE(pt.n_predicted, 0) = 0 THEN 0
+                     ELSE COALESCE(diag.n, 0) * 1000 // pt.n_predicted END
+                AS BIGINT) AS precision_pm,
+           CAST(COALESCE(diag.n, 0) * 1000 // lt.n_labeled AS BIGINT)
+             AS recall_pm,
+           CAST(CASE WHEN lt.n_labeled + COALESCE(pt.n_predicted, 0) = 0 THEN 0
+                     ELSE COALESCE(diag.n, 0) * 2000
+                          // (lt.n_labeled + COALESCE(pt.n_predicted, 0)) END
+                AS BIGINT) AS f1_pm
+    FROM lt
+    LEFT JOIN (SELECT l, n FROM conf WHERE l = p) diag ON diag.l = lt.l
+    LEFT JOIN pt ON pt.p = lt.l
+    """
+
+
+@register(
+    "ml_eval_confusion_lang_id",
+    oracle=None,  # replaced right after registration (needs text_lang_id)
+    doc=(
+        "Model evaluation as a first-class distributed op: the engine's "
+        "own lang-id heuristic scored against the fixture's ground-truth "
+        "labels — confusion matrix → per-class TP / support / predicted "
+        "counts → integer-permille precision, recall and F1 "
+        "(F1 = 2·tp/(support+predicted), exact in integers — no float "
+        "metric drift). Composition: the predictions relation is the "
+        "text_lang_id definition VERBATIM (same CTE both engines), the "
+        "matrix is one O(classes²) aggregate over the per-doc pairs, "
+        "metrics are class-grain joins — eval cost at 100 TB is the "
+        "prediction pass, the scoring is free. The eval-inside-the-"
+        "pipeline shape every training-data loop needs (did the filter "
+        "change move F1?)."
+    ),
+    tags=("ml", "text", "eval"),
+)
+def ml_eval_confusion_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = text_lang_id(spark, sf_dir).select("labeled_lang", "detected_lang")
+    conf = pairs.groupBy(
+        F.col("labeled_lang").alias("l"), F.col("detected_lang").alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    conf = conf.cache()  # three branches below: diag, label & pred totals
+    lt = conf.groupBy("l").agg(F.sum("n").alias("n_labeled"))
+    pt = conf.groupBy("p").agg(F.sum("n").alias("n_predicted"))
+    diag = conf.where(F.col("l") == F.col("p")).select("l", F.col("n").alias("tp0"))
+    j = (
+        lt.join(diag, "l", "left")
+        .join(pt, lt.l == pt.p, "left")
+        .select(
+            F.col("l").alias("lang"),
+            F.coalesce(F.col("tp0"), F.lit(0)).cast("long").alias("tp"),
+            F.col("n_labeled").cast("long").alias("n_labeled"),
+            F.coalesce(F.col("n_predicted"), F.lit(0)).cast("long").alias(
+                "n_predicted"
+            ),
+        )
+    )
+    tp, nl, np_ = F.col("tp"), F.col("n_labeled"), F.col("n_predicted")
+    return j.select(
+        "lang",
+        "tp",
+        "n_labeled",
+        "n_predicted",
+        F.when(np_ == 0, 0)
+        .otherwise(F.floor(tp * 1000 / np_))
+        .cast("long")
+        .alias("precision_pm"),
+        F.floor(tp * 1000 / nl).cast("long").alias("recall_pm"),
+        F.when(nl + np_ == 0, 0)
+        .otherwise(F.floor(tp * 2000 / (nl + np_)))
+        .cast("long")
+        .alias("f1_pm"),
+    )
+
+
+# Late-bind the oracle now that text_lang_id's SQL is registered.
+from dmi_ingestor_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ml_eval_confusion_lang_id"] = _REG["ml_eval_confusion_lang_id"].__class__(
+    name="ml_eval_confusion_lang_id",
+    builder=_REG["ml_eval_confusion_lang_id"].builder,
+    oracle=_lang_eval_sql(),
+    doc=_REG["ml_eval_confusion_lang_id"].doc,
+    tags=_REG["ml_eval_confusion_lang_id"].tags,
+)

@@ -1398,3 +1398,68 @@ def analytics_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z.alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    conf AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type,
+           CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_transitions * 1000
+                // SUM(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS permille
+    FROM conf
+    """,
+    doc=(
+        "Behavioral Markov chain: first-order transition counts and "
+        "integer-permille probabilities between event types, from "
+        "per-user time-ordered sequences (lead over (user, ts) — the "
+        "same narrow per-key window sessionization uses, no global "
+        "sort). The transition matrix is O(types²) rows, so the final "
+        "normalizing window is over a tiny relation; at 100 TB the "
+        "only real cost is the per-user window pass, one Exchange on "
+        "user_id shared with every other user-grain op. Feeds "
+        "attribution, next-action prediction baselines, and anomaly "
+        "screens (transitions that 'never happen' appearing)."
+    ),
+    tags=("analytics", "events", "window"),
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    conf = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return conf.select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.floor(
+            F.col("n_transitions") * 1000 / F.sum("n_transitions").over(wt)
+        )
+        .cast("long")
+        .alias("permille"),
+    )
