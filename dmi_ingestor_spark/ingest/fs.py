@@ -39,3 +39,13 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete; True if something was removed."""
     fs, jpath = _fs_and_path(spark, path)
     return bool(fs.delete(jpath, True))
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic-per-filesystem rename (the publish step of write-audit-
+    publish). True on success; False if src is missing or dst exists."""
+    fs, jsrc = _fs_and_path(spark, src)
+    _, jdst = _fs_and_path(spark, dst)
+    if not fs.exists(jsrc) or fs.exists(jdst):
+        return False
+    return bool(fs.rename(jsrc, jdst))

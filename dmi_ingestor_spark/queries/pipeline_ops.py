@@ -1101,3 +1101,67 @@ def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "l_suppkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Write-Audit-Publish (WAP): stage → audit gate → atomic rename publish
+# --------------------------------------------------------------------------
+
+WAP_MIN_ROWS = 100
+
+
+@register(
+    "pipeline_write_audit_publish",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(COUNT(*) >= {WAP_MIN_ROWS} AS INT) AS audit_passed,
+           CAST(1 AS INT) AS published
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc=(
+        "Write-Audit-Publish: the export is written to a STAGING prefix, "
+        "audited there (row floor + order-key checksum — the dq gate), "
+        "and only then atomically renamed to the publish prefix through "
+        "the Hadoop FileSystem API (ingest/fs.py fs_rename — identical "
+        "code for file://, hdfs://, s3a://); consumers can never observe "
+        "a half-written or audit-failed export. The returned row is the "
+        "audit RE-COMPUTED FROM THE PUBLISHED FILES, so driver-green "
+        "means stage→audit→publish→readback was lossless end-to-end. "
+        "At 100 TB the audit is one aggregate over the staged parquet "
+        "and publish is one metadata rename — cost is the write itself. "
+        "Spark-native WAP (the Iceberg/Delta branch-commit pattern, "
+        "without a table format)."
+    ),
+    tags=("pipeline", "sink", "orders"),
+)
+def pipeline_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.fs import fs_delete, fs_exists, fs_rename
+
+    root = _tf.mkdtemp(prefix="dmi-wap-")
+    staged, published = f"{root}/_staging/export", f"{root}/export"
+    src = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    src.write.mode("overwrite").parquet(staged)
+
+    audit = (
+        spark.read.parquet(staged)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .collect()[0]  # 1-row audit gate: driver decides publish/abort
+    )
+    ok = audit["n_rows"] >= WAP_MIN_ROWS
+    if ok:
+        assert fs_rename(spark, staged, published)
+        fs_delete(spark, f"{root}/_staging")
+    out_path = published if ok else staged
+    assert fs_exists(spark, out_path)
+    return spark.read.parquet(out_path).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        (F.count(F.lit(1)) >= WAP_MIN_ROWS).cast("int").alias("audit_passed"),
+        F.lit(1 if ok else 0).cast("int").alias("published"),
+    )

@@ -570,3 +570,101 @@ def sql_api_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+# --------------------------------------------------------------------------
+# SQL session variables + EXECUTE IMMEDIATE (Spark 4 scripting surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_session_variables",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_orderkey > (SELECT MAX(o_orderkey) FROM orders) // 2
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Spark 4 SQL session variables + parameterized EXECUTE "
+        "IMMEDIATE: DECLARE a variable, SET it from a scalar subquery "
+        "(max key / 2 — integer, so cross-engine exact), then run the "
+        "report as a '?'-parameterized statement bound to the variable. "
+        "The variable indirection is resolved before optimization, so "
+        "the plan is identical to inlining the literal — scalar "
+        "subquery broadcast, pushdown intact; what it buys at scale is "
+        "operational: one computed threshold reused across N statements "
+        "without re-running the subquery."
+    ),
+    tags=("sql-api", "orders"),
+)
+def sql_api_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE key_thr BIGINT DEFAULT 0")
+    spark.sql(
+        "SET VAR key_thr = (SELECT MAX(o_orderkey) FROM orders) DIV 2"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_above
+           FROM orders WHERE o_orderkey > ? GROUP BY o_orderstatus'
+          USING key_thr
+        """
+    )
+
+
+@register(
+    "sql_api_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS
+                              DECIMAL(22,8)))) AS DOUBLE)
+            + CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS
+                            DECIMAL(22,8)))
+                   - FLOOR(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS
+                                    DECIMAL(22,8)))) AS DOUBLE))
+             AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Spark 4 SQL UDF (CREATE FUNCTION ... RETURNS ... RETURN expr): "
+        "the net-price business rule defined ONCE as a catalog-level "
+        "SQL function and used inside an exact-decimal aggregate. SQL "
+        "UDFs inline into the plan at analysis time — zero call "
+        "overhead, full codegen, pushdown through the function body — "
+        "unlike Python UDFs; this is the mechanism for shared business "
+        "logic on a 100 TB warehouse. Oracle expands the body "
+        "verbatim."
+    ),
+    tags=("sql-api", "lineitem"),
+)
+def sql_api_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(22,8)
+        RETURN CAST(p * (1.0 - d) AS DECIMAL(22,8))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(FLOOR(SUM(net_price(l_extendedprice, l_discount)))
+                    AS DOUBLE)
+               + CAST(SUM(net_price(l_extendedprice, l_discount))
+                      - FLOOR(SUM(net_price(l_extendedprice, l_discount)))
+                      AS DOUBLE) AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
