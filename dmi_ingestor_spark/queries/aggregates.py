@@ -1305,7 +1305,15 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", (F.col("event_id") % 2).alias("half")
     )
-    halves = ev.groupBy("half").agg(
+    # Sentinel seed: ApproxTopKCombine.eval crashes (scala.MatchError on
+    # the null serde type) when every accumulate group is empty — an
+    # upstream Spark 4.1 bug on empty input. One never-occurring seed
+    # item in its own half keeps the combine non-empty at zero cost; it
+    # is filtered back out after estimation.
+    seed = spark.range(1).select(
+        F.lit("\u0000seed").alias("event_type"), F.lit(-1).alias("half")
+    )
+    halves = ev.unionByName(seed).groupBy("half").agg(
         F.expr("approx_top_k_accumulate(event_type, 10)").alias("st")
     )
     combined = halves.agg(
@@ -1313,9 +1321,13 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "items"
         )
     )
-    rows = combined.select(F.explode("items").alias("e")).select(
-        F.col("e.item").alias("event_type"),
-        F.col("e.count").cast("long").alias("n_events"),
+    rows = (
+        combined.select(F.explode("items").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+        .where(F.col("event_type") != "\u0000seed")
     )
     return rows.orderBy(F.desc("n_events"), "event_type").limit(3)
 

@@ -115,6 +115,26 @@ EMPTY_SAFE = [
     "sample_exact_stratified",
     "text_bpe_apply",
     "ts_rolling_anomaly",
+    # round-2 waves 12-17
+    "dedup_paragraph_rewrite",
+    "ml_feature_hashing",
+    "join_interval_overlap",
+    "window_gaps_islands",
+    "spatial_radius_join_grid",
+    "agg_approx_top_k",
+    "agg_theta_sketch_setops",
+    "udtf_analyze_polymorphic",
+    "privacy_k_anonymity",
+    "profile_skew_keys",
+    "ts_seasonal_naive_mae",
+    "text_compression_ratio",
+    "scalar_business_days",
+    "analytics_ab_test_z",
+    "ml_eval_confusion_lang_id",
+    "analytics_markov_transitions",
+    "join_asof_tolerance_bucketed",
+    "mm_image_patches",
+    "sql_api_pipe_syntax",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
