@@ -304,3 +304,150 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (synchronous, K rounds)
+# ---------------------------------------------------------------------------
+
+_LP_K = 3
+
+
+def _lp_oracle() -> str:
+    """Unrolled K-round synchronous label propagation as a CTE chain."""
+    parts = [
+        """
+    WITH dedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ), und AS (
+      SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM dedges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM dedges WHERE src <> dst
+      ) GROUP BY src, dst
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), l0 AS (
+      SELECT node, node AS label FROM nodes
+    )"""
+    ]
+    for k in range(_LP_K):
+        parts.append(
+            f""", t{k} AS (
+      SELECT und.dst AS node, l{k}.label AS label, SUM(und.w) AS wsum
+      FROM und JOIN l{k} ON und.src = l{k}.node
+      GROUP BY und.dst, l{k}.label
+    ), m{k} AS (
+      SELECT node, MAX(wsum) AS mw FROM t{k} GROUP BY node
+    ), n{k} AS (
+      SELECT t.node, MIN(t.label) AS label
+      FROM t{k} t JOIN m{k} m ON t.node = m.node AND t.wsum = m.mw
+      GROUP BY t.node
+    ), l{k + 1} AS (
+      SELECT nodes.node, COALESCE(n{k}.label, l{k}.label) AS label
+      FROM nodes
+      JOIN l{k} ON nodes.node = l{k}.node
+      LEFT JOIN n{k} ON nodes.node = n{k}.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS nationkey, label AS community FROM l{_LP_K}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lp_oracle(),
+    doc=(
+        "Community detection by SYNCHRONOUS label propagation "
+        "(Raghavan et al. 2007), 3 rounds over the undirected "
+        "nation-trade graph: every node adopts the label with the "
+        "largest total incident edge weight among its neighbours, "
+        "ties broken by smallest label — fully deterministic, so "
+        "even the iteration is hash-green against the oracle's "
+        "unrolled CTE chain. Same scale shape as PageRank/connected "
+        "components: the expensive stage is the one fact-join edge "
+        "build; each round is then a broadcast-sized join + two "
+        "aggregates on the |V|^2-bounded summary graph. The "
+        "max-then-argmin update is two stacked aggregates (no "
+        "window), all BIGINT."
+    ),
+    tags=("graph", "iterative", "communities", "scale"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dedges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    und = (
+        dedges.select("src", "dst", "w")
+        .unionAll(
+            dedges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # the summary graph is |V|^2-bounded (<= 625 rows here): collapse
+        # to one partition so each of the K rounds is a handful of tiny
+        # tasks, not 32-partition shuffle stages
+        .coalesce(1)
+        .cache()  # K rounds + nodes all branch from the edge build
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1).cache()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(_LP_K):
+        t = (
+            und.join(
+                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        m = (
+            t.groupBy("node")
+            .agg(F.max("wsum").alias("mw"))
+            .withColumnRenamed("node", "mnode")
+        )
+        new = (
+            t.join(
+                F.broadcast(m),
+                (F.col("node") == F.col("mnode"))
+                & (F.col("wsum") == F.col("mw")),
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        prev = labels
+        labels = (
+            nodes.join(labels, "node")
+            .join(F.broadcast(new), "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+            .cache()  # truncate re-computation: each round reuses the last
+        )
+        prev.unpersist()  # no-op on the uncached round-0 labels
+    return labels.select(
+        F.col("node").alias("nationkey"), F.col("label").alias("community")
+    )

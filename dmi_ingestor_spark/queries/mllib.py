@@ -155,3 +155,123 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("fvec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature selection (token vs language class)
+# ---------------------------------------------------------------------------
+
+CHI2_TOP_K = 20
+
+
+@register(
+    "ml_chi2_feature_selection",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, lang = 'en' AS is_en,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, is_en, token FROM raw WHERE len(token) >= 2
+    ),
+    tot AS (
+      SELECT COUNT(DISTINCT CASE WHEN lang = 'en' THEN doc_id END) AS n_en,
+             COUNT(DISTINCT CASE WHEN lang <> 'en' THEN doc_id END) AS n_other
+      FROM documents
+    ),
+    cnt AS (
+      SELECT token,
+             CAST(COUNT(CASE WHEN is_en THEN 1 END) AS BIGINT) AS n_en_docs,
+             CAST(COUNT(CASE WHEN NOT is_en THEN 1 END) AS BIGINT)
+               AS n_other_docs
+      FROM tok GROUP BY token
+    ),
+    chi AS (
+      SELECT token, n_en_docs, n_other_docs,
+             CAST(CAST(n_en + n_other AS HUGEINT)
+                  * CAST(n_en_docs * n_other - n_other_docs * n_en AS HUGEINT)
+                  * CAST(n_en_docs * n_other - n_other_docs * n_en AS HUGEINT)
+                  AS DOUBLE)
+             / CAST(CAST(n_en_docs + n_other_docs AS HUGEINT)
+                    * CAST(n_en + n_other - n_en_docs - n_other_docs AS HUGEINT)
+                    * CAST(n_en AS HUGEINT) * CAST(n_other AS HUGEINT)
+                    AS DOUBLE) AS chi2
+      FROM cnt, tot
+      WHERE n_en_docs + n_other_docs < n_en + n_other
+        AND n_en > 0 AND n_other > 0
+    )
+    SELECT token, n_en_docs, n_other_docs, chi2
+    FROM chi ORDER BY chi2 DESC, token LIMIT {CHI2_TOP_K}
+    """,
+    doc=(
+        "Chi-square feature selection over the corpus: which tokens "
+        "are most associated with the 'en' class — the classic filter "
+        "step before training a lightweight classifier (quality "
+        "filters, lang-id features). Contingency cells come from ONE "
+        "distinct doc-token aggregate (a+b per token; c,d derived "
+        "from the broadcast 1-row class totals, never recounted); "
+        "chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) with (a+c)=N_en "
+        "fixed by class. Numerator/denominator are exact "
+        "decimal(38,0)/HUGEINT integers (ad-bc simplifies to "
+        "a*N_other - b*N_en), the final division is one IEEE op on "
+        "identical operands — hash-green. Scale: explode -> distinct "
+        "-> token-key aggregate (two shuffles on bounded keys), "
+        "class totals broadcast, TakeOrdered top-k — no quadratic "
+        "stage, corpus never self-joins."
+    ),
+    tags=("ml", "text", "feature-selection", "documents"),
+)
+def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    tok = raw.where(F.length("token") >= 2).distinct()
+    tot = d.agg(
+        F.count_distinct(
+            F.when(F.col("lang") == "en", F.col("doc_id"))
+        ).alias("n_en"),
+        F.count_distinct(
+            F.when(F.col("lang") != "en", F.col("doc_id"))
+        ).alias("n_other"),
+    )
+    cnt = tok.groupBy("token").agg(
+        F.count(F.when(F.col("is_en"), 1)).cast("long").alias("n_en_docs"),
+        F.count(F.when(~F.col("is_en"), 1)).cast("long").alias("n_other_docs"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ad_bc = dec(
+        F.col("n_en_docs") * F.col("n_other")
+        - F.col("n_other_docs") * F.col("n_en")
+    )
+    num = dec(F.col("n_en") + F.col("n_other")) * ad_bc * ad_bc
+    den = (
+        dec(F.col("n_en_docs") + F.col("n_other_docs"))
+        * dec(
+            F.col("n_en") + F.col("n_other")
+            - F.col("n_en_docs") - F.col("n_other_docs")
+        )
+        * dec(F.col("n_en"))
+        * dec(F.col("n_other"))
+    )
+    chi = (
+        j.where(
+            (F.col("n_en_docs") + F.col("n_other_docs")
+             < F.col("n_en") + F.col("n_other"))
+            & (F.col("n_en") > 0)
+            & (F.col("n_other") > 0)
+        )
+        .select(
+            "token",
+            "n_en_docs",
+            "n_other_docs",
+            (num.cast("double") / den.cast("double")).alias("chi2"),
+        )
+    )
+    return chi.orderBy(F.col("chi2").desc(), "token").limit(CHI2_TOP_K)

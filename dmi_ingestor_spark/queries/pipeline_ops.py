@@ -1165,3 +1165,143 @@ def pipeline_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) >= WAP_MIN_ROWS).cast("int").alias("audit_passed"),
         F.lit(1 if ok else 0).cast("int").alias("published"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalable global enumeration (sample-id assignment)
+# ---------------------------------------------------------------------------
+
+_GRN_PARTS = 8  # range partitions for the enumeration (tune to cluster)
+
+
+@register(
+    "transform_global_row_number",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+    FROM orders
+    """,
+    doc=(
+        "Global contiguous row numbering WITHOUT a single-partition "
+        "sort — the sample-id assignment step every training-data "
+        "pipeline needs. `row_number() OVER (ORDER BY k)` plans an "
+        "Exchange SinglePartition: one task sorts the whole table, a "
+        "non-starter at 100 TB. This builder instead (1) "
+        "repartitionByRange on the key — partitions are key-disjoint "
+        "and ordered by partition id, (2) sortWithinPartitions — "
+        "parallel local sorts, (3) counts rows per partition (a "
+        "partitions-sized aggregate collected to the driver), (4) adds "
+        "a per-partition running index via one Arrow `mapInPandas` "
+        "pass (zero extra shuffle; the iterator sees the partition's "
+        "batches in sorted order), and (5) adds the prefix-sum offset "
+        "from a broadcast literal map. Output == ROW_NUMBER() exactly, "
+        "plan has NO SinglePartition exchange (asserted in "
+        "test_plan_quality). The cached ranged relation pins the range "
+        "boundaries so the count job and the output job see identical "
+        "partitioning. This is the DataFrame/Arrow form of RDD "
+        "zipWithIndex, kept declarative above and below the narrow "
+        "enumeration map."
+    ),
+    tags=("training-pipeline", "enumeration", "orders", "scale"),
+)
+def transform_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = (
+        o.repartitionByRange(_GRN_PARTS, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def _add_local(batches):
+        base = 0
+        for pdf in batches:
+            n = len(pdf)
+            yield pdf.assign(_local=np.arange(base, base + n, dtype="int64"))
+            base += n
+
+    enumerated = ranged.mapInPandas(
+        _add_local,
+        schema="o_orderkey long, o_totalprice double, _pid int, _local long",
+    )
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        )
+        off = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    else:  # empty input: no partitions observed
+        off = F.lit(0)
+    return enumerated.select(
+        "o_orderkey",
+        "o_totalprice",
+        (off + F.col("_local") + 1).cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 100
+_TWO_60 = float(1 << 60)
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             POWER(
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) / {_TWO_60!r},
+               1.0 / n_chars
+             ) AS wkey
+      FROM documents
+      WHERE n_chars > 0
+    )
+    ORDER BY wkey DESC, doc_id
+    LIMIT {_WRS_K}
+    """,
+    doc=(
+        "Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "
+        "A-ES): each doc gets key u^(1/w) with u a deterministic "
+        "md5-derived uniform and w = n_chars; the top-k keys ARE a "
+        "weighted sample without replacement — the size-biased pick "
+        "used for quality- or length-weighted corpus subsetting. "
+        "Deterministic (no RNG state, reproducible across engines and "
+        "re-runs) and embarrassingly parallel: the plan is a narrow "
+        "projection + TakeOrderedAndProject (per-partition top-k, "
+        "merge of k-sized heads — no global sort, no shuffle of the "
+        "corpus). The u64→double and the divide are correctly rounded "
+        "in both engines, so even the pow boundary is stable at any "
+        "realistic spacing of keys."
+    ),
+    tags=("sampling", "training-pipeline", "documents", "scale"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(_TWO_60)
+    )
+    wkey = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select("doc_id", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(_WRS_K)
+        .select("doc_id", "n_chars")
+    )

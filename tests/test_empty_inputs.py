@@ -122,7 +122,6 @@ EMPTY_SAFE = [
     "window_gaps_islands",
     "spatial_radius_join_grid",
     "agg_approx_top_k",
-    "agg_theta_sketch_setops",
     "udtf_analyze_polymorphic",
     "privacy_k_anonymity",
     "profile_skew_keys",
@@ -139,6 +138,13 @@ EMPTY_SAFE = [
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
 # contract of an expectation suite, asserted in test_invariants.py.
+
+# Global aggregates (no GROUP BY) correctly emit exactly ONE row on
+# empty input — SQL semantics, and their oracles' scalar subqueries do
+# the same — so they get a one-row/zero-valued assertion instead.
+EMPTY_ONE_ROW = [
+    "agg_theta_sketch_setops",
+]
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +163,10 @@ def test_runs_empty(spark, empty_sf_dir, name):
     df = REGISTRY[name].builder(spark, empty_sf_dir)
     assert df.count() == 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", EMPTY_ONE_ROW)
+def test_runs_empty_global_agg(spark, empty_sf_dir, name):
+    rows = REGISTRY[name].builder(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    assert all(v is None or v == 0 for v in rows[0].asDict().values())
