@@ -592,3 +592,44 @@ def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL unpack_tokens(d.text, 3) u
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Nested build → flatten roundtrip (array<struct> parquet modeling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nested_build_flatten_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+    """,
+    doc=(
+        "Nested-data modeling roundtrip: lineitems roll up into one "
+        "array<struct<linenumber,partkey,quantity>> row per order "
+        "(the denormalized document shape data lakes store to kill "
+        "the join), then flatten back via explode + struct expansion. "
+        "Hash-green against the FLAT relation proves the build→flatten "
+        "composition is lossless — no dropped rows, no field "
+        "reordering, no null surprises. array_sort on the struct makes "
+        "the nested form canonical. Scale: one order-grain aggregate "
+        "(partial+final), one map-side generator — building the "
+        "nested table costs exactly the shuffle the downstream join "
+        "it replaces would have cost, once."
+    ),
+    tags=("reshape", "nested", "lineitem"),
+)
+def nested_build_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_partkey", "l_quantity")
+            )
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey", F.explode("lines").alias("ln")
+    ).select("l_orderkey", "ln.*")

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dmi_ingestor_spark.catalog import table
-from dmi_ingestor_spark.functions.exact import sql_sum_exact, sum_exact
+from dmi_ingestor_spark.functions.exact import (
+    sql_dec_to_double,
+    sql_sum_exact,
+    sum_exact,
+)
 from dmi_ingestor_spark.registry import register
 
 
@@ -1462,4 +1466,233 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("permille"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OLS price trend per priority (closed-form regression via sufficient stats)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_price_trend_ols",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(EXTRACT(YEAR FROM o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS sx,
+             CAST(SUM((EXTRACT(YEAR FROM o_orderdate) * 12
+                       + EXTRACT(MONTH FROM o_orderdate))
+                      * (EXTRACT(YEAR FROM o_orderdate) * 12
+                         + EXTRACT(MONTH FROM o_orderdate))) AS BIGINT) AS sxx,
+             SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS sy_dec,
+             SUM(CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o_orderdate) AS DECIMAL(6,0))
+                 * CAST(o_totalprice AS DECIMAL(22,8))) AS sxy_dec
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_rows,
+           (CAST(n_rows AS DOUBLE) * {sql_dec_to_double('sxy_dec')}
+            - CAST(sx AS DOUBLE) * {sql_dec_to_double('sy_dec')})
+           / (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           ({sql_dec_to_double('sy_dec')}
+            - ((CAST(n_rows AS DOUBLE) * {sql_dec_to_double('sxy_dec')}
+                - CAST(sx AS DOUBLE) * {sql_dec_to_double('sy_dec')})
+               / (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n_rows AS DOUBLE) AS intercept
+    FROM s ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Closed-form OLS regression of order price against calendar "
+        "month, one line per priority: slope/intercept from the five "
+        "sufficient statistics (n, Σx, Σx², Σy, Σxy) computed in ONE "
+        "partial+final aggregate pass — the scalable form of ML 'fit' "
+        "for any linear model: no iteration, no driver-side math, "
+        "state is 5 numbers per group. Σy/Σxy accumulate in exact "
+        "decimal (order-independent); the slope/intercept doubles "
+        "hash-match because both engines evaluate the identical IEEE "
+        "expression tree over identical inputs. x = year*12+month "
+        "(BIGINT), so Σx/Σx² are exact integers."
+    ),
+    tags=("analytics", "ml", "orders", "regression"),
+)
+def analytics_price_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    o = table(spark, sf_dir, "orders")
+    x = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    y_dec = F.col("o_totalprice").cast(DEC)
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y_dec).alias("sy_dec"),
+        F.sum(x.cast("decimal(6,0)") * y_dec).alias("sxy_dec"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = dec_to_double(F.col("sy_dec"))
+    sxy_d = dec_to_double(F.col("sxy_dec"))
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    return s.select(
+        "o_orderpriority",
+        "n_rows",
+        slope.alias("slope"),
+        ((sy_d - slope * sx_d) / n_d).alias("intercept"),
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative-filtering similarity (cosine over co-occurrence)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_item_item_cosine",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY l_partkey
+    ),
+    pc AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS c_ij
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p1, p2, c_ij,
+           CAST(c_ij AS DOUBLE)
+           / sqrt(CAST(i1.c AS DOUBLE) * CAST(i2.c AS DOUBLE)) AS cosine
+    FROM pc
+    JOIN ic i1 ON pc.p1 = i1.l_partkey
+    JOIN ic i2 ON pc.p2 = i2.l_partkey
+    ORDER BY cosine DESC, p1, p2 LIMIT 20
+    """,
+    doc=(
+        "Item-item collaborative filtering: cosine similarity over the "
+        "order/part co-occurrence matrix — sim(i,j) = c_ij / "
+        "sqrt(c_i*c_j), the classic Amazon-style item recommender "
+        "statistic. Pair counts reuse the JOINLESS grouped-array "
+        "enumeration (per-order sorted item set, explode of in-array "
+        "i<j pairs — one scan, no self-join); per-item counts are a "
+        "bounded-key aggregate broadcast into the pair relation twice. "
+        "The cosine double hash-matches (one sqrt + one division over "
+        "identical integers). TakeOrdered top-20. At 100 TB the only "
+        "wide stages are the order-grain and pair-grain aggregates; "
+        "the item-count join never shuffles the pair relation."
+    ),
+    tags=("analytics", "ml", "recommender", "lineitem"),
+)
+def analytics_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> "
+                "struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    pc = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ij"))
+        .filter(F.col("c_ij") >= 2)
+    )
+    i1 = ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    return (
+        pc.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .select(
+            "p1",
+            "p2",
+            "c_ij",
+            (
+                F.col("c_ij").cast("double")
+                / F.sqrt(F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Marker-reset conditional cumulative sum (budget/session accumulators)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_conditional_cumsum",
+    oracle=f"""
+    WITH seg AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+      FROM events
+    )
+    SELECT event_id, user_id, seg,
+           {sql_dec_to_double(
+               "SUM(CAST(value AS DECIMAL(22,8))) OVER ("
+               "PARTITION BY user_id, seg ORDER BY ts, event_id "
+               "ROWS UNBOUNDED PRECEDING)"
+           )} AS run_sum
+    FROM seg
+    """,
+    doc=(
+        "Running sum that RESETS at marker rows (every 'view' event "
+        "starts a new accumulation segment) — the budget-cap / "
+        "session-spend accumulator that naive cumsum can't express. "
+        "Two stacked windows: segment id = running count of markers "
+        "per user (one Exchange on user_id), then the cumulative sum "
+        "re-keyed by (user_id, segment). Exact decimal accumulation "
+        "in the frame keeps the doubles hash-green. Scale: both "
+        "windows partition on user grain — no global sort, frames "
+        "stream in one pass per partition."
+    ),
+    tags=("window", "events", "sessionization"),
+)
+def window_conditional_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    ev = table(spark, sf_dir, "events")
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w_user)
+        .cast("long")
+        .alias("seg"),
+    )
+    w_seg = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "seg",
+        dec_to_double(F.sum(F.col("value").cast(DEC)).over(w_seg)).alias("run_sum"),
     )

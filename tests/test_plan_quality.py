@@ -469,3 +469,35 @@ def test_analyze_table_column_stats_feed_cbo(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_global_row_number_has_no_single_partition_exchange(spark, sf_dir):
+    # the point of transform_global_row_number: ROW_NUMBER() OVER
+    # (ORDER BY) would plan Exchange SinglePartition; the range-
+    # partitioned enumeration must not
+    plan = plan_of(spark, sf_dir, "transform_global_row_number")
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    # DPP: joining a partition-columned fact with a filtered dim must
+    # inject a runtime subquery filter into the fact scan so only the
+    # dim-selected partitions are read — the mechanism that makes
+    # star-schema queries touch 1/k of a 100 TB fact table
+    from dmi_ingestor_spark.catalog import table
+
+    fact = str(tmp_path / "orders_by_priority")
+    table(spark, sf_dir, "orders").write.partitionBy("o_orderpriority").parquet(fact)
+    f = spark.read.parquet(fact)
+    d = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter("o_orderpriority LIKE '1-%'")
+    )
+    j = f.join(d, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
