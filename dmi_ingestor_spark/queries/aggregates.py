@@ -1378,3 +1378,93 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("theta_intersection(cs, ps)", "n_inter"),
         est("theta_difference(cs, ps)", "n_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact grouped median WITHOUT a global sort: two-pass histogram selection
+# --------------------------------------------------------------------------
+
+_MED_W = 64  # histogram buckets per group (size ~1e4 at cluster scale)
+
+
+@register(
+    "agg_exact_median_twopass",
+    oracle="""
+    SELECT c_mktsegment, quantile_disc(c_acctbal, 0.5) AS median_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc=(
+        "EXACT per-group median computed the way it must be at 100 TB "
+        "— selection, not sorting. Pass A: per-group (n, min, max), "
+        "broadcast. Pass B: equi-width histogram counts per group; a "
+        "window cumsum over the TINY histogram relation (groups x 64 "
+        "rows) locates the bucket containing rank k=(n+1)/2 and the "
+        "rank remaining within it. Pass C: only rows in that one "
+        "bucket per group (~n/64 of the data) are ranked by value and "
+        "the k'th picked. No stage ever sorts more than one bucket; "
+        "a sort-based median would shuffle and sort the whole table. "
+        "Matches DuckDB quantile_disc(0.5) (PERCENTILE_DISC lower-"
+        "median semantics) exactly — no approximation anywhere."
+    ),
+    tags=("aggregation", "percentile", "customer", "scale"),
+)
+def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    # Pass A: per-group extent + count
+    rng = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("c_acctbal") - F.col("lo"))
+                    * _MED_W
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(_MED_W - 1),
+        )
+    )
+    withb = c.join(F.broadcast(rng), "c_mktsegment").select(
+        "c_mktsegment", "c_acctbal", "n_g", bucket.alias("bucket")
+    )
+    # Pass B: histogram + cumulative rank over the tiny summary
+    hist = withb.groupBy("c_mktsegment", "n_g", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = ((F.col("n_g") + 1) / 2).cast("long")
+    chosen = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("k", k)
+        .where(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select(
+            "c_mktsegment",
+            "bucket",
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
+        )
+    )
+    # Pass C: rank only the median bucket's rows
+    narrowed = withb.join(
+        F.broadcast(chosen), ["c_mktsegment", "bucket"]
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        narrowed.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") == F.col("local_rank"))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_acctbal"))
+        .orderBy("c_mktsegment")
+    )

@@ -275,3 +275,179 @@ def ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chi.orderBy(F.col("chi2").desc(), "token").limit(CHI2_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding with smoothing (feature engineering)
+# ---------------------------------------------------------------------------
+
+TE_SMOOTH = 10.0  # pseudo-observations pulled toward the global prior
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM y GROUP BY o_orderpriority
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM y
+    )
+    SELECT y.o_orderkey,
+           (CAST(g.s_g - y.y AS DOUBLE)
+            + {TE_SMOOTH!r} * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+           / (CAST(g.n_g - 1 AS DOUBLE) + {TE_SMOOTH!r}) AS target_enc
+    FROM y JOIN g USING (o_orderpriority) CROSS JOIN t
+    WHERE g.n_g > 1
+    """,
+    doc=(
+        "Leave-one-out target encoding with additive smoothing — the "
+        "standard high-cardinality categorical feature for gradient "
+        "boosting, computed leakage-free: each row's own label is "
+        "subtracted from its group sum, and the global prior "
+        "contributes m pseudo-observations. ONE group-grain aggregate "
+        "+ one 1-row global aggregate, both broadcast back into the "
+        "row stream — per-row cost is pure arithmetic, no window, no "
+        "self-join, so the plan is scan + two broadcast joins at any "
+        "scale. The encoding double hash-matches (identical IEEE "
+        "tree over exact integers)."
+    ),
+    tags=("ml", "feature-engineering", "orders"),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = y.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    t = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    prior = F.col("s").cast("double") / F.col("n").cast("double")
+    enc = (
+        (F.col("s_g") - F.col("y")).cast("double") + F.lit(TE_SMOOTH) * prior
+    ) / ((F.col("n_g") - 1).cast("double") + F.lit(TE_SMOOTH))
+    return (
+        y.join(F.broadcast(g), "o_orderpriority")
+        .crossJoin(F.broadcast(t))
+        .where(F.col("n_g") > 1)
+        .select("o_orderkey", enc.alias("target_enc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift monitor (feature distribution shift)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SPLIT_YEAR = 1996
+
+
+@register(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - rng.lo)
+                                        * {PSI_BUCKETS}
+                                        / (rng.hi - rng.lo)) AS BIGINT),
+                            0), {PSI_BUCKETS - 1}) AS bucket,
+             CASE WHEN EXTRACT(YEAR FROM o_orderdate) < {PSI_SPLIT_YEAR}
+                  THEN 0 ELSE 1 END AS slice
+      FROM orders CROSS JOIN rng
+    ),
+    c AS (
+      SELECT bucket,
+             CAST(COUNT(CASE WHEN slice = 0 THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN slice = 1 THEN 1 END) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+      FROM c
+    )
+    SELECT bucket, n_a, n_b,
+           ROUND(
+             ((CAST(n_a + 1 AS DOUBLE) / CAST(ta + {PSI_BUCKETS} AS DOUBLE))
+              - (CAST(n_b + 1 AS DOUBLE) / CAST(tb + {PSI_BUCKETS} AS DOUBLE)))
+             * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + {PSI_BUCKETS} AS DOUBLE))
+                  / (CAST(n_b + 1 AS DOUBLE)
+                     / CAST(tb + {PSI_BUCKETS} AS DOUBLE))),
+             6) AS psi_term
+    FROM c CROSS JOIN tot
+    ORDER BY bucket
+    """,
+    doc=(
+        "Population Stability Index drift monitor: o_totalprice "
+        "bucketed into 10 equi-width bins over the broadcast global "
+        "[min,max], early vs late order years as the two populations, "
+        "per-bucket PSI terms (p-q)*ln(p/q) with Laplace smoothing — "
+        "the production check that a feature's serving distribution "
+        "still matches training. One scan + one bucket-grain "
+        "aggregate; the 1-row range and totals broadcast. psi_term "
+        "is rounded to 6dp because ln() is not an IEEE "
+        "correctly-rounded op (same guard as scalar_math_pack's "
+        "log_price); counts stay exact BIGINT."
+    ),
+    tags=("ml", "monitoring", "drift", "orders"),
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = o.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    * PSI_BUCKETS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(PSI_BUCKETS - 1),
+        ).alias("bucket"),
+        F.when(F.year("o_orderdate") < PSI_SPLIT_YEAR, 0)
+        .otherwise(1)
+        .alias("slice"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("slice") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("slice") == 1, 1)).cast("long").alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    p = (F.col("n_a") + 1).cast("double") / (
+        F.col("ta") + PSI_BUCKETS
+    ).cast("double")
+    q = (F.col("n_b") + 1).cast("double") / (
+        F.col("tb") + PSI_BUCKETS
+    ).cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -668,3 +668,44 @@ def sql_api_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# IDENTIFIER() clause: SQL-injection-safe dynamic table/column names
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Spark 4 IDENTIFIER() clause: the table AND the group-by "
+        "column arrive as bound string parameters, resolved into "
+        "identifiers at analysis time — the injection-safe way to "
+        "template multi-tenant/multi-table jobs (vs f-string SQL "
+        "assembly, which is both unsafe and uncacheable). The plan is "
+        "IDENTICAL to the hard-coded query — parameter resolution "
+        "happens before optimization, so nothing changes at scale."
+    ),
+    tags=("sql-api", "orders"),
+)
+def sql_api_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp), CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        ORDER BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "orders", "grp": "o_orderpriority"},
+    )

@@ -134,6 +134,22 @@ EMPTY_SAFE = [
     "join_asof_tolerance_bucketed",
     "mm_image_patches",
     "sql_api_pipe_syntax",
+    # round-2 eighteenth wave
+    "transform_global_row_number",
+    "sample_weighted_reservoir",
+    "ml_chi2_feature_selection",
+    "graph_label_propagation",
+    "analytics_price_trend_ols",
+    # round-2 nineteenth wave
+    "analytics_item_item_cosine",
+    "window_conditional_cumsum",
+    "nested_build_flatten_roundtrip",
+    "text_arrow_native_stats",
+    # round-2 twentieth wave
+    "ml_target_encoding",
+    "ml_psi_drift",
+    "agg_exact_median_twopass",
+    "sql_api_identifier_clause",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
