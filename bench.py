@@ -46,6 +46,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "text_bpe_merges",
     "dedup_paragraph_rewrite",
     "spatial_radius_join_grid",
+    "transform_global_row_number",
+    "agg_exact_median_twopass",
 )
 
 

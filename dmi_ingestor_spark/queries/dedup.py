@@ -953,3 +953,106 @@ def dedup_paragraph_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_dedup"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (crawl-frontier normalization)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'https://example.com/d/' || (doc_id // 6)
+                           || '?id=' || (doc_id // 6)
+               WHEN 1 THEN 'https://EXAMPLE.com/d/' || (doc_id // 6)
+                           || '?id=' || (doc_id // 6)
+               WHEN 2 THEN 'https://example.com:443/d/' || (doc_id // 6)
+                           || '?id=' || (doc_id // 6)
+               WHEN 3 THEN 'https://example.com/d/' || (doc_id // 6)
+                           || '?utm_source=feed&id=' || (doc_id // 6)
+               WHEN 4 THEN 'https://example.com/d/' || (doc_id // 6)
+                           || '?id=' || (doc_id // 6) || '#section-2'
+               ELSE        'https://example.com/d/' || (doc_id // 6)
+                           || '/?id=' || (doc_id // 6)
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://'
+             || replace(lower(regexp_extract(
+                  regexp_replace(url, '#.*$', ''), '^https://([^/]+)', 1)),
+                ':443', '')
+             || regexp_replace(
+                  replace(
+                    replace(regexp_replace(
+                      regexp_replace(url, '#.*$', ''), '^https://[^/]+', ''),
+                      'utm_source=feed&', ''),
+                    '/?', '?'),
+                  '/$', '') AS canonical_url
+      FROM urls
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+    doc=(
+        "URL canonicalization dedup — the crawl-frontier normalizer "
+        "every web-scale corpus pipeline runs before exact dedup: "
+        "lowercase host, strip the default :443 port, drop utm_* "
+        "tracking params, trailing slash and #fragment, then "
+        "keep-first per canonical URL. The six per-doc variants are "
+        "built deterministically from doc_id so the collapse factor "
+        "is provable (6 variants -> 1 canonical). All string ops are "
+        "Catalyst built-ins on a narrow projection; the only shuffle "
+        "is the canonical-key aggregate — identical shape to "
+        "dedup_exact at any scale."
+    ),
+    tags=("dedup", "url", "documents", "training-pipeline"),
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") / 6).cast("long").cast("string")
+    m = F.col("doc_id") % 6
+    base = F.concat(F.lit("https://example.com/d/"), g)
+    url = (
+        F.when(m == 0, F.concat(base, F.lit("?id="), g))
+        .when(m == 1, F.concat(F.lit("https://EXAMPLE.com/d/"), g, F.lit("?id="), g))
+        .when(m == 2, F.concat(F.lit("https://example.com:443/d/"), g, F.lit("?id="), g))
+        .when(m == 3, F.concat(base, F.lit("?utm_source=feed&id="), g))
+        .when(m == 4, F.concat(base, F.lit("?id="), g, F.lit("#section-2")))
+        .otherwise(F.concat(base, F.lit("/?id="), g))
+    )
+    defrag = F.regexp_replace(url, "#.*$", "")
+    host = F.replace(
+        F.lower(F.regexp_extract(defrag, "^https://([^/]+)", 1)),
+        F.lit(":443"),
+        F.lit(""),
+    )
+    rest = F.regexp_replace(
+        F.replace(
+            F.replace(
+                F.regexp_replace(defrag, "^https://[^/]+", ""),
+                F.lit("utm_source=feed&"),
+                F.lit(""),
+            ),
+            F.lit("/?"),
+            F.lit("?"),
+        ),
+        "/$",
+        "",
+    )
+    canonical = F.concat(F.lit("https://"), host, rest)
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+        )
+    )

@@ -451,3 +451,107 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability diagram (evaluate the target encoder as a model)
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+@register(
+    "ml_calibration_reliability",
+    oracle=f"""
+    WITH y AS (
+      SELECT o_orderkey, o_orderpriority,
+             EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, yr, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM y GROUP BY o_orderpriority, yr
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s FROM y
+    ),
+    scored AS (
+      SELECT y.o_orderkey, y.y,
+             CAST(ROUND(
+               ((CAST(g.s_g AS DOUBLE)
+                 + 10.0 * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                / (CAST(g.n_g AS DOUBLE) + 10.0)) * 1000000
+             ) AS BIGINT) AS score_micro
+      FROM y JOIN g USING (o_orderpriority, yr) CROSS JOIN t
+    )
+    SELECT LEAST(score_micro * {CAL_BINS} // 1000000,
+                 {CAL_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) / 1000000
+             AS mean_pred,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Reliability diagram for the smoothed group-rate predictor "
+        "(the eval half of ml_target_encoding): predictions binned "
+        "into deciles, per-bin mean predicted probability vs observed "
+        "positive rate — the calibration check any production scorer "
+        "ships with. Predictions quantize to integer micro-units "
+        "before binning and averaging, so every aggregate is exact "
+        "integer arithmetic and only the final divisions are doubles "
+        "— hash-green despite the model being float-valued. Shape: "
+        "two bounded-key aggregates broadcast into the row stream, "
+        "one decile-grain aggregate."
+    ),
+    tags=("ml", "evaluation", "calibration", "orders"),
+)
+def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = y.groupBy("o_orderpriority", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    t = y.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    prior = F.col("s").cast("double") / F.col("n").cast("double")
+    score = (
+        F.col("s_g").cast("double") + F.lit(10.0) * prior
+    ) / (F.col("n_g").cast("double") + F.lit(10.0))
+    scored = (
+        y.join(F.broadcast(g), ["o_orderpriority", "yr"])
+        .crossJoin(F.broadcast(t))
+        .select(
+            "o_orderkey",
+            "y",
+            F.round(score * 1000000).cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                F.floor(F.col("score_micro") * CAL_BINS / 1000000).cast("long"),
+                F.lit(CAL_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.sum("score_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("mean_pred"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

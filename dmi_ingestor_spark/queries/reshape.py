@@ -633,3 +633,69 @@ def nested_build_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     return nested.select(
         "l_orderkey", F.explode("lines").alias("ln")
     ).select("l_orderkey", "ln.*")
+
+
+# --------------------------------------------------------------------------
+# Table-argument UDTF with PARTITION BY (grouped Python processing in SQL)
+# --------------------------------------------------------------------------
+
+
+class _PriorityStatsUDTF:
+    """Per-partition accumulator: Spark instantiates one UDTF per
+    PARTITION BY group and streams the group's rows through eval()."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._mx = None
+
+    def eval(self, row):
+        self._key = row["o_orderpriority"]
+        self._n += 1
+        p = row["o_totalprice"]
+        if self._mx is None or p > self._mx:
+            self._mx = p
+
+    def terminate(self):
+        if self._key is not None:
+            yield self._key, self._n, self._mx
+
+
+@register(
+    "udtf_table_partition_by",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Python UDTF over a TABLE argument with PARTITION BY (Spark "
+        "4): `stats(TABLE(orders) PARTITION BY o_orderpriority)` — "
+        "the SQL-surface form of grouped custom Python processing. "
+        "Spark shuffles on the partition key, instantiates one UDTF "
+        "instance per group, streams rows through eval() and emits "
+        "terminate() — the same execution contract as applyInPandas "
+        "but callable from pure SQL by analysts. count/max are "
+        "order-insensitive so the result is hash-green against the "
+        "relational GROUP BY. For hot paths prefer the built-in "
+        "aggregate (JVM, partial+final); this query exists to prove "
+        "the escape hatch and its exact semantics."
+    ),
+    tags=("udtf", "sql-api", "orders"),
+)
+def udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    stats = udtf(
+        _PriorityStatsUDTF,
+        returnType="o_orderpriority string, n_orders bigint, max_price double",
+    )
+    spark.udtf.register("priority_stats", stats)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * FROM priority_stats(
+          TABLE(orders) PARTITION BY o_orderpriority
+        )
+        """
+    )

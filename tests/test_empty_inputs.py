@@ -150,6 +150,10 @@ EMPTY_SAFE = [
     "ml_psi_drift",
     "agg_exact_median_twopass",
     "sql_api_identifier_clause",
+    # round-2 twenty-first wave
+    "dedup_url_canonicalize",
+    "ml_calibration_reliability",
+    "udtf_table_partition_by",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
