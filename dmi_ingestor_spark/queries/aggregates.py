@@ -1468,3 +1468,74 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.col("c_acctbal").alias("median_acctbal"))
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Visualization downsampling: max-deviation point per time bucket
+# --------------------------------------------------------------------------
+
+_DS_BUCKET_S = 6 * 3600  # 6-hour buckets
+
+
+@register(
+    "ts_downsample_maxdev",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, event_type, ts, value,
+             CAST(epoch(ts) AS BIGINT) // {_DS_BUCKET_S} AS bucket
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, bucket,
+             CAST(SUM(CAST(value AS DECIMAL(22,8))) AS DOUBLE)
+               / COUNT(*) AS avg_v
+      FROM b GROUP BY event_type, bucket
+    ),
+    r AS (
+      SELECT b.event_id, b.event_type, b.bucket, b.value,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.event_type, b.bucket
+               ORDER BY ABS(b.value - s.avg_v) DESC, b.event_id
+             ) AS rnk
+      FROM b JOIN s ON b.event_type = s.event_type AND b.bucket = s.bucket
+    )
+    SELECT event_id, event_type, bucket, value
+    FROM r WHERE rnk = 1
+    """,
+    doc=(
+        "Time-series downsampling for dashboards: keep, per (series, "
+        "6h bucket), the single point that deviates most from the "
+        "bucket mean — the parallel-friendly cousin of LTTB that "
+        "preserves spikes an avg-per-bucket rollup would erase. Two "
+        "bounded aggregates (bucket stats, then per-bucket argmax via "
+        "a rank-1 window over bucket-grain partitions); the bucket "
+        "mean divides an exact decimal sum so both engines see the "
+        "identical double, and ties break on event_id. Output is "
+        "O(series x buckets) regardless of input volume."
+    ),
+    tags=("timeseries", "downsampling", "events"),
+)
+def ts_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.unix_timestamp("ts") / _DS_BUCKET_S).cast("long").alias("bucket"),
+    )
+    s = b.groupBy("event_type", "bucket").agg(
+        (
+            F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_v")
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.abs(F.col("value") - F.col("avg_v")).desc(), "event_id"
+    )
+    return (
+        b.join(s, ["event_type", "bucket"])
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("event_id", "event_type", "bucket", "value")
+    )

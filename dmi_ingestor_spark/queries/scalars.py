@@ -721,3 +721,52 @@ def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Collation semantics (Spark 4 collated strings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_collation_pack",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                  ELSE LOWER(p_type) END AS t
+      FROM part
+    )
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_binary_distinct,
+           CAST(COUNT(DISTINCT lower(t)) AS BIGINT) AS n_ci_distinct,
+           CAST(COUNT(CASE WHEN t = lower(t) THEN 1 END) AS BIGINT)
+             AS n_already_lower
+    FROM mixed
+    """,
+    doc=(
+        "Spark 4 collation support: the same mixed-case column counted "
+        "distinct under binary (UTF8_BINARY) vs case-insensitive "
+        "(UTF8_LCASE) collation — `collate()` pushes the comparison "
+        "semantics into the aggregate's grouping keys instead of "
+        "materializing lower() copies, which matters when the column "
+        "feeds joins/sorts too (one collated column, not N normalized "
+        "projections). The oracle states the CI count as "
+        "COUNT(DISTINCT lower(t)) — semantically identical here, "
+        "proving collation == normalize-then-compare for this class."
+    ),
+    tags=("scalar", "collation", "part", "sql-api"),
+)
+def scalar_collation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    t = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type")).otherwise(
+        F.lower("p_type")
+    )
+    m = p.select(t.alias("t"))
+    return m.agg(
+        F.count_distinct(F.col("t")).cast("long").alias("n_binary_distinct"),
+        F.count_distinct(F.collate(F.col("t"), "UTF8_LCASE"))
+        .cast("long")
+        .alias("n_ci_distinct"),
+        F.count(F.when(F.col("t") == F.lower("t"), 1))
+        .cast("long")
+        .alias("n_already_lower"),
+    )

@@ -1696,3 +1696,87 @@ def window_conditional_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         dec_to_double(F.sum(F.col("value").cast(DEC)).over(w_seg)).alias("run_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per customer by cohort age)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_cohort_ltv_curve",
+    oracle=f"""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+      SELECT fo.cohort_m,
+             (EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate)) - fo.cohort_m AS age,
+             SUM(CAST(o.o_totalprice AS DECIMAL(22,8))) AS m_rev
+      FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+      GROUP BY 1, 2
+    ),
+    sz AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM fo GROUP BY cohort_m
+    )
+    SELECT rev.cohort_m AS cohort_month, rev.age, sz.n_customers,
+           {sql_dec_to_double(
+               "SUM(rev.m_rev) OVER (PARTITION BY rev.cohort_m "
+               "ORDER BY rev.age ROWS UNBOUNDED PRECEDING)"
+           )} AS cum_revenue,
+           {sql_dec_to_double(
+               "SUM(rev.m_rev) OVER (PARTITION BY rev.cohort_m "
+               "ORDER BY rev.age ROWS UNBOUNDED PRECEDING)"
+           )} / sz.n_customers AS ltv_per_customer
+    FROM rev JOIN sz ON rev.cohort_m = sz.cohort_m
+    """,
+    doc=(
+        "Customer-lifetime-value curve by acquisition cohort: first "
+        "order month defines the cohort, revenue rolls up to "
+        "(cohort, age-in-months) grain in exact decimal, and the LTV "
+        "curve is a running sum over that TINY summary relation "
+        "divided by the cohort's customer count — the standard growth "
+        "analytics readout. Scale: one customer-grain aggregate, one "
+        "(cohort,age)-grain aggregate, window and join both run on "
+        "O(cohorts x ages) rows. Money stays decimal until the final "
+        "split-conversion; the per-customer division is one IEEE op."
+    ),
+    tags=("analytics", "cohort", "orders", "ltv"),
+)
+def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    o = table(spark, sf_dir, "orders")
+    omonth = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(omonth).alias("cohort_m"))
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_m", (omonth - F.col("cohort_m")).alias("age")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("m_rev"))
+    )
+    sz = fo.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dec_to_double(F.sum("m_rev").over(w))
+    return (
+        rev.join(F.broadcast(sz), "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            "age",
+            "n_customers",
+            cum.alias("cum_revenue"),
+            (cum / F.col("n_customers")).alias("ltv_per_customer"),
+        )
+    )

@@ -154,6 +154,9 @@ EMPTY_SAFE = [
     "dedup_url_canonicalize",
     "ml_calibration_reliability",
     "udtf_table_partition_by",
+    # round-2 twenty-second wave
+    "analytics_cohort_ltv_curve",
+    "ts_downsample_maxdev",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -164,6 +167,7 @@ EMPTY_SAFE = [
 # the same — so they get a one-row/zero-valued assertion instead.
 EMPTY_ONE_ROW = [
     "agg_theta_sketch_setops",
+    "scalar_collation_pack",
 ]
 
 
