@@ -77,3 +77,30 @@ def sql_avg_exact(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`avg_exact`."""
     s = f"SUM(CAST({expr} AS DECIMAL(22,8)))"
     return f"{sql_dec_to_double(s)} / COUNT({expr}) AS {alias}"
+
+
+# 2^53: the largest power of two below which every integer is exactly a
+# double. Integers above it (big power sums, HUGEINT/decimal(38,0))
+# convert to double differently across engines (DuckDB's HUGEINT→double
+# goes through two limbs with two roundings; Spark's BigDecimal path is
+# correctly rounded), so the conversion is split into two exactly-
+# representable limbs: x = hi*2^53 + lo with |lo| < 2^53 and hi the
+# truncating quotient — then hi*2^53 and +lo are single IEEE ops on
+# identical operands in both engines.
+I53 = 9_007_199_254_740_992
+
+
+def int_to_double(x: Column) -> Column:
+    """Exact-integer decimal → double, bit-identical across engines at
+    any magnitude up to 2^106 (hi itself must stay under 2^53)."""
+    lo = x % F.lit(I53)
+    hi = ((x - lo) / F.lit(I53)).cast("double")
+    return hi * F.lit(float(I53)) + lo.cast("double")
+
+
+def sql_int_to_double(s: str) -> str:
+    """DuckDB twin of :func:`int_to_double` (use on HUGEINT sums)."""
+    return (
+        f"(CAST((({s}) - (({s}) % {I53})) // {I53} AS DOUBLE) * {I53}.0"
+        f" + CAST(({s}) % {I53} AS DOUBLE))"
+    )

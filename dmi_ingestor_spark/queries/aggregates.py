@@ -1539,3 +1539,176 @@ def ts_downsample_maxdev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") == 1)
         .select("event_id", "event_type", "bucket", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact higher-moment profiling: skewness & kurtosis from power sums
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS s4
+      FROM c GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           (CAST(n AS DOUBLE) * (CAST(((s2) - ((s2) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s2) % 9007199254740992 AS DOUBLE))
+            - (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS variance_pop,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(((s3) - ((s3) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s3) % 9007199254740992 AS DOUBLE))
+            - 3.0 * CAST(n AS DOUBLE) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s2) - ((s2) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s2) % 9007199254740992 AS DOUBLE))
+            + 2.0 * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             AS m3_cents,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(((s4) - ((s4) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s4) % 9007199254740992 AS DOUBLE))
+            - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE))
+              * (CAST(((s3) - ((s3) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s3) % 9007199254740992 AS DOUBLE))
+            + 6.0 * CAST(n AS DOUBLE) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE))
+              * (CAST(((s2) - ((s2) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s2) % 9007199254740992 AS DOUBLE))
+            - 3.0 * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)) * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE))
+              * (CAST(((s1) - ((s1) % 9007199254740992)) // 9007199254740992 AS DOUBLE) * 9007199254740992.0 + CAST((s1) % 9007199254740992 AS DOUBLE)))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(n AS DOUBLE)) AS m4_cents
+    FROM s ORDER BY c_mktsegment
+    """,
+    doc=(
+        "Higher-moment profiling (variance, third and fourth central "
+        "moments — the skewness/kurtosis numerators) from exact "
+        "integer power sums: balances quantize to cents, s1..s4 "
+        "accumulate in decimal(38,0)/HUGEINT — order-independent and "
+        "overflow-free to ~1e38 — and the central-moment algebra runs "
+        "as one identical IEEE expression tree per group. The "
+        "streaming skewness()/kurtosis() built-ins are accumulation-"
+        "order-dependent doubles and can never hash-match across "
+        "engines; power sums are the mergeable, partial+final form "
+        "that can (and the right rollup state at 100 TB). Sums above "
+        "2^53 convert to double via the two-limb split "
+        "(functions/exact.int_to_double): DuckDB's huge-integer cast "
+        "double-rounds where Spark's BigDecimal path is correctly "
+        "rounded, so the naive CAST mismatches in the last ulps."
+    ),
+    tags=("aggregation", "profiling", "customer", "statistics"),
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+    d38 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    v = F.col("v")
+    s = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d38(v)).cast("decimal(38,0)").alias("s1"),
+        F.sum(d38(v) * v).cast("decimal(38,0)").alias("s2"),
+        F.sum(d38(v) * v * v).cast("decimal(38,0)").alias("s3"),
+        F.sum(d38(v) * v * v * v).cast("decimal(38,0)").alias("s4"),
+    )
+    from dmi_ingestor_spark.functions.exact import int_to_double
+
+    n = F.col("n").cast("double")
+    s1 = int_to_double(F.col("s1"))
+    s2 = int_to_double(F.col("s2"))
+    s3 = int_to_double(F.col("s3"))
+    s4 = int_to_double(F.col("s4"))
+    variance = (n * s2 - s1 * s1) / (n * n) / F.lit(10000.0)
+    m3 = (n * n * s3 - F.lit(3.0) * n * s1 * s2 + F.lit(2.0) * s1 * s1 * s1) / (
+        n * n * n
+    )
+    m4 = (
+        n * n * n * s4
+        - F.lit(4.0) * n * n * s1 * s3
+        + F.lit(6.0) * n * s1 * s1 * s2
+        - F.lit(3.0) * s1 * s1 * s1 * s1
+    ) / (n * n * n * n)
+    return s.select(
+        "c_mktsegment",
+        "n",
+        variance.alias("variance_pop"),
+        m3.alias("m3_cents"),
+        m4.alias("m4_cents"),
+    ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Weighted median (lower weighted percentile) per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(c_custkey % 7 + 1 AS BIGINT) AS wt
+      FROM customer
+    ),
+    cum AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal, wt,
+             SUM(wt) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY c_mktsegment) AS tw
+      FROM w
+    )
+    SELECT c_mktsegment,
+           MIN(c_acctbal) AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc=(
+        "Weighted median per segment: smallest value whose cumulative "
+        "weight reaches half the group total (2*cum >= total in pure "
+        "integers — no 0.5 doubles anywhere). Weights are a "
+        "deterministic function of the key so the oracle reproduces "
+        "them. One per-group window pass ordered by (value, key) — "
+        "partitions parallelize across groups; for the single-group "
+        "case at 100 TB use the histogram-selection form "
+        "(agg_exact_median_twopass) which never materializes a "
+        "full-group ordering."
+    ),
+    tags=("aggregation", "percentile", "customer"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 7 + 1).cast("long").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("c_mktsegment")
+    cum = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("c_acctbal").alias("weighted_median"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("c_mktsegment")
+    )

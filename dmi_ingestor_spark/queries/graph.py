@@ -455,3 +455,134 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("nationkey"), F.col("label").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hop distance (min-plus relaxation, K rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_K = 4
+_BFS_SRC = 0
+_BFS_INF = 999
+
+
+def _bfs_oracle() -> str:
+    """Unrolled K-round min-plus BFS as a CTE chain."""
+    parts = [
+        f"""
+    WITH dedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ), und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM dedges WHERE src <> dst
+      )
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), d0 AS (
+      SELECT node,
+             CASE WHEN node = {_BFS_SRC} THEN 0 ELSE {_BFS_INF} END AS dist
+      FROM nodes
+    )"""
+    ]
+    for k in range(_BFS_K):
+        parts.append(
+            f""", r{k} AS (
+      SELECT und.dst AS node, MIN(d{k}.dist + 1) AS reach
+      FROM und JOIN d{k} ON und.src = d{k}.node
+      GROUP BY und.dst
+    ), d{k + 1} AS (
+      SELECT d{k}.node,
+             CAST(LEAST(d{k}.dist, COALESCE(r{k}.reach, {_BFS_INF}))
+                  AS BIGINT) AS dist
+      FROM d{k} LEFT JOIN r{k} ON d{k}.node = r{k}.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node AS nationkey, dist AS hops FROM d{_BFS_K}
+    WHERE dist < {_BFS_INF}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_bfs_shortest_hops",
+    oracle=_bfs_oracle(),
+    doc=(
+        "Single-source shortest hop distances by synchronous min-plus "
+        "relaxation (distributed BFS), 4 rounds over the undirected "
+        "nation-trade graph from nation 0 — the reachability/radius "
+        "primitive under fraud rings, dependency closures, social "
+        "degrees. Same iterative contract as the label-propagation and "
+        "connected-components operators: edge build is the only "
+        "fact-scale stage; each round is a join + min-aggregate on "
+        "the |V|^2-bounded summary graph with per-round "
+        "localCheckpoint lineage truncation. All-integer distances, "
+        "hash-green against the unrolled-CTE oracle."
+    ),
+    tags=("graph", "iterative", "bfs", "scale"),
+)
+def graph_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dedges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = (
+        dedges.unionAll(
+            dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .coalesce(1)
+        .cache()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1).cache()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == _BFS_SRC, 0)
+        .otherwise(_BFS_INF)
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_BFS_K):
+        reach = (
+            und.join(
+                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(F.broadcast(reach), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("reach", F.lit(_BFS_INF).cast("long")),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return dist.where(F.col("dist") < _BFS_INF).select(
+        F.col("node").alias("nationkey"), F.col("dist").alias("hops")
+    )

@@ -664,3 +664,67 @@ def sink_datasource_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter routing: malformed payloads split from the good stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_dead_letter_split",
+    oracle="""
+    WITH payload AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, LENGTH(props) - 1)
+                  ELSE props END AS raw
+      FROM events
+    ),
+    routed AS (
+      SELECT event_id,
+             CASE WHEN json_valid(raw) THEN 'main' ELSE 'dead_letter' END
+               AS sink
+      FROM payload
+    )
+    SELECT sink, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM routed GROUP BY sink ORDER BY sink
+    """,
+    doc=(
+        "Dead-letter-queue routing — the ingestion contract that keeps "
+        "a 100 TB pipeline running when 0.1% of payloads are garbage: "
+        "parse each record (every 7th is deliberately truncated to "
+        "invalid JSON), route parse failures to the dead_letter sink "
+        "and the rest to main, and account for EVERY input row "
+        "(n_main + n_dlq == n_input, checksummed). Spark side parses "
+        "with from_json (NULL on malformed, no job failure — the "
+        "PERMISSIVE analogue for in-row payloads); the split is one "
+        "scan, one bounded-key aggregate. Complements "
+        "ingest_corrupt_tolerant_json (file-level corrupt-record "
+        "column) with record-level routing semantics."
+    ),
+    tags=("ingest", "dlq", "events", "pipeline"),
+)
+def ingest_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "props")
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields a struct with NULL fields (not a
+    # NULL struct) on malformed input; every well-formed props payload
+    # carries k, so field-level nullness IS the parse-failure signal
+    parsed = F.from_json(raw, "k INT")
+    sink = F.when(parsed["k"].isNotNull(), "main").otherwise("dead_letter")
+    return (
+        ev.select("event_id", sink.alias("sink"))
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("sink")
+    )

@@ -157,6 +157,11 @@ EMPTY_SAFE = [
     # round-2 twenty-second wave
     "analytics_cohort_ltv_curve",
     "ts_downsample_maxdev",
+    # round-2 twenty-third wave
+    "agg_skew_kurtosis_exact",
+    "graph_bfs_shortest_hops",
+    "agg_weighted_median",
+    "ingest_dead_letter_split",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
