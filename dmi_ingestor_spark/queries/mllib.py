@@ -555,3 +555,114 @@ def ml_calibration_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the rank-sum (Mann–Whitney) identity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_auc_exact",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, yr, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM y GROUP BY o_orderpriority, yr
+    ),
+    scored AS (
+      SELECT y.y,
+             CAST(ROUND(CAST(g.s_g AS DOUBLE) / g.n_g * 1000000) AS BIGINT)
+               AS score
+      FROM y JOIN g USING (o_orderpriority, yr)
+    ),
+    per_score AS (
+      SELECT score,
+             CAST(COUNT(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_pos,
+             CAST(COUNT(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS n_neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS numer2,
+             CAST(SUM(n_pos) AS BIGINT) AS tot_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS tot_neg
+      FROM cum
+    )
+    SELECT numer2, tot_pos, tot_neg,
+           CAST(numer2 AS DOUBLE) / (2.0 * tot_pos * tot_neg) AS auc
+    FROM agg
+    """,
+    doc=(
+        "EXACT ROC-AUC of the group-rate scorer via the Mann-Whitney "
+        "rank-sum identity: AUC = P(score_pos > score_neg) + "
+        "0.5 P(tie), computed as integer pair counts over the "
+        "SCORE-GRAIN relation — per distinct score, positives x "
+        "(2 x negatives-below + negatives-tied), doubled to stay "
+        "integral. No per-row ranking of the full table: the window "
+        "runs over O(distinct scores) rows, so at 100 TB the cost is "
+        "one score-grain aggregate — the same collapse trick as the "
+        "calibration diagram. The final division is the only double."
+    ),
+    tags=("ml", "evaluation", "auc", "orders"),
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    y = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = y.groupBy("o_orderpriority", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    scored = y.join(F.broadcast(g), ["o_orderpriority", "yr"]).select(
+        "y",
+        F.round(F.col("s_g").cast("double") / F.col("n_g") * 1000000)
+        .cast("long")
+        .alias("score"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.when(F.col("y") == 1, 1)).cast("long").alias("n_pos"),
+        F.count(F.when(F.col("y") == 0, 1)).cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("long")
+        .alias("numer2"),
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+        F.sum("n_neg").cast("long").alias("tot_neg"),
+    )
+    return agg.select(
+        "numer2",
+        "tot_pos",
+        "tot_neg",
+        (
+            F.col("numer2").cast("double")
+            / (F.lit(2.0) * F.col("tot_pos") * F.col("tot_neg"))
+        ).alias("auc"),
+    )

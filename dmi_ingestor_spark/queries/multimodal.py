@@ -274,3 +274,79 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_payloads(table(spark, sf_dir, "documents"))
     return image_patches(media)
+
+
+# ---------------------------------------------------------------------------
+# Modality routing by magic bytes (mixed-media ingestion dispatch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_modality_router",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+               WHEN 1 THEN '\\x89PNG'::BLOB || encode(text)
+               WHEN 2 THEN 'RIFF'::BLOB || encode(text)
+               ELSE encode(text)
+             END AS payload
+      FROM documents
+    ),
+    routed AS (
+      SELECT doc_id, payload,
+             CASE
+               WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+               WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'image/png'
+               WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'audio/riff'
+               ELSE 'text/plain'
+             END AS modality
+      FROM media
+    )
+    SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS n_bytes
+    FROM routed GROUP BY modality ORDER BY modality
+    """,
+    doc=(
+        "Mixed-media ingestion dispatch: sniff each opaque payload's "
+        "MAGIC BYTES (JPEG FFD8FF, PNG 89504E47, RIFF 52494646) and "
+        "route to the right decoder family — the first stage of any "
+        "multimodal pipeline, where trusting file extensions or "
+        "upstream MIME labels silently corrupts the corpus. Payloads "
+        "are built deterministically (doc_id % 4 picks the magic) so "
+        "the routing distribution is provable. Pure JVM byte ops "
+        "(substring on binary + hex compare) — sniffing never leaves "
+        "the scan stage, no Python, no shuffle before the per-modality "
+        "rollup."
+    ),
+    tags=("multimodal", "router", "documents"),
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "utf-8")
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(F.unhex(F.lit("FFD8FF")), body))
+        .when(m == 1, F.concat(F.unhex(F.lit("89504E47")), body))
+        .when(m == 2, F.concat(F.unhex(F.lit("52494646")), body))
+        .otherwise(body)
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+    sig3 = F.hex(F.substring(F.col("payload"), 1, 3))
+    sig4 = F.hex(F.substring(F.col("payload"), 1, 4))
+    modality = (
+        F.when(sig3 == "FFD8FF", "image/jpeg")
+        .when(sig4 == "89504E47", "image/png")
+        .when(sig4 == "52494646", "audio/riff")
+        .otherwise("text/plain")
+    )
+    return (
+        media.select(modality.alias("modality"), F.length("payload").alias("b"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("n_bytes"),
+        )
+        .orderBy("modality")
+    )

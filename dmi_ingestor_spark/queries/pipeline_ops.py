@@ -1305,3 +1305,128 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WRS_K)
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+    doc=(
+        "Referential-integrity audit across the star schema: orphan "
+        "counts for each foreign key (lineitem->orders, "
+        "orders->customer, customer->nation) — the data-quality gate "
+        "that catches broken upstream extracts before they silently "
+        "drop rows in inner joins. Each check is a left join counted "
+        "on the null side; dims broadcast, so only lineitem->orders "
+        "shuffles at scale. Complements dq_expectations_summary "
+        "(column-level) with relationship-level checks."
+    ),
+    tags=("dq", "quality", "lineitem", "orders"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def check(left, right, lk, rk, name, bcast):
+        r = F.broadcast(right) if bcast else right
+        j = left.join(r, F.col(lk) == F.col(rk), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.count(F.when(F.col(rk).isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select("fk", "n_checked", "n_orphans")
+
+    return (
+        check(li, o, "l_orderkey", "o_orderkey", "lineitem->orders", False)
+        .unionAll(
+            check(o, c, "o_custkey", "c_custkey", "orders->customer", True)
+        )
+        .unionAll(
+            check(c, n, "c_nationkey", "n_nationkey", "customer->nation", True)
+        )
+        .orderBy("fk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch processing with high-watermark bookkeeping
+# ---------------------------------------------------------------------------
+
+_WM_CUTOFF = "1996-01-01 00:00:00"
+
+
+@register(
+    "pipeline_incremental_watermark",
+    oracle=f"""
+    WITH run1 AS (
+      SELECT event_id, ts FROM events
+      WHERE ts < TIMESTAMP '{_WM_CUTOFF}'
+    ),
+    wm AS (SELECT MAX(ts) AS w FROM run1),
+    run2 AS (
+      SELECT e.event_id FROM events e CROSS JOIN wm WHERE e.ts > wm.w
+    )
+    SELECT 1 AS run, CAST(COUNT(*) AS BIGINT) AS n_processed,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM run1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+    FROM run2
+    ORDER BY run
+    """,
+    doc=(
+        "Incremental batch processing with a persisted high watermark "
+        "— the dbt/Airflow incremental-model contract: run 1 sees the "
+        "backlog (everything before the cutoff) and records "
+        "max(event_time) as its watermark; run 2 processes ONLY rows "
+        "strictly newer than that watermark, so re-runs never "
+        "reprocess and nothing is double-counted (the two runs' "
+        "checksums partition the input exactly). The watermark is a "
+        "1-row driver-side gate like the WAP audit; each run is one "
+        "pushdown-filtered scan — at 100 TB with time-partitioned "
+        "layout the filter prunes to the new partitions only."
+    ),
+    tags=("pipeline", "incremental", "events"),
+)
+def pipeline_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    run1 = ev.where(F.col("ts") < F.lit(_WM_CUTOFF).cast("timestamp"))
+    wm_row = run1.agg(F.max("ts").alias("w")).collect()[0]
+    wm = wm_row["w"]
+    if wm is None:  # empty backlog: nothing is "newer than the watermark"
+        run2 = ev.where(F.lit(False))
+    else:
+        run2 = ev.where(F.col("ts") > F.lit(wm))
+    r1 = run1.agg(
+        F.lit(1).alias("run"),
+        F.count(F.lit(1)).cast("long").alias("n_processed"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    ).select("run", "n_processed", "id_checksum")
+    r2 = run2.agg(
+        F.lit(2).alias("run"),
+        F.count(F.lit(1)).cast("long").alias("n_processed"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    ).select("run", "n_processed", "id_checksum")
+    return r1.unionAll(r2).orderBy("run")

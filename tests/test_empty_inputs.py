@@ -162,6 +162,10 @@ EMPTY_SAFE = [
     "graph_bfs_shortest_hops",
     "agg_weighted_median",
     "ingest_dead_letter_split",
+    # round-2 twenty-fourth wave (dq_referential_integrity and
+    # pipeline_incremental_watermark emit their fixed audit/run rows on
+    # empty input by contract, like dq_expectations_summary)
+    "mm_modality_router",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -173,6 +177,7 @@ EMPTY_SAFE = [
 EMPTY_ONE_ROW = [
     "agg_theta_sketch_setops",
     "scalar_collation_pack",
+    "ml_auc_exact",
 ]
 
 
