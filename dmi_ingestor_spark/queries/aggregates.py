@@ -1712,3 +1712,163 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of categorical distributions (profiling / quality signal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_entropy_exact",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 4 AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, cohort
+    ),
+    t AS (
+      SELECT cohort, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY cohort
+    )
+    SELECT c.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(MIN(t.tot) AS BIGINT) AS n_events,
+           ROUND(SUM(ROUND(-(CAST(c.n AS DOUBLE) / t.tot)
+                           * ln(CAST(c.n AS DOUBLE) / t.tot), 9)), 6)
+             AS entropy_nats
+    FROM c JOIN t ON c.cohort = t.cohort
+    GROUP BY c.cohort ORDER BY c.cohort
+    """,
+    doc=(
+        "Shannon entropy of the event-type distribution per user "
+        "cohort — the category-concentration signal used for corpus "
+        "diversity checks and drift alarms (a collapsing distribution "
+        "drops entropy). Per-category terms are computed on the TINY "
+        "(cohort x category) relation from broadcast totals; each "
+        "-p*ln(p) term quantizes to 9dp BEFORE the sum (ln is not "
+        "correctly-rounded, and summing raw doubles would be "
+        "order-dependent) and the per-cohort sum of a handful of "
+        "quantized terms rounds to 6dp — deterministic on both "
+        "engines. Scale cost is one (category,cohort)-grain aggregate."
+    ),
+    tags=("aggregation", "profiling", "entropy", "events"),
+)
+def agg_entropy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("cohort").agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    term = F.round(-p * F.log(p), 9)
+    return (
+        c.join(F.broadcast(t), "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            F.min("tot").cast("long").alias("n_events"),
+            F.round(F.sum(term), 6).alias("entropy_nats"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation (MAD) clip
+# --------------------------------------------------------------------------
+
+
+@register(
+    "transform_outlier_mad",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    med AS (
+      SELECT c_mktsegment, MIN(v) AS med FROM (
+        SELECT c_mktsegment, v,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY v, c_custkey) AS r,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM c
+      ) WHERE r = (n + 1) // 2 GROUP BY c_mktsegment
+    ),
+    dev AS (
+      SELECT c.c_mktsegment, c.c_custkey, c.v, abs(c.v - med.med) AS d,
+             med.med
+      FROM c JOIN med ON c.c_mktsegment = med.c_mktsegment
+    ),
+    mad AS (
+      SELECT c_mktsegment, MIN(d) AS mad FROM (
+        SELECT c_mktsegment, d,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY d, c_custkey) AS r,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM dev
+      ) WHERE r = (n + 1) // 2 GROUP BY c_mktsegment
+    )
+    SELECT dev.c_mktsegment,
+           CAST(MIN(dev.med) AS BIGINT) AS median_cents,
+           CAST(MIN(mad.mad) AS BIGINT) AS mad_cents,
+           CAST(COUNT(CASE WHEN dev.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev JOIN mad ON dev.c_mktsegment = mad.c_mktsegment
+    GROUP BY dev.c_mktsegment ORDER BY dev.c_mktsegment
+    """,
+    doc=(
+        "Robust outlier detection via Median Absolute Deviation: "
+        "|x - median| > 3*MAD flags outliers without the "
+        "mean/stddev's sensitivity to the outliers themselves — the "
+        "data-cleaning standard before winsorizing "
+        "(transform_winsorize_values is its quantile cousin). Two "
+        "median selections (lower-median, (n+1)/2) run as per-group "
+        "windows parallelized across segments; all arithmetic is "
+        "integer cents, so the 3*MAD comparison is exact. For a "
+        "single giant group, swap the windows for the histogram "
+        "selection of agg_exact_median_twopass."
+    ),
+    tags=("aggregation", "robust-stats", "customer", "cleaning"),
+)
+def transform_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v"),
+    )
+
+    def lower_median(df, val):
+        wr = Window.partitionBy("c_mktsegment").orderBy(val, "c_custkey")
+        wn = Window.partitionBy("c_mktsegment")
+        return (
+            df.withColumn("r", F.row_number().over(wr))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .where(F.col("r") == F.floor((F.col("n") + 1) / 2))
+            .groupBy("c_mktsegment")
+            .agg(F.min(val).alias("m"))
+        )
+
+    med = lower_median(c, "v").withColumnRenamed("m", "med")
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_custkey",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = lower_median(dev, "d").withColumnRenamed("m", "mad")
+    return (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("med").cast("long").alias("median_cents"),
+            F.min("mad").cast("long").alias("mad_cents"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )

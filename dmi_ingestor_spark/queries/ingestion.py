@@ -728,3 +728,59 @@ def ingest_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sink")
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution at the SOURCE: mergeSchema across file batches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_schema_evolution_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM unioned
+    """,
+    doc=(
+        "Schema evolution at the STORAGE layer: an old file batch "
+        "(2 columns) and a new one (3 columns, priority added) land "
+        "in the same dataset directory; `mergeSchema=true` reconciles "
+        "the footers at read time and back-fills the missing column "
+        "with NULLs — the on-disk counterpart of "
+        "reshape_union_by_name_evolution's DataFrame-level union. The "
+        "audit proves no rows were dropped (checksum over both "
+        "batches) and exactly the new batch carries the column. At "
+        "100 TB schema merging is a footer-metadata operation; data "
+        "pages are untouched."
+    ),
+    tags=("ingest", "schema-evolution", "orders", "storage"),
+)
+def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    root = tempfile.mkdtemp(prefix="dmi-evolve-")
+    o = table(spark, sf_dir, "orders")
+    old_batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_batch.write.mode("overwrite").parquet(f"{root}/batch=old")
+    new_batch.write.mode("overwrite").parquet(f"{root}/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch=old", f"{root}/batch=new"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )

@@ -166,6 +166,9 @@ EMPTY_SAFE = [
     # pipeline_incremental_watermark emit their fixed audit/run rows on
     # empty input by contract, like dq_expectations_summary)
     "mm_modality_router",
+    # round-2 twenty-fifth wave
+    "agg_entropy_exact",
+    "transform_outlier_mad",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -178,6 +181,7 @@ EMPTY_ONE_ROW = [
     "agg_theta_sketch_setops",
     "scalar_collation_pack",
     "ml_auc_exact",
+    "ingest_schema_evolution_merge",
 ]
 
 
