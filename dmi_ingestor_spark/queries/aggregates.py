@@ -1872,3 +1872,75 @@ def transform_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of spend concentration (corpus/revenue balance metric)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(ROUND((c_acctbal + 1000) * 100) AS BIGINT) AS v
+      FROM customer
+    ),
+    ranked AS (
+      SELECT c_mktsegment, v,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY v, c_custkey) AS r
+      FROM c
+    ),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(r * v) AS BIGINT) AS srv
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           (2.0 * CAST(srv AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)))
+           - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+    FROM s ORDER BY c_mktsegment
+    """,
+    doc=(
+        "Gini coefficient of account-balance concentration per "
+        "segment — the inequality metric used for corpus source "
+        "balance and revenue concentration audits (0 = uniform, 1 = "
+        "winner-take-all). Computed by the rank formula G = "
+        "2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n over integer cents "
+        "(shifted positive), with the rank assigned by a per-group "
+        "window — parallel across groups; the sums are exact BIGINT, "
+        "so the two final divisions are the only doubles. For one "
+        "giant group, ranks come from the histogram-cumsum trick "
+        "(agg_exact_median_twopass) instead of a window."
+    ),
+    tags=("aggregation", "profiling", "customer", "inequality"),
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round((F.col("c_acctbal") + 1000) * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("v", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment", "v", F.row_number().over(w).alias("r")
+    )
+    s = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("r") * F.col("v")).cast("long").alias("srv"),
+    )
+    n_d = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("srv").cast("double") / (n_d * F.col("sv").cast("double"))
+    ) - ((F.col("n") + 1).cast("double") / n_d)
+    return s.select("c_mktsegment", "n", gini.alias("gini")).orderBy(
+        "c_mktsegment"
+    )

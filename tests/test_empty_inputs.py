@@ -169,6 +169,8 @@ EMPTY_SAFE = [
     # round-2 twenty-fifth wave
     "agg_entropy_exact",
     "transform_outlier_mad",
+    # round-2 twenty-sixth wave
+    "agg_gini_coefficient",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -182,6 +184,7 @@ EMPTY_ONE_ROW = [
     "scalar_collation_pack",
     "ml_auc_exact",
     "ingest_schema_evolution_merge",
+    "dedup_lsh_recall_eval",
 ]
 
 
