@@ -426,3 +426,153 @@ def test_random_datetime_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_dt_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# Rollup/cube fuzzing: random subtotal shapes × per-key GROUPING() flags
+# ---------------------------------------------------------------------------
+
+_RC_KEYS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("derived_bucket", "derived_bucket"),
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_rollup_cube_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(8000 + seed)
+    preds = rng.sample(_PREDICATES, rng.randint(1, 2))
+    conj = rng.choice([" AND ", " OR "])
+    keys = rng.sample(_RC_KEYS, rng.randint(1, 2))
+    aggs = rng.sample(_AGGS, rng.randint(1, 2))
+    mode = rng.choice(["rollup", "cube"])
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "derived_bucket", (F.col("o_orderkey") % 5).cast("long")
+    )
+    cond = preds[0][0]()
+    for p, _ in preds[1:]:
+        cond = (cond & p()) if conj == " AND " else (cond | p())
+    filtered = o.filter(cond)
+    key_names = [k for k, _ in keys]
+    grouped = (
+        filtered.rollup(*key_names)
+        if mode == "rollup"
+        else filtered.cube(*key_names)
+    )
+    # per-key GROUPING() flags disambiguate real NULL keys from subtotal
+    # rows — single-column grouping() semantics are identical across
+    # engines (bit-order of GROUPING_ID is not, so it stays out)
+    gcols = [
+        F.grouping(k).cast("long").alias(f"g_{i}")
+        for i, k in enumerate(key_names)
+    ]
+    sdf = grouped.agg(*gcols, *[a() for a, _ in aggs])
+
+    where = conj.join(s for _, s in preds)
+    select_keys = ", ".join(s for _, s in keys)
+    select_g = ", ".join(
+        f"CAST(GROUPING({s}) AS BIGINT) AS g_{i}"
+        for i, (_, s) in enumerate(keys)
+    )
+    select_aggs = ", ".join(s for _, s in aggs)
+    sql = f"""
+      WITH o AS (
+        SELECT *, CAST(o_orderkey % 5 AS BIGINT) AS derived_bucket FROM orders
+      )
+      SELECT {select_keys}, {select_g}, {select_aggs}
+      FROM o WHERE {where}
+      GROUP BY {mode.upper()}({select_keys})
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_rc_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Generator fuzzing: random explode shapes over documents
+# ---------------------------------------------------------------------------
+
+_TOK_PRED = [
+    (lambda: F.length("tok") >= 4, "LENGTH(tok) >= 4"),
+    (lambda: F.col("tok").startswith("a"), "tok LIKE 'a%'"),
+    (lambda: F.col("tok") > "m", "tok > 'm'"),
+]
+
+_TOK_AGGS = [
+    (
+        lambda: F.count(F.lit(1)).cast("long").alias("agg_n"),
+        "CAST(COUNT(*) AS BIGINT) AS agg_n",
+    ),
+    (
+        lambda: F.count_distinct(F.col("tok")).cast("long").alias("agg_nd"),
+        "CAST(COUNT(DISTINCT tok) AS BIGINT) AS agg_nd",
+    ),
+    (lambda: F.min("tok").alias("agg_min_tok"), "MIN(tok) AS agg_min_tok"),
+    (
+        lambda: F.sum(F.length("tok")).cast("long").alias("agg_len"),
+        "CAST(SUM(LENGTH(tok)) AS BIGINT) AS agg_len",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_explode_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(9000 + seed)
+    pred = rng.choice(_TOK_PRED)
+    aggs = rng.sample(_TOK_AGGS, rng.randint(1, 2))
+    with_pos = rng.random() < 0.5
+    group_lang = rng.random() < 0.5
+
+    d = table(spark, sf_dir, "documents")
+    if with_pos:
+        toks = d.select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        ).withColumn("pos", (F.col("pos0") + 1).cast("long"))
+        # ordinal-weighted checksum pins the generator's element ORDER,
+        # not just the multiset of tokens
+        aggs = aggs + [
+            (
+                lambda: F.sum(F.col("pos") * F.length("tok"))
+                .cast("long")
+                .alias("agg_posw"),
+                "CAST(SUM(pos * LENGTH(tok)) AS BIGINT) AS agg_posw",
+            )
+        ]
+    else:
+        toks = d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+        )
+    filtered = toks.filter(pred[0]())
+    if group_lang:
+        sdf = filtered.groupBy("lang").agg(*[a() for a, _ in aggs])
+    else:
+        sdf = filtered.agg(*[a() for a, _ in aggs])
+
+    src = (
+        """
+        SELECT doc_id, lang, t[i] AS tok, CAST(i AS BIGINT) AS pos
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+              FROM documents),
+             UNNEST(generate_series(1, len(t))) AS u(i)
+        """
+        if with_pos
+        else """
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        """
+    )
+    select_aggs = ", ".join(s for _, s in aggs)
+    group = "GROUP BY lang" if group_lang else ""
+    select = f"lang, {select_aggs}" if group_lang else select_aggs
+    sql = f"WITH t AS ({src}) SELECT {select} FROM t WHERE {pred[1]} {group}"
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_gen_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
