@@ -24,7 +24,22 @@ Ninth/tenth-wave additions (sim_ann_recall_eval, dedup_semantic_cluster,
 join_fuzzy_token_blocked, mm_audio_energy, ts_ewma_trailing,
 graph_triangle_count, ml_negative_sampling, plus the upgraded
 sim_ann_lsh_buckets / sim_ann_ivf oracles) are also never-checked —
-include them.
+include them. So are the wave-18..26 additions (all oracle-bearing):
+transform_global_row_number, sample_weighted_reservoir,
+ml_chi2_feature_selection, graph_label_propagation,
+analytics_price_trend_ols, analytics_item_item_cosine,
+window_conditional_cumsum, nested_build_flatten_roundtrip,
+text_arrow_native_stats, ml_target_encoding, ml_psi_drift,
+agg_exact_median_twopass, sql_api_identifier_clause,
+dedup_url_canonicalize, ml_calibration_reliability,
+udtf_table_partition_by, scalar_collation_pack,
+analytics_cohort_ltv_curve, ts_downsample_maxdev,
+agg_skew_kurtosis_exact, graph_bfs_shortest_hops,
+agg_weighted_median, ingest_dead_letter_split, ml_auc_exact,
+dq_referential_integrity, pipeline_incremental_watermark,
+mm_modality_router, agg_entropy_exact, transform_outlier_mad,
+ingest_schema_evolution_merge, agg_gini_coefficient,
+dedup_lsh_recall_eval.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401

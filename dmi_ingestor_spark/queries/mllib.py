@@ -666,3 +666,61 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("tot_pos") * F.col("tot_neg"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+
+
+@register(
+    "ml_kfold_assignment",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('fold-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {KFOLDS} AS fold
+      FROM documents
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+    doc=(
+        "Deterministic k-fold cross-validation assignment: fold = "
+        "salted-md5(doc_id) mod k — a pure row-local function of the "
+        "key, so folds are reproducible across engines, runs and "
+        "incremental appends (new docs join folds without "
+        "reshuffling old ones), and fold disjointness/coverage is "
+        "structural. The per-fold checksum rollup is the audit a "
+        "training pipeline stores next to the model. Complements "
+        "text_hash_split (Bernoulli) and sample_exact_stratified "
+        "(exact counts) as the eval-protocol member of the split "
+        "family."
+    ),
+    tags=("ml", "evaluation", "split", "documents"),
+)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fold-"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("doc_id", (h % KFOLDS).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("fold")
+    )

@@ -1780,3 +1780,54 @@ def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum / F.col("n_customers")).alias("ltv_per_customer"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Alert debouncing (suppress repeats within a cooldown window)
+# --------------------------------------------------------------------------
+
+DEBOUNCE_S = 600
+
+
+@register(
+    "window_alert_debounce",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM lagged
+    WHERE prev_ts IS NULL
+       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)
+          >= {DEBOUNCE_S}
+    """,
+    doc=(
+        "Alert debouncing: keep an event only if the previous event of "
+        "the same (user, type) is at least 10 minutes older — the "
+        "monitoring-pipeline rule that turns a 500-row error storm "
+        "into one page. One lag window per (user,type) partition, "
+        "integer epoch-second comparison. NOTE the documented "
+        "semantic: this is lag-based debounce (gap from the PREVIOUS "
+        "EVENT), not cooldown-from-last-ALERT — the latter is "
+        "inherently sequential state and lives in "
+        "streaming/windows.py as applyInPandasWithState."
+    ),
+    tags=("window", "events", "monitoring"),
+)
+def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    keep = F.col("prev_ts").isNull() | (
+        F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= DEBOUNCE_S
+    )
+    return lagged.where(keep).select("event_id", "user_id", "event_type")

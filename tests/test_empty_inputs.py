@@ -171,6 +171,9 @@ EMPTY_SAFE = [
     "transform_outlier_mad",
     # round-2 twenty-sixth wave
     "agg_gini_coefficient",
+    # round-2 twenty-seventh wave
+    "ml_kfold_assignment",
+    "window_alert_debounce",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -271,3 +271,76 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """St4 late-data semantics under REAL streaming execution: rows
+    arriving in a later micro-batch with event time older than
+    (max_event_time - delay) seen by the previous batch must be
+    DROPPED from windowed aggregation state. Run 1 advances the
+    watermark past the late row's window; run 2 (same checkpoint)
+    delivers the late row; the window's count must NOT change."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out: dict[str, int] = {}
+
+    def stage(rows, name):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(src, exist_ok=True)
+        os.rename(part, f"{src}/{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(
+            src
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+        def sink(bdf, bid):
+            for r in bdf.collect():
+                out[str(r["w"]["start"])] = (
+                    out.get(str(r["w"]["start"]), 0) + r["n"]
+                )
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # run 1: two rows in window [00:00,00:10) and one far ahead at 01:00
+    # — the max event time (01:00) pushes the watermark to 00:50, sealing
+    # and EMITTING the first window (append mode emits only sealed
+    # windows)
+    stage([(1, ts(1)), (2, ts(5)), (3, ts(60))], "a")
+    run_once()
+    first_window = str(ts(0))
+    assert out.get(first_window) == 2
+
+    # run 2: a LATE row for the sealed window — state was dropped, the
+    # row is older than the persisted watermark, so the sealed count
+    # must not be re-emitted or corrected
+    stage([(4, ts(2))], "b")
+    run_once()
+    assert out.get(first_window) == 2, out
