@@ -471,3 +471,70 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.streaming.windows import transform_with_state_user_stats
 
     return transform_with_state_user_stats(spark, sf_dir)
+
+
+@register(
+    "analytics_bounce_rate",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S} THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM gaps
+    ),
+    per_sess AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           CAST(1000 * COUNT(CASE WHEN n_events = 1 THEN 1 END)
+                // COUNT(*) AS BIGINT) AS bounce_permille
+    FROM per_sess
+    """,
+    doc=(
+        "Bounce rate — single-event sessions over total sessions, the "
+        "standard engagement KPI — composed directly on the "
+        "sessionize_events_lag definition (same 30-min gap), then one "
+        "session-grain aggregate and a 1-row rollup with integer "
+        "permille. Proves the sessionizer's output composes: the "
+        "session_id keys feed a downstream aggregate without "
+        "re-sorting (the session-grain groupBy reuses the user_id "
+        "partitioning)."
+    ),
+    tags=("analytics", "sessionization", "events"),
+)
+def analytics_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionize_events_lag(spark, sf_dir)
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    counts = per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+    # guarded division: 0 sessions (empty input) -> NULL, not an ANSI
+    # divide-by-zero error
+    return counts.select(
+        "n_sessions",
+        "n_bounces",
+        F.when(
+            F.col("n_sessions") > 0,
+            F.floor(1000 * F.col("n_bounces") / F.col("n_sessions")).cast(
+                "long"
+            ),
+        ).alias("bounce_permille"),
+    )

@@ -1831,3 +1831,51 @@ def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= DEBOUNCE_S
     )
     return lagged.where(keep).select("event_id", "user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Rolling median (robust trailing smoother)
+# --------------------------------------------------------------------------
+
+_RMED_W = 15  # trailing window size (rows)
+
+
+@register(
+    "window_median_rolling",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(quantile_disc(CAST(ROUND(value * 1000) AS BIGINT), 0.5)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {_RMED_W - 1} PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling_median_milli
+    FROM events
+    """,
+    doc=(
+        "Trailing rolling MEDIAN per user — the robust smoother that "
+        "ignores spikes a rolling mean follows (pairs with "
+        "ts_rolling_anomaly's mean/sigma channel). Spark has no "
+        "windowed percentile, so the bounded frame collects into an "
+        "array (O(15) state per row), sorts, and indexes the lower "
+        "median — exactly DuckDB's windowed quantile_disc(0.5) "
+        "semantics, in integer milli-units so parity is exact. The "
+        "frame bound keeps state constant: this is the "
+        "bounded-window idiom from ts_ewma_trailing, not a growing "
+        "collect."
+    ),
+    tags=("window", "timeseries", "robust-stats", "events"),
+)
+def window_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RMED_W - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(v).over(w))
+    med = F.element_at(arr, F.floor((F.size(arr) + 1) / 2).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        med.cast("long").alias("rolling_median_milli"),
+    )

@@ -174,6 +174,8 @@ EMPTY_SAFE = [
     # round-2 twenty-seventh wave
     "ml_kfold_assignment",
     "window_alert_debounce",
+    # round-2 twenty-eighth wave
+    "window_median_rolling",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -188,6 +190,7 @@ EMPTY_ONE_ROW = [
     "ml_auc_exact",
     "ingest_schema_evolution_merge",
     "dedup_lsh_recall_eval",
+    "analytics_bounce_rate",
 ]
 
 
