@@ -709,3 +709,52 @@ def sql_api_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "grp": "o_orderpriority"},
     )
+
+
+# --------------------------------------------------------------------------
+# Inline VALUES dimension (literal lookup table joined in-plan)
+# --------------------------------------------------------------------------
+
+_TIER_ROWS = [
+    ("1-URGENT", "hot"),
+    ("2-HIGH", "hot"),
+    ("3-MEDIUM", "warm"),
+    ("4-NOT SPECIFIED", "cold"),
+    ("5-LOW", "cold"),
+]
+
+
+@register(
+    "sql_api_values_inline_table",
+    oracle=f"""
+    WITH tiers(o_orderpriority, tier) AS (
+      VALUES {", ".join(f"('{p}', '{t}')" for p, t in _TIER_ROWS)}
+    )
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN tiers t USING (o_orderpriority)
+    GROUP BY t.tier ORDER BY t.tier
+    """,
+    doc=(
+        "Inline VALUES lookup dimension: a 5-row literal mapping "
+        "(priority -> tier) joins the fact table entirely in-plan — "
+        "the config-table idiom where shipping a parquet file for 5 "
+        "rows would be absurd. Spark builds it with "
+        "createDataFrame+broadcast, so the plan is a "
+        "BroadcastHashJoin against a LocalTableScan: zero I/O, zero "
+        "shuffle for the dimension at any fact scale."
+    ),
+    tags=("sql-api", "join", "orders"),
+)
+def sql_api_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = spark.createDataFrame(_TIER_ROWS, "o_orderpriority string, tier string")
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    return (
+        o.join(F.broadcast(tiers), "o_orderpriority")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .orderBy("tier")
+    )

@@ -770,3 +770,73 @@ def scalar_collation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_already_lower"),
     )
+
+
+# --------------------------------------------------------------------------
+# IP address / CIDR scalar ops (log-pipeline enrichment)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_ip_cidr_ops",
+    oracle="""
+    WITH ips AS (
+      SELECT event_id,
+             CAST(10 AS BIGINT) * 16777216
+             + (user_id % 256) * 65536
+             + ((event_id // 256) % 256) * 256
+             + (event_id % 256) AS ip_int
+      FROM events
+    )
+    SELECT event_id,
+           CAST(ip_int // 16777216 AS VARCHAR) || '.'
+             || CAST((ip_int // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((ip_int // 256) % 256 AS VARCHAR) || '.'
+             || CAST(ip_int % 256 AS VARCHAR) AS ip_str,
+           CAST(ip_int AS BIGINT) AS ip_int,
+           CASE WHEN ip_int // 65536 = 10 * 256 + 42
+                THEN 1 ELSE 0 END AS in_10_42_16,
+           CASE WHEN ip_int // 16777216 = 10 THEN 1 ELSE 0 END AS in_10_8
+    FROM ips
+    """,
+    doc=(
+        "IP/CIDR enrichment for log pipelines: synthesize a "
+        "deterministic 10.x.y.z address per event, render dotted-quad "
+        "from the integer form, and test CIDR membership (/8, /16) as "
+        "pure integer prefix comparisons — the form that pushes into "
+        "scans and joins (an ip_int BETWEEN range) instead of string "
+        "prefix matching. All integer div/mod, bit-exact on both "
+        "engines."
+    ),
+    tags=("scalar", "network", "events"),
+)
+def scalar_ip_cidr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    ip_int = (
+        F.lit(10) * 16777216
+        + (F.col("user_id") % 256) * 65536
+        + (F.floor(F.col("event_id") / 256) % 256) * 256
+        + (F.col("event_id") % 256)
+    ).cast("long")
+    d = ev.select("event_id", ip_int.alias("ip_int"))
+    octet = lambda e: e.cast("long").cast("string")  # noqa: E731
+    ip_str = F.concat_ws(
+        ".",
+        octet(F.floor(F.col("ip_int") / 16777216)),
+        octet(F.floor(F.col("ip_int") / 65536) % 256),
+        octet(F.floor(F.col("ip_int") / 256) % 256),
+        octet(F.col("ip_int") % 256),
+    )
+    return d.select(
+        "event_id",
+        ip_str.alias("ip_str"),
+        "ip_int",
+        F.when(
+            F.floor(F.col("ip_int") / 65536) == 10 * 256 + 42, 1
+        )
+        .otherwise(0)
+        .alias("in_10_42_16"),
+        F.when(F.floor(F.col("ip_int") / 16777216) == 10, 1)
+        .otherwise(0)
+        .alias("in_10_8"),
+    )

@@ -176,6 +176,9 @@ EMPTY_SAFE = [
     "window_alert_debounce",
     # round-2 twenty-eighth wave
     "window_median_rolling",
+    # round-2 twenty-ninth wave
+    "scalar_ip_cidr_ops",
+    "sql_api_values_inline_table",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
