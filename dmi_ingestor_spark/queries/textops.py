@@ -948,3 +948,107 @@ def text_arrow_native_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         _stats, schema="doc_id long, n_bytes long, n_chars long, n_spaces long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stripping: drop corpus-frequent sentences, rebuild docs
+# ---------------------------------------------------------------------------
+
+BP_MAX_DF = 5  # a sentence in more than 5 docs is boilerplate
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH sent AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS sentence
+      FROM (SELECT doc_id, string_split(text, '. ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    df AS (
+      SELECT sentence, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sent GROUP BY sentence
+    ),
+    kept AS (
+      SELECT s.doc_id, s.pos, s.sentence
+      FROM sent s JOIN df ON s.sentence = df.sentence
+      WHERE df.n_docs <= {BP_MAX_DF}
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(k.pos) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(k.pos) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(k.sentence, '. ' ORDER BY k.pos), ''))
+             AS rebuilt_md5
+    FROM sent s
+    LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.pos = k.pos
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "Boilerplate removal with document RECONSTRUCTION (the "
+        "C4/RefinedWeb cleanup the paragraph-dedup rewrite doesn't "
+        "do): sentences whose document frequency exceeds a threshold "
+        "(cookie banners, nav text) are stripped from every document, "
+        "and each doc is rebuilt from its surviving sentences in "
+        "original order — checksummed so the rebuild itself is "
+        "hash-checked. Shape: posexplode -> sentence-grain df "
+        "aggregate -> keep-filter join -> ordered collect_list "
+        "reassembly; the df relation is bounded by distinct sentences "
+        "and the frequent ones it drops are exactly the skew-heavy "
+        "keys, so the rebuild join gets LIGHTER as boilerplate grows."
+    ),
+    tags=("text", "training-pipeline", "boilerplate", "documents"),
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\. ")).alias("pos0", "sentence"),
+        )
+        .where(F.col("sentence") != "")
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "sentence"
+        )
+    )
+    df_rel = sent.groupBy("sentence").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    kept = (
+        sent.join(df_rel.where(F.col("n_docs") <= BP_MAX_DF), "sentence")
+        .select("doc_id", "pos", "sentence")
+    )
+    k = kept.select(
+        F.col("doc_id").alias("kdoc"),
+        F.col("pos").alias("kpos"),
+        F.col("sentence").alias("ksent"),
+    )
+    joined = sent.join(
+        k,
+        (F.col("doc_id") == F.col("kdoc")) & (F.col("pos") == F.col("kpos")),
+        "left",
+    )
+    rebuilt = F.md5(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kpos").isNotNull(),
+                                F.struct("kpos", "ksent"),
+                            )
+                        )
+                    ),
+                    lambda s: s.ksent,
+                ),
+                ". ",
+            ),
+            F.lit(""),
+        ).cast("binary")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("kpos").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.count("kpos")).cast("long").alias("n_dropped"),
+        rebuilt.alias("rebuilt_md5"),
+    )

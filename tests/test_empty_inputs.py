@@ -179,6 +179,7 @@ EMPTY_SAFE = [
     # round-2 twenty-ninth wave
     "scalar_ip_cidr_ops",
     "sql_api_values_inline_table",
+    "text_boilerplate_strip",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
