@@ -799,3 +799,63 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neg.join(pos, ["anchor_id"]).select(
         "anchor_id", "pos_id", "neg_id", "neg_rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-table QA: per-dimension distribution profile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vector_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_micro
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v_micro) AS BIGINT) AS min_micro,
+           CAST(MAX(v_micro) AS BIGINT) AS max_micro,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+           CAST(SUM(v_micro * v_micro) AS BIGINT) AS sumsq_micro,
+           CAST(COUNT(CASE WHEN v_micro = 0 THEN 1 END) AS BIGINT) AS n_zero
+    FROM e GROUP BY dim ORDER BY dim
+    """,
+    doc=(
+        "Embedding-table QA: per-DIMENSION distribution profile "
+        "(count, min/max, first two power sums, dead-dimension zero "
+        "count) — the health check before building an ANN index: a "
+        "collapsed or unnormalized dimension silently wrecks cosine "
+        "recall. Values quantize to integer micro-units at the row "
+        "(float32 widens exactly to double first), so every aggregate "
+        "is exact integer arithmetic. posexplode -> 8-key aggregate; "
+        "at 100 TB this is one partial+final pass with a "
+        "dimensionality-sized result."
+    ),
+    tags=("similarity", "profiling", "embeddings", "ml"),
+)
+def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    )
+    v = F.round(F.col("x").cast("double") * 1000000).cast("long")
+    d = e.select(F.col("dim").cast("long").alias("dim"), v.alias("v_micro"))
+    return (
+        d.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v_micro").cast("long").alias("min_micro"),
+            F.max("v_micro").cast("long").alias("max_micro"),
+            F.sum("v_micro").cast("long").alias("sum_micro"),
+            F.sum(F.col("v_micro") * F.col("v_micro"))
+            .cast("long")
+            .alias("sumsq_micro"),
+            F.count(F.when(F.col("v_micro") == 0, 1))
+            .cast("long")
+            .alias("n_zero"),
+        )
+        .orderBy("dim")
+    )

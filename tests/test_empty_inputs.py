@@ -180,6 +180,7 @@ EMPTY_SAFE = [
     "scalar_ip_cidr_ops",
     "sql_api_values_inline_table",
     "text_boilerplate_strip",
+    "vector_dim_stats",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
