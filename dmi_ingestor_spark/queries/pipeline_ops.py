@@ -1430,3 +1430,65 @@ def pipeline_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("event_id").cast("long").alias("id_checksum"),
     ).select("run", "n_processed", "id_checksum")
     return r1.unionAll(r2).orderBy("run")
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table time travel (transaction log)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_time_travel_read",
+    oracle="""
+    WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 0 AS version, CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(o_orderkey) FROM f) AS BIGINT) AS key_checksum
+    UNION ALL
+    SELECT 1, CAST((SELECT COUNT(*) FROM f) + (SELECT COUNT(*) FROM o)
+                   AS BIGINT),
+           CAST((SELECT SUM(o_orderkey) FROM f)
+                + (SELECT SUM(o_orderkey) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 2, CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+           CAST((SELECT SUM(o_orderkey) FROM o) AS BIGINT)
+    ORDER BY version
+    """,
+    doc=(
+        "Versioned-table TIME TRAVEL through the engine's transaction "
+        "log (ingest/txlog.py — atomic rename commits, optimistic "
+        "concurrency, snapshot isolation; the lakehouse commit "
+        "pattern built from scratch on the Hadoop FileSystem API): "
+        "v0 appends the F orders, v1 appends the O orders, v2 "
+        "logically deletes the F batch — then every version is read "
+        "back BY VERSION NUMBER and checksummed. The oracle states "
+        "what each snapshot must contain from the base table alone, "
+        "so a green row proves append/remove/replay resolve exactly "
+        "the right files at every version. Commits are metadata "
+        "renames; data files never move."
+    ),
+    tags=("pipeline", "lakehouse", "time-travel", "orders"),
+)
+def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import TxLog
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-lake-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tx.append(o.where(F.col("o_orderstatus") == "F"), "f-batch")
+    tx.append(o.where(F.col("o_orderstatus") == "O"), "o-batch")
+    tx.remove_units(["data/f-batch"])
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            tx.read(version=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            ).select("version", "n_rows", "key_checksum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("version")
