@@ -197,3 +197,31 @@ class TxLog:
                     fs_delete(self.spark, f"{self.root}/{unit}")
                     removed.append(unit)
         return removed
+
+
+def merge_upsert(
+    tx: TxLog,
+    updates: DataFrame,
+    key: str,
+    unit_name: str,
+) -> int:
+    """MERGE INTO the latest snapshot: rows in ``updates`` replace
+    same-key rows, new keys append (matched-update + not-matched-insert
+    semantics). Implemented as copy-on-write over the WHOLE snapshot
+    (anti-join out the matched keys, union the updates, one commit
+    swapping every old unit for the rewritten one) — the simplest
+    correct form. A file-pruned merge (rewrite only units whose key
+    range intersects the updates, via per-unit min/max stats) is the
+    production refinement; the commit protocol is identical, so it
+    slots in without touching callers."""
+    from pyspark.sql import functions as F
+
+    snap = tx.snapshot()
+    current = tx.read()
+    upd_keys = updates.select(F.col(key).alias("__upd_key"))
+    merged = current.join(
+        upd_keys, current[key] == F.col("__upd_key"), "left_anti"
+    ).unionByName(updates)
+    unit = f"data/{unit_name}"
+    merged.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    return tx.commit(adds=[unit], removes=list(snap.add_units))

@@ -122,3 +122,87 @@ def test_empty_table_read_uses_recorded_schema(spark, sf_dir, tx):
     df = tx.read()
     assert df.count() == 0
     assert df.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def test_merge_upsert_updates_and_inserts(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import merge_upsert
+
+    base = _orders(spark, sf_dir, "F")
+    tx.append(base, "base")
+    n_base = base.count()
+    # updates: 10 existing keys get a new price, 1 brand-new key appears
+    existing = base.limit(10).select(
+        "o_orderkey",
+        F.lit("F").alias("o_orderstatus"),
+        F.lit(999999.0).alias("o_totalprice"),
+    )
+    new_row = spark.createDataFrame(
+        [(10_000_000, "F", 1.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    v = merge_upsert(tx, existing.unionByName(new_row), "o_orderkey", "merged")
+    got = tx.read()
+    assert got.count() == n_base + 1
+    assert (
+        got.where(F.col("o_totalprice") == 999999.0).count() == 10
+    )
+    assert got.where(F.col("o_orderkey") == 10_000_000).count() == 1
+    # pre-merge snapshot unchanged (time travel across the merge)
+    assert tx.read(version=v - 1).count() == n_base
+
+
+def test_streaming_foreachbatch_commits_exactly_once(spark, sf_dir, tx, tmp_path):
+    """Exactly-once streaming sink on the transaction log: each
+    micro-batch commits one unit tagged with its batch id; a replayed
+    batch (restart re-delivery) sees its unit already committed and
+    skips — counts never double."""
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+
+    def stage(df, name):
+        tmp = str(tmp_path / ("w_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.makedirs(src, exist_ok=True)
+        os.rename(part, f"{src}/{name}.parquet")
+
+    def sink(bdf, bid):
+        unit = f"batch-{bid}"
+        committed = {
+            u.split("/", 1)[1] for u in tx.snapshot().add_units
+        } if tx.latest_version() >= 0 else set()
+        if unit in committed:  # re-delivered batch: idempotent skip
+            return
+        tx.append(bdf, unit)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    stage(first, "a")
+    run_once()
+    assert tx.read().count() == first.count()
+
+    # replay the SAME sink call (simulated re-delivery after restart):
+    # batch 0 is already committed, so nothing doubles
+    sink(first, 0)
+    assert tx.read().count() == first.count()
+
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    stage(second, "b")
+    run_once()
+    assert tx.read().count() == ev.count()
