@@ -225,3 +225,115 @@ def merge_upsert(
     unit = f"data/{unit_name}"
     merged.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
     return tx.commit(adds=[unit], removes=list(snap.add_units))
+
+
+# -- metadata stats & file skipping ------------------------------------
+
+
+def append_with_stats(
+    tx: TxLog, df: DataFrame, unit_name: str, stats_key: str
+) -> int:
+    """Append like :meth:`TxLog.append`, also recording the unit's
+    [min, max] of ``stats_key`` in the commit metadata — the
+    data-skipping statistic that lets readers and merges prune whole
+    units without opening a single parquet footer."""
+    from pyspark.sql import functions as F
+
+    unit = f"data/{unit_name}"
+    df.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    row = df.agg(
+        F.min(stats_key).alias("lo"), F.max(stats_key).alias("hi")
+    ).collect()[0]
+    entry = {
+        "adds": [unit],
+        "removes": [],
+        "schema_ddl": df.schema.simpleString(),
+        "stats": {unit: {"key": stats_key, "lo": row["lo"], "hi": row["hi"]}},
+    }
+    for _ in range(10):
+        v = tx.latest_version() + 1
+        if tx._try_commit(entry, v, tag="s"):
+            return v
+    raise RuntimeError("commit lost 10 races; giving up")
+
+
+def _unit_stats(tx: TxLog) -> dict[str, dict]:
+    stats: dict[str, dict] = {}
+    for c in tx._list_commits():
+        stats.update(c.get("stats", {}))
+    return stats
+
+
+def read_pruned(tx: TxLog, lo, hi) -> DataFrame:
+    """Read only units whose recorded [min,max] intersects [lo,hi].
+    Units without stats are conservatively kept. The caller still
+    applies the row-level filter; pruning only avoids opening files."""
+    snap = tx.snapshot()
+    stats = _unit_stats(tx)
+    keep = [
+        u
+        for u in snap.add_units
+        if u not in stats
+        or (stats[u]["lo"] is not None
+            and not (stats[u]["hi"] < lo or stats[u]["lo"] > hi))
+    ]
+    if not keep:
+        return tx.spark.createDataFrame([], snap.schema_ddl)
+    return tx.spark.read.parquet(*[f"{tx.root}/{u}" for u in keep])
+
+
+def merge_upsert_pruned(
+    tx: TxLog, updates: DataFrame, key: str, unit_name: str
+) -> int:
+    """File-pruned MERGE: only units whose recorded key range
+    intersects the updates' key range are rewritten; disjoint units
+    stay byte-identical on disk (and in the log). This is the
+    production merge shape — cost scales with the TOUCHED data, not
+    the table."""
+    from pyspark.sql import functions as F
+
+    snap = tx.snapshot()
+    stats = _unit_stats(tx)
+    row = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    ulo, uhi = row["lo"], row["hi"]
+    if ulo is None:  # empty updates: nothing to touch, nothing to write
+        return tx.latest_version()
+    touched = [
+        u
+        for u in snap.add_units
+        if u not in stats
+        or stats[u]["lo"] is None
+        or not (stats[u]["hi"] < ulo or stats[u]["lo"] > uhi)
+    ]
+    # units NOT in `touched` stay in the snapshot simply by not being
+    # removed — the commit below removes only the rewritten ones
+    if touched:
+        current = tx.spark.read.parquet(
+            *[f"{tx.root}/{u}" for u in touched]
+        )
+        merged = current.join(
+            updates.select(F.col(key).alias("__upd_key")),
+            current[key] == F.col("__upd_key"),
+            "left_anti",
+        ).unionByName(updates)
+    else:
+        merged = updates
+    unit = f"data/{unit_name}"
+    merged.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    # recompute stats for the rewritten unit so future merges prune it
+    mrow = merged.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    entry = {
+        "adds": [unit],
+        "removes": touched,
+        "schema_ddl": merged.schema.simpleString(),
+        "stats": {unit: {"key": key, "lo": mrow["lo"], "hi": mrow["hi"]}},
+    }
+    for _ in range(10):
+        v = tx.latest_version() + 1
+        if tx._try_commit(entry, v, tag="m"):
+            return v
+    raise RuntimeError("commit lost 10 races; giving up")

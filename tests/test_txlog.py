@@ -206,3 +206,45 @@ def test_streaming_foreachbatch_commits_exactly_once(spark, sf_dir, tx, tmp_path
     stage(second, "b")
     run_once()
     assert tx.read().count() == ev.count()
+
+
+def test_stats_pruned_read_skips_disjoint_units(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import append_with_stats, read_pruned
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    low = o.where(F.col("o_orderkey") < 500)
+    high = o.where(F.col("o_orderkey") >= 500)
+    append_with_stats(tx, low, "low", "o_orderkey")
+    append_with_stats(tx, high, "high", "o_orderkey")
+    pruned = read_pruned(tx, 0, 499)
+    # only the 'low' unit's files are opened
+    files = {f for f in pruned.inputFiles()}
+    assert all("/data/low/" in f for f in files), files
+    assert pruned.count() == low.count()
+
+
+def test_merge_pruned_rewrites_only_touched_units(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import (
+        append_with_stats,
+        merge_upsert_pruned,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    low = o.where(F.col("o_orderkey") < 500)
+    high = o.where(F.col("o_orderkey") >= 500)
+    append_with_stats(tx, low, "low", "o_orderkey")
+    append_with_stats(tx, high, "high", "o_orderkey")
+    n_total = low.count() + high.count()
+    # updates touch only the high range
+    updates = high.limit(5).select(
+        "o_orderkey", F.lit(123456.0).alias("o_totalprice")
+    )
+    merge_upsert_pruned(tx, updates, "o_orderkey", "high-rewrite")
+    snap = tx.snapshot()
+    # the low unit SURVIVES untouched; high was swapped for the rewrite
+    assert "data/low" in snap.add_units
+    assert "data/high" not in snap.add_units
+    assert "data/high-rewrite" in snap.add_units
+    got = tx.read()
+    assert got.count() == n_total
+    assert got.where(F.col("o_totalprice") == 123456.0).count() == 5
