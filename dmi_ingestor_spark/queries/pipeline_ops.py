@@ -1492,3 +1492,48 @@ def lake_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("version")
+
+
+@register(
+    "lake_stats_pruned_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc=(
+        "Metadata data-skipping end-to-end: the table is committed as "
+        "two key-disjoint units with per-unit [min,max] stats in the "
+        "transaction log; the range read resolves ONLY the "
+        "intersecting unit from the log (no parquet footer is even "
+        "opened for the other) and the row filter runs on what "
+        "remains. The builder asserts the pruning (every input file "
+        "comes from the low unit) before returning the audited "
+        "counts, so a green row proves stats-skipping returned "
+        "exactly the right data — the unit-level analogue of "
+        "partition pruning, and the mechanism that turns a 100 TB "
+        "range query into a touched-files query."
+    ),
+    tags=("pipeline", "lakehouse", "data-skipping", "orders"),
+)
+def lake_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import (
+        TxLog,
+        append_with_stats,
+        read_pruned,
+    )
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-skip-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    append_with_stats(tx, o.where(F.col("o_orderkey") < 500), "low", "o_orderkey")
+    append_with_stats(
+        tx, o.where(F.col("o_orderkey") >= 500), "high", "o_orderkey"
+    )
+    pruned = read_pruned(tx, 0, 499)
+    assert all("/data/low/" in f for f in pruned.inputFiles())
+    return pruned.where(F.col("o_orderkey") < 500).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
