@@ -382,6 +382,11 @@ _RLE_ORACLE = """
 def udtf_rle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched UDTF execution (ArrowEvalPythonUDTF, not the
+    # row-at-a-time BatchEvalPythonUDTF) — set here, not only in
+    # session.py, so the driver's vanilla session gets it too
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
     rle = udtf(
         _RunLengthUDTF,
         returnType="token string, run_len bigint, run_idx bigint",
@@ -583,6 +588,11 @@ class _UnpackTokensUDTF:
 def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
+    # Arrow-batched UDTF execution (ArrowEvalPythonUDTF, not the
+    # row-at-a-time BatchEvalPythonUDTF) — set here, not only in
+    # session.py, so the driver's vanilla session gets it too
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
     unpack = udtf(_UnpackTokensUDTF)
     spark.udtf.register("unpack_tokens", unpack)
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -685,6 +695,11 @@ class _PriorityStatsUDTF:
 )
 def udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
+
+    # Arrow-batched UDTF execution (ArrowEvalPythonUDTF, not the
+    # row-at-a-time BatchEvalPythonUDTF) — set here, not only in
+    # session.py, so the driver's vanilla session gets it too
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     stats = udtf(
         _PriorityStatsUDTF,

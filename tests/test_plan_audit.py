@@ -1,0 +1,78 @@
+"""Plan-hygiene gate: no scale antipatterns in representative plans.
+
+``tools/plan_audit.py`` audits the FULL registry on demand (last full
+run: 0 of 288 flagged); this gate keeps the hot-path and Python-path
+queries honest on every pytest run without re-planning all 280+.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dmi_ingestor_spark.registry import load_all
+from tools.plan_audit import audit
+
+REGISTRY = load_all()
+
+# every Python-path query + the heaviest join/agg shapes
+AUDITED = [
+    # Python paths: must be Arrow nodes, never BatchEvalPython
+    "udtf_rle_tokens",
+    "udtf_analyze_polymorphic",
+    "udtf_table_partition_by",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_energy",
+    "mm_image_patches",
+    "text_arrow_native_stats",
+    "text_compression_ratio",
+    "udaf_centroid_pandas",
+    "cogroup_reconcile_pandas",
+    "transform_global_row_number",
+    # join-heavy / cross shapes: no CartesianProduct
+    "join_cross_region_nation",
+    "join_range_quantity_bands",
+    "join_fuzzy_token_blocked",
+    "join_interval_overlap",
+    "spatial_radius_join_grid",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall_eval",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_buckets",
+    "analytics_item_item_cosine",
+    # single-partition discipline
+    "sort_limit_top_orders",
+    "sample_weighted_reservoir",
+    "agg_exact_median_twopass",
+    "agg_weighted_median",
+    "window_median_rolling",
+    "graph_label_propagation",
+    "graph_bfs_shortest_hops",
+]
+
+
+@pytest.fixture(scope="module")
+def audited_plans(spark, sf_dir):
+    plans = {}
+    for name in AUDITED:
+        df = REGISTRY[name].builder(spark, sf_dir)
+        plans[name] = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    return plans
+
+
+def test_no_plan_antipatterns(audited_plans):
+    bad = audit(audited_plans)
+    assert not bad, bad
+
+
+def test_python_paths_are_arrow(audited_plans):
+    for name in (
+        "udtf_rle_tokens",
+        "udtf_analyze_polymorphic",
+        "udtf_table_partition_by",
+    ):
+        assert "ArrowEvalPythonUDTF" in audited_plans[name], name

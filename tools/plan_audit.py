@@ -1,0 +1,96 @@
+"""Registry-wide physical-plan hygiene audit.
+
+Scans every registered query's plan for scale antipatterns:
+
+- ``BatchEvalPython``   — row-at-a-time Python UDF (the slow path; every
+                          Python hop in this engine must be Arrow-batched:
+                          ArrowEvalPython / MapInPandas / MapInArrow /
+                          FlatMapGroupsInPandas)
+- ``CartesianProduct``  — an unbroadcast cross join (O(n*m) shuffle work);
+                          intentional cross shapes must broadcast one side
+                          (BroadcastNestedLoopJoin)
+- ``Exchange SinglePartition`` — a stage that funnels ALL rows through one
+                          task; legitimate only when the funneled relation
+                          is provably tiny (already-aggregated/bounded), so
+                          every use must be allowlisted with a reason
+
+Run as a script for a report; ``audit()`` powers the pytest gate
+(tests/test_plan_audit.py) so a regression in ANY of the 280+ queries
+fails CI, not a code review.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Queries allowed an Exchange SinglePartition, with the bounded relation
+# that makes it safe. A global ORDER BY / window over an ALREADY-REDUCED
+# relation (group counts, score grain, month spine...) is O(groups), not
+# O(rows) — the funnel carries a summary, never the input.
+SINGLE_PARTITION_OK: dict[str, str] = {
+    # global sort of an aggregated/bounded output (rows = groups)
+    "agg_rollup_region_nation": "sorted rollup output, O(groups) rows",
+    "agg_cube_status_priority": "sorted cube output, O(groups) rows",
+    "agg_grouping_sets": "sorted grouping-sets output, O(groups) rows",
+    "ml_auc_exact": "rank window over the SCORE-GRAIN relation (distinct scores)",
+    "ml_chi2_feature_selection": "final top-k sort of token-grain chi2 rows",
+    "recursive_month_spine": "84-row generated month spine",
+    "ts_gapfill_interpolate": "spine join output, O(series x buckets)",
+    "profile_table_stats": "3-row profile reshape",
+    "pivot_status_by_flag": "sorted pivot output, O(status x flag)",
+    "unpivot_part_measures": "sorted unpivot of a bounded projection",
+}
+
+
+def audit(plans: dict[str, str]) -> dict[str, list[str]]:
+    """plans: name -> formatted physical plan. Returns name -> violations."""
+    bad: dict[str, list[str]] = {}
+    for name, plan in plans.items():
+        problems = []
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF (BatchEvalPython)")
+        if "CartesianProduct" in plan:
+            problems.append("unbroadcast cross join (CartesianProduct)")
+        if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+            problems.append("unjustified Exchange SinglePartition")
+        if problems:
+            bad[name] = problems
+    return bad
+
+
+def collect_plans(spark, sf_dir: str) -> dict[str, str]:
+    from dmi_ingestor_spark.registry import load_all
+
+    plans = {}
+    for name, spec in load_all().items():
+        try:
+            df = spec.builder(spark, sf_dir)
+            plans[name] = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # builder-time failure is its own finding
+            plans[name] = f"PLAN-ERROR: {exc}"
+    return plans
+
+
+def main() -> int:
+    from dmi_ingestor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans = collect_plans(spark, sf_dir)
+    bad = audit(plans)
+    for name, problems in sorted(bad.items()):
+        print(f"{name}: {'; '.join(problems)}")
+    print(f"{len(bad)} of {len(plans)} queries flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
