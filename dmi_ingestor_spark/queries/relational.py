@@ -758,3 +758,41 @@ def sql_api_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------------
+# QUALIFY semantics (window filter without a subquery)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sql_api_qualify_semantics",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+    doc=(
+        "QUALIFY-semantics pin: DuckDB's QUALIFY clause filters on a "
+        "window result directly; Spark SQL has no QUALIFY, so the "
+        "engine states the identical semantics as compute-window-"
+        "then-filter — and Catalyst plans the filter as a "
+        "WindowGroupLimit pushed BELOW the shuffle (map-side top-k "
+        "per key), so the 'missing' clause costs nothing at scale. "
+        "Top-2 orders per customer by price, deterministic tie-break."
+    ),
+    tags=("sql-api", "window", "orders"),
+)
+def sql_api_qualify_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )

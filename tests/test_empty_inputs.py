@@ -179,6 +179,7 @@ EMPTY_SAFE = [
     # round-2 twenty-ninth wave
     "scalar_ip_cidr_ops",
     "sql_api_values_inline_table",
+    "sql_api_qualify_semantics",
     "text_boilerplate_strip",
     "vector_dim_stats",
 ]
