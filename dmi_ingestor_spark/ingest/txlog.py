@@ -25,10 +25,11 @@ Guarantees (each tested in ``tests/test_txlog.py``):
 
 Scale notes: the log is METADATA — a few KB per commit, replayed on
 the driver; data files never move on commit. At 100 TB the same
-design holds (that is its point): commit cost is O(1) rename +
-O(commits) replay, checkpointable by snapshotting the replay state
-into the log (not implemented here; the replay list is small at test
-scale).
+design holds (that is its point): commit cost is O(1) rename, and
+replay cost is bounded by ``CHECKPOINT_EVERY`` — every N commits a
+checkpoint file snapshots the fully-replayed state, and
+``snapshot_fast`` resolves from the newest checkpoint forward
+(equivalence with the full replay is test-asserted).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ from dmi_ingestor_spark.ingest.fs import _fs_and_path, fs_delete, fs_rename
 
 LOG_DIR = "_txlog"
 STAGE_DIR = "_txlog_stage"
+CHECKPOINT_EVERY = 5  # write a replay checkpoint every N commits
 
 
 def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
@@ -76,6 +78,19 @@ class TxLog:
     def _commit_file(self, version: int) -> str:
         return f"{self.log_path}/{version:08d}.json"
 
+    def _read_json(self, jpath) -> dict:
+        fs, _ = _fs_and_path(self.spark, self.log_path)
+        jvm = self.spark.sparkContext._jvm
+        stream = fs.open(jpath)
+        sink = jvm.java.io.ByteArrayOutputStream()
+        try:
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+            raw = bytes(sink.toByteArray())
+        finally:
+            stream.close()
+            sink.close()
+        return json.loads(raw.decode("utf-8"))
+
     def _list_commits(self) -> list[dict]:
         fs, jpath = _fs_and_path(self.spark, self.log_path)
         if not fs.exists(jpath):
@@ -83,24 +98,75 @@ class TxLog:
         entries = []
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
-            if not name.endswith(".json"):
+            if not name.endswith(".json") or name.endswith(".checkpoint.json"):
                 continue
             # py4j copies byte[] args, so readFully(buf) mutations never
             # reach Python — copy through a Java-side buffer instead
-            jvm = self.spark.sparkContext._jvm
-            stream = fs.open(st.getPath())
-            sink = jvm.java.io.ByteArrayOutputStream()
-            try:
-                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-                    stream, sink, 4096, False
-                )
-                raw = bytes(sink.toByteArray())
-            finally:
-                stream.close()
-                sink.close()
-            entries.append(json.loads(raw.decode("utf-8")))
+            entries.append(self._read_json(st.getPath()))
         entries.sort(key=lambda e: e["version"])
         return entries
+
+    def _latest_checkpoint(self) -> dict | None:
+        """Newest replay checkpoint, or None. A checkpoint file holds
+        the fully-replayed state at its version: {"version", "live",
+        "schema_ddl", "stats"} — replay then only applies commits
+        AFTER it, bounding metadata cost at O(CHECKPOINT_EVERY) instead
+        of O(total commits)."""
+        fs, jpath = _fs_and_path(self.spark, self.log_path)
+        if not fs.exists(jpath):
+            return None
+        best = None
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not name.endswith(".checkpoint.json"):
+                continue
+            ck = self._read_json(st.getPath())
+            if best is None or ck["version"] > best["version"]:
+                best = ck
+        return best
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % CHECKPOINT_EVERY != 0 or version == 0:
+            return
+        snap = self.snapshot(version)
+        stats = _unit_stats(self)
+        ck = {
+            "version": version,
+            "live": list(snap.add_units),
+            "schema_ddl": snap.schema_ddl,
+            "stats": {u: s for u, s in stats.items() if u in snap.add_units},
+        }
+        staged = f"{self.stage_path}/ck-{version:08d}.json"
+        _write_bytes(self.spark, staged, json.dumps(ck, sort_keys=True).encode())
+        # last-writer-wins is fine: any checkpoint at V is equivalent
+        fs_rename(
+            self.spark,
+            staged,
+            f"{self.log_path}/{version:08d}.checkpoint.json",
+        )
+
+    def snapshot_fast(self, version: int | None = None) -> Snapshot:
+        """Snapshot resolution through the newest applicable checkpoint:
+        replays only commits after it. Equivalent to snapshot() —
+        asserted by tests — but O(CHECKPOINT_EVERY) commit reads."""
+        ck = self._latest_checkpoint()
+        if ck is None or (version is not None and ck["version"] > version):
+            return self.snapshot(version)
+        commits = [
+            c for c in self._list_commits() if c["version"] > ck["version"]
+        ]
+        if version is not None:
+            commits = [c for c in commits if c["version"] <= version]
+        live = list(ck["live"])
+        schema_ddl = ck["schema_ddl"]
+        for c in commits:
+            for r in c.get("removes", []):
+                if r in live:
+                    live.remove(r)
+            live.extend(c.get("adds", []))
+            schema_ddl = c.get("schema_ddl") or schema_ddl
+        v = commits[-1]["version"] if commits else ck["version"]
+        return Snapshot(version=v, add_units=tuple(live), schema_ddl=schema_ddl)
 
     def latest_version(self) -> int:
         commits = self._list_commits()
@@ -147,6 +213,7 @@ class TxLog:
         for _ in range(max_attempts):
             v = self.latest_version() + 1
             if self._try_commit(entry, v, tag):
+                self._maybe_checkpoint(v)
                 return v
         raise RuntimeError(f"commit lost {max_attempts} races; giving up")
 

@@ -248,3 +248,22 @@ def test_merge_pruned_rewrites_only_touched_units(spark, sf_dir, tx):
     got = tx.read()
     assert got.count() == n_total
     assert got.where(F.col("o_totalprice") == 123456.0).count() == 5
+
+
+def test_checkpointed_replay_equals_full_replay(spark, tx):
+    from dmi_ingestor_spark.ingest.txlog import CHECKPOINT_EVERY
+
+    # enough commits to cross a checkpoint boundary
+    for i in range(CHECKPOINT_EVERY + 3):
+        tx.append(spark.range(i + 1).toDF("id"), f"u{i}")
+    ck = tx._latest_checkpoint()
+    assert ck is not None and ck["version"] == CHECKPOINT_EVERY
+    # fast path == full replay at latest AND at historical versions
+    for v in (None, CHECKPOINT_EVERY - 1, CHECKPOINT_EVERY + 2):
+        full = tx.snapshot(v)
+        fast = tx.snapshot_fast(v)
+        assert full == fast, (v, full, fast)
+    # and the data reads the same
+    assert tx.read().count() == sum(
+        i + 1 for i in range(CHECKPOINT_EVERY + 3)
+    )
