@@ -329,3 +329,49 @@ def image_patches(
             )
 
     return media.mapInPandas(_patches, IMG_PATCH_SCHEMA)
+
+
+def ahash64(media: DataFrame, side: int = IMG_SIDE) -> DataFrame:
+    """Perceptual average-hash (aHash) per image payload, Arrow-batched.
+
+    The first ``side²`` payload bytes form an 8-bit grayscale image;
+    2×2 block sums downsample it to 8×8, and bit j is set when block
+    j's sum exceeds the image mean (``block*64 > total`` in exact
+    integers — no float mean). The 64-bit fingerprint is returned as
+    two 32-bit halves so both engines stay in non-negative BIGINT
+    space. Identical-looking images (e.g. exact duplicate content)
+    collide; near-identical images differ in few bits, which is what
+    Hamming-bucketed near-dup join runs on (dedup_simhash's pigeonhole
+    applies unchanged)."""
+    import numpy as np
+
+    n_px = side * side
+    grid = 8
+    blk = side // grid
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            his: list[int] = []
+            los: list[int] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                if len(raw) < n_px:
+                    continue
+                img = np.frombuffer(raw[:n_px], dtype=np.uint8).astype(np.int64)
+                blocks = img.reshape(grid, blk, grid, blk).sum(axis=(1, 3))
+                flat = blocks.reshape(-1)
+                total = int(flat.sum())
+                bits = (flat * 64 > total).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "hash_hi": his, "hash_lo": los}
+            )
+
+    return media.mapInPandas(
+        _hash, schema="doc_id long, hash_hi long, hash_lo long"
+    )

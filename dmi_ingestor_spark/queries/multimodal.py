@@ -350,3 +350,73 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash fingerprint groups)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_phash_dedup",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 256
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(b AS BIGINT) AS b,
+             CAST(list_aggregate(list_transform(range(4), j ->
+               ascii(substr(text,
+                 CAST(((b // 8) * 2 + j // 2) * 16 + (b % 8) * 2 + j % 2 + 1
+                      AS INTEGER), 1))), 'sum') AS BIGINT) AS bs
+      FROM imgs, UNNEST(range(64)) AS u(b)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS total
+            FROM blocks GROUP BY doc_id),
+    bits AS (
+      SELECT blocks.doc_id, blocks.b,
+             CASE WHEN blocks.bs * 64 > tot.total THEN 1 ELSE 0 END AS bit
+      FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN b < 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT hash_hi, hash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM hashes GROUP BY hash_hi, hash_lo
+    """,
+    doc=(
+        "Image near-dup dedup by perceptual average-hash: 16x16 "
+        "grayscale payload -> 2x2 block sums -> 8x8 downsample -> bit "
+        "j set when block j beats the image mean (block*64 > total, "
+        "exact integers) -> 64-bit fingerprint -> group-by hash with "
+        "keep-first — the visual twin of dedup_exact, robust to "
+        "brightness-preserving re-encodes that break byte-level "
+        "hashing. numpy over mapInPandas Arrow batches (map-only), "
+        "one 16-byte-key aggregate; the DuckDB oracle recomputes "
+        "every bit with byte arithmetic, so the whole Arrow decode + "
+        "hash path is hash-green. Hamming-bucketed NEAR-dup join over "
+        "these fingerprints is dedup_simhash's pigeonhole, unchanged."
+    ),
+    tags=("multimodal", "image", "dedup"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.multimodal import ahash64, attach_payloads
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    return (
+        ahash64(media)
+        .groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )

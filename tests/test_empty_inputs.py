@@ -182,6 +182,7 @@ EMPTY_SAFE = [
     "sql_api_qualify_semantics",
     "text_boilerplate_strip",
     "vector_dim_stats",
+    "mm_phash_dedup",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
