@@ -420,3 +420,129 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
     )
+
+
+HAMMING_MAX_IMG = 3  # accept pairs within 3 differing bits
+_PH_CHUNKS = 4  # 4 x 16-bit chunks: Hamming<=3 pairs share >=1 chunk
+
+
+@register(
+    "mm_phash_near_dup",
+    oracle=f"""
+    WITH imgs AS (
+      SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 256
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(b AS BIGINT) AS b,
+             CAST(list_aggregate(list_transform(range(4), j ->
+               ascii(substr(text,
+                 CAST(((b // 8) * 2 + j // 2) * 16 + (b % 8) * 2 + j % 2 + 1
+                      AS INTEGER), 1))), 'sum') AS BIGINT) AS bs
+      FROM imgs, UNNEST(range(64)) AS u(b)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS total
+            FROM blocks GROUP BY doc_id),
+    bits AS (
+      SELECT blocks.doc_id, blocks.b,
+             CASE WHEN blocks.bs * 64 > tot.total THEN 1 ELSE 0 END AS bit
+      FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN b < 32
+                  THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                  ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, hash_hi, hash_lo, CAST(c AS BIGINT) AS chunk_id,
+             CAST(CASE WHEN c < 2
+                  THEN (hash_lo >> CAST(c * 16 AS INTEGER)) & 65535
+                  ELSE (hash_hi >> CAST((c - 2) * 16 AS INTEGER)) & 65535
+             END AS BIGINT) AS chunk_val
+      FROM hashes, UNNEST(range({_PH_CHUNKS})) AS u(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.hash_hi AS ahi, a.hash_lo AS alo,
+             b.hash_hi AS bhi, b.hash_lo AS blo
+      FROM chunks a
+      JOIN chunks b ON a.chunk_id = b.chunk_id
+                   AND a.chunk_val = b.chunk_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+          <= {HAMMING_MAX_IMG}
+    """,
+    doc=(
+        "Image NEAR-duplicate pairs over the aHash fingerprints: the "
+        "64-bit hash (kept as two 32-bit BIGINT halves — combining "
+        "them would overflow signed int64) splits into 4 x 16-bit "
+        "chunks, and by pigeonhole any pair within Hamming distance 3 "
+        "must agree on at least one whole chunk — candidates come "
+        "from an equi-join on (chunk_id, chunk_val), never an "
+        "all-pairs scan, and the exact bit_count(xor) verify runs "
+        "only on collisions. dedup_simhash's banding applied to the "
+        "VISION fingerprint (mm_phash_dedup), completing image "
+        "exact-dup -> near-dup. Same scale shape as MinHash-LSH: one "
+        "fingerprint pass, one bounded-key candidate join, verify on "
+        "candidates."
+    ),
+    tags=("multimodal", "image", "dedup", "similarity"),
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.multimodal import ahash64, attach_payloads
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    hashes = ahash64(media)
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                (
+                    F.shiftright("hash_lo", c * 16)
+                    if c < 2
+                    else F.shiftright("hash_hi", (c - 2) * 16)
+                )
+                .bitwiseAND(F.lit(65535))
+                .alias("chunk_val"),
+            )
+            for c in range(_PH_CHUNKS)
+        ]
+    )
+    chunks = hashes.select(
+        "doc_id", "hash_hi", "hash_lo", F.explode(chunk_arr).alias("cc")
+    ).select("doc_id", "hash_hi", "hash_lo", "cc.chunk_id", "cc.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hash_hi").alias("ahi"),
+        F.col("hash_lo").alias("alo"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("hash_hi").alias("bhi"),
+        F.col("hash_lo").alias("blo"),
+        "chunk_id",
+        "chunk_val",
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ahi", "alo", "bhi", "blo")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))) + F.bit_count(
+        F.col("alo").bitwiseXOR(F.col("blo"))
+    )
+    return cand.select(
+        "a_id", "b_id", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= HAMMING_MAX_IMG)

@@ -183,6 +183,7 @@ EMPTY_SAFE = [
     "text_boilerplate_strip",
     "vector_dim_stats",
     "mm_phash_dedup",
+    "mm_phash_near_dup",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
