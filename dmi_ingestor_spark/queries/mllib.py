@@ -724,3 +724,70 @@ def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (the PCA / whitening sufficient statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_embedding_covariance_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.dim AS di, b.dim AS dj,
+             a.v * b.v AS vij
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    )
+    SELECT di, dj,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vij) AS BIGINT) AS sum_xixj_micro2
+    FROM pairs GROUP BY di, dj ORDER BY di, dj
+    """,
+    doc=(
+        "Second-moment (Gram) matrix of the embedding table in exact "
+        "integer micro-units — THE sufficient statistic for PCA, "
+        "whitening and linear probes: everything downstream "
+        "(eigendecomposition, projection) runs on this d x d summary, "
+        "never on the corpus again. Upper triangle only (symmetric), "
+        "one self-join per vector on the exploded dims — at 100 TB "
+        "the cost is one d^2-key aggregate; d x d output is "
+        "driver-sized for any real embedding width. The power-"
+        "iteration invariant test (test_invariants.py) "
+        "eigendecomposes the collected matrix and checks A v = "
+        "lambda v, closing the distributed-stats -> local-solve PCA "
+        "loop."
+    ),
+    tags=("ml", "embeddings", "pca", "statistics"),
+)
+def ml_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x").cast("double") * 1000000)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    a = e.select("vec_id", F.col("dim").alias("di"), F.col("v").alias("vi"))
+    b = e.select("vec_id", F.col("dim").alias("dj"), F.col("v").alias("vj"))
+    pairs = a.join(b, "vec_id").where(F.col("di") <= F.col("dj"))
+    return (
+        pairs.groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("vi") * F.col("vj")).cast("long").alias(
+                "sum_xixj_micro2"
+            ),
+        )
+        .orderBy("di", "dj")
+    )

@@ -184,6 +184,7 @@ EMPTY_SAFE = [
     "vector_dim_stats",
     "mm_phash_dedup",
     "mm_phash_near_dup",
+    "ml_embedding_covariance_matrix",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -228,3 +228,38 @@ def test_compression_ratio_deterministic_and_dup_invariant(spark, sf_dir):
         by_text.setdefault(t, set()).add(a[doc_id])
     assert all(len(v) == 1 for v in by_text.values())
     assert all(0 < nc <= len(texts[d].encode()) + 64 for d, (nc, _) in a.items())
+
+
+def test_pca_power_iteration_on_gram_matrix(spark, sf_dir):
+    """Distributed-stats -> local-solve PCA: the engine computes the
+    exact d x d Gram matrix (ml_embedding_covariance_matrix); the
+    top principal direction from a driver-side eigendecomposition of
+    that summary must satisfy A v = lambda v — proving the summary is
+    a faithful, solvable statistic (the corpus is never touched
+    again)."""
+    import numpy as np
+
+    from dmi_ingestor_spark.registry import load_all
+
+    rows = (
+        load_all()["ml_embedding_covariance_matrix"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    d = max(r["dj"] for r in rows) + 1
+    A = np.zeros((d, d))
+    for r in rows:
+        A[r["di"], r["dj"]] = r["sum_xixj_micro2"]
+        A[r["dj"], r["di"]] = r["sum_xixj_micro2"]
+    A /= rows[0]["n"]  # per-vector scale; symmetric PSD by construction
+    vals, vecs = np.linalg.eigh(A)
+    lam, v = vals[-1], vecs[:, -1]
+    assert lam > 0
+    resid = np.linalg.norm(A @ v - lam * v) / lam
+    assert resid < 1e-8, resid
+    # power iteration from a fixed start converges to the same direction
+    x = np.ones(d) / np.sqrt(d)
+    for _ in range(200):
+        x = A @ x
+        x /= np.linalg.norm(x)
+    assert abs(abs(x @ v) - 1.0) < 1e-6
