@@ -131,3 +131,94 @@ def spatial_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("a_cust", "b_cust", dist.alias("dist_km")).where(
         F.col("dist_km") < GEO_RADIUS_KM
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-polygon (exact-integer ray casting)
+# --------------------------------------------------------------------------
+
+# deliberately NON-convex polygon, integer vertices on the 100x100 grid
+_PIP_POLY = [(10, 10), (90, 20), (70, 60), (50, 40), (20, 80)]
+_PIP_EDGES = [
+    (_PIP_POLY[i] + _PIP_POLY[(i + 1) % len(_PIP_POLY)])
+    for i in range(len(_PIP_POLY))
+]
+
+
+def _pip_edges_sql() -> str:
+    return ", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in _PIP_EDGES)
+
+
+@register(
+    "spatial_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id % 100 AS BIGINT) AS px,
+             CAST(user_id % 100 AS BIGINT) AS py
+      FROM events
+    ),
+    edges(x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
+    crossings AS (
+      SELECT p.event_id, p.px, p.py,
+             CAST(COUNT(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                  AND ((p.px - e.x1) * (e.y2 - e.y1)
+                       - (e.x2 - e.x1) * (p.py - e.y1))
+                      * (CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) < 0
+                  THEN 1 END) AS BIGINT) AS n_cross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.event_id, p.px, p.py
+    )
+    SELECT event_id, px, py,
+           CAST(n_cross % 2 AS BIGINT) AS inside
+    FROM crossings
+    """,
+    doc=(
+        "Point-in-polygon containment by ray casting against a "
+        "non-convex polygon — the geofencing primitive behind "
+        "region-tagging and coverage joins. The crossing test is the "
+        "EXACT-INTEGER cross-multiplied form (no division, no "
+        "floats), so edge-grazing points classify identically on "
+        "both engines; the strict-> half-open rule handles vertices. "
+        "The 5-edge polygon is a broadcast literal exploded against "
+        "the point stream — one narrow pass, a per-point counter, "
+        "parity bit. At scale the polygon table broadcasts and a "
+        "bbox prefilter (spatial_radius_join_grid's cells) prunes "
+        "points before the exact test."
+    ),
+    tags=("spatial", "geofence", "events"),
+)
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 100).cast("long").alias("px"),
+        (F.col("user_id") % 100).cast("long").alias("py"),
+    )
+    edge_arr = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in _PIP_EDGES
+        ]
+    )
+    e = ev.select("event_id", "px", "py", F.explode(edge_arr).alias("e"))
+    straddles = (F.col("e.y1") > F.col("py")) != (F.col("e.y2") > F.col("py"))
+    d = (F.col("px") - F.col("e.x1")) * (F.col("e.y2") - F.col("e.y1")) - (
+        F.col("e.x2") - F.col("e.x1")
+    ) * (F.col("py") - F.col("e.y1"))
+    sgn = F.when(F.col("e.y2") > F.col("e.y1"), 1).otherwise(-1)
+    crossing = straddles & ((d * sgn) < 0)
+    return (
+        e.groupBy("event_id", "px", "py")
+        .agg(F.count(F.when(crossing, 1)).alias("n_cross"))
+        .select(
+            "event_id",
+            "px",
+            "py",
+            (F.col("n_cross") % 2).cast("long").alias("inside"),
+        )
+    )
