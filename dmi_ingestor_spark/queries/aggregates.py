@@ -1944,3 +1944,102 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("c_mktsegment", "n", gini.alias("gini")).orderBy(
         "c_mktsegment"
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of a monthly series (exact sufficient stats)
+# --------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 6
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY mnum
+    ),
+    lagged AS (
+      SELECT a.mnum, CAST(k AS BIGINT) AS lag_k, a.y AS y0, b.y AS yk
+      FROM m a
+      CROSS JOIN UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS u(k)
+      JOIN m b ON b.mnum = a.mnum + k
+    ),
+    s AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y0) AS BIGINT) AS s0, CAST(SUM(yk) AS BIGINT) AS sk,
+             CAST(SUM(y0 * yk) AS BIGINT) AS s0k,
+             CAST(SUM(y0 * y0) AS BIGINT) AS s00,
+             CAST(SUM(yk * yk) AS BIGINT) AS skk
+      FROM lagged GROUP BY lag_k
+    )
+    SELECT lag_k, n,
+           (CAST(n AS DOUBLE) * CAST(s0k AS DOUBLE)
+            - CAST(s0 AS DOUBLE) * CAST(sk AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * CAST(s00 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                     - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))
+             AS acf
+    FROM s ORDER BY lag_k
+    """,
+    doc=(
+        "Autocorrelation function (lags 1..6) of the monthly order "
+        "count series — the seasonality detector that justifies "
+        "ts_seasonal_naive_mae's lag-12 model. The series is first "
+        "reduced to month grain (one partial+final aggregate), so "
+        "the lagged self-join and the per-lag Pearson sums run on "
+        "O(months) rows; all sufficient statistics are exact BIGINT "
+        "and the correlation is one identical IEEE tree per lag "
+        "(same pattern as analytics_price_trend_ols). At 100 TB the "
+        "only full-scan stage is the month rollup."
+    ),
+    tags=("timeseries", "statistics", "orders"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+    ).alias("lag_k")
+    a = m.select(F.col("mnum"), F.col("y").alias("y0")).select(
+        "mnum", "y0", lags
+    )
+    b = m.select(
+        F.col("mnum").alias("bmnum"), F.col("y").alias("yk")
+    )
+    lagged = a.join(
+        F.broadcast(b),
+        F.col("bmnum") == F.col("mnum") + F.col("lag_k"),
+    )
+    s = lagged.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y0").cast("long").alias("s0"),
+        F.sum("yk").cast("long").alias("sk"),
+        F.sum(F.col("y0") * F.col("yk")).cast("long").alias("s0k"),
+        F.sum(F.col("y0") * F.col("y0")).cast("long").alias("s00"),
+        F.sum(F.col("yk") * F.col("yk")).cast("long").alias("skk"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("s0k").cast("double") - F.col("s0").cast(
+        "double"
+    ) * F.col("sk").cast("double")
+    den = F.sqrt(
+        (n_d * F.col("s00").cast("double")
+         - F.col("s0").cast("double") * F.col("s0").cast("double"))
+        * (n_d * F.col("skk").cast("double")
+           - F.col("sk").cast("double") * F.col("sk").cast("double"))
+    )
+    return (
+        s.select(
+            F.col("lag_k").cast("long").alias("lag_k"),
+            "n",
+            (num / den).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )

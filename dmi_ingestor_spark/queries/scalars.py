@@ -840,3 +840,47 @@ def scalar_ip_cidr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_10_8"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary scalar pack (encode/digest surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_binary_pack",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+             AS roundtrip,
+           md5(substr(text, 1, 24)) AS digest_md5,
+           sha256(substr(text, 1, 24)) AS digest_sha256,
+           hex(encode(substr(text, 1, 8))) AS hex8,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc=(
+        "Binary/encoding scalar pack: base64 encode + decode "
+        "roundtrip, md5/sha256 digests, hex rendering, byte length — "
+        "the payload-handling functions every ingest pipeline leans "
+        "on for checksums and wire formats. All JVM built-ins; the "
+        "roundtrip column proves encode(decode(x)) == x inside the "
+        "query itself."
+    ),
+    tags=("scalar", "binary", "documents"),
+)
+def scalar_binary_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    head24 = F.substring("text", 1, 24)
+    head24b = F.encode(head24, "utf-8")
+    b64 = F.base64(head24b)
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "utf-8").alias("roundtrip"),
+        F.md5(head24b).alias("digest_md5"),
+        F.sha2(head24b, 256).alias("digest_sha256"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hex8"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )

@@ -186,6 +186,8 @@ EMPTY_SAFE = [
     "mm_phash_near_dup",
     "ml_embedding_covariance_matrix",
     "spatial_point_in_polygon",
+    "scalar_binary_pack",
+    "ts_autocorrelation",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
