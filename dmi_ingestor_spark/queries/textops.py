@@ -1052,3 +1052,81 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("kpos")).cast("long").alias("n_dropped"),
         rebuilt.alias("rebuilt_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty rate (first-occurrence n-gram fraction per document)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    first_seen AS (
+      SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           CAST(1000 * COUNT(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM grams g JOIN first_seen f ON g.gram = f.gram
+    GROUP BY g.doc_id
+    """,
+    doc=(
+        "Corpus novelty curve: per document (in ingestion order), the "
+        "fraction of its 3-grams never seen in any earlier document — "
+        "the crawl-health signal that says when a source has gone "
+        "stale (novelty decays toward zero as a crawl saturates) and "
+        "the aggregate cousin of the dedup ladder. First occurrence "
+        "is a gram-grain min(doc_id) aggregate joined back to the "
+        "gram stream — two shuffles on the gram key, no growing "
+        "state, no sequential scan; 'earlier' is the stable doc_id "
+        "order so the metric is deterministic and incremental "
+        "(appending docs never changes old rows' novelty)."
+    ),
+    tags=("text", "training-pipeline", "novelty", "documents"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # guard: Spark sequence() runs DOWNWARD when start > stop, so docs
+    # with <3 tokens would fabricate grams — DuckDB generate_series is
+    # empty there; filter keeps the engines aligned
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    j = grams.join(first_seen, "gram")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.floor(1000 * novel / F.count(F.lit(1)))
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )

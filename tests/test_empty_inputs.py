@@ -188,6 +188,7 @@ EMPTY_SAFE = [
     "spatial_point_in_polygon",
     "scalar_binary_pack",
     "ts_autocorrelation",
+    "text_ngram_novelty",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
