@@ -835,3 +835,54 @@ def join_asof_tolerance_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b.purchase_id").alias("purchase_id"),
         F.col("_b.purchase_ts").alias("purchase_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Null-key skew bypass for outer joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_null_key_skew_bypass",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END
+               AS cust_fk
+      FROM orders
+    )
+    SELECT l.o_orderkey, l.cust_fk, c.c_mktsegment
+    FROM l LEFT JOIN customer c ON l.cust_fk = c.c_custkey
+    """,
+    doc=(
+        "The null-key skew idiom: in a LEFT join, every NULL foreign "
+        "key matches nothing yet hashes to ONE partition — a third of "
+        "this fixture's rows would pile onto a single task. The "
+        "builder splits the stream: NULL-key rows bypass the join "
+        "entirely (their output is known: right side all NULL) and "
+        "union back with the non-null rows' real join — identical "
+        "semantics to the oracle's plain LEFT JOIN, hash-proved, with "
+        "the shuffle carrying ONLY matchable keys. The standard "
+        "pre-AQE fix for null-heavy dimension keys, complementing "
+        "operators/salted.py (hot non-null keys) and the AQE skew "
+        "split test."
+    ),
+    tags=("join", "skew", "orders", "customer", "scale"),
+)
+def join_null_key_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    nulls = o.where(F.col("cust_fk").isNull()).select(
+        "o_orderkey", "cust_fk", F.lit(None).cast("string").alias("c_mktsegment")
+    )
+    matched = (
+        o.where(F.col("cust_fk").isNotNull())
+        .join(c, F.col("cust_fk") == F.col("c_custkey"), "left")
+        .select("o_orderkey", "cust_fk", "c_mktsegment")
+    )
+    return matched.unionAll(nulls)

@@ -884,3 +884,67 @@ def scalar_binary_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("hex8"),
         F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# TRY_CAST semantics (null-on-failure typed parsing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_try_cast_pack",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE event_id % 4
+               WHEN 0 THEN CAST(event_id AS VARCHAR)
+               WHEN 1 THEN 'not-a-number'
+               WHEN 2 THEN '  ' || CAST(event_id AS VARCHAR) || '  '
+               ELSE '1.5e2'
+             END AS s
+      FROM events
+    )
+    SELECT event_id, s,
+           CASE WHEN regexp_matches(trim(s), '^-?[0-9]+$')
+                THEN TRY_CAST(s AS BIGINT) END AS as_long,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           CASE WHEN regexp_matches(trim(s), '^-?[0-9]+$')
+                     AND TRY_CAST(s AS BIGINT) IS NOT NULL
+                THEN 0 ELSE 1 END AS long_failed
+    FROM raw
+    """,
+    doc=(
+        "TRY_CAST parsing semantics on a deliberately messy string "
+        "column: clean integers, garbage, whitespace-padded integers, "
+        "scientific notation. Both engines trim whitespace and reject "
+        "garbage to NULL (the ANSI-safe ingestion idiom next to "
+        "try_divide and the DLQ split). The one DIVERGENCE is pinned "
+        "explicitly: DuckDB accepts '1.5e2' as a BIGINT (numeric "
+        "parse then truncate) where Spark's integral cast rejects it "
+        "— so the oracle states Spark's stricter pure-integer rule "
+        "with a regex guard, documenting the difference instead of "
+        "hiding it."
+    ),
+    tags=("scalar", "parsing", "events"),
+)
+def scalar_try_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id")
+    m = F.col("event_id") % 4
+    s = (
+        F.when(m == 0, F.col("event_id").cast("string"))
+        .when(m == 1, F.lit("not-a-number"))
+        .when(
+            m == 2,
+            F.concat(F.lit("  "), F.col("event_id").cast("string"), F.lit("  ")),
+        )
+        .otherwise(F.lit("1.5e2"))
+    )
+    d = ev.select("event_id", s.alias("s"))
+    as_long = F.expr("TRY_CAST(s AS BIGINT)")
+    return d.select(
+        "event_id",
+        "s",
+        as_long.alias("as_long"),
+        F.expr("TRY_CAST(s AS DOUBLE)").alias("as_double"),
+        F.when(as_long.isNull(), 1).otherwise(0).alias("long_failed"),
+    )

@@ -189,6 +189,8 @@ EMPTY_SAFE = [
     "scalar_binary_pack",
     "ts_autocorrelation",
     "text_ngram_novelty",
+    "join_null_key_skew_bypass",
+    "scalar_try_cast_pack",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
