@@ -1537,3 +1537,67 @@ def lake_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness + schema-contract data-quality checks
+# ---------------------------------------------------------------------------
+
+_FRESH_ASOF = "2024-01-20 00:00:00"  # audit reference instant (literal:
+# wall-clock now() would be nondeterministic across engines and runs)
+_FRESH_SLA_MIN = 24 * 60
+
+
+@register(
+    "dq_freshness_lag",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_seen,
+           CAST((CAST(epoch(TIMESTAMP '{_FRESH_ASOF}') AS BIGINT)
+                 - CAST(FLOOR(epoch(MAX(ts))) AS BIGINT)) // 60
+                AS BIGINT) AS lag_minutes,
+           CAST(CASE WHEN epoch(TIMESTAMP '{_FRESH_ASOF}') - FLOOR(epoch(MAX(ts)))
+                          > {_FRESH_SLA_MIN} * 60
+                THEN 1 ELSE 0 END AS BIGINT) AS stale
+    FROM events
+    WHERE ts <= TIMESTAMP '{_FRESH_ASOF}'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Freshness check — the most-fired data-quality alarm in any "
+        "warehouse: per feed (event_type), last-seen timestamp, lag "
+        "minutes against the audit instant, and an SLA-breach flag "
+        "(24h). The reference instant is a literal, not now(), so the "
+        "check is reproducible and engine-portable; in production the "
+        "orchestrator injects the run timestamp the same way. One "
+        "bounded-key aggregate over the pushdown-filtered scan."
+    ),
+    tags=("dq", "quality", "freshness", "events"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(
+        F.col("ts") <= F.lit(_FRESH_ASOF).cast("timestamp")
+    )
+    asof_s = F.unix_timestamp(F.lit(_FRESH_ASOF).cast("timestamp"))
+    lag_s = asof_s - F.unix_timestamp(F.max("ts"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("last_seen"),
+            F.floor(
+                (asof_s - F.unix_timestamp(F.max("ts"))) / 60
+            )
+            .cast("long")
+            .alias("lag_minutes"),
+            F.when(
+                asof_s - F.unix_timestamp(F.max("ts")) > _FRESH_SLA_MIN * 60,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -191,6 +191,7 @@ EMPTY_SAFE = [
     "text_ngram_novelty",
     "join_null_key_skew_bypass",
     "scalar_try_cast_pack",
+    "dq_freshness_lag",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
