@@ -1879,3 +1879,88 @@ def window_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         med.cast("long").alias("rolling_median_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line max concurrency (interval overlap counting)
+# --------------------------------------------------------------------------
+
+_CONC_DUR_S = 300  # each event occupies a 5-minute interval
+
+
+@register(
+    "analytics_max_concurrency",
+    oracle=f"""
+    WITH endpoints AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+             1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) + {_CONC_DUR_S},
+             -1, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT event_type, t,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM endpoints
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           CAST(MIN(CASE WHEN conc = mx THEN t END) AS BIGINT)
+             AS first_peak_epoch
+    FROM (SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS mx FROM swept)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Sweep-line interval concurrency: each event occupies a "
+        "5-minute interval; exploding to (+1 at start, -1 at end) "
+        "endpoint deltas and running-summing per series gives the "
+        "live concurrency at every boundary — max concurrent "
+        "sessions/calls/jobs, the capacity-planning number. The "
+        "endpoint ordering (t, delta, event_id) is total and puts "
+        "-1 before +1 at ties, so back-to-back intervals don't "
+        "double-count. One window per bounded series partition; at "
+        "100 TB the sweep parallelizes across series and the "
+        "endpoint relation is exactly 2x events — no interval "
+        "self-join anywhere (contrast join_interval_overlap, which "
+        "enumerates the PAIRS)."
+    ),
+    tags=("analytics", "sweep-line", "events", "capacity"),
+)
+def analytics_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("t0")
+    )
+    starts = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("t0") + _CONC_DUR_S).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    endpoints = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = endpoints.select(
+        "event_type", "t", F.sum("delta").over(w).alias("conc")
+    )
+    mx = Window.partitionBy("event_type")
+    return (
+        swept.withColumn("mx", F.max("conc").over(mx))
+        .groupBy("event_type")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrency"),
+            F.min(F.when(F.col("conc") == F.col("mx"), F.col("t")))
+            .cast("long")
+            .alias("first_peak_epoch"),
+        )
+        .orderBy("event_type")
+    )

@@ -192,6 +192,9 @@ EMPTY_SAFE = [
     "join_null_key_skew_bypass",
     "scalar_try_cast_pack",
     "dq_freshness_lag",
+    # round-2 fortieth wave
+    "ingest_fixed_width_parse",
+    "analytics_max_concurrency",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
