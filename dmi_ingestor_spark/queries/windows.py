@@ -1964,3 +1964,133 @@ def analytics_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D activity heatmap (hour-of-day x series binning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_heatmap_hour_type",
+    oracle="""
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour_of_day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "The dashboard heatmap feed: events binned on the 2-D "
+        "(hour-of-day x event-type) grid with row and distinct-user "
+        "counts — 24 x |types| output regardless of input volume, one "
+        "partial+final aggregate (plus the distinct-user expand). "
+        "Trivial relationally, here to pin hour extraction across "
+        "engines and complete the time-profile family next to "
+        "analytics_markov_transitions' type x type grid."
+    ),
+    tags=("analytics", "events", "heatmap"),
+)
+def analytics_heatmap_hour_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Ratio-of-sums vs average-of-ratios (the classic aggregation-order pin)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_ratio_of_sums_pin",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(22,8))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c.c_mktsegment,
+             CAST(SUM(p.n_orders) AS BIGINT) AS tot_orders,
+             SUM(p.spend) AS tot_spend,
+             SUM(CAST(p.spend * 100 AS BIGINT) * 10000 // p.n_orders)
+               AS sum_ratio_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_custs
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment, tot_orders, n_custs,
+           (CAST(FLOOR(tot_spend) AS DOUBLE)
+            + CAST(tot_spend - FLOOR(tot_spend) AS DOUBLE)) / tot_orders
+             AS ratio_of_sums,
+           CAST(sum_ratio_micro AS DOUBLE) / n_custs / 1000000.0
+             AS avg_of_ratios
+    FROM seg ORDER BY c_mktsegment
+    """,
+    doc=(
+        "The classic analytics footgun, pinned side by side: average "
+        "order value per segment as SUM(spend)/SUM(orders) (each "
+        "order weighted equally) vs AVG(per-customer spend/orders) "
+        "(each CUSTOMER weighted equally) — different questions that "
+        "get silently swapped in dashboards. Both compute from one "
+        "customer-grain pass; per-customer ratios divide exact "
+        "decimals by integers (decimal division, deterministic), "
+        "sums stay decimal until the split conversion, finals are "
+        "one IEEE division each. The two columns genuinely differ "
+        "on this data — the pin is that BOTH match the oracle. "
+        "Per-customer ratios quantize to integer micro-units "
+        "(cents*10000 // orders) before summing: engines disagree on "
+        "decimal-division result scales, so the quantization must be "
+        "explicit to be portable."
+    ),
+    tags=("analytics", "semantics", "orders", "customer"),
+)
+def analytics_ratio_of_sums_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"),
+    )
+    seg = (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("tot_orders"),
+            F.sum("spend").alias("tot_spend"),
+            F.sum(
+                F.expr(
+                    "div(CAST(spend * 100 AS BIGINT) * 10000, n_orders)"
+                )
+            )
+            .cast("long")
+            .alias("sum_ratio_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+        )
+    )
+    return seg.select(
+        "c_mktsegment",
+        "tot_orders",
+        "n_custs",
+        (dec_to_double(F.col("tot_spend")) / F.col("tot_orders")).alias(
+            "ratio_of_sums"
+        ),
+        (
+            F.col("sum_ratio_micro").cast("double")
+            / F.col("n_custs")
+            / F.lit(1000000.0)
+        ).alias("avg_of_ratios"),
+    ).orderBy("c_mktsegment")

@@ -195,6 +195,8 @@ EMPTY_SAFE = [
     # round-2 fortieth wave
     "ingest_fixed_width_parse",
     "analytics_max_concurrency",
+    "analytics_heatmap_hour_type",
+    "analytics_ratio_of_sums_pin",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
