@@ -586,3 +586,71 @@ def graph_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.where(F.col("dist") < _BFS_INF).select(
         F.col("node").alias("nationkey"), F.col("dist").alias("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the trade graph (graph observability)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH dedges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY src, dst
+    ),
+    und AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dedges WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM dedges WHERE src <> dst
+      )
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM und GROUP BY src
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    doc=(
+        "Degree distribution of the undirected trade graph — the "
+        "first thing to look at before running any graph algorithm "
+        "(hub detection feeds the salting/skew decisions the "
+        "triangle-count and LP operators make). Edge build is the "
+        "one fact-scale stage; degree and histogram are two "
+        "bounded-key aggregates. Completes the graph family's "
+        "observability next to profile_skew_keys' join-key view."
+    ),
+    tags=("graph", "profiling", "scale"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    dedges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = dedges.unionAll(
+        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )

@@ -791,3 +791,89 @@ def ml_embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("di", "dj")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic-regression gradient step (the allreduce shape)
+# ---------------------------------------------------------------------------
+
+_LR_NUM, _LR_DEN = 1, 1000  # learning rate 0.001 as an exact ratio
+
+
+@register(
+    "ml_logreg_gradient_step",
+    oracle=f"""
+    WITH x AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS x1,
+             EXTRACT(MONTH FROM o_orderdate) AS x2
+      FROM orders
+    ),
+    g AS (
+      -- at w = 0 the sigmoid is EXACTLY 1/2, so the gradient
+      -- sum_i x_ij * (sigma(w.x_i) - y_i) = sum x_ij * (1 - 2*y_i) / 2
+      -- is exact integer arithmetic (doubled to stay integral)
+      SELECT CAST(SUM(x0 * (1 - 2 * y)) AS BIGINT) AS g0_x2,
+             CAST(SUM(x1 * (1 - 2 * y)) AS BIGINT) AS g1_x2,
+             CAST(SUM(x2 * (1 - 2 * y)) AS BIGINT) AS g2_x2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x
+    )
+    SELECT n, g0_x2, g1_x2, g2_x2,
+           -- w_new = -lr/n * grad, emitted in exact nano units:
+           -- w_j_nano = -(g_j/2) * 1e9 * {_LR_NUM} // ({_LR_DEN} * n)
+           CAST(-(g0_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
+                AS BIGINT) AS w0_nano,
+           CAST(-(g1_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
+                AS BIGINT) AS w1_nano,
+           CAST(-(g2_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
+                AS BIGINT) AS w2_nano
+    FROM g
+    """,
+    doc=(
+        "One synchronous gradient-descent step of logistic regression "
+        "computed DISTRIBUTIVELY — the allreduce shape every "
+        "data-parallel trainer uses: per-row gradient contributions "
+        "reduce in one partial+final aggregate (d+1 numbers of state), "
+        "the driver applies the update. Starting at w=0 makes the "
+        "sigmoid exactly 1/2, so this step is EXACT integer "
+        "arithmetic end to end (gradients doubled, weights in floored "
+        "nano-units with an exact-ratio learning rate) — hash-green "
+        "proof of the distributed-gradient machinery; subsequent "
+        "steps are float sigmoid evaluations over the same plan "
+        "shape (cf. cluster_kmeans_embeddings for the float-iterate "
+        "regime)."
+    ),
+    tags=("ml", "training", "gradient", "orders"),
+)
+def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.round("o_totalprice").cast("long").alias("x1"),
+        F.month("o_orderdate").cast("long").alias("x2"),
+    )
+    s = F.lit(1) - 2 * F.col("y")
+    g = x.agg(
+        F.sum(F.col("x0") * s).cast("long").alias("g0_x2"),
+        F.sum(F.col("x1") * s).cast("long").alias("g1_x2"),
+        F.sum(F.col("x2") * s).cast("long").alias("g2_x2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    def w(gc):
+        # DuckDB `//` and Spark div() both TRUNCATE toward zero for
+        # integers (pinned: SELECT (-7)//2 = -3), so plain div matches
+        return F.expr(
+            f"div(-({gc} * 500000000 * {_LR_NUM}), ({_LR_DEN} * n))"
+        ).cast("long")
+    return g.select(
+        "n",
+        "g0_x2",
+        "g1_x2",
+        "g2_x2",
+        w("g0_x2").alias("w0_nano"),
+        w("g1_x2").alias("w1_nano"),
+        w("g2_x2").alias("w2_nano"),
+    )

@@ -197,6 +197,7 @@ EMPTY_SAFE = [
     "analytics_max_concurrency",
     "analytics_heatmap_hour_type",
     "analytics_ratio_of_sums_pin",
+    "graph_degree_distribution",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -209,6 +210,7 @@ EMPTY_ONE_ROW = [
     "agg_theta_sketch_setops",
     "scalar_collation_pack",
     "ml_auc_exact",
+    "ml_logreg_gradient_step",
     "ingest_schema_evolution_merge",
     "dedup_lsh_recall_eval",
     "analytics_bounce_rate",
