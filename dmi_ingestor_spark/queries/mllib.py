@@ -877,3 +877,101 @@ def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         w("g1_x2").alias("w1_nano"),
         w("g2_x2").alias("w2_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall sweep (thresholded classifier readout)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_pr_curve_sweep",
+    oracle="""
+    WITH y AS (
+      SELECT o_orderpriority, EXTRACT(YEAR FROM o_orderdate) AS yr,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT o_orderpriority, yr, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(y) AS BIGINT) AS s_g
+      FROM y GROUP BY o_orderpriority, yr
+    ),
+    scored AS (
+      SELECT y.y,
+             CAST(ROUND(CAST(g.s_g AS DOUBLE) / g.n_g * 1000000) AS BIGINT)
+               AS score
+      FROM y JOIN g USING (o_orderpriority, yr)
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS tot_pos,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM scored
+    ),
+    thresholds(t) AS (
+      VALUES (100000), (200000), (300000), (400000), (500000),
+             (600000), (700000), (800000), (900000)
+    )
+    SELECT t AS threshold_micro,
+           CAST(COUNT(CASE WHEN s.score >= t AND s.y = 1 THEN 1 END)
+                AS BIGINT) AS tp,
+           CAST(COUNT(CASE WHEN s.score >= t AND s.y = 0 THEN 1 END)
+                AS BIGINT) AS fp,
+           CAST(MIN(tot.tot_pos)
+                - COUNT(CASE WHEN s.score >= t AND s.y = 1 THEN 1 END)
+                AS BIGINT) AS fn
+    FROM scored s CROSS JOIN tot CROSS JOIN thresholds
+    GROUP BY t ORDER BY t
+    """,
+    doc=(
+        "Precision-recall sweep of the group-rate scorer at nine "
+        "thresholds — with ml_auc_exact and "
+        "ml_calibration_reliability this completes the classifier-"
+        "eval triptych (ranking, calibration, operating points). "
+        "Thresholds explode as a 9-row literal against the scored "
+        "stream (one scan; the scored relation is the same broadcast-"
+        "join shape as the other evals), counts are exact integers — "
+        "precision/recall are left as tp/fp/fn so the consumer picks "
+        "the division. At 100 TB: one aggregate at (threshold)-grain "
+        "after a 9x fanout of the already-thin scored projection."
+    ),
+    tags=("ml", "evaluation", "pr-curve", "orders"),
+)
+def ml_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    y = o.select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = y.groupBy("o_orderpriority", "yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("y").cast("long").alias("s_g"),
+    )
+    scored = y.join(F.broadcast(g), ["o_orderpriority", "yr"]).select(
+        "y",
+        F.round(F.col("s_g").cast("double") / F.col("n_g") * 1000000)
+        .cast("long")
+        .alias("score"),
+    )
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("tot_pos"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t * 100000) for t in range(1, 10)])
+    ).alias("t")
+    fanned = scored.crossJoin(F.broadcast(tot)).select(
+        "y", "score", "tot_pos", thresholds
+    )
+    tp = F.count(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1))
+    fp = F.count(F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1))
+    return (
+        fanned.groupBy(F.col("t").alias("threshold_micro"))
+        .agg(
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            (F.min("tot_pos") - tp).cast("long").alias("fn"),
+        )
+        .orderBy("threshold_micro")
+    )

@@ -2094,3 +2094,116 @@ def analytics_ratio_of_sums_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_of_ratios"),
     ).orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Forward fill (last observation carried forward)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_forward_fill",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE CAST(ROUND(value * 1000) AS BIGINT) END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS v_filled
+    FROM sparse
+    """,
+    doc=(
+        "Last-observation-carried-forward: a sensor stream with "
+        "two-thirds coverage (every third reading nulled) forward-"
+        "fills from the most recent non-null per user — the "
+        "telemetry-repair idiom that ts_gapfill_interpolate's "
+        "midpoint interpolation complements. One window per user "
+        "partition, IGNORE NULLS last_value on both engines; leading "
+        "nulls (no prior observation) stay NULL, pinned by the "
+        "shared frame. Integer milli-units keep parity exact."
+    ),
+    tags=("window", "timeseries", "events", "gapfill"),
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.when(
+        F.col("event_id") % 3 == 0, F.lit(None).cast("long")
+    ).otherwise(F.round(F.col("value") * 1000).cast("long"))
+    sparse = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# New vs returning customers per month (growth accounting)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o_orderdate)) AS first_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT EXTRACT(YEAR FROM o.o_orderdate) * 12
+           + EXTRACT(MONTH FROM o.o_orderdate) AS mnum,
+           CAST(COUNT(DISTINCT CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) * 12
+                + EXTRACT(MONTH FROM o.o_orderdate) = fo.first_m
+                THEN o.o_custkey END) AS BIGINT) AS n_new,
+           CAST(COUNT(DISTINCT CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) * 12
+                + EXTRACT(MONTH FROM o.o_orderdate) <> fo.first_m
+                THEN o.o_custkey END) AS BIGINT) AS n_returning
+    FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+    GROUP BY mnum ORDER BY mnum
+    """,
+    doc=(
+        "Growth accounting: per month, distinct customers split into "
+        "NEW (their first-ever order month) vs RETURNING — the "
+        "headline acquisition/retention split every growth dashboard "
+        "leads with, and the monthly margin of the cohort LTV curve. "
+        "One customer-grain first-month aggregate broadcast back "
+        "into the order stream, then a month-grain distinct count. "
+        "All integer month keys."
+    ),
+    tags=("analytics", "growth", "orders"),
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    fo = o.groupBy("o_custkey").agg(F.min(mnum).alias("first_m"))
+    j = o.join(F.broadcast(fo), "o_custkey").select(
+        mnum.alias("mnum"), "o_custkey", "first_m"
+    )
+    return (
+        j.groupBy("mnum")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("mnum") == F.col("first_m"), F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("n_new"),
+            F.count_distinct(
+                F.when(F.col("mnum") != F.col("first_m"), F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("mnum")
+    )

@@ -198,6 +198,10 @@ EMPTY_SAFE = [
     "analytics_heatmap_hour_type",
     "analytics_ratio_of_sums_pin",
     "graph_degree_distribution",
+    # round-2 forty-third wave
+    "window_forward_fill",
+    "analytics_new_vs_returning",
+    "ml_pr_curve_sweep",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
