@@ -714,3 +714,72 @@ def udtf_table_partition_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Nested JSON flatten (struct-in-struct + array paths)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "reshape_nested_json_flatten",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             '{"user": {"id": ' || CAST(user_id AS VARCHAR)
+             || ', "segment": "' || event_type || '"}, "metrics": ['
+             || CAST(event_id % 5 AS VARCHAR) || ', '
+             || CAST(event_id % 7 AS VARCHAR) || ']}' AS j
+      FROM events
+    )
+    SELECT event_id,
+           CAST(j -> 'user' ->> 'id' AS BIGINT) AS user_id,
+           j -> 'user' ->> 'segment' AS segment,
+           CAST(arr[i] AS BIGINT) AS metric,
+           CAST(i - 1 AS BIGINT) AS metric_idx
+    FROM (SELECT event_id, j, CAST(j -> 'metrics' AS BIGINT[]) AS arr
+          FROM raw),
+         UNNEST(generate_series(1, len(arr))) AS u(i)
+    """,
+    doc=(
+        "Nested-JSON flattening: a struct-in-struct payload with an "
+        "embedded array parses against a typed schema and flattens to "
+        "one row per array element with dot-path scalars alongside — "
+        "the API-response-to-table step. Spark: from_json with the "
+        "nested schema, dot access, posexplode; DuckDB: JSON "
+        "operators + generate_series indexing. Payloads are built "
+        "deterministically so the parse is provable. from_json is a "
+        "scan-stage expression (no Python, no shuffle); the fanout is "
+        "the only row growth."
+    ),
+    tags=("reshape", "json", "events"),
+)
+def reshape_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"user": {"id": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "segment": "'),
+        F.col("event_type"),
+        F.lit('"}, "metrics": ['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    schema = "user struct<id: bigint, segment: string>, metrics array<bigint>"
+    parsed = ev.select(
+        "event_id", F.from_json(j, schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.user.id").alias("user_id"),
+        F.col("p.user.segment").alias("segment"),
+        F.posexplode("p.metrics").alias("metric_idx0", "metric"),
+    ).select(
+        "event_id",
+        "user_id",
+        "segment",
+        F.col("metric").cast("long").alias("metric"),
+        F.col("metric_idx0").cast("long").alias("metric_idx"),
+    )

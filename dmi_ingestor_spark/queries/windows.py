@@ -2207,3 +2207,104 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mnum")
     )
+
+
+# --------------------------------------------------------------------------
+# Association-rule metrics: support / confidence / lift
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM op),
+    ic AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY l_partkey
+    ),
+    pc AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS c_ij
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, c_ij,
+           CAST(1000000 * c_ij // nb.n_baskets AS BIGINT) AS support_micro,
+           CAST(1000000 * c_ij // i1.c AS BIGINT) AS confidence_micro,
+           CAST(c_ij AS DOUBLE) * nb.n_baskets
+           / (CAST(i1.c AS DOUBLE) * CAST(i2.c AS DOUBLE)) AS lift
+    FROM pc
+    JOIN ic i1 ON pc.p1 = i1.l_partkey
+    JOIN ic i2 ON pc.p2 = i2.l_partkey
+    CROSS JOIN nb
+    ORDER BY lift DESC, p1, p2 LIMIT 20
+    """,
+    doc=(
+        "Association-rule mining metrics over the basket pairs: "
+        "support (co-occurrence rate), confidence (P(p2|p1)) and "
+        "LIFT (observed co-occurrence over independence) — the "
+        "Apriori readout that separates 'popular together' from "
+        "'actually associated', completing the market-basket family "
+        "with analytics_copurchase_pairs (counts) and "
+        "analytics_item_item_cosine (similarity). Same joinless "
+        "pair enumeration; basket total and item counts broadcast; "
+        "support/confidence in integer micro-units, lift one IEEE "
+        "tree. TakeOrdered top-20 by lift."
+    ),
+    tags=("analytics", "market-basket", "lineitem"),
+)
+def analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    nb = op.agg(
+        F.count_distinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    ic = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> "
+                "struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    pc = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ij"))
+        .filter(F.col("c_ij") >= 3)
+    )
+    i1 = ic.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))
+    i2 = ic.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))
+    j = (
+        pc.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = (
+        F.col("c_ij").cast("double")
+        * F.col("n_baskets")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "c_ij",
+            F.expr("CAST(div(1000000 * c_ij, n_baskets) AS BIGINT)").alias(
+                "support_micro"
+            ),
+            F.expr("CAST(div(1000000 * c_ij, c1) AS BIGINT)").alias(
+                "confidence_micro"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(20)
+    )

@@ -202,6 +202,8 @@ EMPTY_SAFE = [
     "window_forward_fill",
     "analytics_new_vs_returning",
     "ml_pr_curve_sweep",
+    "reshape_nested_json_flatten",
+    "analytics_basket_lift",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
