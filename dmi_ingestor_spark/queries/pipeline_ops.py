@@ -1601,3 +1601,65 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-provenance manifest (input lineage for every pipeline run)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_run_manifest",
+    oracle="""
+    SELECT 'customer' AS input_table, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM customer
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(SUM(l_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY input_table
+    """,
+    doc=(
+        "Run-provenance manifest: one row per input table with row "
+        "count, key checksum and distinct-key count — the lineage "
+        "record a pipeline run stores beside its outputs so any "
+        "downstream question ('which inputs produced model v7?') is "
+        "a lookup, not an investigation. Each leg is one aggregate "
+        "over its table; at 100 TB the counts ride along observe()-"
+        "style (tests/test_observe.py) instead of re-scanning. "
+        "Complements manifest_collect (output files) with the INPUT "
+        "side, and the checksums are the same audit currency as "
+        "write-audit-publish."
+    ),
+    tags=("pipeline", "lineage", "provenance"),
+)
+def pipeline_run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg(t, key):
+        return (
+            table(spark, sf_dir, t)
+            .agg(
+                F.lit(t).alias("input_table"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(key).cast("long").alias("key_checksum"),
+                F.count_distinct(key).cast("long").alias("n_keys"),
+            )
+            .select("input_table", "n_rows", "key_checksum", "n_keys")
+        )
+
+    return (
+        leg("customer", "c_custkey")
+        .unionAll(leg("events", "event_id"))
+        .unionAll(leg("lineitem", "l_orderkey"))
+        .unionAll(leg("orders", "o_orderkey"))
+        .orderBy("input_table")
+    )

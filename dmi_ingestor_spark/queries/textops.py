@@ -1130,3 +1130,63 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Contact extraction (email/handle harvesting with validation flags)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_contact_extraction",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 3 = 0 THEN '@example.com'
+                     WHEN doc_id % 3 = 1 THEN '@site.org'
+                     ELSE '-at-nowhere' END AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(body, '[a-z0-9]+@[a-z]+\\.[a-z]+', 0) AS email,
+           CAST(CASE WHEN regexp_matches(body, '[a-z0-9]+@[a-z]+\\.[a-z]+')
+                THEN 1 ELSE 0 END AS BIGINT) AS has_email,
+           CAST(len(regexp_extract_all(body, '@[a-z]+')) AS BIGINT)
+             AS n_at_tokens
+    FROM enriched
+    """,
+    doc=(
+        "Contact harvesting — the extraction half of PII handling "
+        "(text_pii_scrub is the redaction half): find the first "
+        "email-shaped token, flag documents that contain one, count "
+        "@-handles. Every third doc deliberately carries a non-email "
+        "'-at-' form to prove the regex doesn't over-match. The "
+        "pattern stays in the Java/RE2 common subset so both engines "
+        "compile it identically; pure scan-stage regexp."
+    ),
+    tags=("text", "pii", "extraction", "documents"),
+)
+def text_contact_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "@example.com")
+        .when(F.col("doc_id") % 3 == 1, "@site.org")
+        .otherwise("-at-nowhere"),
+    )
+    pat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    e = d.select("doc_id", body.alias("body"))
+    return e.select(
+        "doc_id",
+        F.regexp_extract("body", pat, 0).alias("email"),
+        F.when(F.regexp_extract("body", pat, 0) != "", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("has_email"),
+        F.size(F.regexp_extract_all(F.col("body"), F.lit("@[a-z]+"), 0))
+        .cast("long")
+        .alias("n_at_tokens"),
+    )
