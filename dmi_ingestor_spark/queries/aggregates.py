@@ -2043,3 +2043,84 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_k")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford's-law first-digit audit (fraud / fabricated-data detector)
+# --------------------------------------------------------------------------
+
+# expected first-digit shares, micro units: round(1e6 * log10(1 + 1/d)),
+# computed at PLAN TIME in Python so both engines see identical literals
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items()
+    )
+    return f"CASE first_digit {whens} END"
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY first_digit
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM c)
+    SELECT first_digit, n_obs,
+           CAST(1000000 * n_obs // t.total AS BIGINT) AS obs_micro,
+           CAST({_benford_case_sql()} AS BIGINT) AS expected_micro,
+           CAST(1000000 * n_obs // t.total
+                - {_benford_case_sql()} AS BIGINT) AS dev_micro
+    FROM c CROSS JOIN t ORDER BY first_digit
+    """,
+    doc=(
+        "Benford's-law audit: the first-digit distribution of order "
+        "amounts against the log10(1+1/d) expectation — the classic "
+        "fabricated-data and fraud detector for naturally-spanning "
+        "magnitudes. Expectations are PLAN-TIME Python literals "
+        "(micro units), so no engine evaluates log10 at runtime; "
+        "observed shares are integer micro via the broadcast total. "
+        "One digit-grain aggregate over a scan-stage string head "
+        "(cents form avoids float-format ambiguity). Lands in the "
+        "dq family next to expectations/referential/freshness."
+    ),
+    tags=("dq", "audit", "benford", "orders"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    first_digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = o.select(first_digit.alias("first_digit")).groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").cast("long").alias("total"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("first_digit") == d, F.lit(m))
+            for d, m in _BENFORD_MICRO.items()
+        ]
+    ).cast("long")
+    obs = F.expr("CAST(div(1000000 * n_obs, total) AS BIGINT)")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "first_digit",
+            "n_obs",
+            obs.alias("obs_micro"),
+            expected.alias("expected_micro"),
+            (obs - expected).alias("dev_micro"),
+        )
+        .orderBy("first_digit")
+    )

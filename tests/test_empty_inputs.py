@@ -205,6 +205,7 @@ EMPTY_SAFE = [
     "reshape_nested_json_flatten",
     "analytics_basket_lift",
     "text_contact_extraction",
+    "dq_benford_first_digit",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
