@@ -39,7 +39,22 @@ agg_weighted_median, ingest_dead_letter_split, ml_auc_exact,
 dq_referential_integrity, pipeline_incremental_watermark,
 mm_modality_router, agg_entropy_exact, transform_outlier_mad,
 ingest_schema_evolution_merge, agg_gini_coefficient,
-dedup_lsh_recall_eval.
+dedup_lsh_recall_eval. Waves 27-46 added (also never-checked, all
+oracle-bearing): ml_kfold_assignment, window_alert_debounce,
+window_median_rolling, analytics_bounce_rate, scalar_ip_cidr_ops,
+sql_api_values_inline_table, text_boilerplate_strip, vector_dim_stats,
+lake_time_travel_read, lake_stats_pruned_read,
+sql_api_qualify_semantics, mm_phash_dedup, mm_phash_near_dup,
+ml_embedding_covariance_matrix, spatial_point_in_polygon,
+scalar_binary_pack, ts_autocorrelation, text_ngram_novelty,
+join_null_key_skew_bypass, scalar_try_cast_pack, dq_freshness_lag,
+ingest_fixed_width_parse, analytics_max_concurrency,
+analytics_heatmap_hour_type, analytics_ratio_of_sums_pin,
+ml_logreg_gradient_step, graph_degree_distribution,
+window_forward_fill, analytics_new_vs_returning, ml_pr_curve_sweep,
+reshape_nested_json_flatten, analytics_basket_lift,
+text_contact_extraction, pipeline_run_manifest,
+dq_benford_first_digit.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401
