@@ -2124,3 +2124,83 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (level-shift localization)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY mnum
+    ),
+    t AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m
+    ),
+    c AS (
+      SELECT m.mnum,
+             CAST(t.n * SUM(m.y) OVER (ORDER BY m.mnum
+                                       ROWS UNBOUNDED PRECEDING)
+                  - (ROW_NUMBER() OVER (ORDER BY m.mnum)) * t.tot
+                  AS BIGINT) AS s_scaled
+      FROM m CROSS JOIN t
+    )
+    SELECT mnum AS changepoint_month, s_scaled,
+           CAST(abs(s_scaled) AS BIGINT) AS abs_s
+    FROM c
+    ORDER BY abs(s_scaled) DESC, mnum
+    LIMIT 1
+    """,
+    doc=(
+        "CUSUM change-point localization on the monthly order series: "
+        "the month maximizing |cumulative deviation from the global "
+        "mean| is the level-shift point (Page 1954). The mean never "
+        "materializes as a float — the statistic is scaled by n "
+        "(S'_k = n*prefix_sum - k*total, exact BIGINT), so detection "
+        "is pure integer arithmetic. The prefix window runs over the "
+        "O(months) summary with a 1-row broadcast total; at 100 TB "
+        "only the month rollup touches the facts. Completes the "
+        "monitoring set: rolling z (is NOW an outlier) -> PSI (did "
+        "the distribution drift) -> CUSUM (WHEN did the level shift)."
+    ),
+    tags=("timeseries", "monitoring", "changepoint", "orders"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    t = m.agg(
+        F.sum("y").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("mnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("mnum")
+    c = m.crossJoin(F.broadcast(t)).select(
+        "mnum",
+        (
+            F.col("n") * F.sum("y").over(w)
+            - F.row_number().over(wr) * F.col("tot")
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    return (
+        c.select("mnum", "s_scaled", F.abs("s_scaled").cast("long").alias("abs_s"))
+        .orderBy(F.col("abs_s").desc(), "mnum")
+        .limit(1)
+        .select(
+            F.col("mnum").alias("changepoint_month"), "s_scaled", "abs_s"
+        )
+    )

@@ -1196,3 +1196,103 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("recall_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (local-min selection, plagiarism-detection classic)
+# --------------------------------------------------------------------------
+
+WIN_K = 4  # fingerprint window: guarantees any shared run of
+# >= WIN_K + 2 (shingle size 3 - 1) tokens shares a fingerprint
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             CAST('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 3 + {WIN_K} - 1),
+           UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 0 PRECEDING
+                          AND {WIN_K - 1} FOLLOWING) AS fp
+      FROM sh
+      QUALIFY pos <= MAX(pos) OVER (PARTITION BY doc_id) - {WIN_K - 1}
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT a_id, b_id, n_shared_fp FROM pairs
+    """,
+    doc=(
+        "Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken "
+        "2003, the MOSS plagiarism detector): per document, take the "
+        "MINIMUM shingle hash in every sliding window of 4 — the "
+        "published guarantee is that any shared token run of at "
+        "least window+shingle-1 tokens yields at least one shared "
+        "fingerprint, while storing only ~2/(w+1) of the hashes. "
+        "Pairs then meet on fingerprint equality (equi-join on the "
+        "selected mins, never all shingles) with a shared-count "
+        "floor. Spark side is one bounded-frame window over the "
+        "per-doc shingle stream — position-local, embarrassingly "
+        "parallel; the distinct fingerprints are the only thing "
+        "that shuffles. Completes the dedup ladder with the "
+        "substring-robust member between MinHash (set overlap) and "
+        "SimHash (weighted bits)."
+    ),
+    tags=("dedup", "winnowing", "documents", "similarity"),
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3 + WIN_K - 1
+    )
+    sh = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("shingle").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WIN_K - 1)
+    )
+    wmax = Window.partitionBy("doc_id")
+    wins = (
+        sh.withColumn("fp", F.min("h").over(w))
+        .withColumn("mx", F.max("pos").over(wmax))
+        .where(F.col("pos") <= F.col("mx") - (WIN_K - 1))
+    )
+    fps = wins.select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= 5)
+    )

@@ -206,6 +206,9 @@ EMPTY_SAFE = [
     "analytics_basket_lift",
     "text_contact_extraction",
     "dq_benford_first_digit",
+    # round-2 forty-seventh wave
+    "ts_cusum_changepoint",
+    "dedup_winnowing_pairs",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the

@@ -42,6 +42,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "recursive_month_spine": "84-row generated month spine",
     "ts_gapfill_interpolate": "spine join output, O(series x buckets)",
     "profile_table_stats": "3-row profile reshape",
+    "ts_cusum_changepoint": "prefix window over the O(months) summary series",
     "pivot_status_by_flag": "sorted pivot output, O(status x flag)",
     "unpivot_part_measures": "sorted unpivot of a bounded projection",
 }
