@@ -975,3 +975,147 @@ def ml_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic hash resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+# cumulative Poisson(1) thresholds in micro units: weight w is the
+# smallest k with u < P(X <= k); plan-time literals, identical engines
+_POIS_CUM_MICRO = (367879, 735759, 919699, 981012, 996340)
+
+
+def _boot_weight_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CUM_MICRO)
+    )
+    return f"CASE {whens} ELSE 5 END"
+
+
+@register(
+    "ml_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fanned AS (
+      SELECT b.b, base.cents,
+             CAST('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR)
+                                     || '-' || CAST(b.b AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS u
+      FROM base CROSS JOIN UNNEST(generate_series(1, {_BOOT_B})) AS b(b)
+    ),
+    reps AS (
+      SELECT b,
+             CAST(SUM(({_boot_weight_sql("u")}) * cents) AS BIGINT) AS ws,
+             CAST(SUM({_boot_weight_sql("u")}) AS BIGINT) AS wn
+      FROM fanned GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(ws // wn AS BIGINT) AS mean_cents,
+             ROW_NUMBER() OVER (ORDER BY ws // wn, b) AS r
+      FROM reps
+    ),
+    point AS (
+      SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS point_mean_cents
+      FROM base
+    )
+    SELECT point.point_mean_cents,
+           CAST(MIN(CASE WHEN r = 2 THEN mean_cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(MIN(CASE WHEN r = {_BOOT_B - 1} THEN mean_cents END)
+                AS BIGINT) AS ci_hi_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates
+    FROM means CROSS JOIN point
+    GROUP BY point.point_mean_cents
+    """,
+    doc=(
+        "Poisson bootstrap (Chamandy et al., the distributed "
+        "bootstrap): each of 20 replicates re-weights every row by a "
+        "Poisson(1) draw — no global resample, one fanout + one "
+        "replicate-grain aggregate — and the replicate-mean spread "
+        "gives the confidence interval (2nd/19th order statistics). "
+        "Every draw is DETERMINISTIC: md5(key, replicate) maps to a "
+        "uniform micro-int compared against plan-time cumulative-"
+        "Poisson literals, so the whole resampling experiment is "
+        "exact integer arithmetic and hash-green — reproducible "
+        "error bars, the property production experimentation "
+        "platforms need. 20x fanout of a 2-column projection is the "
+        "entire cost at any scale."
+    ),
+    tags=("ml", "bootstrap", "statistics", "orders"),
+)
+def ml_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bcol = F.explode(
+        F.array(*[F.lit(b) for b in range(1, _BOOT_B + 1)])
+    ).alias("b")
+    fanned = base.select("o_orderkey", "cents", bcol)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    wgt = F.coalesce(
+        *[
+            F.when(u < t, F.lit(k))
+            for k, t in enumerate(_POIS_CUM_MICRO)
+        ],
+        F.lit(5),
+    )
+    reps = fanned.groupBy("b").agg(
+        F.sum(wgt * F.col("cents")).cast("long").alias("ws"),
+        F.sum(wgt).cast("long").alias("wn"),
+    )
+    wr = Window.orderBy(F.expr("div(ws, wn)"), "b")
+    means = reps.select(
+        "b",
+        F.expr("CAST(div(ws, wn) AS BIGINT)").alias("mean_cents"),
+        F.row_number().over(wr).alias("r"),
+    )
+    point = base.agg(
+        F.expr(
+            "CAST(div(SUM(cents), COUNT(*)) AS BIGINT)"
+        ).alias("point_mean_cents")
+    )
+    return (
+        means.crossJoin(F.broadcast(point))
+        .groupBy("point_mean_cents")
+        .agg(
+            F.min(F.when(F.col("r") == 2, F.col("mean_cents")))
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.min(
+                F.when(F.col("r") == _BOOT_B - 1, F.col("mean_cents"))
+            )
+            .cast("long")
+            .alias("ci_hi_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        )
+        .select(
+            "point_mean_cents", "ci_lo_cents", "ci_hi_cents", "n_replicates"
+        )
+    )

@@ -209,6 +209,7 @@ EMPTY_SAFE = [
     # round-2 forty-seventh wave
     "ts_cusum_changepoint",
     "dedup_winnowing_pairs",
+    "ml_poisson_bootstrap_ci",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
