@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from dmi_ingestor_spark.catalog import table
 from dmi_ingestor_spark.functions.exact import (
     sql_dec_to_double,
+    sql_int_to_double,
     sql_sum_exact,
     sum_exact,
 )
@@ -2308,3 +2309,103 @@ def analytics_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's two-sample t statistic (continuous-metric experiment readout)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_welch_t_test",
+    oracle=f"""
+    WITH x AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    s AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM x GROUP BY grp
+    ),
+    q AS (
+      SELECT grp, n, s1,
+             CAST(n AS HUGEINT) * s2 - s1 * s1 AS varnum
+      FROM s
+    ),
+    wide AS (
+      SELECT
+        CAST(MIN(CASE WHEN grp = 'a' THEN n END) AS BIGINT) AS na,
+        MIN(CASE WHEN grp = 'a' THEN s1 END) AS sa1,
+        MIN(CASE WHEN grp = 'a' THEN varnum END) AS va_num,
+        CAST(MIN(CASE WHEN grp = 'b' THEN n END) AS BIGINT) AS nb,
+        MIN(CASE WHEN grp = 'b' THEN s1 END) AS sb1,
+        MIN(CASE WHEN grp = 'b' THEN varnum END) AS vb_num
+      FROM q
+    )
+    SELECT na, nb,
+           ({sql_int_to_double("sa1")} / na - {sql_int_to_double("sb1")} / nb)
+           / sqrt(
+               {sql_int_to_double("va_num")}
+                 / (CAST(na AS DOUBLE) * (na - 1)) / na
+               + {sql_int_to_double("vb_num")}
+                 / (CAST(nb AS DOUBLE) * (nb - 1)) / nb
+             ) AS t_stat
+    FROM wide
+    """,
+    doc=(
+        "Welch's two-sample t statistic on a continuous metric "
+        "(order value in cents, customer-parity variant split) — the "
+        "means counterpart to analytics_ab_test_z's proportions: "
+        "per-variant n / sum / sum-of-squares reduce exactly "
+        "(HUGEINT / decimal-128 power sums, the same mergeable state "
+        "as agg_skew_kurtosis_exact), variance numerators n*S2 - S1^2 "
+        "stay integral, and every conversion above 2^53 goes through "
+        "the two-limb split so the final one-row IEEE expression tree "
+        "is identical on both engines. One aggregate pass; the t "
+        "math runs on two rows."
+    ),
+    tags=("analytics", "experiment", "statistics", "orders"),
+)
+def analytics_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import int_to_double
+
+    o = table(spark, sf_dir, "orders")
+    x = o.select(
+        F.when(F.col("o_custkey") % 2 == 0, "a").otherwise("b").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d38(F.col("v"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(d38(F.col("v")) * F.col("v")).cast("decimal(38,0)").alias("s2"),
+    )
+    q = s.select(
+        "grp",
+        "n",
+        "s1",
+        (d38(F.col("n")) * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("decimal(38,0)")
+        .alias("varnum"),
+    )
+    wide = q.agg(
+        F.min(F.when(F.col("grp") == "a", F.col("n"))).cast("long").alias("na"),
+        F.min(F.when(F.col("grp") == "a", F.col("s1"))).alias("sa1"),
+        F.min(F.when(F.col("grp") == "a", F.col("varnum"))).alias("va_num"),
+        F.min(F.when(F.col("grp") == "b", F.col("n"))).cast("long").alias("nb"),
+        F.min(F.when(F.col("grp") == "b", F.col("s1"))).alias("sb1"),
+        F.min(F.when(F.col("grp") == "b", F.col("varnum"))).alias("vb_num"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    t = (
+        int_to_double(F.col("sa1")) / F.col("na")
+        - int_to_double(F.col("sb1")) / F.col("nb")
+    ) / F.sqrt(
+        int_to_double(F.col("va_num")) / (na_d * (F.col("na") - 1)) / F.col("na")
+        + int_to_double(F.col("vb_num")) / (nb_d * (F.col("nb") - 1)) / F.col("nb")
+    )
+    return wide.select("na", "nb", t.alias("t_stat"))

@@ -223,6 +223,7 @@ EMPTY_ONE_ROW = [
     "scalar_collation_pack",
     "ml_auc_exact",
     "ml_logreg_gradient_step",
+    "analytics_welch_t_test",
     "ingest_schema_evolution_merge",
     "dedup_lsh_recall_eval",
     "analytics_bounce_rate",
