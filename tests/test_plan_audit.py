@@ -50,6 +50,16 @@ AUDITED = [
     "window_median_rolling",
     "graph_label_propagation",
     "graph_bfs_shortest_hops",
+    # later waves
+    "mm_phash_dedup",
+    "mm_phash_near_dup",
+    "dedup_winnowing_pairs",
+    "analytics_basket_lift",
+    "analytics_max_concurrency",
+    "ts_cusum_changepoint",
+    "ml_poisson_bootstrap_ci",
+    "ml_logreg_gradient_step",
+    "reshape_nested_json_flatten",
 ]
 
 
