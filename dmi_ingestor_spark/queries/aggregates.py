@@ -2204,3 +2204,134 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mnum").alias("changepoint_month"), "s_scaled", "abs_s"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_players,
+           CAST(SUM(CAST(10000 * cents // t.tot AS BIGINT)
+                    * CAST(10000 * cents // t.tot AS BIGINT)) AS BIGINT)
+             AS hhi_bp2,
+           CAST(MAX(10000 * cents // t.tot) AS BIGINT) AS top_share_bp
+    FROM rev CROSS JOIN t
+    GROUP BY t.tot
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration index over nation revenue "
+        "shares — the market-concentration number regulators and "
+        "marketplace teams watch (10000 = monopoly, ~0 = atomized), "
+        "and the squared-shares cousin of agg_gini_coefficient and "
+        "analytics_revenue_concentration. Shares quantize to basis "
+        "points against the broadcast total, HHI is the exact integer "
+        "sum of squared shares. One group-grain aggregate + a 1-row "
+        "total."
+    ),
+    tags=("aggregation", "concentration", "orders", "customer"),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    t = rev.agg(F.sum("cents").cast("long").alias("tot"))
+    share_bp = F.expr("CAST(div(10000 * cents, tot) AS BIGINT)")
+    return (
+        rev.crossJoin(F.broadcast(t))
+        .groupBy("tot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_players"),
+            F.sum(share_bp * share_bp).cast("long").alias("hhi_bp2"),
+            F.max(share_bp).cast("long").alias("top_share_bp"),
+        )
+        .select("n_players", "hhi_bp2", "top_share_bp")
+    )
+
+
+# --------------------------------------------------------------------------
+# On-balance-volume style signed cumulative indicator
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_obv_indicator",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS vol,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY mnum
+    ),
+    sgn AS (
+      SELECT mnum, vol, cents,
+             CASE WHEN cents > lag(cents) OVER (ORDER BY mnum) THEN 1
+                  WHEN cents < lag(cents) OVER (ORDER BY mnum) THEN -1
+                  ELSE 0 END AS s
+      FROM m
+    )
+    SELECT mnum,
+           CAST(SUM(s * vol) OVER (ORDER BY mnum
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS obv
+    FROM sgn
+    """,
+    doc=(
+        "On-balance volume, the classic signed cumulative flow "
+        "indicator: each month's order volume adds with the SIGN of "
+        "the revenue change versus the prior month — rising-revenue "
+        "volume accumulates, falling-revenue volume drains — the "
+        "momentum/divergence signal technical analysis runs on any "
+        "(price, volume) pair. Lag + prefix-sum windows over the "
+        "O(months) summary; all integers. The facts are touched once "
+        "by the month rollup, like every ts_* query here."
+    ),
+    tags=("timeseries", "indicator", "orders"),
+)
+def ts_obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("vol"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    wl = Window.orderBy("mnum")
+    prev = F.lag("cents").over(wl)
+    s = (
+        F.when(F.col("cents") > prev, 1)
+        .when(F.col("cents") < prev, -1)
+        .otherwise(0)
+    )
+    ws = Window.orderBy("mnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return m.select("mnum", s.alias("s"), "vol").select(
+        "mnum",
+        F.sum(F.col("s") * F.col("vol")).over(ws).cast("long").alias("obv"),
+    )

@@ -210,6 +210,9 @@ EMPTY_SAFE = [
     "ts_cusum_changepoint",
     "dedup_winnowing_pairs",
     "ml_poisson_bootstrap_ci",
+    # round-2 fiftieth wave
+    "ts_obv_indicator",
+    "agg_hhi_concentration",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
