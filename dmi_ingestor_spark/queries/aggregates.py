@@ -2335,3 +2335,87 @@ def ts_obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mnum",
         F.sum(F.col("s") * F.col("vol")).over(ws).cast("long").alias("obv"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald–Wolfowitz runs test statistic (sequence-randomness audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_runs_test",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY mnum
+    ),
+    med AS (
+      SELECT MIN(y) AS med FROM (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y, mnum) AS r,
+               COUNT(*) OVER () AS n
+        FROM m
+      ) WHERE r = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT m.mnum,
+             CASE WHEN m.y > med.med THEN 1 ELSE 0 END AS above
+      FROM m CROSS JOIN med
+    ),
+    flips AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY mnum) IS NULL THEN 1
+                  WHEN above <> lag(above) OVER (ORDER BY mnum) THEN 1
+                  ELSE 0 END AS new_run
+      FROM signs
+    )
+    SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+           CAST(SUM(above) AS BIGINT) AS n_above,
+           CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_below_or_eq
+    FROM flips
+    """,
+    doc=(
+        "Wald-Wolfowitz runs count on the monthly series (above vs "
+        "not-above the median): too FEW runs means trending/level-"
+        "shifted data, too MANY means oscillation or alternating "
+        "fabrication — the sequence-randomness audit next to "
+        "dq_benford_first_digit (digit fabrication) and "
+        "ts_cusum_changepoint (shift location). Median by exact "
+        "lower-median selection, run boundaries by one lag window "
+        "over the O(months) summary, all integers; the consumer "
+        "compares n_runs against the 2*n_a*n_b/n expectation."
+    ),
+    tags=("timeseries", "dq", "randomness", "orders"),
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    wr = Window.orderBy("y", "mnum")
+    wn = Window.partitionBy()
+    med = (
+        m.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("r") == F.floor((F.col("n") + 1) / 2))
+        .agg(F.min("y").alias("med"))
+    )
+    signs = m.crossJoin(F.broadcast(med)).select(
+        "mnum", F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("above")
+    )
+    wl = Window.orderBy("mnum")
+    prev = F.lag("above").over(wl)
+    new_run = (
+        F.when(prev.isNull(), 1)
+        .when(F.col("above") != prev, 1)
+        .otherwise(0)
+    )
+    flips = signs.select("above", new_run.alias("new_run"))
+    return flips.agg(
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below_or_eq"),
+    )

@@ -948,3 +948,85 @@ def scalar_try_cast_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("TRY_CAST(s AS DOUBLE)").alias("as_double"),
         F.when(as_long.isNull(), 1).otherwise(0).alias("long_failed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Luhn checksum validation (payment-card / identifier integrity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_luhn_checksum",
+    oracle="""
+    WITH nums AS (
+      SELECT event_id,
+             lpad(CAST(event_id * 7919 % 1000000000000 AS VARCHAR), 12, '0')
+               AS pan
+      FROM events
+    ),
+    digits AS (
+      SELECT event_id, pan, CAST(i AS BIGINT) AS i,
+             CAST(substr(pan, CAST(13 - i AS INTEGER), 1) AS BIGINT) AS d
+      FROM nums, UNNEST(generate_series(1, 12)) AS u(i)
+    ),
+    luhn AS (
+      SELECT event_id, pan,
+             CAST(SUM(CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END
+                  ELSE d END) AS BIGINT) AS s
+      FROM digits GROUP BY event_id, pan
+    )
+    SELECT event_id, pan, s AS luhn_sum,
+           CAST(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS valid
+    FROM luhn
+    """,
+    doc=(
+        "Luhn mod-10 checksum validation — the integrity check every "
+        "payment/identifier ingest runs before anything else touches "
+        "a PAN-shaped field: from the rightmost digit, double every "
+        "second digit (subtract 9 above 9), sum, valid iff mod 10 is "
+        "zero. Twelve-digit numbers synthesize deterministically from "
+        "keys; digits explode positionally and reduce in one "
+        "key-grain aggregate — all integers, scan-stage string ops. "
+        "Pairs with dq_benford_first_digit in the "
+        "fabricated-identifier toolkit."
+    ),
+    tags=("scalar", "checksum", "dq", "events"),
+)
+def scalar_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id")
+    pan = F.lpad(
+        ((F.col("event_id") * 7919) % 1000000000000).cast("string"), 12, "0"
+    )
+    nums = ev.select("event_id", pan.alias("pan"))
+    digits = nums.select(
+        "event_id",
+        "pan",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, 12), "
+                "i -> CAST(substring(pan, 13 - i, 1) AS BIGINT))"
+            )
+        ).alias("i0", "d"),
+    ).select(
+        "event_id", "pan", (F.col("i0") + 1).alias("i"), "d"
+    )
+    contrib = F.when(
+        F.col("i") % 2 == 0,
+        F.when(2 * F.col("d") > 9, 2 * F.col("d") - 9).otherwise(
+            2 * F.col("d")
+        ),
+    ).otherwise(F.col("d"))
+    return (
+        digits.groupBy("event_id", "pan")
+        .agg(F.sum(contrib).cast("long").alias("luhn_sum"))
+        .select(
+            "event_id",
+            "pan",
+            "luhn_sum",
+            F.when(F.col("luhn_sum") % 10 == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("valid"),
+        )
+    )

@@ -213,6 +213,7 @@ EMPTY_SAFE = [
     # round-2 fiftieth wave
     "ts_obv_indicator",
     "agg_hhi_concentration",
+    "scalar_luhn_checksum",
 ]
 # dq_expectations_summary is deliberately NOT here: on empty tables it
 # still emits its 6 check rows (n_checked=0, passed) — that IS the
@@ -227,6 +228,7 @@ EMPTY_ONE_ROW = [
     "ml_auc_exact",
     "ml_logreg_gradient_step",
     "analytics_welch_t_test",
+    "ts_runs_test",
     "ingest_schema_evolution_merge",
     "dedup_lsh_recall_eval",
     "analytics_bounce_rate",
