@@ -2419,3 +2419,85 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("above").cast("long").alias("n_above"),
         (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below_or_eq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown (peak-to-trough of a cumulative series)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  - 70000000 AS BIGINT) AS net_cents
+      FROM orders GROUP BY mnum
+    ),
+    cum AS (
+      SELECT mnum,
+             CAST(SUM(net_cents) OVER (ORDER BY mnum
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS equity
+      FROM m
+    ),
+    dd AS (
+      SELECT mnum, equity,
+             CAST(MAX(equity) OVER (ORDER BY mnum
+                                    ROWS UNBOUNDED PRECEDING)
+                  - equity AS BIGINT) AS drawdown
+      FROM cum
+    )
+    SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(CASE WHEN drawdown = mdd THEN mnum END) AS BIGINT)
+             AS trough_month
+    FROM (SELECT *, MAX(drawdown) OVER () AS mdd FROM dd)
+    """,
+    doc=(
+        "Maximum drawdown — the worst peak-to-trough fall of a "
+        "cumulative series (here monthly net revenue against a fixed "
+        "baseline), the risk number every treasury/capacity dashboard "
+        "carries next to the OBV momentum view. Running-max-minus-"
+        "current over the prefix-summed month series, argmin by "
+        "earliest trough — two prefix windows on O(months) rows, all "
+        "integer cents; the facts are scanned once by the month "
+        "rollup."
+    ),
+    tags=("timeseries", "risk", "orders"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            - F.lit(70000000)
+        )
+        .cast("long")
+        .alias("net_cents")
+    )
+    wp = Window.orderBy("mnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = m.select("mnum", F.sum("net_cents").over(wp).alias("equity"))
+    dd = cum.select(
+        "mnum",
+        (F.max("equity").over(wp) - F.col("equity")).alias("drawdown"),
+    )
+    wall = Window.partitionBy()
+    return (
+        dd.withColumn("mdd", F.max("drawdown").over(wall))
+        .agg(
+            F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("mdd"), F.col("mnum"))
+            )
+            .cast("long")
+            .alias("trough_month"),
+        )
+    )

@@ -229,6 +229,7 @@ EMPTY_ONE_ROW = [
     "ml_logreg_gradient_step",
     "analytics_welch_t_test",
     "ts_runs_test",
+    "ts_max_drawdown",
     "ingest_schema_evolution_merge",
     "dedup_lsh_recall_eval",
     "analytics_bounce_rate",
