@@ -11,15 +11,16 @@ remaining scalars) to the front, plus the fixed ``mm_decode_features``.
 Queries not in the priority list keep their import-order position after
 it, so nothing is ever dropped — only rotated.
 
-Round-3 note (do this at the START of round 3, not before round 2's
-driver check runs): 97 queries still have no driver row after r1+r2.
-Replace ``_DRIVER_PRIORITY`` with the first 50 of the never-checked
-set, oracle-bearing first — compute it as
-``[n for n in REGISTRY if n not in CORRECTNESS_r01 keys and n not in
-CORRECTNESS_r02 keys]`` — e.g. the agg_* extras, dedup third-wave
-rungs, pipeline_ops family, sql_api_* pack, scd/cdc, reshape/scalar
-extras, setop_*_all; round 4 takes the remainder (sim_* rows-only,
-st_stream_* rows-only, windows extras, ts_*, analytics_top_paths).
+Round-4 note (do this at the START of round 4): after r1+r2+r3 the
+never-driver-checked set is the registry minus the keys of
+CORRECTNESS_r0{1,2,3}.json (~163 oracle-bearing remain). Replace
+``_DRIVER_PRIORITY`` with the first 50 of that set, oracle-bearing
+first — the remaining agg/ts extras (agg_histogram_equifreq,
+agg_mode_exact follow-ons, ts_cusum_changepoint, ts_obv_indicator,
+ts_runs_test…), the join extras (join_bloom_prefilter,
+join_interval_overlap, join_fuzzy_token_blocked…), ml_* eval pack,
+mm_* remaining, pipeline_ops sampling family, sql_api remainder,
+windows/analytics families; rounds 5-6 take the rest.
 Ninth/tenth-wave additions (sim_ann_recall_eval, dedup_semantic_cluster,
 join_fuzzy_token_blocked, mm_audio_energy, ts_ewma_trailing,
 graph_triangle_count, ml_negative_sampling, plus the upgraded
@@ -84,70 +85,75 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-2 rotation: 50 slots. 49 previously-unchecked oracle-bearing
-# queries + the repaired mm_decode_features.
+# Round-3 rotation: 50 slots. The 3 round-2 hash-reds repaired this round
+# (oracle physical-type casts) + 47 never-driver-checked oracle-bearing
+# queries spanning every family that has no driver row yet. 173 oracle-
+# bearing never-checked names remain for rounds 4-6 (see the module
+# docstring's round-4 note).
 _DRIVER_PRIORITY = [
-    # TPC-H shapes unchecked in round 1 (20)
-    "q2_min_cost_part",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
+    # Repaired round-2 hash-reds: oracle now casts DuckDB HUGEINT/DOUBLE
+    # physical types to Spark's BIGINT (VERDICT.md "What's wrong" 1-3)
     "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_dominant_supplier",
-    "q21_last_shipper",
-    "q22_sales_opportunity",
-    # Set operations (4)
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    # Window pack + top-k (5)
-    "window_rank_orders_per_customer",
-    "window_lag_lead_events",
-    "window_running_sum",
-    "window_first_last_value",
-    "sort_limit_top_orders",
-    # Text analysis (6)
-    "text_token_stats",
-    "text_quality_score",
-    "text_fingerprint",
     "text_lang_id",
-    "text_tfidf_top_terms",
-    "text_hash_split",
-    # Similarity search exact top-k (1)
-    "sim_topk_bruteforce",
-    # UDAF surface (3)
-    "udaf_centroid_pandas",
-    "centroid_per_label_builtin",
-    "udaf_grouped_mean_acctbal",
-    # Streaming batch twins (5)
-    "st_tumbling_counts",
-    "st_sliding_counts",
-    "st_session_windows",
-    "st_dedup_by_key",
-    "sessionize_events_lag",
-    # Remaining scalar packs (4; scalar_date_arithmetic +
-    # scalar_conditional_pack + scalar_levenshtein_pairs rotate in next)
-    "scalar_variant_json",
     "scalar_math_pack",
-    "scalar_json_events",
-    "scalar_map_pack",
-    # Repaired in round 2: previously the only hard CORRECTNESS error
-    "mm_decode_features",
-    # New in round 2: S4/U3 GeoTIFF export, byte-parity oracle
-    "raster_export_manifest",
+    # Aggregate extras (9)
+    "agg_histogram_totalprice",
+    "agg_argmax_pack",
+    "agg_mode_exact",
+    "agg_multi_distinct_expand",
+    "agg_covariance_exact",
+    "agg_percentile_disc",
+    "agg_grouping_id_pin",
+    "agg_exact_median_twopass",
+    "agg_weighted_median",
+    # Time-series (3)
+    "ts_rollup_ohlc",
+    "ts_autocorrelation",
+    "ts_max_drawdown",
+    # Dedup third wave (5)
+    "dedup_semantic_cluster",
+    "dedup_incremental_minhash",
+    "dedup_paragraph_rewrite",
+    "dedup_url_canonicalize",
+    "dedup_lsh_recall_eval",
+    # Graph + clustering (3; kmeans re-planned this round — map-side argmin)
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "cluster_kmeans_embeddings",
+    # Lakehouse / pipeline / DQ (7)
+    "lake_time_travel_read",
+    "lake_stats_pruned_read",
+    "pipeline_write_audit_publish",
+    "pipeline_incremental_watermark",
+    "transform_global_row_number",
+    "dq_referential_integrity",
+    "dq_benford_first_digit",
+    # SQL-API surface (5)
+    "sql_api_correlated_subqueries",
+    "sql_api_lateral_topn",
+    "sql_api_group_by_all",
+    "sql_api_qualify_semantics",
+    "sql_api_sql_udf",
+    # SCD / CDC (3)
+    "scd2_dimension_merge",
+    "join_point_in_time_scd2",
+    "cdc_apply_changes",
+    # Reshape / UDTF (3)
+    "nested_build_flatten_roundtrip",
+    "udtf_table_partition_by",
+    "reshape_nested_json_flatten",
+    # Scalar packs (3)
+    "scalar_date_arithmetic",
+    "scalar_conditional_pack",
+    "scalar_try_cast_pack",
+    # Set-op ALL forms + NULL pin (3)
+    "setop_intersect_all",
+    "setop_except_all",
+    "setop_null_semantics",
+    # ANN upgraded oracles (2) + exact ML eval (1)
+    "sim_ann_lsh_buckets",
+    "sim_ann_ivf",
+    "ml_auc_exact",
 ]
 
 

@@ -102,7 +102,7 @@ def ingest_grid_timestep_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingest_bbox_slice",
     oracle=f"""
     WITH grid AS ({_SQL_GRID})
-    SELECT time_s, y, x, value
+    SELECT time_s, CAST(y AS DOUBLE) AS y, CAST(x AS DOUBLE) AS x, value
     FROM grid
     WHERE y >= 55.25 AND y <= 55.55 AND x >= 11.15 AND x <= 11.45
     """,

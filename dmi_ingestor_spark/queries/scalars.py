@@ -134,8 +134,8 @@ def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_linenumber,
       round(l_extendedprice * 0.5, 3) AS half_price,
       CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
-      floor(l_quantity / 10.0) AS qty_decile,
-      ceil(l_tax * 100.0) AS tax_pct_ceil,
+      CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+      CAST(ceil(l_tax * 100.0) AS BIGINT) AS tax_pct_ceil,
       CAST(power(l_quantity, 2) AS DOUBLE) AS qty_sq,
       round(ln(l_extendedprice + 1.0), 6) AS log_price,
       CAST(greatest(l_discount, l_tax) AS DOUBLE) AS max_rate,

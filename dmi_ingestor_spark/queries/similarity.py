@@ -387,7 +387,7 @@ def _pq_oracle() -> str:
     ),
     adc AS (
       SELECT q.vec_id AS query_id, co.vec_id AS neighbor_id,
-             SUM({adc}) AS adc_dist
+             CAST(SUM({adc}) AS BIGINT) AS adc_dist
       FROM vq q
       JOIN codes co ON co.vec_id <> q.vec_id
       JOIN cb ON cb.m = co.m AND cb.k = co.code

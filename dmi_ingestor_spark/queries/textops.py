@@ -192,7 +192,7 @@ LANG_PROFILES: tuple[tuple[str, str, int], ...] = (
       d.doc_id,
       d.lang AS labeled_lang,
       COALESCE(b.plang, 'und') AS detected_lang,
-      COALESCE(b.score, 0) AS score
+      CAST(COALESCE(b.score, 0) AS BIGINT) AS score
     FROM documents d
     LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
     """,

@@ -38,6 +38,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def normalize(df):
     """Sort columns by name, then rows by all values (driver-style)."""
     df = df[sorted(df.columns)]
+    for col in df.columns:
+        # Spark's toArrow stamps timestamps tz=UTC; DuckDB's are naive.
+        # The driver compares wall-clock values, so strip the tz.
+        if getattr(df[col].dtype, "tz", None) is not None:
+            df[col] = df[col].dt.tz_localize(None)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -54,6 +59,56 @@ def values_equal(a, b) -> bool:
     except Exception:
         pass
     return bool(a == b)
+
+
+def _canon_arrow_type(t) -> str:
+    """Canonical physical-type label for driver-style type-aware hashing.
+
+    Collapses representation noise the driver's compare tolerates
+    (timestamp tz annotation, string vs large_string, integer width —
+    Spark rank() is int32 vs DuckDB's int64 and the driver greens that,
+    confirmed by r1/r2 hash-green rows on rank queries) but keeps the
+    divergences it reds on: decimal128 vs int64 (DuckDB HUGEINT SUM),
+    double vs int64 (DuckDB floor/ceil), decimal vs double.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_canon_arrow_type(t.key_type)},{_canon_arrow_type(t.item_type)}>"
+    return str(t)
+
+
+def dtype_problems(spark_arrow_schema, duck_arrow_schema) -> list[str]:
+    """Compare canonical Arrow types column-by-column (sorted by name)."""
+    problems: list[str] = []
+    s = {f.name: _canon_arrow_type(f.type) for f in spark_arrow_schema}
+    d = {f.name: _canon_arrow_type(f.type) for f in duck_arrow_schema}
+    for col in sorted(set(s) & set(d)):
+        if s[col] != d[col]:
+            problems.append(f"dtype {col!r}: spark={s[col]} duckdb={d[col]}")
+    return problems
 
 
 def compare(name: str, spark_df, duck_df) -> list[str]:
@@ -106,7 +161,8 @@ def main() -> int:
         spec = registry[name]
         t0 = time.time()
         try:
-            sdf = spec.builder(spark, args.sf_dir).toPandas()
+            s_arrow = spec.builder(spark, args.sf_dir).toArrow()
+            sdf = s_arrow.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
@@ -117,12 +173,14 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            ddf = con.execute(spec.oracle).fetchdf()
+            d_arrow = con.execute(spec.oracle).fetch_arrow_table()
+            ddf = d_arrow.to_pandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = compare(name, normalize(sdf), normalize(ddf))
+        problems = dtype_problems(s_arrow.schema, d_arrow.schema)
+        problems += compare(name, normalize(sdf), normalize(ddf))
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({time.time()-t0:.1f}s):")

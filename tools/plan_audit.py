@@ -49,6 +49,14 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "ts_max_drawdown": "prefix windows over the O(months) summary series",
     "pivot_status_by_flag": "sorted pivot output, O(status x flag)",
     "unpivot_part_measures": "sorted unpivot of a bounded projection",
+    # entries below were surfaced when the detector learned to read
+    # formatted-mode plans (round 3); each funnel is a 1-row / k-row
+    # already-aggregated relation
+    "cluster_kmeans_embeddings": "k centroid rows collapsed to one array row per round",
+    "dedup_semantic_cluster": "same k-row centroid collapse as cluster_kmeans_embeddings",
+    "ml_logreg_gradient_step": "1-row global gradient sufficient-statistics aggregate",
+    "analytics_basket_lift": "1-row basket-count aggregate broadcast into the lift join",
+    "dedup_lsh_recall_eval": "three 1-row count aggregates crossJoined into the summary row",
 }
 
 
@@ -57,11 +65,23 @@ def audit(plans: dict[str, str]) -> dict[str, list[str]]:
     bad: dict[str, list[str]] = {}
     for name, plan in plans.items():
         problems = []
+        if plan.startswith("PLAN-ERROR"):
+            # builder-time failure IS a finding: without this, a crashing
+            # builder silently passes the standalone audit (ADVICE r2 #5)
+            bad[name] = [plan.splitlines()[0]]
+            continue
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF (BatchEvalPython)")
         if "CartesianProduct" in plan:
             problems.append("unbroadcast cross join (CartesianProduct)")
-        if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+        # formatted-mode plans render the exchange as "Exchange (n)" with
+        # "Arguments: SinglePartition, ..." on a separate line; simple-mode
+        # renders "Exchange SinglePartition". Match either (round-3 fix:
+        # the old substring was blind to formatted plans).
+        single_part = "Exchange SinglePartition" in plan or (
+            "Arguments: SinglePartition" in plan
+        )
+        if single_part and name not in SINGLE_PARTITION_OK:
             problems.append("unjustified Exchange SinglePartition")
         if problems:
             bad[name] = problems
