@@ -15,8 +15,12 @@ Guarantees (each tested in ``tests/test_txlog.py``):
   temp file the log replay never sees; a crash after is a completed
   commit. No torn state is observable.
 - **Optimistic concurrency**: two writers racing to version N — the
-  second rename returns False (destination exists) and the writer
-  retries against N+1. No locks, no coordinator.
+  publish step is an atomic fail-if-exists primitive (hard-link on
+  ``file://``, ``Options.Rename.NONE`` elsewhere; plain rename(2) would
+  silently replace), so exactly one wins the slot; the loser re-reads
+  the snapshot and either retries (disjoint work) or raises
+  ``ConcurrentModificationError`` (its removes are no longer live —
+  the lost-update case Delta aborts on too).
 - **Snapshot isolation / time travel**: ``read(version=V)`` resolves
   exactly the add-units visible at V; later commits never change it.
 - **Compaction-safe**: rewriting K units into one is just a commit
@@ -39,11 +43,22 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dmi_ingestor_spark.ingest.fs import _fs_and_path, fs_delete, fs_rename
+from dmi_ingestor_spark.ingest.fs import (
+    _fs_and_path,
+    fs_delete,
+    fs_publish_exclusive,
+    fs_rename,
+)
 
 LOG_DIR = "_txlog"
 STAGE_DIR = "_txlog_stage"
 CHECKPOINT_EVERY = 5  # write a replay checkpoint every N commits
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this transaction's snapshot: some
+    unit it intended to remove is no longer live. Re-read and recompute
+    (what Delta Lake raises in the same situation)."""
 
 
 def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
@@ -166,6 +181,10 @@ class TxLog:
             live.extend(c.get("adds", []))
             schema_ddl = c.get("schema_ddl") or schema_ddl
         v = commits[-1]["version"] if commits else ck["version"]
+        if version is not None and v != version:
+            # mirror snapshot()'s contract: a nonexistent / gap version
+            # must raise, not silently resolve to the state below it
+            raise ValueError(f"version {version} does not exist")
         return Snapshot(version=v, add_units=tuple(live), schema_ddl=schema_ddl)
 
     def latest_version(self) -> int:
@@ -197,9 +216,14 @@ class TxLog:
         _write_bytes(
             self.spark, staged, json.dumps(entry, sort_keys=True).encode()
         )
-        # the rename IS the commit: False means someone else won this
-        # version slot (or a crash left our staged file — harmless)
-        return fs_rename(self.spark, staged, self._commit_file(version))
+        # the publish IS the commit, via an atomic fail-if-exists
+        # primitive (hard-link on file://, Rename.NONE elsewhere): False
+        # means someone else won this version slot. A plain
+        # exists()+rename would let the loser silently REPLACE the
+        # winner's file on POSIX rename(2) semantics.
+        return fs_publish_exclusive(
+            self.spark, staged, self._commit_file(version)
+        )
 
     def commit(
         self,
@@ -208,10 +232,27 @@ class TxLog:
         schema_ddl: str = "",
         tag: str = "c",
         max_attempts: int = 10,
+        extra: dict | None = None,
     ) -> int:
+        """Optimistic-concurrency commit. Before EVERY attempt (first
+        included) the snapshot is re-read and each unit in ``removes``
+        must still be live — otherwise a concurrent writer already
+        retired it and blindly committing would resurrect its rows /
+        silently drop the other writer's work (the classic lost
+        update). Such conflicts raise :class:`ConcurrentModificationError`
+        instead of committing."""
         entry = {"adds": adds, "removes": removes, "schema_ddl": schema_ddl}
+        if extra:
+            entry.update(extra)
         for _ in range(max_attempts):
-            v = self.latest_version() + 1
+            snap = self.snapshot()
+            if removes:
+                gone = [u for u in removes if u not in snap.add_units]
+                if gone:
+                    raise ConcurrentModificationError(
+                        f"units no longer live: {gone} (snapshot v{snap.version})"
+                    )
+            v = snap.version + 1
             if self._try_commit(entry, v, tag):
                 self._maybe_checkpoint(v)
                 return v
@@ -219,10 +260,27 @@ class TxLog:
 
     # -- table operations ---------------------------------------------
 
+    def _write_unit(self, df: DataFrame, unit_name: str) -> str:
+        """Write ``df`` to a NEW data unit. A reused ``unit_name`` would
+        silently overwrite files still referenced by older snapshots
+        (breaking snapshot isolation with no trace in the log), so an
+        existing target path is an error — callers pick unique names,
+        exactly as Delta uniquifies file names with UUIDs."""
+        unit = f"data/{unit_name}"
+        target = f"{self.root}/{unit}"
+        fs, jpath = _fs_and_path(self.spark, target)
+        if fs.exists(jpath):
+            raise ValueError(
+                f"unit path already exists: {unit!r} — unit names must be "
+                "unique for the table's lifetime (old snapshots may still "
+                "reference the existing files)"
+            )
+        df.write.mode("error").parquet(target)
+        return unit
+
     def append(self, df: DataFrame, unit_name: str) -> int:
         """Write ``df`` as a new add-unit and commit it."""
-        unit = f"data/{unit_name}"
-        df.write.mode("overwrite").parquet(f"{self.root}/{unit}")
+        unit = self._write_unit(df, unit_name)
         return self.commit(
             adds=[unit], removes=[], schema_ddl=df.schema.simpleString()
         )
@@ -235,8 +293,7 @@ class TxLog:
         """Rewrite the current snapshot into one unit, retiring the rest."""
         snap = self.snapshot()
         df = self.read()
-        unit = f"data/{unit_name}"
-        df.write.mode("overwrite").parquet(f"{self.root}/{unit}")
+        unit = self._write_unit(df, unit_name)
         return self.commit(adds=[unit], removes=list(snap.add_units))
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -289,8 +346,7 @@ def merge_upsert(
     merged = current.join(
         upd_keys, current[key] == F.col("__upd_key"), "left_anti"
     ).unionByName(updates)
-    unit = f"data/{unit_name}"
-    merged.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    unit = tx._write_unit(merged, unit_name)
     return tx.commit(adds=[unit], removes=list(snap.add_units))
 
 
@@ -306,22 +362,19 @@ def append_with_stats(
     units without opening a single parquet footer."""
     from pyspark.sql import functions as F
 
-    unit = f"data/{unit_name}"
-    df.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    unit = tx._write_unit(df, unit_name)
     row = df.agg(
         F.min(stats_key).alias("lo"), F.max(stats_key).alias("hi")
     ).collect()[0]
-    entry = {
-        "adds": [unit],
-        "removes": [],
-        "schema_ddl": df.schema.simpleString(),
-        "stats": {unit: {"key": stats_key, "lo": row["lo"], "hi": row["hi"]}},
-    }
-    for _ in range(10):
-        v = tx.latest_version() + 1
-        if tx._try_commit(entry, v, tag="s"):
-            return v
-    raise RuntimeError("commit lost 10 races; giving up")
+    return tx.commit(
+        adds=[unit],
+        removes=[],
+        schema_ddl=df.schema.simpleString(),
+        tag="s",
+        extra={
+            "stats": {unit: {"key": stats_key, "lo": row["lo"], "hi": row["hi"]}}
+        },
+    )
 
 
 def _unit_stats(tx: TxLog) -> dict[str, dict]:
@@ -387,20 +440,15 @@ def merge_upsert_pruned(
         ).unionByName(updates)
     else:
         merged = updates
-    unit = f"data/{unit_name}"
-    merged.write.mode("overwrite").parquet(f"{tx.root}/{unit}")
+    unit = tx._write_unit(merged, unit_name)
     # recompute stats for the rewritten unit so future merges prune it
     mrow = merged.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
-    entry = {
-        "adds": [unit],
-        "removes": touched,
-        "schema_ddl": merged.schema.simpleString(),
-        "stats": {unit: {"key": key, "lo": mrow["lo"], "hi": mrow["hi"]}},
-    }
-    for _ in range(10):
-        v = tx.latest_version() + 1
-        if tx._try_commit(entry, v, tag="m"):
-            return v
-    raise RuntimeError("commit lost 10 races; giving up")
+    return tx.commit(
+        adds=[unit],
+        removes=touched,
+        schema_ddl=merged.schema.simpleString(),
+        tag="m",
+        extra={"stats": {unit: {"key": key, "lo": mrow["lo"], "hi": mrow["hi"]}}},
+    )

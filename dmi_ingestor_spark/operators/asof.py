@@ -94,3 +94,43 @@ def asof_join_next(
     out_cols += [F.col(f"_b.{right_tiebreak}").alias(right_tiebreak)]
     out_cols += [F.col(f"_b.{c}").alias(c) for c in payload]
     return joined.groupBy(F.col(left_id)).agg(best, *carried).select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    left_id: str,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of: the right row minimizing
+    ``|right_time - left_time|`` per left row (ties: the EARLIER right
+    time wins, then min tiebreak) — the symmetric direction pandas'
+    ``merge_asof(direction="nearest")`` offers alongside backward/
+    forward. Same map-side-combining min(struct) design as the other
+    two: the per-key blowup (all matching right rows) partial-combines
+    to one row per left row before the shuffle; inner semantics.
+    """
+    payload = payload or []
+    joined = left.join(right, left[left_key] == right[right_key])
+    absdiff = F.abs(
+        F.unix_micros(F.col(right_time)) - F.unix_micros(F.col(left_time))
+    )
+    struct_cols: list[Column] = [
+        absdiff.alias("_ad"),
+        F.col(right_time),
+        F.col(right_tiebreak),
+    ]
+    struct_cols += [F.col(c) for c in payload]
+    other_left = [c for c in left.columns if c != left_id]
+    best = F.min(F.struct(*struct_cols)).alias("_b")
+    carried = [F.any_value(F.col(c)).alias(c) for c in other_left]
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"_b.{right_time}").alias(right_time)]
+    out_cols += [F.col(f"_b.{right_tiebreak}").alias(right_tiebreak)]
+    out_cols += [F.col(f"_b.{c}").alias(c) for c in payload]
+    return joined.groupBy(F.col(left_id)).agg(best, *carried).select(*out_cols)

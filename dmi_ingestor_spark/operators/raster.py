@@ -8,7 +8,8 @@ Cloud-Optimized GeoTIFF, and ``:101-107,207-218`` uploads one
 GDAL/rasterio are not installed in this container, so the writer here is
 a self-contained **pure-Python tiled GeoTIFF encoder** — not a fake
 format: output is a spec-conformant little-endian TIFF 6.0 file
-(tiled layout, float32 samples, IEEE sample format) carrying the three
+(tiled layout, float32 samples, IEEE sample format, LZW-compressed
+tiles matching the reference's ``COMPRESS=LZW``) carrying the three
 GeoTIFF tags (ModelPixelScale, ModelTiepoint, GeoKeyDirectory → EPSG
 4326 geographic), with COG-style structure: all IFDs at the head of the
 file, tile data after, and a 2× reduced-resolution overview IFD
@@ -85,6 +86,106 @@ def _tile_grid(values: np.ndarray) -> list[bytes]:
     return tiles
 
 
+# ---------------------------------------------------------------------------
+# TIFF LZW codec (compression tag 5) — reference parity with the GDAL
+# ``COMPRESS=LZW`` COGs the reference emits (dmi_ingestor/ingestor.py:78).
+# MSB-first bit packing, ClearCode 256 / EOI 257, codes grow 9→12 bits
+# with the TIFF "early change" (switch when the next code to be assigned
+# reaches 2^width - 1), table reset when code 4094 would be assigned —
+# the libtiff-compatible variant. No predictor (GDAL's default).
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([ch])
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(table[w], width)
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    out = bytearray()
+    acc = nacc = pos = 0
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+
+    def read() -> int | None:
+        nonlocal acc, nacc, pos
+        while nacc < width:
+            if pos >= len(data):
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        nacc -= width
+        code = (acc >> nacc) & ((1 << width) - 1)
+        return code
+
+    while True:
+        code = read()
+        if code is None or code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            width, prev = 9, None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # decoder mirrors the encoder's early change: the encoder
+            # widened after assigning code (len(table)-1), which it did
+            # BEFORE emitting the code we just consumed
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+        if expected is not None and len(out) >= expected:
+            break
+    return bytes(out)
+
+
 @dataclass
 class _Ifd:
     """One IFD's worth of entries + out-of-line data, offsets patched later."""
@@ -112,9 +213,10 @@ class _Ifd:
 
 def _build_ifd(
     values: np.ndarray,
-    n_tiles: int,
+    byte_counts: list[int],
     subfile_type: int | None,
     geo: tuple[float, float, float, float] | None,
+    compression: int = 1,
 ) -> _Ifd:
     ny, nx = values.shape
     ifd = _Ifd(entries=[])
@@ -123,13 +225,13 @@ def _build_ifd(
     ifd.add(_T_WIDTH, _TYPE_LONG, [nx])
     ifd.add(_T_LENGTH, _TYPE_LONG, [ny])
     ifd.add(_T_BITS_PER_SAMPLE, _TYPE_SHORT, [32])
-    ifd.add(_T_COMPRESSION, _TYPE_SHORT, [1])
+    ifd.add(_T_COMPRESSION, _TYPE_SHORT, [compression])
     ifd.add(_T_PHOTOMETRIC, _TYPE_SHORT, [1])
     ifd.add(_T_SAMPLES_PER_PIXEL, _TYPE_SHORT, [1])
     ifd.add(_T_TILE_WIDTH, _TYPE_SHORT, [TILE])
     ifd.add(_T_TILE_LENGTH, _TYPE_SHORT, [TILE])
-    ifd.add(_T_TILE_OFFSETS, _TYPE_LONG, [0] * n_tiles)  # patched later
-    ifd.add(_T_TILE_BYTE_COUNTS, _TYPE_LONG, [TILE * TILE * 4] * n_tiles)
+    ifd.add(_T_TILE_OFFSETS, _TYPE_LONG, [0] * len(byte_counts))  # patched later
+    ifd.add(_T_TILE_BYTE_COUNTS, _TYPE_LONG, list(byte_counts))
     ifd.add(_T_SAMPLE_FORMAT, _TYPE_SHORT, [3])
     if geo is not None:
         x0, y0, dx, dy = geo
@@ -194,12 +296,16 @@ def encode_geotiff(
     y0: float,
     dx: float,
     dy: float,
+    compress: bool = True,
 ) -> bytes:
     """2-D array (row 0 = northernmost) → COG-structured GeoTIFF bytes.
 
     ``(x0, y0)`` is the model-space top-left corner, ``(dx, dy)`` the
     pixel size. Adds a 2× mean-downsampled overview IFD when the grid is
     at least ``_OVERVIEW_MIN`` on both axes (the COG ladder, depth 1).
+    Tiles are LZW-compressed by default — the reference's GDAL invocation
+    uses ``COMPRESS=LZW`` (ingestor.py:78); pass ``compress=False`` for
+    raw tiles.
     """
     try:  # pragma: no cover - rasterio absent in this container by design
         import rasterio  # noqa: F401
@@ -216,12 +322,15 @@ def encode_geotiff(
         ov = full[:ny2, :nx2].reshape(ny2 // 2, 2, nx2 // 2, 2).mean(axis=(1, 3))
         levels.append(np.ascontiguousarray(ov, dtype="<f4"))
     tile_blocks = [_tile_grid(lv) for lv in levels]
+    if compress:
+        tile_blocks = [[_lzw_encode(t) for t in blocks] for blocks in tile_blocks]
     ifds = [
         _build_ifd(
             lv,
-            len(tile_blocks[i]),
+            [len(t) for t in tile_blocks[i]],
             subfile_type=None if i == 0 else 1,
             geo=(x0, y0, dx, dy) if i == 0 else (x0, y0, dx * 2, dy * 2),
+            compression=5 if compress else 1,
         )
         for i, lv in enumerate(levels)
     ]
@@ -252,12 +361,18 @@ def decode_geotiff(data: bytes) -> dict:
             tags[tag] = list(struct.unpack(f"<{cnt}{fmt}", raw))
         ny, nx = tags[_T_LENGTH][0], tags[_T_WIDTH][0]
         tw, th = tags[_T_TILE_WIDTH][0], tags[_T_TILE_LENGTH][0]
+        compression = tags.get(_T_COMPRESSION, [1])[0]
         arr = np.zeros((ny, nx), dtype="<f4")
         i = 0
         for ty in range(0, ny, th):
             for tx in range(0, nx, tw):
                 o, c = tags[_T_TILE_OFFSETS][i], tags[_T_TILE_BYTE_COUNTS][i]
-                tile = np.frombuffer(data[o : o + c], dtype="<f4").reshape(th, tw)
+                raw = data[o : o + c]
+                if compression == 5:
+                    raw = _lzw_decode(raw, expected=th * tw * 4)
+                elif compression != 1:
+                    raise ValueError(f"unsupported TIFF compression {compression}")
+                tile = np.frombuffer(raw, dtype="<f4").reshape(th, tw)
                 arr[ty : ty + th, tx : tx + tw] = tile[
                     : min(th, ny - ty), : min(tw, nx - tx)
                 ]

@@ -634,32 +634,41 @@ def agg_argmax_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "A5: equal-frequency histogram (decile bounds of order value) — "
         "the quantile-binning twin of agg_histogram_totalprice's "
-        "equal-width buckets. NTILE over a deterministic total order "
+        "equal-width buckets, over a deterministic total order "
         "(integer price, order key tie-break — NTILE on doubles with "
         "ties is engine-defined); both engines fill uneven buckets "
-        "front-first by the same rule. NTILE over a total order is "
-        "inherently a global sort (exact quantiles cannot shard); this "
-        "is the exact-answer twin of agg_percentiles_approx, which is "
-        "the 100 TB path — use this shape when the input is already "
-        "reduced (per-group stats), the sketch when it is not."
+        "front-first by the same rule. Round 3 removed the global "
+        "ntile() window (an O(n) SinglePartition sort): the exact rank "
+        "now comes from the sharded enumeration pattern "
+        "(repartitionByRange → local sort → partition-count prefix "
+        "offsets, same as transform_global_row_number) and the bucket "
+        "is NTILE's closed-form front-loaded fill computed map-side "
+        "from (rank, n). Exact quantiles at 100 TB without a "
+        "single-task sort."
     ),
-    tags=("agg", "histogram", "quantile"),
+    tags=("agg", "histogram", "quantile", "scale"),
 )
 def agg_histogram_equifreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from dmi_ingestor_spark.operators.ranks import (
+        ntile_from_rank,
+        sharded_row_number,
+    )
 
     o = table(spark, sf_dir, "orders")
     t = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_int"),
-    ).withColumn(
-        "bucket",
-        F.ntile(10).over(Window.orderBy("price_int", "o_orderkey")),
     )
-    return t.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("price_int").alias("lo"),
-        F.max("price_int").alias("hi"),
+    ranked, n_total = sharded_row_number(t, ["price_int", "o_orderkey"])
+    bucket = ntile_from_rank(F.col("rn"), n_total, 10)
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("price_int").alias("lo"),
+            F.max("price_int").alias("hi"),
+        )
     )
 
 

@@ -672,7 +672,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
-    doc="TPC-H Q15: revenue view + global-max selection (kept as window max).",
+    doc=(
+        "TPC-H Q15: revenue view + global-max selection. The max is a "
+        "1-row partial+final aggregate broadcast back onto the revenue "
+        "view (round 3: replaced the empty-partition window, which "
+        "funneled the whole supplier grain through one task)."
+    ),
     tags=("join", "window", "aggregation", "tpch"),
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,11 +688,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
     )
-    # global max via an empty-partition window: one-column shuffle of the
-    # (tiny) per-supplier aggregate, never a second scan of lineitem
-    w = Window.partitionBy()
-    top = revenue.withColumn("_mx", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("_mx")
+    # global max as a 1-row aggregate (map-side partials, 32-row funnel)
+    # broadcast back onto the supplier grain — ties kept, no window
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_mx")
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

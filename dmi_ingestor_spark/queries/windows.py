@@ -558,14 +558,14 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, event_type, cents,
-           SUM(user_id) OVER (
+           CAST(SUM(user_id) OVER (
              PARTITION BY event_type ORDER BY cents
              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS range_sum,
-           SUM(user_id) OVER (
+           ) AS BIGINT) AS range_sum,
+           CAST(SUM(user_id) OVER (
              PARTITION BY event_type ORDER BY cents, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS rows_sum
+           ) AS BIGINT) AS rows_sum
     FROM e
     """,
     doc=(
@@ -965,17 +965,25 @@ def analytics_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "RFM segmentation — the classic customer-analytics composition: "
         "ONE grouped aggregate reduces orders to per-customer "
-        "(last-order epoch, order count, lifetime cents), then three "
-        "NTILE(5) windows rank the reduced relation on each dimension. "
-        "Like analytics_mom_growth, the unpartitioned windows are safe "
-        "only because they run over the aggregate's output (customers, "
-        "not orders); every NTILE order includes the o_custkey "
-        "tiebreaker so quintile boundaries are total-ordered and "
-        "hash-stable. All-integer (epoch-micros, counts, cents)."
+        "(last-order epoch, order count, lifetime cents), then exact "
+        "NTILE(5) quintiles on each dimension. Round 3 replaced the "
+        "three unpartitioned ntile() windows (each an O(customers) "
+        "SinglePartition sort — customers are NOT bounded at 100 TB) "
+        "with the sharded-rank operator (operators/ranks.py): per "
+        "dimension, one range shuffle + parallel local sorts + a "
+        "closed-form NTILE expression, then hash-joins reassemble the "
+        "three scores on o_custkey. Every NTILE order includes the "
+        "o_custkey tiebreaker so quintile boundaries are total-ordered "
+        "and hash-stable. All-integer (epoch-micros, counts, cents)."
     ),
-    tags=("analytics", "window", "orders"),
+    tags=("analytics", "window", "orders", "scale"),
 )
 def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import (
+        ntile_from_rank,
+        sharded_row_number,
+    )
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
@@ -985,17 +993,25 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("monetary_c"),
-    )
-    r = Window.orderBy(F.col("last_us").desc(), "o_custkey")
-    f = Window.orderBy(F.col("freq").desc(), "o_custkey")
-    m = Window.orderBy(F.col("monetary_c").desc(), "o_custkey")
-    return per_cust.select(
-        "o_custkey",
-        "freq",
-        "monetary_c",
-        F.ntile(5).over(r).cast("long").alias("r_score"),
-        F.ntile(5).over(f).cast("long").alias("f_score"),
-        F.ntile(5).over(m).cast("long").alias("m_score"),
+    ).cache()
+
+    def score(value_col: str, out: str) -> DataFrame:
+        ranked, n = sharded_row_number(
+            per_cust.select("o_custkey", value_col),
+            [F.col(value_col).desc(), F.col("o_custkey")],
+            out="rn",
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank(F.col("rn"), n, 5).alias(out)
+        )
+
+    return (
+        per_cust.join(score("last_us", "r_score"), "o_custkey")
+        .join(score("freq", "f_score"), "o_custkey")
+        .join(score("monetary_c", "m_score"), "o_custkey")
+        .select(
+            "o_custkey", "freq", "monetary_c", "r_score", "f_score", "m_score"
+        )
     )
 
 
@@ -1090,26 +1106,33 @@ def analytics_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sums with an integer-permille share of the grand total (the "
         "scalar subquery broadcasts). The 80/20 concentration readout "
         "every revenue dashboard ships, all-integer so the division "
-        "(positive operands: floor == truncate) hash-matches. Window "
-        "runs over customers, never orders — same reduced-relation "
-        "discipline as analytics_rfm_segments."
+        "(positive operands: floor == truncate) hash-matches. Round 3: "
+        "the decile comes from the sharded-rank operator "
+        "(operators/ranks.py) instead of an unpartitioned ntile() "
+        "window — customers are not bounded at 100 TB, so the exact "
+        "global order is range-sharded, never single-task."
     ),
-    tags=("analytics", "window", "orders"),
+    tags=("analytics", "window", "orders", "scale"),
 )
 def analytics_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import (
+        ntile_from_rank,
+        sharded_row_number,
+    )
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("rev_c")
     )
-    ranked = per_cust.select(
+    enumerated, n = sharded_row_number(
+        per_cust, [F.col("rev_c").desc(), F.col("o_custkey")], out="rn"
+    )
+    ranked = enumerated.select(
         "o_custkey",
         "rev_c",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("rev_c").desc(), "o_custkey"))
-        .cast("long")
-        .alias("decile"),
+        ntile_from_rank(F.col("rn"), n, 10).alias("decile"),
     )
     total = ranked.agg(F.sum("rev_c").alias("grand_c"))
     return (

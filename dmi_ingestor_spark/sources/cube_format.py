@@ -4,8 +4,9 @@ The reference decodes DMI NetCDF bytes with xarray
 (``dmi_ingestor/ingestor.py:200``). xarray/netCDF4 are not installed in
 this container, so the decoder dispatches:
 
-* real NetCDF magic (``CDF\\x01``/``\\x89HDF``) → xarray, when importable,
-  else a clear error;
+* real NetCDF magic (``CDF\\x01``/``\\x89HDF``) → xarray when importable,
+  else the pure-Python parsers (``netcdf3.py`` for classic, ``hdf5.py``
+  for the NetCDF-4/HDF5 container);
 * the self-contained ``FCUBE1`` test format → pure-python decode.
 
 ``FCUBE1`` is a deterministic stand-in with the exact logical shape of
@@ -72,11 +73,11 @@ def decode_cube(payload: bytes) -> Cube:
 def _decode_netcdf(payload: bytes) -> Cube:
     """Real-NetCDF path (the reference's ingestor.py:200).
 
-    xarray when installed; otherwise classic (CDF-1/2) payloads decode
-    through the pure-Python parser in ``sources/netcdf3.py`` — so the
-    real-NetCDF branch runs (and is tested end to end) even in
-    environments without the netCDF C stack. NetCDF-4 (HDF5 container)
-    genuinely requires the libraries and raises.
+    xarray when installed; otherwise pure-Python parsers cover BOTH
+    on-disk formats the DMI API can return — classic CDF-1/2 via
+    ``sources/netcdf3.py`` and NetCDF-4 (HDF5 container) via
+    ``sources/hdf5.py`` — so the real-NetCDF branch runs (and is tested
+    end to end) even in environments without the netCDF C stack.
     """
     try:
         import io
@@ -87,17 +88,17 @@ def _decode_netcdf(payload: bytes) -> Cube:
             from dmi_ingestor_spark.sources.netcdf3 import parse_netcdf3
 
             d = parse_netcdf3(payload)
-            return Cube(
-                parameter=d["parameter"],
-                times=d["times"],
-                ys=d["ys"],
-                xs=d["xs"],
-                values=d["values"],
-            )
-        raise NotImplementedError(
-            "NetCDF-4/HDF5 payload received but xarray/netCDF4 are not "
-            "installed; install them or feed classic-NetCDF/FCUBE1 payloads"
-        ) from None
+        else:
+            from dmi_ingestor_spark.sources.hdf5 import parse_hdf5_cube
+
+            d = parse_hdf5_cube(payload)
+        return Cube(
+            parameter=d["parameter"],
+            times=d["times"],
+            ys=d["ys"],
+            xs=d["xs"],
+            values=d["values"],
+        )
     ds = xr.open_dataset(io.BytesIO(payload))  # pragma: no cover
     var = next(iter(ds.data_vars))  # pragma: no cover
     da = ds[var]  # pragma: no cover

@@ -14,7 +14,7 @@ through fetch→decode→write, get grid rows out.
 Scope: enough of CDF-1 for forecast cubes — coordinate vars (time +
 y/x or lat/lon), one (time, y, x) data variable, float/double/int
 types, optional unlimited (record) time dimension. NetCDF-4 (HDF5
-magic) still requires the real libraries and raises.
+magic) decodes through the sibling ``sources/hdf5.py`` parser.
 """
 
 from __future__ import annotations

@@ -58,8 +58,10 @@ def test_decode_cube_dispatches_on_cdf_magic():
     assert np.array_equal(cube.values, values)
 
 
-def test_netcdf4_still_raises_without_libs():
-    with pytest.raises((NotImplementedError, ValueError)):
+def test_malformed_netcdf4_raises():
+    """HDF5-magic payloads now decode via sources/hdf5.py; a malformed
+    one must still fail loudly, not produce garbage rows."""
+    with pytest.raises(ValueError):
         decode_cube(b"\x89HDF\r\n\x1a\n" + b"\0" * 64)
 
 

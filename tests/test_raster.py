@@ -158,3 +158,25 @@ def test_binaryfile_source_reads_exports(spark, tmp_path):
         assert got.length == r.n_bytes
         with open(r.path, "rb") as fh:
             assert bytes(got.content) == fh.read()
+
+
+def test_lzw_tiles_roundtrip_and_shrink():
+    """Round 3: LZW-compressed tiles (reference parity with GDAL
+    COMPRESS=LZW, ingestor.py:78) decode back bit-exactly and actually
+    compress the smooth synthetic grids."""
+    import numpy as np
+
+    from dmi_ingestor_spark.operators.raster import decode_geotiff, encode_geotiff
+
+    arr = np.fromfunction(
+        lambda y, x: (y * 100 + x).astype("f4"), (40, 40), dtype=float
+    ).astype("f4")
+    lzw = encode_geotiff(arr, 0, 0, 1, 1, compress=True)
+    raw = encode_geotiff(arr, 0, 0, 1, 1, compress=False)
+    assert len(lzw) < len(raw)
+    d = decode_geotiff(lzw)
+    assert np.array_equal(d["levels"][0], arr)
+    # the overview level decodes too
+    assert d["levels"][1].shape == (20, 20)
+    # determinism (the byte-parity property the manifest oracle pins)
+    assert encode_geotiff(arr, 0, 0, 1, 1) == encode_geotiff(arr, 0, 0, 1, 1)

@@ -267,3 +267,63 @@ def test_checkpointed_replay_equals_full_replay(spark, tx):
     assert tx.read().count() == sum(
         i + 1 for i in range(CHECKPOINT_EVERY + 3)
     )
+
+
+# -- round-3 hardening (ADVICE r2): atomic publish, lost-update abort,
+# -- strict version lookup, unit-name reuse guard
+
+
+def test_publish_loser_cannot_overwrite_winner(spark, sf_dir, tx):
+    """Two writers racing the same version slot: exactly one rename
+    wins, and the loser's attempt leaves the winner's commit file
+    byte-identical (POSIX rename(2) would silently replace it)."""
+    tx.append(_orders(spark, sf_dir, "F"), "f-batch")
+    assert tx._try_commit({"adds": ["data/winner"], "removes": []}, 1, tag="w")
+    winner_before = tx._read_json(
+        __import__("dmi_ingestor_spark.ingest.fs", fromlist=["_fs_and_path"])
+        ._fs_and_path(spark, tx._commit_file(1))[1]
+    )
+    assert not tx._try_commit(
+        {"adds": ["data/loser"], "removes": []}, 1, tag="l"
+    )
+    winner_after = tx._read_json(
+        __import__("dmi_ingestor_spark.ingest.fs", fromlist=["_fs_and_path"])
+        ._fs_and_path(spark, tx._commit_file(1))[1]
+    )
+    assert winner_after == winner_before
+    assert winner_after["adds"] == ["data/winner"]
+
+
+def test_concurrent_remove_conflict_raises(spark, sf_dir, tx):
+    """A commit whose removes were already retired by a rival must
+    abort with ConcurrentModificationError, not resurrect dead units
+    or silently no-op the rival's work (the classic lost update)."""
+    from dmi_ingestor_spark.ingest.txlog import ConcurrentModificationError
+
+    tx.append(_orders(spark, sf_dir, "F"), "f-batch")
+    tx.append(_orders(spark, sf_dir, "O"), "o-batch")
+    stale = tx.snapshot()  # both units live
+    tx.compact("rival-compact")  # rival retires them first
+    with pytest.raises(ConcurrentModificationError):
+        tx.commit(adds=["data/mine"], removes=list(stale.add_units))
+
+
+def test_snapshot_fast_rejects_missing_version(spark, tx):
+    """snapshot_fast must raise for nonexistent versions exactly like
+    snapshot() — not silently resolve the state below them."""
+    from dmi_ingestor_spark.ingest.txlog import CHECKPOINT_EVERY
+
+    for i in range(CHECKPOINT_EVERY + 2):
+        tx.append(spark.range(i + 1).toDF("id"), f"u{i}")
+    with pytest.raises(ValueError):
+        tx.snapshot(999)
+    with pytest.raises(ValueError):
+        tx.snapshot_fast(999)
+
+
+def test_unit_name_reuse_rejected(spark, sf_dir, tx):
+    """Re-using a unit name would overwrite files older snapshots still
+    reference; the write must fail up front."""
+    tx.append(_orders(spark, sf_dir, "F"), "batch")
+    with pytest.raises(ValueError, match="already exists"):
+        tx.append(_orders(spark, sf_dir, "O"), "batch")

@@ -57,7 +57,55 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "ml_logreg_gradient_step": "1-row global gradient sufficient-statistics aggregate",
     "analytics_basket_lift": "1-row basket-count aggregate broadcast into the lift join",
     "dedup_lsh_recall_eval": "three 1-row count aggregates crossJoined into the summary row",
+    "analytics_mom_growth": "lag window over the O(months) monthly summary series",
+    "analytics_rfm_segments": "collect_list of partition counts inside sharded_row_number (#parts rows)",
+    "analytics_revenue_concentration": "sharded_row_number partition-count aggregate (#parts rows)",
+    "agg_histogram_equifreq": "sharded_row_number partition-count aggregate (#parts rows)",
+    "skyline_pareto_parts": "phase-2 window over the union of 32 per-bucket skylines (skyline-sized)",
+    "sql_api_correlated_subqueries": "uncorrelated scalar AVG subquery: 1-row broadcast",
 }
+
+
+def _has_bad_single_partition(plan: str) -> bool:
+    """True when the plan has an Exchange SinglePartition that is NOT the
+    canonical global-aggregate funnel.
+
+    A global aggregate always plans ``Aggregate(final) <- Exchange
+    SinglePartition <- Aggregate(partial)``: the map-side partial reduces
+    every partition to one row, so the funnel carries #partitions rows —
+    scale-safe by construction at any input size. Anything else funneling
+    through one task (global Sort/Window over row-grain data, a
+    single-partition write) needs an explicit allowlist reason.
+    """
+    if "Exchange SinglePartition" in plan:
+        return True  # simple-mode rendering: no child context, stay strict
+    lines = plan.splitlines()
+    # node ids whose detail section says SinglePartition
+    sp_ids: set[str] = set()
+    current = None
+    for ln in lines:
+        if ln.startswith("(") and ")" in ln:
+            current = ln[1 : ln.index(")")]
+        elif "Arguments: SinglePartition" in ln and current is not None:
+            sp_ids.add(current)
+    if not sp_ids:
+        return False
+    # in the tree section, check each flagged exchange's neighbours
+    tree_end = next(
+        (i for i, l in enumerate(lines) if l.startswith("(1)")), len(lines)
+    )
+    for nid in sp_ids:
+        needle = f"Exchange ({nid})"
+        pos = [i for i, l in enumerate(lines[:tree_end]) if needle in l]
+        if not pos:
+            return True  # subquery/reused-exchange section: stay strict
+        i = pos[0]
+        parent = lines[i - 1] if i > 0 else ""
+        child = lines[i + 1] if i + 1 < tree_end else ""
+        if "Aggregate" in parent and "Aggregate" in child:
+            continue  # partial+final global aggregate: benign
+        return True
+    return False
 
 
 def audit(plans: dict[str, str]) -> dict[str, list[str]]:
@@ -78,10 +126,7 @@ def audit(plans: dict[str, str]) -> dict[str, list[str]]:
         # "Arguments: SinglePartition, ..." on a separate line; simple-mode
         # renders "Exchange SinglePartition". Match either (round-3 fix:
         # the old substring was blind to formatted plans).
-        single_part = "Exchange SinglePartition" in plan or (
-            "Arguments: SinglePartition" in plan
-        )
-        if single_part and name not in SINGLE_PARTITION_OK:
+        if _has_bad_single_partition(plan) and name not in SINGLE_PARTITION_OK:
             problems.append("unjustified Exchange SinglePartition")
         if problems:
             bad[name] = problems
