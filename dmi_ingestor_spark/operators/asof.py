@@ -118,7 +118,8 @@ def asof_join_nearest(
     payload = payload or []
     joined = left.join(right, left[left_key] == right[right_key])
     absdiff = F.abs(
-        F.unix_micros(F.col(right_time)) - F.unix_micros(F.col(left_time))
+        F.unix_micros(F.col(right_time).cast("timestamp"))
+        - F.unix_micros(F.col(left_time).cast("timestamp"))
     )
     struct_cols: list[Column] = [
         absdiff.alias("_ad"),

@@ -2510,3 +2510,116 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trough_month"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend double-exponential smoothing (forecast primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_holt_linear_smoothing",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT
+        CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mnum,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT mnum, y, ROW_NUMBER() OVER (ORDER BY mnum) AS rn FROM base
+    ),
+    hw(rn, mnum, y, l, b, fitted) AS (
+      SELECT m1.rn, m1.mnum, m1.y, m1.y, m2.y - m1.y, m1.y
+      FROM m m1 JOIN m m2 ON m1.rn = 1 AND m2.rn = 2
+      UNION ALL
+      SELECT m.rn, m.mnum, m.y,
+             (m.y + 3 * (hw.l + hw.b)) // 4,
+             (((m.y + 3 * (hw.l + hw.b)) // 4) - hw.l + 3 * hw.b) // 4,
+             hw.l + hw.b
+      FROM hw JOIN m ON m.rn = hw.rn + 1
+    )
+    SELECT mnum, y, l AS level_c, b AS trend_c, fitted AS forecast_c
+    FROM hw
+    """,
+    doc=(
+        "Holt's linear-trend double-exponential smoothing over the "
+        "monthly revenue series (alpha = beta = 1/4 in exact integer "
+        "arithmetic: both engines' integer division truncates toward "
+        "zero, pinned by ml_logreg_gradient_step). The ITERATION is "
+        "expressed as ONE in-plan fold: the O(months) series collapses "
+        "to a sorted array (partial+final agg — bounded), F.aggregate "
+        "threads (level, trend) through the recurrence and emits the "
+        "per-month state, explode restores rows. The oracle is a "
+        "recursive CTE computing the identical recurrence — a "
+        "hash-checked iterative forecast, no driver loop, no window "
+        "over unbounded data. forecast_c is the one-step-ahead "
+        "prediction l+b from the previous month."
+    ),
+    tags=("timeseries", "iterative", "forecast", "orders"),
+)
+def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mnum")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    packed = m.agg(
+        F.array_sort(F.collect_list(F.struct("mnum", "y"))).alias("s")
+    )
+    tdiv4 = lambda x: ((x - x % 4) / 4).cast("long")  # trunc-toward-zero
+
+    def step(acc, e):
+        l_new = tdiv4(e["y"] + 3 * (acc["l"] + acc["b"]))
+        b_new = tdiv4(l_new - acc["l"] + 3 * acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        e["mnum"].alias("mnum"),
+                        e["y"].alias("y"),
+                        l_new.alias("level_c"),
+                        b_new.alias("trend_c"),
+                        (acc["l"] + acc["b"]).alias("forecast_c"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    zero = F.struct(
+        F.element_at("s", 1)["y"].alias("l"),
+        (F.element_at("s", 2)["y"] - F.element_at("s", 1)["y"]).alias("b"),
+        F.array(
+            F.struct(
+                F.element_at("s", 1)["mnum"].alias("mnum"),
+                F.element_at("s", 1)["y"].alias("y"),
+                F.element_at("s", 1)["y"].alias("level_c"),
+                (F.element_at("s", 2)["y"] - F.element_at("s", 1)["y"]).alias(
+                    "trend_c"
+                ),
+                F.element_at("s", 1)["y"].alias("forecast_c"),
+            )
+        ).alias("out"),
+    )
+    folded = packed.select(
+        F.aggregate(
+            F.slice(F.col("s"), 2, F.size("s") - 1), zero, step
+        )["out"].alias("out")
+    )
+    row = folded.select(F.explode("out").alias("r"))
+    return row.select(
+        F.col("r.mnum").alias("mnum"),
+        F.col("r.y").alias("y"),
+        F.col("r.level_c").alias("level_c"),
+        F.col("r.trend_c").alias("trend_c"),
+        F.col("r.forecast_c").alias("forecast_c"),
+    )

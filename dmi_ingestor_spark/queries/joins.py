@@ -886,3 +886,62 @@ def join_null_key_skew_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "cust_fk", "c_mktsegment")
     )
     return matched.unionAll(nulls)
+
+
+# -- nearest-direction as-of ------------------------------------------------
+
+
+@register(
+    "join_asof_nearest_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT
+        c.event_id, c.user_id, p.purchase_id, p.p_ts,
+        ROW_NUMBER() OVER (
+          PARTITION BY c.event_id
+          ORDER BY ABS(epoch_us(p.p_ts) - epoch_us(c.ts)), p.p_ts, p.purchase_id
+        ) AS rn
+      FROM clicks c JOIN purchases p ON p.p_user = c.user_id
+    )
+    SELECT event_id, user_id, purchase_id, p_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "J5 nearest as-of (operators/asof.py:asof_join_nearest): for "
+        "each click, the same user's purchase with MINIMAL |time "
+        "delta| in either direction — pandas merge_asof(direction="
+        "'nearest') semantics, the third direction next to the "
+        "backward and forward operators. Ties prefer the earlier "
+        "purchase, then min id (total order, hash-stable). Same "
+        "map-side-combining min(struct) shape: the per-user blowup "
+        "partial-aggregates before the shuffle."
+    ),
+    tags=("join", "asof", "aggregation"),
+)
+def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        "user_id",
+        "p_user",
+        "ts",
+        "p_ts",
+        "purchase_id",
+        "event_id",
+    ).select("event_id", "user_id", "purchase_id", "p_ts")

@@ -546,3 +546,69 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "a_id", "b_id", hamming.cast("long").alias("hamming")
     ).where(F.col("hamming") <= HAMMING_MAX_IMG)
+
+
+@register(
+    "mm_scene_cut_detect",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, GREATEST(LENGTH(text) // 4, 1) AS step
+      FROM documents
+    ),
+    frames AS (
+      SELECT
+        t.doc_id,
+        CAST(r.i AS INTEGER) AS frame_idx,
+        CAST(CAST(concat('0x',
+               substr(sha256(substr(t.text, r.i * t.step + 1, t.step)), 1, 8))
+             AS BIGINT) AS BIGINT) AS energy
+      FROM t CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    )
+    SELECT doc_id, frame_idx, energy,
+           CASE WHEN lag(energy) OVER w IS NOT NULL
+                 AND ABS(energy - lag(energy) OVER w) > 2147483648
+                THEN 1 ELSE 0 END AS is_cut
+    FROM frames
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    """,
+    doc=(
+        "U2 video scene-cut detection plumbing: frame-sample each "
+        "payload (mapInPandas explode, 4 frames), derive a per-frame "
+        "energy signature, and flag a cut wherever consecutive frames' "
+        "energies jump past a threshold — the shot-boundary shape "
+        "(energy delta thresholding) every video curation pipeline "
+        "runs before keyframe dedup. The decoder being stubbed, energy "
+        "is the leading 32 bits of the frame's sha256 (deterministic, "
+        "mirrored bit-for-bit in DuckDB over the ASCII payload), so "
+        "the keyed lag window + threshold — the real distributed part "
+        "— is hash-checked end to end. Per-doc window partitions by "
+        "doc_id: no global sort, embarrassingly parallel at 100 TB."
+    ),
+    tags=("multimodal", "window"),
+)
+def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.operators.multimodal import sample_frames
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.conv(F.substring("frame_checksum", 1, 8), 16, 10)
+        .cast("long")
+        .alias("energy"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("energy").over(w)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.when(
+            prev.isNotNull() & (F.abs(F.col("energy") - prev) > 2147483648),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )

@@ -1663,3 +1663,128 @@ def pipeline_run_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(leg("orders", "o_orderkey"))
         .orderBy("input_table")
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity (the k-anonymity companion gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT
+                    CAST(round(c_acctbal) AS BIGINT) // 1000) AS BIGINT)
+               AS l_distinct
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS classes_under_l,
+      CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END) AS BIGINT)
+        AS rows_at_risk,
+      CAST(MIN(l_distinct) AS BIGINT) AS min_l
+    FROM classes
+    """,
+    doc=(
+        "l-diversity audit (l=3) — k-anonymity's companion release "
+        "gate: within each quasi-identifier class (nationkey, "
+        "mktsegment) the SENSITIVE attribute (account-balance band, "
+        "1000-unit buckets) must take at least l distinct values, or "
+        "an attacker who locates a class learns the sensitive value "
+        "even though the class is k-large. One partial+final aggregate "
+        "to class grain with a count-distinct (Expand), then a bounded "
+        "summary: class count, under-l classes, rows at risk, worst "
+        "class. Complements privacy_k_anonymity — the two run together "
+        "before any privacy-reviewed export."
+    ),
+    tags=("pipeline", "privacy", "customer"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    band = (
+        (
+            F.round(F.col("c_acctbal")).cast("long")
+            - F.round(F.col("c_acctbal")).cast("long") % 1000
+        )
+        / 1000
+    ).cast("long")
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.count_distinct(band).cast("long").alias("l_distinct"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("l_distinct") < 3).cast("long")).alias("classes_under_l"),
+        F.sum(
+            F.when(F.col("l_distinct") < 3, F.col("class_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("l_distinct").alias("min_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (difficulty-ranked training order)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(n_chars AS BIGINT)
+               + CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, difficulty,
+             ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, difficulty, rn AS curriculum_rank,
+           CAST(((rn - 1) * 4) // n + 1 AS BIGINT) AS phase
+    FROM ranked
+    """,
+    doc=(
+        "Curriculum ordering for training: score every document's "
+        "difficulty (chars + token count — the cheap proxy curricula "
+        "start from), assign the EXACT global curriculum rank and a "
+        "4-phase schedule bucket. The rank comes from the sharded "
+        "enumeration operator (operators/ranks.py: range shuffle + "
+        "local sorts + broadcast prefix offsets), so ordering a 100 TB "
+        "corpus never funnels through one task — the same discipline "
+        "as transform_global_row_number, applied to the "
+        "curriculum-learning shape (Bengio et al. 2009). Phase is the "
+        "closed-form quartile of the rank."
+    ),
+    tags=("training-pipeline", "documents", "scale"),
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.col("n_chars").cast("long")
+            + F.size(F.split("text", " ")).cast("long")
+        ).alias("difficulty"),
+    )
+    ranked, n = sharded_row_number(
+        d, ["difficulty", "doc_id"], out="curriculum_rank"
+    )
+    phase = ((F.col("curriculum_rank") - 1) * 4 - ((F.col("curriculum_rank") - 1) * 4) % F.lit(max(n, 1))) / F.lit(max(n, 1)) + 1
+    return ranked.select(
+        "doc_id",
+        "difficulty",
+        "curriculum_rank",
+        phase.cast("long").alias("phase"),
+    )

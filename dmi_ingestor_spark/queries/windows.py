@@ -2432,3 +2432,60 @@ def analytics_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         + int_to_double(F.col("vb_num")) / (nb_d * (F.col("nb") - 1)) / F.col("nb")
     )
     return wide.select("na", "nb", t.alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement scoring (recency-weighted activity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_time_decay_engagement",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(EXTRACT(YEAR FROM ts) * 12 + EXTRACT(MONTH FROM ts)
+                  AS BIGINT) AS mnum,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT MAX(mnum) AS maxm FROM ev)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents * (1 << CAST(12 - LEAST(mx.maxm - ev.mnum, 12)
+                                       AS INTEGER))) AS BIGINT)
+             AS score_scaled
+    FROM ev, mx
+    GROUP BY user_id
+    """,
+    doc=(
+        "Recency-weighted engagement: per user, events scored with an "
+        "exponential half-life decay (one halving per month of age, "
+        "floored at 12 months) — the ranking signal feeds/recommenders "
+        "recompute nightly. All-integer by construction: weight 2^(12-"
+        "age) is an exact power-of-two multiplier on integer cents, so "
+        "the SUM is a BIGINT both engines agree on bit-for-bit — no "
+        "floating-point decay drift. The global max month is a 1-row "
+        "broadcast; the scoring itself is one partial+final aggregate "
+        "keyed by user — linear scan, no window, 100 TB-safe."
+    ),
+    tags=("analytics", "events", "scale"),
+)
+def analytics_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("mnum"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = ev.agg(F.max("mnum").alias("maxm"))
+    # shiftleft's Python API takes a literal bit count; the SQL form
+    # accepts expressions for both operands
+    weight = F.expr("shiftleft(cast(1 as bigint), int(12 - least(maxm - mnum, 12)))")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("cents") * weight).cast("long").alias("score_scaled"),
+        )
+    )

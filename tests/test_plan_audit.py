@@ -60,6 +60,15 @@ AUDITED = [
     "ml_poisson_bootstrap_ci",
     "ml_logreg_gradient_step",
     "reshape_nested_json_flatten",
+    # round-3 wave
+    "join_asof_nearest_purchase",
+    "pipeline_curriculum_order",
+    "mm_scene_cut_detect",
+    "ts_holt_linear_smoothing",
+    "analytics_time_decay_engagement",
+    "analytics_rfm_segments",
+    "agg_histogram_equifreq",
+    "cluster_kmeans_embeddings",
 ]
 
 
