@@ -48,6 +48,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "spatial_radius_join_grid",
     "transform_global_row_number",
     "agg_exact_median_twopass",
+    # round-3 scale-pattern additions: sharded exact ranks
+    "analytics_rfm_segments",
+    "agg_histogram_equifreq",
 )
 
 

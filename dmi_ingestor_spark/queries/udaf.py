@@ -138,14 +138,14 @@ def udaf_grouped_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH l AS (
       SELECT l_orderkey,
              CAST(COUNT(*) AS BIGINT) AS n_items,
-             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT
       o.o_orderkey,
       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_int,
-      COALESCE(l.n_items, 0) AS n_items,
-      COALESCE(l.sum_qty, 0) AS sum_qty
+      CAST(COALESCE(l.n_items, 0) AS BIGINT) AS n_items,
+      CAST(COALESCE(l.sum_qty, 0) AS BIGINT) AS sum_qty
     FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
     """,
     doc=(

@@ -1,0 +1,61 @@
+"""Differential tests for operators/ranks.py: the sharded enumeration
+must equal ROW_NUMBER()/NTILE() windows exactly, for any data shape —
+duplicates, skew, tiny and empty inputs, descending orders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dmi_ingestor_spark.operators.ranks import ntile_from_rank, sharded_row_number
+
+
+def _check(spark, rows, k=4, desc=False):
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc(), F.col("id")] if desc else [F.col("v"), F.col("id")]
+    got, n = sharded_row_number(df, order, out="rn")
+    assert n == len(rows)
+    w = Window.orderBy(*order)
+    want = df.select("id", F.row_number().over(w).alias("rn"))
+    g = {r.id: r.rn for r in got.select("id", "rn").collect()}
+    e = {r.id: r.rn for r in want.collect()}
+    assert g == e
+    if rows:
+        wt = df.select("id", F.ntile(k).over(w).cast("long").alias("b"))
+        gt = {
+            r.id: r.b
+            for r in got.select(
+                "id", ntile_from_rank(F.col("rn"), n, k).alias("b")
+            ).collect()
+        }
+        et = {r.id: r.b for r in wt.collect()}
+        assert gt == et
+
+
+def test_empty(spark):
+    _check(spark, [])
+
+
+def test_single_row(spark):
+    _check(spark, [(1, 10)])
+
+
+def test_all_duplicate_values_tiebreak(spark):
+    _check(spark, [(i, 7) for i in range(50)])
+
+
+def test_skewed_values(spark):
+    rows = [(i, 0) for i in range(40)] + [(100 + i, i) for i in range(20)]
+    _check(spark, rows)
+
+
+def test_descending_order(spark):
+    _check(spark, [(i, (i * 37) % 11) for i in range(60)], desc=True)
+
+
+@pytest.mark.parametrize("n", [9, 10, 11, 25, 101])
+def test_ntile_front_loaded_fill(spark, n):
+    """NTILE's closed form matches Spark's ntile for sizes around the
+    divisibility boundaries (n % k == 0, +-1)."""
+    _check(spark, [(i, i % 13) for i in range(n)], k=10)
