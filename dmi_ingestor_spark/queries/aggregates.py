@@ -2623,3 +2623,184 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.trend_c").alias("trend_c"),
         F.col("r.forecast_c").alias("forecast_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog from scratch — exact-math, cross-engine hash-checkable
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_custom_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h60
+      FROM orders
+    ),
+    rw AS (
+      SELECT h60 % 64 AS reg,
+             (h60 // 64) % 1099511627776 AS w
+      FROM h
+    ),
+    ranks AS (
+      SELECT reg,
+             CASE WHEN w > 0 THEN 40 - LENGTH(bin(w)) + 1 ELSE 41 END AS rho
+      FROM rw
+    ),
+    regs AS (SELECT reg, MAX(rho) AS m FROM ranks GROUP BY reg),
+    den AS (
+      SELECT
+        CAST(SUM(1::BIGINT << CAST(40 - m AS INTEGER)) AS BIGINT)
+          + (64 - COUNT(*)) * 1099511627776 AS denom_scaled,
+        CAST(64 - COUNT(*) AS BIGINT) AS v_zero
+      FROM regs
+    ),
+    truth AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders
+    )
+    SELECT
+      CAST(64 AS BIGINT) AS n_registers,
+      d.v_zero,
+      CAST(d.denom_scaled AS BIGINT) AS denom_scaled,
+      CAST(FLOOR(0.709 * 4096 * 1099511627776 / d.denom_scaled) AS BIGINT)
+        AS hll_estimate,
+      t.exact_distinct
+    FROM den d, truth t
+    """,
+    doc=(
+        "HyperLogLog implemented from scratch (Flajolet et al. 2007) "
+        "with every intermediate CROSS-ENGINE EXACT, making the sketch "
+        "itself hash-checkable — unlike approx_count_distinct, whose "
+        "engine-private hashing forces rows-only: the 60-bit md5-derived "
+        "hash splits into a 6-bit register and a 40-bit suffix; the "
+        "leading-zero rank is integer (LENGTH(bin(w)) — no float log); "
+        "per-register maxima aggregate partial+final; the harmonic "
+        "denominator is a sum of powers of two at fixed scale 2^40 "
+        "(dyadic — BIGINT-exact); and the final alpha*m^2/denom is one "
+        "IEEE multiply-divide-floor both engines evaluate bit-"
+        "identically. Output includes the exact distinct for the error "
+        "readout. At 100 TB the mergeable form is the same per-register "
+        "max — a 64-row state per partition."
+    ),
+    tags=("agg", "sketch", "approx", "orders", "scale"),
+)
+def agg_hll_custom_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rw = o.select(
+        (h60 % 64).alias("reg"),
+        F.expr(
+            "mod(div(conv(substr(md5(cast(o_custkey as string)), 1, 15), 16, 10)"
+            ", 64), 1099511627776)"
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    ranks = rw.select(
+        "reg",
+        F.when(
+            F.col("w") > 0, 40 - F.length(F.bin(F.col("w"))) + 1
+        )
+        .otherwise(41)
+        .alias("rho"),
+    )
+    regs = ranks.groupBy("reg").agg(F.max("rho").alias("m"))
+    den = regs.agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), int(40 - m))"))
+            + (64 - F.count(F.lit(1))) * F.lit(1099511627776)
+        )
+        .cast("long")
+        .alias("denom_scaled"),
+        (64 - F.count(F.lit(1))).cast("long").alias("v_zero"),
+    )
+    truth = o.agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        den.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(64).cast("long").alias("n_registers"),
+            "v_zero",
+            "denom_scaled",
+            F.floor(
+                F.lit(0.709) * 4096 * 1099511627776 / F.col("denom_scaled")
+            )
+            .cast("long")
+            .alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (additive, month-of-year indices)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_decompose_lite",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mnum,
+        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS moy,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT moy, CAST(SUM(y) // COUNT(*) AS BIGINT) AS moy_avg FROM m
+      GROUP BY moy
+    ),
+    grand AS (SELECT CAST(SUM(y) // COUNT(*) AS BIGINT) AS g FROM m)
+    SELECT m.mnum, m.moy, m.y,
+           s.moy_avg,
+           CAST(s.moy_avg - g.g AS BIGINT) AS seasonal_index,
+           CAST(m.y - (s.moy_avg - g.g) AS BIGINT) AS deseasonalized
+    FROM m JOIN seas s ON s.moy = m.moy CROSS JOIN grand g
+    """,
+    doc=(
+        "Additive seasonal decomposition, classical month-of-year "
+        "index form: the monthly series reduces once, per-calendar-"
+        "month averages minus the grand mean give the seasonal "
+        "indices, and subtracting them deseasonalizes the series — "
+        "the pre-STL adjustment every capacity/forecast dashboard "
+        "applies. Three bounded aggregates (month grain, 12-row "
+        "seasonal table broadcast, 1-row grand mean broadcast); "
+        "integer floor-averages keep it hash-exact. Complements "
+        "ts_seasonal_naive_mae (backtest) and ts_holt_linear_smoothing "
+        "(trend recursion)."
+    ),
+    tags=("timeseries", "forecast", "orders"),
+)
+def ts_seasonal_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mnum"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    seas = m.groupBy("moy").agg(
+        F.expr("div(sum(y), count(1))").cast("long").alias("moy_avg")
+    )
+    grand = m.agg(F.expr("div(sum(y), count(1))").cast("long").alias("g"))
+    return (
+        m.join(F.broadcast(seas), "moy")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "mnum",
+            "moy",
+            "y",
+            "moy_avg",
+            (F.col("moy_avg") - F.col("g")).cast("long").alias("seasonal_index"),
+            (F.col("y") - (F.col("moy_avg") - F.col("g")))
+            .cast("long")
+            .alias("deseasonalized"),
+        )
+    )

@@ -1260,3 +1260,69 @@ def ml_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "point_mean_cents", "ci_lo_cents", "ci_hi_cents", "n_replicates"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GBDT histogram building (approximate split finding, XGBoost-style)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_gbdt_histogram_build",
+    oracle="""
+    WITH base AS (
+      SELECT
+        CAST(l_quantity AS BIGINT) AS qty,
+        CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS g
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT 'quantity' AS feature, qty // 5 AS bin, g FROM base
+      UNION ALL
+      SELECT 'discount' AS feature, disc_pct AS bin, g FROM base
+    )
+    SELECT feature, CAST(bin AS BIGINT) AS bin,
+           CAST(SUM(g) AS BIGINT) AS sum_grad,
+           CAST(COUNT(*) AS BIGINT) AS sum_hess,
+           CAST(MIN(g) AS BIGINT) AS min_grad,
+           CAST(MAX(g) AS BIGINT) AS max_grad
+    FROM binned
+    GROUP BY feature, bin
+    """,
+    doc=(
+        "GBDT histogram building — the distributed primitive behind "
+        "XGBoost/LightGBM approximate split finding (Chen & Guestrin "
+        "2016 §3.3): bin every feature value, accumulate per-(feature, "
+        "bin) gradient/hessian sufficient statistics, and the split "
+        "scorer then scans O(bins) histograms instead of O(n) rows. "
+        "One pass over the fact: the two feature columns unpivot via "
+        "an inline stack (Expand — no second scan), then ONE "
+        "partial+final aggregate on the (feature, bin) grain. At "
+        "100 TB this is a linear scan with a bins-sized shuffle — the "
+        "same plan a 1000-worker histogram build wants. Squared-error "
+        "gradients stay integer cents, so the statistics are "
+        "hash-exact."
+    ),
+    tags=("mllib", "training-pipeline", "lineitem", "scale"),
+)
+def ml_gbdt_histogram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("g"),
+    )
+    binned = li.select(
+        F.expr(
+            "stack(2, 'quantity', qty div 5, g, 'discount', disc_pct, g)"
+            " AS (feature, bin, g)"
+        )
+    )
+    return binned.groupBy("feature", "bin").agg(
+        F.sum("g").cast("long").alias("sum_grad"),
+        F.count(F.lit(1)).cast("long").alias("sum_hess"),
+        F.min("g").alias("min_grad"),
+        F.max("g").alias("max_grad"),
+    )

@@ -612,3 +612,97 @@ def mm_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_cut"),
     )
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, LENGTH(text) // 2 AS n_samp FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(n_samp // 32)) AS BIGINT) AS frame_idx
+      FROM t WHERE n_samp >= 32
+    ),
+    e AS (
+      SELECT doc_id, frame_idx,
+             CAST(list_aggregate(list_transform(range(32), j ->
+               POWER(
+                 CASE WHEN ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 1 AS INTEGER), 1))
+                      + 256 * ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 2 AS INTEGER), 1))
+                      >= 32768
+                      THEN ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 1 AS INTEGER), 1))
+                         + 256 * ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 2 AS INTEGER), 1))
+                         - 65536
+                      ELSE ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 1 AS INTEGER), 1))
+                         + 256 * ascii(substr(text, CAST((frame_idx * 32 + j) * 2 + 2 AS INTEGER), 1))
+                 END, 2)), 'sum') AS BIGINT) AS energy
+      FROM f
+    ),
+    st AS (
+      SELECT doc_id, frame_idx, energy,
+             CASE WHEN energy >= 20800000000 THEN 1 ELSE 0 END AS speech
+      FROM e
+    ),
+    bd AS (
+      SELECT doc_id, frame_idx, energy, speech,
+             CASE WHEN speech <> COALESCE(lag(speech) OVER
+                    (PARTITION BY doc_id ORDER BY frame_idx), -1)
+                  THEN 1 ELSE 0 END AS boundary
+      FROM st
+    ),
+    seg AS (
+      SELECT doc_id, frame_idx, energy, speech,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM bd
+    )
+    SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+           CAST(MAX(speech) AS BIGINT) AS is_speech,
+           CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+           CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM seg
+    GROUP BY doc_id, seg_id
+    """,
+    doc=(
+        "U2/U8 voice-activity segmentation: 32-sample energy frames "
+        "(operators/multimodal.audio_energy, Arrow-batched map-only), "
+        "speech/silence state by energy threshold, then gaps-and-"
+        "islands — a per-doc lag window marks state changes, the "
+        "running sum numbers segments, one aggregate emits (segment, "
+        "state, frame span, energy). The silence-trim/VAD stage every "
+        "audio curation pipeline runs before ASR; windows partition by "
+        "doc_id (embarrassingly parallel, no global sort) and the "
+        "byte-arithmetic oracle hash-checks the whole composition "
+        "including the Arrow decode."
+    ),
+    tags=("multimodal", "audio", "window"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.operators.multimodal import audio_energy
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    e = audio_energy(media, frame=32).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "energy",
+        (F.col("energy") >= 20800000000).cast("int").alias("speech"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary = F.when(
+        F.col("speech") != F.coalesce(F.lag("speech").over(w), F.lit(-1)), 1
+    ).otherwise(0)
+    seg = e.withColumn("seg_id", F.sum(boundary).over(w2))
+    return seg.groupBy("doc_id", F.col("seg_id").cast("long").alias("seg_id")).agg(
+        F.max("speech").cast("long").alias("is_speech"),
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("seg_energy"),
+    )
