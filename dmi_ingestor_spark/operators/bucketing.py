@@ -84,3 +84,26 @@ def ensure_bucketed_pair(
             lineitem, t_lineitem, "l_orderkey", n_buckets, "l_orderkey"
         )
     return t_orders, t_lineitem
+
+
+def ensure_partitioned_orders(spark, sf_dir: str) -> str:
+    """A partitioned-by-priority copy of orders for ``sf_dir``, written
+    once to a stable temp location (hive-style ``o_orderpriority=...``
+    directories). This is the layout dynamic partition pruning needs:
+    the partition column must be a DIRECTORY key, not a parquet column,
+    for a dimension-side filter to skip whole partitions at runtime."""
+    import hashlib
+    import os
+    import tempfile
+
+    suffix = hashlib.md5(f"{sf_dir}|dpp".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"dmi-dpp-orders-{suffix}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+    return path

@@ -141,3 +141,71 @@ def layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_supp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (runtime partition skipping via a dim filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_dpp_partition_prune",
+    oracle="""
+    WITH dim(prio, tier) AS (
+      VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+             ('5-LOW', 'cold')
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders o JOIN dim d ON d.prio = o.o_orderpriority
+    WHERE d.tier = 'hot'
+    GROUP BY d.tier
+    """,
+    doc=(
+        "Dynamic partition pruning: the fact side is a HIVE-PARTITIONED "
+        "copy of orders (directory key = o_orderpriority, written once "
+        "per sf_dir by operators/bucketing.ensure_partitioned_orders); "
+        "joining it to a tiny dim filtered to tier='hot' lets Catalyst "
+        "inject a runtime subquery into the fact scan's "
+        "PartitionFilters (dynamicpruningexpression — asserted in "
+        "tests/test_bucketing.py), so only the 2 matching directories "
+        "of 5 are ever read. At 100 TB with date-partitioned facts this "
+        "is the difference between scanning the whole table and "
+        "scanning the days the dimension selects — the third leg of "
+        "the physical-layout story next to bucketing (shuffle "
+        "elimination) and z-order (row-group skipping). The oracle "
+        "computes the same aggregate from the raw parquet."
+    ),
+    tags=("join", "layout", "scale", "orders"),
+)
+def join_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.bucketing import ensure_partitioned_orders
+
+    path = ensure_partitioned_orders(spark, sf_dir)
+    o = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "prio string, tier string",
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o["o_orderpriority"] == dim["prio"]) & (dim["tier"] == "hot"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )

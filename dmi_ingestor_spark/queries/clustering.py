@@ -259,3 +259,115 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("dup_id").isNull().alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Farthest-point (k-means++-style deterministic) seeding
+# --------------------------------------------------------------------------
+
+_FP_K = 4  # seeds to select (seed 0 = vec_id 0, then 3 farthest-point rounds)
+
+
+def _fp_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q{i}"
+        for i in range(_DIM)
+    )
+
+    def dist(alias: str) -> str:
+        return " + ".join(
+            f"(p.q{i} - {alias}.q{i}) * (p.q{i} - {alias}.q{i})"
+            for i in range(_DIM)
+        )
+
+    sql = [
+        f"WITH pts AS (SELECT vec_id, {qcols} FROM embeddings)",
+        ", s0 AS (SELECT CAST(0 AS BIGINT) AS seed_rank, vec_id, "
+        + ", ".join(f"q{i}" for i in range(_DIM))
+        + ", CAST(0 AS BIGINT) AS dist_sq FROM pts WHERE vec_id = 0)",
+    ]
+    prev = ["s0"]
+    for r in range(1, _FP_K):
+        mind = "LEAST(" + ", ".join(f"({dist(s)})" for s in prev) + ")" \
+            if len(prev) > 1 else f"({dist(prev[0])})"
+        joins = " ".join(f"CROSS JOIN {s}" for s in prev)
+        sql.append(
+            f", s{r} AS (SELECT CAST({r} AS BIGINT) AS seed_rank, p.vec_id, "
+            + ", ".join(f"p.q{i}" for i in range(_DIM))
+            + f", CAST({mind} AS BIGINT) AS dist_sq"
+            f" FROM pts p {joins}"
+            f" ORDER BY {mind} DESC, p.vec_id LIMIT 1)"
+        )
+        prev.append(f"s{r}")
+    sel = " UNION ALL ".join(
+        f"SELECT seed_rank, vec_id, dist_sq FROM {s}" for s in prev
+    )
+    return sql_join(sql) + f"\n{sel}"
+
+
+def sql_join(parts: list[str]) -> str:
+    return "\n".join(parts)
+
+
+@register(
+    "cluster_farthest_point_seeding",
+    oracle=_fp_oracle(),
+    doc=(
+        "Deterministic k-means++-style seeding by farthest-point "
+        "traversal (the D^2-max variant — Gonzalez 1985, the "
+        "derandomized form of Arthur & Vassilvitskii 2007): seed 0 is "
+        "a fixed point, then each round picks the point MAXIMIZING its "
+        "distance to the chosen set (lowest-id tiebreak). Each round "
+        "is map-side distance evaluation against the broadcast chosen "
+        "set plus ONE 1-row argmax aggregate — k rounds cost k linear "
+        "scans and k 1-row shuffles, the plan a 100 TB seeding pass "
+        "needs (no per-point state, no global sort). Integer-exact "
+        "quantized arithmetic makes the whole iteration hash-checkable "
+        "against an unrolled CTE oracle; feeds "
+        "cluster_kmeans_embeddings as its init."
+    ),
+    tags=("clustering", "iterative", "embeddings", "scale"),
+)
+def cluster_farthest_point_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _quantize(spark, sf_dir).cache()
+    qcols = [f"q{i}" for i in range(_DIM)]
+
+    chosen = pts.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("seed_rank"),
+        "vec_id",
+        *qcols,
+        F.lit(0).cast("long").alias("dist_sq"),
+    )
+    for r in range(1, _FP_K):
+        cents = chosen.agg(
+            F.collect_list(F.struct(*[F.col(c) for c in qcols])).alias("cs")
+        )
+
+        def _d(c):
+            return sum(
+                (F.col(f"q{i}") - c[f"q{i}"]) * (F.col(f"q{i}") - c[f"q{i}"])
+                for i in range(_DIM)
+            )
+
+        mind = F.array_min(F.transform(F.col("cs"), lambda c: _d(c)))
+        best = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", *qcols, mind.alias("d"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("d").alias("d"),
+                        (-F.col("vec_id")).alias("nid"),
+                        *[F.col(c).alias(c) for c in qcols],
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.lit(r).cast("long").alias("seed_rank"),
+                (-F.col("m.nid")).alias("vec_id"),
+                *[F.col(f"m.{c}").alias(c) for c in qcols],
+                F.col("m.d").cast("long").alias("dist_sq"),
+            )
+        )
+        chosen = chosen.unionByName(best)
+    return chosen.select("seed_rank", "vec_id", "dist_sq")

@@ -2489,3 +2489,80 @@ def analytics_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("cents") * weight).cast("long").alias("score_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (marketing credit assignment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_attribution_linear",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT p.purchase_id, p.cents, c.click_id
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id AND c.c_ts < p.p_ts
+    ),
+    credits AS (
+      SELECT purchase_id, click_id,
+             (cents * 1000000) // COUNT(*) OVER (PARTITION BY purchase_id)
+               AS credit_micro
+      FROM touch
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_total
+    FROM credits
+    GROUP BY click_id
+    """,
+    doc=(
+        "Linear multi-touch attribution: every purchase's revenue is "
+        "split EQUALLY across the user's preceding clicks, then credit "
+        "rolls up per touchpoint — the marketing-mix readout next to "
+        "the first/last-touch forms the as-of joins give. The touch "
+        "blowup joins on user and partial-aggregates per purchase "
+        "(keyed window, never global); integer micro-credits with "
+        "truncating division keep both engines bit-identical even when "
+        "cents do not divide evenly. At 100 TB the join shuffles on "
+        "user_id and the two grouped stages on their own keys — no "
+        "skew beyond the user distribution itself."
+    ),
+    tags=("analytics", "attribution", "events"),
+)
+def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = purchases.join(clicks, "user_id").filter(
+        F.col("c_ts") < F.col("p_ts")
+    )
+    w = Window.partitionBy("purchase_id")
+    num = F.col("cents") * 1000000
+    den = F.count(F.lit(1)).over(w)
+    credit = ((num - num % den) / den).cast("long")
+    credits = touch.select(
+        "purchase_id", "click_id", credit.alias("credit_micro")
+    )
+    return credits.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_total"),
+    )

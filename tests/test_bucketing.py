@@ -73,3 +73,24 @@ def test_bucketed_join_matches_raw_join(spark, sf_dir):
         .collect()
     }
     assert {r["o_orderpriority"]: r["n_items"] for r in rows} == exp
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """join_dpp_partition_prune's fact scan must carry a
+    dynamicpruningexpression PartitionFilter — proof the dim-side
+    filter prunes fact DIRECTORIES at runtime, not post-scan."""
+    from dmi_ingestor_spark.registry import load_all
+
+    df = load_all()["join_dpp_partition_prune"].builder(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan
+    # and the pruned read returns the same totals as the raw-parquet path
+    got = df.collect()[0]
+    raw = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderpriority IN ('1-URGENT', '2-HIGH')")
+        .count()
+    )
+    assert got["n_orders"] == raw
