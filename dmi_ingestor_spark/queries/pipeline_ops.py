@@ -1788,3 +1788,85 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "curriculum_rank",
         phase.cast("long").alias("phase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (sqrt-smoothed sampling rates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_s
+      FROM documents GROUP BY source
+    ),
+    ref AS (
+      SELECT n_s AS n_m, w_s AS w_m FROM counts
+      ORDER BY n_s, source LIMIT 1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, c.n_s, c.w_s, r.n_m, r.w_m,
+             CAST('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 1000000 AS h_micro
+      FROM documents d JOIN counts c ON c.source = d.source CROSS JOIN ref r
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_source,
+           CAST(MAX(w_s) AS BIGINT) AS sqrt_weight,
+           CAST(SUM(CASE WHEN h_micro * n_s * w_m < w_s * n_m * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY source
+    """,
+    doc=(
+        "Temperature-scaled data mixing (T=2, i.e. sqrt smoothing — the "
+        "multilingual/multi-source rebalancing rule of mBERT/XLM-R and "
+        "Pile-style mixtures): target share proportional to n^(1/T), "
+        "realized as per-source DETERMINISTIC hash subsampling with "
+        "acceptance a_s = (sqrt(n_s)/n_s)/(sqrt(n_m)/n_m) (the "
+        "smallest source keeps 100%). Acceptance tests are pure "
+        "integer cross-multiplications — no floating ratios — against "
+        "an md5-derived per-doc uniform, so the sampled set is "
+        "identical on every engine and every rerun (reproducible "
+        "mixtures are an auditability requirement). Source counts are "
+        "a bounded broadcast; the pass is one scan + one summary "
+        "aggregate."
+    ),
+    tags=("mixing", "training-pipeline", "documents", "scale"),
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    ).select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s"))).cast("long").alias("w_s"),
+    )
+    ref = (
+        counts.orderBy("n_s", "source")
+        .limit(1)
+        .select(F.col("n_s").alias("n_m"), F.col("w_s").alias("w_m"))
+    )
+    h_micro = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    scored = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(ref))
+        .withColumn("h_micro", h_micro)
+    )
+    keep = (
+        F.col("h_micro") * F.col("n_s") * F.col("w_m")
+        < F.col("w_s") * F.col("n_m") * 1000000
+    )
+    return scored.groupBy("source").agg(
+        F.max("n_s").alias("n_source"),
+        F.max("w_s").alias("sqrt_weight"),
+        F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+    )

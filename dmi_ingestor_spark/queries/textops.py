@@ -1190,3 +1190,94 @@ def text_contact_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_at_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence + PMI ratios (word-association mining)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i, t[CAST(i AS INTEGER)] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    pairs AS (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS nxy
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.i > a.i AND b.i <= a.i + 3
+       AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n_tok FROM toks)
+    SELECT p.w1, p.w2, CAST(p.nxy AS BIGINT) AS nxy,
+           CAST(u1.n AS BIGINT) AS nx, CAST(u2.n AS BIGINT) AS ny,
+           CAST((1000000 * p.nxy * t.n_tok) // (u1.n * u2.n) AS BIGINT)
+             AS pmi_ratio_micro
+    FROM pairs p
+    JOIN uni u1 ON u1.tok = p.w1
+    JOIN uni u2 ON u2.tok = p.w2
+    CROSS JOIN tot t
+    ORDER BY pmi_ratio_micro DESC, w1, w2
+    LIMIT 50
+    """,
+    doc=(
+        "Word-association mining: skip-gram co-occurrence (window 3, "
+        "ordered pairs canonicalized w1<w2) with the PMI RATIO "
+        "n(x,y)*N / (n(x)*n(y)) as an exact integer micro-ratio — the "
+        "log-free form of pointwise mutual information (log is "
+        "monotone, so the top-k by ratio IS the top-k by PMI, and "
+        "avoiding ln keeps the value cross-engine exact). The "
+        "collocation/phrase-mining primitive behind word2vec-style "
+        "negative sampling tables and phrase detection. Positional "
+        "self-join within documents only (b.i-a.i <= 3) — the blowup "
+        "is window-bounded per token, shuffles key on doc_id then the "
+        "pair, unigram counts broadcast back. Top-50 = TakeOrdered."
+    ),
+    tags=("text", "cooccurrence"),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i0", "tok"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    a = toks.select("doc_id", F.col("i").alias("ai"), F.col("tok").alias("w1"))
+    b = toks.select("doc_id", F.col("i").alias("bi"), F.col("tok").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("bi") > F.col("ai"))
+            & (F.col("bi") <= F.col("ai") + 3)
+            & (F.col("w1") < F.col("w2"))
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .filter(F.col("nxy") >= 5)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    num = F.lit(1000000) * F.col("nxy") * F.col("n_tok")
+    den = F.col("nx") * F.col("ny")
+    joined = (
+        pairs.join(uni.select(F.col("tok").alias("w1"), F.col("n").alias("nx")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("n").alias("ny")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("nxy").cast("long").alias("nxy"),
+            F.col("nx").cast("long").alias("nx"),
+            F.col("ny").cast("long").alias("ny"),
+            ((num - num % den) / den).cast("long").alias("pmi_ratio_micro"),
+        )
+        .orderBy(F.desc("pmi_ratio_micro"), "w1", "w2")
+        .limit(50)
+    )

@@ -2566,3 +2566,149 @@ def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
         F.sum("credit_micro").cast("long").alias("credit_micro_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate over customer lifetimes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_survival_kaplan_meier",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS fm,
+             CAST(MAX(EXTRACT(YEAR FROM o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS lm
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(lm) AS maxm FROM cust),
+    months AS (
+      SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                           + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS t
+      FROM orders
+    ),
+    per_t AS (
+      SELECT m.t,
+             (SELECT COUNT(*) FROM cust c WHERE c.fm <= m.t AND c.lm >= m.t)
+               AS n_risk,
+             (SELECT COUNT(*) FROM cust c, mx
+              WHERE c.lm = m.t AND c.lm < mx.maxm) AS d_events
+      FROM months m
+    ),
+    ordered AS (
+      SELECT t, n_risk, d_events,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM per_t
+    ),
+    factors AS (
+      SELECT list(1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                  ORDER BY t) AS fs
+      FROM ordered
+    )
+    SELECT o.t,
+           CAST(o.n_risk AS BIGINT) AS n_risk,
+           CAST(o.d_events AS BIGINT) AS d_events,
+           CAST(FLOOR(1000000 * list_reduce(
+             list_slice(f.fs, 1, CAST(o.rn AS INTEGER)), (a, b) -> a * b))
+             AS BIGINT) AS surv_micro
+    FROM ordered o CROSS JOIN factors f
+    """,
+    doc=(
+        "Kaplan-Meier survival estimator over customer lifetimes "
+        "(Kaplan & Meier 1958): lifetime = first..last order month, "
+        "customers still active in the final month are right-censored; "
+        "per month the at-risk count and event count reduce from the "
+        "customer grain, and S(t) is the running product of "
+        "(1 - d/n) factors. The product is an ORDERED left fold over "
+        "the bounded month series (F.aggregate over a sorted array / "
+        "DuckDB list_reduce) — identical multiply order on both "
+        "engines makes even the floating survival curve bit-exact at "
+        "micro precision. The churn/retention curve every subscription "
+        "dashboard ships; all heavy stages are customer-grain "
+        "aggregates."
+    ),
+    tags=("analytics", "survival", "orders"),
+)
+def analytics_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.min(mnum).alias("fm"), F.max(mnum).alias("lm")
+    )
+    mx = cust.agg(F.max("lm").alias("maxm"))
+    months = o.select(mnum.alias("t")).distinct()
+    starts = cust.groupBy(F.col("fm").alias("t")).agg(
+        F.count(F.lit(1)).alias("starts")
+    )
+    ends = cust.crossJoin(F.broadcast(mx)).groupBy(F.col("lm").alias("t")).agg(
+        F.count(F.lit(1)).alias("ends"),
+        F.sum((F.col("lm") < F.col("maxm")).cast("long")).alias("d_events"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    per_t = (
+        months.join(starts, "t", "left")
+        .join(ends, "t", "left")
+        .fillna(0, ["starts", "ends", "d_events"])
+        .withColumn("cum_starts", F.sum("starts").over(w))
+        .withColumn(
+            "cum_ends_before", F.sum("ends").over(w) - F.col("ends")
+        )
+        .select(
+            "t",
+            (F.col("cum_starts") - F.col("cum_ends_before")).alias("n_risk"),
+            "d_events",
+        )
+    )
+    packed = per_t.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "d_events"))
+        ).alias("s")
+    )
+    folded = packed.select(
+        F.aggregate(
+            F.col("s"),
+            F.struct(
+                F.lit(1.0).alias("p"),
+                F.array().cast(
+                    "array<struct<t:bigint,n_risk:bigint,d_events:bigint,"
+                    "surv_micro:bigint>>"
+                ).alias("out"),
+            ),
+            lambda acc, e: F.struct(
+                (
+                    acc["p"]
+                    * (
+                        F.lit(1.0)
+                        - e["d_events"].cast("double")
+                        / e["n_risk"].cast("double")
+                    )
+                ).alias("p"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            e["t"].alias("t"),
+                            e["n_risk"].cast("long").alias("n_risk"),
+                            e["d_events"].cast("long").alias("d_events"),
+                            F.floor(
+                                1000000
+                                * acc["p"]
+                                * (
+                                    F.lit(1.0)
+                                    - e["d_events"].cast("double")
+                                    / e["n_risk"].cast("double")
+                                )
+                            )
+                            .cast("long")
+                            .alias("surv_micro"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+        )["out"].alias("out")
+    )
+    r = folded.select(F.explode("out").alias("r"))
+    return r.select("r.t", "r.n_risk", "r.d_events", "r.surv_micro")
