@@ -64,8 +64,13 @@ def decode_to_grid(fetched: DataFrame) -> DataFrame:
     One input row (a whole cube) explodes into time×y×x rows — the
     iterator-of-batches shape lets a single task stream multiple cubes
     without materializing more than one at a time. Failed fetches
-    (payload NULL) are dropped here; their partitions simply don't
-    appear in the new data (keep-last-good).
+    (payload NULL) are dropped here, and so are payloads that FAIL TO
+    DECODE (corrupt/truncated bytes) — a bad cube must quarantine its
+    parameter, never crash the job (the reference's per-parameter
+    try/except, ingestor.py:221-227). ``run_ingest`` detects the
+    decode-failed parameters (zero surviving rows) BEFORE any
+    destructive write, so their previous forecasts stay intact
+    (keep-last-good).
     """
 
     def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -75,7 +80,10 @@ def decode_to_grid(fetched: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 if row["payload"] is None:
                     continue
-                cube = decode_cube(bytes(row["payload"]))
+                try:
+                    cube = decode_cube(bytes(row["payload"]))
+                except Exception:  # noqa: BLE001 — quarantine, don't crash
+                    continue
                 nt, ny, nx = cube.values.shape
                 times = np.repeat(np.asarray(cube.times, dtype="int64"), ny * nx)
                 ys = np.tile(np.repeat(np.asarray(cube.ys), nx), nt)
@@ -151,6 +159,19 @@ def run_ingest(
     )
     grid_path = os.path.join(out_dir, "grid")
     ok_parameters = [p for p in config.parameters if p not in failed]
+    if ok_parameters:
+        # Decode validation BEFORE anything destructive: a parameter whose
+        # payload fetched but produced no decodable rows (corrupt bytes)
+        # joins the failed list, so the stale-leaf delete below never
+        # touches its previous forecast. One cheap distinct over the
+        # cached fetch results; decode re-runs at write time anyway.
+        decoded = {
+            r["parameter"]
+            for r in grid.select("parameter").distinct().collect()
+        }
+        decode_failed = sorted(p for p in ok_parameters if p not in decoded)
+        failed += decode_failed
+        ok_parameters = [p for p in ok_parameters if p in decoded]
     if not ok_parameters:
         # every fetch failed: write nothing, delete nothing — the whole
         # previous forecast stays intact (ingestor.py:192-199)

@@ -67,6 +67,20 @@ def decode_cube(payload: bytes) -> Cube:
         )
     if payload[:3] == b"CDF" or payload[:4] == b"\x89HDF":
         return _decode_netcdf(payload)
+    from dmi_ingestor_spark.sources.coveragejson import (
+        is_coveragejson,
+        parse_coveragejson,
+    )
+
+    if is_coveragejson(payload):
+        d = parse_coveragejson(payload)
+        return Cube(
+            parameter=d["parameter"],
+            times=d["times"],
+            ys=d["ys"],
+            xs=d["xs"],
+            values=d["values"],
+        )
     raise ValueError(f"unknown cube payload magic: {payload[:6]!r}")
 
 

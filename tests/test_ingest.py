@@ -199,19 +199,22 @@ def test_e2e_failed_fetch_never_writes_partial(spark, out_dir):
 
 
 def test_e2e_decode_failure_keeps_previous_forecast(spark, out_dir):
-    """Write-before-delete: the reference deletes the old forecast BEFORE
-    uploading (ingestor.py:199), so a decode crash mid-run loses data.
-    Here the Spark write runs first; if decode blows up inside the write
-    job, the previous forecast must still be fully readable."""
+    """Write-before-delete + decode quarantine: the reference deletes
+    the old forecast BEFORE uploading (ingestor.py:199), so a decode
+    crash mid-run loses data. Here a corrupt payload QUARANTINES its
+    parameter (failed_parameters, round-3 behavior: decode validation
+    runs before anything destructive) and the previous forecast stays
+    fully readable — no exception, no data loss."""
     cfg = IngestConfig(collection="dkss_if", parameters=("p-ok",))
     res1 = run_ingest(spark, cfg, out_dir, _make_transport_ok())
     assert res1.n_rows > 0
 
     def transport_corrupt(url: str) -> bytes:
-        return b"not-a-cube-payload"  # fetch "succeeds", decode will raise
+        return b"not-a-cube-payload"  # fetch "succeeds", decode fails
 
-    with pytest.raises(Exception):
-        run_ingest(spark, cfg, out_dir, transport_corrupt)
+    res2 = run_ingest(spark, cfg, out_dir, transport_corrupt)
+    assert res2.failed_parameters == ["p-ok"]
+    assert res2.n_partitions_written == 0
 
     import pyspark.sql.functions as F
 
