@@ -1326,3 +1326,58 @@ def ml_gbdt_histogram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("g").alias("min_grad"),
         F.max("g").alias("max_grad"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch classifier inference in logit space (quality-filter scoring)
+# --------------------------------------------------------------------------
+
+# "trained" weights in nano-units (e.g. one ml_logreg_gradient_step
+# checkpoint) — literals so both engines score identically
+_INF_W0 = -2_000_000_000  # bias
+_INF_W1 = 11_000          # per rounded price unit
+_INF_W2 = 95_000_000      # per order month
+
+
+@register(
+    "ml_logreg_inference_batch",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_INF_W0}
+                + {_INF_W1} * CAST(round(o_totalprice) AS BIGINT)
+                + {_INF_W2} * CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+             AS BIGINT) AS z_nano,
+           CASE WHEN {_INF_W0}
+                     + {_INF_W1} * CAST(round(o_totalprice) AS BIGINT)
+                     + {_INF_W2} * CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+                     > 0
+                THEN 1 ELSE 0 END AS pred,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+    FROM orders
+    """,
+    doc=(
+        "Batch classifier inference — the scoring half of the "
+        "quality-filter loop (ml_logreg_gradient_step trains, this "
+        "applies): fixed nano-unit integer weights, the linear logit "
+        "per row, and the decision sigmoid(z) > 0.5 taken EXACTLY as "
+        "z > 0 (sigmoid is monotone, so thresholding in logit space "
+        "avoids exp() and keeps the whole pass hash-exact). Pure "
+        "whole-stage-codegen expressions over one scan — at 100 TB "
+        "inference is a map-only pass at parquet scan speed, the "
+        "throughput a fasttext-style corpus quality filter needs."
+    ),
+    tags=("mllib", "training-pipeline", "orders", "scale"),
+)
+def ml_logreg_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    z = (
+        F.lit(_INF_W0)
+        + F.lit(_INF_W1) * F.round("o_totalprice").cast("long")
+        + F.lit(_INF_W2) * F.month("o_orderdate").cast("long")
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        z.alias("z_nano"),
+        (z > 0).cast("int").alias("pred"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )

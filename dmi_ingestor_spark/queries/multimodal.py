@@ -706,3 +706,68 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("energy").cast("long").alias("seg_energy"),
     )
+
+
+@register(
+    "mm_cross_modal_alignment",
+    oracle="""
+    WITH txt AS (
+      SELECT doc_id,
+             list_transform(e.embedding,
+                            x -> round(CAST(x AS DOUBLE) * 1000)) AS tv
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    img AS (
+      SELECT xor(vec_id, 1) AS doc_id,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * 1000)) AS iv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CASE WHEN sqrt(list_dot_product(t.tv,t.tv))
+                       * sqrt(list_dot_product(i.iv,i.iv)) > 0
+                  THEN list_dot_product(t.tv,i.iv)
+                       / (sqrt(list_dot_product(t.tv,t.tv))
+                          * sqrt(list_dot_product(i.iv,i.iv)))
+                  ELSE 0.0 END AS align
+      FROM txt t JOIN img i ON i.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(round(align * 1000000) AS BIGINT) AS align_micro,
+           CASE WHEN align >= 0.2 THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+    doc=(
+        "LAION/DataComp-style cross-modal alignment filtering: each "
+        "document's TEXT embedding is scored against its paired IMAGE "
+        "embedding (the XOR-1 neighbor vector stands in for the second "
+        "modality — the CLIP encoders being the stubbed codec) by "
+        "quantized-integer cosine, and rows below the alignment "
+        "threshold are dropped — the curation gate multimodal corpora "
+        "apply before training. One equi-join on the pair id plus "
+        "map-side vector math; no shuffle beyond the join. The "
+        "1e3-quantized cosine makes the score hash-exact."
+    ),
+    tags=("multimodal", "similarity", "training-pipeline"),
+)
+def mm_cross_modal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.vector import cosine, quantize
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = table(spark, sf_dir, "embeddings")
+    txt = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "doc_id", quantize(F.col("embedding")).alias("tv")
+    )
+    img = e.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+        quantize(F.col("embedding")).alias("iv"),
+    )
+    scored = txt.join(img, "doc_id").withColumn(
+        "align", cosine(F.col("tv"), F.col("iv"))
+    )
+    return scored.select(
+        "doc_id",
+        F.round(F.col("align") * 1000000).cast("long").alias("align_micro"),
+        F.when(F.col("align") >= 0.2, 1).otherwise(0).alias("keep"),
+    )
