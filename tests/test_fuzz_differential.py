@@ -576,3 +576,91 @@ def test_random_explode_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_gen_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Dimension 9: array higher-order functions (transform/filter/aggregate)
+# ---------------------------------------------------------------------------
+
+# (spark_col_builder(L, M), sql_template(L, M)) — L/M randomized per seed
+_HOF_ATOMS = [
+    (
+        lambda L, M: F.size(F.split("text", " ")).cast("long").alias("h_size"),
+        lambda L, M: "CAST(len(string_split(text, ' ')) AS BIGINT) AS h_size",
+    ),
+    (
+        lambda L, M: F.size(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > L)
+        )
+        .cast("long")
+        .alias("h_nlong"),
+        lambda L, M: (
+            f"CAST(len(list_filter(string_split(text, ' '), "
+            f"x -> length(x) > {L})) AS BIGINT) AS h_nlong"
+        ),
+    ),
+    (
+        lambda L, M: (
+            F.aggregate(
+                F.transform(F.split("text", " "), lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            % M
+        ).alias("h_summod"),
+        lambda L, M: (
+            f"CAST(list_aggregate(list_transform(string_split(text, ' '), "
+            f"x -> CAST(length(x) AS BIGINT)), 'sum') % {M} AS BIGINT) AS h_summod"
+        ),
+    ),
+    (
+        lambda L, M: F.element_at(
+            F.array_sort(F.split("text", " ")), 1
+        ).alias("h_first"),
+        lambda L, M: "list_sort(string_split(text, ' '))[1] AS h_first",
+    ),
+    (
+        lambda L, M: F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("h_ndist"),
+        lambda L, M: (
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+            " AS h_ndist"
+        ),
+    ),
+    (
+        lambda L, M: F.concat_ws(
+            "-", F.slice(F.array_sort(F.split("text", " ")), 1, 3)
+        ).alias("h_top3"),
+        lambda L, M: (
+            "array_to_string(list_slice(list_sort(string_split(text, ' ')),"
+            " 1, 3), '-') AS h_top3"
+        ),
+    ),
+]
+
+_HOF_PREDS = [
+    (lambda: F.col("doc_id") % 3 == 0, "doc_id % 3 = 0"),
+    (lambda: F.col("n_chars") > 300, "n_chars > 300"),
+    (lambda: F.col("lang") != "zh", "lang <> 'zh'"),
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_hof_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(11000 + seed)
+    L = rng.randint(2, 6)
+    M = rng.choice([97, 101, 1009])
+    atoms = rng.sample(_HOF_ATOMS, rng.randint(2, 4))
+    pred = rng.choice(_HOF_PREDS)
+
+    d = table(spark, sf_dir, "documents").filter(pred[0]())
+    sdf = d.select("doc_id", *[a(L, M) for a, _ in atoms])
+
+    cols = ", ".join(s(L, M) for _, s in atoms)
+    sql = f"SELECT doc_id, {cols} FROM documents WHERE {pred[1]}"
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_hof_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
