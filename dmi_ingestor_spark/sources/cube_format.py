@@ -67,6 +67,17 @@ def decode_cube(payload: bytes) -> Cube:
         )
     if payload[:3] == b"CDF" or payload[:4] == b"\x89HDF":
         return _decode_netcdf(payload)
+    if payload[:4] == b"GRIB":
+        from dmi_ingestor_spark.sources.grib2 import parse_grib2_cube
+
+        d = parse_grib2_cube(payload)
+        return Cube(
+            parameter=d["parameter"],
+            times=d["times"],
+            ys=d["ys"],
+            xs=d["xs"],
+            values=d["values"],
+        )
     from dmi_ingestor_spark.sources.coveragejson import (
         is_coveragejson,
         parse_coveragejson,
