@@ -1434,3 +1434,127 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_permille"),
         exact.alias("exact_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (Rabin-style rolling-hash breakpoints)
+# --------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling window
+_CDC_DIV = 64  # breakpoint divisor -> expected chunk ~64 bytes
+_CDC_B = 31
+_CDC_P = 1_000_000_007
+
+
+@register(
+    "dedup_content_defined_chunking",
+    oracle=f"""
+    WITH chunked AS (
+      SELECT doc_id, text,
+             list_prepend(CAST(0 AS BIGINT),
+               list_append(
+                 list_filter(
+                   generate_series({_CDC_W}, LENGTH(text)),
+                   i -> list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(generate_series(i - {_CDC_W - 1}, i),
+                              k -> CAST(ascii(substr(text,
+                                     CAST(k AS INTEGER), 1)) AS BIGINT))),
+                          (a, b) -> (a * {_CDC_B} + b) % {_CDC_P})
+                        % {_CDC_DIV} = 0),
+                 CAST(LENGTH(text) AS BIGINT))) AS bounds
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text,
+                        CAST(bounds[CAST(k AS INTEGER) - 1] + 1 AS INTEGER),
+                        CAST(bounds[CAST(k AS INTEGER)]
+                             - bounds[CAST(k AS INTEGER) - 1] AS INTEGER)))
+               AS chunk_md5,
+             bounds[CAST(k AS INTEGER)]
+               - bounds[CAST(k AS INTEGER) - 1] AS chunk_len
+      FROM chunked,
+           UNNEST(generate_series(2, len(bounds))) AS u(k)
+      WHERE bounds[CAST(k AS INTEGER)] > bounds[CAST(k AS INTEGER) - 1]
+    )
+    SELECT
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+      CAST((1000 * COUNT(DISTINCT chunk_md5)) // COUNT(*) AS BIGINT)
+        AS unique_permille,
+      CAST(MAX(chunk_len) AS BIGINT) AS max_chunk_len,
+      CAST(SUM(chunk_len) AS BIGINT) AS total_bytes
+    FROM chunks
+    """,
+    doc=(
+        "Content-defined chunking (Rabin-style: a chunk boundary falls "
+        "wherever the w=8 rolling polynomial hash is 0 mod 64) plus the "
+        "corpus-level chunk-dedup readout — the storage/dedup primitive "
+        "behind rsync, backup dedup stores, and shift-resistant corpus "
+        "near-dup detection (an insertion only perturbs chunks around "
+        "it, unlike fixed-size blocks where everything downstream "
+        "shifts). Boundaries, chunk slicing, and md5s all evaluate "
+        "MAP-SIDE as nested higher-order functions (the per-position "
+        "window fold is the same Rabin-Karp arithmetic as "
+        "text_fingerprint); the only shuffles are the distinct-hash "
+        "counts of the summary. Fully hash-checked against the same "
+        "nested list comprehension in DuckDB."
+    ),
+    tags=("dedup", "chunking", "scale"),
+)
+def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    text = F.col("text")
+    win_hash = lambda i: (
+        F.aggregate(
+            F.sequence(i - (_CDC_W - 1), i),
+            F.lit(0).cast("long"),
+            lambda a, k: (a * _CDC_B + F.ascii(F.substring(text, k, 1)))
+            % _CDC_P,
+        )
+    )
+    breaks = F.filter(
+        F.sequence(F.lit(_CDC_W), F.length(text)),
+        lambda i: win_hash(i) % _CDC_DIV == 0,
+    )
+    bounds = F.concat(
+        F.array(F.lit(0).cast("int")),
+        breaks,
+        F.array(F.length(text)),
+    )
+    chunked = d.select("doc_id", text.alias("text"), bounds.alias("bounds"))
+    # chunk slicing as one SQL-HOF expression (F.substring's Python
+    # signature doesn't take lambda-bound Column offsets)
+    chunks = chunked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(transform(sequence(2, size(bounds)),"
+                " k -> struct(bounds[k-2] AS lo, bounds[k-1] AS hi)),"
+                " p -> p.hi > p.lo),"
+                " p -> struct(md5(cast(substring(text, p.lo + 1, p.hi - p.lo)"
+                " as binary)) AS m, cast(p.hi - p.lo as bigint) AS l))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.m").alias("chunk_md5"), F.col("c.l").alias("chunk_len"))
+    num = 1000 * F.col("n_distinct_chunks")
+    den = F.col("n_chunks")
+    return (
+        chunks.agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_md5").cast("long").alias("n_distinct_chunks"),
+            F.max("chunk_len").cast("long").alias("max_chunk_len"),
+            F.sum("chunk_len").cast("long").alias("total_bytes"),
+        )
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            ((num - num % den) / den).cast("long").alias("unique_permille"),
+            "max_chunk_len",
+            "total_bytes",
+        )
+    )

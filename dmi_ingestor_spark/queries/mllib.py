@@ -1381,3 +1381,81 @@ def ml_logreg_inference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z > 0).cast("int").alias("pred"),
         (F.col("o_orderstatus") == "F").cast("int").alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mean reciprocal rank (search / recommender ranking eval)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_mrr_ranking_eval",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+             ) AS rk
+      FROM events
+    ),
+    first_hit AS (
+      SELECT user_id, MIN(rk) AS hit_rank
+      FROM ranked WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    users AS (SELECT DISTINCT user_id FROM events)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(COUNT(f.hit_rank) AS BIGINT) AS n_with_hit,
+      CAST(SUM(COALESCE(1000000 // f.hit_rank, 0)) AS BIGINT)
+        AS sum_rr_micro,
+      CAST(SUM(CASE WHEN f.hit_rank <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS hits_at_5
+    FROM users u LEFT JOIN first_hit f ON f.user_id = u.user_id
+    """,
+    doc=(
+        "Mean-reciprocal-rank / hit-rate ranking evaluation: per user, "
+        "events rank by engagement value (deterministic tiebreak) as "
+        "the 'retrieved list', the first purchase is the relevant hit, "
+        "and the metrics are the exact integer micro reciprocal ranks "
+        "plus hits@5 — MRR kept as a truncating rational (1e6 // rank) "
+        "so no logs/floats enter (the NDCG discount's log2 would "
+        "diverge cross-engine in the last ulp; RR carries the same "
+        "signal exactly). Per-user windows partition by user — "
+        "embarrassingly parallel — and the readout is one bounded "
+        "summary row. The offline eval every retrieval/recsys change "
+        "ships with."
+    ),
+    tags=("mllib", "ranking", "events"),
+)
+def ml_mrr_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("long").desc(), "event_id"
+    )
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    first_hit = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("hit_rank"))
+    )
+    users = ev.select("user_id").distinct()
+    j = users.join(first_hit, "user_id", "left")
+    rr = F.when(
+        F.col("hit_rank").isNotNull(),
+        (
+            (F.lit(1000000) - F.lit(1000000) % F.col("hit_rank"))
+            / F.col("hit_rank")
+        ).cast("long"),
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("hit_rank").cast("long").alias("n_with_hit"),
+        F.sum(rr).cast("long").alias("sum_rr_micro"),
+        F.sum((F.col("hit_rank") <= 5).cast("long"))
+        .cast("long")
+        .alias("hits_at_5"),
+    )
