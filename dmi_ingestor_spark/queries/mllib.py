@@ -1459,3 +1459,59 @@ def ml_mrr_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hits_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-model feature contributions (explainability as a query)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_linear_contributions",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey,
+             CAST({_INF_W1} * CAST(round(o_totalprice) AS BIGINT) AS BIGINT)
+               AS c_price,
+             CAST({_INF_W2} * CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+                  AS BIGINT) AS c_month,
+             CAST({_INF_W0} AS BIGINT) AS c_bias
+      FROM orders
+    )
+    SELECT o_orderkey, c_bias, c_price, c_month,
+           CAST(c_bias + c_price + c_month AS BIGINT) AS z_nano,
+           CASE WHEN ABS(c_price) >= ABS(c_month) THEN 'price'
+                ELSE 'month' END AS top_feature
+    FROM scored
+    """,
+    doc=(
+        "Per-row feature contributions for the linear quality filter — "
+        "for a linear model the exact (Shapley-consistent) attribution "
+        "of the score IS w_i * x_i, so explainability is pure codegen "
+        "arithmetic: each row carries its bias/price/month nano-unit "
+        "contributions, their sum (the logit "
+        "ml_logreg_inference_batch thresholds), and the dominant "
+        "feature. The audit surface a filtered-corpus review needs — "
+        "'WHY was this document dropped' — at scan speed, no model "
+        "server."
+    ),
+    tags=("mllib", "explainability", "orders", "scale"),
+)
+def ml_linear_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c_price = (F.lit(_INF_W1) * F.round("o_totalprice").cast("long")).cast(
+        "long"
+    )
+    c_month = (F.lit(_INF_W2) * F.month("o_orderdate").cast("long")).cast(
+        "long"
+    )
+    return o.select(
+        "o_orderkey",
+        F.lit(_INF_W0).cast("long").alias("c_bias"),
+        c_price.alias("c_price"),
+        c_month.alias("c_month"),
+        (F.lit(_INF_W0) + c_price + c_month).cast("long").alias("z_nano"),
+        F.when(F.abs(c_price) >= F.abs(c_month), "price")
+        .otherwise("month")
+        .alias("top_feature"),
+    )

@@ -2026,3 +2026,159 @@ def lake_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced training-shard assignment (token-weighted round robin)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+
+@register(
+    "pipeline_shard_balanced",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT CAST((rn - 1) % {_SHARD_N} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc=(
+        "Balanced training-shard assignment: documents rank by token "
+        "count (size-descending, deterministic tiebreak) via the "
+        "sharded-rank operator, then deal round-robin into 8 shards — "
+        "the sorted-greedy guarantee that shard token totals differ by "
+        "at most one max-document, which is what keeps 1000 data-"
+        "loader workers finishing together instead of straggling on a "
+        "fat shard. The exact rank never funnels through one task "
+        "(operators/ranks.py), the deal is map-side modulo arithmetic, "
+        "and the per-shard summary is one bounded aggregate."
+    ),
+    tags=("training-pipeline", "documents", "scale"),
+)
+def pipeline_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    ranked, _n = sharded_row_number(
+        d, [F.col("n_tokens").desc(), F.col("doc_id")], out="rn"
+    )
+    return (
+        ranked.withColumn(
+            "shard", ((F.col("rn") - 1) % _SHARD_N).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.min("n_tokens").alias("min_doc_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation (header vs detail rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_cross_table_reconciliation",
+    oracle="""
+    WITH detail AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS line_total_c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_c,
+             COALESCE(d.line_total_c, 0) AS detail_c
+      FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+    ),
+    bucketed AS (
+      SELECT *,
+             CASE
+               WHEN detail_c = 0 THEN 'no_detail'
+               WHEN header_c = detail_c THEN 'exact'
+               WHEN ABS(header_c - detail_c) * 100 <= header_c THEN 'within_1pct'
+               ELSE 'mismatch'
+             END AS recon_class
+      FROM joined
+    )
+    SELECT recon_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(header_c) AS BIGINT) AS header_total_c,
+           CAST(SUM(detail_c) AS BIGINT) AS detail_total_c,
+           CAST(SUM(ABS(header_c - detail_c)) AS BIGINT) AS abs_gap_c
+    FROM bucketed
+    GROUP BY recon_class
+    """,
+    doc=(
+        "Header-vs-detail reconciliation — the finance/DQ control that "
+        "runs nightly on every order-management warehouse: roll the "
+        "line items up per order, join against the header amount, and "
+        "bucket each order as exact / within-1% / mismatch / "
+        "no-detail, with integer-cent gap totals per class. One detail "
+        "aggregate + one left join + one bounded summary; at 100 TB "
+        "both sides shuffle on the order key exactly once. The "
+        "companion to dq_referential_integrity (existence) — this one "
+        "reconciles AMOUNTS."
+    ),
+    tags=("pipeline", "dq", "orders", "lineitem"),
+)
+def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("line_total_c")
+    )
+    joined = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_c"),
+    ).join(detail, o["o_orderkey"] == detail["l_orderkey"], "left").select(
+        "o_orderkey",
+        "header_c",
+        F.coalesce(F.col("line_total_c"), F.lit(0)).alias("detail_c"),
+    )
+    recon = (
+        F.when(F.col("detail_c") == 0, "no_detail")
+        .when(F.col("header_c") == F.col("detail_c"), "exact")
+        .when(
+            F.abs(F.col("header_c") - F.col("detail_c")) * 100
+            <= F.col("header_c"),
+            "within_1pct",
+        )
+        .otherwise("mismatch")
+    )
+    return (
+        joined.withColumn("recon_class", recon)
+        .groupBy("recon_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("header_c").cast("long").alias("header_total_c"),
+            F.sum("detail_c").cast("long").alias("detail_total_c"),
+            F.sum(F.abs(F.col("header_c") - F.col("detail_c")))
+            .cast("long")
+            .alias("abs_gap_c"),
+        )
+    )
