@@ -945,3 +945,85 @@ def join_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "event_id",
     ).select("event_id", "user_id", "purchase_id", "p_ts")
+
+
+# -- interval-overlap DURATION aggregation ----------------------------------
+
+
+@register(
+    "join_overlap_duration_billing",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_id,
+             ts AS s_start,
+             ts + INTERVAL 30 MINUTE AS s_end
+      FROM events WHERE event_type = 'click'
+    ),
+    promo AS (
+      SELECT event_id AS promo_id, user_id AS p_user,
+             ts AS p_start,
+             ts + INTERVAL 45 MINUTE AS p_end
+      FROM events WHERE event_type = 'view'
+    ),
+    ovl AS (
+      SELECT s.user_id, s.event_id, p.promo_id,
+             CAST((epoch_us(LEAST(s.s_end, p.p_end))
+                   - epoch_us(GREATEST(s.s_start, p.p_start))) // 1000000
+                  AS BIGINT) AS overlap_s
+      FROM sess s JOIN promo p
+        ON p.p_user = s.user_id
+       AND p.p_start < s.s_end AND s.s_start < p.p_end
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(SUM(overlap_s) AS BIGINT) AS total_overlap_s,
+           CAST(MAX(overlap_s) AS BIGINT) AS max_overlap_s
+    FROM ovl
+    GROUP BY user_id
+    """,
+    doc=(
+        "Interval-overlap DURATION aggregation — not just WHICH "
+        "intervals intersect (join_interval_overlap) but for HOW LONG: "
+        "per user, click-sessions (30 min) against promo-view windows "
+        "(45 min), overlap seconds = least(ends) - greatest(starts), "
+        "summed per user — the billing/attribution/exposure "
+        "computation behind ad-viewability and on-call-overlap "
+        "reports. The range predicate rides on the user_id equi-join "
+        "(per-key blowup only), and epoch-second arithmetic keeps the "
+        "durations integer-exact."
+    ),
+    tags=("join", "interval", "events"),
+)
+def join_overlap_duration_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sess = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+    )
+    promo = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("promo_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTE")).alias("p_end"),
+    )
+    j = sess.join(
+        promo,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_start") < F.col("s_end"))
+        & (F.col("s_start") < F.col("p_end")),
+    )
+    overlap_us = F.unix_micros(
+        F.least("s_end", "p_end").cast("timestamp")
+    ) - F.unix_micros(F.greatest("s_start", "p_start").cast("timestamp"))
+    overlap_s = ((overlap_us - overlap_us % 1000000) / 1000000).cast("long")
+    return (
+        j.withColumn("overlap_s", overlap_s)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlapping_pairs"),
+            F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+            F.max("overlap_s").cast("long").alias("max_overlap_s"),
+        )
+    )

@@ -538,3 +538,56 @@ def analytics_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bounce_permille"),
     )
+
+
+@register(
+    "st_trending_topk_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY win_start ORDER BY n DESC, event_type
+             ) AS rk
+      FROM w
+    )
+    SELECT win_start, event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+    doc=(
+        "St1-family trending top-k: per tumbling hour, the 3 busiest "
+        "event types by count (deterministic tie-break) — the "
+        "'trending now' widget every event platform ships. Batch twin "
+        "of the streaming form (the same window()+rank expressions "
+        "under a watermark; in streaming the rank runs per finalized "
+        "window in foreachBatch, exactly how st_foreachbatch_upsert "
+        "executes). Window partitions by win_start — parallel across "
+        "windows, top-k inside each is a bounded sort."
+    ),
+    tags=("streaming", "window", "events"),
+)
+def st_trending_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("win_start"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        w.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", "rk")
+    )
