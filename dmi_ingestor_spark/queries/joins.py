@@ -1027,3 +1027,52 @@ def join_overlap_duration_billing(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("overlap_s").cast("long").alias("max_overlap_s"),
         )
     )
+
+
+# -- eager aggregation (partial agg pushed below the join) ------------------
+
+
+@register(
+    "join_eager_aggregation_rewrite",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    doc=(
+        "Eager aggregation (a.k.a. partial group-by pushdown, Yan & "
+        "Larson VLDB'95): the semantic query is join-then-aggregate, "
+        "but because the final keys come from the DIMENSION and the "
+        "measures from the FACT, the fact legally pre-aggregates to "
+        "customer grain BEFORE the join — the join input shrinks from "
+        "|orders| to |customers| and the measures roll up after. The "
+        "oracle states the naive join-then-agg; the hash match proves "
+        "the rewrite's algebra (COUNT becomes SUM of partial counts). "
+        "Catalyst does not apply this rewrite itself, so at 100 TB "
+        "doing it by hand is a first-order shuffle saving on every "
+        "star-schema rollup whose group keys are dimension attributes."
+    ),
+    tags=("join", "aggregation", "rewrite", "scale"),
+)
+def join_eager_aggregation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pre = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("pn"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("prev_c"),
+    )
+    return (
+        pre.join(c, pre["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.sum("prev_c").cast("long").alias("revenue_c"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1515,3 +1515,83 @@ def ml_linear_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("month")
         .alias("top_feature"),
     )
+
+
+# --------------------------------------------------------------------------
+# Learning-curve subsampling (deterministic nested fractions)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_learning_curve_subsample",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label,
+             CASE WHEN {_INF_W0}
+                       + {_INF_W1} * CAST(round(o_totalprice) AS BIGINT)
+                       + {_INF_W2} * CAST(EXTRACT(MONTH FROM o_orderdate)
+                                          AS BIGINT) > 0
+                  THEN 1 ELSE 0 END AS pred,
+             CAST('0x' || substr(md5('lc-' || CAST(o_orderkey AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 100 AS h_pct
+      FROM orders
+    ),
+    fr(pct) AS (VALUES (10), (25), (50), (100))
+    SELECT CAST(fr.pct AS BIGINT) AS pct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h.label) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN h.pred = h.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM fr JOIN h ON h.h_pct < fr.pct
+    GROUP BY fr.pct
+    """,
+    doc=(
+        "Learning-curve evaluation over NESTED deterministic "
+        "subsamples: the md5-hash percentile makes the 10% sample a "
+        "strict subset of the 25%, of the 50%, of the full set (the "
+        "property a curve needs — each point adds data, never swaps "
+        "it), and per fraction the fixed classifier's accuracy counts "
+        "reduce exactly. The 'is more data still buying accuracy' "
+        "readout that sizes both corpus-collection budgets and "
+        "training-token budgets; one scan joined to a 4-row literal "
+        "fraction table, everything integer."
+    ),
+    tags=("mllib", "training-pipeline", "orders", "scale"),
+)
+def ml_learning_curve_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    z = (
+        F.lit(_INF_W0)
+        + F.lit(_INF_W1) * F.round("o_totalprice").cast("long")
+        + F.lit(_INF_W2) * F.month("o_orderdate").cast("long")
+    )
+    h_pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lc-"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    h = o.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        (z > 0).cast("int").alias("pred"),
+        h_pct.alias("h_pct"),
+    )
+    fr = o.sparkSession.createDataFrame([(10,), (25,), (50,), (100,)], "pct int")
+    return (
+        h.join(F.broadcast(fr), F.col("h_pct") < F.col("pct"))
+        .groupBy(F.col("pct").cast("long").alias("pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum((F.col("pred") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
