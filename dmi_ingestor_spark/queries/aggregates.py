@@ -2804,3 +2804,65 @@ def ts_seasonal_decompose_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("deseasonalized"),
         )
     )
+
+
+@register(
+    "agg_histogram_log_bins",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS v FROM orders
+    ),
+    binned AS (
+      SELECT v,
+             CASE WHEN v <= 0 THEN -1
+                  ELSE LENGTH(bin(v)) - 1 END AS log2_bin
+      FROM t
+    )
+    SELECT CAST(log2_bin AS BIGINT) AS log2_bin,
+           CAST(1::BIGINT << CAST(GREATEST(log2_bin, 0) AS INTEGER) AS BIGINT)
+             AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM binned
+    GROUP BY log2_bin
+    ORDER BY log2_bin
+    """,
+    doc=(
+        "Power-of-two (log2-spaced) histogram of order values — the "
+        "bucket scheme every latency/size observability system uses "
+        "(HdrHistogram-lite): the bin index floor(log2(v)) computes "
+        "EXACTLY as the bit length of the integer (LENGTH(bin(v))-1 on "
+        "both engines), so no float log enters and the histogram is "
+        "hash-checked. Map-side bin + one bounded aggregate (at most "
+        "64 bins regardless of input size) — the O(1)-state "
+        "alternative to exact equi-frequency binning when only the "
+        "distribution's shape matters at 100 TB."
+    ),
+    tags=("agg", "histogram", "scale"),
+)
+def agg_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v = F.round("o_totalprice").cast("long")
+    log2_bin = F.when(v <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(v)) - 1
+    ).cast("long")
+    return (
+        o.select(v.alias("v"), log2_bin.alias("log2_bin"))
+        .groupBy("log2_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .select(
+            "log2_bin",
+            F.expr(
+                "shiftleft(cast(1 as bigint), int(greatest(log2_bin, 0)))"
+            ).alias("bin_lo"),
+            "n",
+            "min_v",
+            "max_v",
+        )
+        .orderBy("log2_bin")
+    )
