@@ -654,3 +654,297 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (integer-scaled, unrolled, fixed rescale)
+# --------------------------------------------------------------------------
+
+_HITS_S = 10**9  # score scale: survives the ~|V|x per-round decay of fixed rescale
+_HITS_W = 10**6  # per-graph normalized edge weight scale
+_HITS_OUT = 10**5  # final presentation scale (normalized by max once)
+
+
+def _hits_oracle() -> str:
+    head = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ), wt AS (SELECT SUM(w) AS w_total FROM edges),
+    e AS MATERIALIZED (
+      SELECT src, dst, (w * {_HITS_W}) // wt.w_total AS wn
+      FROM edges CROSS JOIN wt
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e
+    ),
+    h0 AS (SELECT node, CAST({_HITS_S} AS BIGINT) AS h FROM nodes)"""
+    rounds = []
+    for k in range(2):
+        rounds.append(
+            f""", a{k + 1} AS MATERIALIZED (
+      SELECT n.node, COALESCE(r.a, 0) AS a FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(e.wn * h{k}.h) // {_HITS_W} AS a
+        FROM e JOIN h{k} ON e.src = h{k}.node GROUP BY e.dst
+      ) r ON n.node = r.node
+    ), h{k + 1} AS MATERIALIZED (
+      SELECT n.node, COALESCE(r.h, 0) AS h FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(e.wn * a{k + 1}.a) // {_HITS_W} AS h
+        FROM e JOIN a{k + 1} ON e.dst = a{k + 1}.node GROUP BY e.src
+      ) r ON n.node = r.node
+    )"""
+        )
+    tail = f"""
+    SELECT n.node AS nationkey,
+           CAST((h2.h * {_HITS_OUT}) // (SELECT MAX(h) FROM h2) AS BIGINT)
+             AS hub_scaled,
+           CAST((a2.a * {_HITS_OUT}) // (SELECT MAX(a) FROM a2) AS BIGINT)
+             AS auth_scaled
+    FROM nodes n
+    JOIN h2 ON n.node = h2.node JOIN a2 ON n.node = a2.node
+    ORDER BY nationkey"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_hits_oracle(),
+    doc=(
+        "HITS hubs-and-authorities over the directed nation trade "
+        "graph (customer-nation buys from supplier-nation), 2 "
+        "mutual-reinforcement rounds. Authority pull and hub push are "
+        "each ONE equi-join + grouped integer sum on the aggregated "
+        "|V|x|V|-bounded graph; every round rescales by the FIXED "
+        "edge-weight scale (floor-div by 1e6) instead of a per-round "
+        "max aggregate — HITS scores are defined up to scale, and the "
+        "fixed divisor keeps the iteration a pure broadcast-join "
+        "chain with NO mid-round aggregation barrier (the per-round "
+        "max variant costs an extra job + broadcast per round and "
+        "recomputation-prone branching plans). Max-normalization to "
+        "1e5 happens once at the end for presentation. All-integer "
+        "scaled arithmetic = bit-exact vs the unrolled CTE oracle, "
+        "like graph_pagerank_trade. Scale shape: the only corpus-"
+        "sized work is the edge build (fact-fact join, dims "
+        "broadcast); K rounds touch only the nation-level summary."
+    ),
+    tags=("graph", "iterative", "scale"),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # cache the edge build: wn normalization, both per-round joins and
+    # the node set all branch from it (pagerank pattern)
+    edges = edges.cache()
+    wt = edges.agg(F.sum("w").alias("w_total"))
+    e = edges.crossJoin(F.broadcast(wt)).select(
+        "src", "dst", F.expr(f"(w * {_HITS_W}) div w_total").alias("wn")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().cache()
+    )
+    h = nodes.select("node", F.lit(_HITS_S).cast("long").alias("h"))
+    a = None
+    for _ in range(2):
+        a_raw = (
+            e.join(F.broadcast(h.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr(f"SUM(wn * h) div {_HITS_W}").alias("ar"))
+        )
+        a = nodes.join(F.broadcast(a_raw), "node", "left").select(
+            "node", F.coalesce(F.col("ar"), F.lit(0)).alias("a")
+        )
+        h_raw = (
+            e.join(F.broadcast(a.withColumnRenamed("node", "dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.expr(f"SUM(wn * a) div {_HITS_W}").alias("hr"))
+        )
+        h = nodes.join(F.broadcast(h_raw), "node", "left").select(
+            "node", F.coalesce(F.col("hr"), F.lit(0)).alias("h")
+        )
+    # single end-of-iteration normalization to the presentation scale
+    a = a.cache()
+    h = h.cache()
+    mx = (
+        h.agg(F.max("h").alias("hmx"))
+        .crossJoin(a.agg(F.max("a").alias("amx")))
+    )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("node").alias("nationkey"),
+            F.expr(f"CAST((h * {_HITS_OUT}) div hmx AS BIGINT)").alias("hub_scaled"),
+            F.expr(f"CAST((a * {_HITS_OUT}) div amx AS BIGINT)").alias("auth_scaled"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link prediction: Jaccard + resource-allocation over common neighbors
+# --------------------------------------------------------------------------
+
+_LP_S = 10**12
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH dir_e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    und0 AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+      FROM dir_e GROUP BY u, v
+    ),
+    tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM und0),
+    und AS MATERIALIZED (
+      SELECT u, v FROM und0 CROSS JOIN tot WHERE w * ne >= tw
+    ),
+    nbr AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM und
+      UNION ALL SELECT v, u FROM und
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+    wedge AS (
+      SELECT n1.nb AS a, n2.nb AS b, n1.node AS z
+      FROM nbr n1 JOIN nbr n2 ON n1.node = n2.node AND n1.nb < n2.nb
+    ),
+    cand AS (
+      SELECT w.a, w.b,
+             COUNT(*) AS cn,
+             SUM({_LP_S} // dz.d) AS ra_scaled
+      FROM wedge w JOIN deg dz ON w.z = dz.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und WHERE und.u = w.a AND und.v = w.b
+      )
+      GROUP BY w.a, w.b
+    )
+    SELECT c.a, c.b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           CAST(da.d + db.d - c.cn AS BIGINT) AS union_neighbors,
+           CAST((c.cn * {_LP_S}) // (da.d + db.d - c.cn) AS BIGINT)
+             AS jaccard_scaled,
+           CAST(c.ra_scaled AS BIGINT) AS ra_scaled
+    FROM cand c
+    JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
+    ORDER BY a, b
+    """,
+    doc=(
+        "Link prediction on the undirected nation co-trade graph: for "
+        "every NON-adjacent pair with at least one common neighbor, "
+        "Jaccard neighbor overlap and the resource-allocation index "
+        "(sum of 1/deg over common neighbors) as 1e12-scaled integers "
+        "— both classic similarity-based link predictors, bit-exact "
+        "from pure integer arithmetic. Candidate pairs come from "
+        "WEDGE enumeration (join the adjacency list to itself on the "
+        "shared center, a < b), so cost is sum(deg^2) over the "
+        "aggregated graph — never all-pairs over vertices — and "
+        "existing edges are removed with an anti-join. The same "
+        "candidates-by-wedge shape the triangle counter uses, here "
+        "producing the complement set. The graph is sparsified to "
+        "above-mean-weight edges first (integer cross-compare against "
+        "a broadcast 1-row total), so the prediction target is the "
+        "meaningful missing-strong-tie set, not the complement of a "
+        "complete graph."
+    ),
+    tags=("graph", "link-prediction", "scale"),
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dir_e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und0 = (
+        dir_e.groupBy(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    und = (
+        und0.crossJoin(F.broadcast(tot))
+        # keep only above-mean-weight edges (integer cross-compare, no
+        # doubles): sparsifies the co-trade graph so a non-adjacent
+        # candidate set exists at every SF
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("u", "v")
+        .localCheckpoint(eager=False)
+    )
+    nbr = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select(F.col("node").alias("z"), F.col("nb").alias("a"))
+    n2 = nbr.select(F.col("node").alias("z"), F.col("nb").alias("b"))
+    wedge = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
+    cand = (
+        wedge.join(
+            und,
+            (wedge.a == und.u) & (wedge.b == und.v),
+            "left_anti",
+        )
+        .join(deg.withColumnRenamed("node", "z"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr(f"{_LP_S} div d")).alias("ra_scaled"),
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            (F.col("da") + F.col("db") - F.col("cn"))
+            .cast("long")
+            .alias("union_neighbors"),
+            F.expr(f"(cn * {_LP_S}) div (da + db - cn)")
+            .cast("long")
+            .alias("jaccard_scaled"),
+            F.col("ra_scaled").cast("long").alias("ra_scaled"),
+        )
+        .orderBy("a", "b")
+    )

@@ -1595,3 +1595,332 @@ def ml_learning_curve_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking eval: NDCG with harmonic (1/rank) discount, all-integer
+# --------------------------------------------------------------------------
+
+_NDCG_SCALE = 10**12
+_NDCG_RATIO_SCALE = 10**5  # dcg_scaled tops out ~9e12; x1e5 stays in int64
+_NDCG_K = 10
+
+
+@register(
+    "ml_ndcg_ranking_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                  WHEN 'click' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS pos
+      FROM events
+    ),
+    topk AS (SELECT * FROM ranked WHERE pos <= {_NDCG_K}),
+    ideal AS (
+      SELECT user_id, rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY rel DESC, pos
+             ) AS ipos
+      FROM ranked
+    ),
+    dcg AS (
+      SELECT user_id,
+             SUM((rel * {_NDCG_SCALE}) // pos) AS dcg_scaled
+      FROM topk GROUP BY user_id
+    ),
+    idcg AS (
+      SELECT user_id,
+             SUM((rel * {_NDCG_SCALE}) // ipos) AS idcg_scaled
+      FROM ideal WHERE ipos <= {_NDCG_K} GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(d.dcg_scaled AS BIGINT) AS dcg_scaled,
+           CAST(i.idcg_scaled AS BIGINT) AS idcg_scaled,
+           CAST(CASE WHEN i.idcg_scaled > 0
+                THEN (d.dcg_scaled * {_NDCG_RATIO_SCALE}) // i.idcg_scaled
+                ELSE 0 END AS BIGINT) AS ndcg_scaled
+    FROM dcg d JOIN idcg i USING (user_id)
+    ORDER BY user_id
+    """,
+    doc=(
+        "Ranking-quality eval for a retrieval/recommender pipeline: "
+        "NDCG@10 per user with the harmonic 1/rank discount variant, "
+        "graded relevance from the event taxonomy (purchase=3, "
+        "signup=2, click=1). Kept ALL-INTEGER (gains scaled by 1e12, "
+        "floor-divided by rank, integer-summed) so the iterative-free "
+        "metric is bit-exact across engines — the same scaled-integer "
+        "discipline as graph_pagerank_trade. The ideal ranking "
+        "re-ranks the user's own candidate set by relevance, so "
+        "ndcg=SCALE means 'value ordering agrees with relevance "
+        "ordering'. Scale shape: two windows over the same "
+        "user-partitioned shuffle + one per-user aggregate; no "
+        "cross-user state, embarrassingly parallel at 100 TB."
+    ),
+    tags=("mllib", "ranking", "events"),
+)
+def ml_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    ranked = ev.select(
+        "user_id",
+        rel.alias("rel"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id")))
+        .alias("pos"),
+    )
+    ideal = ranked.select(
+        "user_id",
+        "rel",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("rel"), F.asc("pos")))
+        .alias("ipos"),
+    )
+    dcg = (
+        ranked.filter(F.col("pos") <= _NDCG_K)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(f"(rel * {_NDCG_SCALE}) div pos")).alias("dcg_scaled")
+        )
+    )
+    idcg = (
+        ideal.filter(F.col("ipos") <= _NDCG_K)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(f"(rel * {_NDCG_SCALE}) div ipos")).alias("idcg_scaled")
+        )
+    )
+    return (
+        dcg.join(idcg, "user_id")
+        .select(
+            "user_id",
+            F.col("dcg_scaled").cast("long").alias("dcg_scaled"),
+            F.col("idcg_scaled").cast("long").alias("idcg_scaled"),
+            F.when(
+                F.col("idcg_scaled") > 0,
+                F.expr(f"(dcg_scaled * {_NDCG_RATIO_SCALE}) div idcg_scaled"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ndcg_scaled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes training (exact sufficient statistics)
+# --------------------------------------------------------------------------
+
+_NB_SCALE = 10**12
+
+
+@register(
+    "ml_naive_bayes_train",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+    by_lang AS (SELECT lang, COUNT(*) AS lang_total FROM toks GROUP BY lang),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY lang, token
+    ),
+    grid AS (
+      SELECT l.lang, t.token, l.lang_total, v.v,
+             COALESCE(c.c, 0) AS c
+      FROM by_lang l
+      CROSS JOIN (SELECT DISTINCT token FROM toks) t
+      CROSS JOIN vocab v
+      LEFT JOIN counts c ON c.lang = l.lang AND c.token = t.token
+    )
+    SELECT lang, token,
+           CAST(c AS BIGINT) AS token_count,
+           CAST(((c + 1) * {_NB_SCALE}) // (lang_total + v) AS BIGINT)
+             AS prob_scaled,
+           round(ln(CAST(c + 1 AS DOUBLE) / (lang_total + v)), 6) AS loglik
+    FROM grid
+    ORDER BY lang, token
+    """,
+    doc=(
+        "Multinomial Naive Bayes TRAINING as a pure aggregation: "
+        "token-given-language likelihoods with Laplace add-one "
+        "smoothing over the full (lang x vocabulary) grid, so the "
+        "model includes the zero-count cells a classifier needs at "
+        "inference. Sufficient statistics are exact integer counts; "
+        "the smoothed probability is pinned as a 1e12-scaled integer "
+        "(pure int arithmetic, bit-exact) alongside the conventional "
+        "log-likelihood (round 6). Scale: one explode + two grouped "
+        "counts; the grid is |langs| x |V| — classifier-sized, not "
+        "corpus-sized — built by crossing two broadcast-able "
+        "aggregates. The NB trainer every spam/lang/quality filter "
+        "pipeline starts from."
+    ),
+    tags=("mllib", "training-pipeline", "documents"),
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = toks.agg(F.countDistinct("token").alias("v"))
+    by_lang = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    tokens = toks.select("token").distinct()
+    grid = (
+        by_lang.crossJoin(F.broadcast(tokens))
+        .crossJoin(F.broadcast(vocab))
+        .join(counts, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            "lang_total",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    return grid.select(
+        "lang",
+        "token",
+        F.col("c").cast("long").alias("token_count"),
+        F.expr(f"((c + 1) * {_NB_SCALE}) div (lang_total + v)")
+        .cast("long")
+        .alias("prob_scaled"),
+        F.round(
+            F.log((F.col("c") + 1).cast("double") / (F.col("lang_total") + F.col("v"))),
+            6,
+        ).alias("loglik"),
+    ).orderBy("lang", "token")
+
+
+# --------------------------------------------------------------------------
+# Decision stump: exact best-split search via cumulative counts
+# --------------------------------------------------------------------------
+
+_GINI_SCALE = 10**8  # lpos*(ln-lpos)*2*SCALE <= n^2/2 * 2e8 -> safe to n ~ 9e4
+
+
+@register(
+    "ml_decision_stump_exact",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT p_size, CASE WHEN p_retailprice > 950 THEN 1 ELSE 0 END AS y
+      FROM part
+    ),
+    per_size AS (
+      SELECT p_size, COUNT(*) AS n, SUM(y) AS pos
+      FROM labeled GROUP BY p_size
+    ),
+    tot AS (SELECT SUM(n) AS n_all, SUM(pos) AS pos_all FROM per_size),
+    cum AS (
+      SELECT p_size,
+             SUM(n) OVER (ORDER BY p_size) AS ln,
+             SUM(pos) OVER (ORDER BY p_size) AS lpos
+      FROM per_size
+    ),
+    scored AS (
+      SELECT c.p_size AS threshold,
+             CAST(c.ln AS BIGINT) AS n_left,
+             CAST(c.lpos AS BIGINT) AS pos_left,
+             CAST(
+               (c.ln * ((2 * c.lpos * (c.ln - c.lpos) * {_GINI_SCALE}) // (c.ln * c.ln))
+                + (t.n_all - c.ln) *
+                  CASE WHEN t.n_all - c.ln = 0 THEN 0
+                       ELSE (2 * (t.pos_all - c.lpos)
+                             * ((t.n_all - c.ln) - (t.pos_all - c.lpos))
+                             * {_GINI_SCALE})
+                            // ((t.n_all - c.ln) * (t.n_all - c.ln)) END
+               ) // t.n_all AS BIGINT) AS gini_scaled
+      FROM cum c CROSS JOIN tot t
+      WHERE c.ln < t.n_all
+    ),
+    best AS (
+      SELECT gini_scaled AS bg, threshold AS bt
+      FROM scored ORDER BY gini_scaled, threshold LIMIT 1
+    )
+    SELECT threshold, n_left, pos_left, gini_scaled,
+           CAST(CASE WHEN gini_scaled = b.bg AND threshold = b.bt
+                THEN 1 ELSE 0 END AS BIGINT) AS is_best
+    FROM scored CROSS JOIN best b
+    ORDER BY threshold
+    """,
+    doc=(
+        "Exact decision-stump training: the full candidate-split "
+        "sweep over a feature, computed from ONE grouped count + one "
+        "cumulative window — the classic 'sort-and-scan' exact split "
+        "finder, expressed relationally so no per-threshold rescan "
+        "happens (the naive form is O(|thresholds| x |rows|); this is "
+        "O(|rows|) + O(|thresholds|) window). Weighted Gini impurity "
+        "is kept as a 1e8-scaled integer (pure int multiply/floor-div "
+        "from exact counts -> bit-exact parity); is_best marks the "
+        "argmin with a deterministic (gini, threshold) tiebreak. "
+        "Companion to ml_gbdt_histogram_build: that builds the "
+        "histograms, this finds the split."
+    ),
+    tags=("mllib", "training-pipeline", "part"),
+)
+def ml_decision_stump_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    labeled = p.select(
+        "p_size", (F.col("p_retailprice") > 950).cast("long").alias("y")
+    )
+    per_size = labeled.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_size.select(
+        "p_size",
+        F.sum("n").over(w).alias("ln"),
+        F.sum("pos").over(w).alias("lpos"),
+    )
+    tot = per_size.agg(
+        F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all")
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("ln") < F.col("n_all"))
+        .select(
+            F.col("p_size").alias("threshold"),
+            F.col("ln").cast("long").alias("n_left"),
+            F.col("lpos").cast("long").alias("pos_left"),
+            F.expr(
+                f"""CAST(
+                  (ln * ((2 * lpos * (ln - lpos) * {_GINI_SCALE}) div (ln * ln))
+                   + (n_all - ln) *
+                     CASE WHEN n_all - ln = 0 THEN 0
+                          ELSE (2 * (pos_all - lpos)
+                                * ((n_all - ln) - (pos_all - lpos))
+                                * {_GINI_SCALE})
+                               div ((n_all - ln) * (n_all - ln)) END
+                  ) div n_all AS BIGINT)"""
+            ).alias("gini_scaled"),
+        )
+    )
+    best = scored.agg(
+        F.min(F.struct("gini_scaled", "threshold")).alias("b")
+    ).select(F.col("b.gini_scaled").alias("bg"), F.col("b.threshold").alias("bt"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "threshold",
+            "n_left",
+            "pos_left",
+            "gini_scaled",
+            ((F.col("gini_scaled") == F.col("bg")) & (F.col("threshold") == F.col("bt")))
+            .cast("long")
+            .alias("is_best"),
+        )
+        .orderBy("threshold")
+    )
