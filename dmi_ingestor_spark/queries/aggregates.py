@@ -17,6 +17,7 @@ from dmi_ingestor_spark.functions.exact import (
     avg_exact,
     dec_to_double,
     sql_avg_exact,
+    sql_dec_to_double,
     sql_sum_exact,
     sum_exact,
 )
@@ -2865,4 +2866,263 @@ def agg_histogram_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_v",
         )
         .orderBy("log2_bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# SAX symbolization (PAA + gaussian breakpoints), bit-exact doubles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_sax_symbolize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS seg
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             {sql_dec_to_double("SUM(CAST(value AS DECIMAL(22,8)))")}
+               / COUNT(*) AS mu_pre,
+             {sql_dec_to_double("SUM(CAST(value AS DECIMAL(22,8)) * CAST(value AS DECIMAL(22,8)))")}
+               / COUNT(*) AS m2
+      FROM ordered GROUP BY user_id
+    ),
+    paa AS (
+      SELECT user_id, seg,
+             {sql_dec_to_double("SUM(CAST(value AS DECIMAL(22,8)))")}
+               / COUNT(*) AS paa_mean
+      FROM ordered GROUP BY user_id, seg
+    ),
+    z AS (
+      SELECT p.user_id, p.seg,
+             (p.paa_mean - s.mu_pre)
+               / sqrt(s.m2 - s.mu_pre * s.mu_pre) AS zval
+      FROM paa p JOIN stats s ON p.user_id = s.user_id
+    ),
+    sym AS (
+      SELECT user_id, seg,
+             CASE WHEN zval < -0.6745 THEN 'a'
+                  WHEN zval < 0.0 THEN 'b'
+                  WHEN zval < 0.6745 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM z
+    )
+    SELECT user_id,
+           string_agg(symbol, '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "SAX (Symbolic Aggregate approXimation) of each user's event "
+        "value series: z-normalize per series, Piecewise Aggregate "
+        "Approximation into 4 equal-count segments (ntile over the "
+        "time order), then map each segment mean to an alphabet-4 "
+        "symbol at the standard gaussian breakpoints (+-0.6745, 0). "
+        "The time-series indexing/motif primitive (Lin et al. 2003). "
+        "Bit-exact double parity WITHOUT integer scaling: all sums go "
+        "through exact decimal accumulation, and the downstream "
+        "mean/variance/sqrt/divide tree is written identically on "
+        "both engines — IEEE-754 ops (incl. sqrt) are correctly "
+        "rounded, so identical inputs + identical formula = identical "
+        "bits. Scale shape: one user-partitioned window + two grouped "
+        "aggregates; no cross-series state."
+    ),
+    tags=("timeseries", "sax", "events"),
+)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        "value",
+        F.ntile(4)
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seg"),
+    )
+    vdec = F.col("value").cast(DEC)
+    stats = ordered.groupBy("user_id").agg(
+        (dec_to_double(F.sum(vdec)) / F.count(F.lit(1))).alias("mu_pre"),
+        (dec_to_double(F.sum(vdec * vdec)) / F.count(F.lit(1))).alias("m2"),
+    )
+    paa = ordered.groupBy("user_id", "seg").agg(
+        (dec_to_double(F.sum(vdec)) / F.count(F.lit(1))).alias("paa_mean")
+    )
+    z = paa.join(stats, "user_id").select(
+        "user_id",
+        "seg",
+        (
+            (F.col("paa_mean") - F.col("mu_pre"))
+            / F.sqrt(F.col("m2") - F.col("mu_pre") * F.col("mu_pre"))
+        ).alias("zval"),
+    )
+    sym = z.select(
+        "user_id",
+        "seg",
+        F.when(F.col("zval") < -0.6745, "a")
+        .when(F.col("zval") < 0.0, "b")
+        .when(F.col("zval") < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+    return (
+        sym.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "symbol"))),
+                    lambda s: s.symbol,
+                ),
+                "",
+            ).alias("sax_word")
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: distributed build + point queries with exact audit
+# --------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 64  # counters per row
+
+
+def _cms_hash_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('cms{i}-', CAST({key} AS VARCHAR))),"
+        f" 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.i AS row_i,
+             CASE r.i
+               WHEN 0 THEN {_cms_hash_sql(0, "l_partkey")}
+               WHEN 1 THEN {_cms_hash_sql(1, "l_partkey")}
+               ELSE {_cms_hash_sql(2, "l_partkey")} END AS cell,
+             COUNT(*) AS c
+      FROM lineitem CROSS JOIN (VALUES (0), (1), (2)) r(i)
+      GROUP BY row_i, cell
+    ),
+    probes AS (
+      SELECT k.key, r.i AS row_i,
+             CASE r.i
+               WHEN 0 THEN {_cms_hash_sql(0, "k.key")}
+               WHEN 1 THEN {_cms_hash_sql(1, "k.key")}
+               ELSE {_cms_hash_sql(2, "k.key")} END AS cell
+      FROM (SELECT DISTINCT l_partkey AS key FROM lineitem
+            WHERE l_partkey <= 20) k
+      CROSS JOIN (VALUES (0), (1), (2)) r(i)
+    ),
+    est AS (
+      SELECT p.key, MIN(c.c) AS est_count
+      FROM probes p JOIN cells c
+        ON p.row_i = c.row_i AND p.cell = c.cell
+      GROUP BY p.key
+    ),
+    exact AS (
+      SELECT l_partkey AS key, COUNT(*) AS exact_count
+      FROM lineitem WHERE l_partkey <= 20 GROUP BY key
+    )
+    SELECT e.key AS partkey,
+           CAST(s.est_count AS BIGINT) AS est_count,
+           CAST(e.exact_count AS BIGINT) AS exact_count,
+           CAST(s.est_count - e.exact_count AS BIGINT) AS overestimate
+    FROM exact e JOIN est s ON e.key = s.key
+    ORDER BY partkey
+    """,
+    doc=(
+        "Count-min sketch end to end: the sketch BUILD is a "
+        "distributed grouped count over (hash-row, cell) pairs — 3 "
+        "md5-derived hash rows x 64 counters, i.e. the mergeable "
+        "192-counter summary that answers frequency queries over any "
+        "key cardinality in O(1) state; point queries take the min "
+        "over rows, audited against exact counts (overestimate >= 0 "
+        "is the CMS guarantee, and every value is hash-checked). "
+        "Scale shape: the explode is a constant x3 fan-out feeding a "
+        "partial+final aggregate onto a 192-row relation; probes join "
+        "against it broadcast. The heavy-hitter counting primitive "
+        "for corpus token/domain frequency at 100 TB."
+    ),
+    tags=("aggregate", "sketch", "lineitem", "scale"),
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def h(i: int, key) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{i}-"), F.col(key).cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"), h(i, "l_partkey").alias("cell")
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy(F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = li.filter(F.col("l_partkey") <= 20).select(
+        F.col("l_partkey").alias("key")
+    ).distinct()
+    probes = keys.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row_i"), h(i, "key").alias("cell"))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("key", F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(cells), ["row_i", "cell"])
+        .groupBy("key")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey") <= 20)
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.join(est, "key")
+        .select(
+            F.col("key").alias("partkey"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy("partkey")
     )
