@@ -452,3 +452,75 @@ def merge_upsert_pruned(
         tag="m",
         extra={"stats": {unit: {"key": key, "lo": mrow["lo"], "hi": mrow["hi"]}}},
     )
+
+
+def add_deletion_vector(
+    tx: TxLog, unit: str, positions: DataFrame, dv_name: str
+) -> int:
+    """Soft-delete ROWS of a live unit without rewriting it: record a
+    deletion vector — a parquet of 0-based row positions within the
+    unit — and attach it to the unit in the commit metadata. This is
+    the Delta Lake deletion-vectors / Iceberg position-deletes shape:
+    a delete of k rows from a multi-GB unit costs O(k) bytes, not a
+    unit rewrite; readers subtract positions at scan time.
+
+    ``positions`` must have a single long column ``pos``. A later DV
+    for the same unit REPLACES the earlier one (callers union the old
+    positions in if they want cumulative deletes, as Delta does when
+    it coalesces DVs). Removing or rewriting the unit retires the DV
+    with it (the mapping is keyed by unit)."""
+    snap = tx.snapshot()
+    if unit not in snap.add_units:
+        raise ValueError(f"unit not live: {unit!r}")
+    dv_path = f"dv/{dv_name}"
+    target = f"{tx.root}/{dv_path}"
+    fs, jpath = _fs_and_path(tx.spark, target)
+    if fs.exists(jpath):
+        raise ValueError(f"dv path already exists: {dv_path!r}")
+    positions.select(positions["pos"].cast("long").alias("pos")).write.mode(
+        "error"
+    ).parquet(target)
+    return tx.commit(
+        adds=[], removes=[], tag="d", extra={"dv": {unit: dv_path}}
+    )
+
+
+def _unit_dvs(tx: TxLog, version: int | None = None) -> dict[str, str]:
+    """unit -> latest deletion-vector path at ``version`` (log order)."""
+    dvs: dict[str, str] = {}
+    for c in tx._list_commits():
+        if version is not None and c["version"] > version:
+            break
+        for r in c.get("removes", []):
+            dvs.pop(r, None)  # retired unit retires its DV
+        dvs.update(c.get("dv", {}))
+    return dvs
+
+
+def read_with_dv(tx: TxLog, version: int | None = None) -> DataFrame:
+    """Snapshot read with deletion vectors applied: each unit scans
+    with its file-position metadata column and anti-joins its DV's
+    positions — the scan-side merge Delta/Iceberg readers do. Units
+    without a DV read untouched (no extra work); the anti-join's build
+    side is the DV, which is small by construction."""
+    from pyspark.sql import functions as F
+
+    snap = tx.snapshot(version)
+    dvs = _unit_dvs(tx, snap.version)
+    parts = []
+    for u in snap.add_units:
+        df = tx.spark.read.parquet(f"{tx.root}/{u}")
+        if u in dvs:
+            pos = tx.spark.read.parquet(f"{tx.root}/{dvs[u]}")
+            df = (
+                df.withColumn("__pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(pos), F.col("__pos") == pos["pos"], "left_anti")
+                .drop("__pos")
+            )
+        parts.append(df)
+    if not parts:
+        return tx.spark.createDataFrame([], snap.schema_ddl)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

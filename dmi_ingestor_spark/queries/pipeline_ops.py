@@ -2182,3 +2182,176 @@ def dq_cross_table_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("abs_gap_c"),
         )
     )
+
+
+@register(
+    "lake_deletion_vector_read",
+    oracle="""
+    SELECT 0 AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders
+    UNION ALL
+    SELECT 1,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 7 <> 0
+    ORDER BY phase
+    """,
+    doc=(
+        "Deletion vectors (Delta Lake DV / Iceberg position-delete "
+        "shape) through the transaction log: the table commits as ONE "
+        "sorted unit, a soft delete then writes only a parquet of row "
+        "POSITIONS (O(deleted) bytes — no unit rewrite), and the "
+        "reader subtracts positions at scan time via the file "
+        "row-index metadata column + a broadcast anti-join. Phase 0 "
+        "reads the pre-delete version (time travel past the DV), "
+        "phase 1 the post-delete snapshot; the oracle pins both "
+        "against the base table, so a green row proves position "
+        "arithmetic, DV replay order, and version scoping all "
+        "resolve exactly. The mechanism that makes GDPR-style row "
+        "deletes affordable on 100 TB immutable storage."
+    ),
+    tags=("pipeline", "lakehouse", "deletion-vectors", "orders"),
+)
+def lake_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.ingest.txlog import (
+        TxLog,
+        add_deletion_vector,
+        read_with_dv,
+    )
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-dv-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    # one deterministic-ordered file => row position == key rank
+    base = o.repartition(1).sortWithinPartitions("o_orderkey")
+    v0 = tx.append(base, "base")
+    pos = (
+        o.select(
+            "o_orderkey",
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias("pos"),
+        )
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("pos")
+    )
+    add_deletion_vector(tx, "data/base", pos, "base-dv0")
+    pre = tx.read(version=v0).agg(
+        F.lit(0).alias("phase"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    ).select("phase", "n_rows", "key_checksum")
+    post = read_with_dv(tx).agg(
+        F.lit(1).alias("phase"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    ).select("phase", "n_rows", "key_checksum")
+    return pre.unionAll(post).orderBy("phase")
+
+
+_TCLOSE_S = 10**8  # |c_cb*n_g - c_gb*n_c| <= n_c*n_g ~ 9e8 at sf0.1; x1e8 fits
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH rows_b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal) AS BIGINT) // 2000 AS band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c_cb
+      FROM rows_b GROUP BY 1, 2, 3
+    ),
+    class_n AS (
+      SELECT c_nationkey, c_mktsegment, SUM(c_cb) AS n_c
+      FROM cls GROUP BY 1, 2
+    ),
+    gdist AS (SELECT band, COUNT(*) AS c_gb FROM rows_b GROUP BY band),
+    gdist_n AS (SELECT SUM(c_gb) AS n_g FROM gdist),
+    grid AS (
+      SELECT cn.c_nationkey, cn.c_mktsegment, g.band, cn.n_c,
+             gn.n_g, g.c_gb, COALESCE(c.c_cb, 0) AS c_cb
+      FROM class_n cn
+      CROSS JOIN gdist g CROSS JOIN gdist_n gn
+      LEFT JOIN cls c
+        ON c.c_nationkey = cn.c_nationkey
+       AND c.c_mktsegment = cn.c_mktsegment
+       AND c.band = g.band
+    ),
+    tvd AS (
+      SELECT c_nationkey, c_mktsegment,
+             MAX(n_c) AS class_size,
+             (SUM(abs(c_cb * n_g - c_gb * n_c)) * {_TCLOSE_S})
+               // (2 * MAX(n_c) * MAX(n_g)) AS tvd_scaled
+      FROM grid GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(tvd_scaled AS BIGINT) AS tvd_scaled,
+           CAST(CASE WHEN tvd_scaled > {_TCLOSE_S} // 5 THEN 1 ELSE 0 END
+                AS BIGINT) AS breaches_t
+    FROM tvd
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    doc=(
+        "t-closeness audit (t=0.2) — the third rung of the "
+        "k-anonymity / l-diversity release-gate ladder: within each "
+        "quasi-identifier class, the SENSITIVE-attribute distribution "
+        "(balance band) must stay within distance t of the global "
+        "distribution, or the class itself leaks information even "
+        "when k-large and l-diverse. Distance is total variation "
+        "(the discrete special case of t-closeness' EMD), computed "
+        "ALL-INTEGER with the common-denominator trick: "
+        "|c_cb*n_g - c_gb*n_c| summed over the band grid, scaled by "
+        "1e8 and floor-divided by 2*n_c*n_g — bit-exact, no doubles. "
+        "Scale shape: class-band counts are one partial+final "
+        "aggregate; the band grid joins against two broadcast "
+        "aggregates (bands x classes is release-audit-sized)."
+    ),
+    tags=("pipeline", "privacy", "customer"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    band = F.expr("CAST(round(c_acctbal) AS BIGINT) div 2000")
+    rows_b = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    cls = rows_b.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c_cb")
+    )
+    class_n = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c_cb").alias("n_c")
+    )
+    glob = rows_b.groupBy("band").agg(F.count(F.lit(1)).alias("c_gb"))
+    glob_n = glob.agg(F.sum("c_gb").alias("n_g"))
+    grid = (
+        class_n.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(glob_n))
+        .join(cls, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "n_c",
+            "n_g",
+            "c_gb",
+            F.coalesce(F.col("c_cb"), F.lit(0)).alias("c_cb"),
+        )
+    )
+    tvd = grid.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_c").alias("class_size"),
+        F.expr(
+            f"(SUM(abs(c_cb * n_g - c_gb * n_c)) * {_TCLOSE_S})"
+            f" div (2 * MAX(n_c) * MAX(n_g))"
+        ).alias("tvd_scaled"),
+    )
+    return tvd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("tvd_scaled").cast("long").alias("tvd_scaled"),
+        (F.col("tvd_scaled") > _TCLOSE_S // 5).cast("long").alias("breaches_t"),
+    ).orderBy("c_nationkey", "c_mktsegment")

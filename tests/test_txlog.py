@@ -327,3 +327,56 @@ def test_unit_name_reuse_rejected(spark, sf_dir, tx):
     tx.append(_orders(spark, sf_dir, "F"), "batch")
     with pytest.raises(ValueError, match="already exists"):
         tx.append(_orders(spark, sf_dir, "O"), "batch")
+
+
+def test_deletion_vector_applies_and_time_travels(spark, sf_dir, tx):
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.ingest.txlog import (
+        add_deletion_vector,
+        read_with_dv,
+    )
+
+    o = _orders(spark, sf_dir, "F").select("o_orderkey")
+    base = o.repartition(1).sortWithinPartitions("o_orderkey")
+    v0 = tx.append(base, "base")
+    keys = sorted(r[0] for r in o.collect())
+    drop = {k for k in keys if k % 3 == 0}
+    pos = spark.createDataFrame(
+        [(i,) for i, k in enumerate(keys) if k in drop], "pos long"
+    )
+    add_deletion_vector(tx, "data/base", pos, "dv0")
+    # post-DV read excludes exactly the marked positions
+    got = sorted(r[0] for r in read_with_dv(tx).collect())
+    assert got == [k for k in keys if k not in drop]
+    # pre-DV version still reads everything (DV is version-scoped)
+    assert sorted(r[0] for r in read_with_dv(tx, version=v0).collect()) == keys
+
+
+def test_deletion_vector_retired_with_unit(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import (
+        add_deletion_vector,
+        read_with_dv,
+    )
+
+    o = _orders(spark, sf_dir, "F").select("o_orderkey").limit(10)
+    tx.append(o.repartition(1).sortWithinPartitions("o_orderkey"), "u1")
+    add_deletion_vector(
+        tx, "data/u1", spark.createDataFrame([(0,)], "pos long"), "dv1"
+    )
+    n_with_dv = read_with_dv(tx).count()
+    assert n_with_dv == o.count() - 1
+    # compacting rewrites the unit; the DV must NOT apply to the new unit
+    tx.compact("u2")
+    assert read_with_dv(tx).count() == o.count()
+
+
+def test_deletion_vector_requires_live_unit(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import add_deletion_vector
+
+    o = _orders(spark, sf_dir, "F").select("o_orderkey").limit(5)
+    tx.append(o, "u1")
+    with pytest.raises(ValueError, match="not live"):
+        add_deletion_vector(
+            tx, "data/nope", spark.createDataFrame([(0,)], "pos long"), "dvx"
+        )
