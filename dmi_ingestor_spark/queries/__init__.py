@@ -55,7 +55,16 @@ ml_logreg_gradient_step, graph_degree_distribution,
 window_forward_fill, analytics_new_vs_returning, ml_pr_curve_sweep,
 reshape_nested_json_flatten, analytics_basket_lift,
 text_contact_extraction, pipeline_run_manifest,
-dq_benford_first_digit.
+dq_benford_first_digit. Round-3 session additions (never-checked,
+all oracle-bearing): agg_histogram_log_bins,
+join_overlap_duration_billing, join_eager_aggregation_rewrite,
+ml_linear_contributions, ml_learning_curve_subsample,
+pipeline_shard_balanced, dq_cross_table_reconciliation,
+spatial_geohash_cells, st_trending_topk_windows,
+ml_ndcg_ranking_eval, ml_naive_bayes_train, ml_decision_stump_exact,
+graph_hits_scores, graph_jaccard_link_prediction, ts_sax_symbolize,
+agg_count_min_sketch, lake_deletion_vector_read, privacy_t_closeness,
+graph_kcore_decomposition.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401

@@ -1924,3 +1924,114 @@ def ml_decision_stump_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# --------------------------------------------------------------------------
+# Mean Average Precision @ k, all-integer
+# --------------------------------------------------------------------------
+
+_MAP_SCALE = 10**12
+_MAP_K = 10
+
+
+@register(
+    "ml_map_at_k_eval",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END
+               AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id
+             ) AS pos
+      FROM events
+    ),
+    topk AS (
+      SELECT user_id, rel, pos,
+             SUM(rel) OVER (
+               PARTITION BY user_id ORDER BY pos
+             ) AS cum_rel
+      FROM ranked WHERE pos <= {_MAP_K}
+    ),
+    ap AS (
+      SELECT user_id,
+             SUM(CASE WHEN rel = 1
+                 THEN (cum_rel * {_MAP_SCALE}) // pos ELSE 0 END) AS ap_num,
+             SUM(rel) AS r_hits
+      FROM topk GROUP BY user_id
+    ),
+    rtot AS (
+      SELECT user_id, SUM(rel) AS n_rel FROM ranked GROUP BY user_id
+    )
+    SELECT a.user_id,
+           CAST(a.r_hits AS BIGINT) AS hits_at_k,
+           CAST(r.n_rel AS BIGINT) AS n_relevant,
+           CAST(CASE WHEN LEAST(r.n_rel, {_MAP_K}) > 0
+                THEN a.ap_num // LEAST(r.n_rel, {_MAP_K}) ELSE 0 END
+                AS BIGINT) AS ap_scaled
+    FROM ap a JOIN rtot r ON a.user_id = r.user_id
+    ORDER BY a.user_id
+    """,
+    doc=(
+        "Average Precision @ 10 per user — with ml_mrr_ranking_eval "
+        "and ml_ndcg_ranking_eval this completes the standard "
+        "retrieval-eval triple. Binary relevance from the event "
+        "taxonomy; precision@k accumulates as a running-relevant "
+        "window count, AP sums precision at each hit position and "
+        "normalizes by min(R, k). All-integer (1e12-scaled floor "
+        "division of exact counts) = bit-exact parity. One "
+        "user-partitioned window pass + two per-user aggregates; "
+        "embarrassingly parallel."
+    ),
+    tags=("mllib", "ranking", "events"),
+)
+def ml_map_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    rel = F.col("event_type").isin("purchase", "signup").cast("long")
+    ranked = ev.select(
+        "user_id",
+        rel.alias("rel"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id")))
+        .alias("pos"),
+    )
+    topk = ranked.filter(F.col("pos") <= _MAP_K).select(
+        "user_id",
+        "rel",
+        "pos",
+        F.sum("rel")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum_rel"),
+    )
+    ap = topk.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr(f"(cum_rel * {_MAP_SCALE}) div pos"),
+            ).otherwise(0)
+        ).alias("ap_num"),
+        F.sum("rel").alias("r_hits"),
+    )
+    rtot = ranked.groupBy("user_id").agg(F.sum("rel").alias("n_rel"))
+    return (
+        ap.join(rtot, "user_id")
+        .select(
+            "user_id",
+            F.col("r_hits").cast("long").alias("hits_at_k"),
+            F.col("n_rel").cast("long").alias("n_relevant"),
+            F.when(
+                F.least(F.col("n_rel"), F.lit(_MAP_K)) > 0,
+                F.expr(f"ap_num div LEAST(n_rel, {_MAP_K})"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ap_scaled"),
+        )
+        .orderBy("user_id")
+    )

@@ -2355,3 +2355,66 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tvd_scaled").cast("long").alias("tvd_scaled"),
         (F.col("tvd_scaled") > _TCLOSE_S // 5).cast("long").alias("breaches_t"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "pipeline_backfill_partitions",
+    oracle="""
+    WITH dated AS (
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT CAST(event_date AS VARCHAR) AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_checksum
+    FROM dated
+    WHERE NOT (day(event_date) <= 2 AND event_type = 'error')
+    GROUP BY event_date
+    ORDER BY event_date
+    """,
+    doc=(
+        "Idempotent partition BACKFILL via dynamic partition "
+        "overwrite: the events table lands date-partitioned; a "
+        "reprocessing run then rewrites ONLY the partitions for "
+        "days 1-2 of each month (with errors scrubbed) using "
+        "partitionOverwriteMode=dynamic — Spark replaces exactly the "
+        "partitions present in the incoming frame and leaves every "
+        "other date's files untouched, which is what makes re-running "
+        "a backfill safe. The read-back per-date counts/checksums are "
+        "pinned against the base table (backfilled dates: non-error "
+        "rows; untouched dates: all rows), so a green row proves the "
+        "overwrite touched exactly the intended partitions. The "
+        "everyday 'fix yesterday's bad load without rewriting the "
+        "table' operation at 100 TB."
+    ),
+    tags=("pipeline", "backfill", "events"),
+)
+def pipeline_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="dmi-backfill-")
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("event_date"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(root)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        backfill = ev.filter(
+            (F.dayofmonth("event_date") <= 2) & (F.col("event_type") != "error")
+        )
+        backfill.write.mode("overwrite").partitionBy("event_date").parquet(root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(root)
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_checksum"),
+        )
+        .orderBy("event_date")
+    )

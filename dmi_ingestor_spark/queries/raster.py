@@ -122,3 +122,129 @@ def raster_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest.select(
         "parameter", "time_str", "width", "height", "n_bytes", "checksum", "px_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Overview-pyramid verification (the COG ladder, decoded back)
+# ---------------------------------------------------------------------------
+
+_OV_NT, _OV_NY, _OV_NX = 2, 40, 40  # >= _OVERVIEW_MIN so the writer emits level 1
+
+
+@register(
+    "raster_overview_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT (i // {_OV_NY * _OV_NX}) AS t,
+             ((i % {_OV_NY * _OV_NX}) // {_OV_NX}) AS iy,
+             (i % {_OV_NX}) AS ix,
+             CAST((i // {_OV_NY * _OV_NX}) * 10000
+                  + ((i % {_OV_NY * _OV_NX}) // {_OV_NX}) * 100
+                  + (i % {_OV_NX}) AS DOUBLE) AS v
+      FROM (SELECT unnest(generate_series(0, {_OV_NT * _OV_NY * _OV_NX - 1})) AS i)
+    ),
+    l0 AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS s
+      FROM g GROUP BY t
+    ),
+    ov AS (
+      SELECT t, iy // 2 AS oy, ix // 2 AS ox, SUM(v) / 4 AS vv
+      FROM g GROUP BY t, oy, ox
+    ),
+    l1 AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MIN(vv) AS mn, MAX(vv) AS mx, SUM(vv) AS s
+      FROM ov GROUP BY t
+    )
+    SELECT concat('ts', lpad(CAST(t AS VARCHAR), 2, '0')) AS time_str,
+           CAST(0 AS BIGINT) AS level, n_cells,
+           mn AS min_px, mx AS max_px, s AS px_sum
+    FROM l0
+    UNION ALL
+    SELECT concat('ts', lpad(CAST(t AS VARCHAR), 2, '0')), 1, n_cells,
+           mn, mx, s
+    FROM l1
+    ORDER BY time_str, level
+    """,
+    doc=(
+        "COG overview-pyramid verification end to end: a 40x40 grid "
+        "(large enough for the writer's overview ladder) is exported "
+        "per-timestep via the distributed applyInPandas rasterizer, "
+        "then each artifact is DECODED BACK from its written bytes "
+        "and per-level (full-res + 2x mean-downsampled overview) "
+        "stats are emitted. The oracle recomputes both levels from "
+        "the grid formula alone — level 1 as the 2x2-block mean — so "
+        "a green row proves the bytes embedded in the overview IFD "
+        "are exactly the reference downsample, not merely present. "
+        "All pixel values are <2^24 integers (and quarter-integers "
+        "after the mean), exactly representable in float32, so the "
+        "double stats are order-independent and hash-exact. "
+        "Reference parity: ingestor.py:76-80 emits COGs, whose "
+        "contract is precisely 'overviews included'."
+    ),
+    tags=("ingest", "raster", "reference"),
+)
+def raster_overview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from dmi_ingestor_spark.operators.raster import decode_geotiff as _dec
+
+    n_cell = _OV_NY * _OV_NX
+    grid = spark.range(_OV_NT * n_cell).select(
+        F.lit("ov-param").alias("parameter"),
+        F.concat(
+            F.lit("ts"), F.lpad((F.col("id") / n_cell).cast("long").cast("string"), 2, "0")
+        ).alias("time_str"),
+        (55.0 + 0.1 * ((F.col("id") % n_cell) / _OV_NX).cast("long")).alias("y"),
+        (11.0 + 0.1 * (F.col("id") % _OV_NX)).alias("x"),
+        (
+            (F.col("id") / n_cell).cast("long") * 10000
+            + ((F.col("id") % n_cell) / _OV_NX).cast("long") * 100
+            + (F.col("id") % _OV_NX)
+        )
+        .cast("double")
+        .alias("value"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="raster-ov-")
+    manifest = rasterize_timesteps(grid, out_dir)
+
+    def _stats(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                with open(r["path"], "rb") as fh:
+                    levels = _dec(fh.read())["levels"]
+                for lvl, arr in enumerate(levels):
+                    a8 = arr.astype("f8")
+                    rows.append(
+                        (
+                            r["time_str"],
+                            lvl,
+                            int(a8.size),
+                            float(a8.min()),
+                            float(a8.max()),
+                            float(a8.sum()),
+                        )
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "time_str",
+                    "level",
+                    "n_cells",
+                    "min_px",
+                    "max_px",
+                    "px_sum",
+                ],
+            )
+
+    return (
+        manifest.select("time_str", "path")
+        .mapInPandas(
+            _stats,
+            "time_str string, level long, n_cells long, "
+            "min_px double, max_px double, px_sum double",
+        )
+        .orderBy("time_str", "level")
+    )

@@ -796,3 +796,43 @@ def sql_api_qualify_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 2)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "sql_api_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (c_nationkey)
+           c_nationkey, c_custkey AS top_custkey,
+           c_acctbal AS top_acctbal
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
+    doc=(
+        "DISTINCT ON semantics (the Postgres/DuckDB keep-first-per-"
+        "group idiom) expressed Spark-natively: a row_number window "
+        "over the DISTINCT ON key with the same ORDER BY, filtered to "
+        "rn=1 — the canonical translation, with a deterministic "
+        "custkey tiebreak so both engines pick the same row. The "
+        "'latest record per key' shape every CDC/dim pipeline runs; "
+        "at scale it is one hash-partitioned window, no global sort."
+    ),
+    tags=("sql-api", "customer"),
+)
+def sql_api_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            F.col("c_custkey").alias("top_custkey"),
+            F.col("c_acctbal").alias("top_acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("c_nationkey")
+    )
