@@ -836,3 +836,60 @@ def sql_api_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE over a JOIN: BFS reachability (the recursion-over-data
+# shape, complementing the linear generator recursion of the month spine)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_REACH_QUERY = """
+    WITH RECURSIVE edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM edges),
+    kept AS (
+      SELECT src, dst FROM edges CROSS JOIN tot WHERE w * ne >= tw
+    ),
+    reach(node, hops) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT k.dst, r.hops + 1
+      FROM reach r JOIN kept k ON k.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "sql_api_recursive_reachability",
+    oracle=_RECURSIVE_REACH_QUERY,
+    doc=(
+        "WITH RECURSIVE over a JOIN (Spark 4 recursion-over-data, vs "
+        "the month spine's linear generator): hop-bounded BFS from "
+        "nation 0 across the above-mean-weight trade edges — "
+        "min-hop distance AND path multiplicity per reached node, "
+        "the same ANSI text running on both engines. The hop cap "
+        "bounds cycle blowup the way iterative-algorithm rounds do; "
+        "the recursion operates on the aggregated |V|x|V| graph, so "
+        "each recursive step is a broadcast-sized join while the "
+        "corpus-sized work (edge build) happens once before the "
+        "recursion."
+    ),
+    tags=("sql-api", "recursive-cte", "graph"),
+)
+def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_REACH_QUERY)
