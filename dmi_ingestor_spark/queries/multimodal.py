@@ -771,3 +771,78 @@ def mm_cross_modal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("align") * 1000000).cast("long").alias("align_micro"),
         F.when(F.col("align") >= 0.2, 1).otherwise(0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-diversity (Gini–Simpson) screening of binary payloads
+# ---------------------------------------------------------------------------
+
+_DIV_S = 10**12
+
+
+@register(
+    "mm_byte_diversity",
+    oracle=f"""
+    WITH payload AS (
+      SELECT doc_id, substr(text, 1, 256) AS p FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, ascii(b) AS byte_val
+      FROM payload, unnest(string_split(p, '')) AS t(b)
+    ),
+    hist AS (
+      SELECT doc_id, byte_val, COUNT(*) AS c
+      FROM bytes GROUP BY doc_id, byte_val
+    ),
+    stats AS (
+      SELECT doc_id,
+             SUM(c) AS n_bytes,
+             COUNT(*) AS n_distinct,
+             SUM(c * c) AS sum_sq
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_distinct AS BIGINT) AS n_distinct_bytes,
+           CAST({_DIV_S} - (sum_sq * {_DIV_S}) // (n_bytes * n_bytes)
+                AS BIGINT) AS simpson_scaled
+    FROM stats
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Byte-diversity screening of binary payloads: the Gini-"
+        "Simpson index (1 - sum p_b^2) over each payload's byte "
+        "histogram, ALL-INTEGER via sum-of-squared-counts — the cheap "
+        "first-pass detector for degenerate blobs (constant filler -> "
+        "~0) vs compressed/encrypted payloads (-> near max) that a "
+        "multimodal ingest runs before spending decode cycles. "
+        "Follows the family's byte-arithmetic oracle convention "
+        "(payload proxy = leading bytes, ascii() per byte on both "
+        "engines), so the histogram math itself is hash-checked. One "
+        "explode + two keyed aggregates, partial-combinable."
+    ),
+    tags=("multimodal", "quality", "documents"),
+)
+def mm_byte_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.substring("text", 1, 256).alias("p"))
+    bytes_df = payload.select(
+        "doc_id",
+        F.explode(F.split(F.col("p"), "")).alias("b"),
+    ).filter(F.length("b") > 0).select("doc_id", F.ascii("b").alias("byte_val"))
+    hist = bytes_df.groupBy("doc_id", "byte_val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = hist.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bytes"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_distinct").cast("long").alias("n_distinct_bytes"),
+        F.expr(f"{_DIV_S} - (sum_sq * {_DIV_S}) div (n_bytes * n_bytes)")
+        .cast("long")
+        .alias("simpson_scaled"),
+    ).orderBy("doc_id")

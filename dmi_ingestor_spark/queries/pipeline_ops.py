@@ -2418,3 +2418,161 @@ def pipeline_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+_STICKY_S = 10**6
+
+
+@register(
+    "analytics_dau_mau_stickiness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DATE_TRUNC('month', ts) AS month_start,
+             CAST(ts AS DATE) AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT DATE_TRUNC('month', ts) AS month_start,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    ),
+    avg_dau AS (
+      SELECT month_start,
+             SUM(dau) AS dau_total, COUNT(*) AS n_days
+      FROM daily GROUP BY month_start
+    )
+    SELECT CAST(a.month_start AS DATE) AS month_start,
+           CAST(a.dau_total AS BIGINT) AS dau_total,
+           CAST(a.n_days AS BIGINT) AS n_active_days,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST((a.dau_total * {_STICKY_S}) // (a.n_days * m.mau) AS BIGINT)
+             AS stickiness_scaled
+    FROM avg_dau a JOIN monthly m ON a.month_start = m.month_start
+    ORDER BY month_start
+    """,
+    doc=(
+        "DAU/MAU stickiness per month — the product-health headline: "
+        "average daily actives over monthly actives, as the "
+        "1e6-scaled integer ratio (avg-DAU kept as the exact "
+        "dau_total/n_days pair so no doubles appear anywhere). Two "
+        "count-distinct aggregates at different time grains over one "
+        "scan pattern; both are partial+final hash aggregates keyed "
+        "on bounded (month, day) domains."
+    ),
+    tags=("analytics", "engagement", "events"),
+)
+def analytics_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month_start")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    avg_dau = daily.groupBy("month_start").agg(
+        F.sum("dau").alias("dau_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        avg_dau.join(monthly, "month_start")
+        .select(
+            F.col("month_start").cast("date").alias("month_start"),
+            F.col("dau_total").cast("long").alias("dau_total"),
+            F.col("n_days").cast("long").alias("n_active_days"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr(f"(dau_total * {_STICKY_S}) div (n_days * mau)")
+            .cast("long")
+            .alias("stickiness_scaled"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@register(
+    "pipeline_data_contract_check",
+    oracle="""
+    SELECT 'orderkey_positive' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_orderkey > 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'status_enum',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1
+                END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN regexp_matches(o_orderpriority,
+                '^[1-5]-[A-Z ]+$') THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+                THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'date_bounds',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                     AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+                THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)
+                AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+    doc=(
+        "Declarative data-contract validation — the schema-and-"
+        "semantics gate a producer table must pass before consumers "
+        "see it (the dbt-test / Great-Expectations / data-contract "
+        "pattern): positivity, enum membership, regex format, value "
+        "range, date bounds, required fields. All six rules evaluate "
+        "in ONE scan as conditional aggregates (the UNION ALL is "
+        "over 1-row summaries, not data); at 100 TB this is the "
+        "cheapest possible full-table audit — no shuffle wider than "
+        "6 rows. Complements dq_expectations_summary (percentile "
+        "expectations) with exact rule counts."
+    ),
+    tags=("pipeline", "quality", "contract", "orders"),
+)
+def pipeline_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def rule(name: str, ok: F.Column):
+        return o.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("n_violations"),
+        ).select("rule", "n_checked", "n_violations")
+
+    checks = [
+        rule("orderkey_positive", F.col("o_orderkey") > 0),
+        rule("status_enum", F.col("o_orderstatus").isin("F", "O", "P")),
+        rule(
+            "priority_format",
+            F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$"),
+        ),
+        rule(
+            "price_range",
+            (F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000),
+        ),
+        rule(
+            "date_bounds",
+            (F.col("o_orderdate") >= F.lit("1992-01-01"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01")),
+        ),
+        rule("custkey_not_null", F.col("o_custkey").isNotNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("rule")
