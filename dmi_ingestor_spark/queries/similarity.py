@@ -859,3 +859,119 @@ def vector_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification eval (leave-one-out over an eval fold)
+# ---------------------------------------------------------------------------
+
+_KNN_EVAL = 50  # vec_id < 50 form the evaluation fold
+_KNN_K = 3
+_KNN_ACC_S = 10**6
+
+
+@register(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+               AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.label AS true_label,
+             b.label AS nb_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine("a.qv", "b.qv")} DESC, b.vec_id
+             ) AS rk
+      FROM v a JOIN v b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_KNN_EVAL}
+    ),
+    votes AS (
+      SELECT query_id, true_label, nb_label, COUNT(*) AS c
+      FROM scored WHERE rk <= {_KNN_K}
+      GROUP BY query_id, true_label, nb_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, nb_label AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY c DESC, nb_label
+             ) AS vr
+      FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * {_KNN_ACC_S}) // COUNT(*) AS BIGINT) AS accuracy_scaled
+    FROM pred WHERE vr = 1
+    GROUP BY true_label
+    ORDER BY label
+    """,
+    doc=(
+        "k-NN classifier evaluation — the label-quality audit every "
+        "weakly-labeled corpus runs (does embedding neighborhood "
+        "structure predict the label?): leave-one-out 3-NN by exact "
+        "cosine over a 50-vector eval fold, majority vote with a "
+        "deterministic (count, label) tiebreak, per-class accuracy "
+        "as scaled integers. Same quantized-vector bit-exactness and "
+        "broadcast-the-small-fold plan as sim_topk_bruteforce: the "
+        "corpus side never shuffles, the fold is the broadcast side, "
+        "and the vote/argmax is two windows over fold-sized rows."
+    ),
+    tags=("similarity", "mllib", "embeddings"),
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    )
+    fold = emb.filter(F.col("vec_id") < _KNN_EVAL).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("qv").alias("query_vec"),
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("nb_label"),
+        "qv",
+    ).join(F.broadcast(fold), F.col("nb_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("nb_id")
+    )
+    topk = (
+        pairs.withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nb_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.expr(f"(n_correct * {_KNN_ACC_S}) div n_eval")
+            .cast("long")
+            .alias("accuracy_scaled"),
+        )
+        .orderBy("label")
+    )
