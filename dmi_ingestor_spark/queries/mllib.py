@@ -2114,3 +2114,71 @@ def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Active learning: uncertainty-sampling labeling queue
+# --------------------------------------------------------------------------
+
+_AL_BATCH = 25
+
+
+@register(
+    "ml_uncertainty_sampling_rank",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey,
+             CAST({_INF_W0}
+                  + {_INF_W1} * CAST(round(o_totalprice) AS BIGINT)
+                  + {_INF_W2} * CAST(month(o_orderdate) AS BIGINT)
+               AS BIGINT) AS z_nano
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, z_nano, abs(z_nano) AS margin_nano,
+             ROW_NUMBER() OVER (
+               ORDER BY abs(z_nano), o_orderkey
+             ) AS queue_pos
+      FROM scored
+    )
+    SELECT o_orderkey, z_nano,
+           CAST(margin_nano AS BIGINT) AS margin_nano,
+           CAST(queue_pos AS BIGINT) AS queue_pos
+    FROM ranked WHERE queue_pos <= {_AL_BATCH}
+    ORDER BY queue_pos
+    """,
+    doc=(
+        "Active-learning labeling queue by UNCERTAINTY SAMPLING: "
+        "score the unlabeled pool with the fixed linear model "
+        "(ml_logreg_inference_batch's exact integer decision "
+        "function), rank by |margin| ascending — the rows the model "
+        "is least sure about are exactly the rows worth human labels "
+        "— and emit the next annotation batch. The data-flywheel "
+        "selection step between inference and retraining. The global "
+        "bottom-k is a TakeOrderedAndProject (per-partition top-k + "
+        "driver merge of k*partitions rows), never a full sort."
+    ),
+    tags=("mllib", "training-pipeline", "orders"),
+)
+def ml_uncertainty_sampling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    z = (
+        F.lit(_INF_W0)
+        + F.lit(_INF_W1) * F.round("o_totalprice").cast("long")
+        + F.lit(_INF_W2) * F.month("o_orderdate").cast("long")
+    ).cast("long")
+    scored = o.select("o_orderkey", z.alias("z_nano")).withColumn(
+        "margin_nano", F.abs(F.col("z_nano"))
+    )
+    # bottom-k via orderBy+limit => TakeOrderedAndProject, then the
+    # queue position is re-derived on the k collected rows only
+    batch = scored.orderBy("margin_nano", "o_orderkey").limit(_AL_BATCH)
+    w = Window.orderBy("margin_nano", "o_orderkey")
+    return batch.select(
+        "o_orderkey",
+        "z_nano",
+        F.col("margin_nano").cast("long").alias("margin_nano"),
+        F.row_number().over(w).cast("long").alias("queue_pos"),
+    ).orderBy("queue_pos")

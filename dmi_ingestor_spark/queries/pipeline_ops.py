@@ -2576,3 +2576,46 @@ def pipeline_data_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out.orderBy("rule")
+
+
+@register(
+    "dq_duplicate_key_audit",
+    oracle="""
+    WITH key_counts AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(c) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+      CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows,
+      CAST(MAX(c) AS BIGINT) AS max_multiplicity
+    FROM key_counts
+    """,
+    doc=(
+        "Primary-key uniqueness audit — the first data-quality gate "
+        "on any ingested table: group by the declared key, summarize "
+        "duplicate keys / duplicate rows / worst multiplicity in one "
+        "partial+final aggregate plus a 1-row rollup. Green here "
+        "means every downstream MERGE/join can assume key semantics; "
+        "red localizes how bad the violation is without a second "
+        "scan. Complements dedup_exact (which removes) with the "
+        "audit-only readout a contract check wants."
+    ),
+    tags=("pipeline", "quality", "lineitem"),
+)
+def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    key_counts = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return key_counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum((F.col("c") > 1).cast("long")).cast("long").alias("n_dup_keys"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_rows"),
+        F.max("c").cast("long").alias("max_multiplicity"),
+    )
