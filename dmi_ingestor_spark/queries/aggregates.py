@@ -3126,3 +3126,86 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Bollinger bands (trailing mean +- 2 sigma), pure integer comparisons
+# --------------------------------------------------------------------------
+
+_BOLL_N = 6  # trailing window (months)
+_BOLL_S = 10**6
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+             SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    framed AS (
+      SELECT month_start, x,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(x * x) OVER w AS sxx
+      FROM monthly
+      WINDOW w AS (ORDER BY month_start
+                   ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(month_start AS DATE) AS month_start,
+           CAST(x AS BIGINT) AS monthly_total,
+           CAST(n AS BIGINT) AS trailing_n,
+           CAST((sx * {_BOLL_S}) // n AS BIGINT) AS mean_scaled,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+           CAST(CASE WHEN ((x * n - sx) * (x * n - sx)) // 4
+                     > n * sxx - sx * sx
+                THEN 1 ELSE 0 END AS BIGINT) AS outside_band
+    FROM framed
+    ORDER BY month_start
+    """,
+    doc=(
+        "Bollinger bands over the monthly revenue series: trailing "
+        "6-month mean and the +-2-sigma breakout flag, decided "
+        "ENTIRELY in integer arithmetic — (x*n - sx)^2/4 > n*sxx - "
+        "sx^2 is the exact 'outside two standard deviations' "
+        "predicate with no sqrt and no doubles (the band test every "
+        "volatility monitor runs; same sufficient-statistics trick "
+        "as the Welch t and variance queries). One month-grain "
+        "rollup scans the facts; the window runs over the O(months) "
+        "summary series."
+    ),
+    tags=("timeseries", "window", "orders"),
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(F.sum(F.round("o_totalprice").cast("long")).alias("x"))
+    w = (
+        Window.orderBy("month_start").rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    framed = monthly.select(
+        "month_start",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    return framed.select(
+        F.col("month_start").cast("date").alias("month_start"),
+        F.col("x").cast("long").alias("monthly_total"),
+        F.col("n").cast("long").alias("trailing_n"),
+        F.expr(f"(sx * {_BOLL_S}) div n").cast("long").alias("mean_scaled"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("var_num"),
+        (
+            F.expr("((x * n - sx) * (x * n - sx)) div 4")
+            > F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        .cast("long")
+        .alias("outside_band"),
+    ).orderBy("month_start")
