@@ -846,3 +846,122 @@ def ingest_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.substring("line", 25, 8), "yyyyMMdd"), "yyyy-MM-dd"
         ).alias("order_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Format-matrix decode: the same cube through every wire format (S2)
+# ---------------------------------------------------------------------------
+
+_FMT_NT, _FMT_NY, _FMT_NX = 3, 8, 8
+
+
+@register(
+    "ingest_cube_format_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT (i // {_FMT_NY * _FMT_NX}) AS t,
+             ((i % {_FMT_NY * _FMT_NX}) // {_FMT_NX}) AS iy,
+             (i % {_FMT_NX}) AS ix,
+             (i // {_FMT_NY * _FMT_NX}) * 100
+               + ((i % {_FMT_NY * _FMT_NX}) // {_FMT_NX}) * 10
+               + (i % {_FMT_NX}) AS v
+      FROM (SELECT unnest(generate_series(0,
+              {_FMT_NT * _FMT_NY * _FMT_NX - 1})) AS i)
+    ),
+    stats AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_timesteps,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(v) AS BIGINT) AS value_sum,
+             CAST(MIN(v) AS BIGINT) AS value_min,
+             CAST(MAX(v) AS BIGINT) AS value_max,
+             CAST(CAST({_FMT_NT} AS BIGINT) * {T0}
+                  + 3600 * ({_FMT_NT} * ({_FMT_NT} - 1) // 2) AS BIGINT)
+               AS time_checksum
+      FROM g
+    )
+    SELECT f.format, s.n_timesteps, s.n_cells, s.value_sum,
+           s.value_min, s.value_max, s.time_checksum
+    FROM (VALUES ('covjson'), ('grib2'), ('hdf5'), ('netcdf3'))
+         f(format)
+    CROSS JOIN stats s
+    ORDER BY f.format
+    """,
+    doc=(
+        "S2 format matrix: ONE synthetic cube encoded into every wire "
+        "format the DMI API can serve — classic NetCDF-3, "
+        "NetCDF-4/HDF5 (chunked+deflate), GRIB2 (FM 92 simple "
+        "packing, dec_scale 0 so integer fields are lossless), and "
+        "CoverageJSON — then decoded DISTRIBUTED through the single "
+        "``decode_cube`` dispatcher (binary rows -> mapInPandas) and "
+        "reduced to per-format cube statistics. The oracle states the "
+        "stats once from the generating formula, crossed with the "
+        "format list: four identical hash-green rows prove "
+        "format-agnostic decode equivalence end to end, not just "
+        "per-format unit tests. The decode stage is the reference's "
+        "xarray.open_dataset seam (ingestor.py:200) scaled out."
+    ),
+    tags=("ingest", "reference", "formats"),
+)
+def ingest_cube_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dmi_ingestor_spark.sources.coveragejson import encode_coveragejson
+    from dmi_ingestor_spark.sources.grib2 import encode_grib2_cube
+    from dmi_ingestor_spark.sources.hdf5 import encode_hdf5_cube
+    from dmi_ingestor_spark.sources.netcdf3 import encode_netcdf3
+
+    times = [T0 + 3600 * t for t in range(_FMT_NT)]
+    ys = [55.0 + 0.1 * i for i in range(_FMT_NY)]
+    xs = [11.0 + 0.1 * i for i in range(_FMT_NX)]
+    idx = np.arange(_FMT_NT * _FMT_NY * _FMT_NX)
+    values = (
+        (idx // (_FMT_NY * _FMT_NX)) * 100
+        + ((idx % (_FMT_NY * _FMT_NX)) // _FMT_NX) * 10
+        + (idx % _FMT_NX)
+    ).astype("f8").reshape(_FMT_NT, _FMT_NY, _FMT_NX)
+    payloads = [
+        ("covjson", encode_coveragejson("matrix", times, ys, xs, values)),
+        ("grib2", encode_grib2_cube((0, 0), times, ys, xs, values, dec_scale=0)),
+        ("hdf5", encode_hdf5_cube("matrix", times, ys, xs, values)),
+        ("netcdf3", encode_netcdf3("matrix", times, ys, xs, values)),
+    ]
+    df = spark.createDataFrame(payloads, "format string, payload binary")
+
+    def _decode(batches):
+        from dmi_ingestor_spark.sources.cube_format import decode_cube
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                cube = decode_cube(bytes(r["payload"]))
+                v = cube.values
+                rows.append(
+                    (
+                        r["format"],
+                        int(len(cube.times)),
+                        int(v.size),
+                        int(round(float(v.sum()))),
+                        int(round(float(v.min()))),
+                        int(round(float(v.max()))),
+                        int(sum(cube.times)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "format",
+                    "n_timesteps",
+                    "n_cells",
+                    "value_sum",
+                    "value_min",
+                    "value_max",
+                    "time_checksum",
+                ],
+            )
+
+    return df.repartition(4, "format").mapInPandas(
+        _decode,
+        "format string, n_timesteps long, n_cells long, value_sum long, "
+        "value_min long, value_max long, time_checksum long",
+    ).orderBy("format")
