@@ -2182,3 +2182,147 @@ def ml_uncertainty_sampling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("margin_nano").cast("long").alias("margin_nano"),
         F.row_number().over(w).cast("long").alias("queue_pos"),
     ).orderBy("queue_pos")
+
+
+# --------------------------------------------------------------------------
+# Grouped multi-feature OLS: distributed sufficient stats -> in-plan solve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_grouped_ols_multifeature",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag AS grp,
+             COUNT(*) AS n,
+             (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_quantity AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s1,
+             (CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_discount AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s2,
+             (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE))
+               AS sy,
+             (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                             * CAST(l_quantity AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                         * CAST(l_quantity AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                                 * CAST(l_quantity AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s11,
+             (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                             * CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                         * CAST(l_discount AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                                 * CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s12,
+             (CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8))
+                             * CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_discount AS DECIMAL(22,8))
+                         * CAST(l_discount AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8))
+                                 * CAST(l_discount AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s22,
+             (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                             * CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                         * CAST(l_extendedprice AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_quantity AS DECIMAL(22,8))
+                                 * CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s1y,
+             (CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8))
+                             * CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE)
+              + CAST(SUM(CAST(l_discount AS DECIMAL(22,8))
+                         * CAST(l_extendedprice AS DECIMAL(22,8)))
+                     - FLOOR(SUM(CAST(l_discount AS DECIMAL(22,8))
+                                 * CAST(l_extendedprice AS DECIMAL(22,8)))) AS DOUBLE))
+               AS s2y
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    centered AS (
+      SELECT grp, n,
+             s11 - s1 * s1 / n AS a11,
+             s12 - s1 * s2 / n AS a12,
+             s22 - s2 * s2 / n AS a22,
+             s1y - s1 * sy / n AS b1,
+             s2y - s2 * sy / n AS b2,
+             s1, s2, sy
+      FROM stats
+    )
+    SELECT grp,
+           CAST(n AS BIGINT) AS n,
+           round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6)
+             AS beta_quantity,
+           round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6)
+             AS beta_discount,
+           round(sy / n
+                 - ((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12)) * (s1 / n)
+                 - ((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12)) * (s2 / n),
+                 6) AS intercept
+    FROM centered
+    ORDER BY grp
+    """,
+    doc=(
+        "Per-group TWO-feature OLS (price ~ quantity + discount) "
+        "solved IN-PLAN by Cramer's rule on the centered normal "
+        "equations — the general 'distributed sufficient statistics "
+        "-> closed-form solve' pattern that price_trend_ols shows for "
+        "one feature and ml_embedding_covariance_matrix feeds for d "
+        "features. All nine power sums accumulate as exact decimals "
+        "(order-independent); the 2x2 solve is one identical IEEE "
+        "double tree on the per-group row, so coefficients match the "
+        "oracle bit-for-bit before the 6-decimal pin. One "
+        "partial+final aggregate; no second pass, no driver math."
+    ),
+    tags=("mllib", "regression", "lineitem", "scale"),
+)
+def ml_grouped_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.exact import DEC, dec_to_double
+
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(DEC)
+    d = F.col("l_discount").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_to_double(F.sum(q)).alias("s1"),
+        dec_to_double(F.sum(d)).alias("s2"),
+        dec_to_double(F.sum(y)).alias("sy"),
+        dec_to_double(F.sum(q * q)).alias("s11"),
+        dec_to_double(F.sum(q * d)).alias("s12"),
+        dec_to_double(F.sum(d * d)).alias("s22"),
+        dec_to_double(F.sum(q * y)).alias("s1y"),
+        dec_to_double(F.sum(d * y)).alias("s2y"),
+    )
+    centered = stats.select(
+        "grp",
+        "n",
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")).alias("a11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")).alias("a12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")).alias("a22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")).alias("b1"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")).alias("b2"),
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    beta1 = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    beta2 = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return centered.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(beta1, 6).alias("beta_quantity"),
+        F.round(beta2, 6).alias("beta_discount"),
+        F.round(
+            F.col("sy") / F.col("n")
+            - beta1 * (F.col("s1") / F.col("n"))
+            - beta2 * (F.col("s2") / F.col("n")),
+            6,
+        ).alias("intercept"),
+    ).orderBy("grp")
