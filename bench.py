@@ -51,6 +51,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-3 scale-pattern additions: sharded exact ranks
     "analytics_rfm_segments",
     "agg_histogram_equifreq",
+    # round-3 session additions: broadcast-chain iteration, mergeable
+    # sketch build, integer ranking eval
+    "graph_hits_scores",
+    "agg_count_min_sketch",
+    "ml_ndcg_ranking_eval",
 )
 
 

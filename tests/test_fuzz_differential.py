@@ -664,3 +664,114 @@ def test_random_hof_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_hof_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause conditional-aggregate fuzzing: every aggregate carries its
+# own predicate — the shape reporting queries abuse hardest
+# ---------------------------------------------------------------------------
+
+_COND_AGGS = [
+    (
+        lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("long"),
+        lambda s: f"CAST(COUNT(*) FILTER (WHERE {s}) AS BIGINT)",
+    ),
+    (
+        lambda p: F.sum(
+            F.when(p, F.round(F.col("o_totalprice") * 100).cast("long")).otherwise(0)
+        ).cast("long"),
+        lambda s: (
+            "CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            f"FILTER (WHERE {s}), 0) AS BIGINT)"
+        ),
+    ),
+    (
+        lambda p: F.max(F.when(p, F.col("o_orderkey"))),
+        lambda s: f"MAX(o_orderkey) FILTER (WHERE {s})",
+    ),
+    (
+        lambda p: F.min(F.when(p, F.col("o_custkey"))),
+        lambda s: f"MIN(o_custkey) FILTER (WHERE {s})",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_filter_agg_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(11000 + seed)
+    gkey, gsql = rng.choice(
+        [("o_orderstatus", "o_orderstatus"), ("o_orderpriority", "o_orderpriority")]
+    )
+    picks = rng.sample(list(range(len(_COND_AGGS))), 3)
+    preds = [rng.choice(_PREDICATES) for _ in picks]
+
+    o = table(spark, sf_dir, "orders")
+    cols = [
+        _COND_AGGS[a][0](preds[i][0]()).alias(f"fa{i}")
+        for i, a in enumerate(picks)
+    ]
+    sdf = o.groupBy(gkey).agg(*cols).orderBy(gkey)
+    sels = ", ".join(
+        f"{_COND_AGGS[a][1](preds[i][1])} AS fa{i}" for i, a in enumerate(picks)
+    )
+    sql = f"SELECT {gsql}, {sels} FROM orders GROUP BY {gsql} ORDER BY {gsql}"
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_filter_agg_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Top-n-per-group fuzzing: window rank + filter vs DuckDB QUALIFY
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_topn_per_group_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(12000 + seed)
+    pkey = rng.choice(["o_orderstatus", "o_orderpriority"])
+    okey, odir = rng.choice(
+        [
+            ("o_totalprice", "DESC"),
+            ("o_totalprice", "ASC"),
+            ("o_orderdate", "DESC"),
+            ("o_orderdate", "ASC"),
+        ]
+    )
+    k = rng.choice([1, 3, 5])
+    fn_name = rng.choice(["row_number", "rank", "dense_rank"])
+    pred = rng.choice(_PREDICATES)
+
+    ocol = F.col(okey).desc() if odir == "DESC" else F.col(okey).asc()
+    w = Window.partitionBy(pkey).orderBy(ocol, F.col("o_orderkey").asc())
+    fn = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+    }[fn_name]
+    o = table(spark, sf_dir, "orders").filter(pred[0]())
+    sdf = (
+        o.select(
+            pkey,
+            "o_orderkey",
+            fn().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+        .orderBy(pkey, "rk", "o_orderkey")
+    )
+    sql = f"""
+        SELECT {pkey}, o_orderkey,
+               CAST({fn_name}() OVER (
+                 PARTITION BY {pkey}
+                 ORDER BY {okey} {odir}, o_orderkey ASC
+               ) AS BIGINT) AS rk
+        FROM orders WHERE {pred[1]}
+        QUALIFY rk <= {k}
+        ORDER BY {pkey}, rk, o_orderkey
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_topn_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
