@@ -2992,9 +2992,12 @@ _CMS_W = 64  # counters per row
 
 
 def _cms_hash_sql(i: int, key: str) -> str:
+    # three independent 32-bit hash rows from ONE md5 digest (hex
+    # slices 1-8, 9-16, 17-24): a single digest per row costs a third
+    # of three keyed digests at 100 TB, and the slices are independent
     return (
-        f"CAST(concat('0x', substr(md5(concat('cms{i}-', CAST({key} AS VARCHAR))),"
-        f" 1, 8)) AS BIGINT) % {_CMS_W}"
+        f"CAST(concat('0x', substr(md5(concat('cms-', CAST({key} AS VARCHAR))),"
+        f" {8 * i + 1}, 8)) AS BIGINT) % {_CMS_W}"
     )
 
 
@@ -3056,21 +3059,14 @@ def _cms_hash_sql(i: int, key: str) -> str:
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_partkey")
 
+    def digest(key) -> F.Column:
+        return F.md5(
+            F.concat(F.lit("cms-"), F.col(key).cast("string")).cast("binary")
+        )
+
     def h(i: int, key) -> F.Column:
         return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"cms{i}-"), F.col(key).cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
+            F.conv(F.substring(digest(key), 8 * i + 1, 8), 16, 10).cast("long")
             % _CMS_W
         )
 
