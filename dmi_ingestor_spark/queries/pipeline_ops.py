@@ -2619,3 +2619,126 @@ def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dup_rows"),
         F.max("c").cast("long").alias("max_multiplicity"),
     )
+
+
+@register(
+    "pipeline_quality_filter_cascade",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS g1,
+             CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END AS g2,
+             CASE WHEN 10 * n_distinct >= 3 * n_tokens THEN 1 ELSE 0 END AS g3,
+             CASE WHEN 2 * n_distinct <= n_tokens + n_distinct THEN 1 ELSE 0
+               END AS g4
+      FROM toks
+    ),
+    funnel AS (
+      SELECT doc_id, g1,
+             g1 * g2 AS s2,
+             g1 * g2 * g3 AS s3,
+             g1 * g2 * g3 * g4 AS s4
+      FROM gated
+    )
+    SELECT stage, n_in, n_pass, n_in - n_pass AS n_fail
+    FROM (
+      SELECT 'stage1_min_chars' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_in,
+             CAST(SUM(g1) AS BIGINT) AS n_pass FROM funnel
+      UNION ALL
+      SELECT 'stage2_min_tokens', CAST(SUM(g1) AS BIGINT),
+             CAST(SUM(s2) AS BIGINT) FROM funnel
+      UNION ALL
+      SELECT 'stage3_diversity', CAST(SUM(s2) AS BIGINT),
+             CAST(SUM(s3) AS BIGINT) FROM funnel
+      UNION ALL
+      SELECT 'stage4_repetition', CAST(SUM(s3) AS BIGINT),
+             CAST(SUM(s4) AS BIGINT) FROM funnel
+    )
+    ORDER BY stage
+    """,
+    doc=(
+        "The C4/RefinedWeb-style quality-filter CASCADE with "
+        "per-stage attrition accounting: min-length, min-tokens, "
+        "lexical diversity (distinct/total >= 0.3, integer "
+        "cross-compare), and a repetition gate, applied sequentially "
+        "so each stage's n_in is the previous stage's survivors — "
+        "the funnel readout a corpus-cleaning run publishes next to "
+        "its output. All four gates and the funnel compose in ONE "
+        "scan as boolean products inside a single partial+final "
+        "aggregate (the UNION ALL is over 1-row summaries) — at "
+        "100 TB the whole report costs one pass, no materialized "
+        "intermediate corpus per stage."
+    ),
+    tags=("pipeline", "quality", "training-pipeline", "documents"),
+)
+def pipeline_quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_distinct"),
+    )
+    gated = toks.select(
+        "doc_id",
+        (F.col("n_chars") >= 100).cast("long").alias("g1"),
+        (F.col("n_tokens") >= 20).cast("long").alias("g2"),
+        (10 * F.col("n_distinct") >= 3 * F.col("n_tokens"))
+        .cast("long")
+        .alias("g3"),
+        (2 * F.col("n_distinct") <= F.col("n_tokens") + F.col("n_distinct"))
+        .cast("long")
+        .alias("g4"),
+    )
+    funnel = gated.select(
+        "g1",
+        (F.col("g1") * F.col("g2")).alias("s2"),
+        (F.col("g1") * F.col("g2") * F.col("g3")).alias("s3"),
+        (F.col("g1") * F.col("g2") * F.col("g3") * F.col("g4")).alias("s4"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("g1").cast("long").alias("p1"),
+        F.sum("s2").cast("long").alias("p2"),
+        F.sum("s3").cast("long").alias("p3"),
+        F.sum("s4").cast("long").alias("p4"),
+    )
+    rows = funnel.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("stage1_min_chars").alias("stage"),
+                    F.col("n_all").alias("n_in"),
+                    F.col("p1").alias("n_pass"),
+                ),
+                F.struct(
+                    F.lit("stage2_min_tokens").alias("stage"),
+                    F.col("p1").alias("n_in"),
+                    F.col("p2").alias("n_pass"),
+                ),
+                F.struct(
+                    F.lit("stage3_diversity").alias("stage"),
+                    F.col("p2").alias("n_in"),
+                    F.col("p3").alias("n_pass"),
+                ),
+                F.struct(
+                    F.lit("stage4_repetition").alias("stage"),
+                    F.col("p3").alias("n_in"),
+                    F.col("p4").alias("n_pass"),
+                ),
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_in").alias("n_in"),
+        F.col("s.n_pass").alias("n_pass"),
+        (F.col("s.n_in") - F.col("s.n_pass")).alias("n_fail"),
+    )
+    return rows.orderBy("stage")
