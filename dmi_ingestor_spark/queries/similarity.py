@@ -975,3 +975,59 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range search: all pairs above a similarity threshold
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU_NUM = 15  # tau = 0.15 as a ratio (x100)
+
+
+@register(
+    "sim_range_search_threshold",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+               AS qv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {sql_cosine("a.qv", "b.qv")} AS sim
+      FROM v a JOIN v b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERY}
+    )
+    SELECT query_id, neighbor_id, sim
+    FROM scored WHERE sim >= {_RANGE_TAU_NUM} / 100.0
+    ORDER BY query_id, neighbor_id
+    """,
+    doc=(
+        "RANGE search — the other ANN query type beside top-k: every "
+        "neighbor whose cosine clears a fixed threshold, however many "
+        "or few that is (dedup wants thresholds; recsys wants top-k). "
+        "Same quantized-vector bit-exactness and broadcast-query-side "
+        "plan as sim_topk_bruteforce, but the selection is a pure "
+        "filter — no window, no rank state, fully map-side after the "
+        "broadcast join; at scale the LSH-bucketed variants "
+        "(sim_ann_lsh_buckets) provide the candidate set and this "
+        "threshold verify runs on candidates only."
+    ),
+    tags=("similarity", "embeddings"),
+)
+def sim_range_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
+    )
+    return (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
+        .filter(F.col("sim") >= _RANGE_TAU_NUM / 100.0)
+        .select("query_id", "neighbor_id", "sim")
+        .orderBy("query_id", "neighbor_id")
+    )
