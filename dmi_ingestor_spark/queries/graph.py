@@ -1195,7 +1195,8 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_assortativity",
     oracle="""
     WITH dir_e AS MATERIALIZED (
-      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1203,9 +1204,13 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY src, dst
     ),
-    und AS MATERIALIZED (
-      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+    und0 AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
       FROM dir_e GROUP BY u, v
+    ),
+    utot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM und0),
+    und AS MATERIALIZED (
+      SELECT u, v FROM und0 CROSS JOIN utot WHERE w * ne >= tw
     ),
     deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -1232,10 +1237,12 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m2, sx, sxy,
            CAST(m2 * sxy - sx * sy AS BIGINT) AS cov_num,
-           round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           CASE WHEN m2 * sxx - sx * sx = 0 OR m2 * syy - sy * sy = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (sqrt(CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                     * sqrt(CAST(m2 AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * sy)), 6)
+                           - CAST(sy AS DOUBLE) * sy)), 6) END
              AS assortativity
     FROM s
     """,
@@ -1260,16 +1267,25 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
 
-    und = (
+    und0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .select(
+        .groupBy(
             F.least("c_nationkey", "s_nationkey").alias("u"),
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    # above-mean sparsification: the full co-trade graph saturates to
+    # near-complete at larger SFs, where every degree is equal and r
+    # is degenerate; the strong-tie subgraph has real degree structure
+    und = (
+        und0.crossJoin(F.broadcast(utot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("u", "v")
         .cache()
     )
     deg = (
@@ -1299,21 +1315,29 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy"))
         .cast("long")
         .alias("cov_num"),
-        F.round(
-            (
-                F.col("m2").cast("double") * F.col("sxy")
-                - F.col("sx").cast("double") * F.col("sy")
+        F.when(
+            (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
+            | (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy") == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("m2").cast("double") * F.col("sxy")
+                    - F.col("sx").cast("double") * F.col("sy")
+                )
+                / (
+                    F.sqrt(
+                        F.col("m2").cast("double") * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        F.col("m2").cast("double") * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
             )
-            / (
-                F.sqrt(
-                    F.col("m2").cast("double") * F.col("sxx")
-                    - F.col("sx").cast("double") * F.col("sx")
-                )
-                * F.sqrt(
-                    F.col("m2").cast("double") * F.col("syy")
-                    - F.col("sy").cast("double") * F.col("sy")
-                )
-            ),
-            6,
-        ).alias("assortativity"),
+        )
+        .alias("assortativity"),
     )
