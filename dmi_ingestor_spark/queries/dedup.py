@@ -1558,3 +1558,129 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
             "total_bytes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val split leakage: near-dups CROSSING the split boundary
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_split_leakage_near_dup",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x',
+                    substr(md5(concat('split-', CAST(doc_id AS VARCHAR))),
+                           1, 8)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS fold
+      FROM documents
+    ),
+    freq AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a
+      JOIN freq f ON a.shingle = f.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    arrs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+    scored AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+               / (len(sa.shs) + len(sb.shs)
+                  - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+      FROM cand c
+      JOIN arrs sa ON sa.doc_id = c.a_id
+      JOIN arrs sb ON sb.doc_id = c.b_id
+    )
+    SELECT s.a_id, s.b_id,
+           fa.fold AS a_fold, fb.fold AS b_fold, s.jaccard
+    FROM scored s
+    JOIN split fa ON s.a_id = fa.doc_id
+    JOIN split fb ON s.b_id = fb.doc_id
+    WHERE s.jaccard >= {JACCARD_THRESHOLD} AND fa.fold <> fb.fold
+    ORDER BY a_id, b_id
+    """,
+    doc=(
+        "Split-LEAKAGE detection — the eval-hygiene check every "
+        "training pipeline needs and most skip: after the standard "
+        "deterministic hash split (md5, 80/20), find near-duplicate "
+        "pairs that STRADDLE the train/val boundary; each one is a "
+        "validation example the model effectively saw in training, "
+        "silently inflating eval metrics. Machinery is the proven "
+        "dedup ladder (DF-capped shared-shingle candidates + exact "
+        "Jaccard verify), composed with the hash-split — candidates "
+        "are bounded by the same skew cap, the cross-fold filter is "
+        "two broadcast fold lookups. Run it before trusting any "
+        "benchmark number; the decontamination twin "
+        "(decontaminate_ngram_overlap) does the same against "
+        "external benchmarks."
+    ),
+    tags=("dedup", "quality", "training-pipeline", "documents"),
+)
+def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fold = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split-"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 8,
+        "train",
+    ).otherwise("val")
+    split = d.select("doc_id", fold.alias("fold"))
+    arrs = _shingle_arrays(d).cache()
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, ["shingle"])
+    cand = (
+        sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(
+            sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"]
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
+    sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    uni = F.size("a_sh") + F.size("b_sh") - inter
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter.cast("double") / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    fa = split.select(F.col("doc_id").alias("a_id"), F.col("fold").alias("a_fold"))
+    fb = split.select(F.col("doc_id").alias("b_id"), F.col("fold").alias("b_fold"))
+    return (
+        scored.join(F.broadcast(fa), "a_id")
+        .join(F.broadcast(fb), "b_id")
+        .filter(F.col("a_fold") != F.col("b_fold"))
+        .select("a_id", "b_id", "a_fold", "b_fold", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
