@@ -2742,3 +2742,109 @@ def pipeline_quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("s.n_in") - F.col("s.n_pass")).alias("n_fail"),
     )
     return rows.orderBy("stage")
+
+
+@register(
+    "lake_optimize_recluster",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey % 4 AS scatter,
+             NTILE(4) OVER (ORDER BY o_orderkey) AS rng
+      FROM orders
+    ),
+    pre AS (
+      SELECT scatter AS unit_id, COUNT(*) AS n,
+             MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+             SUM(o_orderkey) AS ck
+      FROM base GROUP BY scatter
+    ),
+    post AS (
+      SELECT rng - 1 AS unit_id, COUNT(*) AS n,
+             MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+             SUM(o_orderkey) AS ck
+      FROM base GROUP BY rng
+    )
+    SELECT 'pre' AS phase, CAST(unit_id AS BIGINT) AS unit_id,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(lo AS BIGINT) AS key_min, CAST(hi AS BIGINT) AS key_max,
+           CAST(ck AS BIGINT) AS key_checksum
+    FROM pre
+    UNION ALL
+    SELECT 'post', CAST(unit_id AS BIGINT), CAST(n AS BIGINT),
+           CAST(lo AS BIGINT), CAST(hi AS BIGINT), CAST(ck AS BIGINT)
+    FROM post
+    ORDER BY phase DESC, unit_id
+    """,
+    doc=(
+        "OPTIMIZE / re-clustering through the transaction log: the "
+        "table lands as four mod-scattered units (every unit spans "
+        "the whole key domain — the worst case for stats skipping), "
+        "then one commit atomically replaces them with four "
+        "RANGE-clustered units (sharded exact NTILE, so unit "
+        "boundaries are deterministic — no RangePartitioner "
+        "sampling). The oracle pins per-unit (rows, min, max, "
+        "checksum) for BOTH layouts from the base table: identical "
+        "checksums prove OPTIMIZE moved every row and lost none, and "
+        "the post min/max spans collapse from full-domain to "
+        "disjoint quartiles — the measurable claim behind 'OPTIMIZE "
+        "makes range reads prune'. Old snapshots still read the "
+        "scattered layout (time travel across OPTIMIZE)."
+    ),
+    tags=("pipeline", "lakehouse", "optimize", "orders"),
+)
+def lake_optimize_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import TxLog, append_with_stats
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-opt-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    # land scattered: 4 units, each spanning the full key domain
+    for i in range(4):
+        append_with_stats(
+            tx,
+            o.filter(F.col("o_orderkey") % 4 == i),
+            f"scatter-{i}",
+            "o_orderkey",
+        )
+    pre_snap = tx.snapshot()
+    # OPTIMIZE: one atomic commit swaps in 4 range-clustered units
+    # (deterministic quartiles via sharded exact row numbering)
+    ranked, n_total = sharded_row_number(o, ["o_orderkey"], out="rn")
+    adds = []
+    for i in range(4):
+        lo_n = (n_total * i) // 4
+        hi_n = (n_total * (i + 1)) // 4
+        part = ranked.filter(
+            (F.col("rn") > lo_n) & (F.col("rn") <= hi_n)
+        ).select("o_orderkey")
+        adds.append(tx._write_unit(part, f"clustered-{i}"))
+    tx.commit(adds=adds, removes=list(pre_snap.add_units), tag="o")
+
+    def phase_stats(units, phase):
+        parts = []
+        for idx, u in enumerate(sorted(units)):
+            df = spark.read.parquet(f"{tx.root}/{u}")
+            parts.append(
+                df.agg(
+                    F.lit(phase).alias("phase"),
+                    F.lit(idx).cast("long").alias("unit_id"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.min("o_orderkey").cast("long").alias("key_min"),
+                    F.max("o_orderkey").cast("long").alias("key_max"),
+                    F.sum("o_orderkey").cast("long").alias("key_checksum"),
+                ).select(
+                    "phase", "unit_id", "n_rows", "key_min", "key_max",
+                    "key_checksum",
+                )
+            )
+        return parts
+
+    rows = phase_stats(pre_snap.add_units, "pre") + phase_stats(
+        tx.snapshot().add_units, "post"
+    )
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionAll(p)
+    return out.orderBy(F.col("phase").desc(), "unit_id")
