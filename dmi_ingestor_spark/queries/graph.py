@@ -1037,8 +1037,12 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         surv = deg.filter(F.col("d") >= _KCORE_K).select("node").cache()
         e_next = (
-            e.join(surv.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(surv.withColumnRenamed("node", "v"), "v", "left_semi")
+            e.join(
+                F.broadcast(surv.withColumnRenamed("node", "u")), "u", "left_semi"
+            )
+            .join(
+                F.broadcast(surv.withColumnRenamed("node", "v")), "v", "left_semi"
+            )
             .select("u", "v")
             .cache()
         )
