@@ -3205,3 +3205,92 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("outside_band"),
     ).orderBy("month_start")
+
+
+# --------------------------------------------------------------------------
+# Harmonic (Fourier) seasonality regression with plan-time phase literals
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_HARM_K = (1, 2, 3)
+_HARM_PHASES = [
+    (k, m,
+     round(_math.cos(2 * _math.pi * k * m / 12) * 10**6),
+     round(_math.sin(2 * _math.pi * k * m / 12) * 10**6))
+    for k in _HARM_K
+    for m in range(12)
+]
+
+
+@register(
+    "ts_harmonic_regression",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT month(o_orderdate) - 1 AS m,
+             SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    phases(k, m, c_micro, s_micro) AS (
+      VALUES {", ".join(f"({k}, {m}, {c}, {s})" for k, m, c, s in _HARM_PHASES)}
+    ),
+    coeffs AS (
+      SELECT p.k,
+             SUM(mo.x * p.c_micro) AS a_k,
+             SUM(mo.x * p.s_micro) AS b_k
+      FROM monthly mo JOIN phases p ON mo.m = p.m
+      GROUP BY p.k
+    )
+    SELECT CAST(k AS BIGINT) AS harmonic,
+           CAST(a_k AS BIGINT) AS a_k,
+           CAST(b_k AS BIGINT) AS b_k,
+           round(sqrt(CAST(a_k AS DOUBLE) * a_k
+                      + CAST(b_k AS DOUBLE) * b_k), 3) AS amplitude
+    FROM coeffs
+    ORDER BY harmonic
+    """,
+    doc=(
+        "Harmonic (Fourier) seasonality regression of the monthly "
+        "revenue profile: projections onto the first three annual "
+        "harmonics, with cos/sin phases baked as PLAN-TIME integer "
+        "micro literals (the dq_benford_first_digit trick — no "
+        "runtime transcendental ever touches data). The Fourier "
+        "coefficients are exact BIGINT dot products (monthly integer "
+        "totals x micro phases, order-independent), so which "
+        "harmonic dominates — the actual seasonality readout — is "
+        "hash-pinned in pure integers; amplitude adds one identical "
+        "IEEE sqrt tree at 3 decimals. One month-grain rollup scans "
+        "the facts; the projection is a 12x3-row broadcast join. "
+        "Complements ts_seasonal_decompose_lite (moving-average "
+        "view) with the frequency-domain view."
+    ),
+    tags=("timeseries", "seasonality", "orders"),
+)
+def ts_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy((F.month("o_orderdate") - 1).alias("m")).agg(
+        F.sum(F.round("o_totalprice").cast("long")).alias("x")
+    )
+    phases = o.sparkSession.createDataFrame(
+        _HARM_PHASES, "k int, m int, c_micro long, s_micro long"
+    )
+    coeffs = (
+        monthly.join(F.broadcast(phases), "m")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("c_micro")).alias("a_k"),
+            F.sum(F.col("x") * F.col("s_micro")).alias("b_k"),
+        )
+    )
+    return coeffs.select(
+        F.col("k").cast("long").alias("harmonic"),
+        F.col("a_k").cast("long").alias("a_k"),
+        F.col("b_k").cast("long").alias("b_k"),
+        F.round(
+            F.sqrt(
+                F.col("a_k").cast("double") * F.col("a_k")
+                + F.col("b_k").cast("double") * F.col("b_k")
+            ),
+            3,
+        ).alias("amplitude"),
+    ).orderBy("harmonic")

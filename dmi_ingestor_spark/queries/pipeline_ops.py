@@ -2848,3 +2848,68 @@ def lake_optimize_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in rows[1:]:
         out = out.unionAll(p)
     return out.orderBy(F.col("phase").desc(), "unit_id")
+
+
+@register(
+    "privacy_generalization_ladder",
+    oracle="""
+    WITH widths(w) AS (VALUES (500), (1000), (2000), (4000)),
+    classes AS (
+      SELECT w.w, c.c_nationkey, c.c_mktsegment,
+             CAST(round(c.c_acctbal) AS BIGINT) // w.w AS band,
+             COUNT(*) AS k
+      FROM customer c CROSS JOIN widths w
+      GROUP BY w.w, c.c_nationkey, c.c_mktsegment, band
+    )
+    SELECT CAST(w AS BIGINT) AS band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_under_k5,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+    FROM classes
+    GROUP BY w
+    ORDER BY band_width
+    """,
+    doc=(
+        "The GENERALIZATION LADDER — the search step of k-anonymous "
+        "release (Samarati/Sweeney): sweep the sensitive-attribute "
+        "band width 500 -> 4000 and report, per generalization level, "
+        "how many quasi-identifier classes fall below k=5 and how "
+        "many rows they expose. The curve tells the releaser the "
+        "coarsest banding that reaches the k target — i.e. how much "
+        "utility the privacy budget costs. One scan crossed with the "
+        "4-row width table, one partial+final aggregate per level; "
+        "completes privacy_{{k_anonymity,l_diversity,t_closeness}} "
+        "with the remediation search they feed."
+    ),
+    tags=("pipeline", "privacy", "customer"),
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    widths = c.sparkSession.createDataFrame([(500,), (1000,), (2000,), (4000,)], "w int")
+    classes = (
+        c.crossJoin(F.broadcast(widths))
+        .groupBy(
+            "w",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(round(c_acctbal) AS BIGINT) div w").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        classes.groupBy(F.col("w").cast("long").alias("band_width"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum((F.col("k") < 5).cast("long")).cast("long").alias(
+                "classes_under_k5"
+            ),
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("band_width")
+    )
