@@ -3244,8 +3244,9 @@ _HARM_PHASES = [
     SELECT CAST(k AS BIGINT) AS harmonic,
            CAST(a_k AS BIGINT) AS a_k,
            CAST(b_k AS BIGINT) AS b_k,
-           round(sqrt(CAST(a_k AS DOUBLE) * a_k
-                      + CAST(b_k AS DOUBLE) * b_k), 3) AS amplitude
+           CAST(CAST(a_k AS DECIMAL(38,0)) * a_k
+                + CAST(b_k AS DECIMAL(38,0)) * b_k
+                AS DECIMAL(38,0)) AS amplitude_sq
     FROM coeffs
     ORDER BY harmonic
     """,
@@ -3258,8 +3259,9 @@ _HARM_PHASES = [
         "coefficients are exact BIGINT dot products (monthly integer "
         "totals x micro phases, order-independent), so which "
         "harmonic dominates — the actual seasonality readout — is "
-        "hash-pinned in pure integers; amplitude adds one identical "
-        "IEEE sqrt tree at 3 decimals. One month-grain rollup scans "
+        "hash-pinned in pure integers; the squared amplitude stays "
+        "exact decimal (a double a*b+c here can diverge by one ulp "
+        "when an engine contracts it to a fused multiply-add). One month-grain rollup scans "
         "the facts; the projection is a 12x3-row broadcast join. "
         "Complements ts_seasonal_decompose_lite (moving-average "
         "view) with the frequency-domain view."
@@ -3286,11 +3288,10 @@ def ts_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("harmonic"),
         F.col("a_k").cast("long").alias("a_k"),
         F.col("b_k").cast("long").alias("b_k"),
-        F.round(
-            F.sqrt(
-                F.col("a_k").cast("double") * F.col("a_k")
-                + F.col("b_k").cast("double") * F.col("b_k")
-            ),
-            3,
-        ).alias("amplitude"),
+        (
+            F.col("a_k").cast("decimal(38,0)") * F.col("a_k")
+            + F.col("b_k").cast("decimal(38,0)") * F.col("b_k")
+        )
+        .cast("decimal(38,0)")
+        .alias("amplitude_sq"),
     ).orderBy("harmonic")
