@@ -3295,3 +3295,96 @@ def ts_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("amplitude_sq"),
     ).orderBy("harmonic")
+
+
+# --------------------------------------------------------------------------
+# Longest month-over-month growth streak (gaps-and-islands on the summary)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_longest_growth_streak",
+    oracle="""
+    WITH monthly AS (
+      SELECT DATE_TRUNC('month', o_orderdate) AS month_start,
+             SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ),
+    flagged AS (
+      SELECT month_start, x,
+             CASE WHEN x > lag(x) OVER (ORDER BY month_start)
+                  THEN 1 ELSE 0 END AS up
+      FROM monthly
+    ),
+    islands AS (
+      SELECT month_start, up,
+             SUM(1 - up) OVER (ORDER BY month_start) AS grp
+      FROM flagged
+    ),
+    runs AS (
+      SELECT grp, CAST(SUM(up) AS BIGINT) AS run_len,
+             MIN(month_start) AS run_anchor
+      FROM islands GROUP BY grp
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST((SELECT SUM(up) FROM flagged) AS BIGINT) AS n_up_months,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST((SELECT MIN(run_anchor) FROM runs r2
+                 WHERE r2.run_len = (SELECT MAX(run_len) FROM runs))
+                AS DATE) AS streak_anchor
+    FROM runs
+    """,
+    doc=(
+        "Longest month-over-month revenue growth streak — gaps-and-"
+        "islands (lag flag + running reset-count) applied to the "
+        "monthly SUMMARY series, with the earliest anchor month as a "
+        "deterministic tiebreak. The 'N consecutive quarters of "
+        "growth' KPI. Facts are touched once by the month rollup; "
+        "the windows run over O(months) rows, same discipline as "
+        "the other ts_ queries (bounded-series SinglePartition is "
+        "the allowlisted pattern)."
+    ),
+    tags=("timeseries", "window", "orders"),
+)
+def ts_longest_growth_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_start")
+    ).agg(F.sum(F.round("o_totalprice").cast("long")).alias("x"))
+    w = Window.orderBy("month_start")
+    flagged = monthly.select(
+        "month_start",
+        F.when(F.col("x") > F.lag("x").over(w), 1).otherwise(0).alias("up"),
+    )
+    islands = flagged.select(
+        "month_start",
+        "up",
+        F.sum(F.lit(1) - F.col("up"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("grp"),
+    )
+    runs = islands.groupBy("grp").agg(
+        F.sum("up").cast("long").alias("run_len"),
+        F.min("month_start").alias("run_anchor"),
+    )
+    tot = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("up").cast("long").alias("n_up_months"),
+    )
+    best = runs.agg(F.max("run_len").alias("longest_streak"))
+    anchor = (
+        runs.join(F.broadcast(best), runs.run_len == best.longest_streak)
+        .agg(F.min("run_anchor").alias("streak_anchor"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "n_months",
+            "n_up_months",
+            "longest_streak",
+            F.col("streak_anchor").cast("date").alias("streak_anchor"),
+        )
+    )

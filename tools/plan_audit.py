@@ -64,6 +64,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "skyline_pareto_parts": "phase-2 window over the union of 32 per-bucket skylines (skyline-sized)",
     "sql_api_correlated_subqueries": "uncorrelated scalar AVG subquery: 1-row broadcast",
     "ts_bollinger_bands": "trailing window over the O(months) summary series",
+    "ts_longest_growth_streak": "lag/prefix windows over the O(months) summary series",
     "ml_decision_stump_exact": (
         "cumulative window over the per-threshold aggregate "
         "(O(distinct feature values) rows; real split-finders bin to <=256)"
