@@ -1684,3 +1684,139 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "a_fold", "b_fold", "jaccard")
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle-size sensitivity sweep (the dedup hyperparameter, one query)
+# --------------------------------------------------------------------------
+
+_SWEEP_NS = (2, 3, 4)
+_SWEEP_JS = 10**6
+
+
+def _sweep_oracle() -> str:
+    parts = []
+    for n in _SWEEP_NS:
+        grams = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        parts.append(f"""
+    sh{n} AS (
+      SELECT DISTINCT doc_id, {grams} AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+    ),
+    freq{n} AS (
+      SELECT shingle FROM sh{n} GROUP BY shingle
+      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cand{n} AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh{n} a
+      JOIN freq{n} f ON a.shingle = f.shingle
+      JOIN sh{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    arrs{n} AS (
+      SELECT doc_id, list(shingle) AS shs FROM sh{n} GROUP BY doc_id
+    ),
+    scored{n} AS (
+      SELECT (len(list_intersect(sa.shs, sb.shs)) * {_SWEEP_JS})
+               // (len(sa.shs) + len(sb.shs)
+                   - len(list_intersect(sa.shs, sb.shs))) AS j_scaled
+      FROM cand{n} c
+      JOIN arrs{n} sa ON sa.doc_id = c.a_id
+      JOIN arrs{n} sb ON sb.doc_id = c.b_id
+    ),
+    row{n} AS (
+      SELECT {n} AS shingle_n,
+             CAST((SELECT COUNT(*) FROM cand{n}) AS BIGINT)
+               AS n_candidate_pairs,
+             CAST(COUNT(*) FILTER (WHERE j_scaled >= {_SWEEP_JS} // 5)
+                  AS BIGINT) AS n_pairs_over_j02,
+             CAST(COALESCE(SUM(j_scaled), 0) AS BIGINT) AS j_scaled_sum
+      FROM scored{n}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT shingle_n, n_candidate_pairs, n_pairs_over_j02, j_scaled_sum FROM row{n}"
+        for n in _SWEEP_NS
+    )
+    return "WITH " + ",".join(parts) + f"\n    {selects} ORDER BY shingle_n"
+
+
+@register(
+    "dedup_shingle_size_sweep",
+    oracle=_sweep_oracle(),
+    doc=(
+        "Shingle-size SENSITIVITY SWEEP — the hyperparameter study "
+        "behind every near-dedup config choice, as one query: for "
+        "n in (2,3,4), the DF-capped candidate-pair count, the pairs "
+        "clearing Jaccard 0.2, and the scaled-integer Jaccard mass. "
+        "Smaller n = more collisions/recall, larger n = precision; "
+        "this emits the actual tradeoff curve on the corpus instead "
+        "of folklore. Each rung is the proven dedup-ladder machinery "
+        "(per-doc distinct shingles built map-side, skew-capped "
+        "candidates, exact integer-ratio verify); the three rungs "
+        "share the tokenize pass and run as independent branches."
+    ),
+    tags=("dedup", "training-pipeline", "documents"),
+)
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    outs = []
+    for n in _SWEEP_NS:
+        arrs = _shingle_arrays(d, n=n).cache()
+        sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("shingle")
+        )
+        sh_rare = sh.join(rare, ["shingle"])
+        cand = (
+            sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
+            .join(
+                sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"),
+                ["shingle"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+            .cache()
+        )
+        sa = arrs.select(
+            F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh")
+        )
+        sb = arrs.select(
+            F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh")
+        )
+        inter = F.size(F.array_intersect("a_sh", "b_sh"))
+        uni = F.size("a_sh") + F.size("b_sh") - inter
+        scored = (
+            cand.join(sa, "a_id")
+            .join(sb, "b_id")
+            .select(F.expr(f"""
+                (size(array_intersect(a_sh, b_sh)) * {_SWEEP_JS})
+                div (size(a_sh) + size(b_sh)
+                     - size(array_intersect(a_sh, b_sh)))
+            """).alias("j_scaled"))
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        summary = scored.agg(
+            F.sum((F.col("j_scaled") >= _SWEEP_JS // 5).cast("long"))
+            .cast("long")
+            .alias("n_pairs_over_j02"),
+            F.coalesce(F.sum("j_scaled"), F.lit(0))
+            .cast("long")
+            .alias("j_scaled_sum"),
+        )
+        outs.append(
+            n_cand.crossJoin(summary).select(
+                F.lit(n).cast("long").alias("shingle_n"),
+                "n_candidate_pairs",
+                "n_pairs_over_j02",
+                "j_scaled_sum",
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("shingle_n")
