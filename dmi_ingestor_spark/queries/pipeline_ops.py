@@ -2442,14 +2442,14 @@ _STICKY_S = 10**6
              SUM(dau) AS dau_total, COUNT(*) AS n_days
       FROM daily GROUP BY month_start
     )
-    SELECT CAST(a.month_start AS DATE) AS month_start,
+    SELECT CAST(a.month_start AS TIMESTAMP) AS month_start,
            CAST(a.dau_total AS BIGINT) AS dau_total,
            CAST(a.n_days AS BIGINT) AS n_active_days,
            CAST(m.mau AS BIGINT) AS mau,
            CAST((a.dau_total * {_STICKY_S}) // (a.n_days * m.mau) AS BIGINT)
              AS stickiness_scaled
     FROM avg_dau a JOIN monthly m ON a.month_start = m.month_start
-    ORDER BY month_start
+    ORDER BY a.month_start
     """,
     doc=(
         "DAU/MAU stickiness per month — the product-health headline: "
@@ -2477,7 +2477,7 @@ def analytics_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         avg_dau.join(monthly, "month_start")
         .select(
-            F.col("month_start").cast("date").alias("month_start"),
+            "month_start",
             F.col("dau_total").cast("long").alias("dau_total"),
             F.col("n_days").cast("long").alias("n_active_days"),
             F.col("mau").cast("long").alias("mau"),
