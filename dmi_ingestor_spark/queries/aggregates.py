@@ -3149,7 +3149,7 @@ _BOLL_S = 10**6
       WINDOW w AS (ORDER BY month_start
                    ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
     )
-    SELECT CAST(month_start AS DATE) AS month_start,
+    SELECT CAST(month_start AS TIMESTAMP) AS month_start,
            CAST(x AS BIGINT) AS monthly_total,
            CAST(n AS BIGINT) AS trailing_n,
            CAST((sx * {_BOLL_S}) // n AS BIGINT) AS mean_scaled,
@@ -3191,7 +3191,7 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     )
     return framed.select(
-        F.col("month_start").cast("date").alias("month_start"),
+        "month_start",
         F.col("x").cast("long").alias("monthly_total"),
         F.col("n").cast("long").alias("trailing_n"),
         F.expr(f"(sx * {_BOLL_S}) div n").cast("long").alias("mean_scaled"),
@@ -3331,7 +3331,7 @@ def ts_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(run_len) AS BIGINT) AS longest_streak,
            CAST((SELECT MIN(run_anchor) FROM runs r2
                  WHERE r2.run_len = (SELECT MAX(run_len) FROM runs))
-                AS DATE) AS streak_anchor
+                AS TIMESTAMP) AS streak_anchor
     FROM runs
     """,
     doc=(
@@ -3385,6 +3385,6 @@ def ts_longest_growth_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             "n_up_months",
             "longest_streak",
-            F.col("streak_anchor").cast("date").alias("streak_anchor"),
+            "streak_anchor",
         )
     )
