@@ -3244,9 +3244,9 @@ _HARM_PHASES = [
     SELECT CAST(k AS BIGINT) AS harmonic,
            CAST(a_k AS BIGINT) AS a_k,
            CAST(b_k AS BIGINT) AS b_k,
-           CAST(CAST(a_k AS DECIMAL(38,0)) * a_k
+           CAST(CAST(CAST(a_k AS DECIMAL(38,0)) * a_k
                 + CAST(b_k AS DECIMAL(38,0)) * b_k
-                AS DECIMAL(38,0)) AS amplitude_sq
+                AS DECIMAL(38,0)) AS VARCHAR) AS amplitude_sq
     FROM coeffs
     ORDER BY harmonic
     """,
@@ -3293,6 +3293,7 @@ def ts_harmonic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("b_k").cast("decimal(38,0)") * F.col("b_k")
         )
         .cast("decimal(38,0)")
+        .cast("string")
         .alias("amplitude_sq"),
     ).orderBy("harmonic")
 
