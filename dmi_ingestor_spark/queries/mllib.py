@@ -2326,3 +2326,128 @@ def ml_grouped_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     ).orderBy("grp")
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval (distribution-free coverage)
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1 -> 90% target
+_CONF_W0 = 120_000
+_CONF_W1 = 4_000  # pred = W0 + W1 * month  (fixed toy regressor, dollars)
+_CONF_S = 10**6
+
+
+@register(
+    "ml_conformal_prediction_interval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey,
+             CAST(concat('0x', substr(md5(concat('cp-',
+                    CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) % 10
+               AS fold,
+             abs(CAST(round(o_totalprice) AS BIGINT)
+                 - ({_CONF_W0} + {_CONF_W1} * month(o_orderdate))) AS r
+      FROM orders
+    ),
+    cal AS (SELECT r FROM scored WHERE fold = 8),
+    tst AS (SELECT r FROM scored WHERE fold = 9),
+    n AS (SELECT COUNT(*) AS n_cal FROM cal),
+    k AS (
+      SELECT n_cal,
+             CAST(ceil((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})
+                       / {_CONF_ALPHA_DEN}.0) AS BIGINT) AS k_stat
+      FROM n
+    ),
+    qhat AS (
+      SELECT k.n_cal, k.k_stat,
+             (SELECT r FROM cal ORDER BY r
+              LIMIT 1 OFFSET (SELECT LEAST(k_stat, n_cal) - 1 FROM k))
+               AS q_hat
+      FROM k
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(q.k_stat AS BIGINT) AS k_stat,
+           CAST(q.q_hat AS BIGINT) AS q_hat,
+           CAST((SELECT COUNT(*) FROM tst) AS BIGINT) AS n_test,
+           CAST((SELECT COUNT(*) FROM tst WHERE r <= q.q_hat) AS BIGINT)
+             AS n_covered,
+           CAST(((SELECT COUNT(*) FROM tst WHERE r <= q.q_hat) * {_CONF_S})
+                // (SELECT COUNT(*) FROM tst) AS BIGINT) AS coverage_scaled
+    FROM qhat q
+    """,
+    doc=(
+        "SPLIT-CONFORMAL prediction interval — the distribution-free "
+        "uncertainty wrapper (Vovk; Angelopoulos & Bates) modern ML "
+        "serving puts around any point model: q_hat is the "
+        "ceil((n+1)(1-alpha))-th order statistic of calibration-fold "
+        "absolute residuals, and the guarantee is test coverage >= "
+        "90% regardless of the model or distribution. Folds come "
+        "from the deterministic md5 split; the order statistic is "
+        "selected by EXACT sharded global rank (no SinglePartition "
+        "sort, no approx percentile — the guarantee is exact, so the "
+        "quantile must be); coverage is audited on the held-out fold "
+        "as scaled integers. One scan + one rank + two 1-row "
+        "aggregates."
+    ),
+    tags=("mllib", "uncertainty", "orders", "scale"),
+)
+def ml_conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cp-"), F.col("o_orderkey").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    r = F.abs(
+        F.round("o_totalprice").cast("long")
+        - (F.lit(_CONF_W0) + F.lit(_CONF_W1) * F.month("o_orderdate"))
+    )
+    scored = o.select(fold.alias("fold"), r.alias("r"), "o_orderkey")
+    cal = scored.filter(F.col("fold") == 8).select("r", "o_orderkey")
+    tst = scored.filter(F.col("fold") == 9).select("r")
+    ranked, n_cal = sharded_row_number(cal, ["r", "o_orderkey"], out="rk")
+    k_stat = min(
+        _m.ceil(
+            (n_cal + 1) * (_CONF_ALPHA_DEN - _CONF_ALPHA_NUM) / _CONF_ALPHA_DEN
+        ),
+        n_cal,
+    )
+    qhat = ranked.filter(F.col("rk") == k_stat).select(
+        F.col("r").alias("q_hat")
+    )
+    cov = (
+        tst.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((F.col("r") <= F.col("q_hat")).cast("long"))
+            .cast("long")
+            .alias("n_covered"),
+            F.max("q_hat").cast("long").alias("q_hat"),
+        )
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(k_stat).cast("long").alias("k_stat"),
+        "q_hat",
+        "n_test",
+        "n_covered",
+        F.expr(f"(n_covered * {_CONF_S}) div n_test")
+        .cast("long")
+        .alias("coverage_scaled"),
+    )
