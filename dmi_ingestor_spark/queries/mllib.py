@@ -2451,3 +2451,109 @@ def ml_conformal_prediction_interval(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("long")
         .alias("coverage_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic (binned, all-integer)
+# --------------------------------------------------------------------------
+
+_KS_S = 10**9
+_KS_BIN = 100  # dollars per bin
+
+
+@register(
+    "ml_ks_drift_binned",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) // {_KS_BIN} AS b,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS s2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    per_bin AS (
+      SELECT b, SUM(s1) AS c1, SUM(s2) AS c2 FROM binned GROUP BY b
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_bin),
+    cum AS (
+      SELECT b,
+             SUM(c1) OVER (ORDER BY b) AS f1,
+             SUM(c2) OVER (ORDER BY b) AS f2
+      FROM per_bin
+    ),
+    d AS (
+      SELECT MAX(abs(f1 * t.n2 - f2 * t.n1)) AS d_num,
+             MIN(CASE WHEN abs(f1 * t.n2 - f2 * t.n1) = (
+                   SELECT MAX(abs(f1 * t2.n2 - f2 * t2.n1))
+                   FROM cum CROSS JOIN tot t2)
+                 THEN b END) AS d_bin
+      FROM cum CROSS JOIN tot t
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           CAST(d.d_bin AS BIGINT) AS d_argmax_bin,
+           CAST((d.d_num * {_KS_S}) // (t.n1 * t.n2) AS BIGINT) AS d_scaled
+    FROM d CROSS JOIN tot t
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift statistic between the "
+        "urgent and low-priority price distributions, on a fixed "
+        "{_KS_BIN}-dollar binning: D = max |F1 - F2| over the merged "
+        "support, kept ALL-INTEGER with the common-denominator trick "
+        "(|f1*n2 - f2*n1|, scaled by 1e9 only at the end) plus the "
+        "argmax bin — WHERE the distributions diverge most, which is "
+        "what a drift investigation actually asks. Completes the "
+        "drift toolkit: PSI (binned likelihood ratio), chi-squared "
+        "(counts), KS (CDF distance). The cumulative window runs "
+        "over the O(price-domain / bin) summary — bounded by "
+        "construction, stated in the allowlist."
+    ),
+    tags=("mllib", "drift", "orders"),
+)
+def ml_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    binned = o.select(
+        F.expr(f"CAST(round(o_totalprice) AS BIGINT) div {_KS_BIN}").alias("b"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("s1"),
+        (F.col("o_orderpriority") == "5-LOW").cast("long").alias("s2"),
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.sum("s1").alias("c1"), F.sum("s2").alias("c2")
+    )
+    tot = per_bin.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        "b",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "dv"
+        ),
+    )
+    dmax = diffs.agg(F.max("dv").alias("d_num"))
+    dbin = (
+        diffs.crossJoin(F.broadcast(dmax))
+        .filter(F.col("dv") == F.col("d_num"))
+        .agg(F.min("b").alias("d_bin"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(dmax))
+        .crossJoin(F.broadcast(dbin))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_num").cast("long").alias("d_num"),
+            F.col("d_bin").cast("long").alias("d_argmax_bin"),
+            F.expr(f"(d_num * {_KS_S}) div (n1 * n2)")
+            .cast("long")
+            .alias("d_scaled"),
+        )
+    )
