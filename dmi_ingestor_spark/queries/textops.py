@@ -1281,3 +1281,77 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio_micro"), "w1", "w2")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf consistency: freq x rank products over the frequency table
+# --------------------------------------------------------------------------
+
+_ZIPF_S = 10**6
+_ZIPF_TOPK = 20
+
+
+@register(
+    "text_zipf_consistency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS f FROM toks GROUP BY token),
+    tot AS (SELECT SUM(f) AS n FROM freq),
+    ranked AS (
+      SELECT token, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+      FROM freq
+    )
+    SELECT r AS rank, token, CAST(f AS BIGINT) AS freq,
+           CAST(f * r AS BIGINT) AS freq_rank_product,
+           CAST((f * r * {_ZIPF_S}) // t.n AS BIGINT) AS zipf_c_scaled
+    FROM ranked CROSS JOIN tot t
+    WHERE r <= {_ZIPF_TOPK}
+    ORDER BY r
+    """,
+    doc=(
+        "Zipf-law consistency audit of the corpus token distribution: "
+        "under Zipf, frequency x rank is roughly constant, so the "
+        "top-20 products (and their total-normalized scaled form) ARE "
+        "the diagnostic — flat products = natural language, a cliff "
+        "= templated/generated text. All integers, deterministic "
+        "(f desc, token) tiebreak; the corpus-health cousin of "
+        "text_ngram_novelty. Rank over the token-grain frequency "
+        "table (vocabulary-sized, the same bounded relation "
+        "ml_chi2_feature_selection ranks); token counting is the "
+        "one corpus-wide aggregate."
+    ),
+    tags=("text", "quality", "documents"),
+)
+def text_zipf_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = freq.agg(F.sum("f").alias("n"))
+    ranked = freq.select(
+        "token",
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("token")))
+        .alias("r"),
+    ).filter(F.col("r") <= _ZIPF_TOPK)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("rank"),
+            "token",
+            F.col("f").cast("long").alias("freq"),
+            (F.col("f") * F.col("r")).cast("long").alias("freq_rank_product"),
+            F.expr(f"(f * r * {_ZIPF_S}) div n")
+            .cast("long")
+            .alias("zipf_c_scaled"),
+        )
+        .orderBy("rank")
+    )
