@@ -1345,3 +1345,83 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reciprocity of the directed trade graph
+# --------------------------------------------------------------------------
+
+_RECIP_S = 10**6
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH dir_e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    recip AS (
+      SELECT COUNT(*) AS n_recip
+      FROM dir_e a
+      WHERE EXISTS (
+        SELECT 1 FROM dir_e b WHERE b.src = a.dst AND b.dst = a.src
+      )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM dir_e) AS BIGINT) AS n_directed_edges,
+           CAST(r.n_recip AS BIGINT) AS n_reciprocated,
+           CAST((r.n_recip * {_RECIP_S})
+                // (SELECT COUNT(*) FROM dir_e) AS BIGINT)
+             AS reciprocity_scaled
+    FROM recip r
+    """,
+    doc=(
+        "Reciprocity of the directed nation trade graph — the "
+        "fraction of buys-from edges that are answered by a "
+        "sells-to edge in return. With degree distribution and "
+        "assortativity this completes the one-number structure "
+        "diagnostics a graph pipeline runs before committing to "
+        "heavier algorithms (reciprocity ~1 means the directed "
+        "graph is effectively undirected — skip the directed "
+        "machinery). One left-semi self-join on the aggregated "
+        "|V|x|V| edge list; scaled-integer ratio."
+    ),
+    tags=("graph", "diagnostics"),
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dir_e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .cache()
+    )
+    rev = dir_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = dir_e.join(F.broadcast(rev), ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    n_all = dir_e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_all.crossJoin(F.broadcast(n_recip))
+        .select(
+            F.col("n_edges").cast("long").alias("n_directed_edges"),
+            F.col("n_recip").cast("long").alias("n_reciprocated"),
+            F.expr(f"(n_recip * {_RECIP_S}) div n_edges")
+            .cast("long")
+            .alias("reciprocity_scaled"),
+        )
+    )
