@@ -2913,3 +2913,110 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band_width")
     )
+
+
+_E2E_S = 10**6
+
+
+@register(
+    "pipeline_featurize_infer_eval_e2e",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, token, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, lang, token
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             SUM(c * (CASE WHEN CAST(concat('0x',
+                   substr(md5(concat('w-', token)), 1, 8)) AS BIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END)) AS score
+      FROM feat GROUP BY doc_id, lang
+    ),
+    pred AS (
+      SELECT label, CASE WHEN score > 0 THEN 1 ELSE 0 END AS p FROM scored
+    )
+    SELECT
+      CAST(SUM(CASE WHEN p = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(SUM(CASE WHEN p = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fp,
+      CAST(SUM(CASE WHEN p = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS fn,
+      CAST(SUM(CASE WHEN p = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS tn,
+      CAST((SUM(CASE WHEN p = label THEN 1 ELSE 0 END) * {_E2E_S})
+           // COUNT(*) AS BIGINT) AS accuracy_scaled
+    FROM pred
+    """,
+    doc=(
+        "Featurize -> infer -> evaluate as ONE plan, nothing "
+        "materialized between stages: per-doc token-count features, "
+        "a hashed-sign linear scorer (the feature-hashing trick with "
+        "md5-derived +-1 weights — vocabulary-free, so the 'model' "
+        "ships as an expression), threshold inference, and the "
+        "confusion matrix, fused into two grouped aggregates over "
+        "one scan. The shape that matters operationally: batch "
+        "inference over 100 TB is exactly this plan with real "
+        "weights broadcast in, and Catalyst pipelines it without "
+        "ever writing features to storage. Everything integer, "
+        "hash-exact."
+    ),
+    tags=("pipeline", "training-pipeline", "documents", "scale"),
+)
+def pipeline_featurize_infer_eval_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    feat = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w-"), F.col("token")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    scored = feat.groupBy("doc_id", "lang").agg(
+        F.sum(F.col("c") * sign).alias("score")
+    )
+    pred = scored.select(
+        (F.col("lang") == "en").cast("long").alias("label"),
+        (F.col("score") > 0).cast("long").alias("p"),
+    )
+    return pred.agg(
+        F.sum(((F.col("p") == 1) & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("p") == 1) & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("p") == 0) & (F.col("label") == 1)).cast("long"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("p") == 0) & (F.col("label") == 0)).cast("long"))
+        .cast("long")
+        .alias("tn"),
+        F.expr(
+            f"(SUM(CAST(p = label AS BIGINT)) * {_E2E_S}) div COUNT(*)"
+        )
+        .cast("long")
+        .alias("accuracy_scaled"),
+    )
