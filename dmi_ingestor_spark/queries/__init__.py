@@ -64,7 +64,19 @@ spatial_geohash_cells, st_trending_topk_windows,
 ml_ndcg_ranking_eval, ml_naive_bayes_train, ml_decision_stump_exact,
 graph_hits_scores, graph_jaccard_link_prediction, ts_sax_symbolize,
 agg_count_min_sketch, lake_deletion_vector_read, privacy_t_closeness,
-graph_kcore_decomposition.
+graph_kcore_decomposition, ml_map_at_k_eval, sql_api_distinct_on,
+pipeline_backfill_partitions, raster_overview_stats, ml_woe_encoding,
+sql_api_recursive_reachability, analytics_dau_mau_stickiness,
+pipeline_data_contract_check, mm_byte_diversity, ml_knn_classifier_eval,
+graph_community_modularity, ml_uncertainty_sampling_rank,
+dq_duplicate_key_audit, ts_bollinger_bands, ingest_cube_format_matrix,
+ml_grouped_ols_multifeature, graph_assortativity,
+sim_range_search_threshold, dq_split_leakage_near_dup,
+lake_optimize_recluster, ts_harmonic_regression,
+privacy_generalization_ladder, ts_longest_growth_streak,
+dedup_shingle_size_sweep, ml_conformal_prediction_interval,
+ml_ks_drift_binned, text_zipf_consistency, graph_reciprocity,
+pipeline_featurize_infer_eval_e2e, pipeline_quality_filter_cascade.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401
