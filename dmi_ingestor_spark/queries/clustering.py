@@ -371,3 +371,109 @@ def cluster_farthest_point_seeding(spark: SparkSession, sf_dir: str) -> DataFram
         )
         chosen = chosen.unionByName(best)
     return chosen.select("seed_rank", "vec_id", "dist_sq")
+
+
+# ---------------------------------------------------------------------------
+# Density-based clustering: grid-blocked eps-neighborhood (DBSCAN stage 1)
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 300  # quantized units: 0.03 in embedding space
+_DB_MINPTS = 5
+
+
+@register(
+    "cluster_dbscan_core_points",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q0,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q1
+      FROM embeddings
+    )
+    SELECT a.vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(COUNT(*) >= {_DB_MINPTS} AS INT) AS is_core
+    FROM p a JOIN p b
+      ON (a.q0 - b.q0) * (a.q0 - b.q0)
+       + (a.q1 - b.q1) * (a.q1 - b.q1) <= {_DB_EPS * _DB_EPS}
+    GROUP BY a.vec_id
+    ORDER BY a.vec_id
+    """,
+    doc=(
+        "U6/ML: DBSCAN stage 1 (core-point classification) with GRID "
+        "BLOCKING — the distributed eps-neighborhood counting that "
+        "makes density clustering feasible at scale. Points quantize "
+        "to integer 2-D coordinates and hash into eps-sized grid "
+        "cells; one side replicates into its 9 adjacent cells "
+        "(explode, x9 not xN), so the neighbor search is an EQUI-join "
+        "on the cell key — candidates are O(n x local density), never "
+        "the n^2 self-join the naive form (and the oracle, which IS "
+        "the n^2 form — same semantics, small-data-only plan) would "
+        "do. A point is core when its eps-ball holds >= minPts "
+        "points (self included). The eps-ball-within-adjacent-cells "
+        "guarantee makes blocking lossless, so the grid plan is "
+        "hash-identical to the exhaustive oracle. At 100 TB the cell "
+        "key is the shuffle key; hot cells are bounded by physical "
+        "density, and stage 2 (core-graph connected components) is "
+        "the same iterative min-label propagation the dedup closure "
+        "already ships (operators/components.py)."
+    ),
+    tags=("clustering", "density", "embeddings", "grid-blocking"),
+)
+def cluster_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        *[
+            F.floor(F.col("embedding")[i].cast("double") * _SCALE)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(2)
+        ],
+    ).select(
+        "vec_id",
+        "q0",
+        "q1",
+        *[
+            F.floor(F.col(f"q{i}").cast("double") / _DB_EPS)
+            .cast("long")
+            .alias(c)
+            for i, c in ((0, "cx"), (1, "cy"))
+        ],
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    # Build side: each point lands in its own cell plus the 8 adjacent
+    # ones, so the probe side joins on ITS cell only (pure equi-join).
+    build = (
+        pts.select("q0", "q1", "cx", "cy")
+        .withColumn("o", F.explode(offsets))
+        .select(
+            F.col("q0").alias("b_q0"),
+            F.col("q1").alias("b_q1"),
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    d0 = F.col("q0") - F.col("b_q0")
+    d1 = F.col("q1") - F.col("b_q1")
+    return (
+        pts.join(
+            build,
+            (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+        )
+        .where(d0 * d0 + d1 * d1 <= F.lit(_DB_EPS * _DB_EPS))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+        .select(
+            "vec_id",
+            "n_neighbors",
+            (F.col("n_neighbors") >= _DB_MINPTS).cast("int").alias("is_core"),
+        )
+        .orderBy("vec_id")
+    )
