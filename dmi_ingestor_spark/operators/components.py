@@ -25,10 +25,21 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
-    id reachable. Edges are treated as undirected."""
+    id reachable. Edges are treated as undirected.
+
+    ``checkpoint_every=k`` localCheckpoints the label relation every k
+    rounds — required when the graph's diameter (= rounds to converge)
+    is more than a handful, else the per-round lineage chain makes the
+    logical plan grow multiplicatively (AQE's plan stringification alone
+    can OOM the driver). Semantically transparent; pure lineage
+    truncation."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -42,7 +53,7 @@ def connected_components(
         .cache()
     )
     labels.count()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -58,6 +69,8 @@ def connected_components(
             )
             .cache()
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

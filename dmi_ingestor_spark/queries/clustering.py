@@ -477,3 +477,168 @@ def cluster_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN stage 2: full cluster labels (core graph components + border assign)
+# ---------------------------------------------------------------------------
+
+_DB2_EPS = 200  # tighter than stage 1: 17 clusters at sf0.01, not one blob
+_DB2_MINPTS = 5
+
+
+def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFrame:
+    """(a_id, b_id) for every ordered pair within ``eps`` (self included),
+    via the same lossless 9-cell grid blocking as stage 1 — an equi-join
+    on the cell key, never an n^2 self-join."""
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        *[
+            F.floor(F.col("embedding")[i].cast("double") * _SCALE)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(2)
+        ],
+    ).select(
+        "vec_id",
+        "q0",
+        "q1",
+        F.floor(F.col("q0").cast("double") / eps).cast("long").alias("cx"),
+        F.floor(F.col("q1").cast("double") / eps).cast("long").alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    build = (
+        pts.select("vec_id", "q0", "q1", "cx", "cy")
+        .withColumn("o", F.explode(offsets))
+        .select(
+            F.col("vec_id").alias("b_id"),
+            F.col("q0").alias("b_q0"),
+            F.col("q1").alias("b_q1"),
+            (F.col("cx") + F.col("o.dx")).alias("jx"),
+            (F.col("cy") + F.col("o.dy")).alias("jy"),
+        )
+    )
+    d0 = F.col("q0") - F.col("b_q0")
+    d1 = F.col("q1") - F.col("b_q1")
+    return (
+        pts.join(
+            build,
+            (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+        )
+        .where(d0 * d0 + d1 * d1 <= F.lit(eps * eps))
+        .select(F.col("vec_id").alias("a_id"), "b_id")
+    )
+
+
+@register(
+    "cluster_dbscan_labels",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT vec_id,
+             CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q0,
+             CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q1
+      FROM embeddings
+    ),
+    n AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM p a JOIN p b
+        ON (a.q0 - b.q0) * (a.q0 - b.q0)
+         + (a.q1 - b.q1) * (a.q1 - b.q1) <= {_DB2_EPS * _DB2_EPS}
+    ),
+    cnt AS (SELECT a_id, COUNT(*) AS c FROM n GROUP BY a_id),
+    core AS (SELECT a_id AS vec_id FROM cnt WHERE c >= {_DB2_MINPTS}),
+    ce AS (
+      SELECT n.a_id AS u, n.b_id AS v FROM n
+      WHERE n.a_id IN (SELECT vec_id FROM core)
+        AND n.b_id IN (SELECT vec_id FROM core)
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM ce
+      UNION
+      SELECT e.u, rr.r FROM ce e JOIN reach rr ON rr.id = e.v
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    border AS (
+      SELECT n.a_id AS vec_id, MIN(c.comp) AS cluster
+      FROM n JOIN comp c ON c.id = n.b_id
+      WHERE n.a_id NOT IN (SELECT vec_id FROM core)
+      GROUP BY n.a_id
+    )
+    SELECT p.vec_id,
+           CAST(CASE WHEN c.comp IS NOT NULL THEN c.comp
+                     WHEN b.cluster IS NOT NULL THEN b.cluster
+                     ELSE -1 END AS BIGINT) AS cluster,
+           CASE WHEN c.comp IS NOT NULL THEN 'core'
+                WHEN b.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM p
+    LEFT JOIN comp c ON c.id = p.vec_id
+    LEFT JOIN border b ON b.vec_id = p.vec_id
+    ORDER BY p.vec_id
+    """,
+    doc=(
+        "U6/ML: DBSCAN stage 2 — full deterministic cluster labels. "
+        "Core points (eps-ball >= minPts, grid-blocked count) form a "
+        "graph joined core-to-core within eps; its connected components "
+        "(iterative min-label propagation, operators/components.py — "
+        "each round shuffles the EDGE set only) are the clusters, "
+        "labeled min vec_id. Border points (non-core within eps of a "
+        "core) take the MINIMUM neighboring core's cluster — a "
+        "deterministic pin of DBSCAN's arbitrary border tie-break, so "
+        "the whole labeling is hash-checkable against the oracle's "
+        "recursive-CTE transitive closure. Everything else is noise "
+        "(cluster -1). Tighter eps than stage 1 (200 vs 300 quantized "
+        "units) so sf0.01 yields 17 real clusters, not one blob. At "
+        "100 TB: pair generation is the grid equi-join, components "
+        "iterate on the core-core edge set (<< corpus), border assign "
+        "is one more equi-join — no stage touches n^2."
+    ),
+    tags=("clustering", "density", "iterative", "embeddings"),
+)
+def cluster_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    pairs = _grid_neighbor_pairs(spark, sf_dir, _DB2_EPS).cache()
+    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("c"))
+    core = counts.where(F.col("c") >= _DB2_MINPTS).select(
+        F.col("a_id").alias("core_id")
+    )
+    core_a = core.select(F.col("core_id").alias("a_id"))
+    core_b = core.select(F.col("core_id").alias("b_id"))
+    # localCheckpoint cuts the grid-join lineage out of every
+    # propagation round's plan (the eps=200 graph has real diameter, so
+    # rounds are many and an uncut plan string alone OOMs the driver).
+    ce = pairs.join(core_a, "a_id").join(core_b, "b_id").localCheckpoint(eager=True)
+    comp = connected_components(ce, "a_id", "b_id", checkpoint_every=3).select(
+        F.col("node").alias("id"), F.col("component").alias("comp")
+    )
+    border = (
+        pairs.join(core_a, "a_id", "left_anti")
+        .join(comp, pairs.b_id == comp.id)
+        .groupBy("a_id")
+        .agg(F.min("comp").alias("b_cluster"))
+        .select(F.col("a_id").alias("b_vec"), "b_cluster")
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    out = (
+        e.join(comp, e.vec_id == comp.id, "left")
+        .join(border, e.vec_id == F.col("b_vec"), "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("comp"), F.col("b_cluster"), F.lit(-1))
+            .cast("long")
+            .alias("cluster"),
+            F.when(F.col("comp").isNotNull(), F.lit("core"))
+            .when(F.col("b_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+        .orderBy("vec_id")
+    )
+    return out
