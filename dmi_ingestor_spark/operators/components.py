@@ -59,12 +59,29 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nb_min"))
         )
+        cand = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # Shortcut (pointer doubling): follow the label one more hop
+        # through the candidate labeling itself — label(v) is a node
+        # reachable from v, so label(label(v)) is too, and composing
+        # halves the remaining distance to the component minimum every
+        # round: O(log diameter) rounds instead of O(diameter).
+        lk = cand.select(
+            F.col("node").alias("lk_node"), F.col("component").alias("lk_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            cand.join(lk, cand.component == F.col("lk_node"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nb_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("lk_comp"), F.col("component")),
                 ).alias("component"),
             )
             .cache()

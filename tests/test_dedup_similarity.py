@@ -157,6 +157,23 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """A 60-node path graph has diameter 59 > max_iter 25: plain min-label
+    propagation would exit the loop with WRONG labels; pointer doubling
+    (label-of-label shortcutting) converges in ~log2(59) rounds, so every
+    node must reach component 0 well within the default iteration cap."""
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "a long, b long"
+    ).repartition(4)
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, "a", "b", checkpoint_every=3).collect()
+    }
+    assert got == {i: 0 for i in range(60)}
+
+
 def test_ml_minhash_invariant_summary(spark, sf_dir):
     """The invariant summary the query now emits (round-3 promotion):
     no emitted pair violates the 0.5 threshold, every reported distance
