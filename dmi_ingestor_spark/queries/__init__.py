@@ -77,7 +77,8 @@ privacy_generalization_ladder, ts_longest_growth_streak,
 dedup_shingle_size_sweep, ml_conformal_prediction_interval,
 ml_ks_drift_binned, text_zipf_consistency, graph_reciprocity,
 pipeline_featurize_infer_eval_e2e, pipeline_quality_filter_cascade,
-cluster_dbscan_core_points, cluster_dbscan_labels.
+cluster_dbscan_core_points, cluster_dbscan_labels,
+lake_incremental_view_maintenance.
 """
 
 from dmi_ingestor_spark.queries import (  # noqa: F401

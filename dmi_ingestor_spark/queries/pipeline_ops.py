@@ -1877,6 +1877,38 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _cdf_versions(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared CDF fixture: commit v1 = F+O orders, then MERGE (every
+    10th F row's status -> X, P batch appended) to make v2; return the
+    two version snapshots read back from the transaction log."""
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import TxLog, merge_upsert
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-cdf-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    tx.append(o.where(F.col("o_orderstatus").isin("F", "O")), "base")
+    v1 = tx.latest_version()
+    updates = (
+        o.where(F.col("o_orderstatus").isin("F", "O", "P"))
+        .select(
+            "o_orderkey",
+            F.when(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderkey") % 10 == 0),
+                "X",
+            )
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+    )
+    merge_upsert(tx, updates, "o_orderkey", "merged")
+    v2 = tx.latest_version()
+    return tx.read(version=v1), tx.read(version=v2)
+
+
 @register(
     "lake_change_data_feed",
     oracle="""
@@ -1919,31 +1951,7 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "lakehouse", "cdc", "orders"),
 )
 def lake_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
-    from dmi_ingestor_spark.ingest.txlog import TxLog, merge_upsert
-
-    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-cdf-"))
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    tx.append(o.where(F.col("o_orderstatus").isin("F", "O")), "base")
-    v1 = tx.latest_version()
-    updates = (
-        o.where(F.col("o_orderstatus").isin("F", "O", "P"))
-        .select(
-            "o_orderkey",
-            F.when(
-                (F.col("o_orderstatus") == "F")
-                & (F.col("o_orderkey") % 10 == 0),
-                "X",
-            )
-            .otherwise(F.col("o_orderstatus"))
-            .alias("o_orderstatus"),
-        )
-    )
-    merge_upsert(tx, updates, "o_orderkey", "merged")
-    v2 = tx.latest_version()
-    s1 = tx.read(version=v1)
-    s2 = tx.read(version=v2)
+    s1, s2 = _cdf_versions(spark, sf_dir)
     ins = s2.exceptAll(s1)
     dele = s1.exceptAll(s2)
 
@@ -1955,6 +1963,94 @@ def lake_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("change_type", "o_orderstatus", "n_rows", "key_checksum")
 
     return _summ(ins, "+").unionAll(_summ(dele, "-"))
+
+
+@register(
+    "lake_incremental_view_maintenance",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 = 0
+                  THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+    FROM v2 GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Incremental view maintenance: a per-status (COUNT, SUM) "
+        "materialized aggregate built at version 1 is brought to "
+        "version 2 WITHOUT rescanning the v2 table — only the change "
+        "feed's row-level deltas are aggregated (+count/+sum for "
+        "inserts, -count/-sum for deletes; an update is its -/+ pair) "
+        "and merged into the stored view state by a full-outer join on "
+        "the group key, dropping groups whose maintained count reaches "
+        "zero. COUNT/SUM are self-maintainable aggregates, so the "
+        "algebra is exact; the oracle recomputes the view from the v2 "
+        "state directly, and the green hash proves maintained == "
+        "recomputed. At 100 TB this is the difference between "
+        "re-aggregating the table and aggregating yesterday's delta: "
+        "the view state is O(groups), the delta is O(changes), and "
+        "neither touches the base relation."
+    ),
+    tags=("pipeline", "lakehouse", "ivm", "cdc", "orders"),
+)
+def lake_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2 = _cdf_versions(spark, sf_dir)
+    view1 = s1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("v_n"),
+        F.sum("o_orderkey").cast("long").alias("v_sum"),
+    )
+    d_ins = (
+        s2.exceptAll(s1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("i_n"),
+            F.sum("o_orderkey").cast("long").alias("i_sum"),
+        )
+        .withColumnRenamed("o_orderstatus", "i_status")
+    )
+    d_del = (
+        s1.exceptAll(s2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("d_n"),
+            F.sum("o_orderkey").cast("long").alias("d_sum"),
+        )
+        .withColumnRenamed("o_orderstatus", "d_status")
+    )
+    merged = view1.join(
+        d_ins, view1.o_orderstatus == d_ins.i_status, "full_outer"
+    ).select(
+        F.coalesce("o_orderstatus", "i_status").alias("o_orderstatus"),
+        "v_n",
+        "v_sum",
+        "i_n",
+        "i_sum",
+    )
+    merged = merged.join(
+        d_del, merged.o_orderstatus == d_del.d_status, "full_outer"
+    ).select(
+        F.coalesce("o_orderstatus", "d_status").alias("o_orderstatus"),
+        (
+            F.coalesce("v_n", F.lit(0))
+            + F.coalesce("i_n", F.lit(0))
+            - F.coalesce("d_n", F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce("v_sum", F.lit(0))
+            + F.coalesce("i_sum", F.lit(0))
+            - F.coalesce("d_sum", F.lit(0))
+        ).alias("key_checksum"),
+    )
+    return (
+        merged.where(F.col("n_rows") > 0)
+        .select("o_orderstatus", "n_rows", "key_checksum")
+        .orderBy("o_orderstatus")
+    )
 
 
 # ---------------------------------------------------------------------------
