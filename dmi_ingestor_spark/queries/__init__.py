@@ -11,11 +11,14 @@ remaining scalars) to the front, plus the fixed ``mm_decode_features``.
 Queries not in the priority list keep their import-order position after
 it, so nothing is ever dropped — only rotated.
 
-Round-4 note (do this at the START of round 4): after r1+r2+r3 the
-never-driver-checked set is the registry minus the keys of
-CORRECTNESS_r0{1,2,3}.json (~163 oracle-bearing remain). Replace
-``_DRIVER_PRIORITY`` with the first 50 of that set, oracle-bearing
-first — the remaining agg/ts extras (agg_histogram_equifreq,
+Round-5+ note (repeat each round until the backlog drains): the
+never-driver-checked set is the registry minus the keys of all
+CORRECTNESS_r0N.json files (~191 oracle-bearing remain after the r4
+rotation below). Replace ``_DRIVER_PRIORITY`` with the next 50 of that
+set, oracle-bearing first — compute it with the snippet in
+``tools/oracle_check.py``'s docstring or directly:
+``set(registry) - union(json keys)``. Remaining families include the
+agg/ts extras (agg_histogram_equifreq,
 agg_mode_exact follow-ons, ts_cusum_changepoint, ts_obv_indicator,
 ts_runs_test…), the join extras (join_bloom_prefilter,
 join_interval_overlap, join_fuzzy_token_blocked…), ml_* eval pack,
@@ -108,75 +111,79 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-3 rotation: 50 slots. The 3 round-2 hash-reds repaired this round
-# (oracle physical-type casts) + 47 never-driver-checked oracle-bearing
-# queries spanning every family that has no driver row yet. 173 oracle-
-# bearing never-checked names remain for rounds 4-6 (see the module
-# docstring's round-4 note).
+# Round-4 rotation: 50 slots. Slot 1 is the single round-3 driver red
+# (agg_covariance_exact — cov_num now BIGINT on both engines, the
+# decimal128 canonicalization hazard removed; see VERDICT r3 item 1).
+# Slots 2-50 are never-driver-checked oracle-bearing queries spanning
+# every family without a fresh row, front-loading the ones touched this
+# round: the checkpointed k-core/iterative graph builders and the five
+# ADVICE-flagged queries (ml_decision_stump_exact, lake_optimize_
+# recluster, pipeline_backfill_partitions, ml_conformal_prediction_
+# interval, ml_ks_drift_binned). ~191 oracle-bearing never-checked
+# names remain for rounds 5+.
 _DRIVER_PRIORITY = [
-    # Repaired round-2 hash-reds: oracle now casts DuckDB HUGEINT/DOUBLE
-    # physical types to Spark's BIGINT (VERDICT.md "What's wrong" 1-3)
-    "q12_shipmode_priority",
-    "text_lang_id",
-    "scalar_math_pack",
-    # Aggregate extras (9)
-    "agg_histogram_totalprice",
-    "agg_argmax_pack",
-    "agg_mode_exact",
-    "agg_multi_distinct_expand",
+    # The round-3 hash-red, repaired (decimal128 -> BIGINT output)
     "agg_covariance_exact",
-    "agg_percentile_disc",
-    "agg_grouping_id_pin",
-    "agg_exact_median_twopass",
-    "agg_weighted_median",
+    # Aggregates / sketches (8)
+    "agg_histogram_equifreq",
+    "agg_boolean_pack",
+    "agg_bitmap_distinct",
+    "agg_listagg_ordered",
+    "agg_skew_kurtosis_exact",
+    "agg_entropy_exact",
+    "agg_gini_coefficient",
+    "agg_count_min_sketch",
     # Time-series (3)
-    "ts_rollup_ohlc",
-    "ts_autocorrelation",
-    "ts_max_drawdown",
-    # Dedup third wave (5)
-    "dedup_semantic_cluster",
-    "dedup_incremental_minhash",
-    "dedup_paragraph_rewrite",
-    "dedup_url_canonicalize",
-    "dedup_lsh_recall_eval",
-    # Graph + clustering (3; kmeans re-planned this round — map-side argmin)
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "cluster_kmeans_embeddings",
-    # Lakehouse / pipeline / DQ (7)
-    "lake_time_travel_read",
-    "lake_stats_pruned_read",
-    "pipeline_write_audit_publish",
-    "pipeline_incremental_watermark",
-    "transform_global_row_number",
-    "dq_referential_integrity",
-    "dq_benford_first_digit",
-    # SQL-API surface (5)
-    "sql_api_correlated_subqueries",
-    "sql_api_lateral_topn",
-    "sql_api_group_by_all",
-    "sql_api_qualify_semantics",
-    "sql_api_sql_udf",
-    # SCD / CDC (3)
-    "scd2_dimension_merge",
-    "join_point_in_time_scd2",
-    "cdc_apply_changes",
-    # Reshape / UDTF (3)
-    "nested_build_flatten_roundtrip",
-    "udtf_table_partition_by",
-    "reshape_nested_json_flatten",
-    # Scalar packs (3)
-    "scalar_date_arithmetic",
-    "scalar_conditional_pack",
-    "scalar_try_cast_pack",
-    # Set-op ALL forms + NULL pin (3)
-    "setop_intersect_all",
-    "setop_except_all",
-    "setop_null_semantics",
-    # ANN upgraded oracles (2) + exact ML eval (1)
-    "sim_ann_lsh_buckets",
-    "sim_ann_ivf",
-    "ml_auc_exact",
+    "ts_cusum_changepoint",
+    "ts_bollinger_bands",
+    "ts_harmonic_regression",
+    # Transforms / top-k (3)
+    "transform_winsorize_values",
+    "topk_per_group_aggregate",
+    "transform_outlier_mad",
+    # Clustering (3)
+    "cluster_farthest_point_seeding",
+    "cluster_dbscan_core_points",
+    "cluster_dbscan_labels",
+    # Dedup ladder rungs without driver rows (5)
+    "dedup_bag_of_words",
+    "dedup_substring_containment",
+    "dedup_winnowing_pairs",
+    "dedup_minhash_b_bit",
+    "dedup_shingle_size_sweep",
+    # Graph — incl. the iterative builders checkpointed this round (5)
+    "graph_label_propagation",
+    "graph_bfs_shortest_hops",
+    "graph_hits_scores",
+    "graph_kcore_decomposition",
+    "graph_community_modularity",
+    # Ingestion / sources (4)
+    "ingest_dead_letter_split",
+    "ingest_schema_evolution_merge",
+    "ingest_cube_format_matrix",
+    "sink_datasource_manifest",
+    # Join extras (5)
+    "join_bloom_prefilter",
+    "join_interval_overlap",
+    "join_fuzzy_token_blocked",
+    "join_overlap_duration_billing",
+    "join_null_key_skew_bypass",
+    # ML evals — incl. the ADVICE-flagged five (6)
+    "ml_chi2_feature_selection",
+    "ml_psi_drift",
+    "ml_decision_stump_exact",
+    "ml_conformal_prediction_interval",
+    "ml_ks_drift_binned",
+    "ml_ndcg_ranking_eval",
+    # Multimodal (3)
+    "mm_phash_dedup",
+    "mm_byte_diversity",
+    "mm_scene_cut_detect",
+    # Lakehouse / pipeline — incl. two ADVICE-flagged (4)
+    "lake_optimize_recluster",
+    "pipeline_backfill_partitions",
+    "lake_change_data_feed",
+    "lake_deletion_vector_read",
 ]
 
 

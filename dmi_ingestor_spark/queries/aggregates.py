@@ -944,7 +944,7 @@ def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)))
              - SUM(CAST(round(value * 100) AS DECIMAL(38,0)))
                * SUM(CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0)))
-             AS DECIMAL(38,0)) AS cov_num
+             AS BIGINT) AS cov_num
     FROM events
     GROUP BY event_type
     """,
@@ -952,8 +952,10 @@ def agg_boolean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Exact sample-covariance numerator n·Σxy − Σx·Σy between "
         "centi-scaled event value and hour-of-day, per event type — the "
         "algebraic single-pass form (no mean subtraction, no second "
-        "scan) carried in decimal(38,0) so the 128-bit integer result "
-        "is hash-exact where float covar_samp would drift. This is the "
+        "scan) carried in decimal(38,0) internally and emitted as "
+        "BIGINT (|cov_num| ~ 1e13 at sf1, well inside int64) so the "
+        "result is hash-exact where float covar_samp would drift. This "
+        "is the "
         "form a 100 TB profile pass uses: one partial+final aggregate, "
         "three extra decimal sums per group, and the sign/magnitude of "
         "the association available without any floating point. "
@@ -980,7 +982,7 @@ def agg_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_obs").cast("decimal(38,0)") * F.col("sxy")
                 - F.col("sx") * F.col("sy")
             )
-            .cast("decimal(38,0)")
+            .cast("long")
             .alias("cov_num"),
         )
     )

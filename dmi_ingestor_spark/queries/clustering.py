@@ -416,7 +416,14 @@ _DB_MINPTS = 5
         "key is the shuffle key; hot cells are bounded by physical "
         "density, and stage 2 (core-graph connected components) is "
         "the same iterative min-label propagation the dedup closure "
-        "already ships (operators/components.py)."
+        "already ships (operators/components.py). DIMENSIONALITY "
+        "CAVEAT: this query clusters in the FIRST TWO embedding "
+        "dimensions only (as its oracle also does) — a 2-D grid is "
+        "the right blocker for spatial/geo density, but the "
+        "9-adjacent-cell trick degrades to 3^d replication in d "
+        "dimensions; true high-dimensional density clustering should "
+        "block with the LSH/IVF bucketers this repo ships "
+        "(sim_ann_lsh_buckets / sim_ann_ivf) instead of this grid."
     ),
     tags=("clustering", "density", "embeddings", "grid-blocking"),
 )

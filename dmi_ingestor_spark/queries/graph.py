@@ -769,16 +769,25 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.expr(f"SUM(wn * h) div {_HITS_W}").alias("ar"))
         )
-        a = nodes.join(F.broadcast(a_raw), "node", "left").select(
-            "node", F.coalesce(F.col("ar"), F.lit(0)).alias("a")
+        # localCheckpoint per half-round: a/h are O(|nations|) rows, but
+        # without the lineage cut each round's plan re-embeds the whole
+        # corpus-sized edge build, compounding to a ~570 KB formatted
+        # plan at 2 rounds (and worse if rounds grow) — the same
+        # stringification blow-up class as the pre-r4 k-core loop.
+        a = (
+            nodes.join(F.broadcast(a_raw), "node", "left")
+            .select("node", F.coalesce(F.col("ar"), F.lit(0)).alias("a"))
+            .localCheckpoint(eager=True)
         )
         h_raw = (
             e.join(F.broadcast(a.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.expr(f"SUM(wn * a) div {_HITS_W}").alias("hr"))
         )
-        h = nodes.join(F.broadcast(h_raw), "node", "left").select(
-            "node", F.coalesce(F.col("hr"), F.lit(0)).alias("h")
+        h = (
+            nodes.join(F.broadcast(h_raw), "node", "left")
+            .select("node", F.coalesce(F.col("hr"), F.lit(0)).alias("h"))
+            .localCheckpoint(eager=True)
         )
     # single end-of-iteration normalization to the presentation scale
     a = a.cache()
@@ -1025,8 +1034,14 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p1") < F.col("p2"))
         .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
         .distinct()
-        .cache()
     )
+    # Lineage discipline (r4): each peel round localCheckpoints the
+    # induced edge set and unpersists the previous round, so the
+    # unrolled loop's logical plan stays O(1) per round instead of
+    # compounding (InMemoryRelation x21 / AdaptiveSparkPlan x8 plans
+    # whose stringification alone could OOM the driver — same hazard
+    # class operators/components.py fixed with per-round checkpoints).
+    e = e.localCheckpoint(eager=True)
     rows = []
     for r in range(_KCORE_ROUNDS):
         deg = (
@@ -1035,7 +1050,11 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        surv = deg.filter(F.col("d") >= _KCORE_K).select("node").cache()
+        surv = (
+            deg.filter(F.col("d") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         e_next = (
             e.join(
                 F.broadcast(surv.withColumnRenamed("node", "u")), "u", "left_semi"
@@ -1044,7 +1063,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(surv.withColumnRenamed("node", "v")), "v", "left_semi"
             )
             .select("u", "v")
-            .cache()
+            .localCheckpoint(eager=True)
         )
         summary = surv.agg(
             F.count(F.lit(1)).cast("long").alias("n_survivors"),

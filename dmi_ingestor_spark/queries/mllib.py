@@ -1807,7 +1807,13 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decision stump: exact best-split search via cumulative counts
 # --------------------------------------------------------------------------
 
-_GINI_SCALE = 10**8  # lpos*(ln-lpos)*2*SCALE <= n^2/2 * 2e8 -> safe to n ~ 9e4
+# Gini numerator 2*lpos*(ln-lpos)*SCALE is <= n^2/2 * 2e8, which leaves
+# int64 once n > sqrt(2 * 9.2e18 / 2e8) ~ 3.0e5 rows (part exceeds that
+# at SF >= ~1.5) — so both engines carry the intermediate in 128-bit
+# integer arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT; identical
+# truncating div, verified) and only the final scaled Gini, bounded by
+# ~n * SCALE / 2 (~1e14 at SF=10), is cast back to BIGINT.
+_GINI_SCALE = 10**8
 
 
 @register(
@@ -1833,10 +1839,11 @@ _GINI_SCALE = 10**8  # lpos*(ln-lpos)*2*SCALE <= n^2/2 * 2e8 -> safe to n ~ 9e4
              CAST(c.ln AS BIGINT) AS n_left,
              CAST(c.lpos AS BIGINT) AS pos_left,
              CAST(
-               (c.ln * ((2 * c.lpos * (c.ln - c.lpos) * {_GINI_SCALE}) // (c.ln * c.ln))
+               (c.ln * ((CAST(2 AS HUGEINT) * c.lpos * (c.ln - c.lpos)
+                         * {_GINI_SCALE}) // (c.ln * c.ln))
                 + (t.n_all - c.ln) *
                   CASE WHEN t.n_all - c.ln = 0 THEN 0
-                       ELSE (2 * (t.pos_all - c.lpos)
+                       ELSE (CAST(2 AS HUGEINT) * (t.pos_all - c.lpos)
                              * ((t.n_all - c.ln) - (t.pos_all - c.lpos))
                              * {_GINI_SCALE})
                             // ((t.n_all - c.ln) * (t.n_all - c.ln)) END
@@ -1897,10 +1904,11 @@ def ml_decision_stump_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lpos").cast("long").alias("pos_left"),
             F.expr(
                 f"""CAST(
-                  (ln * ((2 * lpos * (ln - lpos) * {_GINI_SCALE}) div (ln * ln))
+                  (ln * ((CAST(2 AS DECIMAL(38,0)) * lpos * (ln - lpos)
+                          * {_GINI_SCALE}) div (ln * ln))
                    + (n_all - ln) *
                      CASE WHEN n_all - ln = 0 THEN 0
-                          ELSE (2 * (pos_all - lpos)
+                          ELSE (CAST(2 AS DECIMAL(38,0)) * (pos_all - lpos)
                                 * ((n_all - ln) - (pos_all - lpos))
                                 * {_GINI_SCALE})
                                div ((n_all - ln) * (n_all - ln)) END
@@ -2355,8 +2363,10 @@ _CONF_S = 10**6
     n AS (SELECT COUNT(*) AS n_cal FROM cal),
     k AS (
       SELECT n_cal,
-             CAST(ceil((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})
-                       / {_CONF_ALPHA_DEN}.0) AS BIGINT) AS k_stat
+             CAST(LEAST(
+               ceil((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})
+                    / {_CONF_ALPHA_DEN}.0),
+               n_cal) AS BIGINT) AS k_stat
       FROM n
     ),
     qhat AS (
@@ -2499,7 +2509,7 @@ _KS_BIN = 100  # dollars per bin
     doc=(
         "Two-sample Kolmogorov-Smirnov drift statistic between the "
         "urgent and low-priority price distributions, on a fixed "
-        "{_KS_BIN}-dollar binning: D = max |F1 - F2| over the merged "
+        f"{_KS_BIN}-dollar binning: D = max |F1 - F2| over the merged "
         "support, kept ALL-INTEGER with the common-denominator trick "
         "(|f1*n2 - f2*n1|, scaled by 1e9 only at the end) plus the "
         "argmax bin — WHERE the distributions diverge most, which is "

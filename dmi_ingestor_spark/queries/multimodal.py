@@ -106,24 +106,6 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "mm_decode_features_raw",
-    oracle=None,  # raw array<double> column: invariant tests only
-    doc=(
-        "U2/U8 decode, raw-vector variant: the unquantized "
-        "features array<double> for downstream consumers (ANN, dedup). "
-        "Serialized via to_json so the driver's rows-only canonicalizer "
-        "never sees an unhashable list cell."
-    ),
-    tags=("multimodal", "rows-only"),
-)
-def mm_decode_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = attach_payloads(table(spark, sf_dir, "documents"))
-    return decode_features(media).withColumn(
-        "features", F.to_json(F.col("features"))
-    )
-
-
-@register(
     "mm_frame_sample",
     oracle="""
     WITH t AS (

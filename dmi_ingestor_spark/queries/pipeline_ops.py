@@ -2503,6 +2503,31 @@ def pipeline_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofmonth("event_date") <= 2) & (F.col("event_type") != "error")
         )
         backfill.write.mode("overwrite").partitionBy("event_date").parquet(root)
+        # Dynamic overwrite only rewrites partitions PRESENT in the
+        # incoming frame — a target date whose rows are ALL scrubbed
+        # produces no incoming partition and would leave its stale
+        # files behind (ADVICE r3). The target list must come from the
+        # date PREDICATE, not from surviving rows: diff the predicate's
+        # dates against the backfill's and delete the stale remainder.
+        # O(#partitions) driver-side; the delete goes through the same
+        # Hadoop FileSystem API as retention (s3a-safe).
+        from dmi_ingestor_spark.ingest.fs import fs_delete
+
+        target_dates = {
+            r[0]
+            for r in ev.filter(F.dayofmonth("event_date") <= 2)
+            .select(F.col("event_date").cast("string"))
+            .distinct()
+            .collect()
+        }
+        written_dates = {
+            r[0]
+            for r in backfill.select(F.col("event_date").cast("string"))
+            .distinct()
+            .collect()
+        }
+        for d in sorted(target_dates - written_dates):
+            fs_delete(spark, f"{root}/event_date={d}")
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return (
@@ -2909,9 +2934,14 @@ def lake_optimize_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (deterministic quartiles via sharded exact row numbering)
     ranked, n_total = sharded_row_number(o, ["o_orderkey"], out="rn")
     adds = []
+    # Quartile boundaries computed exactly as NTILE(4) does: the first
+    # n_total % 4 buckets take one extra row (front-loaded remainder),
+    # not floor(n*i/4)..floor(n*(i+1)/4) which trail-loads it — the two
+    # disagree whenever n_total % 4 != 0 (ADVICE r3).
+    q, rem = divmod(n_total, 4)
     for i in range(4):
-        lo_n = (n_total * i) // 4
-        hi_n = (n_total * (i + 1)) // 4
+        lo_n = i * q + min(i, rem)
+        hi_n = lo_n + q + (1 if i < rem else 0)
         part = ranked.filter(
             (F.col("rn") > lo_n) & (F.col("rn") <= hi_n)
         ).select("o_orderkey")

@@ -68,17 +68,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_topk_float",
-    oracle=None,  # float accumulation order is engine-specific
-    doc=(
-        "U6 production variant: same plan over raw float vectors "
-        "(no quantization). rows-only; test asserts ranking agreement "
-        "with the quantized twin."
-    ),
-    tags=("similarity", "embeddings", "rows-only"),
-)
 def sim_topk_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered float twin of ``sim_topk_bruteforce``.
+
+    Float cosine accumulation order is engine-specific, so a DuckDB
+    oracle for this shape is flaky by construction; rather than carry a
+    rows-only registry slot that duplicates the hash-green quantized
+    twin, this lives as a plain helper exercised by
+    ``tests/test_dedup_similarity.py::test_float_and_quantized_topk_agree``
+    (≥90% rank agreement with the quantized plan)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

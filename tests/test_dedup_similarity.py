@@ -65,7 +65,9 @@ def test_exact_dedup_groups_planted(spark, planted_docs):
 
 def test_float_and_quantized_topk_agree(spark, sf_dir):
     exact = REGISTRY["sim_topk_bruteforce"].builder(spark, sf_dir)
-    flt = REGISTRY["sim_topk_float"].builder(spark, sf_dir)
+    from dmi_ingestor_spark.queries.similarity import sim_topk_float
+
+    flt = sim_topk_float(spark, sf_dir)
     e = {(r.query_id, r.rk): r.neighbor_id for r in exact.collect()}
     f = {(r.query_id, r.rk): r.neighbor_id for r in flt.collect()}
     agree = sum(1 for k in e if f.get(k) == e[k])

@@ -100,6 +100,39 @@ def _canon_arrow_type(t) -> str:
     return str(t)
 
 
+# Queries allowed to emit a hazardous final dtype, with the reason the
+# hazard does not apply. Everything else must keep its output surface in
+# {int64, float64, string, bool, timestamp, binary, lists/structs
+# thereof}: the driver's hash canonicalization has repeatedly diverged
+# from Arrow-native compares on decimal128 and date32 (three prior
+# incidents: ts_harmonic_regression, the DATE pack, agg_covariance_exact
+# in r3), so wide/exotic final dtypes are banned at the gate.
+_RISKY_DTYPE_ALLOWLIST: dict[str, str] = {}
+
+_RISKY_CANON = {"decimal", "date"}
+
+
+def risky_dtype_problems(name: str, spark_arrow_schema) -> list[str]:
+    """Registry-wide output-dtype gate (VERDICT r3 item 1).
+
+    Flags any final output column whose canonical Arrow type is in
+    ``_RISKY_CANON`` (including nested inside list/struct/map), unless
+    the query is allowlisted with a written reason.
+    """
+    if name in _RISKY_DTYPE_ALLOWLIST:
+        return []
+    problems = []
+    for f in spark_arrow_schema:
+        canon = _canon_arrow_type(f.type)
+        if any(r in canon for r in _RISKY_CANON):
+            problems.append(
+                f"risky output dtype {f.name!r}: {canon} (driver hash "
+                "canonicalization hazard — cast to BIGINT/DOUBLE/STRING "
+                "or allowlist with a reason)"
+            )
+    return problems
+
+
 def dtype_problems(spark_arrow_schema, duck_arrow_schema) -> list[str]:
     """Compare canonical Arrow types column-by-column (sorted by name)."""
     problems: list[str] = []
@@ -179,7 +212,8 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        problems = dtype_problems(s_arrow.schema, d_arrow.schema)
+        problems = risky_dtype_problems(name, s_arrow.schema)
+        problems += dtype_problems(s_arrow.schema, d_arrow.schema)
         problems += compare(name, normalize(sdf), normalize(ddf))
         if problems:
             n_fail += 1

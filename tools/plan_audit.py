@@ -116,6 +116,16 @@ def _has_bad_single_partition(plan: str) -> bool:
     return False
 
 
+# Formatted-plan string size cap (bytes). An unrolled iterative builder
+# whose rounds compound lineage produces plans that grow multiplicatively
+# — at some round count AQE's plan *stringification alone* OOMs the
+# driver (observed: graph_kcore_decomposition pre-r4, InMemoryRelation
+# x21, java.lang.OutOfMemoryError in TreeNode.generateTreeString during
+# a long-lived-session sweep). The fix is per-round localCheckpoint;
+# this cap turns the hazard into a CI failure instead of a driver crash.
+PLAN_SIZE_CAP = 1_000_000
+
+
 def audit(plans: dict[str, str]) -> dict[str, list[str]]:
     """plans: name -> formatted physical plan. Returns name -> violations."""
     bad: dict[str, list[str]] = {}
@@ -136,6 +146,12 @@ def audit(plans: dict[str, str]) -> dict[str, list[str]]:
         # the old substring was blind to formatted plans).
         if _has_bad_single_partition(plan) and name not in SINGLE_PARTITION_OK:
             problems.append("unjustified Exchange SinglePartition")
+        if len(plan) > PLAN_SIZE_CAP:
+            problems.append(
+                f"formatted plan is {len(plan) / 1e6:.2f} MB "
+                f"(cap {PLAN_SIZE_CAP / 1e6:.0f} MB): unrolled-iteration "
+                "lineage blowup — localCheckpoint each round"
+            )
         if problems:
             bad[name] = problems
     return bad
