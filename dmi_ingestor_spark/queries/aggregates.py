@@ -3391,3 +3391,261 @@ def ts_longest_growth_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_anchor",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping between two seasonal profiles (exact integer DP)
+# ---------------------------------------------------------------------------
+
+_DTW_N = 12  # 2-hour buckets
+
+
+def _dtw_oracle() -> str:
+    """Row-by-row DTW DP as unrolled CTEs.
+
+    The same-row dependency D[j] = c_j + min(P[j], P[j-1], D[j-1])
+    unrolls to the min-plus prefix scan
+        D[j] = S_j + min_{k<=j} ( min(P[k], P[k-1]) - S_{k-1} )
+    (S = per-row prefix sums of cost), so each DP row is ONE running-min
+    window over the previous row — no cell-at-a-time recursion."""
+    head = f"""
+    WITH pa AS MATERIALIZED (
+      SELECT hour(ts) // 2 AS i,
+             CAST(SUM(round(value * 100)) AS BIGINT) AS av
+      FROM events WHERE event_type = 'purchase' GROUP BY i
+    ), pb AS MATERIALIZED (
+      SELECT hour(ts) // 2 AS j,
+             CAST(SUM(round(value * 100)) AS BIGINT) AS bv
+      FROM events WHERE event_type = 'click' GROUP BY j
+    ), s AS MATERIALIZED (
+      SELECT a.i, b.j, abs(a.av - b.bv) AS c,
+             SUM(abs(a.av - b.bv)) OVER (
+               PARTITION BY a.i ORDER BY b.j
+             ) AS sj
+      FROM pa a CROSS JOIN pb b
+    ), r0 AS MATERIALIZED (
+      SELECT j, sj AS d FROM s WHERE i = 0
+    )"""
+    rows = []
+    for i in range(1, _DTW_N):
+        rows.append(
+            f""", r{i} AS MATERIALIZED (
+      SELECT j, sj + MIN(t) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS d
+      FROM (
+        SELECT s.j, s.sj,
+               LEAST(p.d, COALESCE(lag(p.d) OVER (ORDER BY s.j), p.d))
+                 - (s.sj - s.c) AS t
+        FROM s JOIN r{i - 1} p ON s.j = p.j
+        WHERE s.i = {i}
+      )
+    )"""
+        )
+    tail = f"""
+    SELECT CAST(j AS BIGINT) AS j, CAST(d AS BIGINT) AS dtw_cum
+    FROM r{_DTW_N - 1} ORDER BY j"""
+    return head + "".join(rows) + tail
+
+
+@register(
+    "ts_dtw_alignment",
+    oracle=_dtw_oracle(),
+    doc=(
+        "Dynamic time warping between the purchase and click hourly "
+        "revenue profiles (12 two-hour buckets, integer cents) — the "
+        "elastic-distance primitive behind time-series clustering and "
+        "template matching, where Euclidean distance fails on phase "
+        "shifts. Spark runs the textbook O(n^2) DP in ONE "
+        "applyInPandas over the two REDUCED series (the corpus-sized "
+        "work is the two grouped sums; the Python hop sees 24 rows), "
+        "while the oracle unrolls each DP row to a running-min window "
+        "via the min-plus prefix-scan identity D[j] = S_j + min_k"
+        "(min(P[k],P[k-1]) - S_(k-1)) — two very different "
+        "formulations, one integer answer, so the hash pin is strong "
+        "evidence the DP is right. Output is the full final DP row "
+        "(dtw_cum at j=11 is the DTW distance)."
+    ),
+    tags=("aggregate", "timeseries", "dtw", "events"),
+)
+def ts_dtw_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    series = e.groupBy(
+        "event_type", (F.hour("ts") / 2).cast("long").alias("b")
+    ).agg(F.sum(F.round(F.col("value") * 100)).cast("long").alias("cents"))
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            pdf[pdf.event_type == "purchase"]
+            .sort_values("b")["cents"]
+            .to_numpy()
+        )
+        b = (
+            pdf[pdf.event_type == "click"].sort_values("b")["cents"].to_numpy()
+        )
+        n, m = len(a), len(b)
+        prev = None
+        for i in range(n):
+            cost = abs(a[i] - b)  # |a_i - b_j| for all j
+            cur = [0] * m
+            for j in range(m):
+                if i == 0:
+                    cur[j] = int(cost[j]) + (cur[j - 1] if j else 0)
+                else:
+                    best = prev[j]
+                    if j:
+                        best = min(best, prev[j - 1], cur[j - 1])
+                    cur[j] = int(cost[j]) + best
+            prev = cur
+        return pd.DataFrame(
+            {"j": list(range(m)), "dtw_cum": [int(x) for x in prev]}
+        )
+
+    return (
+        series.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(dp, "j long, dtw_cum long")
+        .orderBy("j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (weekly season, exact integers)
+# ---------------------------------------------------------------------------
+
+_HW_M = 7  # season length (days)
+
+
+@register(
+    "ts_holt_winters_seasonal",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT CAST(day(ts) AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY d
+    ),
+    m AS (
+      SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM base
+    ),
+    init AS (
+      SELECT CAST(SUM(y) // {_HW_M} AS BIGINT) AS l0,
+             list(y - CAST((SELECT SUM(y) // {_HW_M} FROM m WHERE rn <= {_HW_M})
+                           AS BIGINT) ORDER BY rn) AS s0
+      FROM m WHERE rn <= {_HW_M}
+    ),
+    hw(rn, d, y, l, b, s, seasonal_c, fitted_c) AS (
+      SELECT CAST({_HW_M} AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             l0, CAST(0 AS BIGINT), s0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM init
+      UNION ALL
+      SELECT m.rn, m.d, m.y,
+             (m.y - hw.s[CAST((m.rn - 1) % {_HW_M} AS INTEGER) + 1]
+              + 3 * (hw.l + hw.b)) // 4,
+             ((m.y - hw.s[CAST((m.rn - 1) % {_HW_M} AS INTEGER) + 1]
+               + 3 * (hw.l + hw.b)) // 4 - hw.l + 3 * hw.b) // 4,
+             list_transform(generate_series(1, {_HW_M}), i ->
+               CASE WHEN i = CAST((m.rn - 1) % {_HW_M} AS INTEGER) + 1
+                    THEN (m.y - ((m.y - hw.s[CAST((m.rn - 1) % {_HW_M}
+                                                  AS INTEGER) + 1]
+                                  + 3 * (hw.l + hw.b)) // 4)
+                          + 3 * hw.s[CAST((m.rn - 1) % {_HW_M}
+                                          AS INTEGER) + 1]) // 4
+                    ELSE hw.s[CAST(i AS INTEGER)] END),
+             CAST(hw.s[CAST((m.rn - 1) % {_HW_M} AS INTEGER) + 1] AS BIGINT),
+             hw.l + hw.b + hw.s[CAST((m.rn - 1) % {_HW_M} AS INTEGER) + 1]
+      FROM hw JOIN m ON m.rn = hw.rn + 1
+    )
+    SELECT d, y, CAST(l AS BIGINT) AS level_c, CAST(b AS BIGINT) AS trend_c,
+           seasonal_c, CAST(fitted_c AS BIGINT) AS fitted_c
+    FROM hw WHERE rn > {_HW_M}
+    ORDER BY d
+    """,
+    doc=(
+        "Holt-Winters ADDITIVE SEASONAL smoothing over the daily "
+        "events-revenue series with a weekly (m=7) season — the "
+        "seasonal completer of the smoothing family (EWMA -> Holt "
+        "linear -> this): level, trend AND a 7-slot seasonal state "
+        "updated each day with alpha=beta=gamma=1/4 in exact "
+        "truncating integer arithmetic. The whole recurrence is ONE "
+        "in-plan F.aggregate fold whose accumulator carries the "
+        "seasonal ARRAY (struct(l, b, s[7], out)) — no driver loop, "
+        "no Python; the corpus-sized work is one grouped daily sum. "
+        "Oracle = recursive CTE threading the identical state with a "
+        "LIST column. fitted_c = l + b + s_(t-m), the one-step-ahead "
+        "seasonal forecast, pinned per day."
+    ),
+    tags=("timeseries", "iterative", "forecast", "seasonal", "events"),
+)
+def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").cast("long").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("arr")
+    )
+    tdiv4 = lambda x: ((x - x % 4) / 4).cast("long")
+    m = _HW_M
+
+    def step(acc, e_):
+        # rn is the 1-based position carried in the accumulator
+        rn = acc["rn"] + 1
+        idx = (rn - 1) % m  # 0-based seasonal slot
+        sold = F.element_at(acc["s"], (idx + 1).cast("int"))
+        l_new = tdiv4(e_["y"] - sold + 3 * (acc["l"] + acc["b"]))
+        b_new = tdiv4(l_new - acc["l"] + 3 * acc["b"])
+        s_val = tdiv4(e_["y"] - l_new + 3 * sold)
+        s_new = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.when(i == idx, s_val).otherwise(
+                F.element_at(acc["s"], (i + 1).cast("int"))
+            ),
+        )
+        rec = F.struct(
+            e_["d"].alias("d"),
+            e_["y"].alias("y"),
+            l_new.alias("level_c"),
+            b_new.alias("trend_c"),
+            sold.cast("long").alias("seasonal_c"),
+            (acc["l"] + acc["b"] + sold).alias("fitted_c"),
+        )
+        return F.struct(
+            rn.alias("rn"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            F.concat(acc["out"], F.array(rec)).alias("out"),
+        )
+
+    first = F.slice("arr", 1, m)
+    l0 = (
+        F.aggregate(
+            first, F.lit(0).cast("long"), lambda a, x: a + x["y"]
+        )
+        / m
+    ).cast("long")
+    zero = F.struct(
+        F.lit(m).cast("long").alias("rn"),
+        l0.alias("l"),
+        F.lit(0).cast("long").alias("b"),
+        F.transform(first, lambda x: x["y"] - l0).alias("s"),
+        F.array().cast(
+            "array<struct<d:long,y:long,level_c:long,trend_c:long,"
+            "seasonal_c:long,fitted_c:long>>"
+        ).alias("out"),
+    )
+    folded = packed.select(
+        F.aggregate(
+            F.slice(F.col("arr"), m + 1, F.size("arr") - m), zero, step
+        )["out"].alias("out")
+    )
+    return (
+        folded.select(F.explode("out").alias("r"))
+        .select("r.d", "r.y", "r.level_c", "r.trend_c", "r.seasonal_c",
+                "r.fitted_c")
+        .orderBy("d")
+    )

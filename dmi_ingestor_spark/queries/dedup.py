@@ -1820,3 +1820,139 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in outs[1:]:
         out = out.unionAll(p)
     return out.orderBy("shingle_n")
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage weights (the scoring half of ER)
+# ---------------------------------------------------------------------------
+
+_FS_S = 10**6
+
+
+@register(
+    "dedup_fellegi_sunter",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+             CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS g_segment,
+             CAST(abs(round(a.c_acctbal * 100) - round(b.c_acctbal * 100))
+                  <= 10000 AS BIGINT) AS g_balance,
+             CAST(a.c_custkey % 2 = b.c_custkey % 2 AS BIGINT) AS g_parity,
+             CAST(a.c_custkey % 10 = b.c_custkey % 10 AS BIGINT) AS is_match
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND CAST(round(a.c_acctbal * 100) AS BIGINT) // 100000
+           = CAST(round(b.c_acctbal * 100) AS BIGINT) // 100000
+       AND a.c_custkey < b.c_custkey
+    ),
+    long_form AS (
+      SELECT 'segment' AS field, g_segment AS agree, is_match FROM pairs
+      UNION ALL
+      SELECT 'balance', g_balance, is_match FROM pairs
+      UNION ALL
+      SELECT 'parity', g_parity, is_match FROM pairs
+    ),
+    counts AS (
+      SELECT field,
+             CAST(SUM(is_match) AS BIGINT) AS n_match,
+             CAST(SUM(agree * is_match) AS BIGINT) AS agree_match,
+             CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch,
+             CAST(SUM(agree * (1 - is_match)) AS BIGINT) AS agree_nonmatch
+      FROM long_form GROUP BY field
+    )
+    SELECT field, n_match, agree_match, n_nonmatch, agree_nonmatch,
+           (agree_match * {_FS_S}) // n_match AS m_scaled,
+           (agree_nonmatch * {_FS_S}) // n_nonmatch AS u_scaled,
+           CAST(CASE WHEN agree_nonmatch = 0 THEN -1
+                ELSE ((agree_match * {_FS_S}) // n_match) * {_FS_S}
+                     // ((agree_nonmatch * {_FS_S}) // n_nonmatch) END
+                AS BIGINT) AS fs_ratio_scaled
+    FROM counts
+    ORDER BY field
+    """,
+    doc=(
+        "Fellegi-Sunter record-linkage weights — the SCORING half of "
+        "entity resolution that the dedup ladder's candidate "
+        "generation feeds: per comparison field, the m-probability "
+        "P(agree | match) and u-probability P(agree | non-match) over "
+        "blocked candidate pairs, and their ratio (the log-free form "
+        "of the FS agreement weight; log2 of it is the additive "
+        "match score). Blocking = (nation, 1000-dollar balance band) "
+        "so the pair space is O(sum block^2), never n^2; the truth "
+        "partition uses the fixture's entity convention (custkey mod "
+        "10). All counts exact integers, ratios 1e6-scaled — "
+        "hash-exact. On real data m/u start from these labeled "
+        "counts and iterate EM; the aggregation shape is identical."
+    ),
+    tags=("dedup", "entity-resolution", "customer"),
+)
+def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("ka"),
+        F.col("c_nationkey").alias("na"),
+        F.col("c_mktsegment").alias("sa"),
+        F.col("cents").alias("ca"),
+        (F.col("cents") / 100000).cast("long").alias("band_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nb"),
+        F.col("c_mktsegment").alias("sb"),
+        F.col("cents").alias("cb"),
+        (F.col("cents") / 100000).cast("long").alias("band_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("na") == F.col("nb"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("ka") < F.col("kb")),
+    ).select(
+        (F.col("sa") == F.col("sb")).cast("long").alias("g_segment"),
+        (F.abs(F.col("ca") - F.col("cb")) <= 10000)
+        .cast("long")
+        .alias("g_balance"),
+        (F.col("ka") % 2 == F.col("kb") % 2).cast("long").alias("g_parity"),
+        (F.col("ka") % 10 == F.col("kb") % 10).cast("long").alias("is_match"),
+    )
+    long_form = None
+    for field, col in (
+        ("segment", "g_segment"),
+        ("balance", "g_balance"),
+        ("parity", "g_parity"),
+    ):
+        part = pairs.select(
+            F.lit(field).alias("field"),
+            F.col(col).alias("agree"),
+            "is_match",
+        )
+        long_form = part if long_form is None else long_form.unionAll(part)
+    counts = long_form.groupBy("field").agg(
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(F.col("agree") * F.col("is_match"))
+        .cast("long")
+        .alias("agree_match"),
+        F.sum(1 - F.col("is_match")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("agree") * (1 - F.col("is_match")))
+        .cast("long")
+        .alias("agree_nonmatch"),
+    )
+    return counts.select(
+        "field",
+        "n_match",
+        "agree_match",
+        "n_nonmatch",
+        "agree_nonmatch",
+        F.expr(f"(agree_match * {_FS_S}) div n_match").alias("m_scaled"),
+        F.expr(f"(agree_nonmatch * {_FS_S}) div n_nonmatch").alias("u_scaled"),
+        F.expr(
+            f"CAST(CASE WHEN agree_nonmatch = 0 THEN -1 "
+            f"ELSE ((agree_match * {_FS_S}) div n_match) * {_FS_S} "
+            f"div ((agree_nonmatch * {_FS_S}) div n_nonmatch) END AS BIGINT)"
+        ).alias("fs_ratio_scaled"),
+    ).orderBy("field")

@@ -483,9 +483,9 @@ def _bfs_oracle() -> str:
         UNION ALL
         SELECT dst, src FROM dedges WHERE src <> dst
       )
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM und
-    ), d0 AS (
+    ), d0 AS MATERIALIZED (
       SELECT node,
              CASE WHEN node = {_BFS_SRC} THEN 0 ELSE {_BFS_INF} END AS dist
       FROM nodes
@@ -1443,4 +1443,431 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("reciprocity_scaled"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Closeness centrality: all-pairs BFS on the strong-tie trade graph
+# --------------------------------------------------------------------------
+
+_CLOSE_K = 4  # relaxation rounds (diameter bound on the summary graph)
+_CLOSE_INF = 10**6
+_CLOSE_S = 10**6
+
+
+def _closeness_oracle() -> str:
+    """Unrolled all-pairs min-plus BFS + Wasserman-Faust closeness."""
+    head = f"""
+    WITH dedges AS MATERIALIZED (
+      SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+             GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY u, v
+    ), tot AS MATERIALIZED (
+      SELECT SUM(w) AS tw, COUNT(*) AS ne FROM dedges
+    ), strong AS MATERIALIZED (
+      SELECT u, v FROM dedges CROSS JOIN tot WHERE w * ne >= tw
+    ), und AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM strong
+      UNION ALL SELECT v, u FROM strong
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM und
+    ), d0 AS MATERIALIZED (
+      SELECT a.node AS s, b.node AS t,
+             CASE WHEN a.node = b.node THEN 0 ELSE {_CLOSE_INF} END AS dist
+      FROM nodes a CROSS JOIN nodes b
+    )"""
+    rounds = []
+    for k in range(_CLOSE_K):
+        rounds.append(
+            f""", r{k} AS (
+      SELECT d{k}.s, und.dst AS t, MIN(d{k}.dist + 1) AS reach
+      FROM und JOIN d{k} ON und.src = d{k}.t
+      GROUP BY d{k}.s, und.dst
+    ), d{k + 1} AS MATERIALIZED (
+      SELECT d{k}.s, d{k}.t,
+             LEAST(d{k}.dist, COALESCE(r{k}.reach, {_CLOSE_INF})) AS dist
+      FROM d{k} LEFT JOIN r{k} ON d{k}.s = r{k}.s AND d{k}.t = r{k}.t
+    )"""
+        )
+    tail = f"""
+    SELECT s AS nationkey,
+           CAST(COUNT(CASE WHEN dist < {_CLOSE_INF} THEN 1 END) - 1 AS BIGINT)
+             AS n_reachable,
+           CAST(SUM(CASE WHEN dist < {_CLOSE_INF} THEN dist ELSE 0 END)
+                AS BIGINT) AS sum_dist,
+           CAST(CASE WHEN SUM(CASE WHEN dist < {_CLOSE_INF} THEN dist
+                              ELSE 0 END) = 0 THEN 0
+                ELSE ((COUNT(CASE WHEN dist < {_CLOSE_INF} THEN 1 END) - 1)
+                      * (COUNT(CASE WHEN dist < {_CLOSE_INF} THEN 1 END) - 1)
+                      * {_CLOSE_S})
+                     // (((SELECT COUNT(*) FROM nodes) - 1)
+                         * SUM(CASE WHEN dist < {_CLOSE_INF} THEN dist
+                               ELSE 0 END)) END AS BIGINT)
+             AS closeness_wf_scaled
+    FROM d{_CLOSE_K}
+    GROUP BY s
+    ORDER BY nationkey"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=_closeness_oracle(),
+    doc=(
+        "Closeness centrality of every nation in the strong-tie trade "
+        "graph (above-mean edge weight, the assortativity "
+        "sparsification) — WHICH hub reaches the whole network "
+        "fastest, the classic influence ranking. All-pairs shortest "
+        "hops by synchronous min-plus relaxation on the (src, dst) "
+        "pair state — |V|^2 rows, summary-sized — with per-round "
+        "localCheckpoint lineage cuts; closeness is the "
+        "Wasserman-Faust form (n_reach-1)^2 / ((n-1)*sum_dist) so "
+        "disconnected components rank correctly, pinned as a "
+        "1e6-scaled integer. The corpus-sized stage is only the edge "
+        "build; iteration never touches facts. Hash-green vs the "
+        "unrolled-CTE oracle."
+    ),
+    tags=("graph", "iterative", "centrality", "scale"),
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    und0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    strong = (
+        und0.crossJoin(F.broadcast(utot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("u", "v")
+    )
+    und = (
+        strong.unionAll(
+            strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1)
+    dist = (
+        nodes.select(F.col("node").alias("s"))
+        .crossJoin(nodes.select(F.col("node").alias("t")))
+        .select(
+            "s",
+            "t",
+            F.when(F.col("s") == F.col("t"), 0)
+            .otherwise(_CLOSE_INF)
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CLOSE_K):
+        reach = (
+            und.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
+            .groupBy("s", F.col("dst").alias("t"))
+            .agg(F.min(F.col("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(F.broadcast(reach), ["s", "t"], "left")
+            .select(
+                "s",
+                "t",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    fin = F.col("dist") < _CLOSE_INF
+    return (
+        dist.groupBy(F.col("s").alias("nationkey"))
+        .agg(
+            (F.count(F.when(fin, 1)) - 1).cast("long").alias("n_reachable"),
+            F.sum(F.when(fin, F.col("dist")).otherwise(0))
+            .cast("long")
+            .alias("sum_dist"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "nationkey",
+            "n_reachable",
+            "sum_dist",
+            F.expr(
+                f"CAST(CASE WHEN sum_dist = 0 THEN 0 ELSE "
+                f"(n_reachable * n_reachable * {_CLOSE_S})"
+                f" div ((n_nodes - 1) * sum_dist) END AS BIGINT)"
+            ).alias("closeness_wf_scaled"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Betweenness centrality: shortest-path counting on the strong-tie graph
+# --------------------------------------------------------------------------
+
+_BTW_S = 10**6
+
+
+def _betweenness_oracle() -> str:
+    """All-pairs BFS distances + path counts + pair-dependency sum."""
+    head = f"""
+    WITH dedges AS MATERIALIZED (
+      SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+             GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY u, v
+    ), tot AS MATERIALIZED (
+      SELECT SUM(w) AS tw, COUNT(*) AS ne FROM dedges
+    ), strong AS MATERIALIZED (
+      SELECT u, v FROM dedges CROSS JOIN tot WHERE w * ne >= tw
+    ), und AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM strong
+      UNION ALL SELECT v, u FROM strong
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM und
+    ), d0 AS MATERIALIZED (
+      SELECT a.node AS s, b.node AS t,
+             CASE WHEN a.node = b.node THEN 0 ELSE {_CLOSE_INF} END AS dist
+      FROM nodes a CROSS JOIN nodes b
+    )"""
+    rounds = []
+    for k in range(_CLOSE_K):
+        rounds.append(
+            f""", r{k} AS (
+      SELECT d{k}.s, und.dst AS t, MIN(d{k}.dist + 1) AS reach
+      FROM und JOIN d{k} ON und.src = d{k}.t
+      GROUP BY d{k}.s, und.dst
+    ), d{k + 1} AS MATERIALIZED (
+      SELECT d{k}.s, d{k}.t,
+             LEAST(d{k}.dist, COALESCE(r{k}.reach, {_CLOSE_INF})) AS dist
+      FROM d{k} LEFT JOIN r{k} ON d{k}.s = r{k}.s AND d{k}.t = r{k}.t
+    )"""
+        )
+    sig = [
+        f""", sig0 AS MATERIALIZED (
+      SELECT node AS s, node AS t, CAST(1 AS BIGINT) AS sigma FROM nodes
+    )"""
+    ]
+    for k in range(1, _CLOSE_K + 1):
+        sig.append(
+            f""", new{k} AS (
+      SELECT p.s, und.dst AS t, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM sig{k - 1} p
+      JOIN d{_CLOSE_K} du ON du.s = p.s AND du.t = p.t
+                          AND du.dist = {k - 1}
+      JOIN und ON und.src = p.t
+      JOIN d{_CLOSE_K} dv ON dv.s = p.s AND dv.t = und.dst
+                          AND dv.dist = {k}
+      GROUP BY p.s, und.dst
+    ), sig{k} AS MATERIALIZED (
+      SELECT s, t, sigma FROM sig{k - 1}
+      UNION ALL SELECT s, t, sigma FROM new{k}
+    )"""
+        )
+    tail = f"""
+    , pairs AS MATERIALIZED (
+      SELECT g.s, g.t, g.dist, sg.sigma
+      FROM d{_CLOSE_K} g JOIN sig{_CLOSE_K} sg ON g.s = sg.s AND g.t = sg.t
+      WHERE g.dist < {_CLOSE_INF}
+    ),
+    contrib AS (
+      SELECT a.t AS v, st.s, st.t AS tt,
+             (a.sigma * b.sigma * {_BTW_S}) // st.sigma AS c
+      FROM pairs a
+      JOIN pairs b ON b.s = a.t
+      JOIN pairs st ON st.s = a.s AND st.t = b.t
+      WHERE a.s < b.t AND a.t <> a.s AND a.t <> b.t
+        AND a.dist + b.dist = st.dist
+    )
+    SELECT n.node AS nationkey,
+           CAST(COALESCE(COUNT(c.v), 0) AS BIGINT) AS n_geodesic_pairs,
+           CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS betweenness_scaled
+    FROM nodes n LEFT JOIN contrib c ON c.v = n.node
+    GROUP BY n.node
+    ORDER BY nationkey"""
+    return head + "".join(rounds) + "".join(sig) + tail
+
+
+@register(
+    "graph_betweenness_centrality",
+    oracle=_betweenness_oracle(),
+    doc=(
+        "Betweenness centrality on the strong-tie trade graph — "
+        "completes the centrality triad (degree distribution, "
+        "closeness, this): for every node, the sum over unordered "
+        "(s,t) pairs of the fraction of shortest s-t paths passing "
+        "through it, sigma_st(v)/sigma_st with sigma_st(v) = "
+        "sigma(s,v)*sigma(v,t) when d(s,v)+d(v,t)=d(s,t). Distances "
+        "AND path counts both come from synchronous rounds on the "
+        "|V|^2 pair state (count-propagation is the same join shape "
+        "as min-plus relaxation, one extra SUM), each round "
+        "localCheckpointed; the dependency sum is a triple self-join "
+        "of the summary-sized pair table — never corpus-scale. "
+        "Fractions are per-pair 1e6-scaled floor divisions so the "
+        "centrality is integer-pinned (Brandes' backward pass "
+        "accumulates the same quantity in floats; the counting form "
+        "trades O(VE) for summary-sized joins, right when V is "
+        "small after aggregation)."
+    ),
+    tags=("graph", "iterative", "centrality", "scale"),
+)
+def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    und0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    strong = (
+        und0.crossJoin(F.broadcast(utot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("u", "v")
+    )
+    und = (
+        strong.unionAll(
+            strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1)
+    nodes = nodes.localCheckpoint(eager=True)
+    dist = (
+        nodes.select(F.col("node").alias("s"))
+        .crossJoin(nodes.select(F.col("node").alias("t")))
+        .select(
+            "s",
+            "t",
+            F.when(F.col("s") == F.col("t"), 0)
+            .otherwise(_CLOSE_INF)
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CLOSE_K):
+        reach = (
+            und.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
+            .groupBy("s", F.col("dst").alias("t"))
+            .agg(F.min(F.col("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(F.broadcast(reach), ["s", "t"], "left")
+            .select(
+                "s",
+                "t",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # sigma: path-count propagation by depth, same join shape as BFS
+    sig = nodes.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("t"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, _CLOSE_K + 1):
+        du = dist.filter(F.col("dist") == k - 1).select("s", "t")
+        dv = dist.filter(F.col("dist") == k).select(
+            F.col("s").alias("s2"), F.col("t").alias("t2")
+        )
+        new = (
+            sig.join(F.broadcast(du), ["s", "t"])
+            .join(F.broadcast(und.withColumnRenamed("src", "t")), "t")
+            .join(
+                F.broadcast(dv),
+                (F.col("s") == F.col("s2")) & (F.col("dst") == F.col("t2")),
+            )
+            .groupBy("s", F.col("dst").alias("t"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        sig = sig.unionAll(new).localCheckpoint(eager=True)
+    pairs = (
+        dist.filter(F.col("dist") < _CLOSE_INF)
+        .join(sig, ["s", "t"])
+        .select("s", "t", "dist", "sigma")
+        .localCheckpoint(eager=True)
+    )
+    a = pairs.select(
+        F.col("s").alias("sa"), F.col("t").alias("v"),
+        F.col("dist").alias("da"), F.col("sigma").alias("siga"),
+    )
+    b = pairs.select(
+        F.col("s").alias("v"), F.col("t").alias("tb"),
+        F.col("dist").alias("db"), F.col("sigma").alias("sigb"),
+    )
+    st = pairs.select(
+        F.col("s").alias("sa"), F.col("t").alias("tb"),
+        F.col("dist").alias("dst_"), F.col("sigma").alias("sigst"),
+    )
+    contrib = (
+        a.join(F.broadcast(b), "v")
+        .join(F.broadcast(st), ["sa", "tb"])
+        .filter(
+            (F.col("sa") < F.col("tb"))
+            & (F.col("v") != F.col("sa"))
+            & (F.col("v") != F.col("tb"))
+            & (F.col("da") + F.col("db") == F.col("dst_"))
+        )
+        .select(
+            "v",
+            F.expr(f"(siga * sigb * {_BTW_S}) div sigst").alias("c"),
+        )
+    )
+    return (
+        nodes.join(F.broadcast(contrib), nodes.node == contrib.v, "left")
+        .groupBy(F.col("node").alias("nationkey"))
+        .agg(
+            F.count("c").cast("long").alias("n_geodesic_pairs"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("betweenness_scaled"),
+        )
+        .orderBy("nationkey")
     )

@@ -2567,3 +2567,176 @@ def ml_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d_scaled"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BLEU-2 corpus evaluation, all-integer (clipped n-gram precision)
+# --------------------------------------------------------------------------
+
+_BLEU_S = 10**6
+_BLEU_NCAND = 100  # candidates = doc_id < 100, references = doc_id + 100
+
+
+@register(
+    "ml_bleu_ngram_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < {2 * _BLEU_NCAND}
+    ),
+    uni AS (
+      SELECT doc_id, t[i] AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> '' GROUP BY doc_id, g
+    ),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      GROUP BY doc_id, g
+    ),
+    lens AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM uni GROUP BY doc_id
+    ),
+    m1 AS (
+      SELECT c.doc_id AS cid,
+             CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS n1_match
+      FROM uni c JOIN uni r
+        ON r.doc_id = c.doc_id + {_BLEU_NCAND} AND r.g = c.g
+      WHERE c.doc_id < {_BLEU_NCAND}
+      GROUP BY c.doc_id
+    ),
+    m2 AS (
+      SELECT c.doc_id AS cid,
+             CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS n2_match
+      FROM bi c JOIN bi r
+        ON r.doc_id = c.doc_id + {_BLEU_NCAND} AND r.g = c.g
+      WHERE c.doc_id < {_BLEU_NCAND}
+      GROUP BY c.doc_id
+    )
+    SELECT lc.doc_id,
+           COALESCE(m1.n1_match, 0) AS n1_match,
+           lc.n_tok AS n1_total,
+           COALESCE(m2.n2_match, 0) AS n2_match,
+           lc.n_tok - 1 AS n2_total,
+           (COALESCE(m1.n1_match, 0) * {_BLEU_S}) // lc.n_tok AS p1_scaled,
+           (COALESCE(m2.n2_match, 0) * {_BLEU_S})
+             // GREATEST(lc.n_tok - 1, 1) AS p2_scaled,
+           ((COALESCE(m1.n1_match, 0) * {_BLEU_S}) // lc.n_tok)
+             * ((COALESCE(m2.n2_match, 0) * {_BLEU_S})
+                // GREATEST(lc.n_tok - 1, 1)) // {_BLEU_S}
+             AS bleu2_prod_scaled,
+           CAST(lc.n_tok < lr.n_tok AS BIGINT) AS brevity_penalized
+    FROM lens lc
+    JOIN lens lr ON lr.doc_id = lc.doc_id + {_BLEU_NCAND}
+    LEFT JOIN m1 ON m1.cid = lc.doc_id
+    LEFT JOIN m2 ON m2.cid = lc.doc_id
+    WHERE lc.doc_id < {_BLEU_NCAND}
+    ORDER BY lc.doc_id
+    """,
+    doc=(
+        "BLEU-2 evaluation between candidate/reference document pairs "
+        "(doc d scored against doc d+100) with the exact mechanics of "
+        "the metric kept ALL-INTEGER: clipped modified n-gram "
+        "precision (match = sum of min(cand_count, ref_count) per "
+        "gram — the clipping that stops 'the the the' gaming), "
+        "per-order precisions as 1e6-scaled floor ratios, their "
+        "product as the log-free stand-in for the geometric mean, and "
+        "the brevity-penalty condition (c < r) as a pinned flag — "
+        "the generation-eval loop every instruction-tuning pipeline "
+        "runs, minus only the final exp(). Scale: n-gram counts are "
+        "token-count shuffles keyed on (doc, gram); the cand/ref join "
+        "is keyed on (pair id, gram) so it's equi-join sized by "
+        "shared vocabulary, never cross-doc."
+    ),
+    tags=("mllib", "eval", "bleu", "documents"),
+)
+def ml_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2 * _BLEU_NCAND
+    )
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    uni = (
+        t.select("doc_id", F.explode("t").alias("g"))
+        .filter(F.col("g") != "")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .cache()
+    )
+    bi = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lens = uni.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n_tok"))
+
+    def matches(grams, out):
+        c = grams.filter(F.col("doc_id") < _BLEU_NCAND).select(
+            F.col("doc_id").alias("cid"), "g", F.col("cnt").alias("c_cnt")
+        )
+        r = grams.filter(F.col("doc_id") >= _BLEU_NCAND).select(
+            (F.col("doc_id") - _BLEU_NCAND).alias("cid"),
+            "g",
+            F.col("cnt").alias("r_cnt"),
+        )
+        return c.join(r, ["cid", "g"]).groupBy("cid").agg(
+            F.sum(F.least("c_cnt", "r_cnt")).cast("long").alias(out)
+        )
+
+    lc = lens.filter(F.col("doc_id") < _BLEU_NCAND)
+    lr = lens.filter(F.col("doc_id") >= _BLEU_NCAND).select(
+        (F.col("doc_id") - _BLEU_NCAND).alias("cid"),
+        F.col("n_tok").alias("r_tok"),
+    )
+    out = (
+        lc.join(lr, lc.doc_id == lr.cid)
+        .join(matches(uni, "n1_match").withColumnRenamed("cid", "m1id"),
+              F.col("doc_id") == F.col("m1id"), "left")
+        .join(matches(bi, "n2_match").withColumnRenamed("cid", "m2id"),
+              F.col("doc_id") == F.col("m2id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n1_match", F.lit(0)).cast("long").alias("n1_match"),
+            F.col("n_tok").alias("n1_total"),
+            F.coalesce("n2_match", F.lit(0)).cast("long").alias("n2_match"),
+            (F.col("n_tok") - 1).cast("long").alias("n2_total"),
+            "r_tok",
+        )
+        .select(
+            "doc_id",
+            "n1_match",
+            "n1_total",
+            "n2_match",
+            "n2_total",
+            F.expr(f"(n1_match * {_BLEU_S}) div n1_total").alias("p1_scaled"),
+            F.expr(
+                f"(n2_match * {_BLEU_S}) div greatest(n2_total, 1)"
+            ).alias("p2_scaled"),
+            (F.col("n1_total") < F.col("r_tok"))
+            .cast("long")
+            .alias("brevity_penalized"),
+        )
+        .select(
+            "doc_id",
+            "n1_match",
+            "n1_total",
+            "n2_match",
+            "n2_total",
+            "p1_scaled",
+            "p2_scaled",
+            F.expr(f"(p1_scaled * p2_scaled) div {_BLEU_S}").alias(
+                "bleu2_prod_scaled"
+            ),
+            "brevity_penalized",
+        )
+        .orderBy("doc_id")
+    )
+    return out

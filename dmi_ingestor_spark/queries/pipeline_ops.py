@@ -3146,3 +3146,113 @@ def pipeline_featurize_infer_eval_e2e(
         .cast("long")
         .alias("accuracy_scaled"),
     )
+
+
+@register(
+    "lake_vacuum_audit",
+    oracle="""
+    WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'),
+         p AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+    SELECT 'pre_vacuum' AS phase,
+           CAST(3 AS BIGINT) AS n_units_on_disk,
+           CAST(2 AS BIGINT) AS n_units_live,
+           CAST((SELECT COUNT(*) FROM o) + (SELECT COUNT(*) FROM p)
+                AS BIGINT) AS n_rows_latest,
+           CAST((SELECT SUM(o_orderkey) FROM o)
+                + (SELECT SUM(o_orderkey) FROM p) AS BIGINT) AS key_checksum
+    UNION ALL
+    SELECT 'post_vacuum', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM o) + (SELECT COUNT(*) FROM p)
+                AS BIGINT),
+           CAST((SELECT SUM(o_orderkey) FROM o)
+                + (SELECT SUM(o_orderkey) FROM p) AS BIGINT)
+    UNION ALL
+    SELECT 'vacuumed_units', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM f) AS BIGINT),
+           CAST((SELECT SUM(o_orderkey) FROM f) AS BIGINT)
+    ORDER BY phase
+    """,
+    doc=(
+        "VACUUM lifecycle audit — the storage-reclaim step that "
+        "completes the lakehouse loop (write -> audit -> publish -> "
+        "OPTIMIZE -> vacuum): three status-sliced units land as "
+        "commits, one is logically deleted, and vacuum() physically "
+        "removes exactly the units invisible to the LATEST snapshot "
+        "— no more (live data untouched, checksummed before and "
+        "after) and no less (the dropped unit's file really leaves "
+        "the filesystem; its row count is pinned from the base "
+        "table). Physical file listing goes through the same Hadoop "
+        "FileSystem API as retention, so the audit is identical on "
+        "file:// and s3a://. Time travel to pre-delete versions "
+        "breaks by design after vacuum — the retention contract "
+        "every lakehouse documents."
+    ),
+    tags=("pipeline", "lakehouse", "vacuum", "orders"),
+)
+def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.fs import _fs_and_path
+    from dmi_ingestor_spark.ingest.txlog import TxLog
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-vac-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for st in ("F", "O", "P"):
+        tx.append(
+            o.filter(F.col("o_orderstatus") == st).select("o_orderkey"),
+            f"status-{st}",
+        )
+    tx.remove_units(["data/status-F"])
+
+    def disk_units() -> list[str]:
+        fs, jdata = _fs_and_path(spark, f"{tx.root}/data")
+        if not fs.exists(jdata):
+            return []
+        return sorted(st.getPath().getName() for st in fs.listStatus(jdata))
+
+    def latest_stats(phase: str, n_disk: int):
+        return (
+            tx.read()
+            .agg(
+                F.lit(phase).alias("phase"),
+                F.lit(n_disk).cast("long").alias("n_units_on_disk"),
+                F.lit(len(tx.snapshot().add_units))
+                .cast("long")
+                .alias("n_units_live"),
+                F.count(F.lit(1)).cast("long").alias("n_rows_latest"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+            .select(
+                "phase",
+                "n_units_on_disk",
+                "n_units_live",
+                "n_rows_latest",
+                "key_checksum",
+            )
+        )
+
+    pre = latest_stats("pre_vacuum", len(disk_units()))
+    pre = pre.localCheckpoint(eager=True)  # pin BEFORE files are deleted
+    removed = tx.vacuum()
+    post = latest_stats("post_vacuum", len(disk_units()))
+    # the vacuumed unit's contents, pinned from the base table: vacuum
+    # must have removed exactly the logically-deleted F unit
+    vac = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.lit("vacuumed_units").alias("phase"),
+            F.lit(len(removed)).cast("long").alias("n_units_on_disk"),
+            F.lit(0).cast("long").alias("n_units_live"),
+            F.count(F.lit(1)).cast("long").alias("n_rows_latest"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .select(
+            "phase",
+            "n_units_on_disk",
+            "n_units_live",
+            "n_rows_latest",
+            "key_checksum",
+        )
+    )
+    return pre.unionAll(post).unionAll(vac).orderBy("phase")

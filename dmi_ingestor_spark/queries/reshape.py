@@ -783,3 +783,48 @@ def reshape_nested_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metric").cast("long").alias("metric"),
         F.col("metric_idx0").cast("long").alias("metric_idx"),
     )
+
+
+@register(
+    "pivot_dynamic_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           COALESCE("1-URGENT", 0) AS "1-URGENT",
+           COALESCE("2-HIGH", 0) AS "2-HIGH",
+           COALESCE("3-MEDIUM", 0) AS "3-MEDIUM",
+           COALESCE("4-NOT SPECIFIED", 0) AS "4-NOT SPECIFIED",
+           COALESCE("5-LOW", 0) AS "5-LOW"
+    FROM (PIVOT orders ON o_orderpriority USING COUNT(*) GROUP BY o_orderstatus)
+    ORDER BY o_orderstatus
+    """,
+    doc=(
+        "DYNAMIC pivot: Spark's two-phase pivot with NO value list — "
+        "phase 1 is a bounded distinct-values discovery job on the "
+        "pivot column, phase 2 the pivoted aggregate with the "
+        "discovered values inlined as literals (the same plan the "
+        "static form compiles to, so dynamism costs one small job, "
+        "not a different operator). The oracle is DuckDB's native "
+        "dynamic PIVOT statement — both engines must therefore "
+        "discover the identical column set. Missing cells pinned to "
+        "0 on both sides (Spark pivot yields NULL counts, DuckDB 0). "
+        "At 100 TB the discovery job is a column-pruned distinct on "
+        "a low-cardinality column — cheap — but an UNBOUNDED pivot "
+        "column would make phase 2's width explode; Spark's "
+        "spark.sql.pivotMaxValues guardrail (default 10k) is the "
+        "right production cap."
+    ),
+    tags=("pivot", "dynamic", "orders"),
+)
+def pivot_dynamic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")  # no value list: dynamic discovery
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [c for c in piv.columns if c != "o_orderstatus"]
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(c)
+          for c in counts],
+    ).orderBy("o_orderstatus")

@@ -1355,3 +1355,228 @@ def text_zipf_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 term weighting (Okapi BM25, all-integer rational form)
+# ---------------------------------------------------------------------------
+
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4. The per-term normalizer
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = L/N (L = corpus token count) clears denominators to the
+# pure-integer ratio 44*tf*L / (20*tf*L + 6*L + 18*dl*N), and the IDF
+# (N - df + 0.5)/(df + 0.5) clears to (2N - 2df + 1)/(2df + 1) — both
+# log-free rationals pinned as scaled integers, so BM25 weights are
+# hash-exact across engines (the float/log form never is). Intermediates
+# ride in 128-bit (DECIMAL(38,0) / HUGEINT): 44*tf*L*S is ~9e18 at
+# extreme corpus sizes, past int64.
+_BM25_S = 10**6
+_BM25_TOP = 3
+
+
+@register(
+    "text_bm25_scoring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    corp AS (SELECT CAST(SUM(tf) AS BIGINT) AS big_l,
+                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df, dl.dl,
+             ((2 * c.n_docs - 2 * df.df + 1) * {_BM25_S}) // (2 * df.df + 1)
+               AS idf_scaled,
+             (CAST(44 AS HUGEINT) * tf.tf * c.big_l * {_BM25_S})
+               // (20 * tf.tf * c.big_l + 6 * c.big_l + 18 * dl.dl * c.n_docs)
+               AS tfn_scaled
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN corp c
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tf, df, dl,
+             CAST(idf_scaled AS BIGINT) AS idf_scaled,
+             CAST(tfn_scaled AS BIGINT) AS tfn_scaled,
+             CAST((CAST(idf_scaled AS HUGEINT) * tfn_scaled) // {_BM25_S}
+                  AS BIGINT) AS bm25_scaled,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY (CAST(idf_scaled AS HUGEINT) * tfn_scaled)
+                          // {_BM25_S} DESC, tok
+             ) AS rk
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, dl, idf_scaled, tfn_scaled, bm25_scaled,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_BM25_TOP} AND doc_id < 50
+    ORDER BY doc_id, rk
+    """,
+    doc=(
+        "Okapi BM25 term weighting (k1=1.2, b=0.75) — the retrieval "
+        "scoring function behind every lexical search / RAG-recall "
+        "stage, computed ENTIRELY in integer rationals: denominators "
+        "cleared against avgdl = L/N so tf-normalization is "
+        "44·tf·L/(20·tf·L + 6·L + 18·dl·N) and IDF is the log-free "
+        "(2N−2df+1)/(2df+1), both pinned as 1e6-scaled integers → "
+        "bit-exact across engines where the float/log form drifts. "
+        "Top-3 BM25 terms per doc (doc_id<50 projection). Scale: tf/df "
+        "are the same two token-count shuffles as TF-IDF; the df side "
+        "is vocabulary-sized, corpus stats are a broadcast 1-row "
+        "relation; 128-bit intermediates, BIGINT surface."
+    ),
+    tags=("text", "retrieval", "bm25", "documents"),
+)
+def text_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tf = tf.cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    corp = tf.agg(
+        F.sum("tf").cast("long").alias("big_l"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            "dl",
+            F.expr(
+                f"((2 * n_docs - 2 * df + 1) * {_BM25_S}) div (2 * df + 1)"
+            ).alias("idf_scaled"),
+            F.expr(
+                f"(CAST(44 AS DECIMAL(38,0)) * tf * big_l * {_BM25_S})"
+                f" div (20 * tf * big_l + 6 * big_l + 18 * dl * n_docs)"
+            ).alias("tfn_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("bm25_scaled"), F.asc("tok")
+    )
+    return (
+        scored.withColumn(
+            "bm25_scaled",
+            F.expr(
+                f"CAST((CAST(idf_scaled AS DECIMAL(38,0)) * tfn_scaled)"
+                f" div {_BM25_S} AS BIGINT)"
+            ),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.col("dl").cast("long").alias("dl"),
+            F.col("idf_scaled").cast("long").alias("idf_scaled"),
+            F.col("tfn_scaled").cast("long").alias("tfn_scaled"),
+            "bm25_scaled",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter((F.col("rk") <= _BM25_TOP) & (F.col("doc_id") < 50))
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering + loss-mask accounting (SFT formatting step)
+# ---------------------------------------------------------------------------
+
+_CHAT_SYS = "You are a helpful assistant."
+
+
+@register(
+    "text_chat_template_render",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id,
+             substr(text, 1, LENGTH(text) // 3) AS prompt,
+             substr(text, LENGTH(text) // 3 + 1) AS completion
+      FROM documents WHERE doc_id < 200
+    ),
+    rendered AS (
+      SELECT doc_id, prompt, completion,
+             '<|system|>' || '{_CHAT_SYS}' || '<|end|>' ||
+             '<|user|>' || prompt || '<|end|>' ||
+             '<|assistant|>' || completion || '<|end|>' AS text_out
+      FROM split
+    )
+    SELECT doc_id,
+           CAST(LENGTH(text_out) AS BIGINT) AS n_chars_rendered,
+           CAST(len(list_filter(string_split(prompt, ' '), t -> t <> ''))
+                AS BIGINT) AS prompt_tokens,
+           CAST(len(list_filter(string_split(completion, ' '), t -> t <> ''))
+                AS BIGINT) AS completion_tokens,
+           CAST(1000 * len(list_filter(string_split(completion, ' '),
+                                       t -> t <> ''))
+                // GREATEST(len(list_filter(string_split(prompt, ' '),
+                                            t -> t <> ''))
+                            + len(list_filter(string_split(completion, ' '),
+                                              t -> t <> '')), 1)
+                AS BIGINT) AS loss_frac_permille,
+           sha256(text_out) AS render_sha
+    FROM rendered
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Chat-template rendering — the SFT/instruction-tuning "
+        "formatting step: each document splits into a prompt third "
+        "and a completion remainder, renders through the "
+        "system/user/assistant special-token template, and the "
+        "loss-mask accounting every trainer needs is pinned alongside "
+        "(completion tokens / total tokens, permille — the fraction "
+        "of positions that actually contribute gradient under "
+        "prompt-masking). The rendered string itself is pinned by "
+        "sha256, so a one-character template drift fails the hash. "
+        "Pure string expressions in the row path (concat / substr / "
+        "split / filter — whole-stage codegen), one scan, no "
+        "shuffle except the output sort."
+    ),
+    tags=("text", "training-pipeline", "sft", "documents"),
+)
+def text_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    split = d.select(
+        "doc_id",
+        F.expr("substr(text, 1, length(text) div 3)").alias("prompt"),
+        F.expr("substr(text, length(text) div 3 + 1)").alias("completion"),
+    )
+    rendered = split.withColumn(
+        "text_out",
+        F.concat(
+            F.lit("<|system|>"), F.lit(_CHAT_SYS), F.lit("<|end|>"),
+            F.lit("<|user|>"), F.col("prompt"), F.lit("<|end|>"),
+            F.lit("<|assistant|>"), F.col("completion"), F.lit("<|end|>"),
+        ),
+    )
+    ptoks = F.size(F.filter(F.split("prompt", " "), lambda t: t != ""))
+    ctoks = F.size(F.filter(F.split("completion", " "), lambda t: t != ""))
+    return rendered.select(
+        "doc_id",
+        F.length("text_out").cast("long").alias("n_chars_rendered"),
+        ptoks.cast("long").alias("prompt_tokens"),
+        ctoks.cast("long").alias("completion_tokens"),
+        F.expr(
+            "CAST(1000 * size(filter(split(completion, ' '), t -> t <> ''))"
+            " div greatest(size(filter(split(prompt, ' '), t -> t <> ''))"
+            " + size(filter(split(completion, ' '), t -> t <> '')), 1)"
+            " AS BIGINT)"
+        ).alias("loss_frac_permille"),
+        F.sha2("text_out", 256).alias("render_sha"),
+    ).orderBy("doc_id")
