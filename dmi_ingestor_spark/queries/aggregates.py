@@ -3649,3 +3649,114 @@ def ts_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r.fitted_c")
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix profile (SSD form): nearest-neighbor subsequence distances
+# ---------------------------------------------------------------------------
+
+_MP_W = 7  # subsequence window (days)
+_MP_EXCL = 4  # exclusion zone: |i - j| >= ceil(w/2)
+
+
+@register(
+    "ts_matrix_profile_ssd",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(day(ts) AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY d
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM daily),
+    pairs AS (
+      SELECT i.d AS i, j.d AS j,
+             CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS ssd
+      FROM daily i
+      JOIN daily j ON abs(i.d - j.d) >= {_MP_EXCL}
+      CROSS JOIN n
+      JOIN daily a ON a.d BETWEEN i.d AND i.d + {_MP_W} - 1
+      JOIN daily b ON b.d = a.d - i.d + j.d
+      WHERE i.d + {_MP_W} - 1 <= n.nd AND j.d + {_MP_W} - 1 <= n.nd
+      GROUP BY i.d, j.d
+    ),
+    profile AS (
+      SELECT i,
+             MIN(ssd) AS mp_ssd,
+             MIN(CASE WHEN ssd = (SELECT MIN(p2.ssd) FROM pairs p2
+                                  WHERE p2.i = pairs.i)
+                 THEN j END) AS nn_j
+      FROM pairs GROUP BY i
+    )
+    SELECT i AS start_day, CAST(nn_j AS BIGINT) AS nn_start_day,
+           CAST(mp_ssd AS BIGINT) AS mp_ssd
+    FROM profile ORDER BY start_day
+    """,
+    doc=(
+        "Matrix profile over the daily revenue series (SSD form, "
+        "window=7, exclusion zone 4): for every 7-day subsequence, "
+        "the squared distance to its nearest non-trivial neighbor "
+        "subsequence and that neighbor's position — the "
+        "motif/discord primitive (low profile = repeated pattern, "
+        "high profile = anomaly) from the Yeh et al. matrix-profile "
+        "line of work, on exact integer cents so the profile is "
+        "hash-pinned (the z-normalized variant needs sqrt; the SSD "
+        "variant is the right exact-arithmetic citizen). Relational "
+        "form: the O(n^2 w) pair-offset expansion is a self-join on "
+        "the REDUCED daily series (30 rows -> ~4k intermediate), "
+        "grouped to the profile — at corpus scale the reduction "
+        "comes first, the quadratic part only ever touches the "
+        "summary. Ties broken to the smallest neighbor index on "
+        "both engines."
+    ),
+    tags=("timeseries", "matrix-profile", "anomaly", "events"),
+)
+def ts_matrix_profile_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.dayofmonth("ts").cast("long").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("nd"))
+    i = daily.select(F.col("d").alias("i"))
+    j = daily.select(F.col("d").alias("j"))
+    a = daily.select(F.col("d").alias("ad"), F.col("y").alias("ay"))
+    b = daily.select(F.col("d").alias("bd"), F.col("y").alias("by"))
+    pairs = (
+        i.join(F.broadcast(j), F.abs(F.col("i") - F.col("j")) >= _MP_EXCL)
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("i") + _MP_W - 1 <= F.col("nd"))
+            & (F.col("j") + _MP_W - 1 <= F.col("nd"))
+        )
+        .join(
+            F.broadcast(a),
+            (F.col("ad") >= F.col("i"))
+            & (F.col("ad") <= F.col("i") + _MP_W - 1),
+        )
+        .join(
+            F.broadcast(b),
+            F.col("bd") == F.col("ad") - F.col("i") + F.col("j"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            )
+            .cast("long")
+            .alias("ssd")
+        )
+    )
+    prof = pairs.groupBy("i").agg(
+        F.min("ssd").cast("long").alias("mp_ssd"),
+        F.min(F.struct("ssd", "j"))["j"].cast("long").alias("nn_j"),
+    )
+    return prof.select(
+        F.col("i").alias("start_day"),
+        F.col("nn_j").alias("nn_start_day"),
+        "mp_ssd",
+    ).orderBy("start_day")

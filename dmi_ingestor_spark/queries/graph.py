@@ -1871,3 +1871,186 @@ def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Strongly connected components on the DIRECTED trade graph
+# --------------------------------------------------------------------------
+
+
+def _scc_oracle() -> str:
+    """Unrolled directed-closure rounds + mutual-reachability labeling."""
+    head = f"""
+    WITH dedges AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ), tot AS MATERIALIZED (
+      SELECT SUM(w) AS tw, COUNT(*) AS ne FROM dedges
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM dedges CROSS JOIN tot WHERE w * ne >= tw
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ), d0 AS MATERIALIZED (
+      SELECT a.node AS s, b.node AS t,
+             CASE WHEN a.node = b.node THEN 0 ELSE {_CLOSE_INF} END AS dist
+      FROM nodes a CROSS JOIN nodes b
+    )"""
+    rounds = []
+    for k in range(_CLOSE_K):
+        rounds.append(
+            f""", r{k} AS (
+      SELECT d{k}.s, e.dst AS t, MIN(d{k}.dist + 1) AS reach
+      FROM e JOIN d{k} ON e.src = d{k}.t
+      GROUP BY d{k}.s, e.dst
+    ), d{k + 1} AS MATERIALIZED (
+      SELECT d{k}.s, d{k}.t,
+             LEAST(d{k}.dist, COALESCE(r{k}.reach, {_CLOSE_INF})) AS dist
+      FROM d{k} LEFT JOIN r{k} ON d{k}.s = r{k}.s AND d{k}.t = r{k}.t
+    )"""
+        )
+    tail = f"""
+    , reach AS MATERIALIZED (
+      SELECT s, t FROM d{_CLOSE_K} WHERE dist < {_CLOSE_INF}
+    ),
+    mutual AS MATERIALIZED (
+      SELECT f.s AS v, f.t AS u
+      FROM reach f JOIN reach b ON f.s = b.t AND f.t = b.s
+    ),
+    labels AS MATERIALIZED (
+      SELECT v, CAST(MIN(u) AS BIGINT) AS scc_id FROM mutual GROUP BY v
+    )
+    SELECT l.v AS nationkey, l.scc_id,
+           CAST(sz.n AS BIGINT) AS scc_size,
+           CAST(o.n AS BIGINT) AS n_reach_out,
+           CAST(i.n AS BIGINT) AS n_reach_in
+    FROM labels l
+    JOIN (SELECT scc_id, COUNT(*) AS n FROM labels GROUP BY scc_id) sz
+      USING (scc_id)
+    JOIN (SELECT s, COUNT(*) AS n FROM reach GROUP BY s) o ON o.s = l.v
+    JOIN (SELECT t, COUNT(*) AS n FROM reach GROUP BY t) i ON i.t = l.v
+    ORDER BY nationkey"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "graph_scc_decomposition",
+    oracle=_scc_oracle(),
+    doc=(
+        "Strongly connected components of the DIRECTED strong-tie "
+        "trade graph (customer-nation -> supplier-nation; above-mean "
+        "directed edges, so the adjacency is genuinely asymmetric) — "
+        "the cycle structure a directed dependency/flow graph "
+        "reduces to: v and u share a component iff each reaches the "
+        "other. Reachability comes from the same synchronous min-plus "
+        "rounds as closeness (pair state, localCheckpoint per round); "
+        "the SCC label is min(mutually-reachable node) from one "
+        "self-join of the closure — forward cross backward "
+        "reachability, the relational form of Kosaraju's insight "
+        "without the DFS. Per node: component id, component size, "
+        "out-/in-reachability counts (the condensation DAG's "
+        "signature), all integer, hash-pinned."
+    ),
+    tags=("graph", "iterative", "scc", "scale"),
+)
+def graph_scc_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dedges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    tot = dedges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    e = (
+        dedges.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("src", "dst")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select("dst"))
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        nodes.select(F.col("node").alias("s"))
+        .crossJoin(nodes.select(F.col("node").alias("t")))
+        .select(
+            "s",
+            "t",
+            F.when(F.col("s") == F.col("t"), 0)
+            .otherwise(_CLOSE_INF)
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CLOSE_K):
+        reach_r = (
+            e.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
+            .groupBy("s", F.col("dst").alias("t"))
+            .agg(F.min(F.col("dist") + 1).alias("reach"))
+        )
+        dist = (
+            dist.join(F.broadcast(reach_r), ["s", "t"], "left")
+            .select(
+                "s",
+                "t",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    reach = dist.filter(F.col("dist") < _CLOSE_INF).select("s", "t")
+    reach = reach.localCheckpoint(eager=True)
+    back = reach.select(F.col("s").alias("t2"), F.col("t").alias("s2"))
+    mutual = reach.join(
+        F.broadcast(back),
+        (F.col("s") == F.col("s2")) & (F.col("t") == F.col("t2")),
+    ).select(F.col("s").alias("v"), F.col("t").alias("u"))
+    labels = mutual.groupBy("v").agg(F.min("u").cast("long").alias("scc_id"))
+    sizes = labels.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    n_out = reach.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach_out")
+    )
+    n_in = reach.groupBy(F.col("t").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach_in")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "scc_id")
+        .join(F.broadcast(n_out), "v")
+        .join(F.broadcast(n_in), "v")
+        .select(
+            F.col("v").alias("nationkey"),
+            "scc_id",
+            "scc_size",
+            "n_reach_out",
+            "n_reach_in",
+        )
+        .orderBy("nationkey")
+    )

@@ -965,3 +965,82 @@ def ingest_cube_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format string, n_timesteps long, n_cells long, value_sum long, "
         "value_min long, value_max long, time_checksum long",
     ).orderBy("format")
+
+
+_SPLIT_RECS = 2000  # maxRecordsPerFile target
+
+
+@register(
+    "ingest_sized_file_split",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_rows, SUM(o_orderkey) AS ck FROM orders)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows_total,
+           CAST((n_rows + {_SPLIT_RECS} - 1) // {_SPLIT_RECS} AS BIGINT)
+             AS n_files_min,
+           CAST({_SPLIT_RECS} AS BIGINT) AS max_records_per_file,
+           CAST(1 AS BIGINT) AS all_files_within_cap,
+           CAST(ck AS BIGINT) AS key_checksum
+    FROM n
+    """,
+    doc=(
+        "Size-targeted output file splitting — the knob that keeps "
+        "100 TB tables out of both the small-files swamp and the "
+        "giant-file scan stall: the writer runs with "
+        "maxRecordsPerFile so every parquet part holds at most the "
+        "target row count regardless of task partitioning (Spark "
+        "splits within a task transparently), then the audit reads "
+        "the directory back and pins (a) at least ceil(n/target) "
+        "files exist, (b) EVERY file is within the cap — checked "
+        "per-file via input_file_name grouping, a real read-side "
+        "verification, not writer trust — and (c) the row checksum "
+        "survived the rewrite. The repartition(1) forces the "
+        "worst case (one giant task) to prove the within-task "
+        "splitter does the work."
+    ),
+    tags=("ingest", "sink", "file-sizing", "orders"),
+)
+def ingest_sized_file_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="dmi-split-")
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey"
+    )
+    (
+        o.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _SPLIT_RECS)
+        .parquet(root)
+    )
+    back = spark.read.parquet(root)
+    per_file = back.groupBy(
+        F.input_file_name().alias("f")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.max("n").cast("long").alias("max_per_file"),
+    )
+    total = back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_total"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+    )
+    return (
+        total.crossJoin(F.broadcast(stats))
+        .select(
+            "n_rows_total",
+            F.expr(
+                f"CAST((n_rows_total + {_SPLIT_RECS} - 1)"
+                f" div {_SPLIT_RECS} AS BIGINT)"
+            ).alias("n_files_min"),
+            F.lit(_SPLIT_RECS).cast("long").alias("max_records_per_file"),
+            (
+                (F.col("max_per_file") <= _SPLIT_RECS)
+                & (F.col("n_files") >= F.expr(
+                    f"(n_rows_total + {_SPLIT_RECS} - 1) div {_SPLIT_RECS}"
+                ))
+            )
+            .cast("long")
+            .alias("all_files_within_cap"),
+            "key_checksum",
+        )
+    )

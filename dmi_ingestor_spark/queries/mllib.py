@@ -2740,3 +2740,255 @@ def ml_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Isotonic (PAV) calibration via the minimax characterization
+# --------------------------------------------------------------------------
+
+_ISO_S = 10**6
+_ISO_BIN = 10**6  # cents per bin -> 10k-dollar price bins (~50 bins)
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // {_ISO_BIN} AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY b
+    ),
+    pre AS MATERIALIZED (
+      SELECT b, n, pos,
+             SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp
+      FROM bins WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+    ),
+    intervals AS MATERIALIZED (
+      SELECT j.b AS jb, k.b AS kb,
+             ((k.cp - j.cp + j.pos) * {_ISO_S}) // (k.cn - j.cn + j.n)
+               AS mean_scaled
+      FROM pre j JOIN pre k ON j.b <= k.b
+    ),
+    tmin AS MATERIALIZED (
+      SELECT jb, kb AS i,
+             MIN(mean_scaled) OVER (
+               PARTITION BY jb ORDER BY kb DESC ROWS UNBOUNDED PRECEDING
+             ) AS t
+      FROM intervals
+    ),
+    fit AS (
+      SELECT i AS b,
+             MAX(t) OVER (
+               PARTITION BY i ORDER BY jb ROWS UNBOUNDED PRECEDING
+             ) AS fitted,
+             jb
+      FROM tmin WHERE jb <= i
+    )
+    SELECT bins.b, bins.n, bins.pos,
+           (bins.pos * {_ISO_S}) // bins.n AS raw_rate_scaled,
+           CAST(f.fitted AS BIGINT) AS isotonic_scaled
+    FROM bins JOIN (SELECT b, fitted FROM fit WHERE jb = b) f USING (b)
+    ORDER BY bins.b
+    """,
+    doc=(
+        "Isotonic-regression calibration (the PAV fit every "
+        "well-calibrated classifier pipeline applies to its scores) "
+        "over the price->P(status=F) curve, computed through the "
+        "MINIMAX characterization fitted[i] = max_(j<=i) min_(k>=i) "
+        "mean(y_j..y_k) — mathematically identical to the "
+        "pool-adjacent-violators fit but expressible as two window "
+        "scans over the interval means of the BINNED summary (O(B^2) "
+        "rows for B~50 bins, summary-sized), with means as "
+        "1e6-scaled floor ratios from exact prefix sums. No "
+        "sequential pooling loop, no Python: corpus work is one "
+        "grouped count, the fit runs on the reduced relation. "
+        "Emits raw vs isotonic rate per bin — the calibration curve "
+        "and its monotone envelope, hash-pinned."
+    ),
+    tags=("mllib", "calibration", "isotonic", "orders"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    bins = o.groupBy(
+        (F.round(F.col("o_totalprice") * 100).cast("long") / _ISO_BIN)
+        .cast("long")
+        .alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long"))
+        .cast("long")
+        .alias("pos"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "b", "n", "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+    )
+    j = pre.select(
+        F.col("b").alias("jb"), F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"), F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = pre.select(
+        F.col("b").alias("kb"), F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    intervals = (
+        j.join(F.broadcast(k), F.col("jb") <= F.col("kb"))
+        .select(
+            "jb", "kb",
+            F.expr(
+                f"((kcp - jcp + jpos) * {_ISO_S}) div (kcn - jcn + jn)"
+            ).alias("mean_scaled"),
+        )
+    )
+    wmin = (
+        Window.partitionBy("jb")
+        .orderBy(F.desc("kb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tmin = intervals.select(
+        "jb", F.col("kb").alias("i"),
+        F.min("mean_scaled").over(wmin).alias("t"),
+    )
+    wmax = (
+        Window.partitionBy("i")
+        .orderBy("jb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fit = (
+        tmin.filter(F.col("jb") <= F.col("i"))
+        .select("i", "jb", F.max("t").over(wmax).alias("fitted"))
+        .filter(F.col("jb") == F.col("i"))
+        .select(F.col("i").alias("b"), F.col("fitted").cast("long").alias("isotonic_scaled"))
+    )
+    return (
+        bins.join(F.broadcast(fit), "b")
+        .select(
+            "b", "n", "pos",
+            F.expr(f"(pos * {_ISO_S}) div n").alias("raw_rate_scaled"),
+            "isotonic_scaled",
+        )
+        .orderBy("b")
+    )
+
+
+# --------------------------------------------------------------------------
+# ALS half-step: per-user least-squares solve against fixed item factors
+# --------------------------------------------------------------------------
+
+_ALS_S = 10**6
+_ALS_LAMBDA = 1
+_ALS_NUSER = 100
+
+
+@register(
+    "ml_als_half_step",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT c.c_custkey AS u, l.l_partkey AS i,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS r
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey < {_ALS_NUSER}
+      GROUP BY u, i
+    ),
+    feat AS (
+      SELECT u, i, r,
+             CAST(i % 7 - 3 AS BIGINT) AS x1,
+             CAST((i * 3) % 5 - 2 AS BIGINT) AS x2
+      FROM ratings
+    ),
+    stats AS (
+      SELECT u,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(x1 * x1) + {_ALS_LAMBDA} AS BIGINT) AS a11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS a12,
+             CAST(SUM(x2 * x2) + {_ALS_LAMBDA} AS BIGINT) AS a22,
+             CAST(SUM(x1 * r) AS BIGINT) AS b1,
+             CAST(SUM(x2 * r) AS BIGINT) AS b2
+      FROM feat GROUP BY u
+    )
+    SELECT u AS custkey, n_items,
+           CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det,
+           CAST((b1 * a22 - b2 * a12) * {_ALS_S}
+                // (a11 * a22 - a12 * a12) AS BIGINT) AS w1_scaled,
+           CAST((a11 * b2 - a12 * b1) * {_ALS_S}
+                // (a11 * a22 - a12 * a12) AS BIGINT) AS w2_scaled
+    FROM stats
+    ORDER BY custkey
+    """,
+    doc=(
+        "One ALS half-step — the alternating-least-squares update "
+        "behind every matrix-factorization recommender: with the "
+        "2-dim ITEM factors fixed (derived deterministically from "
+        "the item key, standing in for the broadcast factor matrix), "
+        "each user's factor vector solves its ridge-regularized "
+        "2x2 normal equations (X'X + lambda*I) w = X'y by Cramer's "
+        "rule on EXACT integer sufficient statistics (quantities are "
+        "integral; factors are small ints), the solution pinned as "
+        "1e6-scaled rationals. Scale: the ratings build is the one "
+        "corpus shuffle; per-user sufficient stats are a partial+ "
+        "final aggregate (6 sums), the solve is row-local arithmetic "
+        "— exactly how distributed ALS distributes: never a matrix "
+        "library, just grouped sums against broadcast factors. det "
+        "> 0 is guaranteed by the ridge term."
+    ),
+    tags=("mllib", "recommender", "als", "lineitem"),
+)
+def ml_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _ALS_NUSER)
+        .select("c_custkey")
+    )
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("r"))
+    )
+    feat = ratings.select(
+        "u", "r",
+        (F.col("i") % 7 - 3).cast("long").alias("x1"),
+        ((F.col("i") * 3) % 5 - 2).cast("long").alias("x2"),
+    )
+    stats = feat.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (F.sum(F.col("x1") * F.col("x1")) + _ALS_LAMBDA)
+        .cast("long")
+        .alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("a12"),
+        (F.sum(F.col("x2") * F.col("x2")) + _ALS_LAMBDA)
+        .cast("long")
+        .alias("a22"),
+        F.sum(F.col("x1") * F.col("r")).cast("long").alias("b1"),
+        F.sum(F.col("x2") * F.col("r")).cast("long").alias("b2"),
+    )
+    return stats.select(
+        F.col("u").alias("custkey"),
+        "n_items",
+        (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12"))
+        .cast("long")
+        .alias("det"),
+        F.expr(
+            f"CAST((b1 * a22 - b2 * a12) * {_ALS_S}"
+            f" div (a11 * a22 - a12 * a12) AS BIGINT)"
+        ).alias("w1_scaled"),
+        F.expr(
+            f"CAST((a11 * b2 - a12 * b1) * {_ALS_S}"
+            f" div (a11 * a22 - a12 * a12) AS BIGINT)"
+        ).alias("w2_scaled"),
+    ).orderBy("custkey")

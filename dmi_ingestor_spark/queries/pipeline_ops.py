@@ -3256,3 +3256,150 @@ def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pre.unionAll(post).unionAll(vac).orderBy("phase")
+
+
+@register(
+    "lake_merge_full_matrix",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS pri, o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    ),
+    source AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS pri
+      FROM orders WHERE o_orderkey % 4 IN (1, 2, 3)
+    ),
+    merged AS (
+      -- WHEN MATCHED AND urgent THEN DELETE (absent);
+      -- WHEN MATCHED THEN UPDATE cents += 100
+      SELECT t.k, t.cents + 100 AS cents
+      FROM target t JOIN source s ON t.k = s.k
+      WHERE s.pri <> '1-URGENT'
+      UNION ALL
+      -- WHEN NOT MATCHED THEN INSERT
+      SELECT s.k, s.cents
+      FROM source s LEFT JOIN target t ON t.k = s.k WHERE t.k IS NULL
+      UNION ALL
+      -- WHEN NOT MATCHED BY SOURCE AND st = 'F' THEN DELETE (absent);
+      -- else keep unchanged
+      SELECT t.k, t.cents
+      FROM target t LEFT JOIN source s ON t.k = s.k
+      WHERE s.k IS NULL AND t.st <> 'F'
+    ),
+    actions AS (
+      SELECT 'updated' AS action, COUNT(*) AS n FROM target t
+        JOIN source s ON t.k = s.k WHERE s.pri <> '1-URGENT'
+      UNION ALL
+      SELECT 'deleted_matched', COUNT(*) FROM target t
+        JOIN source s ON t.k = s.k WHERE s.pri = '1-URGENT'
+      UNION ALL
+      SELECT 'inserted', COUNT(*) FROM source s
+        LEFT JOIN target t ON t.k = s.k WHERE t.k IS NULL
+      UNION ALL
+      SELECT 'deleted_by_source', COUNT(*) FROM target t
+        LEFT JOIN source s ON t.k = s.k WHERE s.k IS NULL AND t.st = 'F'
+      UNION ALL
+      SELECT 'final_table', COUNT(*) FROM merged
+    )
+    SELECT action, CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN action = 'final_table'
+                THEN (SELECT SUM(k) + SUM(cents) FROM merged)
+                ELSE 0 END AS BIGINT) AS checksum
+    FROM actions
+    ORDER BY action
+    """,
+    doc=(
+        "The FULL MERGE clause matrix — WHEN MATCHED [AND cond] "
+        "UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT / "
+        "WHEN NOT MATCHED BY SOURCE DELETE — executed through the "
+        "transaction log as one atomic commit (the Delta/Iceberg "
+        "MERGE INTO surface, built from a full-outer join + clause "
+        "routing + unit replacement): urgent matches are deleted, "
+        "other matches upsert cents+100, source-only keys insert, "
+        "target-only F rows are retired by the BY SOURCE clause. "
+        "Per-clause row counts and the final table checksum are "
+        "pinned from the base table, so a green row proves every "
+        "clause routed exactly the right rows. Scale: ONE shuffle on "
+        "the merge key for the full-outer join; clause routing is "
+        "row-local CASE logic; the commit is metadata-only."
+    ),
+    tags=("pipeline", "lakehouse", "merge", "orders"),
+)
+def lake_merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import TxLog
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    target = o.filter(F.col("k") % 4 < 3).select("k", "cents", "st")
+    source = o.filter(F.col("k") % 4 >= 1).select(
+        "k", F.col("cents").alias("s_cents"), "pri"
+    )
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-merge-"))
+    tx.append(target, "target-v0")
+
+    t = tx.read().alias("t")
+    joined = t.join(source.alias("s"), "k", "full_outer").select(
+        "k",
+        F.col("t.cents").alias("cents"),
+        F.col("t.st").alias("st"),
+        F.col("s.s_cents").alias("s_cents"),
+        F.col("s.pri").alias("pri"),
+        F.col("t.cents").isNotNull().alias("in_t"),
+        F.col("s.s_cents").isNotNull().alias("in_s"),
+    )
+    action = (
+        F.when(
+            F.col("in_t") & F.col("in_s") & (F.col("pri") == "1-URGENT"),
+            F.lit("deleted_matched"),
+        )
+        .when(F.col("in_t") & F.col("in_s"), F.lit("updated"))
+        .when(~F.col("in_t"), F.lit("inserted"))
+        .when(F.col("st") == "F", F.lit("deleted_by_source"))
+        .otherwise(F.lit("kept"))
+    )
+    routed = joined.withColumn("action", action).localCheckpoint(eager=True)
+    merged = routed.filter(
+        F.col("action").isin("updated", "inserted", "kept")
+    ).select(
+        "k",
+        F.when(F.col("action") == "updated", F.col("cents") + 100)
+        .when(F.col("action") == "inserted", F.col("s_cents"))
+        .otherwise(F.col("cents"))
+        .cast("long")
+        .alias("cents"),
+    )
+    unit = tx._write_unit(merged, "target-v1")
+    tx.commit(adds=[unit], removes=list(tx.snapshot().add_units), tag="m")
+
+    final = tx.read()
+    counts = routed.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).filter(F.col("action") != "kept")
+    fin = final.agg(
+        F.lit("final_table").alias("action"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ).select("action", "n_rows")
+    base = counts.select("action", "n_rows").unionAll(fin)
+    ck = final.agg(
+        (F.sum("k") + F.sum("cents")).cast("long").alias("ck")
+    )
+    return (
+        base.crossJoin(F.broadcast(ck))
+        .select(
+            "action",
+            "n_rows",
+            F.when(F.col("action") == "final_table", F.col("ck"))
+            .otherwise(0)
+            .cast("long")
+            .alias("checksum"),
+        )
+        .orderBy("action")
+    )

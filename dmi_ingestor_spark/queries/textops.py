@@ -1580,3 +1580,144 @@ def text_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("loss_frac_permille"),
         F.sha2("text_out", 256).alias("render_sha"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency word scores)
+# ---------------------------------------------------------------------------
+
+_RAKE_S = 10**6
+_RAKE_NDOC = 100
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok,
+             CAST(t[u.i] IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}') AS BIGINT)
+               AS is_stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < {_RAKE_NDOC}),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[u.i] <> ''
+    ),
+    seg AS MATERIALIZED (
+      SELECT doc_id, pos, tok, is_stop,
+             SUM(is_stop) OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS phrase_id
+      FROM toks
+    ),
+    words AS MATERIALIZED (
+      SELECT doc_id, phrase_id, pos, tok FROM seg WHERE is_stop = 0
+    ),
+    plen AS MATERIALIZED (
+      SELECT doc_id, phrase_id, COUNT(*) AS phrase_len
+      FROM words GROUP BY doc_id, phrase_id
+    ),
+    wstat AS MATERIALIZED (
+      SELECT w.tok,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+      FROM words w JOIN plen p USING (doc_id, phrase_id)
+      GROUP BY w.tok
+    ),
+    pscore AS (
+      SELECT w.doc_id, w.phrase_id,
+             string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM((s.degree * {_RAKE_S}) // s.freq) AS BIGINT)
+               AS rake_scaled
+      FROM words w JOIN wstat s USING (tok)
+      GROUP BY w.doc_id, w.phrase_id
+    ),
+    best AS (
+      SELECT doc_id, phrase, n_words, rake_scaled,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY rake_scaled DESC, phrase
+             ) AS rk
+      FROM pscore
+    )
+    SELECT doc_id, phrase, n_words, rake_scaled
+    FROM best WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    doc=(
+        "RAKE keyphrase extraction (Rose et al.) — candidate phrases "
+        "are maximal stopword-free token runs (segmentation by a "
+        "running stopword count, NOT string surgery, so both engines "
+        "segment identically), each word scored degree/frequency "
+        "(degree = summed length of phrases containing it — favors "
+        "words that live in long collocations), phrase score = sum "
+        "of member word scores as 1e6-scaled floor ratios, top "
+        "phrase per document with a deterministic tiebreak. The "
+        "document-level keyword signal a corpus indexer/tagger runs "
+        "beside TF-IDF/BM25. Scale: two token shuffles (word stats "
+        "are vocabulary-sized), phrase reassembly is a grouped "
+        "ordered string_agg keyed by (doc, phrase)."
+    ),
+    tags=("text", "keyphrase", "rake", "documents"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _RAKE_NDOC)
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "tok",
+            F.col("tok").isin(*STOPWORDS).cast("long").alias("is_stop"),
+        )
+    )
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = toks.withColumn("phrase_id", F.sum("is_stop").over(wseg))
+    words = seg.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "tok"
+    )
+    words = words.cache()
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    wstat = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+        )
+    )
+    pscore = (
+        words.join(F.broadcast(wstat), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.expr(f"(degree * {_RAKE_S}) div freq"))
+            .cast("long")
+            .alias("rake_scaled"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(
+        F.desc("rake_scaled"), F.asc("phrase")
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "phrase", "n_words", "rake_scaled")
+        .orderBy("doc_id")
+    )
