@@ -56,6 +56,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "graph_hits_scores",
     "agg_count_min_sketch",
     "ml_ndcg_ranking_eval",
+    # round-4 additions: two-token-shuffle retrieval scoring, all-pairs
+    # summary-state iteration with per-round checkpoints
+    "text_bm25_scoring",
+    "graph_betweenness_centrality",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers

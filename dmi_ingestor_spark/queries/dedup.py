@@ -619,7 +619,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.operators.components import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    comp = connected_components(pairs, "a_id", "b_id")
+    # checkpoint_every=2: without per-round lineage cuts the unrolled
+    # label-propagation plan reaches ~9 MB formatted (plan_audit cap
+    # finding r4) — same stringification-OOM class as the k-core loop
+    comp = connected_components(pairs, "a_id", "b_id", checkpoint_every=2)
     d = table(spark, sf_dir, "documents").select("doc_id")
     return d.join(F.broadcast(comp), d.doc_id == comp.node, "left").select(
         "doc_id",
@@ -856,7 +859,10 @@ def dedup_cluster_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.operators.components import connected_components
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
-    comp = connected_components(pairs, "a_id", "b_id")
+    # checkpoint_every=2: without per-round lineage cuts the unrolled
+    # label-propagation plan reaches ~9 MB formatted (plan_audit cap
+    # finding r4) — same stringification-OOM class as the k-core loop
+    comp = connected_components(pairs, "a_id", "b_id", checkpoint_every=2)
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     labeled = d.join(F.broadcast(comp), d.doc_id == comp.node, "left").select(
         "doc_id",

@@ -102,16 +102,45 @@ def _has_bad_single_partition(plan: str) -> bool:
     tree_end = next(
         (i for i, l in enumerate(lines) if l.startswith("(1)")), len(lines)
     )
+    # AQE interposes bookkeeping nodes between the aggregate pair and
+    # the exchange (HashAggregate <- ShuffleQueryStage <- Exchange <-
+    # HashAggregate, plus "== Final Plan ==" banners inside reused
+    # InMemoryRelation subplans) — skip them when looking for the
+    # partial+final sandwich.
+    _WRAPPERS = (
+        "ShuffleQueryStage",
+        "TableCacheQueryStage",
+        "ResultQueryStage",
+        "BroadcastQueryStage",
+        "AQEShuffleRead",
+        "== Final Plan ==",
+        "== Initial Plan ==",
+        "Statistics(",
+    )
+
+    def _neighbor(i: int, step: int) -> str:
+        j = i + step
+        while 0 <= j < len(lines):
+            l = lines[j]
+            if l.strip() and not any(w in l for w in _WRAPPERS):
+                return l
+            j += step
+        return ""
+
     for nid in sp_ids:
         needle = f"Exchange ({nid})"
-        pos = [i for i, l in enumerate(lines[:tree_end]) if needle in l]
+        pos = [i for i, l in enumerate(lines) if needle in l]
         if not pos:
-            return True  # subquery/reused-exchange section: stay strict
-        i = pos[0]
-        parent = lines[i - 1] if i > 0 else ""
-        child = lines[i + 1] if i + 1 < tree_end else ""
-        if "Aggregate" in parent and "Aggregate" in child:
-            continue  # partial+final global aggregate: benign
+            return True  # unmatched id: stay strict
+        ok = True
+        for i in pos:
+            parent = _neighbor(i, -1)
+            child = _neighbor(i, +1)
+            if not ("Aggregate" in parent and "Aggregate" in child):
+                ok = False
+                break
+        if ok:
+            continue  # every occurrence is a partial+final sandwich
         return True
     return False
 
