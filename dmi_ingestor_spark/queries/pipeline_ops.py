@@ -3403,3 +3403,111 @@ def lake_merge_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+_CARD_S = 10**6
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, lang, n_chars, md5(text) AS h
+      FROM documents
+    ),
+    by_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST((SUM(n_chars) * {_CARD_S}) // COUNT(*) AS BIGINT)
+               AS mean_chars_scaled,
+             CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+             CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95_chars,
+             CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+      FROM per_doc GROUP BY source
+    ),
+    langs AS (
+      SELECT source,
+             string_agg(lang || ':' || cnt, ',' ORDER BY lang) AS lang_dist
+      FROM (SELECT source, lang, COUNT(*) AS cnt FROM per_doc
+            GROUP BY source, lang)
+      GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.total_chars, b.mean_chars_scaled,
+           b.p50_chars, b.p95_chars, b.n_exact_dups,
+           CAST((b.n_exact_dups * {_CARD_S}) // b.n_docs AS BIGINT)
+             AS dup_rate_scaled,
+           l.lang_dist
+    FROM by_source b JOIN langs l USING (source)
+    ORDER BY b.source
+    """,
+    doc=(
+        "The DATASET CARD — the per-source datasheet every corpus "
+        "release ships (Datasheets for Datasets / Dolma-style "
+        "reporting), fused into one pass: document counts, exact "
+        "size totals, scaled mean and exact discrete p50/p95 length, "
+        "exact-duplicate count via content hash, duplicate rate, and "
+        "the language distribution serialized as a deterministic "
+        "ordered lang:count string. Everything exact-integer or "
+        "exact-string so the card is hash-pinned. Scale: one corpus "
+        "scan feeding two grouped aggregates (source-grain and "
+        "(source,lang)-grain) plus a distinct-hash count — "
+        "partial+final all the way; the card a 100 TB release "
+        "regenerates nightly as its data-quality heartbeat."
+    ),
+    tags=("pipeline", "dataset-card", "reporting", "documents"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    by_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(f"CAST((SUM(n_chars) * {_CARD_S}) div COUNT(*) AS BIGINT)")
+        .alias("mean_chars_scaled"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p50_chars"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p95_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+    langs = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "lang",
+                                F.concat_ws(
+                                    ":", "lang", F.col("cnt").cast("string")
+                                ).alias("kv"),
+                            )
+                        )
+                    ),
+                    lambda x: x["kv"],
+                ),
+                ",",
+            ).alias("lang_dist")
+        )
+    )
+    return (
+        by_source.join(langs, "source")
+        .select(
+            "source", "n_docs", "total_chars", "mean_chars_scaled",
+            "p50_chars", "p95_chars", "n_exact_dups",
+            F.expr(
+                f"CAST((n_exact_dups * {_CARD_S}) div n_docs AS BIGINT)"
+            ).alias("dup_rate_scaled"),
+            "lang_dist",
+        )
+        .orderBy("source")
+    )

@@ -1721,3 +1721,126 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "phrase", "n_words", "rake_scaled")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM token masking (pretraining data prep)
+# ---------------------------------------------------------------------------
+
+_MLM_PCT = 15  # mask ~15% of tokens (BERT convention)
+_MLM_NDOC = 100
+
+
+@register(
+    "text_mlm_masking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok,
+             CAST(CAST('0x' || substr(md5(doc_id || '-' || u.i), 1, 8)
+                       AS BIGINT) % 100 < {_MLM_PCT} AS BIGINT) AS is_masked
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE doc_id < {_MLM_NDOC}),
+           UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[u.i] <> ''
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN is_masked = 1 THEN '[MASK]' ELSE tok END,
+                      ' ' ORDER BY pos) AS masked_text,
+           string_agg(CASE WHEN is_masked = 1 THEN tok END, ' ' ORDER BY pos)
+             AS targets,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           CAST(1000 * SUM(is_masked) // COUNT(*) AS BIGINT)
+             AS mask_permille
+    FROM toks
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Deterministic MLM masking — the BERT-style pretraining data "
+        "prep step: ~15% of positions selected by a position-keyed "
+        "md5 draw (so the corruption is reproducible across runs, "
+        "engines and retries — the property a distributed pipeline "
+        "needs, where random.random() per worker is nondeterministic "
+        "under retry), masked text rebuilt with [MASK] sentinels, "
+        "the target tokens kept position-ordered for the label "
+        "stream, per-doc mask-rate accounting pinned. One explode + "
+        "one ordered grouped string_agg; the md5 draw is the same "
+        "hash-split primitive as sample_bernoulli_hash."
+    ),
+    tags=("text", "training-pipeline", "mlm", "documents"),
+)
+def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < _MLM_NDOC)
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.col("doc_id").cast("string"),
+                                (F.col("pos0") + 1).cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+                < _MLM_PCT
+            )
+            .cast("long")
+            .alias("is_masked"),
+        )
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pos", "tok", "is_masked"))
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    ordered,
+                    lambda x: F.when(
+                        x["is_masked"] == 1, F.lit("[MASK]")
+                    ).otherwise(x["tok"]),
+                ),
+                " ",
+            ).alias("masked_text"),
+            F.array_join(
+                F.transform(
+                    F.filter(ordered, lambda x: x["is_masked"] == 1),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("targets"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("is_masked").cast("long").alias("n_masked"),
+        )
+        .select(
+            "doc_id",
+            "masked_text",
+            F.when(F.col("targets") == "", None)
+            .otherwise(F.col("targets"))
+            .alias("targets"),
+            "n_tokens",
+            "n_masked",
+            F.expr("CAST(1000 * n_masked div n_tokens AS BIGINT)").alias(
+                "mask_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
