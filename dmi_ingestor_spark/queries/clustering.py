@@ -649,3 +649,148 @@ def cluster_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core points with LSH-bucket blocking (the HIGH-DIM blocker)
+# ---------------------------------------------------------------------------
+
+_DBL_SCALE = 1000
+_DBL_EPS2 = 1_500_000  # eps^2 on the 1000-scaled integer grid (~1% of pairs)
+_DBL_MINPTS = 3
+_DBL_PLANES = 8
+
+
+def _dbl_planes() -> list[list[int]]:
+    """±1 hyperplanes, md5-derived at plan time (similarity.py recipe)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"p{j}-{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(64)
+        ]
+        for j in range(_DBL_PLANES)
+    ]
+
+
+def _dbl_oracle() -> str:
+    planes = _dbl_planes()
+    dot_terms = []
+    for j, row in enumerate(planes):
+        terms = " + ".join(
+            f"{'' if h > 0 else '-'}q[{i + 1}]" for i, h in enumerate(row)
+        ).replace("+ -", "- ")
+        dot_terms.append(
+            f"(CASE WHEN ({terms}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(dot_terms)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * {_DBL_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    keyed AS MATERIALIZED (
+      SELECT vec_id, q, CAST({bucket} AS BIGINT) AS bucket FROM e
+    ),
+    neigh AS (
+      SELECT a.vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM keyed a JOIN keyed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, 64),
+                     i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+            <= {_DBL_EPS2}
+      GROUP BY a.vec_id
+    )
+    SELECT k.vec_id, k.bucket,
+           COALESCE(n.n_neighbors, 0) + 1 AS eps_ball_count,
+           CAST(COALESCE(n.n_neighbors, 0) + 1 >= {_DBL_MINPTS} AS BIGINT)
+             AS is_core
+    FROM keyed k LEFT JOIN neigh n USING (vec_id)
+    ORDER BY k.vec_id
+    """
+
+
+@register(
+    "cluster_dbscan_lsh_blocked",
+    oracle=_dbl_oracle(),
+    doc=(
+        "DBSCAN core-point classification in FULL 64-dim space with "
+        "LSH-BUCKET blocking — the high-dimensional companion to the "
+        "2-D grid blocker (whose 9-cell trick is 3^d in d dims, "
+        "documented there): candidates are pairs sharing the 8-bit "
+        "sign pattern under md5-derived plan-time ±1 hyperplanes, "
+        "verified by EXACT integer squared distance over all 64 "
+        "quantized dims. Recall-bounded by construction (an eps-pair "
+        "split by a hyperplane is missed — the standard LSH-DBSCAN "
+        "trade, tunable with more bands exactly as in the dedup "
+        "ladder), and the oracle applies the IDENTICAL bucket "
+        "predicate, so the hash pin checks the blocked semantics, "
+        "not a pretense of exactness. Scale: bucketing is map-side "
+        "(plan-time literals, no model table), the join is keyed on "
+        "the bucket — O(n x bucket occupancy), never n^2."
+    ),
+    tags=("clustering", "density", "lsh", "embeddings", "scale"),
+)
+def cluster_dbscan_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _dbl_planes()
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _DBL_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    bucket = None
+    for j, row in enumerate(planes):
+        lit = F.array(*[F.lit(h) for h in row])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    keyed = e.select(
+        "vec_id", "q", bucket.cast("long").alias("bucket")
+    ).cache()
+    b_side = keyed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("bq"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("bq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    neigh = (
+        keyed.join(
+            b_side,
+            (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("vec_id") != F.col("b_id")),
+        )
+        .filter(d2 <= _DBL_EPS2)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
+    )
+    return (
+        keyed.join(F.broadcast(neigh), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            (F.coalesce(F.col("n_neighbors"), F.lit(0)) + 1)
+            .cast("long")
+            .alias("eps_ball_count"),
+            (F.coalesce(F.col("n_neighbors"), F.lit(0)) + 1 >= _DBL_MINPTS)
+            .cast("long")
+            .alias("is_core"),
+        )
+        .orderBy("vec_id")
+    )

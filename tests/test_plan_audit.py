@@ -95,3 +95,23 @@ def test_python_paths_are_arrow(audited_plans):
         "udtf_table_partition_by",
     ):
         assert "ArrowEvalPythonUDTF" in audited_plans[name], name
+
+
+def test_risky_dtype_gate_flags_decimal_and_date():
+    import pyarrow as pa
+
+    from tools.oracle_check import risky_dtype_problems
+
+    bad = pa.schema(
+        [("a", pa.decimal128(38, 0)), ("b", pa.date32()), ("c", pa.int64())]
+    )
+    problems = risky_dtype_problems("some_query", bad)
+    assert len(problems) == 2
+    good = pa.schema(
+        [("a", pa.int64()), ("b", pa.float64()), ("c", pa.string()),
+         ("d", pa.list_(pa.int64())), ("e", pa.timestamp("us"))]
+    )
+    assert risky_dtype_problems("some_query", good) == []
+    # nested decimal inside a list is caught too
+    nested = pa.schema([("a", pa.list_(pa.decimal128(10, 2)))])
+    assert len(risky_dtype_problems("q", nested)) == 1
