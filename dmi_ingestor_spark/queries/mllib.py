@@ -2992,3 +2992,148 @@ def ml_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (a11 * a22 - a12 * a12) AS BIGINT)"
         ).alias("w2_scaled"),
     ).orderBy("custkey")
+
+
+# --------------------------------------------------------------------------
+# Permutation feature importance via deterministic hash derangement
+# --------------------------------------------------------------------------
+
+_PI_S = 10**6
+_PI_THRESH = 30_000_000  # label: cents > 300k dollars
+_PI_S0 = 40  # decision threshold on the integer score
+
+
+def _pi_score(f1: str, f2: str) -> str:
+    return f"2 * {f1} + {f2}"
+
+
+@register(
+    "ml_permutation_importance",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 2000000 AS f1,
+             CAST(month(o_orderdate) AS BIGINT) AS f2,
+             CAST(round(o_totalprice * 100) > {_PI_THRESH} AS BIGINT) AS y,
+             md5('pi-' || o_orderkey) AS h
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY h, k) AS rn,
+             COUNT(*) OVER () AS n
+      FROM base
+    ),
+    perm AS (
+      -- cyclic shift in hash order = a deterministic derangement
+      SELECT a.k, a.f1, a.f2, a.y,
+             b.f1 AS f1_perm, b.f2 AS f2_perm
+      FROM ranked a JOIN ranked b ON b.rn = a.rn % a.n + 1
+    ),
+    acc AS (
+      SELECT
+        CAST(SUM(CAST(({_pi_score('f1', 'f2')} > {_PI_S0}) = (y = 1)
+                 AS BIGINT)) AS BIGINT) AS acc_base,
+        CAST(SUM(CAST(({_pi_score('f1_perm', 'f2')} > {_PI_S0}) = (y = 1)
+                 AS BIGINT)) AS BIGINT) AS acc_f1p,
+        CAST(SUM(CAST(({_pi_score('f1', 'f2_perm')} > {_PI_S0}) = (y = 1)
+                 AS BIGINT)) AS BIGINT) AS acc_f2p,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM perm
+    )
+    SELECT f.feature,
+           CAST(f.correct AS BIGINT) AS n_correct,
+           acc.n AS n_rows,
+           CAST((f.correct * {_PI_S}) // acc.n AS BIGINT) AS acc_scaled,
+           CAST(((acc.acc_base - f.correct) * {_PI_S}) // acc.n AS BIGINT)
+             AS importance_scaled
+    FROM acc,
+         (SELECT 'baseline' AS feature, acc_base AS correct FROM acc
+          UNION ALL SELECT 'f1_price_band', acc_f1p FROM acc
+          UNION ALL SELECT 'f2_month', acc_f2p FROM acc) f
+    ORDER BY f.feature
+    """,
+    doc=(
+        "Permutation feature importance — the model-agnostic 'what "
+        "breaks when this column is scrambled' eval — made "
+        "DISTRIBUTED-DETERMINISTIC: the permutation is a cyclic shift "
+        "in md5-hash order (rank by hash via the sharded exact "
+        "global-rank operator, join rank -> rank+1 mod n), a "
+        "derangement that is reproducible across engines, runs and "
+        "retries, where numpy.shuffle on a driver would not scale and "
+        "per-worker RNG would not reproduce. Scored with a fixed "
+        "integer linear classifier; importance = accuracy drop, "
+        "1e6-scaled. The strongly-predictive price-band feature "
+        "shows a large drop, the weak month feature a near-zero one "
+        "— the output ranks features exactly as the real eval would. "
+        "Scale: two rank exchanges from sharded_row_number + one "
+        "rank-equi self-join; no SinglePartition funnel, no driver "
+        "collect of data."
+    ),
+    tags=("mllib", "eval", "permutation-importance", "orders"),
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") / 2000000)
+        .cast("long")
+        .alias("f1"),
+        F.month("o_orderdate").cast("long").alias("f2"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") > _PI_THRESH)
+        .cast("long")
+        .alias("y"),
+        F.md5(
+            F.concat(F.lit("pi-"), F.col("o_orderkey").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    ranked, n = sharded_row_number(base, ["h", "k"], out="rn")
+    donor = ranked.select(
+        F.col("rn").alias("rn_d"),
+        F.col("f1").alias("f1_perm"),
+        F.col("f2").alias("f2_perm"),
+    )
+    perm = ranked.withColumn("rn_d", F.col("rn") % n + 1).join(
+        donor, "rn_d"
+    )
+    sc = lambda f1, f2: 2 * F.col(f1) + F.col(f2)
+    acc = perm.agg(
+        F.sum(((sc("f1", "f2") > _PI_S0) == (F.col("y") == 1)).cast("long"))
+        .cast("long")
+        .alias("acc_base"),
+        F.sum(
+            ((sc("f1_perm", "f2") > _PI_S0) == (F.col("y") == 1)).cast("long")
+        )
+        .cast("long")
+        .alias("acc_f1p"),
+        F.sum(
+            ((sc("f1", "f2_perm") > _PI_S0) == (F.col("y") == 1)).cast("long")
+        )
+        .cast("long")
+        .alias("acc_f2p"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    rows = None
+    for feat, col in (
+        ("baseline", "acc_base"),
+        ("f1_price_band", "acc_f1p"),
+        ("f2_month", "acc_f2p"),
+    ):
+        part = acc.select(
+            F.lit(feat).alias("feature"),
+            F.col(col).cast("long").alias("n_correct"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(f"CAST(({col} * {_PI_S}) div n AS BIGINT)").alias(
+                "acc_scaled"
+            ),
+            F.expr(
+                f"CAST(((acc_base - {col}) * {_PI_S}) div n AS BIGINT)"
+            ).alias("importance_scaled"),
+        )
+        rows = part if rows is None else rows.unionAll(part)
+    return rows.orderBy("feature")

@@ -1844,3 +1844,117 @@ def text_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram probabilities (all-integer rational form)
+# ---------------------------------------------------------------------------
+
+_KN_S = 10**9
+_KN_D_NUM, _KN_D_DEN = 3, 4  # absolute discount D = 0.75
+
+
+@register(
+    "text_kneser_ney_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), big AS (
+      SELECT b.pair[1] AS tok, b.pair[2] AS nxt
+      FROM w, unnest(list_zip(ws[1:len(ws)-1], ws[2:])) AS b(pair)
+      WHERE b.pair[1] <> '' AND b.pair[2] <> ''
+    ), cnt AS (
+      SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY tok, nxt
+    ), ctx AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS c_ctx,
+             CAST(COUNT(*) AS BIGINT) AS n1plus_fwd
+      FROM cnt GROUP BY tok
+    ), cont AS (
+      SELECT nxt, CAST(COUNT(*) AS BIGINT) AS n1plus_back
+      FROM cnt GROUP BY nxt
+    ), n_types AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM cnt
+    )
+    SELECT c.tok, c.nxt, c.c,
+           x.c_ctx, x.n1plus_fwd, b.n1plus_back,
+           CAST(((c.c * {_KN_D_DEN} - {_KN_D_NUM}) * {_KN_S})
+                // (x.c_ctx * {_KN_D_DEN}) AS BIGINT) AS p_discounted_scaled,
+           CAST(({_KN_D_NUM} * x.n1plus_fwd * {_KN_S})
+                // (x.c_ctx * {_KN_D_DEN}) AS BIGINT) AS lambda_scaled,
+           CAST((b.n1plus_back * {_KN_S}) // t.n_bigram_types AS BIGINT)
+             AS p_continuation_scaled
+    FROM cnt c
+    JOIN ctx x USING (tok)
+    JOIN cont b ON b.nxt = c.nxt
+    CROSS JOIN n_types t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c.tok ORDER BY c.c DESC, c.nxt)
+            <= 3
+    ORDER BY c.tok, c.c DESC, c.nxt
+    """,
+    doc=(
+        "Kneser-Ney smoothed bigram model components — the LM-quality "
+        "completer beyond raw bigram counts: per surviving bigram, the "
+        "absolute-discounted probability (c - D)/c_ctx with D=0.75 "
+        "carried as the exact rational (4c-3)/(4*c_ctx), the backoff "
+        "weight lambda = D*N1+(w,·)/c_ctx, and the CONTINUATION "
+        "probability N1+(·,w)/|bigram types| — the KN insight that "
+        "'how many contexts precede w' beats 'how often w occurs' for "
+        "backoff mass. All three pinned as 1e9-scaled integers, top-3 "
+        "continuations per context with deterministic tiebreak. "
+        "Scale: one zero-shuffle zipped bigram build, then "
+        "vocabulary-sized aggregates on (tok), (nxt) and the type "
+        "count — the same three shuffles any KN trainer needs, "
+        "mergeable partial+final all the way."
+    ),
+    tags=("text", "lm", "kneser-ney", "documents"),
+)
+def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    ws = d.select(F.split(F.col("text"), " ").alias("ws"))
+    big = ws.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS tok, ws[i] AS nxt)),"
+                " p -> p.tok <> '' AND p.nxt <> '')"
+            )
+        ).alias("p")
+    ).select("p.tok", "p.nxt")
+    cnt = big.groupBy("tok", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cnt = cnt.cache()
+    ctx = cnt.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1plus_fwd"),
+    )
+    cont = cnt.groupBy("nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n1plus_back")
+    )
+    n_types = cnt.agg(F.count(F.lit(1)).cast("long").alias("n_bigram_types"))
+    w = Window.partitionBy("tok").orderBy(F.desc("c"), F.asc("nxt"))
+    return (
+        cnt.join(ctx, "tok")
+        .join(cont, "nxt")
+        .crossJoin(F.broadcast(n_types))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "tok", "nxt", "c", "c_ctx", "n1plus_fwd", "n1plus_back",
+            F.expr(
+                f"CAST(((c * {_KN_D_DEN} - {_KN_D_NUM}) * {_KN_S})"
+                f" div (c_ctx * {_KN_D_DEN}) AS BIGINT)"
+            ).alias("p_discounted_scaled"),
+            F.expr(
+                f"CAST(({_KN_D_NUM} * n1plus_fwd * {_KN_S})"
+                f" div (c_ctx * {_KN_D_DEN}) AS BIGINT)"
+            ).alias("lambda_scaled"),
+            F.expr(
+                f"CAST((n1plus_back * {_KN_S}) div n_bigram_types AS BIGINT)"
+            ).alias("p_continuation_scaled"),
+        )
+        .orderBy("tok", F.desc("c"), "nxt")
+    )
