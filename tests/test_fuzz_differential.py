@@ -775,3 +775,86 @@ def test_random_topn_per_group_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_topn_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Dimension 12: random nested integer expression trees (three-valued logic)
+# ---------------------------------------------------------------------------
+#
+# Random CASE/NULLIF/COALESCE/LEAST/GREATEST/arith trees evaluated per
+# row — the same ANSI text runs through Spark's F.expr AND DuckDB, so
+# any divergence in NULL propagation, CASE typing, or operator
+# precedence between the engines (or a regression in either) surfaces
+# as a value mismatch. NULLIF injects NULLs mid-tree to probe
+# three-valued logic; multiplication only by small literals keeps every
+# intermediate far from int64 overflow.
+
+_EXPR_LEAVES = [
+    "o_orderkey",
+    "o_custkey",
+    "CAST(month(o_orderdate) AS BIGINT)",
+    "CAST(5 AS BIGINT)",
+    "CAST(42 AS BIGINT)",
+]
+
+
+def _gen_expr(rng: random.Random, depth: int) -> str:
+    if depth == 0 or rng.random() < 0.25:
+        return rng.choice(_EXPR_LEAVES)
+    op = rng.choice(
+        ["add", "sub", "mul_lit", "case", "nullif", "coalesce",
+         "least", "greatest", "abs", "mod_lit"]
+    )
+    a = _gen_expr(rng, depth - 1)
+    if op == "add":
+        return f"({a} + {_gen_expr(rng, depth - 1)})"
+    if op == "sub":
+        return f"({a} - {_gen_expr(rng, depth - 1)})"
+    if op == "mul_lit":
+        return f"({a} * {rng.choice([2, 3, 7])})"
+    if op == "case":
+        b = _gen_expr(rng, depth - 1)
+        return (
+            f"(CASE WHEN {a} % {rng.choice([3, 5])} = "
+            f"{rng.choice([0, 1])} THEN {b} ELSE {a} END)"
+        )
+    if op == "nullif":
+        return f"NULLIF({a}, {a} - ({a} % {rng.choice([2, 4])}))"
+    if op == "coalesce":
+        return f"COALESCE(NULLIF({a}, {a}), {_gen_expr(rng, depth - 1)})"
+    if op == "least":
+        return f"LEAST({a}, {_gen_expr(rng, depth - 1)})"
+    if op == "greatest":
+        return f"GREATEST({a}, {_gen_expr(rng, depth - 1)})"
+    if op == "abs":
+        return f"ABS({a} - {rng.choice([100, 1000])})"
+    return f"({a} % {rng.choice([7, 11, 13])})"
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_expression_tree_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(7000 + seed)
+    exprs = [
+        f"CAST({_gen_expr(rng, rng.randint(2, 4))} AS BIGINT) AS e{i}"
+        for i in range(rng.randint(1, 3))
+    ]
+    select = ", ".join(exprs)
+    sql = (
+        f"SELECT o_orderkey, {select} FROM orders "
+        f"WHERE o_orderkey % 5 = {seed % 5} ORDER BY o_orderkey"
+    )
+    o = table(spark, sf_dir, "orders")
+    cols = [
+        F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+        for e in exprs
+    ]
+    sdf = (
+        o.filter(F.col("o_orderkey") % 5 == seed % 5)
+        .select("o_orderkey", *cols)
+        .orderBy("o_orderkey")
+    )
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_expr_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
