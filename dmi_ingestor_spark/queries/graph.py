@@ -797,8 +797,8 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(a.agg(F.max("a").alias("amx")))
     )
     return (
-        nodes.join(h, "node")
-        .join(a, "node")
+        nodes.join(F.broadcast(h), "node")
+        .join(F.broadcast(a), "node")
         .crossJoin(F.broadcast(mx))
         .select(
             F.col("node").alias("nationkey"),
