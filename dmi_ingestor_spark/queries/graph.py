@@ -231,6 +231,25 @@ _TRI_EDGE_SQL = """
     tags=("graph", "triangles", "scale"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _deg, tri = _tri_decomposition(spark, sf_dir)
+    return (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select("y"))
+        .unionAll(tri.select("z"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def _tri_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(degree, triangles) of the above-mean-weight nation co-trade graph.
+
+    Shared by graph_triangle_count and graph_clustering_coefficient so
+    both queries enumerate the identical degree-ordered wedge set.
+    Returns ``deg(node, d)`` and ``tri(x, y, z)`` (each triangle once).
+    """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -269,6 +288,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(kept.select("v"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .cache()  # consumed by orientation AND the coefficient join
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -297,12 +317,85 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["y", "z"], "left_semi").select(
         F.col("a").alias("x"), "y", "z"
     )
-    return (
+    return deg, tri
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_TRI_EDGE_SQL},
+    o2 AS MATERIALIZED (
+      SELECT o.a, o.b, d1.d AS da, d2.d AS db
+      FROM oriented o
+      JOIN deg d1 ON d1.node = o.a JOIN deg d2 ON d2.node = o.b
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM o2 e1 JOIN o2 e2
+        ON e2.a = e1.a AND (e2.db, e2.b) > (e1.db, e1.b)
+      WHERE EXISTS (
+        SELECT 1 FROM oriented c WHERE c.a = e1.b AND c.b = e2.b
+      )
+    ),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY node
+    )
+    SELECT deg.node AS nationkey,
+           deg.d AS degree,
+           CAST(COALESCE(pernode.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d >= 2 THEN
+             round(2.0 * COALESCE(pernode.t, 0) / (deg.d * (deg.d - 1)), 9)
+           ELSE 0.0 END AS DOUBLE) AS clustering_coef
+    FROM deg LEFT JOIN pernode ON pernode.node = deg.node
+    """,
+    doc=(
+        "Local clustering coefficient per node: c(v) = 2T(v)/(d(v)(d(v)-1)) "
+        "over the same above-mean-weight undirected nation co-trade graph "
+        "as graph_triangle_count — in fact both queries share one "
+        "degree-ordered wedge enumeration (_tri_decomposition), so the "
+        "expensive stage (fact⋈fact edge build + wedge join) is written "
+        "once and the coefficient is a broadcast left join of the "
+        "per-node triangle counts onto the degree table. The single "
+        "double division happens after both operands are exact BIGINTs "
+        "and is rounded to 9 dp, far coarser than its ulp — hash-safe "
+        "across engines."
+    ),
+    tags=("graph", "triangles", "scale"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deg, tri = _tri_decomposition(spark, sf_dir)
+    pernode = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select("y"))
         .unionAll(tri.select("z"))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(F.broadcast(pernode), "node", "left")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("clustering_coef"),
+        )
     )
 
 

@@ -3137,3 +3137,217 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = part if rows is None else rows.unionAll(part)
     return rows.orderBy("feature")
+
+
+# ---------------------------------------------------------------------------
+# Gains table / decile lift — the classic marketing-model evaluation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_lift_gain_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderkey,
+             o_totalprice AS score,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+      FROM orders
+    ),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM scored GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_rows, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                      / SUM(n_pos) OVER (), 9) AS DOUBLE) AS gain,
+           CAST(round((CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                       / SUM(n_pos) OVER ())
+                      / (CAST(decile AS DOUBLE) / 10.0), 9) AS DOUBLE) AS lift
+    FROM per
+    ORDER BY decile
+    """,
+    doc=(
+        "Decile gains table: rank orders by predicted score (price as "
+        "the stand-in model output), NTILE into 10 equal buckets, and "
+        "report per-decile positives, cumulative capture rate (gain) "
+        "and lift over random targeting. The decile assignment is NOT "
+        "a global single-partition window: sharded_row_number assigns "
+        "exact global ranks via range-partitioned local sorts (range + "
+        "hash exchanges only), and the NTILE bucket is then computed "
+        "arithmetically from (rank, n) with NTILE's front-loaded "
+        "remainder rule — first n%10 buckets take ceil(n/10) rows — so "
+        "it matches the oracle's ntile(10) bit-for-bit while scaling "
+        "to any corpus size. Everything after is O(deciles); the two "
+        "divisions run on exact BIGINTs and round to 9 dp, hash-safe."
+    ),
+    tags=("ml", "eval", "lift"),
+)
+def ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    ranked, n = sharded_row_number(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], out="rk"
+    )
+    # NTILE(10) arithmetic twin: q = n // 10 rows per bucket, with the
+    # first r = n % 10 buckets taking one extra row (front-loaded).
+    q, r = divmod(n, 10)
+    head = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    if q == 0:  # degenerate tiny-table case: rank IS the bucket
+        decile = F.col("rk")
+    else:
+        decile = F.when(
+            F.col("rk") <= head, -F.floor(-F.col("rk") / F.lit(q + 1))
+        ).otherwise(F.lit(r) - F.floor((F.lit(head) - F.col("rk")) / F.lit(q)))
+    scored = ranked.select("y", decile.cast("long").alias("decile"))
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_rows",
+            "n_pos",
+            F.sum("n_pos").over(wcum).cast("long").alias("cum_pos"),
+            F.sum("n_pos").over(wcum).alias("_c"),
+            F.sum("n_pos").over(wall).alias("_t"),
+        )
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            F.round(F.col("_c").cast("double") / F.col("_t"), 9)
+            .cast("double")
+            .alias("gain"),
+            F.round(
+                (F.col("_c").cast("double") / F.col("_t"))
+                / (F.col("decile").cast("double") / F.lit(10.0)),
+                9,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (grouped), tie-free via keyed row_number.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_spearman_rank_corr",
+    oracle="""
+    WITH joined AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             o.o_totalprice AS x, q.qty AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty
+            FROM lineitem GROUP BY l_orderkey) q
+        ON q.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT priority,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY x, o_orderkey) AS rx,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY y, o_orderkey) AS ry
+      FROM joined
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(round(1.0 - (6.0 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE))
+                      / (CAST(COUNT(*) AS DOUBLE)
+                         * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                            - 1.0)), 9) AS DOUBLE) AS rho
+    FROM ranked
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc=(
+        "Grouped Spearman rank correlation between order price and total "
+        "ordered quantity, per priority class: rho = 1 - 6*sum(d^2)/"
+        "(n(n^2-1)) with ranks assigned by keyed row_number (orderkey "
+        "tie-break), so there are no tied ranks and the classic formula "
+        "is exact. sum(d^2) stays BIGINT (order-independent); only the "
+        "final rho is a double, computed n-as-double to dodge the "
+        "n^3 int64 overflow at large SF, and rounded to 9 dp. Cost: "
+        "one fact-fact join + two partitioned window sorts."
+    ),
+    tags=("ml", "eval", "correlation"),
+)
+def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    q = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    joined = o.join(q, o.o_orderkey == q.l_orderkey).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("x"),
+        F.col("qty").alias("y"),
+    )
+    ranked = joined.select(
+        "priority",
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("x", "o_orderkey"))
+        .alias("rx"),
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("y", "o_orderkey"))
+        .alias("ry"),
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d2).cast("long").alias("sum_d2"),
+        )
+        .select(
+            "priority",
+            "n",
+            "sum_d2",
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+                / (
+                    F.col("n").cast("double")
+                    * (
+                        F.col("n").cast("double") * F.col("n").cast("double")
+                        - F.lit(1.0)
+                    )
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("rho"),
+        )
+        .orderBy("priority")
+    )
