@@ -3760,3 +3760,84 @@ def ts_matrix_profile_ssd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn_j").alias("nn_start_day"),
         "mp_ssd",
     ).orderBy("start_day")
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend: median of pairwise slopes on the month grain
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY priority, mnum
+    ),
+    pairs AS (
+      SELECT a.priority,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.mnum - a.mnum AS DOUBLE)
+               AS slope
+      FROM m a JOIN m b
+        ON b.priority = a.priority AND b.mnum > a.mnum
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(quantile_disc(slope, 0.5) AS DOUBLE) AS theil_sen_slope
+    FROM pairs GROUP BY priority ORDER BY priority
+    """,
+    doc=(
+        "Theil–Sen estimator per priority class: the median of all "
+        "pairwise slopes (y_j - y_i)/(x_j - x_i) of the monthly order "
+        "count series — the classic robust trend line (breakdown "
+        "point 29%), immune to the outlier months that wreck the OLS "
+        "slope in analytics_price_trend_ols. The corpus-sized work is "
+        "one month-grain rollup; the O(months^2) pairwise join runs "
+        "on ~84 rows per group (date range is fixed, so the pair "
+        "count does NOT grow with SF — at 100 TB the rollup is still "
+        "the only full scan). Each slope is one BIGINT subtraction "
+        "pair and one double division (identical IEEE op on both "
+        "engines); the median is percentile_disc, which SELECTS an "
+        "element rather than interpolating, so parity is exact."
+    ),
+    tags=("timeseries", "statistics", "robust", "orders"),
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mnum"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a = m.select("priority", F.col("mnum").alias("x1"), F.col("y").alias("y1"))
+    b = m.select(
+        F.col("priority").alias("p2"),
+        F.col("mnum").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b, (F.col("p2") == F.col("priority")) & (F.col("x2") > F.col("x1"))
+    ).select(
+        "priority",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+            .cast("double")
+            .alias("theil_sen_slope"),
+        )
+        .orderBy("priority")
+    )

@@ -3351,3 +3351,220 @@ def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U: rank-sum two-sample test on sharded global ranks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_mann_whitney_u",
+    oracle="""
+    WITH labeled AS (
+      SELECT o_totalprice,
+             o_orderkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp,
+             CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS rk
+      FROM labeled
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN rk ELSE 0 END) AS BIGINT) AS r1
+      FROM ranked
+    )
+    SELECT n1, n2, r1,
+           CAST(r1 - n1 * (n1 + 1) / 2 AS BIGINT) AS u1,
+           CAST(n1 * n2 - (r1 - n1 * (n1 + 1) / 2) AS BIGINT) AS u2,
+           CAST(least(r1 - n1 * (n1 + 1) / 2,
+                      n1 * n2 - (r1 - n1 * (n1 + 1) / 2)) AS BIGINT) AS u_stat,
+           (CAST(r1 - n1 * (n1 + 1) / 2 AS DOUBLE)
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)
+             AS z_score
+    FROM s
+    """,
+    doc=(
+        "Mann–Whitney U (Wilcoxon rank-sum) test: is the price "
+        "distribution of urgent/high-priority orders stochastically "
+        "larger than the rest? Ranks are exact GLOBAL ranks assigned "
+        "by sharded_row_number (range + hash exchanges only — never a "
+        "single-partition window over the fact table), tie-broken by "
+        "orderkey so both engines rank identically; U and the rank "
+        "sums stay BIGINT, and the normal-approximation z-score is "
+        "one identical IEEE tree with every operand cast to double "
+        "BEFORE multiplication (n1*n2*(n+1) would leave int64 around "
+        "SF~50). At 100 TB: one range-shuffle sort + one scalar "
+        "aggregate; no driver funnel."
+    ),
+    tags=("ml", "statistics", "hypothesis-test"),
+)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    ranked, _n = sharded_row_number(
+        o, ["o_totalprice", "o_orderkey"], out="rk"
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("rk")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    u2 = F.col("n1") * F.col("n2") - u1
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    return s.select(
+        "n1",
+        "n2",
+        "r1",
+        u1.cast("long").alias("u1"),
+        u2.cast("long").alias("u2"),
+        F.least(u1, u2).cast("long").alias("u_stat"),
+        (
+            (u1.cast("double") - n1d * n2d / F.lit(2.0))
+            / F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0))
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on the month-grain series (exact concordance counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_kendall_tau",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS y
+      FROM orders GROUP BY priority, mnum
+    ),
+    pairs AS (
+      SELECT a.priority,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS ty
+      FROM m a JOIN m b
+        ON b.priority = a.priority AND b.mnum > a.mnum
+    ),
+    s AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(c) AS BIGINT) AS concordant,
+             CAST(SUM(d) AS BIGINT) AS discordant,
+             CAST(SUM(tx) AS BIGINT) AS tied_x,
+             CAST(SUM(ty) AS BIGINT) AS tied_y
+      FROM pairs GROUP BY priority
+    )
+    SELECT priority, n0, concordant, discordant, tied_x, tied_y,
+           CAST(concordant - discordant AS DOUBLE)
+           / sqrt(CAST((n0 - tied_x) * (n0 - tied_y) AS DOUBLE)) AS tau_b
+    FROM s ORDER BY priority
+    """,
+    doc=(
+        "Kendall tau-b rank correlation between monthly order volume "
+        "and monthly distinct-customer count, per priority class — "
+        "the tie-aware concordance statistic. The corpus-sized work "
+        "is one month-grain rollup (partial+final, with one "
+        "distinct-expand for the customer count); the O(months^2) "
+        "pairwise concordance join runs on ~84 rows per group and "
+        "does not grow with SF. All counts are exact BIGINT; tau_b's "
+        "denominator product (n0-tx)(n0-ty) <= n0^2 ~ 1.2e7 stays "
+        "far inside both int64 and the double's 2^53 mantissa, and "
+        "the final expression is one identical IEEE tree."
+    ),
+    tags=("ml", "statistics", "correlation"),
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mnum"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.countDistinct("o_custkey").cast("long").alias("y"),
+        )
+    )
+    a = m.select(
+        "priority",
+        F.col("mnum").alias("m1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = m.select(
+        F.col("priority").alias("p2"),
+        F.col("mnum").alias("m2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    prod = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    s = (
+        a.join(
+            b,
+            (F.col("p2") == F.col("priority")) & (F.col("m2") > F.col("m1")),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum(F.when(prod > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(prod < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
+            F.sum(F.when(F.col("x2") == F.col("x1"), 1).otherwise(0))
+            .cast("long")
+            .alias("tied_x"),
+            F.sum(F.when(F.col("y2") == F.col("y1"), 1).otherwise(0))
+            .cast("long")
+            .alias("tied_y"),
+        )
+    )
+    return s.select(
+        "priority",
+        "n0",
+        "concordant",
+        "discordant",
+        "tied_x",
+        "tied_y",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (
+                    (F.col("n0") - F.col("tied_x"))
+                    * (F.col("n0") - F.col("tied_y"))
+                ).cast("double")
+            )
+        ).alias("tau_b"),
+    ).orderBy("priority")

@@ -75,6 +75,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "prefix-sum + interval-mean windows over the O(price-bins) "
         "summary (~50 rows; real calibrators bin to <=1k)"
     ),
+    "ml_lift_gain_deciles": (
+        "cumulative-gain window over the 10-row per-decile aggregate; "
+        "the fact-scale ranking itself is sharded_row_number"
+    ),
 }
 
 
