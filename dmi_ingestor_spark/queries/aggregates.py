@@ -3841,3 +3841,82 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Misra–Gries heavy hitters: mergeable candidate summaries + exact verify
+# --------------------------------------------------------------------------
+
+_MG_K = 500  # summary capacity == 1/support
+
+
+@register(
+    "agg_frequent_items_mg",
+    oracle=f"""
+    SELECT user_id,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) * {_MG_K} > (SELECT COUNT(*) FROM events)
+    ORDER BY user_id, event_type
+    """,
+    doc=(
+        "Exact frequent (user, event_type) pairs above support n/500 "
+        "via the two-phase Misra–Gries pattern: phase 1 builds a "
+        "capacity-500 MG summary PER PARTITION in one mapInPandas "
+        "pass (vectorized value_counts per Arrow batch, then the "
+        "classic subtract-the-(k+1)-th-largest prune; est >= true - "
+        "n_p/500, so any globally frequent key — which by pigeonhole "
+        "is locally frequent in at least one partition — survives "
+        "some summary). Phase 2 unions the O(#partitions * 500)-row "
+        "summaries, broadcast-semi-joins the candidate keys back "
+        "onto the exact group counts, and filters with the integer "
+        "test count*500 > n_total, so the OUTPUT is exact — the "
+        "sketch only prunes the verify set. This is the mergeable- "
+        "summaries shape that scales: at 100 TB the full scan "
+        "happens twice (summary + verify) and everything between is "
+        "kilobytes, vs a straight groupBy-filter whose shuffle "
+        "carries every distinct key."
+    ),
+    tags=("aggregate", "sketch", "heavy-hitters", "scale"),
+)
+def agg_frequent_items_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+
+    def mg_summary(batches):
+        counters: dict[tuple[int, str], int] = {}
+        for pdf in batches:
+            vc = pdf.value_counts(["user_id", "event_type"])
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > _MG_K:
+                cut = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v > cut
+                }
+        yield pd.DataFrame(
+            {
+                "user_id": [k[0] for k in counters],
+                "event_type": [k[1] for k in counters],
+            }
+        )
+
+    candidates = ev.mapInPandas(
+        mg_summary, schema="user_id long, event_type string"
+    ).distinct()
+    exact = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        exact.join(
+            F.broadcast(candidates), ["user_id", "event_type"], "left_semi"
+        )
+        .join(F.broadcast(total))
+        .filter(F.col("n_events") * _MG_K > F.col("n_total"))
+        .select("user_id", "event_type", "n_events")
+        .orderBy("user_id", "event_type")
+    )
