@@ -2147,3 +2147,138 @@ def graph_scc_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-deterministic random-walk visit counts over the trade graph
+# ---------------------------------------------------------------------------
+
+_RW_STEPS = 6
+_RW_A, _RW_B, _RW_C = 1103515245, 12345, 2147483647  # LCG-style mix, all int
+
+
+def _rw_oracle() -> str:
+    parts = [
+        f"""
+    WITH edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    adj AS (
+      SELECT src, dst,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+                  AS BIGINT) - 1 AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM edges
+    ),
+    s0 AS (
+      SELECT DISTINCT CAST(src AS BIGINT) AS walk_id,
+             CAST(src AS BIGINT) AS node, CAST(0 AS BIGINT) AS step
+      FROM edges
+    )"""
+    ]
+    for k in range(_RW_STEPS):
+        parts.append(
+            f""", s{k + 1} AS (
+      SELECT s.walk_id, a.dst AS node, CAST({k + 1} AS BIGINT) AS step
+      FROM s{k} s
+      JOIN adj a ON a.src = s.node
+       AND a.rk = ((s.walk_id * {_RW_A} + {k + 1} * {_RW_B}) % {_RW_C})
+                   % a.deg
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM s{k}" for k in range(_RW_STEPS + 1)
+    )
+    parts.append(
+        f""",
+    visits AS (
+      {union}
+    )
+    SELECT node AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_visits,
+           CAST(COUNT(DISTINCT walk_id) AS BIGINT) AS n_walks,
+           CAST(MAX(step) AS BIGINT) AS last_step_seen
+    FROM visits GROUP BY node ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_random_walk_visits",
+    oracle=_rw_oracle(),
+    doc=(
+        "Deterministic random-walk sampling over the customer-nation -> "
+        "supplier-nation trade graph: one walk starts at every node "
+        "with outgoing edges and takes 6 steps; the step from node u "
+        "picks neighbor index H(walk_id, step) mod deg(u) where H is a "
+        "pure-integer LCG mix — a hash-derangement stand-in for RNG "
+        "(Math.random is banned cross-engine), so Spark and the "
+        "unrolled DuckDB CTE chain traverse bit-identical paths. Visit "
+        "counts approximate stationary mass the way DeepWalk/node2vec "
+        "corpus generation does at 100 TB: the corpus-sized work is the "
+        "one distinct edge build; each step is then a broadcast join "
+        "against the |E|-sized adjacency with rank/degree columns, and "
+        "dead-end nodes terminate walks on both engines identically."
+    ),
+    tags=("graph", "iterative", "sampling", "scale"),
+)
+def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    wsrc = Window.partitionBy("src")
+    adj = edges.select(
+        "src",
+        "dst",
+        (F.row_number().over(wsrc.orderBy("dst")) - 1).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("deg"),
+    ).localCheckpoint()
+    state = edges.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id",
+        F.col("walk_id").alias("node"),
+        F.lit(0).cast("long").alias("step"),
+    )
+    visits = state
+    for k in range(1, _RW_STEPS + 1):
+        idx = (
+            (F.col("walk_id") * _RW_A + F.lit(k) * _RW_B) % _RW_C
+        ) % F.col("deg")
+        state = (
+            state.join(
+                F.broadcast(adj),
+                (adj.src == state.node)
+                & (adj.rk == idx),
+            )
+            .select(
+                "walk_id",
+                F.col("dst").alias("node"),
+                F.lit(k).cast("long").alias("step"),
+            )
+        )
+        visits = visits.unionByName(state)
+    return (
+        visits.groupBy(F.col("node").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_visits"),
+            F.countDistinct("walk_id").cast("long").alias("n_walks"),
+            F.max("step").cast("long").alias("last_step_seen"),
+        )
+        .orderBy("nationkey")
+    )

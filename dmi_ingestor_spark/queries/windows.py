@@ -2712,3 +2712,186 @@ def analytics_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFra
     )
     r = folded.select(F.explode("out").alias("r"))
     return r.select("r.t", "r.n_risk", "r.d_events", "r.surv_micro")
+
+
+# ---------------------------------------------------------------------------
+# Two-group logrank test over customer lifetimes (companion to Kaplan-Meier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_logrank_test",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+             CAST(MIN(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o.o_orderdate)) AS BIGINT) AS fm,
+             CAST(MAX(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                      + EXTRACT(MONTH FROM o.o_orderdate)) AS BIGINT) AS lm
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, grp
+    ),
+    mx AS (SELECT MAX(lm) AS maxm FROM cust),
+    months AS (
+      SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+                           + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS t
+      FROM orders
+    ),
+    per_t AS (
+      SELECT m.t,
+             (SELECT COUNT(*) FROM cust c
+              WHERE c.grp = 1 AND c.fm <= m.t AND c.lm >= m.t) AS n1,
+             (SELECT COUNT(*) FROM cust c
+              WHERE c.grp = 0 AND c.fm <= m.t AND c.lm >= m.t) AS n2,
+             (SELECT COUNT(*) FROM cust c, mx
+              WHERE c.grp = 1 AND c.lm = m.t AND c.lm < mx.maxm) AS d1,
+             (SELECT COUNT(*) FROM cust c, mx
+              WHERE c.grp = 0 AND c.lm = m.t AND c.lm < mx.maxm) AS d2
+      FROM months m
+    ),
+    terms AS (
+      SELECT t, d1, d2, n1, n2, n1 + n2 AS n, d1 + d2 AS d,
+             CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE) AS e1_t,
+             CASE WHEN n1 + n2 > 1 THEN
+               CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE)
+                 * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                 * ((CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE) - 1.0))
+             ELSE 0.0 END AS v_t
+      FROM per_t
+      WHERE d1 + d2 > 0
+    ),
+    folded AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             CAST(SUM(d1 + d2) AS BIGINT) AS d_total,
+             CAST(COUNT(*) AS BIGINT) AS n_event_months,
+             list_reduce(list(e1_t ORDER BY t), (a, b) -> a + b) AS e1,
+             list_reduce(list(v_t ORDER BY t), (a, b) -> a + b) AS v
+      FROM terms
+    )
+    SELECT o1, d_total, n_event_months, e1, v,
+           (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+             AS chi2
+    FROM folded
+    """,
+    doc=(
+        "Two-group logrank test (Mantel 1966) comparing survival of "
+        "BUILDING-segment customers against the rest, on the same "
+        "lifetime/right-censoring model as analytics_survival_"
+        "kaplan_meier: per event month the hypergeometric expectation "
+        "E1_t = d*n1/n and variance V_t = d*(n1/n)*(n2/n)*(n-d)/(n-1) "
+        "reduce from the customer grain; chi2 = (O1-E1)^2/V is the "
+        "standard one-degree test A/B survival dashboards report. "
+        "Per-month terms are pure IEEE ratios of exact integer counts "
+        "(no libm), and E1/V accumulate via an ORDERED fold over the "
+        "month-sorted array, so the doubles are bit-exact across "
+        "engines. Heavy stages are two customer-grain aggregates; the "
+        "test itself runs on the ~|months| summary."
+    ),
+    tags=("analytics", "survival", "statistics", "orders"),
+)
+def analytics_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    mnum = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    cust = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(F.min(mnum).alias("fm"), F.max(mnum).alias("lm"))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("grp"),
+            "fm",
+            "lm",
+        )
+    )
+    mx = cust.agg(F.max("lm").alias("maxm"))
+    months = o.select(mnum.alias("t")).distinct()
+    grid = months.crossJoin(spark.range(2).select(F.col("id").alias("grp")))
+    starts = cust.groupBy("grp", F.col("fm").alias("t")).agg(
+        F.count(F.lit(1)).alias("starts")
+    )
+    ends = (
+        cust.crossJoin(F.broadcast(mx))
+        .groupBy("grp", F.col("lm").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("ends"),
+            F.sum((F.col("lm") < F.col("maxm")).cast("long")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_tg = (
+        grid.join(starts, ["grp", "t"], "left")
+        .join(ends, ["grp", "t"], "left")
+        .fillna(0, ["starts", "ends", "d"])
+        .withColumn("cum_starts", F.sum("starts").over(w))
+        .withColumn("cum_ends_before", F.sum("ends").over(w) - F.col("ends"))
+        .select(
+            "t",
+            "grp",
+            (F.col("cum_starts") - F.col("cum_ends_before")).alias("n_risk"),
+            "d",
+        )
+    )
+    per_t = per_tg.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+    )
+    n_d = (F.col("n1") + F.col("n2")).cast("double")
+    d_d = (F.col("d1") + F.col("d2")).cast("double")
+    n1_d = F.col("n1").cast("double")
+    n2_d = F.col("n2").cast("double")
+    terms = per_t.filter(F.col("d1") + F.col("d2") > 0).select(
+        "t",
+        "d1",
+        "d2",
+        (d_d * n1_d / n_d).alias("e1_t"),
+        F.when(
+            F.col("n1") + F.col("n2") > 1,
+            d_d * n1_d / n_d * (n2_d / n_d) * ((n_d - d_d) / (n_d - F.lit(1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v_t"),
+    )
+    packed = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.col("d1") + F.col("d2")).cast("long").alias("d_total"),
+        F.count(F.lit(1)).cast("long").alias("n_event_months"),
+        F.array_sort(F.collect_list(F.struct("t", "e1_t", "v_t"))).alias("s"),
+    )
+    fold = lambda fld: F.aggregate(  # noqa: E731
+        F.col("s"), F.lit(0.0), lambda acc, e: acc + e[fld]
+    )
+    folded = packed.select(
+        "o1",
+        "d_total",
+        "n_event_months",
+        fold("e1_t").alias("e1"),
+        fold("v_t").alias("v"),
+    )
+    o1_d = F.col("o1").cast("double")
+    return folded.select(
+        "o1",
+        "d_total",
+        "n_event_months",
+        "e1",
+        "v",
+        ((o1_d - F.col("e1")) * (o1_d - F.col("e1")) / F.col("v")).alias("chi2"),
+    )
