@@ -56,13 +56,19 @@ def ensure_bucketed_pair(
     """Bucketed orders/lineitem twins for ``sf_dir``, created once.
 
     Table names are keyed by a stable hash of (sf_dir, n_buckets) so
-    different scale factors coexist; re-runs reuse the existing tables
-    (the data under a given sf_dir is immutable test data).
+    different scale factors coexist; re-runs within a process reuse the
+    existing tables (the data under a given sf_dir is immutable test
+    data). The process id is part of the key because the managed-table
+    warehouse directory is shared by cwd: two harness processes (e.g.
+    pytest + plan_audit) building the same table name concurrently
+    would otherwise overwrite each other's files mid-read.
     """
     import hashlib
     import os
 
-    suffix = hashlib.md5(f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:8]
+    suffix = hashlib.md5(
+        f"{sf_dir}|{n_buckets}|{os.getpid()}".encode()
+    ).hexdigest()[:8]
     t_orders = f"b_orders_{suffix}"
     t_lineitem = f"b_lineitem_{suffix}"
     catalog = spark.catalog
@@ -96,7 +102,7 @@ def ensure_partitioned_orders(spark, sf_dir: str) -> str:
     import os
     import tempfile
 
-    suffix = hashlib.md5(f"{sf_dir}|dpp".encode()).hexdigest()[:8]
+    suffix = hashlib.md5(f"{sf_dir}|dpp|{os.getpid()}".encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"dmi-dpp-orders-{suffix}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):

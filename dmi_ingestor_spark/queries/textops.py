@@ -1961,14 +1961,17 @@ def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Heaps'-law vocabulary-growth fit (V = K * n^beta)
+# Heaps'-law vocabulary-growth fit (V = K * n^beta) at bounded checkpoints
 # ---------------------------------------------------------------------------
+
+_HEAPS_CKPTS = 50
 
 
 @register(
     "text_heaps_law_fit",
-    oracle="""
-    WITH toks AS (
+    oracle=f"""
+    WITH n AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
     per_doc AS (
@@ -1979,52 +1982,61 @@ def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS v
       FROM firsts GROUP BY fd
     ),
+    per_bucket AS (
+      SELECT CAST((p.doc_id * {_HEAPS_CKPTS}) // n.n_docs AS BIGINT) AS bkt,
+             SUM(p.m) AS bm, SUM(COALESCE(nw.v, 0)) AS bv
+      FROM per_doc p LEFT JOIN news nw ON p.doc_id = nw.doc_id, n
+      GROUP BY 1
+    ),
     series AS (
-      SELECT p.doc_id,
-             SUM(p.m) OVER (ORDER BY p.doc_id) AS cum_n,
-             SUM(COALESCE(nw.v, 0)) OVER (ORDER BY p.doc_id) AS cum_v
-      FROM per_doc p LEFT JOIN news nw ON p.doc_id = nw.doc_id
+      SELECT bkt,
+             SUM(bm) OVER (ORDER BY bkt) AS cum_n,
+             SUM(bv) OVER (ORDER BY bkt) AS cum_v
+      FROM per_bucket
     ),
     pts AS (
-      SELECT doc_id,
+      SELECT bkt,
              round(ln(CAST(cum_n AS DOUBLE)), 9) AS x,
              round(ln(CAST(cum_v AS DOUBLE)), 9) AS y,
              cum_n, cum_v
       FROM series
     ),
     packed AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checkpoints,
              CAST(MAX(cum_n) AS BIGINT) AS tokens_total,
              CAST(MAX(cum_v) AS BIGINT) AS vocab_total,
-             list_reduce(list(x ORDER BY doc_id), (a, b) -> a + b) AS sx,
-             list_reduce(list(y ORDER BY doc_id), (a, b) -> a + b) AS sy,
-             list_reduce(list(x * x ORDER BY doc_id), (a, b) -> a + b) AS sxx,
-             list_reduce(list(x * y ORDER BY doc_id), (a, b) -> a + b) AS sxy
+             list_reduce(list(x ORDER BY bkt), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY bkt), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * x ORDER BY bkt), (a, b) -> a + b) AS sxx,
+             list_reduce(list(x * y ORDER BY bkt), (a, b) -> a + b) AS sxy
       FROM pts
     )
-    SELECT n_docs, tokens_total, vocab_total,
-           (CAST(n_docs AS DOUBLE) * sxy - sx * sy)
-           / (CAST(n_docs AS DOUBLE) * sxx - sx * sx) AS beta,
-           (sy - ((CAST(n_docs AS DOUBLE) * sxy - sx * sy)
-                  / (CAST(n_docs AS DOUBLE) * sxx - sx * sx)) * sx)
-           / CAST(n_docs AS DOUBLE) AS ln_k
+    SELECT n_checkpoints, tokens_total, vocab_total,
+           (CAST(n_checkpoints AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_checkpoints AS DOUBLE) * sxx - sx * sx) AS beta,
+           (sy - ((CAST(n_checkpoints AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_checkpoints AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(n_checkpoints AS DOUBLE) AS ln_k
     FROM packed
     """,
     doc=(
         "Heaps'-law fit over the corpus: log-log OLS of cumulative "
-        "vocabulary size V(n) against cumulative token count n, sampled "
-        "at every document boundary in doc_id order (V = K*n^beta; "
-        "Heaps 1978). The growth series needs only two corpus-sized "
-        "aggregates (tokens per doc; first-occurrence doc per token -- "
-        "the same min-groupBy a 100 TB vocabulary build uses), then "
-        "everything runs on the |docs| summary. Per-point ln() values "
-        "are quantized to 9dp (ln is not IEEE-portable across engines) "
-        "and the four OLS sums accumulate via an ORDERED left fold over "
-        "the doc_id-sorted point array (F.aggregate / DuckDB "
-        "list_reduce), so the slope/intercept doubles are bit-exact -- "
-        "the same determinism pattern as the Kaplan-Meier fold. beta "
-        "~0.5-0.8 on natural text; a beta near 1 flags synthetic or "
-        "over-deduplicated corpora, a dataset-card metric for LLM "
+        "vocabulary size V(n) against cumulative token count n "
+        "(V = K*n^beta; Heaps 1978), sampled at "
+        f"{_HEAPS_CKPTS} doc_id-ordered corpus checkpoints rather than "
+        "at every document — the growth series a 100 TB vocabulary "
+        "audit can afford: two corpus-sized aggregates (tokens per "
+        "doc; first-occurrence doc per token, the same min-groupBy a "
+        "vocabulary build uses), one O(checkpoints) bucket aggregate "
+        "(bucket = doc_id*B/N, monotone in doc_id so cumulative order "
+        "is preserved), and every window/fold thereafter runs on the "
+        "50-row summary. Per-point ln() values are quantized to 9dp "
+        "(ln is not IEEE-portable across engines) and the four OLS "
+        "sums accumulate via an ORDERED left fold over the "
+        "bucket-sorted array (F.aggregate / DuckDB list_reduce), so "
+        "the slope/intercept doubles are bit-exact. beta ~0.5-0.8 on "
+        "natural text; beta near 1 flags synthetic or over-"
+        "deduplicated corpora — a dataset-card metric for LLM "
         "training data."
     ),
     tags=("text", "documents", "regression", "scale"),
@@ -2033,6 +2045,7 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
+    n_docs = d.agg((F.max("doc_id") + 1).alias("n_docs"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -2045,34 +2058,41 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    series = (
+    per_bucket = (
         per_doc.join(news, "doc_id", "left")
         .fillna(0, ["v"])
-        .select(
-            "doc_id",
-            F.sum("m").over(w).alias("cum_n"),
-            F.sum("v").over(w).alias("cum_v"),
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(
+            ((F.col("doc_id") * _HEAPS_CKPTS) / F.col("n_docs"))
+            .cast("long")
+            .alias("bkt")
         )
+        .agg(F.sum("m").alias("bm"), F.sum("v").alias("bv"))
+    )
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    series = per_bucket.select(
+        "bkt",
+        F.sum("bm").over(w).alias("cum_n"),
+        F.sum("bv").over(w).alias("cum_v"),
     )
     pts = series.select(
-        "doc_id",
+        "bkt",
         F.round(F.log(F.col("cum_n").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("cum_v").cast("double")), 9).alias("y"),
         "cum_n",
         "cum_v",
     )
     packed = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_checkpoints"),
         F.max("cum_n").cast("long").alias("tokens_total"),
         F.max("cum_v").cast("long").alias("vocab_total"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "x", "y"))).alias("s"),
+        F.array_sort(F.collect_list(F.struct("bkt", "x", "y"))).alias("s"),
     )
     fold = lambda expr: F.aggregate(  # noqa: E731
         F.col("s"), F.lit(0.0), lambda acc, e: acc + expr(e)
     )
     sums = packed.select(
-        "n_docs",
+        "n_checkpoints",
         "tokens_total",
         "vocab_total",
         fold(lambda e: e["x"]).alias("sx"),
@@ -2080,12 +2100,12 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(lambda e: e["x"] * e["x"]).alias("sxx"),
         fold(lambda e: e["x"] * e["y"]).alias("sxy"),
     )
-    n_d = F.col("n_docs").cast("double")
+    n_d = F.col("n_checkpoints").cast("double")
     beta = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         n_d * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return sums.select(
-        "n_docs",
+        "n_checkpoints",
         "tokens_total",
         "vocab_total",
         beta.alias("beta"),

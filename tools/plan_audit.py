@@ -71,6 +71,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "(O(distinct feature values) rows; real split-finders bin to <=256)"
     ),
     "analytics_survival_kaplan_meier": "cum windows + ordered fold over the O(months) summary series",
+    "text_heaps_law_fit": "cum windows + OLS fold over the 50-row checkpoint summary",
     "ml_isotonic_calibration": (
         "prefix-sum + interval-mean windows over the O(price-bins) "
         "summary (~50 rows; real calibrators bin to <=1k)"
