@@ -3920,3 +3920,148 @@ def agg_frequent_items_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n_events")
         .orderBy("user_id", "event_type")
     )
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping distance between two daily event-value series
+# ---------------------------------------------------------------------------
+
+_DTW_DAYS = 30
+_DTW_INF = 10**15
+
+
+@register(
+    "ts_dtw_distance",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(1, {_DTW_DAYS})) AS day
+    ),
+    daily AS (
+      SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS a_cents,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS b_cents
+      FROM events
+      WHERE event_type IN ('click', 'error')
+      GROUP BY 1
+    ),
+    series AS (
+      SELECT list(COALESCE(d.a_cents, 0) ORDER BY s.day) AS sa,
+             list(COALESCE(d.b_cents, 0) ORDER BY s.day) AS sb
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    dp AS (
+      SELECT sa, sb,
+        list_reduce(
+          list_prepend(
+            list_transform(generate_series(0, {_DTW_DAYS}),
+                           j -> CASE WHEN j = 0 THEN CAST(0 AS BIGINT)
+                                     ELSE CAST({_DTW_INF} AS BIGINT) END),
+            list_transform(sa, a -> [a])
+          ),
+          (prev, xa) -> list_reduce(
+            list_prepend([CAST({_DTW_INF} AS BIGINT)],
+                         list_transform(sb, b -> [b])),
+            (acc, xb) -> list_append(acc,
+              abs(xa[1] - xb[1])
+              + least(prev[len(acc) + 1], prev[len(acc)], acc[len(acc)]))
+          )
+        ) AS final_row
+      FROM series
+    )
+    SELECT CAST({_DTW_DAYS} AS BIGINT) AS n_days,
+           final_row[{_DTW_DAYS + 1}] AS dtw_cents,
+           list_reduce(
+             list_transform(generate_series(1, {_DTW_DAYS}),
+                            i -> abs(sa[i] - sb[i])),
+             (a, b) -> a + b) AS lockstep_cents
+    FROM dp
+    """,
+    doc=(
+        "Dynamic time warping distance (Sakoe & Chiba 1978) between the "
+        "daily click-revenue and error-revenue series: the full "
+        f"{_DTW_DAYS}x{_DTW_DAYS} DP runs as a NESTED ordered fold "
+        "(outer fold over series A carrying the previous DP row as the "
+        "accumulator, inner fold building the next row against series "
+        "B) — F.aggregate on Spark, list_reduce with captured outer "
+        "lambda variables on DuckDB. Costs are exact integer cents so "
+        "the whole DP is BIGINT arithmetic: hash-exact, no float drift "
+        "possible. lockstep_cents (the warp-free L1 distance) is "
+        "emitted alongside — DTW <= lockstep always, and the gap "
+        "measures how much temporal misalignment the warp absorbs. "
+        "Scale shape: the only corpus-sized work is one groupBy(day) "
+        "partial aggregate; the DP itself runs on a 1-row, "
+        "O(days^2)-work summary — per-key series DTW (matrix-profile "
+        "style motif search) distributes the same way with the fold "
+        "inside a groupBy."
+    ),
+    tags=("timeseries", "events", "dtw", "scale"),
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        e.where(F.col("event_type").isin("click", "error"))
+        .groupBy(F.dayofmonth("ts").cast("long").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("long")
+            .alias("a_cents"),
+            F.sum(F.when(F.col("event_type") == "error", cents).otherwise(0))
+            .cast("long")
+            .alias("b_cents"),
+        )
+    )
+    spine = spark.range(1, _DTW_DAYS + 1).select(F.col("id").alias("day"))
+    series = (
+        spine.join(daily, "day", "left")
+        .fillna(0, ["a_cents", "b_cents"])
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "a_cents"))).alias("pa"),
+            F.array_sort(F.collect_list(F.struct("day", "b_cents"))).alias("pb"),
+        )
+        .select(
+            F.transform(F.col("pa"), lambda x: x["a_cents"]).alias("sa"),
+            F.transform(F.col("pb"), lambda x: x["b_cents"]).alias("sb"),
+        )
+    )
+    inf = F.lit(_DTW_INF).cast("long")
+    init_row = F.transform(
+        F.sequence(F.lit(0), F.lit(_DTW_DAYS)),
+        lambda j: F.when(j == 0, F.lit(0).cast("long")).otherwise(inf),
+    )
+    dp = series.select(
+        "sa",
+        "sb",
+        F.aggregate(
+            F.col("sa"),
+            init_row,
+            lambda prev, a: F.aggregate(
+                F.col("sb"),
+                F.array(inf),
+                lambda acc, b: F.concat(
+                    acc,
+                    F.array(
+                        F.abs(a - b)
+                        + F.least(
+                            F.element_at(prev, F.size(acc) + 1),
+                            F.element_at(prev, F.size(acc)),
+                            F.element_at(acc, F.size(acc)),
+                        )
+                    ),
+                ),
+            ),
+        ).alias("final_row"),
+    )
+    lockstep = F.aggregate(
+        F.zip_with(F.col("sa"), F.col("sb"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dp.select(
+        F.lit(_DTW_DAYS).cast("long").alias("n_days"),
+        F.element_at(F.col("final_row"), _DTW_DAYS + 1).alias("dtw_cents"),
+        lockstep.alias("lockstep_cents"),
+    )

@@ -3568,3 +3568,155 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     ).orderBy("priority")
+
+# ---------------------------------------------------------------------------
+# PCA top component via power iteration on the distributed Gram summary
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 8
+
+
+def _pca_oracle() -> str:
+    head = """
+    WITH e AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    nrows AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM e),
+    gram AS (
+      SELECT a.dim AS di, b.dim AS dj,
+             CAST(SUM(a.v * b.v) AS DOUBLE) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    ),
+    mat AS (
+      SELECT list(g.s / nrows.n ORDER BY g.di, g.dj) AS flat,
+             CAST(MAX(g.di) + 1 AS BIGINT) AS d
+      FROM gram g, nrows GROUP BY nrows.n
+    ),
+    x0 AS (
+      SELECT flat, d,
+             list_transform(generate_series(1, d), i -> 1.0) AS x,
+             0.0 AS lam
+      FROM mat
+    )"""
+    parts = [head]
+    for k in range(1, _PCA_ROUNDS + 1):
+        parts.append(f""",
+    y{k} AS (
+      SELECT flat, d,
+             list_transform(generate_series(0, d - 1), i ->
+               list_reduce(
+                 list_transform(generate_series(0, d - 1), j ->
+                   flat[i * d + j + 1] * x[j + 1]),
+                 (a, b) -> a + b)) AS y
+      FROM x{k - 1}
+    ),
+    x{k} AS (
+      SELECT flat, d,
+             list_transform(y, v ->
+               v / list_max(list_transform(y, u -> abs(u)))) AS x,
+             list_max(list_transform(y, u -> abs(u))) AS lam
+      FROM y{k}
+    )""")
+    parts.append(f"""
+    SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+           x[u.i] AS loading,
+           lam AS lambda_micro2
+    FROM x{_PCA_ROUNDS}, UNNEST(generate_series(1, len(x))) AS u(i)
+    ORDER BY dim""")
+    return "".join(parts)
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=(
+        "Top principal direction of the embedding table via power "
+        f"iteration ({_PCA_ROUNDS} rounds, infinity-norm rescale) on "
+        "the SECOND-MOMENT summary — the distributed-stats -> "
+        "local-iterate PCA recipe: the corpus is touched exactly once "
+        "to build the d x d Gram matrix in exact integer micro-units "
+        "(same sufficient statistic as ml_embedding_covariance_matrix, "
+        "here the full square scaled by 1/n), and every iteration is "
+        "higher-order-function arithmetic on that 1-row summary — "
+        "ordered inner-product folds, so each y = A·x accumulates in "
+        "identical IEEE order on both engines and the loadings are "
+        "bit-exact. Rounds localCheckpoint so the unrolled plan stays "
+        "O(1) (the components.py lineage-cut pattern). The Gram matrix "
+        "is PSD so the inf-norm rescale converges without sign "
+        "oscillation; lambda_micro2 is the dominant-eigenvalue "
+        "estimate in micro^2 units. At 100 TB nothing changes: the "
+        "iteration cost is O(d^2) on one row regardless of corpus "
+        "size. Cites dmi_ingestor/ingestor.py:1-233 (no ML surface in "
+        "the reference; this is pipeline-mandated)."
+    ),
+    tags=("ml", "embeddings", "pca", "iterative", "scale"),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xv")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("xv").cast("double") * 1000000).cast("long").alias("v"),
+    )
+    nrows = emb.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    b = e.select(
+        F.col("vec_id").alias("b_vid"),
+        F.col("dim").alias("dj"),
+        F.col("v").alias("bv"),
+    )
+    gram = (
+        e.join(b, e.vec_id == b.b_vid)
+        .groupBy(F.col("dim").alias("di"), "dj")
+        .agg(F.sum(F.col("v") * F.col("bv")).cast("double").alias("s"))
+    )
+    mat = (
+        gram.crossJoin(F.broadcast(nrows))
+        .groupBy("n")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("di", "dj", "s"))).alias("p"),
+            (F.max("di") + 1).alias("d"),
+        )
+        .select(
+            F.transform(F.col("p"), lambda t: t["s"] / F.col("n")).alias("flat"),
+            "d",
+        )
+    )
+    df = mat.select(
+        "flat",
+        "d",
+        F.transform(
+            F.sequence(F.lit(1), F.col("d")), lambda i: F.lit(1.0)
+        ).alias("x"),
+        F.lit(0.0).alias("lam"),
+    )
+    for _ in range(_PCA_ROUNDS):
+        y = F.transform(
+            F.sequence(F.lit(0), F.col("d") - 1),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.col("d") - 1),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col("flat"), (i * F.col("d") + j + 1).cast("int"))
+                * F.element_at(F.col("x"), (j + 1).cast("int")),
+            ),
+        )
+        df = df.select("flat", "d", y.alias("y"))
+        m = F.array_max(F.transform(F.col("y"), lambda v: F.abs(v)))
+        df = df.select(
+            "flat",
+            "d",
+            F.transform(F.col("y"), lambda v: v / m).alias("x"),
+            m.alias("lam"),
+        ).localCheckpoint(eager=False)
+    return df.select(
+        F.posexplode("x").alias("dim0", "loading"), F.col("lam")
+    ).select(
+        F.col("dim0").cast("long").alias("dim"),
+        "loading",
+        F.col("lam").alias("lambda_micro2"),
+    ).orderBy("dim")

@@ -322,3 +322,162 @@ def spatial_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("geohash8")
     )
+
+# --------------------------------------------------------------------------
+# Inverse-distance-weighted interpolation (station -> target regridding)
+# --------------------------------------------------------------------------
+
+_IDW_RADIUS_KM = 40.0
+_IDW_CELL_H = _IDW_RADIUS_KM / GEO_KM_PER_DEG
+_IDW_CELL_W = _IDW_RADIUS_KM / (GEO_KM_PER_DEG * _COSLAT)
+
+
+@register(
+    "spatial_idw_interpolation",
+    oracle=f"""
+    WITH stations AS (
+      SELECT s_suppkey,
+             CAST({GEO_LAT_BASE} AS DOUBLE)
+               + CAST({GEO_LAT_STEP} AS DOUBLE) * (s_suppkey % {GEO_LAT_MOD}) AS lat,
+             CAST({GEO_LON_BASE} AS DOUBLE)
+               + CAST({GEO_LON_STEP} AS DOUBLE) * (s_suppkey % {GEO_LON_MOD}) AS lon,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS v_cents
+      FROM supplier
+    ),
+    targets AS (
+      SELECT c_custkey,
+             CAST({GEO_LAT_BASE} AS DOUBLE)
+               + CAST({GEO_LAT_STEP} AS DOUBLE) * (c_custkey % {GEO_LAT_MOD})
+               + CAST({GEO_LAT_STEP / 2!r} AS DOUBLE) AS lat,
+             CAST({GEO_LON_BASE} AS DOUBLE)
+               + CAST({GEO_LON_STEP} AS DOUBLE) * (c_custkey % {GEO_LON_MOD})
+               + CAST({GEO_LON_STEP / 2!r} AS DOUBLE) AS lon
+      FROM customer
+    ),
+    cand AS (
+      SELECT t.c_custkey, s.s_suppkey, s.v_cents,
+             ({GEO_KM_PER_DEG} * (t.lat - s.lat))
+               * ({GEO_KM_PER_DEG} * (t.lat - s.lat))
+             + ({GEO_KM_PER_DEG} * ((t.lon - s.lon) * {_COSLAT!r}))
+               * ({GEO_KM_PER_DEG} * ((t.lon - s.lon) * {_COSLAT!r})) AS d2
+      FROM targets t JOIN stations s ON TRUE
+    ),
+    hits AS (
+      SELECT c_custkey, s_suppkey,
+             1.0 / d2 AS w,
+             (1.0 / d2) * CAST(v_cents AS DOUBLE) AS wv
+      FROM cand
+      WHERE d2 < {_IDW_RADIUS_KM * _IDW_RADIUS_KM!r}
+    )
+    SELECT c_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_stations,
+           list_reduce(list(wv ORDER BY s_suppkey), (a, b) -> a + b)
+             / list_reduce(list(w ORDER BY s_suppkey), (a, b) -> a + b)
+             AS idw_cents
+    FROM hits
+    GROUP BY c_custkey
+    """,
+    doc=(
+        "Inverse-distance-weighted (Shepard 1968, p=2) interpolation of "
+        "station observations onto a target lattice — the regridding "
+        "step a weather pipeline runs after ingesting point obs (the "
+        "reference's cubes are exactly such regridded fields). Stations "
+        "are suppliers on the deterministic Denmark lattice carrying "
+        "s_acctbal cents as the observed value; targets are customers "
+        "offset half a lattice step (so no station coincides with a "
+        "target and 1/d² is always finite). Scale shape: targets join "
+        "stations through the same radius-sized 3×3 grid-cell equi-join "
+        "as spatial_radius_join_grid — candidates are O(n·density), "
+        "never the n² of the oracle's brute-force theta-join — and each "
+        "target folds its weights in s_suppkey order (F.aggregate / "
+        "list_reduce), so the float Σwv/Σw is bit-identical across "
+        "engines. The weight kernel (squared equirectangular km) is "
+        "-,*,+ on shared doubles: no libm in the row path."
+    ),
+    tags=("spatial", "join", "interpolation", "scale"),
+)
+def spatial_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    stations = s.select(
+        "s_suppkey",
+        (
+            F.lit(GEO_LAT_BASE)
+            + F.lit(GEO_LAT_STEP) * (F.col("s_suppkey") % GEO_LAT_MOD)
+        ).alias("lat"),
+        (
+            F.lit(GEO_LON_BASE)
+            + F.lit(GEO_LON_STEP) * (F.col("s_suppkey") % GEO_LON_MOD)
+        ).alias("lon"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("v_cents"),
+    )
+    targets = c.select(
+        "c_custkey",
+        (
+            F.lit(GEO_LAT_BASE)
+            + F.lit(GEO_LAT_STEP) * (F.col("c_custkey") % GEO_LAT_MOD)
+            + F.lit(GEO_LAT_STEP / 2)
+        ).alias("lat"),
+        (
+            F.lit(GEO_LON_BASE)
+            + F.lit(GEO_LON_STEP) * (F.col("c_custkey") % GEO_LON_MOD)
+            + F.lit(GEO_LON_STEP / 2)
+        ).alias("lon"),
+    )
+    # Station side explodes to its 3x3 neighbor cells; targets stay home.
+    off = F.expr("explode(array(-1, 0, 1))")
+    s_cells = (
+        stations.withColumns(
+            {
+                "cy": F.floor(F.col("lat") / F.lit(_IDW_CELL_H)),
+                "cx": F.floor(F.col("lon") / F.lit(_IDW_CELL_W)),
+            }
+        )
+        .select("s_suppkey", "lat", "lon", "v_cents", "cy", "cx", off.alias("dy"))
+        .select("s_suppkey", "lat", "lon", "v_cents", "cy", "cx", "dy", off.alias("dx"))
+        .select(
+            F.col("s_suppkey"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            "v_cents",
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+        )
+    )
+    t_cells = targets.select(
+        "c_custkey",
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+        F.floor(F.col("lat") / F.lit(_IDW_CELL_H)).alias("jy"),
+        F.floor(F.col("lon") / F.lit(_IDW_CELL_W)).alias("jx"),
+    )
+    dlat = F.lit(GEO_KM_PER_DEG) * (F.col("t_lat") - F.col("s_lat"))
+    dlon = F.lit(GEO_KM_PER_DEG) * (
+        (F.col("t_lon") - F.col("s_lon")) * F.lit(_COSLAT)
+    )
+    d2 = dlat * dlat + dlon * dlon
+    hits = (
+        t_cells.join(s_cells, ["jy", "jx"], "inner")
+        .withColumn("d2", d2)
+        .where(F.col("d2") < F.lit(_IDW_RADIUS_KM * _IDW_RADIUS_KM))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (F.lit(1.0) / F.col("d2")).alias("w"),
+            ((F.lit(1.0) / F.col("d2")) * F.col("v_cents").cast("double")).alias(
+                "wv"
+            ),
+        )
+    )
+    packed = hits.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_stations"),
+        F.array_sort(F.collect_list(F.struct("s_suppkey", "w", "wv"))).alias("s"),
+    )
+    fold = lambda fld: F.aggregate(  # noqa: E731
+        F.col("s"), F.lit(0.0), lambda acc, e: acc + e[fld]
+    )
+    return packed.select(
+        "c_custkey",
+        "n_stations",
+        (fold("wv") / fold("w")).alias("idw_cents"),
+    )

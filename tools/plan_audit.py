@@ -195,11 +195,15 @@ def audit(plans: dict[str, str]) -> dict[str, list[str]]:
     return bad
 
 
-def collect_plans(spark, sf_dir: str) -> dict[str, str]:
+def collect_plans(
+    spark, sf_dir: str, only: list[str] | None = None
+) -> dict[str, str]:
     from dmi_ingestor_spark.registry import load_all
 
     plans = {}
     for name, spec in load_all().items():
+        if only and name not in only:
+            continue
         try:
             df = spec.builder(spark, sf_dir)
             plans[name] = spark._jvm.PythonSQLUtils.explainString(
@@ -214,9 +218,10 @@ def main() -> int:
     from dmi_ingestor_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or None
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    plans = collect_plans(spark, sf_dir)
+    plans = collect_plans(spark, sf_dir, only)
     bad = audit(plans)
     for name, problems in sorted(bad.items()):
         print(f"{name}: {'; '.join(problems)}")
