@@ -2895,3 +2895,73 @@ def analytics_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         ((o1_d - F.col("e1")) * (o1_d - F.col("e1")) / F.col("v")).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern detection over per-user event strings (MATCH_RECOGNIZE)
+# ---------------------------------------------------------------------------
+
+_SEQ_FUNNEL_RE = "v[^p]*c.*p"  # a view, then a click before any purchase,
+#                                then eventually a purchase
+
+
+@register(
+    "window_regex_sequence_detect",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           regexp_matches(seq, '{_SEQ_FUNNEL_RE}') AS has_funnel,
+           CAST(strpos(seq, 'p') AS BIGINT) AS first_purchase_pos
+    FROM seqs
+    ORDER BY user_id
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequential pattern detection: each "
+        "user's event history collapses to an ordered initial-letter "
+        "string (c/e/p/s/v, ordered by ts with event_id as the "
+        "deterministic tiebreak), and a regex over that string detects "
+        "the funnel 'view, then a click before any purchase, then a "
+        "purchase' — the row-pattern query SQL:2016 MATCH_RECOGNIZE "
+        "expresses, done Spark-native since neither engine ships it. "
+        "The regex subset used (character classes, *) behaves "
+        "identically under Java regex and RE2. Scale: one "
+        "groupBy(user) sort-aggregate builds the sequence — state per "
+        "user is its event string, the same memory a streaming "
+        "flatMapGroupsWithState sessionizer carries — and the "
+        "detection itself is a map-side scan of the summary."
+    ),
+    tags=("window", "events", "sequence", "sql-api"),
+)
+def window_regex_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    seqs = e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike(_SEQ_FUNNEL_RE).alias("has_funnel"),
+        F.instr(F.col("seq"), "p").cast("long").alias("first_purchase_pos"),
+    ).orderBy("user_id")
