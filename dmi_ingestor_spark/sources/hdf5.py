@@ -23,17 +23,24 @@ reader (``parse_hdf5_cube``)
       ``seconds/hours/days since <epoch>``
 
 writer (``encode_hdf5_cube``)
-    emits exactly the classic layout libhdf5 writes by default —
-    superblock v0, symbol-table root group, v1 object headers,
-    contiguous coordinate variables, chunked+deflate(+shuffle) data
-    variable — so the reader's production paths (B-tree walk, chunk
-    reassembly, filter undo) are exercised end to end by tests without
-    the C stack.
+    * ``layout="classic"`` (default): exactly what libhdf5 writes by
+      default — superblock v0, symbol-table root group, v1 object
+      headers, contiguous coordinate variables, chunked+
+      deflate(+shuffle) data variable
+    * ``layout="latest"``: the H5F_LIBVER_LATEST container — Jenkins
+      lookup3-checksummed superblock v3 and v2 object headers, v2
+      dataspaces, v3 attributes, filter pipeline v2, and a compact
+      root group of Link messages
+    so the reader's production paths for BOTH container generations
+    (B-tree walk, chunk reassembly, filter undo, link-message groups)
+    are exercised end to end by tests without the C stack.
 
 Scope mirrors ``sources/netcdf3.py``: one (time, y, x) float data
 variable plus 1-D coordinate variables named time / y / x (or
-lat / lon). Deeper group trees, vlen types, fractal-heap "new style"
-groups, and szip are out of scope and raise with a clear message.
+lat / lon). Deeper group trees, vlen types, DENSE "new style" groups
+(fractal heap + v2 B-tree — libhdf5 only switches to these past 8
+links per group, which a forecast cube never reaches), and szip are
+out of scope and raise with a clear message.
 """
 
 from __future__ import annotations
@@ -608,6 +615,95 @@ def _object_header_v1(messages: list[bytes]) -> bytes:
     )
 
 
+# ---- "latest" (1.8+) metadata structures -----------------------------------
+
+
+def _lookup3(data: bytes, init: int = 0) -> int:
+    """Bob Jenkins lookup3 ``hashlittle`` — the checksum HDF5 stamps on
+    v2/v3 superblocks, v2 object headers, and all 1.8+ metadata blocks
+    (H5_checksum_lookup3 in the C library)."""
+    mask = 0xFFFFFFFF
+
+    def rot(x: int, k: int) -> int:
+        return ((x << k) | (x >> (32 - k))) & mask
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + init) & mask
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & mask
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & mask
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & mask
+        a = (a - c) & mask; a ^= rot(c, 4); c = (c + b) & mask
+        b = (b - a) & mask; b ^= rot(a, 6); a = (a + c) & mask
+        c = (c - b) & mask; c ^= rot(b, 8); b = (b + a) & mask
+        a = (a - c) & mask; a ^= rot(c, 16); c = (c + b) & mask
+        b = (b - a) & mask; b ^= rot(a, 19); a = (a + c) & mask
+        c = (c - b) & mask; c ^= rot(b, 4); b = (b + a) & mask
+        i += 12
+        length -= 12
+    tail = data[i:]
+    if tail:
+        t = tail + b"\0" * (12 - len(tail))
+        a = (a + int.from_bytes(t[0:4], "little")) & mask
+        b = (b + int.from_bytes(t[4:8], "little")) & mask
+        c = (c + int.from_bytes(t[8:12], "little")) & mask
+        c ^= b; c = (c - rot(b, 14)) & mask
+        a ^= c; a = (a - rot(c, 11)) & mask
+        b ^= a; b = (b - rot(a, 25)) & mask
+        c ^= b; c = (c - rot(b, 16)) & mask
+        a ^= c; a = (a - rot(c, 4)) & mask
+        b ^= a; b = (b - rot(a, 14)) & mask
+        c ^= b; c = (c - rot(b, 24)) & mask
+    return c
+
+
+def _message_v2(mtype: int, body: bytes) -> bytes:
+    # v2 header message: type(1) size(2) flags(1) + body, no padding
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _object_header_v2(messages: list[bytes]) -> bytes:
+    payload = b"".join(messages)
+    if len(payload) >= 1 << 16:
+        raise ValueError("v2 object header chunk 0 too large")
+    # flags: bits 0-1 = 01 -> 2-byte "size of chunk 0"; nothing tracked
+    head = b"OHDR" + bytes([2, 0x01]) + struct.pack("<H", len(payload))
+    body = head + payload
+    return body + struct.pack("<I", _lookup3(body))
+
+
+def _dataspace_v2(shape: tuple[int, ...]) -> bytes:
+    # version 2: rank, flags, type (1 = simple)
+    body = bytes([2, len(shape), 0, 1])
+    for d in shape:
+        body += struct.pack("<Q", d)
+    return body
+
+
+def _scalar_dataspace_v2() -> bytes:
+    return bytes([2, 0, 0, 0])  # type 0 = scalar
+
+
+def _attribute_v3(name: str, dt: bytes, sp: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\0"
+    body = struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(sp), 0)
+    body += nb + dt + sp + data  # v3: nothing is padded
+    return _message_v2(0x0C, body)
+
+
+def _string_attr_v3(name: str, value: str) -> bytes:
+    vb = value.encode()
+    return _attribute_v3(name, _str_datatype(len(vb)), _scalar_dataspace_v2(), vb)
+
+
+def _link_message(name: str, target: int) -> bytes:
+    # version 1, flags 0: hard link, 1-byte name length, no extras
+    nb = name.encode()
+    body = bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", target)
+    return _message_v2(0x06, body)
+
+
 class _Writer:
     def __init__(self) -> None:
         self.parts: list[bytes] = []
@@ -635,11 +731,22 @@ def encode_hdf5_cube(
     chunk_t: int = 1,
     compress: bool = True,
     shuffle: bool = False,
+    layout: str = "classic",
 ) -> bytes:
-    """Encode a forecast cube as a classic-layout HDF5 file: contiguous
-    coordinate variables, chunked data variable ([chunk_t, ny, nx]
-    chunks, optional deflate/shuffle) — the layout libnetcdf emits for
-    DMI-style cubes."""
+    """Encode a forecast cube as an HDF5 file: contiguous coordinate
+    variables, chunked data variable ([chunk_t, ny, nx] chunks,
+    optional deflate/shuffle).
+
+    ``layout="classic"`` emits what libhdf5 writes by default —
+    superblock v0, v1 object headers, symbol-table root group.
+    ``layout="latest"`` emits the H5F_LIBVER_LATEST container
+    structures — checksummed superblock v3, checksummed v2 object
+    headers, v2 dataspaces, v3 attributes, and a compact root group of
+    Link messages — so the reader's new-style paths are exercised end
+    to end by the same cubes."""
+    if layout not in ("classic", "latest"):
+        raise ValueError(f"unknown layout {layout!r}")
+    latest = layout == "latest"
     nt, ny, nx = len(times), len(ys), len(xs)
     values = np.ascontiguousarray(values, dtype="<f8")
     if values.shape != (nt, ny, nx):
@@ -689,17 +796,22 @@ def encode_hdf5_cube(
     btree_addr = w.append(bytes(btree))
 
     # ---- object headers ---------------------------------------------------
+    mk_msg = _message_v2 if latest else _message
+    mk_hdr = _object_header_v2 if latest else _object_header_v1
+    mk_space = _dataspace_v2 if latest else _dataspace
+    mk_str_attr = _string_attr_v3 if latest else _string_attr
+
     def coord_header(shape, dt, addr, nbytes, extra_msgs=()):
         msgs = [
-            _message(0x01, _dataspace(shape)),
-            _message(0x03, dt),
-            _message(0x05, bytes([2, 2, 0, 0])),  # fill v2, undefined
-            _message(
+            mk_msg(0x01, mk_space(shape)),
+            mk_msg(0x03, dt),
+            mk_msg(0x05, bytes([2, 2, 0, 0])),  # fill v2, undefined
+            mk_msg(
                 0x08, bytes([3, 1]) + struct.pack("<QQ", addr, nbytes)
             ),
             *extra_msgs,
         ]
-        return _object_header_v1(msgs)
+        return mk_hdr(msgs)
 
     w.align()
     time_hdr = w.append(
@@ -708,7 +820,7 @@ def encode_hdf5_cube(
             _i64_datatype(),
             time_addr,
             nt * 8,
-            [_string_attr("units", "seconds since 1970-01-01 00:00:00")],
+            [mk_str_attr("units", "seconds since 1970-01-01 00:00:00")],
         )
     )
     w.align()
@@ -716,14 +828,14 @@ def encode_hdf5_cube(
     w.align()
     x_hdr = w.append(coord_header((nx,), _f64_datatype(), x_addr, nx * 8))
 
-    layout = bytes([3, 2, rank + 1]) + struct.pack("<Q", btree_addr)
+    layout_body = bytes([3, 2, rank + 1]) + struct.pack("<Q", btree_addr)
     for d in (*chunk_dims, 8):
-        layout += struct.pack("<I", d)
+        layout_body += struct.pack("<I", d)
     var_msgs = [
-        _message(0x01, _dataspace((nt, ny, nx))),
-        _message(0x03, _f64_datatype()),
-        _message(0x05, bytes([2, 2, 0, 0])),
-        _message(0x08, layout),
+        mk_msg(0x01, mk_space((nt, ny, nx))),
+        mk_msg(0x03, _f64_datatype()),
+        mk_msg(0x05, bytes([2, 2, 0, 0])),
+        mk_msg(0x08, layout_body),
     ]
     filters = []
     if shuffle:
@@ -731,13 +843,41 @@ def encode_hdf5_cube(
     if compress:
         filters.append(struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", 6))
     if filters:
-        body = bytes([1, len(filters)]) + b"\0" * 6 + b"".join(filters)
-        var_msgs.append(_message(0x0B, body))
-    var_msgs.append(_string_attr("long_name", parameter))
+        if latest:  # filter pipeline v2: no reserved bytes, unpadded names
+            body = bytes([2, len(filters)]) + b"".join(filters)
+        else:
+            body = bytes([1, len(filters)]) + b"\0" * 6 + b"".join(filters)
+        var_msgs.append(mk_msg(0x0B, body))
+    var_msgs.append(mk_str_attr("long_name", parameter))
     w.align()
-    var_hdr = w.append(_object_header_v1(var_msgs))
+    var_hdr = w.append(mk_hdr(var_msgs))
 
-    # ---- root group: local heap + SNOD + B-tree + header ------------------
+    # ---- root group + superblock -------------------------------------------
+    if latest:
+        # compact "new style" group: Link Info + Group Info + Link messages
+        root_msgs = [
+            _message_v2(0x02, bytes([0, 0]) + struct.pack("<QQ", _UNDEF, _UNDEF)),
+            _message_v2(0x0A, bytes([0, 0])),
+            _link_message("time", time_hdr),
+            _link_message("y", y_hdr),
+            _link_message("x", x_hdr),
+            _link_message(parameter, var_hdr),
+        ]
+        w.align()
+        root_hdr = w.append(_object_header_v2(root_msgs))
+        eof = w.size
+        sb = bytearray(48)
+        sb[0:8] = MAGIC
+        sb[8:12] = bytes([3, 8, 8, 0])  # v3, 8-byte offsets/lengths, flags
+        sb[12:20] = struct.pack("<Q", 0)  # base address
+        sb[20:28] = struct.pack("<Q", _UNDEF)  # superblock extension
+        sb[28:36] = struct.pack("<Q", eof)
+        sb[36:44] = struct.pack("<Q", root_hdr)
+        sb[44:48] = struct.pack("<I", _lookup3(bytes(sb[:44])))
+        w.parts[0] = bytes(sb) + b"\0" * 48  # keep addresses stable (96-byte slot)
+        return b"".join(w.parts)
+
+    # classic: local heap + SNOD + B-tree v1 + symbol-table root header
     names = ["time", "y", "x", parameter]
     heap_data = bytearray(b"\0" * 8)  # offset 0: empty string
     name_offsets = {}

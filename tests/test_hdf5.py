@@ -113,3 +113,71 @@ def test_pipeline_ingests_netcdf4_payloads(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == values.size
     assert abs(got["s"] - float(values.sum())) < 1e-9
+
+
+# ---- "latest" (H5F_LIBVER_LATEST) container structures ---------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"compress": False},
+        {"compress": True, "shuffle": True},
+        {"compress": True, "chunk_t": 3},
+    ],
+    ids=["raw", "deflate+shuffle", "chunk3-deflate"],
+)
+def test_hdf5_latest_layout_roundtrip(kw):
+    """superblock v3 + v2 object headers + compact Link-message root
+    group parse to the identical cube as the classic layout."""
+    times, ys, xs, values = _cube_arrays()
+    new = parse_hdf5_cube(
+        encode_hdf5_cube("t2m", times, ys, xs, values, layout="latest", **kw)
+    )
+    old = parse_hdf5_cube(
+        encode_hdf5_cube("t2m", times, ys, xs, values, layout="classic", **kw)
+    )
+    assert new["times"] == old["times"] == times
+    assert new["parameter"] == old["parameter"] == "t2m"
+    np.testing.assert_allclose(new["values"], values)
+    np.testing.assert_allclose(new["ys"], old["ys"])
+    np.testing.assert_allclose(new["xs"], old["xs"])
+
+
+def test_hdf5_latest_superblock_and_ohdr_checksums():
+    """The v3 superblock and every OHDR block carry a valid Jenkins
+    lookup3 checksum — the same algorithm libhdf5 verifies on open
+    (pinned to the published lookup3 test vectors)."""
+    from dmi_ingestor_spark.sources.hdf5 import _lookup3
+
+    # public vectors from Jenkins' lookup3.c driver
+    assert _lookup3(b"") == 0xDEADBEEF
+    assert _lookup3(b"Four score and seven years ago") == 0x17770551
+    assert _lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+    times, ys, xs, values = _cube_arrays()
+    buf = encode_hdf5_cube("t2m", times, ys, xs, values, layout="latest")
+    assert buf[8] == 3  # superblock version
+    import struct
+
+    stored = struct.unpack("<I", buf[44:48])[0]
+    assert stored == _lookup3(buf[:44])
+    # every v2 object header checksum validates
+    pos, found = 0, 0
+    while True:
+        pos = buf.find(b"OHDR", pos)
+        if pos < 0:
+            break
+        size = struct.unpack("<H", buf[pos + 6 : pos + 8])[0]
+        end = pos + 8 + size
+        assert struct.unpack("<I", buf[end : end + 4])[0] == _lookup3(
+            buf[pos:end]
+        )
+        found += 1
+        pos += 4
+    assert found == 5  # root + 4 variables
+
+
+def test_hdf5_latest_layout_bad_magic_still_raises():
+    with pytest.raises(Hdf5Error):
+        parse_hdf5_cube(b"\x89HDX" + b"\0" * 100)
