@@ -881,8 +881,8 @@ _FMT_NT, _FMT_NY, _FMT_NX = 3, 8, 8
     )
     SELECT f.format, s.n_timesteps, s.n_cells, s.value_sum,
            s.value_min, s.value_max, s.time_checksum
-    FROM (VALUES ('covjson'), ('grib2'), ('hdf5'), ('hdf5-latest'),
-                 ('netcdf3'))
+    FROM (VALUES ('covjson'), ('grib2'), ('hdf5'), ('hdf5-dense'),
+                 ('hdf5-latest'), ('netcdf3'))
          f(format)
     CROSS JOIN stats s
     ORDER BY f.format
@@ -891,14 +891,15 @@ _FMT_NT, _FMT_NY, _FMT_NX = 3, 8, 8
         "S2 format matrix: ONE synthetic cube encoded into every wire "
         "format the DMI API can serve — classic NetCDF-3, "
         "NetCDF-4/HDF5 (chunked+deflate) in BOTH container generations "
-        "(classic superblock v0 and checksummed LIBVER_LATEST v3 with "
-        "compact link groups), GRIB2 (FM 92 simple "
+        "(classic superblock v0; checksummed LIBVER_LATEST v3 with compact "
+        "link groups; and DENSE fractal-heap + v2-B-tree groups), GRIB2 "
+        "(FM 92 simple "
         "packing, dec_scale 0 so integer fields are lossless), and "
         "CoverageJSON — then decoded DISTRIBUTED through the single "
         "``decode_cube`` dispatcher (binary rows -> mapInPandas) and "
         "reduced to per-format cube statistics. The oracle states the "
         "stats once from the generating formula, crossed with the "
-        "format list: five identical hash-green rows prove "
+        "format list: six identical hash-green rows prove "
         "format-agnostic decode equivalence end to end, not just "
         "per-format unit tests. The decode stage is the reference's "
         "xarray.open_dataset seam (ingestor.py:200) scaled out."
@@ -930,6 +931,13 @@ def ingest_cube_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "hdf5-latest",
             encode_hdf5_cube("matrix", times, ys, xs, values, layout="latest"),
+        ),
+        (
+            "hdf5-dense",
+            encode_hdf5_cube(
+                "matrix", times, ys, xs, values, layout="latest",
+                dense_root=True,
+            ),
         ),
         ("netcdf3", encode_netcdf3("matrix", times, ys, xs, values)),
     ]
@@ -967,7 +975,7 @@ def ingest_cube_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return df.repartition(5, "format").mapInPandas(
+    return df.repartition(6, "format").mapInPandas(
         _decode,
         "format string, n_timesteps long, n_cells long, value_sum long, "
         "value_min long, value_max long, time_checksum long",

@@ -11,8 +11,10 @@ reader (``parse_hdf5_cube``)
     * superblock v0/v1 (symbol-table root) and v2/v3 (root object
       header address)
     * version-1 and version-2 object headers, incl. continuation blocks
-    * old-style groups (B-tree v1 + SNOD + local heap) and compact
-      groups (Link messages)
+    * old-style groups (B-tree v1 + SNOD + local heap), compact
+      groups (Link messages), and DENSE "new style" groups (Link Info
+      -> fractal heap of link messages + v2 B-tree name index — the
+      storage libhdf5 switches to past max_compact links per group)
     * dataspace v1/v2; fixed-point / IEEE-float datatypes (either
       byte order); attribute v1/v3 (numeric + fixed string payloads,
       best-effort on anything exotic)
@@ -30,17 +32,17 @@ writer (``encode_hdf5_cube``)
     * ``layout="latest"``: the H5F_LIBVER_LATEST container — Jenkins
       lookup3-checksummed superblock v3 and v2 object headers, v2
       dataspaces, v3 attributes, filter pipeline v2, and a compact
-      root group of Link messages
+      root group of Link messages — or, with ``dense_root=True``, a
+      DENSE root group (FRHP fractal heap + BTHD/BTLF name index)
     so the reader's production paths for BOTH container generations
     (B-tree walk, chunk reassembly, filter undo, link-message groups)
     are exercised end to end by tests without the C stack.
 
 Scope mirrors ``sources/netcdf3.py``: one (time, y, x) float data
 variable plus 1-D coordinate variables named time / y / x (or
-lat / lon). Deeper group trees, vlen types, DENSE "new style" groups
-(fractal heap + v2 B-tree — libhdf5 only switches to these past 8
-links per group, which a forecast cube never reaches), and szip are
-out of scope and raise with a clear message.
+lat / lon). Deeper group trees, vlen types, szip, filtered/huge/tiny
+fractal-heap objects, and multi-level v2 B-trees are out of scope and
+raise with a clear message.
 """
 
 from __future__ import annotations
@@ -198,7 +200,131 @@ class _Reader:
                 name, target = self._parse_link(body)
                 if target is not None:
                     links[name] = target
+            elif mtype == 0x02:  # link info (dense group)
+                self._read_dense_links(body, links)
         return links
+
+    # -- dense ("new style") groups: fractal heap + v2 B-tree ----------------
+
+    def _read_dense_links(self, body: bytes, links: dict[str, int]) -> None:
+        """Link Info message: when the group's links are DENSE (stored
+        in a fractal heap indexed by a v2 B-tree on name hash), walk
+        the name index and pull each serialized link message out of
+        the heap. libhdf5 switches to this layout past max_compact
+        (default 8) links per group in 1.8+ files."""
+        if body[0] != 0:
+            raise Hdf5Error(f"unsupported link info version {body[0]}")
+        flags = body[1]
+        off = 2 + (8 if flags & 0x1 else 0)
+        heap_addr = int.from_bytes(body[off : off + 8], "little")
+        btree_addr = int.from_bytes(body[off + 8 : off + 16], "little")
+        if heap_addr == _UNDEF or btree_addr == _UNDEF:
+            return  # links are compact (message 0x06) — nothing dense
+        heap = self._parse_fractal_heap(heap_addr)
+        for heap_id in self._v2_btree_records(btree_addr):
+            name, target = self._parse_link(self._heap_object(heap, heap_id))
+            if target is not None:
+                links[name] = target
+
+    def _parse_fractal_heap(self, addr: int) -> dict:
+        if self.buf[addr : addr + 4] != b"FRHP":
+            raise Hdf5Error("expected FRHP fractal heap header")
+        if self.buf[addr + 4] != 0:
+            raise Hdf5Error("unsupported fractal heap version")
+        id_len = self.u(addr + 5, 2)
+        filt_len = self.u(addr + 7, 2)
+        if filt_len:
+            raise Hdf5Error("filtered fractal heap blocks unsupported")
+        flags = self.buf[addr + 9]
+        managed_space = self.u(addr + 10 + 4 + 8 * 4, 8)
+        # fixed midsection: max obj size(4) + 12 x 8-byte stat/addr fields
+        o = addr + 10 + 4 + 8 * 12
+        table_width = self.u(o, 2)
+        start_block = self.u(o + 2, 8)
+        max_direct = self.u(o + 10, 8)
+        max_heap_bits = self.u(o + 18, 2)
+        o += 20 + 2  # + starting # rows in root indirect block
+        root_addr = self.u(o, 8)
+        cur_rows = self.u(o + 8, 2)
+        return {
+            "offset_size": (max_heap_bits + 7) // 8,
+            "length_size": id_len - 1 - (max_heap_bits + 7) // 8,
+            "flags": flags,
+            "table_width": table_width,
+            "start_block": start_block,
+            "max_direct": max_direct,
+            "managed_space": managed_space,
+            "root_addr": root_addr,
+            "cur_rows": cur_rows,
+        }
+
+    def _heap_direct_blocks(self, heap: dict) -> list[tuple[int, int, int]]:
+        """(heap_offset, file_addr, size) of every direct block."""
+        if heap["cur_rows"] == 0:  # root IS a direct block
+            # a direct root can grow past the starting size; its true
+            # size is the heap's managed-space extent
+            return [(0, heap["root_addr"], heap["managed_space"])]
+        # root indirect block: rows of direct-block children, doubling
+        # sizes per row pair (row 0 and 1 = start size, then x2 per row)
+        addr = heap["root_addr"]
+        if self.buf[addr : addr + 4] != b"FHIB":
+            raise Hdf5Error("expected FHIB root indirect block")
+        w = heap["table_width"]
+        off = addr + 4 + 1 + 8 + heap["offset_size"]
+        out = []
+        heap_off = 0
+        for row in range(heap["cur_rows"]):
+            size = heap["start_block"] * (1 << max(0, row - 1))
+            if size > heap["max_direct"]:
+                raise Hdf5Error("nested indirect fractal-heap rows unsupported")
+            for _ in range(w):
+                child = self.u(off, 8)
+                off += 8
+                if child != _UNDEF:
+                    out.append((heap_off, child, size))
+                heap_off += size
+        return out
+
+    def _heap_object(self, heap: dict, heap_id: bytes) -> bytes:
+        ver_type = heap_id[0]
+        if (ver_type >> 4) & 0x3 != 0:
+            raise Hdf5Error("only managed fractal-heap objects supported")
+        osz, lsz = heap["offset_size"], heap["length_size"]
+        obj_off = int.from_bytes(heap_id[1 : 1 + osz], "little")
+        obj_len = int.from_bytes(heap_id[1 + osz : 1 + osz + lsz], "little")
+        for block_off, file_addr, size in self._heap_direct_blocks(heap):
+            if block_off <= obj_off < block_off + size:
+                return self.buf[
+                    file_addr
+                    + (obj_off - block_off) : file_addr
+                    + (obj_off - block_off)
+                    + obj_len
+                ]
+        raise Hdf5Error(f"fractal-heap offset {obj_off} outside managed space")
+
+    def _v2_btree_records(self, addr: int) -> list[bytes]:
+        """Heap IDs from a v2 B-tree name index (record type 5/6: a
+        4-byte name hash / 8-byte creation order, then the heap ID)."""
+        if self.buf[addr : addr + 4] != b"BTHD":
+            raise Hdf5Error("expected BTHD v2 B-tree header")
+        rtype = self.buf[addr + 5]
+        if rtype not in (5, 6):
+            raise Hdf5Error(f"unsupported v2 B-tree record type {rtype}")
+        rec_size = self.u(addr + 10, 2)
+        depth = self.u(addr + 12, 2)
+        root = self.u(addr + 16, 8)
+        nrec = self.u(addr + 24, 2)
+        if depth != 0:
+            raise Hdf5Error("multi-level v2 B-trees unsupported")
+        if self.buf[root : root + 4] != b"BTLF":
+            raise Hdf5Error("expected BTLF v2 B-tree leaf")
+        key_skip = 4 if rtype == 5 else 8
+        out = []
+        off = root + 6
+        for _ in range(nrec):
+            out.append(bytes(self.buf[off + key_skip : off + rec_size]))
+            off += rec_size
+        return out
 
     def _parse_link(self, body: bytes) -> tuple[str, int | None]:
         if body[0] != 1:
@@ -704,6 +830,115 @@ def _link_message(name: str, target: int) -> bytes:
     return _message_v2(0x06, body)
 
 
+def _link_body(name: str, target: int) -> bytes:
+    nb = name.encode()
+    return bytes([1, 0, len(nb)]) + nb + struct.pack("<Q", target)
+
+
+# libhdf5 group-heap creation defaults (H5G_FHEAP_MAN_*): width 4,
+# 512-byte starting block, 64 KiB max direct block, 32-bit heap offsets
+_FH_WIDTH = 4
+_FH_START_BLOCK = 512
+_FH_MAX_DIRECT = 64 * 1024
+_FH_MAX_HEAP_BITS = 32
+_FH_ID_LEN = 1 + _FH_MAX_HEAP_BITS // 8 + 2  # flags + offset(4) + length(2)
+
+
+def _write_dense_links(w: "_Writer", entries: list[tuple[str, int]]) -> bytes:
+    """Write ``entries`` as DENSE link storage (fractal heap of link
+    messages + v2 B-tree name index) and return the Link Info message
+    pointing at both — the layout libhdf5 switches to past max_compact
+    links per group."""
+    # ---- fractal heap: one direct root block -------------------------------
+    bodies = [_link_body(n, t) for n, t in entries]
+    dblock_hdr = 4 + 1 + 8 + _FH_MAX_HEAP_BITS // 8  # sig+ver+heapaddr+offset
+    need = dblock_hdr + sum(len(b) for b in bodies)
+    block_size = _FH_START_BLOCK
+    while block_size < need:
+        block_size *= 2
+    if block_size > _FH_MAX_DIRECT:
+        raise ValueError("too many links for a single direct block")
+    w.align()
+    heap_hdr_addr_guess = None  # patched below: block references header
+    dblock_addr = w.size
+    heap_ids = []
+    pos = dblock_hdr
+    data = bytearray()
+    for b in bodies:
+        heap_ids.append(
+            bytes([0])  # managed object, version 0
+            + pos.to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
+            + len(b).to_bytes(2, "little")
+        )
+        data += b
+        pos += len(b)
+    free = block_size - pos
+    # header follows the block; compute its address now for the back-pointer
+    heap_hdr_addr_guess = dblock_addr + block_size
+    dblock = (
+        b"FHDB"
+        + bytes([0])
+        + struct.pack("<Q", heap_hdr_addr_guess)
+        + (0).to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
+        + bytes(data)
+        + b"\0" * free
+    )
+    w.append(dblock)
+
+    hdr = bytearray()
+    hdr += b"FRHP" + bytes([0])
+    hdr += struct.pack("<H", _FH_ID_LEN)
+    hdr += struct.pack("<H", 0)  # no I/O filters
+    hdr += bytes([0])  # flags: no checksummed blocks
+    hdr += struct.pack("<I", block_size // 2)  # max size of managed objects
+    hdr += struct.pack("<Q", 0)  # next huge object id
+    hdr += struct.pack("<Q", _UNDEF)  # huge-object v2 B-tree
+    hdr += struct.pack("<Q", free)  # free space in managed blocks
+    hdr += struct.pack("<Q", _UNDEF)  # free-space manager
+    hdr += struct.pack("<Q", block_size)  # managed space
+    hdr += struct.pack("<Q", block_size)  # allocated managed space
+    hdr += struct.pack("<Q", block_size)  # direct-block iterator offset
+    hdr += struct.pack("<Q", len(bodies))  # managed object count
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes + counts
+    hdr += struct.pack("<H", _FH_WIDTH)
+    hdr += struct.pack("<Q", _FH_START_BLOCK)
+    hdr += struct.pack("<Q", _FH_MAX_DIRECT)
+    hdr += struct.pack("<H", _FH_MAX_HEAP_BITS)
+    hdr += struct.pack("<H", 0)  # starting rows in root indirect block
+    hdr += struct.pack("<Q", dblock_addr)  # root block (direct)
+    hdr += struct.pack("<H", 0)  # current rows: 0 -> root is direct
+    hdr += struct.pack("<I", _lookup3(bytes(hdr)))
+    heap_addr = w.append(bytes(hdr))
+    assert heap_addr == heap_hdr_addr_guess
+
+    # ---- v2 B-tree name index: header + one leaf ---------------------------
+    rec_size = 4 + _FH_ID_LEN  # name hash + heap id
+    recs = sorted(
+        (_lookup3(n.encode()), hid) for (n, _), hid in zip(entries, heap_ids)
+    )
+    leaf = bytearray(b"BTLF" + bytes([0, 5]))
+    for h, hid in recs:
+        leaf += struct.pack("<I", h) + hid
+    leaf += struct.pack("<I", _lookup3(bytes(leaf)))
+    w.align()
+    leaf_addr = w.append(bytes(leaf))
+
+    node_size = 512
+    bt = bytearray(b"BTHD" + bytes([0, 5]))
+    bt += struct.pack("<I", node_size)
+    bt += struct.pack("<H", rec_size)
+    bt += struct.pack("<H", 0)  # depth
+    bt += bytes([100, 40])  # split / merge percent (libhdf5 defaults)
+    bt += struct.pack("<Q", leaf_addr)
+    bt += struct.pack("<H", len(recs))
+    bt += struct.pack("<Q", len(recs))
+    bt += struct.pack("<I", _lookup3(bytes(bt)))
+    btree_addr = w.append(bytes(bt))
+
+    li = bytes([0, 0]) + struct.pack("<QQ", heap_addr, btree_addr)
+    return _message_v2(0x02, li)
+
+
 class _Writer:
     def __init__(self) -> None:
         self.parts: list[bytes] = []
@@ -732,6 +967,7 @@ def encode_hdf5_cube(
     compress: bool = True,
     shuffle: bool = False,
     layout: str = "classic",
+    dense_root: bool = False,
 ) -> bytes:
     """Encode a forecast cube as an HDF5 file: contiguous coordinate
     variables, chunked data variable ([chunk_t, ny, nx] chunks,
@@ -854,15 +1090,28 @@ def encode_hdf5_cube(
 
     # ---- root group + superblock -------------------------------------------
     if latest:
-        # compact "new style" group: Link Info + Group Info + Link messages
-        root_msgs = [
-            _message_v2(0x02, bytes([0, 0]) + struct.pack("<QQ", _UNDEF, _UNDEF)),
-            _message_v2(0x0A, bytes([0, 0])),
-            _link_message("time", time_hdr),
-            _link_message("y", y_hdr),
-            _link_message("x", x_hdr),
-            _link_message(parameter, var_hdr),
+        link_entries = [
+            ("time", time_hdr),
+            ("y", y_hdr),
+            ("x", x_hdr),
+            (parameter, var_hdr),
         ]
+        if dense_root:
+            # DENSE "new style" group: links live in a fractal heap,
+            # indexed by a v2 B-tree; the header carries only Link Info
+            root_msgs = [
+                _write_dense_links(w, link_entries),
+                _message_v2(0x0A, bytes([0, 0])),
+            ]
+        else:
+            # compact "new style" group: Link Info + Group Info + Links
+            root_msgs = [
+                _message_v2(
+                    0x02, bytes([0, 0]) + struct.pack("<QQ", _UNDEF, _UNDEF)
+                ),
+                _message_v2(0x0A, bytes([0, 0])),
+                *[_link_message(n, t) for n, t in link_entries],
+            ]
         w.align()
         root_hdr = w.append(_object_header_v2(root_msgs))
         eof = w.size

@@ -181,3 +181,55 @@ def test_hdf5_latest_superblock_and_ohdr_checksums():
 def test_hdf5_latest_layout_bad_magic_still_raises():
     with pytest.raises(Hdf5Error):
         parse_hdf5_cube(b"\x89HDX" + b"\0" * 100)
+
+
+# ---- DENSE "new style" groups: fractal heap + v2 B-tree --------------------
+
+
+def test_hdf5_dense_group_roundtrip():
+    """A dense root group (Link Info -> FRHP fractal heap + BTHD/BTLF
+    name index) parses to the identical cube as compact/classic."""
+    times, ys, xs, values = _cube_arrays()
+    buf = encode_hdf5_cube(
+        "t2m", times, ys, xs, values, layout="latest", dense_root=True
+    )
+    for sig in (b"FRHP", b"FHDB", b"BTHD", b"BTLF"):
+        assert sig in buf
+    assert b"SNOD" not in buf  # no old-style symbol table anywhere
+    cube = parse_hdf5_cube(buf)
+    ref = parse_hdf5_cube(encode_hdf5_cube("t2m", times, ys, xs, values))
+    assert cube["times"] == ref["times"] == times
+    assert cube["parameter"] == ref["parameter"] == "t2m"
+    np.testing.assert_allclose(cube["values"], values)
+
+
+def test_hdf5_dense_group_btree_hashes_are_lookup3():
+    """The name-index records carry the Jenkins lookup3 hash of each
+    link name — the key order libhdf5 searches by."""
+    import struct
+
+    from dmi_ingestor_spark.sources.hdf5 import _lookup3
+
+    times, ys, xs, values = _cube_arrays()
+    buf = encode_hdf5_cube(
+        "t2m", times, ys, xs, values, layout="latest", dense_root=True
+    )
+    pos = buf.find(b"BTLF")
+    hashes = sorted(
+        struct.unpack("<I", buf[pos + 6 + 11 * i : pos + 10 + 11 * i])[0]
+        for i in range(4)
+    )
+    expected = sorted(_lookup3(n) for n in (b"time", b"y", b"x", b"t2m"))
+    assert hashes == expected
+
+
+def test_hdf5_dense_group_through_decode_cube():
+    """Dense-group payloads flow through the format dispatcher."""
+    times, ys, xs, values = _cube_arrays()
+    buf = encode_hdf5_cube(
+        "t2m", times, ys, xs, values, layout="latest", dense_root=True,
+        compress=True, shuffle=True, chunk_t=2,
+    )
+    cube = decode_cube(buf)
+    assert list(cube.times) == times
+    np.testing.assert_allclose(cube.values, values)
