@@ -4065,3 +4065,274 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("final_row"), _DTW_DAYS + 1).alias("dtw_cents"),
         lockstep.alias("lockstep_cents"),
     )
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition (integer-exact, x7 scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH spine AS (SELECT unnest(generate_series(1, 30)) AS day),
+    daily AS (
+      SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.cents, 0) AS cents,
+             CAST((s.day - 1) % 7 AS BIGINT) AS dow
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    trended AS (
+      SELECT day, cents, dow,
+             CASE WHEN day BETWEEN 4 AND 27 THEN
+               SUM(cents) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+             END AS trend7
+      FROM filled
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(SUM(cents * 7 - trend7) AS BIGINT) AS dev7_sum,
+             CAST(COUNT(trend7) AS BIGINT) AS dev_cnt
+      FROM trended WHERE trend7 IS NOT NULL GROUP BY dow
+    )
+    SELECT t.day, t.cents, t.dow,
+           CAST(t.trend7 AS BIGINT) AS trend7_cents,
+           s.dev7_sum, s.dev_cnt,
+           CASE WHEN t.trend7 IS NOT NULL THEN
+             CAST(t.cents * 7 * s.dev_cnt - t.trend7 * s.dev_cnt - s.dev7_sum
+                  AS BIGINT)
+           END AS resid7cnt_cents
+    FROM trended t JOIN seas s ON t.dow = s.dow
+    ORDER BY t.day
+    """,
+    doc=(
+        "Classical additive seasonal decomposition of the daily "
+        "event-revenue series (trend = centered 7-day moving sum, "
+        "weekly seasonal = mean deviation per day-of-week, residual) "
+        "carried ENTIRELY in scaled integers: trend is kept at x7 "
+        "scale (the moving SUM, not average) and the residual at "
+        "x7xcount scale, so no division ever happens and every row is "
+        "hash-exact — the trick for cross-engine-stable decomposition "
+        "audits. observed*7 = trend7 + seasonal7 + residual7 holds "
+        "exactly (after scaling seasonal by its count). Scale: one "
+        "corpus groupBy(day), then windows over the O(days) summary; "
+        "per-key decomposition at 100 TB nests the same windows under "
+        "partitionBy(key)."
+    ),
+    tags=("timeseries", "events", "decomposition"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").cast("long").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    spine = spark.range(1, 31).select(F.col("id").alias("day"))
+    filled = (
+        spine.join(daily, "day", "left")
+        .fillna(0, ["cents"])
+        .select("day", "cents", ((F.col("day") - 1) % 7).alias("dow"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = filled.select(
+        "day",
+        "cents",
+        "dow",
+        F.when(
+            F.col("day").between(4, 27), F.sum("cents").over(w7)
+        ).alias("trend7"),
+    )
+    seas = (
+        trended.where(F.col("trend7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum(F.col("cents") * 7 - F.col("trend7"))
+            .cast("long")
+            .alias("dev7_sum"),
+            F.count("trend7").cast("long").alias("dev_cnt"),
+        )
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            "cents",
+            "dow",
+            F.col("trend7").cast("long").alias("trend7_cents"),
+            "dev7_sum",
+            "dev_cnt",
+            F.when(
+                F.col("trend7").isNotNull(),
+                (
+                    F.col("cents") * 7 * F.col("dev_cnt")
+                    - F.col("trend7") * F.col("dev_cnt")
+                    - F.col("dev7_sum")
+                ).cast("long"),
+            ).alias("resid7cnt_cents"),
+        )
+        .orderBy("day")
+    )
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple exponential smoothing (weekly seasonality)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.5, 0.25, 0.25
+_HW_DAYS = 30
+_HW_P = 7
+
+
+def _hw_oracle() -> str:
+    head = """
+    WITH spine AS (SELECT unnest(generate_series(1, 30)) AS day),
+    daily AS (
+      SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    obs AS (
+      SELECT list(CAST(COALESCE(d.cents, 0) AS DOUBLE) ORDER BY s.day) AS o
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    h6 AS (
+      SELECT o,
+             (o[1]+o[2]+o[3]+o[4]+o[5]+o[6]+o[7]) / 7.0 AS level,
+             0.0 AS trend,
+             list_transform(generate_series(1, 7),
+               i -> o[i] - (o[1]+o[2]+o[3]+o[4]+o[5]+o[6]+o[7]) / 7.0) AS seas,
+             0.0 AS sse
+      FROM obs
+    )"""
+    parts = [head]
+    for t in range(_HW_P, _HW_DAYS):  # 0-based day index
+        si = t % _HW_P + 1  # 1-based seasonal slot
+        a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+        parts.append(f""",
+    h{t} AS (
+      SELECT o,
+             {a} * (o[{t + 1}] - seas[{si}]) + {1 - a} * (level + trend)
+               AS level,
+             {b} * (({a} * (o[{t + 1}] - seas[{si}])
+                     + {1 - a} * (level + trend)) - level)
+               + {1 - b} * trend AS trend,
+             list_transform(generate_series(1, 7), i ->
+               CASE WHEN i = {si} THEN
+                 {g} * (o[{t + 1}]
+                        - ({a} * (o[{t + 1}] - seas[{si}])
+                           + {1 - a} * (level + trend)))
+                 + {1 - g} * seas[{si}]
+               ELSE seas[i] END) AS seas,
+             sse + (o[{t + 1}] - (level + trend + seas[{si}]))
+                 * (o[{t + 1}] - (level + trend + seas[{si}])) AS sse
+      FROM h{t - 1}
+    )""")
+    parts.append(f"""
+    SELECT level AS level_cents, trend AS trend_cents, sse AS sse_cents2,
+           level + trend + seas[{_HW_DAYS % _HW_P + 1}] AS forecast_day31,
+           seas[1] AS seas_1, seas[2] AS seas_2, seas[3] AS seas_3,
+           seas[4] AS seas_4, seas[5] AS seas_5, seas[6] AS seas_6,
+           seas[7] AS seas_7
+    FROM h{_HW_DAYS - 1}""")
+    return "".join(parts)
+
+
+@register(
+    "ts_holt_winters",
+    oracle=_hw_oracle(),
+    doc=(
+        "Holt-Winters additive triple exponential smoothing (Winters "
+        "1960) over the daily event-revenue series with weekly "
+        "seasonality: level/trend/7-slot seasonal state initialized "
+        "from the first week, then one sequential update per day with "
+        "alpha=1/2, beta=gamma=1/4 (exact binary fractions), one-step-"
+        "ahead SSE accumulated along the way, and the day-31 forecast "
+        "emitted. Spark runs the recursion as ONE ordered F.aggregate "
+        "fold whose accumulator is a (level, trend, seasonal-array, "
+        "sse) struct; the oracle unrolls the identical IEEE update "
+        "tree as 23 chained CTEs — both engines execute the same "
+        "float ops in the same order, so the state is bit-exact. "
+        "Scale: the corpus contributes one groupBy(day) aggregate; "
+        "the recursion runs on a 30-element array in one row "
+        "(per-key forecasting at 100 TB = the same fold inside "
+        "groupBy(key), state O(period) per key)."
+    ),
+    tags=("timeseries", "events", "forecast", "iterative"),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").cast("long").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    spine = spark.range(1, _HW_DAYS + 1).select(F.col("id").alias("day"))
+    obs = (
+        spine.join(daily, "day", "left")
+        .fillna(0, ["cents"])
+        .agg(F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("p"))
+        .select(
+            F.transform(
+                F.col("p"), lambda x: x["cents"].cast("double")
+            ).alias("o")
+        )
+    )
+    wk = F.aggregate(
+        F.slice(F.col("o"), 1, _HW_P), F.lit(0.0), lambda acc, x: acc + x
+    ) / float(_HW_P)
+    init = F.struct(
+        wk.alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.transform(
+            F.slice(F.col("o"), 1, _HW_P), lambda x: x - wk
+        ).alias("seas"),
+        F.lit(0.0).alias("sse"),
+        F.lit(_HW_P).cast("int").alias("t"),
+    )
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    def step(acc, _x):
+        t = acc["t"]  # 0-based index of the day being consumed
+        si = (t % _HW_P) + 1
+        ob = F.element_at(F.col("o"), t + 1)
+        s_t = F.element_at(acc["seas"], si)
+        pred = acc["level"] + acc["trend"] + s_t
+        new_level = a * (ob - s_t) + (1 - a) * (acc["level"] + acc["trend"])
+        new_trend = b * (new_level - acc["level"]) + (1 - b) * acc["trend"]
+        new_seas = F.transform(
+            F.sequence(F.lit(1), F.lit(_HW_P)),
+            lambda i: F.when(
+                i == si, g * (ob - new_level) + (1 - g) * s_t
+            ).otherwise(F.element_at(acc["seas"], i.cast("int"))),
+        )
+        return F.struct(
+            new_level.alias("level"),
+            new_trend.alias("trend"),
+            new_seas.alias("seas"),
+            (acc["sse"] + (ob - pred) * (ob - pred)).alias("sse"),
+            (t + 1).alias("t"),
+        )
+
+    fitted = obs.select(
+        "o",
+        F.aggregate(
+            F.slice(F.col("o"), _HW_P + 1, _HW_DAYS - _HW_P), init, step
+        ).alias("h"),
+    )
+    h = F.col("h")
+    return fitted.select(
+        h["level"].alias("level_cents"),
+        h["trend"].alias("trend_cents"),
+        h["sse"].alias("sse_cents2"),
+        (
+            h["level"]
+            + h["trend"]
+            + F.element_at(h["seas"], _HW_DAYS % _HW_P + 1)
+        ).alias("forecast_day31"),
+        *[
+            F.element_at(h["seas"], i + 1).alias(f"seas_{i + 1}")
+            for i in range(_HW_P)
+        ],
+    )

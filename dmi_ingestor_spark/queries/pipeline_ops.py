@@ -3511,3 +3511,90 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags, sqrt-free (exact integer inequality)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_anomaly_rolling_zscore",
+    oracle="""
+    WITH spine AS (SELECT unnest(generate_series(1, 30)) AS day),
+    daily AS (
+      SELECT CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.cents, 0) AS cents
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    rolled AS (
+      SELECT day, cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss
+      FROM filled
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, cents,
+           CAST(n * cents - s AS BIGINT) AS dev_n,
+           CAST(n * ss - s * s AS BIGINT) AS var_n2,
+           CAST(n * cents - s AS DECIMAL(38,0))
+             * CAST(n * cents - s AS DECIMAL(38,0))
+             > 9 * CAST(n * ss - s * s AS DECIMAL(38,0)) AS is_anomaly
+    FROM rolled
+    WHERE n = 7
+    ORDER BY day
+    """,
+    doc=(
+        "Rolling z-score anomaly flags over the daily event-revenue "
+        "series, SQRT-FREE: |x - mean| > 3*sigma over the trailing "
+        "7-day window is tested as the exact integer inequality "
+        "(n*x - s)^2 > 9*(n*ss - s^2) — multiply both sides by n^2 "
+        "and square, so no float, no libm, and the flags are "
+        "hash-exact (the squared comparison widens to DECIMAL(38,0) "
+        "internally; outputs stay BIGINT/BOOL). This is the standard "
+        "production trick for drift monitors where float sigma "
+        "thresholds flap across engines. Scale: one corpus "
+        "groupBy(day); the window runs on the O(days) summary "
+        "(per-metric monitors at 100 TB nest it under "
+        "partitionBy(metric))."
+    ),
+    tags=("dq", "events", "anomaly", "timeseries"),
+)
+def dq_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").cast("long").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    spine = spark.range(1, 31).select(F.col("id").alias("day"))
+    filled = spine.join(daily, "day", "left").fillna(0, ["cents"])
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    rolled = filled.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("ss"),
+    )
+    dev_n = (F.col("n") * F.col("cents") - F.col("s")).cast("long")
+    var_n2 = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("long")
+    dec = "decimal(38,0)"
+    return (
+        rolled.where(F.col("n") == 7)
+        .select(
+            "day",
+            "cents",
+            dev_n.alias("dev_n"),
+            var_n2.alias("var_n2"),
+            (
+                dev_n.cast(dec) * dev_n.cast(dec)
+                > F.lit(9).cast(dec) * var_n2.cast(dec)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

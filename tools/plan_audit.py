@@ -80,6 +80,8 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "cumulative-gain window over the 10-row per-decile aggregate; "
         "the fact-scale ranking itself is sharded_row_number"
     ),
+    "ts_seasonal_decompose": "moving-sum window over the 30-row daily summary spine",
+    "dq_anomaly_rolling_zscore": "trailing window over the 30-row daily summary spine",
 }
 
 
