@@ -2282,3 +2282,151 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Minimum spanning tree: Boruvka rounds (the distributed-MST classic)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_mst_boruvka",
+    oracle="""
+    WITH RECURSIVE dir_e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey  = c.c_custkey
+      JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    ue AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM dir_e WHERE src <> dst GROUP BY 1, 2
+    ),
+    start AS (SELECT MIN(a) AS s FROM ue),
+    prim(step, visited, ea, eb, ew) AS (
+      SELECT 0, [s], CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM start
+      UNION ALL
+      (SELECT p.step + 1,
+              list_append(p.visited,
+                CASE WHEN list_contains(p.visited, e.a)
+                     THEN e.b ELSE e.a END),
+              e.a, e.b, e.w
+       FROM prim p JOIN ue e
+         ON list_contains(p.visited, e.a)
+            <> list_contains(p.visited, e.b)
+       ORDER BY e.w, e.a, e.b LIMIT 1)
+    )
+    SELECT ea AS nation_a, eb AS nation_b, ew AS trade_w
+    FROM prim WHERE step > 0
+    ORDER BY nation_a, nation_b
+    """,
+    doc=(
+        "Minimum spanning tree of the undirected nation trade graph "
+        "(edge weight = lineitem count between the two nations), "
+        "computed with BORUVKA rounds: every component picks its "
+        "minimum outgoing edge under the total order (w, a, b), the "
+        "picked edges merge components (pointer-doubling connected "
+        "components on the accumulated tree), and the loop ends when "
+        "one component remains — O(log V) rounds, each a handful of "
+        "broadcast joins on the O(|nations|^2) edge summary. The total "
+        "tie-break order makes the MST unique, so the oracle's "
+        "sequential Prim (same order) returns the identical 24 edges. "
+        "Scale: the one corpus-sized job is the fact-fact edge build; "
+        "Boruvka is THE distributed MST algorithm (one round halves "
+        "the component count, every step is a per-component min — a "
+        "map-side combinable aggregate, never a global sort)."
+    ),
+    tags=("graph", "mst", "iterative"),
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    dir_e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ue = (
+        dir_e.where(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").cast("long").alias("w"))
+        # O(|nations|^2) rows from here on: cut the fact-join lineage so
+        # the Boruvka loop replans over a 300-row leaf, not the corpus.
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ue.select(F.col("a").alias("node"))
+        .union(ue.select("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    mst = None
+    for _ in range(8):  # ceil(log2(|V|)) rounds suffice; 25 nodes -> <=5
+        if mst is None:
+            comp = nodes.select("node", F.col("node").alias("component"))
+        else:
+            # checkpoint_every=1: pointer doubling self-joins the label
+            # relation, so the UNCHECKPOINTED logical plan doubles per
+            # round — AQE's plan stringification alone can OOM a 1g
+            # vanilla driver (observed here; same class as e042c59).
+            labeled = connected_components(
+                mst, src="a", dst="b", max_iter=8, checkpoint_every=1
+            )
+            comp = (
+                nodes.join(F.broadcast(labeled), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("component", "node").alias("component"),
+                )
+            )
+        ca = comp.select(
+            F.col("node").alias("a"), F.col("component").alias("comp_a")
+        )
+        cb = comp.select(
+            F.col("node").alias("b"), F.col("component").alias("comp_b")
+        )
+        cross = (
+            ue.join(F.broadcast(ca), "a")
+            .join(F.broadcast(cb), "b")
+            .where(F.col("comp_a") != F.col("comp_b"))
+        )
+        # min outgoing edge per component under the (w, a, b) total order
+        cand = cross.select(
+            F.col("comp_a").alias("comp"), "w", "a", "b"
+        ).union(cross.select(F.col("comp_b"), "w", "a", "b"))
+        picked = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b")).alias("e"))
+            .select("e.a", "e.b", "e.w")
+            .distinct()
+        )
+        if picked.count() == 0:
+            break
+        mst = (picked if mst is None else mst.unionByName(picked)).localCheckpoint(
+            eager=True
+        )
+    return mst.select(
+        F.col("a").alias("nation_a"),
+        F.col("b").alias("nation_b"),
+        F.col("w").alias("trade_w"),
+    ).orderBy("nation_a", "nation_b")

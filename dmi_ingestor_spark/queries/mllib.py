@@ -3720,3 +3720,173 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "loading",
         F.col("lam").alias("lambda_micro2"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# Viterbi sequence decoding (max-sum DP with backpointers, all-integer)
+# --------------------------------------------------------------------------
+
+_VIT_STATES = ("click", "error", "purchase", "signup", "view")
+_VIT_K = len(_VIT_STATES)
+_VIT_DAYS = 30
+_VIT_SWITCH = 50  # transition penalty for changing state (stay = 0)
+
+
+def _vit_oracle() -> str:
+    vals = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(_VIT_STATES)
+    )
+    parts = [f"""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(day(ts) AS BIGINT) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    st(i, name) AS (VALUES {vals}),
+    em AS MATERIALIZED (
+      SELECT sp.day, st.i, st.name, CAST(COALESCE(d.c, 0) AS BIGINT) AS e
+      FROM (SELECT unnest(generate_series(1, {_VIT_DAYS})) AS day) sp
+      CROSS JOIN st
+      LEFT JOIN d ON d.day = sp.day AND d.event_type = st.name
+    ),
+    v1 AS MATERIALIZED (
+      SELECT i, e AS sc, CAST(0 AS BIGINT) AS bp FROM em WHERE day = 1
+    )"""]
+    for t in range(2, _VIT_DAYS + 1):
+        p = t - 1
+        parts.append(f""",
+    m{t} AS MATERIALIZED (SELECT MAX(sc) AS best FROM v{p}),
+    a{t} AS MATERIALIZED (SELECT MIN(i) AS arg FROM v{p}, m{t} WHERE sc = best),
+    v{t} AS MATERIALIZED (
+      SELECT em.i,
+             em.e + GREATEST(p.sc, m{t}.best - {_VIT_SWITCH}) AS sc,
+             CAST(CASE WHEN p.sc >= m{t}.best - {_VIT_SWITCH}
+                       THEN em.i ELSE a{t}.arg END AS BIGINT) AS bp
+      FROM em JOIN v{p} p ON p.i = em.i
+      CROSS JOIN m{t} CROSS JOIN a{t}
+      WHERE em.day = {t}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS day, i, sc, bp FROM v{t}"
+        for t in range(1, _VIT_DAYS + 1)
+    )
+    parts.append(f"""
+    SELECT u.day, st.name AS state, u.sc AS score, u.bp AS came_from
+    FROM ({unions}) u
+    JOIN st ON st.i = u.i
+    ORDER BY u.day, state""")
+    return "".join(parts)
+
+
+@register(
+    "ml_viterbi_decode",
+    oracle=_vit_oracle(),
+    doc=(
+        "Viterbi decoding of the most likely daily activity-regime "
+        "sequence: states = the 5 event types, emission score for "
+        "state s on day t = that day's count of s-events, transition "
+        f"score = 0 for staying and -{_VIT_SWITCH} for switching. The "
+        "max-sum dynamic program emits the FULL DP table — per (day, "
+        "state): best path score ending there plus the backpointer "
+        "(ties: staying beats switching, then lowest state index), so "
+        "the optimal path is read off by following came_from from the "
+        "day-30 argmax without a separate backtrace pass. All-integer "
+        "scores, hash-exact. Spark runs the recursion as ONE ordered "
+        "F.aggregate fold whose accumulator is the growing "
+        "array<array<struct<sc,bp>>> DP table; the oracle unrolls the "
+        "identical update as 3 CTEs per step. Scale: the corpus "
+        "contributes one groupBy(day, state) aggregate; the DP runs "
+        "on a K x T table in one row (per-entity decoding at 100 TB "
+        "= the same fold under groupBy(entity), state O(K*T) per "
+        "entity — the standard sessionized-HMM shape)."
+    ),
+    tags=("ml", "sequence", "events", "iterative"),
+)
+def ml_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.col("event_type").alias("name"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    states = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(s) for s in _VIT_STATES])
+        ).alias("i0", "name")
+    ).select((F.col("i0") + 1).cast("long").alias("i"), "name")
+    spine = spark.range(1, _VIT_DAYS + 1).select(F.col("id").alias("day"))
+    filled = (
+        spine.crossJoin(F.broadcast(states))
+        .join(daily, ["day", "name"], "left")
+        .fillna(0, ["c"])
+    )
+    per_day = filled.groupBy("day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda x: x["c"],
+        ).alias("ems")
+    )
+    obs = per_day.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "ems"))),
+            lambda x: x["ems"],
+        ).alias("em")
+    )
+    em = F.col("em")
+    layer1 = F.transform(
+        F.element_at(em, 1),
+        lambda c: F.struct(
+            c.alias("sc"), F.lit(0).cast("long").alias("bp")
+        ),
+    )
+
+    def step(acc, t):
+        prev = F.element_at(acc, F.size(acc))
+        scores = F.transform(prev, lambda p: p["sc"])
+        best = F.array_max(scores)
+        arg = F.array_position(scores, best)
+        emt = F.element_at(em, t.cast("int"))
+        layer = F.transform(
+            F.sequence(F.lit(1), F.lit(_VIT_K)),
+            lambda i: F.struct(
+                (
+                    F.element_at(emt, i.cast("int"))
+                    + F.greatest(
+                        F.element_at(scores, i.cast("int")),
+                        best - _VIT_SWITCH,
+                    )
+                ).alias("sc"),
+                F.when(
+                    F.element_at(scores, i.cast("int"))
+                    >= best - _VIT_SWITCH,
+                    i.cast("long"),
+                )
+                .otherwise(arg)
+                .alias("bp"),
+            ),
+        )
+        return F.concat(acc, F.array(layer))
+
+    dp = obs.select(
+        F.aggregate(
+            F.sequence(F.lit(2), F.lit(_VIT_DAYS)),
+            F.array(layer1),
+            step,
+        ).alias("dp")
+    )
+    name_arr = F.array(*[F.lit(s) for s in _VIT_STATES])
+    return (
+        dp.select(F.posexplode("dp").alias("d0", "layer"))
+        .select(
+            (F.col("d0") + 1).cast("long").alias("day"),
+            F.posexplode("layer").alias("i0", "cell"),
+        )
+        .select(
+            "day",
+            F.element_at(name_arr, F.col("i0").cast("int") + 1).alias(
+                "state"
+            ),
+            F.col("cell.sc").alias("score"),
+            F.col("cell.bp").alias("came_from"),
+        )
+        .orderBy("day", "state")
+    )

@@ -2965,3 +2965,89 @@ def window_regex_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike(_SEQ_FUNNEL_RE).alias("has_funnel"),
         F.instr(F.col("seq"), "p").cast("long").alias("first_purchase_pos"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA sufficient-statistics decomposition (k-group experiment)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_anova_oneway",
+    oracle="""
+    WITH x AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM x GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS nt, CAST(SUM(s1) AS HUGEINT) AS st
+      FROM g
+    )
+    SELECT g.grp AS event_type, g.n AS n_g,
+           CAST(g.s1 AS BIGINT) AS sum_cents,
+           CAST(tot.nt AS BIGINT) AS n_total,
+           CAST(CAST(g.n AS HUGEINT) * g.s2 - g.s1 * g.s1 AS VARCHAR)
+             AS ssw_num_str,
+           CAST(tot.nt * g.s1 - CAST(g.n AS HUGEINT) * tot.st AS VARCHAR)
+             AS ssb_dev_str
+    FROM g CROSS JOIN tot
+    ORDER BY event_type
+    """,
+    doc=(
+        "One-way ANOVA decomposition across the k=5 event-type groups "
+        "of the centi-scaled event value, emitted as the per-group "
+        "SUFFICIENT-STATISTICS relation: within-group variance "
+        "numerator n_g*S2_g - S1_g^2 (= n_g^2 * var_pop) and "
+        "between-group deviation numerator N*S1_g - n_g*S "
+        "(= n_g*N*(mean_g - grand_mean)) — both exact integers at any "
+        "scale, carried in decimal-128/HUGEINT and emitted as DIGIT "
+        "STRINGS so the query never overflows int64 and never emits a "
+        "decimal128 column (the driver-canonicalization hazard class). "
+        "F = (SSB/(k-1)) / (SSW/(N-k)) assembles from these via "
+        "SSW = sum_g ssw_num/n_g and SSB = sum_g ssb_dev^2/(n_g*N^2); "
+        "the companion analytics_welch_t_test shows the 2-group float "
+        "emission. One aggregate pass (partial+final, map-side "
+        "combinable); the decomposition math runs on k rows."
+    ),
+    tags=("analytics", "experiment", "statistics", "events"),
+)
+def analytics_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.round(F.col("value") * 100).cast("long")
+    g = e.select(
+        F.col("event_type").alias("grp"), v.alias("v")
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d38(F.col("v"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(d38(F.col("v")) * F.col("v")).cast("decimal(38,0)").alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+        F.sum("s1").cast("decimal(38,0)").alias("st"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("n").alias("n_g"),
+            F.col("s1").cast("long").alias("sum_cents"),
+            F.col("nt").cast("long").alias("n_total"),
+            (d38(F.col("n")) * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("ssw_num_str"),
+            (F.col("nt") * F.col("s1") - d38(F.col("n")) * F.col("st"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("ssb_dev_str"),
+        )
+        .orderBy("event_type")
+    )
