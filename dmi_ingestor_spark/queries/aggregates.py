@@ -4336,3 +4336,137 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_HW_P)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch (mergeable, deterministic, exact oracle)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 16
+_KMV_SPACE = 1 << 56  # 14 md5 hex digits -> 56-bit hash space
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    oracle=f"""
+    WITH eh AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM eh
+    ),
+    kept AS MATERIALIZED (SELECT * FROM ranked WHERE rn <= {_KMV_K}),
+    ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM eh GROUP BY event_type
+    ),
+    grp AS (
+      SELECT k.event_type, ex.exact_distinct,
+             CAST(MAX(k.rn) AS BIGINT) AS k_used,
+             CAST(MAX(k.h) AS BIGINT) AS kth_hash
+      FROM kept k JOIN ex ON ex.event_type = k.event_type
+      GROUP BY k.event_type, ex.exact_distinct
+    ),
+    merged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(MAX(h) AS BIGINT) AS kth_hash
+      FROM (SELECT DISTINCT h FROM kept ORDER BY h LIMIT {_KMV_K})
+    ),
+    mex AS (
+      SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS exact_distinct FROM eh
+    ),
+    unioned AS (
+      SELECT event_type, exact_distinct, k_used, kth_hash FROM grp
+      UNION ALL
+      SELECT '__all__', mex.exact_distinct, m.k_used, m.kth_hash
+      FROM merged m CROSS JOIN mex
+    )
+    SELECT event_type, exact_distinct, k_used, kth_hash,
+           CASE WHEN k_used < {_KMV_K} THEN exact_distinct
+                ELSE CAST(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_SPACE}
+                          // kth_hash AS BIGINT)
+           END AS kmv_estimate
+    FROM unioned
+    ORDER BY event_type
+    """,
+    doc=(
+        "K-minimum-values distinct-count sketch (Bar-Yossef et al. "
+        f"2002) per event type, K={_KMV_K}: keep the K smallest "
+        "56-bit md5 hashes of user_id; estimate = (K-1)*2^56 / "
+        "h_(K), falling back to the exact count when a group has "
+        "fewer than K distinct hashes. The '__all__' row DEMONSTRATES "
+        "MERGEABILITY — the union sketch is just the K smallest of "
+        "the concatenated per-group sketches, no rescan — which is "
+        "what makes KMV (unlike exact distinct) a one-pass partial+ "
+        "final aggregate at 100 TB. Deterministic md5 hashing makes "
+        "every value (kth hash included) hash-exact against the "
+        "oracle, unlike the seeded built-in approx_count_distinct. "
+        "Scale: one distinct shuffle on (type, h), a per-group sort "
+        "bounded by K; the complementary HLL/theta sketches are "
+        "agg_hll_custom / agg_theta_sketch_setops."
+    ),
+    tags=("aggregate", "sketch", "events"),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("long")
+    eh = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = eh.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    ex = eh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    grp = (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("rn").cast("long").alias("k_used"),
+            F.max("h").cast("long").alias("kth_hash"),
+        )
+        .join(ex, "event_type")
+    )
+    # merged sketch: K smallest across all groups' kept hashes — the
+    # bounded (<= 5K rows) relation collapses to ONE row via a global
+    # aggregate (partial+final sandwich), then array ops pick the kth.
+    merged = (
+        kept.select("h")
+        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("ks"))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            F.size("ks").cast("long").alias("k_used"),
+            F.element_at(F.col("ks"), F.size("ks")).alias("kth_hash"),
+        )
+    )
+    mex = eh.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    unioned = grp.select(
+        "event_type", "exact_distinct", "k_used", "kth_hash"
+    ).unionByName(
+        merged.crossJoin(F.broadcast(mex)).select(
+            "event_type", "exact_distinct", "k_used", "kth_hash"
+        )
+    )
+    est = F.when(F.col("k_used") < _KMV_K, F.col("exact_distinct")).otherwise(
+        F.expr(f"CAST({(_KMV_K - 1) * _KMV_SPACE} AS BIGINT) div kth_hash")
+    )
+    return unioned.select(
+        "event_type",
+        "exact_distinct",
+        "k_used",
+        "kth_hash",
+        est.cast("long").alias("kmv_estimate"),
+    ).orderBy("event_type")
