@@ -3598,3 +3598,102 @@ def dq_anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+# ---------------------------------------------------------------------------
+# Delta + zigzag + varint encoding audit (timestamp-column storage planning)
+# ---------------------------------------------------------------------------
+
+_VARINT_CASE = """CASE
+             WHEN z < 128 THEN 1
+             WHEN z < 16384 THEN 2
+             WHEN z < 2097152 THEN 3
+             WHEN z < 268435456 THEN 4
+             WHEN z < 34359738368 THEN 5
+             WHEN z < 4398046511104 THEN 6
+             WHEN z < 562949953421312 THEN 7
+             WHEN z < 72057594037927936 THEN 8
+             ELSE 9 END"""
+
+
+@register(
+    "transform_delta_varint_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts)
+               - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id) AS dt
+      FROM events
+    ),
+    z AS (
+      SELECT event_type,
+             CASE WHEN dt IS NULL THEN NULL
+                  WHEN dt >= 0 THEN 2 * dt
+                  ELSE -2 * dt - 1 END AS z
+      FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+           CAST(8 + SUM(CASE WHEN z IS NULL THEN 0
+                        ELSE {_VARINT_CASE} END) AS BIGINT) AS encoded_bytes,
+           CAST((8 + SUM(CASE WHEN z IS NULL THEN 0
+                         ELSE {_VARINT_CASE} END)) * 1000
+                // (8 * COUNT(*)) AS BIGINT) AS ratio_permille
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Storage-layout audit for the timestamp column: per event "
+        "type, sort by (ts, event_id), DELTA-encode epoch-microsecond "
+        "values, ZIGZAG-map the deltas, and price each as a protobuf-"
+        "style VARINT (7 bits per byte) — emitting raw vs encoded "
+        "bytes and the permille compression ratio. This is the "
+        "estimator a 100 TB ingest runs BEFORE choosing an encoding: "
+        "sorted-by-time event streams delta-compress ~5-8x, and the "
+        "audit is one partitioned window (lag) plus one aggregate — "
+        "no UDF, no second scan, byte math as exact integer CASE "
+        "ladders on both engines. The same shape prices "
+        "dictionary/RLE candidates (see udtf_rle_tokens for the RLE "
+        "twin on token streams)."
+    ),
+    tags=("transform", "storage", "events"),
+)
+def transform_delta_varint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "event_type", (micros - F.lag(micros).over(w)).alias("dt")
+    )
+    z = d.select(
+        "event_type",
+        F.when(F.col("dt").isNull(), None)
+        .when(F.col("dt") >= 0, 2 * F.col("dt"))
+        .otherwise(-2 * F.col("dt") - 1)
+        .alias("z"),
+    )
+    vb = F.expr(
+        f"CASE WHEN z IS NULL THEN 0 ELSE {_VARINT_CASE} END"
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (8 * F.count(F.lit(1))).cast("long").alias("raw_bytes"),
+            (8 + F.sum(vb)).cast("long").alias("encoded_bytes"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "raw_bytes",
+            "encoded_bytes",
+            F.expr("encoded_bytes * 1000 div raw_bytes").alias(
+                "ratio_permille"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1037,7 +1037,7 @@ def sim_range_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_quantize_int8",
+    "vector_quantize_error_audit",
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
@@ -1090,7 +1090,7 @@ def sim_range_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("similarity", "embeddings", "quantization", "scale"),
 )
-def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vector_quantize_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xv")
