@@ -3697,3 +3697,84 @@ def transform_delta_varint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# Partition-layout evolution: coarse -> fine units under one log, one read
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lake_partition_evolution_read",
+    oracle="""
+    SELECT CAST(day(ts) AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_checksum
+    FROM events
+    WHERE day(ts) BETWEEN 12 AND 17
+    GROUP BY 1
+    ORDER BY day
+    """,
+    doc=(
+        "Partition-layout EVOLUTION under one transaction log: the "
+        "events table is first committed as WEEK-grain units "
+        "(days 1-7, 8-14, ...), then the hot tail (days 15-30) is "
+        "atomically re-laid-out as DAY-grain units — remove-units + "
+        "day appends, old snapshots untouched — so one table carries "
+        "two partition layouts at once, the thing static Hive-style "
+        "partitioning cannot do. A day-range read (12..17) spanning "
+        "the layout boundary stats-prunes to exactly week-2 + "
+        "day-15..17 units (the builder asserts no other file is "
+        "opened, and that the pre-evolution snapshot still reads the "
+        "original week units) before returning per-day audited "
+        "counts. At 100 TB this is how ingest tightens partition "
+        "grain as traffic grows without rewriting history: layout "
+        "lives in the LOG, readers prune by unit stats, and "
+        "evolution is O(re-laid-out data), not O(table)."
+    ),
+    tags=("pipeline", "lakehouse", "partitioning", "events"),
+)
+def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import (
+        TxLog,
+        append_with_stats,
+        read_pruned,
+    )
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-evolve-"))
+    e = table(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # epoch 1: week-grain layout
+    for wk in range(5):
+        lo, hi = 7 * wk + 1, min(7 * wk + 7, 30)
+        append_with_stats(
+            tx, e.where(F.col("day").between(lo, hi)), f"w{wk + 1}", "day"
+        )
+    v_coarse = tx.latest_version()
+    # epoch 2: evolve the tail (days 15-30) to day-grain units
+    tx.remove_units(["data/w3", "data/w4", "data/w5"])
+    for d in range(15, 31):
+        append_with_stats(
+            tx, e.where(F.col("day") == d), f"d{d}", "day"
+        )
+    # pre-evolution snapshot still reads the ORIGINAL week layout
+    assert {f.split("/data/")[1].split("/")[0]
+            for f in tx.read(v_coarse).inputFiles()} == {
+        "w1", "w2", "w3", "w4", "w5"
+    }
+    pruned = read_pruned(tx, 12, 17)
+    touched = {f.split("/data/")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert touched == {"w2", "d15", "d16", "d17"}, touched
+    return (
+        pruned.where(F.col("day").between(12, 17))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_checksum"),
+        )
+        .orderBy("day")
+    )
