@@ -3778,3 +3778,128 @@ def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling design (exact largest-remainder)
+# ---------------------------------------------------------------------------
+
+_NEYMAN_TOTAL = 10_000  # samples to allocate across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                      * CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS s2
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT event_type, n_h,
+             CAST(FLOOR(SQRT(
+               CAST(FLOOR((CAST(n_h AS HUGEINT) * s2 - s1 * s1)
+                          / 1000000) AS DOUBLE)
+             )) AS BIGINT) AS w_h
+      FROM g
+    ),
+    tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS big_w FROM w),
+    base AS (
+      SELECT w.event_type, w.n_h, w.w_h,
+             CAST({_NEYMAN_TOTAL} * w.w_h // tot.big_w AS BIGINT) AS base_n,
+             CAST({_NEYMAN_TOTAL} * w.w_h % tot.big_w AS BIGINT) AS rem
+      FROM w CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk,
+             CAST({_NEYMAN_TOTAL} AS BIGINT)
+               - SUM(base_n) OVER () AS leftover
+      FROM base
+    )
+    SELECT event_type, n_h, w_h, base_n,
+           CAST(base_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_n
+    FROM ranked
+    ORDER BY event_type
+    """,
+    doc=(
+        "Neyman-optimal stratified sample allocation (Neyman 1934): "
+        f"distribute {_NEYMAN_TOTAL} samples across the event-type "
+        "strata proportionally to N_h*sigma_h — with strata sampled "
+        "from themselves, N_h*sigma_h = sqrt(n_h*S2 - S1^2), computed "
+        "from exact decimal-128 power sums (pre-scaled by 1e6 = cents"
+        "-squared to keep the value inside double's exact-integer "
+        "range before the IEEE-correctly-rounded sqrt; floor makes it "
+        "an integer weight). Fractional seats resolve by the LARGEST-"
+        "REMAINDER method in pure integer arithmetic (rank "
+        "TOTAL*w % W descending, ties by stratum name), so the "
+        "allocations sum to exactly the budget on both engines — no "
+        "float apportionment drift. This is the sampling-design pass "
+        "a 100 TB eval pipeline runs before drawing: one sufficient-"
+        "statistics aggregate over the corpus, then all apportionment "
+        "math on the k-row stratum summary."
+    ),
+    tags=("pipeline", "sampling", "statistics", "events"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.round(F.col("value") * 100).cast("long")
+    g = e.select(F.col("event_type"), v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(d38(F.col("v"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(d38(F.col("v")) * F.col("v")).cast("decimal(38,0)").alias("s2"),
+    )
+    # var numerator scaled down by 1e6 BEFORE the double conversion so
+    # the sqrt argument stays exactly representable (< 2^53) far past
+    # sf100; floor() of the scaled decimal is exact integer arithmetic.
+    w = g.select(
+        "event_type",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                F.floor(
+                    (d38(F.col("n_h")) * F.col("s2") - F.col("s1") * F.col("s1"))
+                    / F.lit(1_000_000)
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("w_h"),
+    )
+    tot = w.agg(F.sum("w_h").cast("long").alias("big_w"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        "w_h",
+        F.expr(f"{_NEYMAN_TOTAL} * w_h div big_w").alias("base_n"),
+        (F.lit(_NEYMAN_TOTAL) * F.col("w_h") % F.col("big_w")).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "event_type")
+    ranked = base.select(
+        "event_type",
+        "n_h",
+        "w_h",
+        "base_n",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(_NEYMAN_TOTAL) - F.sum("base_n").over(
+            Window.partitionBy()
+        )).alias("leftover"),
+    )
+    return ranked.select(
+        "event_type",
+        "n_h",
+        "w_h",
+        "base_n",
+        (
+            F.col("base_n")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_n"),
+    ).orderBy("event_type")
