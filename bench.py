@@ -60,6 +60,15 @@ BENCH_QUERIES: tuple[str, ...] = (
     # summary-state iteration with per-round checkpoints
     "text_bm25_scoring",
     "graph_betweenness_centrality",
+    # round-5 additions (VERDICT r4 item 4): the heaviest round-4 shapes
+    # — pair-state iteration (closeness/APSP), forward-backward label
+    # iteration (SCC), windowed self-similarity (matrix profile), and
+    # the FastSS blocked edit-distance join.
+    "graph_closeness_centrality",
+    "graph_scc_decomposition",
+    "graph_apsp_minplus",
+    "ts_matrix_profile_ssd",
+    "join_edit_distance_blocked",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers

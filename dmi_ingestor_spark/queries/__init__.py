@@ -11,12 +11,11 @@ remaining scalars) to the front, plus the fixed ``mm_decode_features``.
 Queries not in the priority list keep their import-order position after
 it, so nothing is ever dropped — only rotated.
 
-Round-5+ note (repeat each round until the backlog drains): the
+Round-6+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
-CORRECTNESS_r0N.json files (~191 oracle-bearing remain after the r4
-rotation below). Replace ``_DRIVER_PRIORITY`` with the next 50 of that
-set, oracle-bearing first — compute it with the snippet in
-``tools/oracle_check.py``'s docstring or directly:
+CORRECTNESS_r0N.json files (240 oracle-bearing entered round 5; ~190
+remain after the r5 rotation below). Replace ``_DRIVER_PRIORITY`` with
+the next 50 of that set, oracle-bearing first — compute it directly:
 ``set(registry) - union(json keys)``. Remaining families include the
 agg/ts extras (agg_histogram_equifreq,
 agg_mode_exact follow-ons, ts_cusum_changepoint, ts_obv_indicator,
@@ -111,79 +110,80 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-4 rotation: 50 slots. Slot 1 is the single round-3 driver red
-# (agg_covariance_exact — cov_num now BIGINT on both engines, the
-# decimal128 canonicalization hazard removed; see VERDICT r3 item 1).
-# Slots 2-50 are never-driver-checked oracle-bearing queries spanning
-# every family without a fresh row, front-loading the ones touched this
-# round: the checkpointed k-core/iterative graph builders and the five
-# ADVICE-flagged queries (ml_decision_stump_exact, lake_optimize_
-# recluster, pipeline_backfill_partitions, ml_conformal_prediction_
-# interval, ml_ks_drift_binned). ~191 oracle-bearing never-checked
-# names remain for rounds 5+.
+# Round-5 rotation: 50 slots, all never-driver-checked (the true
+# never-checked count entering round 5 is 240 oracle-bearing = registry
+# minus union(CORRECTNESS_r01..r04 keys); the old "~191" note was stale
+# — VERDICT r4 item 1). This round front-loads (a) the round-4 waves
+# that shipped after the last rotation (centrality triad, SCC, APSP,
+# MST, DTW/matrix-profile, Viterbi, BM25/RAKE/Kneser-Ney, KMV/MG
+# sketches, Fellegi-Sunter, lake vacuum/merge-matrix/evolution, Neyman),
+# (b) the VERDICT item-7 HDF5 DENSE-group/libver-latest driver slot
+# (ingest_hdf5_dense_param_sweep, new this round), and (c) long-waiting
+# as-of/bucketed join and sketch names. ~190 oracle-bearing never-checked
+# names remain after this rotation; rounds 6-9 take the rest at 50/round.
+# Recompute each round:
+#   set(load_all()) - union(json.load(open(f)) for f in CORRECTNESS_r0*.json)
 _DRIVER_PRIORITY = [
-    # The round-3 hash-red, repaired (decimal128 -> BIGINT output)
-    "agg_covariance_exact",
-    # Aggregates / sketches (8)
-    "agg_histogram_equifreq",
-    "agg_boolean_pack",
-    "agg_bitmap_distinct",
-    "agg_listagg_ordered",
-    "agg_skew_kurtosis_exact",
-    "agg_entropy_exact",
-    "agg_gini_coefficient",
-    "agg_count_min_sketch",
-    # Time-series (3)
-    "ts_cusum_changepoint",
-    "ts_bollinger_bands",
-    "ts_harmonic_regression",
-    # Transforms / top-k (3)
-    "transform_winsorize_values",
-    "topk_per_group_aggregate",
-    "transform_outlier_mad",
-    # Clustering (3)
-    "cluster_farthest_point_seeding",
-    "cluster_dbscan_core_points",
-    "cluster_dbscan_labels",
-    # Dedup ladder rungs without driver rows (5)
-    "dedup_bag_of_words",
-    "dedup_substring_containment",
-    "dedup_winnowing_pairs",
-    "dedup_minhash_b_bit",
-    "dedup_shingle_size_sweep",
-    # Graph — incl. the iterative builders checkpointed this round (5)
-    "graph_label_propagation",
-    "graph_bfs_shortest_hops",
-    "graph_hits_scores",
-    "graph_kcore_decomposition",
-    "graph_community_modularity",
-    # Ingestion / sources (4)
-    "ingest_dead_letter_split",
-    "ingest_schema_evolution_merge",
-    "ingest_cube_format_matrix",
-    "sink_datasource_manifest",
-    # Join extras (5)
-    "join_bloom_prefilter",
-    "join_interval_overlap",
-    "join_fuzzy_token_blocked",
-    "join_overlap_duration_billing",
-    "join_null_key_skew_bypass",
-    # ML evals — incl. the ADVICE-flagged five (6)
-    "ml_chi2_feature_selection",
-    "ml_psi_drift",
-    "ml_decision_stump_exact",
-    "ml_conformal_prediction_interval",
-    "ml_ks_drift_binned",
-    "ml_ndcg_ranking_eval",
+    # VERDICT r4 item 7: v3-superblock + DENSE fractal-heap group decode
+    "ingest_hdf5_dense_param_sweep",
+    # Sketches / aggregates (5)
+    "agg_approx_top_k",
+    "agg_theta_sketch_setops",
+    "agg_hll_custom_sketch",
+    "agg_kmv_distinct_sketch",
+    "agg_frequent_items_mg",
+    # Time-series (5)
+    "ts_dtw_distance",
+    "ts_holt_winters",
+    "ts_seasonal_decompose",
+    "ts_theil_sen_slope",
+    "ts_matrix_profile_ssd",
+    # Graph — the round-4 classic-algorithm wave (7)
+    "graph_closeness_centrality",
+    "graph_betweenness_centrality",
+    "graph_scc_decomposition",
+    "graph_apsp_minplus",
+    "graph_mst_boruvka",
+    "graph_clustering_coefficient",
+    "graph_random_walk_visits",
+    # Dedup / clustering (3)
+    "dedup_fellegi_sunter",
+    "dedup_content_defined_chunking",
+    "cluster_dbscan_lsh_blocked",
+    # Join extras — as-of family + blocked edit distance + DPP (5)
+    "join_asof_nearest_purchase",
+    "join_asof_tolerance_bucketed",
+    "join_edit_distance_blocked",
+    "join_dpp_partition_prune",
+    "bucketed_colocated_join",
+    # ML — the round-4 additions (10)
+    "ml_viterbi_decode",
+    "ml_pca_power_iteration",
+    "ml_als_half_step",
+    "ml_isotonic_calibration",
+    "ml_bleu_ngram_eval",
+    "ml_permutation_importance",
+    "ml_lift_gain_deciles",
+    "ml_spearman_rank_corr",
+    "ml_kendall_tau",
+    "ml_mann_whitney_u",
     # Multimodal (3)
-    "mm_phash_dedup",
-    "mm_byte_diversity",
-    "mm_scene_cut_detect",
-    # Lakehouse / pipeline — incl. two ADVICE-flagged (4)
-    "lake_optimize_recluster",
-    "pipeline_backfill_partitions",
-    "lake_change_data_feed",
-    "lake_deletion_vector_read",
+    "mm_audio_vad_segments",
+    "mm_cross_modal_alignment",
+    "mm_image_patches",
+    # Text — the round-4 LLM-pipeline wave (6)
+    "text_bm25_scoring",
+    "text_rake_keyphrases",
+    "text_kneser_ney_counts",
+    "text_heaps_law_fit",
+    "text_mlm_masking",
+    "text_chat_template_render",
+    # Lakehouse / pipeline / analytics (5)
+    "lake_vacuum_audit",
+    "lake_merge_full_matrix",
+    "lake_partition_evolution_read",
+    "sample_neyman_allocation",
+    "analytics_anova_oneway",
 ]
 
 

@@ -982,6 +982,127 @@ def ingest_cube_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("format")
 
 
+_DNS_NT, _DNS_NY, _DNS_NX = 4, 5, 6
+_DNS_PARAMS = ("d2m", "msl", "sp", "t2m", "tcc", "tp", "u10", "v10")
+
+
+@register(
+    "ingest_hdf5_dense_param_sweep",
+    oracle=f"""
+    WITH p AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY parameter) - 1 AS pid, parameter
+      FROM (VALUES {", ".join(f"('{p}')" for p in _DNS_PARAMS)})
+           v(parameter)
+    ),
+    g AS (
+      SELECT p.parameter,
+             p.pid * 1000
+               + (i // {_DNS_NY * _DNS_NX}) * 100
+               + ((i % {_DNS_NY * _DNS_NX}) // {_DNS_NX}) * 10
+               + (i % {_DNS_NX}) AS v
+      FROM p
+      CROSS JOIN (SELECT unnest(generate_series(0,
+                    {_DNS_NT * _DNS_NY * _DNS_NX - 1})) AS i)
+    )
+    SELECT parameter,
+           CAST({_DNS_NT} AS BIGINT) AS n_timesteps,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(v) AS BIGINT) AS value_sum,
+           CAST(MIN(v) AS BIGINT) AS value_min,
+           CAST(MAX(v) AS BIGINT) AS value_max
+    FROM g GROUP BY parameter ORDER BY parameter
+    """,
+    doc=(
+        "S2 driver slot for the round-4 reader half (VERDICT r4 item 7): "
+        "EIGHT single-parameter cubes, each encoded as an "
+        "H5F_LIBVER_LATEST container (checksummed superblock v3, v2 "
+        "object headers) with a DENSE root group — links stored in a "
+        "fractal heap indexed by a name-ordered v2 B-tree, never a "
+        "symbol table — and a per-parameter chunk/filter sweep "
+        "(chunk_t 1|2, deflate on|off, byte-shuffle on|off) so every "
+        "filter-pipeline branch of the from-spec reader "
+        "(sources/hdf5.py:207-303 dense groups, :560-590 filters) "
+        "decodes inside one distributed mapInPandas pass. Stats per "
+        "parameter come from the generating formula in the oracle. "
+        "Parity seam: the reference hands NetCDF-4 responses to "
+        "xarray.open_dataset (dmi_ingestor/ingestor.py:200); this is "
+        "that decode, modern container generation included, scaled out."
+    ),
+    tags=("ingest", "reference", "formats", "hdf5"),
+)
+def ingest_hdf5_dense_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from dmi_ingestor_spark.sources.hdf5 import encode_hdf5_cube
+
+    times = [T0 + 3600 * t for t in range(_DNS_NT)]
+    ys = [55.0 + 0.1 * i for i in range(_DNS_NY)]
+    xs = [11.0 + 0.1 * i for i in range(_DNS_NX)]
+    idx = np.arange(_DNS_NT * _DNS_NY * _DNS_NX)
+    base = (
+        (idx // (_DNS_NY * _DNS_NX)) * 100
+        + ((idx % (_DNS_NY * _DNS_NX)) // _DNS_NX) * 10
+        + (idx % _DNS_NX)
+    ).astype("f8").reshape(_DNS_NT, _DNS_NY, _DNS_NX)
+    payloads = []
+    for pid, param in enumerate(_DNS_PARAMS):
+        payloads.append(
+            (
+                param,
+                encode_hdf5_cube(
+                    param,
+                    times,
+                    ys,
+                    xs,
+                    base + 1000.0 * pid,
+                    chunk_t=1 + (pid % 2),
+                    compress=bool(pid % 4 != 3),
+                    shuffle=bool(pid % 4 == 1),
+                    layout="latest",
+                    dense_root=True,
+                ),
+            )
+        )
+    df = spark.createDataFrame(payloads, "parameter string, payload binary")
+
+    def _decode(batches):
+        from dmi_ingestor_spark.sources.cube_format import decode_cube
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                cube = decode_cube(bytes(r["payload"]))
+                v = cube.values
+                rows.append(
+                    (
+                        r["parameter"],
+                        int(len(cube.times)),
+                        int(v.size),
+                        int(round(float(v.sum()))),
+                        int(round(float(v.min()))),
+                        int(round(float(v.max()))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "parameter",
+                    "n_timesteps",
+                    "n_cells",
+                    "value_sum",
+                    "value_min",
+                    "value_max",
+                ],
+            )
+
+    return df.repartition(8, "parameter").mapInPandas(
+        _decode,
+        "parameter string, n_timesteps long, n_cells long, value_sum long, "
+        "value_min long, value_max long",
+    ).orderBy("parameter")
+
+
 _SPLIT_RECS = 2000  # maxRecordsPerFile target
 
 

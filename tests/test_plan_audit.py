@@ -1,8 +1,10 @@
 """Plan-hygiene gate: no scale antipatterns in representative plans.
 
-``tools/plan_audit.py`` audits the FULL registry on demand (last full
-run: 0 of 288 flagged); this gate keeps the hot-path and Python-path
-queries honest on every pytest run without re-planning all 280+.
+``tools/plan_audit.py`` audits the FULL registry on demand — regenerate
+PLANS.md + re-run the full audit as the final commit of every round
+(round-5 full run: 0 flagged; the per-query plans live in PLANS.md).
+This gate keeps the hot-path and Python-path queries honest on every
+pytest run without re-planning the full 440+.
 """
 
 from __future__ import annotations
@@ -69,6 +71,21 @@ AUDITED = [
     "analytics_rfm_segments",
     "agg_histogram_equifreq",
     "cluster_kmeans_embeddings",
+    # round-4 wave: Python-path (bounded applyInPandas DP kernels) and
+    # iterative pair-state builders (VERDICT r4 item 3)
+    "ts_dtw_alignment",
+    "ts_dtw_distance",
+    "ts_matrix_profile_ssd",
+    "ml_viterbi_decode",
+    "graph_closeness_centrality",
+    "graph_betweenness_centrality",
+    "graph_scc_decomposition",
+    "graph_apsp_minplus",
+    "graph_mst_boruvka",
+    "join_edit_distance_blocked",
+    "sample_neyman_allocation",
+    # round-5 wave
+    "ingest_hdf5_dense_param_sweep",
 ]
 
 
