@@ -1962,3 +1962,231 @@ def dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div ((agree_nonmatch * {_FS_S}) div n_nonmatch) END AS BIGINT)"
         ).alias("fs_ratio_scaled"),
     ).orderBy("field")
+
+
+# --------------------------------------------------------------------------
+# U5: corpus-internal exact-span dedup (the C4 / RefinedWeb n-gram pass)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 13  # the standard 13-token exact-dup span of C4/MassiveText
+
+_SQL_SPAN_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_SPAN_N))
+
+
+@register(
+    "dedup_exact_span_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, md5({_SQL_SPAN_GRAM}) AS k
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+    ),
+    df AS (SELECT k, COUNT(*) AS df FROM sh GROUP BY k)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(1000 * SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM sh s JOIN df d USING (k)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc=(
+        "U5 corpus-internal exact-span dedup — the 13-token-span pass "
+        "of C4 / MassiveText / RefinedWeb: any 13-gram occurring in "
+        "more than one document is 'duplicated text', and each doc is "
+        "scored by its duplicated-span fraction (the quantity those "
+        "pipelines threshold to drop or trim docs). Spans are distinct "
+        "per doc BEFORE the explode (array_distinct in the narrow map "
+        "stage), keyed by md5 so the document-frequency shuffle moves "
+        "16-byte keys, never 13-token strings; df and the per-doc "
+        "rollup are two partial+final aggregates. At 100 TB this is "
+        "the exact shape: no pair join ever forms — span df is a "
+        "count, not a self-join — so the cost is two shuffles of "
+        "O(total distinct spans) compact keys."
+    ),
+    tags=("dedup", "llm", "text"),
+)
+def dedup_exact_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrs = _shingle_arrays(
+        _spread(spark, table(spark, sf_dir, "documents")), n=_SPAN_N
+    ).filter(F.size("sh_arr") > 0)
+    sh = arrs.select(
+        "doc_id", F.explode("sh_arr").alias("g")
+    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("k"))
+    df_rel = sh.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_rel, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000 * n_dup_spans div n_spans").alias("dup_permille"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# U5: incremental delta-vs-base near-dup probe (the production shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_delta_probe",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+               % {MINHASH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        {_sql_minhash_cols()}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+      FROM bands d
+      JOIN bands b
+        ON d.band_id = b.band_id AND d.band_key = b.band_key
+      WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.delta_id, c.base_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.delta_id
+      JOIN sh y ON y.doc_id = c.base_id AND y.shingle = x.shingle
+      GROUP BY c.delta_id, c.base_id
+    ),
+    agg AS (
+      SELECT c.delta_id,
+             COUNT(*) AS n_candidates,
+             SUM(CASE WHEN CAST(COALESCE(v.n_common, 0) AS DOUBLE)
+                      / (sd.n_sh + sb.n_sh - COALESCE(v.n_common, 0)) >= 0.5
+                 THEN 1 ELSE 0 END) AS n_dup
+      FROM cand c
+      LEFT JOIN verified v
+        ON v.delta_id = c.delta_id AND v.base_id = c.base_id
+      JOIN sizes sd ON sd.doc_id = c.delta_id
+      JOIN sizes sb ON sb.doc_id = c.base_id
+      GROUP BY c.delta_id
+    )
+    SELECT u.doc_id AS delta_id,
+           CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(CASE WHEN COALESCE(a.n_dup, 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_novel
+    FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 = 0) u
+    LEFT JOIN agg a ON a.delta_id = u.doc_id
+    ORDER BY delta_id
+    """,
+    doc=(
+        "U5 production shape: INCREMENTAL near-dedup of an arriving "
+        "delta batch (doc_id % 10 = 0, ~10%) against the standing base "
+        "corpus (the other 90%). The base side's banded MinHash index "
+        "is exactly what a 100 TB pipeline keeps precomputed and "
+        "bucketed by band_key between runs — so each incremental run "
+        "signatures ONLY the delta, probes the band index with an "
+        "equi-join (co-located when the index is bucketed; never a "
+        "base self-join), and exact-verifies only the collision "
+        "candidates. Per delta doc the output is its candidate count, "
+        "verified-duplicate count (Jaccard >= 0.5) and a novelty flag "
+        "— the admit/reject decision of the ingestion gate. Cost per "
+        "run: O(delta + collisions), independent of |base| except "
+        "through the (bounded) band-bucket collision rate."
+    ),
+    tags=("dedup", "llm", "incremental", "flagship"),
+)
+def dedup_incremental_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_h = F.transform(
+        "sh_arr",
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    docs = (
+        _shingle_arrays(_spread(spark, table(spark, sf_dir, "documents")))
+        .filter(F.size("sh_arr") > 0)
+        .withColumn("h_arr", base_h)
+        .cache()
+    )
+
+    def _perm(i: int) -> Column:
+        a, b, p = MINHASH_A[i], MINHASH_B[i], MINHASH_P
+        return F.array_min(
+            F.transform("h_arr", lambda h: (h * a + b) % p)
+        ).alias(f"mh{i}")
+
+    sig = docs.select("doc_id", *[_perm(i) for i in range(N_HASHES)])
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), _band_key(b).alias("band_key"))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", F.explode(band_arr).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.band_key")
+        .cache()
+    )
+    is_delta = F.col("doc_id") % 10 == 0
+    cand = (
+        bands.filter(is_delta)
+        .select(F.col("doc_id").alias("delta_id"), "band_id", "band_key")
+        .join(
+            bands.filter(~is_delta).select(
+                F.col("doc_id").alias("base_id"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    # Exact verification: broadcast the (tiny) candidate set against the
+    # streaming doc arrays — the corpus never shuffles.
+    dd = docs.select(F.col("doc_id").alias("delta_id"), F.col("sh_arr").alias("d_sh"))
+    db = docs.select(F.col("doc_id").alias("base_id"), F.col("sh_arr").alias("b_sh"))
+    cand_d = dd.join(F.broadcast(cand), ["delta_id"])
+    pairs = db.join(F.broadcast(cand_d), ["base_id"])
+    n_common = F.size(F.array_intersect("d_sh", "b_sh"))
+    jac = n_common.cast("double") / (F.size("d_sh") + F.size("b_sh") - n_common)
+    agg = (
+        pairs.select("delta_id", (jac >= 0.5).cast("long").alias("dup"))
+        .groupBy("delta_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("dup").cast("long").alias("n_dup"),
+        )
+    )
+    universe = docs.filter(is_delta).select(F.col("doc_id").alias("delta_id"))
+    return (
+        universe.join(agg, ["delta_id"], "left")
+        .select(
+            "delta_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.when(F.coalesce("n_dup", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_novel"),
+        )
+        .orderBy("delta_id")
+    )
