@@ -3903,3 +3903,107 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_n"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# DP-prep contribution bounding (per-user caps + clipped-mass audit)
+# --------------------------------------------------------------------------
+
+_CB_C = 20  # max contributions per (user, partition)
+_CB_V = 1500  # per-event value clamp, cents
+
+
+@register(
+    "privacy_contribution_bounding",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, user_id,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT), {_CB_V}) AS v_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY event_id
+             ) AS rk
+      FROM events
+    ),
+    per_user AS (
+      SELECT event_type, user_id,
+             COUNT(*) AS n_raw,
+             SUM(v_cents) AS raw_cents,
+             SUM(CASE WHEN rk <= {_CB_C} THEN 1 ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN rk <= {_CB_C} THEN v_cents ELSE 0 END) AS kept_cents
+      FROM ranked GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_raw) AS BIGINT) AS raw_events,
+           CAST(SUM(n_kept) AS BIGINT) AS bounded_events,
+           CAST(SUM(n_raw - n_kept) AS BIGINT) AS clipped_events,
+           CAST(SUM(raw_cents) AS BIGINT) AS raw_value_cents,
+           CAST(SUM(kept_cents) AS BIGINT) AS bounded_value_cents,
+           CAST(SUM(CASE WHEN n_raw > {_CB_C} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_clipped,
+           CAST({_CB_C} * {_CB_V} AS BIGINT) AS l1_sensitivity_cents
+    FROM per_user
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Differential-privacy aggregation prep — the contribution-"
+        "bounding pass every DP release pipeline (PipelineDP / "
+        "google-dp style) runs BEFORE adding noise: each event value "
+        f"is clamped to {_CB_V} cents, each user keeps at most "
+        f"{_CB_C} deterministically-chosen contributions per "
+        "(user, event_type) partition (smallest event_id — the "
+        "order-stable equivalent of contribution sampling), and the "
+        "release's L1 sensitivity becomes the CERTIFIED constant "
+        "C x V instead of unbounded. Output per partition audits "
+        "exactly what bounding cost: raw vs bounded event and value "
+        "mass, and how many users were clipped — the utility-loss "
+        "report a privacy review reads. 100 TB shape: one fact-scale "
+        "window PARTITIONED by (user, type) (parallel, never a "
+        "global funnel) feeding two partial+final aggregates; noise "
+        "addition itself is out of scope (nondeterministic by "
+        "definition), the sensitivity certificate is the point."
+    ),
+    tags=("pipeline", "privacy", "events"),
+)
+def privacy_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    v_cents = F.least(
+        F.round(F.col("value") * 100).cast("long"), F.lit(_CB_V)
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    ranked = e.select(
+        "event_type",
+        "user_id",
+        v_cents.alias("v_cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    kept = F.col("rk") <= _CB_C
+    per_user = ranked.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("v_cents").alias("raw_cents"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("v_cents")).otherwise(0)).alias("kept_cents"),
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_raw").cast("long").alias("raw_events"),
+            F.sum("n_kept").cast("long").alias("bounded_events"),
+            F.sum(F.col("n_raw") - F.col("n_kept"))
+            .cast("long")
+            .alias("clipped_events"),
+            F.sum("raw_cents").cast("long").alias("raw_value_cents"),
+            F.sum("kept_cents").cast("long").alias("bounded_value_cents"),
+            F.sum((F.col("n_raw") > _CB_C).cast("long"))
+            .cast("long")
+            .alias("n_users_clipped"),
+        )
+        .withColumn(
+            "l1_sensitivity_cents", F.lit(_CB_C * _CB_V).cast("long")
+        )
+        .orderBy("event_type")
+    )

@@ -70,6 +70,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "cumulative window over the per-threshold aggregate "
         "(O(distinct feature values) rows; real split-finders bin to <=256)"
     ),
+    "ml_gbdt_second_order_gain": (
+        "cumulative g/h window + top-1 sort over the O(bins) histogram "
+        "summary (~20 price bins; hist-mode GBDTs bin to <=256)"
+    ),
     "analytics_survival_kaplan_meier": "cum windows + ordered fold over the O(months) summary series",
     "text_heaps_law_fit": "cum windows + OLS fold over the 50-row checkpoint summary",
     "ml_isotonic_calibration": (
