@@ -377,6 +377,72 @@ def append_with_stats(
     )
 
 
+def append_partitioned_with_stats(
+    tx: TxLog,
+    df: DataFrame,
+    part_col: str,
+    unit_prefix: str,
+    stats_key: str | None = None,
+) -> int:
+    """ONE distributed ``partitionBy`` write producing MANY flat data
+    units, ONE grouped stats aggregate, ONE atomic commit — the
+    multi-add-file commit shape of a real lakehouse writer (a Delta
+    commit routinely carries thousands of add-files with per-file
+    stats). Compare N sequential :func:`append_with_stats` calls: 2N
+    Spark jobs and N commits for the same result.
+
+    Mechanics: the write lands in a staging dir partitioned by a copy
+    column (so ``part_col`` itself stays IN the data files), each
+    ``_pk=<v>`` leaf is renamed to the flat ``data/<prefix><v>`` unit
+    the log's vacuum/naming contract expects (renames are metadata ops
+    on hdfs://; on object stores a real writer would emit final names
+    directly), and the commit records each unit's [min,max] of
+    ``stats_key`` (default: the partition column, whose per-unit
+    min=max=value makes partition pruning a stats-pruning special
+    case). Partition values must render cleanly in paths (ints /
+    simple strings)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    stats_key = stats_key or part_col
+    staging = f"{tx.root}/.staging-{_uuid.uuid4().hex[:12]}"
+    df.withColumn("_pk", F.col(part_col)).write.partitionBy("_pk").mode(
+        "error"
+    ).parquet(staging)
+    stat_rows = (
+        df.groupBy(part_col)
+        .agg(F.min(stats_key).alias("lo"), F.max(stats_key).alias("hi"))
+        .collect()
+    )
+    fs, jdata = _fs_and_path(tx.spark, f"{tx.root}/data")
+    if not fs.exists(jdata):
+        fs.mkdirs(jdata)
+    adds: list[str] = []
+    stats: dict[str, dict] = {}
+    try:
+        for r in stat_rows:
+            v = r[part_col]
+            unit = f"data/{unit_prefix}{v}"
+            if not fs_rename(
+                tx.spark, f"{staging}/_pk={v}", f"{tx.root}/{unit}"
+            ):
+                raise ValueError(
+                    f"unit path exists or staging leaf missing: {unit!r}"
+                )
+            adds.append(unit)
+            stats[unit] = {"key": stats_key, "lo": r["lo"], "hi": r["hi"]}
+    finally:
+        fs_delete(tx.spark, staging)
+    return tx.commit(
+        adds=adds,
+        removes=[],
+        schema_ddl=df.schema.simpleString(),
+        tag="s",
+        extra={"stats": stats},
+    )
+
+
 def _unit_stats(tx: TxLog) -> dict[str, dict]:
     stats: dict[str, dict] = {}
     for c in tx._list_commits():

@@ -3739,15 +3739,18 @@ def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from dmi_ingestor_spark.ingest.txlog import (
         TxLog,
+        append_partitioned_with_stats,
         append_with_stats,
         read_pruned,
     )
 
     tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-evolve-"))
+    # every unit write below filters this projection — cache it so the
+    # parquet scan + cents arithmetic run once, not per unit
     e = table(spark, sf_dir, "events").select(
         F.dayofmonth("ts").cast("long").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
+    ).cache()
     # epoch 1: week-grain layout
     for wk in range(5):
         lo, hi = 7 * wk + 1, min(7 * wk + 7, 30)
@@ -3755,12 +3758,14 @@ def lake_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
             tx, e.where(F.col("day").between(lo, hi)), f"w{wk + 1}", "day"
         )
     v_coarse = tx.latest_version()
-    # epoch 2: evolve the tail (days 15-30) to day-grain units
+    # epoch 2: evolve the tail (days 15-30) to day-grain units — ONE
+    # partitioned write + ONE multi-unit atomic commit with per-day
+    # stats (r5: replaces 16 sequential append_with_stats commits,
+    # 32 Spark jobs -> 2; the real-lakehouse multi-add-file shape)
     tx.remove_units(["data/w3", "data/w4", "data/w5"])
-    for d in range(15, 31):
-        append_with_stats(
-            tx, e.where(F.col("day") == d), f"d{d}", "day"
-        )
+    append_partitioned_with_stats(
+        tx, e.where(F.col("day").between(15, 30)), "day", "d"
+    )
     # pre-evolution snapshot still reads the ORIGINAL week layout
     assert {f.split("/data/")[1].split("/")[0]
             for f in tx.read(v_coarse).inputFiles()} == {

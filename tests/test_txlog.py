@@ -380,3 +380,37 @@ def test_deletion_vector_requires_live_unit(spark, sf_dir, tx):
         add_deletion_vector(
             tx, "data/nope", spark.createDataFrame([(0,)], "pos long"), "dvx"
         )
+
+
+def test_append_partitioned_with_stats_multi_unit_commit(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import (
+        append_partitioned_with_stats,
+        read_pruned,
+    )
+
+    e = table(spark, sf_dir, "events").select(
+        F.dayofmonth("ts").cast("long").alias("day"), "event_id"
+    )
+    sub = e.where(F.col("day").between(1, 4))
+    v0 = tx.latest_version()
+    v1 = append_partitioned_with_stats(tx, sub, "day", "day-")
+    # ONE commit, MANY flat units
+    assert v1 == v0 + 1
+    snap = tx.snapshot()
+    assert set(snap.add_units) == {f"data/day-{d}" for d in range(1, 5)}
+    # data roundtrips, partition column retained in the files
+    got = tx.read()
+    assert got.count() == sub.count()
+    assert set(got.columns) == {"day", "event_id"}
+    # per-unit stats recorded -> stats pruning opens only day-2 files
+    pruned = read_pruned(tx, 2, 2)
+    assert all("/data/day-2/" in f for f in pruned.inputFiles())
+    # staging dir cleaned up
+    import os
+
+    assert not [p for p in os.listdir(tx.root) if p.startswith(".staging-")]
+    # unit-name collision on a second partitioned append is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unit path exists"):
+        append_partitioned_with_stats(tx, sub, "day", "day-")
