@@ -96,3 +96,71 @@ def test_pipeline_ingests_grib2_payloads(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == values.size
     assert abs(got["s"] - float(values.sum())) < 1e-9
+
+
+@pytest.mark.parametrize(
+    "packing", ["complex", "complex_diff1", "complex_diff2"]
+)
+def test_grib2_complex_packing_roundtrip(packing):
+    times, ys, xs, values = _cube_arrays()
+    payload = encode_grib2_cube(
+        (0, 4), times, ys, xs, values, packing=packing
+    )
+    cube = parse_grib2_cube(payload)
+    np.testing.assert_allclose(cube["values"], values, atol=1e-9)
+    assert cube["times"] == times
+
+
+@pytest.mark.parametrize(
+    "packing", ["complex", "complex_diff1", "complex_diff2"]
+)
+def test_grib2_complex_edge_fields(packing):
+    times, ys, xs, _ = _cube_arrays()
+    nt, ny, nx = len(times), len(ys), len(xs)
+    # constant field (0-bit groups), descending field (negative gmin),
+    # and a noisy field spanning sign changes
+    rng = np.random.RandomState(11)
+    fields = [
+        np.full((nt, ny, nx), -7.25),
+        np.round(np.linspace(40, -40, nt * ny * nx).reshape(nt, ny, nx) * 8)
+        / 8,
+        np.round(rng.uniform(-20, 20, size=(nt, ny, nx)) * 8) / 8,
+    ]
+    for f in fields:
+        payload = encode_grib2_cube(
+            (0, 4), times, ys, xs, f, dec_scale=3, packing=packing
+        )
+        np.testing.assert_allclose(
+            parse_grib2_cube(payload)["values"], f, atol=1e-9
+        )
+
+
+def test_grib2_complex_packs_smooth_fields_smaller_than_simple():
+    times, ys, xs, _ = _cube_arrays(nt=2, ny=24, nx=32)
+    nt, ny, nx = 2, 24, 32
+    smooth = (
+        np.round(
+            np.fromfunction(
+                lambda t, j, i: 100 * np.sin(i / 8) + 40 * np.cos(j / 5) + t,
+                (nt, ny, nx),
+            )
+            * 8
+        )
+        / 8
+    )
+    simple = encode_grib2_cube(
+        (0, 4), times, ys, xs, smooth, nbits=21, dec_scale=3
+    )
+    diff2 = encode_grib2_cube(
+        (0, 4), times, ys, xs, smooth, dec_scale=3, packing="complex_diff2"
+    )
+    assert len(diff2) < len(simple)
+    np.testing.assert_allclose(
+        parse_grib2_cube(diff2)["values"], smooth, atol=1e-9
+    )
+
+
+def test_grib2_complex_rejects_unknown_packing():
+    times, ys, xs, values = _cube_arrays()
+    with pytest.raises(ValueError, match="unknown packing"):
+        encode_grib2_cube((0, 4), times, ys, xs, values, packing="png")
