@@ -4470,3 +4470,144 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_hash",
         est.cast("long").alias("kmv_estimate"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Binary-segmentation changepoint (exact between-segment argmax)
+# --------------------------------------------------------------------------
+
+_BSEG_S = 10**6  # mean-gap display scale
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle=f"""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY mnum
+    ),
+    t AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m
+    ),
+    c AS (
+      SELECT m.mnum,
+             ROW_NUMBER() OVER (ORDER BY m.mnum) AS k,
+             SUM(m.y) OVER (ORDER BY m.mnum ROWS UNBOUNDED PRECEDING) AS sl,
+             t.tot, t.n
+      FROM m CROSS JOIN t
+    ),
+    cand AS (
+      SELECT mnum, k,
+             CAST(k AS BIGINT) AS n_left,
+             CAST(n - k AS BIGINT) AS n_right,
+             CAST(sl * (n - k) - (tot - sl) * k AS BIGINT) AS a_num,
+             CAST(k * (n - k) AS BIGINT) AS den
+      FROM c WHERE k < n
+    ),
+    flagged AS (
+      SELECT a.mnum, a.n_left, a.n_right,
+             CAST(({_BSEG_S} * abs(a.a_num)) // a.den AS BIGINT)
+               AS mean_gap_scaled,
+             CAST(CASE WHEN MIN(CASE WHEN
+                 CAST(a.a_num AS HUGEINT) * a.a_num * b.den
+                   > CAST(b.a_num AS HUGEINT) * b.a_num * a.den
+                 OR (CAST(a.a_num AS HUGEINT) * a.a_num * b.den
+                     = CAST(b.a_num AS HUGEINT) * b.a_num * a.den
+                     AND a.k <= b.k)
+               THEN 1 ELSE 0 END) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+      FROM cand a CROSS JOIN cand b
+      GROUP BY a.mnum, a.n_left, a.n_right, a.a_num, a.den
+    )
+    SELECT mnum AS split_after_month, n_left, n_right, mean_gap_scaled,
+           is_best
+    FROM flagged ORDER BY split_after_month
+    """,
+    doc=(
+        "Binary-segmentation changepoint on the monthly order series — "
+        "the first split of the classic binseg/PELT family: choose the "
+        "boundary maximizing the between-segment term "
+        "n_l·n_r·(mean_l - mean_r)²/n, equivalently minimizing total "
+        "within-segment SSE. The gain ordering is decided EXACTLY: "
+        "gains are rationals A²/(n_l·n_r) with A = S_l·n_r - S_r·n_l, "
+        "so the argmax is found by cross-multiplied integer comparison "
+        "over all candidate pairs (DECIMAL(38,0)/HUGEINT products; "
+        "O(months²) pairs of a broadcast-tiny relation) — no float "
+        "enters the decision, unlike variance-based detectors that "
+        "tie-break on rounding. Complements CUSUM (level-shift "
+        "evidence) with the segmentation objective optimizers "
+        "actually use. 100 TB shape: facts touched once by the month "
+        "rollup; everything after runs on the O(months) summary."
+    ),
+    tags=("timeseries", "monitoring", "changepoint", "orders"),
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    t = m.agg(
+        F.sum("y").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("mnum").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("mnum")
+    c = m.crossJoin(F.broadcast(t)).select(
+        "mnum",
+        F.row_number().over(wr).alias("k"),
+        F.sum("y").over(w).alias("sl"),
+        "tot",
+        "n",
+    )
+    cand = c.filter(F.col("k") < F.col("n")).select(
+        "mnum",
+        "k",
+        F.col("k").cast("long").alias("n_left"),
+        (F.col("n") - F.col("k")).cast("long").alias("n_right"),
+        (
+            F.col("sl") * (F.col("n") - F.col("k"))
+            - (F.col("tot") - F.col("sl")) * F.col("k")
+        )
+        .cast("long")
+        .alias("a_num"),
+        (F.col("k") * (F.col("n") - F.col("k"))).cast("long").alias("den"),
+    )
+    a = cand.select(
+        F.col("mnum"),
+        F.col("k"),
+        F.col("n_left"),
+        F.col("n_right"),
+        F.col("a_num"),
+        F.col("den"),
+    )
+    b = cand.select(
+        F.col("k").alias("k_b"),
+        F.col("a_num").alias("a_num_b"),
+        F.col("den").alias("den_b"),
+    )
+    ga = F.expr("CAST(a_num AS DECIMAL(38,0)) * a_num * den_b")
+    gb = F.expr("CAST(a_num_b AS DECIMAL(38,0)) * a_num_b * den")
+    beats = (ga > gb) | ((ga == gb) & (F.col("k") <= F.col("k_b")))
+    flagged = (
+        a.join(F.broadcast(b))
+        .groupBy("mnum", "n_left", "n_right", "a_num", "den")
+        .agg(
+            F.min(beats.cast("int")).alias("all_beat"),
+        )
+        .select(
+            F.col("mnum").alias("split_after_month"),
+            "n_left",
+            "n_right",
+            F.expr(f"({_BSEG_S} * abs(a_num)) div den")
+            .cast("long")
+            .alias("mean_gap_scaled"),
+            (F.col("all_beat") == 1).cast("long").alias("is_best"),
+        )
+    )
+    return flagged.orderBy("split_after_month")

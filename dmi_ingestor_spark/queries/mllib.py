@@ -4045,3 +4045,201 @@ def ml_gbdt_second_order_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_bin")
     )
+
+
+# --------------------------------------------------------------------------
+# Bagged decision stumps (random-forest round with deterministic bootstrap)
+# --------------------------------------------------------------------------
+
+_RF_B = 5  # bags
+
+
+@register(
+    "ml_random_forest_stumps",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT p_partkey, p_size,
+             CASE WHEN p_retailprice > 950 THEN 1 ELSE 0 END AS y
+      FROM part
+    ),
+    fanned AS (
+      SELECT b.b, l.p_size, l.y,
+             CAST('0x' || substr(md5(CAST(l.p_partkey AS VARCHAR)
+                                     || '-' || CAST(b.b AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS u
+      FROM labeled l CROSS JOIN UNNEST(generate_series(1, {_RF_B})) AS b(b)
+    ),
+    per_size AS (
+      SELECT b, p_size,
+             SUM({_boot_weight_sql("u")}) AS n,
+             SUM(({_boot_weight_sql("u")}) * y) AS pos
+      FROM fanned GROUP BY b, p_size
+    ),
+    tot AS (
+      SELECT b, SUM(n) AS n_all, SUM(pos) AS pos_all FROM per_size GROUP BY b
+    ),
+    cum AS (
+      SELECT b, p_size,
+             SUM(n) OVER (PARTITION BY b ORDER BY p_size) AS ln,
+             SUM(pos) OVER (PARTITION BY b ORDER BY p_size) AS lpos
+      FROM per_size
+    ),
+    scored AS (
+      SELECT c.b, c.p_size AS threshold,
+             CAST(c.ln AS BIGINT) AS w_left,
+             CAST(
+               (CASE WHEN c.ln = 0 THEN 0
+                     ELSE c.ln * ((CAST(2 AS HUGEINT) * c.lpos
+                                   * (c.ln - c.lpos) * {_GINI_SCALE})
+                                  // (c.ln * c.ln)) END
+                + (t.n_all - c.ln) *
+                  CASE WHEN t.n_all - c.ln = 0 THEN 0
+                       ELSE (CAST(2 AS HUGEINT) * (t.pos_all - c.lpos)
+                             * ((t.n_all - c.ln) - (t.pos_all - c.lpos))
+                             * {_GINI_SCALE})
+                            // ((t.n_all - c.ln) * (t.n_all - c.ln)) END
+               ) // t.n_all AS BIGINT) AS gini_scaled
+      FROM cum c JOIN tot t ON c.b = t.b
+      WHERE c.ln < t.n_all
+    ),
+    best AS (
+      SELECT b, threshold, w_left, gini_scaled,
+             ROW_NUMBER() OVER (PARTITION BY b
+                                ORDER BY gini_scaled, threshold) AS rk
+      FROM scored
+    ),
+    winners AS (
+      SELECT b, threshold, w_left, gini_scaled FROM best WHERE rk = 1
+    ),
+    modal AS (
+      SELECT threshold FROM (
+        SELECT threshold, COUNT(*) AS votes FROM winners GROUP BY threshold
+      ) ORDER BY votes DESC, threshold LIMIT 1
+    )
+    SELECT w.b AS bag, w.threshold AS best_threshold, w.w_left,
+           w.gini_scaled,
+           CAST(CASE WHEN w.threshold = m.threshold THEN 1 ELSE 0 END
+                AS BIGINT) AS is_modal
+    FROM winners w CROSS JOIN modal m
+    ORDER BY bag
+    """,
+    doc=(
+        f"A random-forest training round as relations: {_RF_B} bagged "
+        "decision stumps, each trained on a DETERMINISTIC Poisson "
+        "bootstrap (per-(row,bag) md5 hash -> Poisson(1) weight via "
+        "inverse CDF — the same reproducible resample as "
+        "ml_poisson_bootstrap_ci, so the whole ensemble is "
+        "hash-checkable), each finding its exact best split by the "
+        "weighted-Gini cumulative sweep of ml_decision_stump_exact, "
+        "then the forest's modal split marked with a deterministic "
+        "tie-break. Per-bag windows PARTITION BY bag (parallel, no "
+        "global funnel); the fan-out is a narrow explode (x5 rows, "
+        "no shuffle) feeding one grouped aggregate, so facts are "
+        "touched once. This is the bagging shape (Breiman): at 100 TB "
+        "the per-bag summaries are O(bags x feature values) and "
+        "everything downstream of the one fact-scale aggregate is "
+        "broadcast-tiny."
+    ),
+    tags=("mllib", "training-pipeline", "ensemble", "part"),
+)
+def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    labeled = p.select(
+        "p_partkey",
+        "p_size",
+        (F.col("p_retailprice") > 950).cast("long").alias("y"),
+    )
+    bcol = F.explode(
+        F.array(*[F.lit(b) for b in range(1, _RF_B + 1)])
+    ).alias("b")
+    fanned = labeled.select("p_partkey", "p_size", "y", bcol)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("p_partkey").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    wgt = F.coalesce(
+        *[F.when(u < t, F.lit(k)) for k, t in enumerate(_POIS_CUM_MICRO)],
+        F.lit(5),
+    )
+    per_size = fanned.groupBy("b", "p_size").agg(
+        F.sum(wgt).alias("n"), F.sum(wgt * F.col("y")).alias("pos")
+    )
+    tot = per_size.groupBy("b").agg(
+        F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all")
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("p_size")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_size.select(
+        "b",
+        "p_size",
+        F.sum("n").over(w).alias("ln"),
+        F.sum("pos").over(w).alias("lpos"),
+    )
+    scored = (
+        cum.join(F.broadcast(tot), "b")
+        .filter(F.col("ln") < F.col("n_all"))
+        .select(
+            "b",
+            F.col("p_size").alias("threshold"),
+            F.col("ln").cast("long").alias("w_left"),
+            F.expr(
+                f"""CAST(
+                  (CASE WHEN ln = 0 THEN 0
+                        ELSE ln * ((CAST(2 AS DECIMAL(38,0)) * lpos
+                                    * (ln - lpos) * {_GINI_SCALE})
+                                   div (ln * ln)) END
+                   + (n_all - ln) *
+                     CASE WHEN n_all - ln = 0 THEN 0
+                          ELSE (CAST(2 AS DECIMAL(38,0)) * (pos_all - lpos)
+                                * ((n_all - ln) - (pos_all - lpos))
+                                * {_GINI_SCALE})
+                               div ((n_all - ln) * (n_all - ln)) END
+                  ) div n_all AS BIGINT)"""
+            ).alias("gini_scaled"),
+        )
+    )
+    wr = Window.partitionBy("b").orderBy("gini_scaled", "threshold")
+    winners = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    modal = (
+        winners.groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .orderBy(F.col("votes").desc(), "threshold")
+        .limit(1)
+        .select(F.col("threshold").alias("modal_threshold"))
+    )
+    return (
+        winners.crossJoin(F.broadcast(modal))
+        .select(
+            F.col("b").alias("bag"),
+            F.col("threshold").alias("best_threshold"),
+            "w_left",
+            "gini_scaled",
+            (F.col("threshold") == F.col("modal_threshold"))
+            .cast("long")
+            .alias("is_modal"),
+        )
+        .orderBy("bag")
+    )

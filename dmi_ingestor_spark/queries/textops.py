@@ -2111,3 +2111,67 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta.alias("beta"),
         ((F.col("sy") - beta * F.col("sx")) / n_d).alias("ln_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Set-containment search (query-terms retrieval primitive)
+# --------------------------------------------------------------------------
+
+_CONT_QUERY = ("spark", "table", "join", "window", "agg", "scan", "merge", "batch")
+_CONT_TOPK = 20
+
+
+@register(
+    "text_containment_search",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_intersect(
+               list_distinct(string_split(text, ' ')),
+               [{", ".join(f"'{t}'" for t in _CONT_QUERY)}]
+             )) AS n_hit
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST((1000 * n_hit) // {len(_CONT_QUERY)} AS BIGINT)
+             AS containment_permille
+    FROM scored
+    ORDER BY n_hit DESC, doc_id
+    LIMIT {_CONT_TOPK}
+    """,
+    doc=(
+        "Set-containment retrieval: score every document by Jaccard "
+        f"CONTAINMENT of a {len(_CONT_QUERY)}-term query set "
+        "(|Q ∩ tokens(D)| / |Q| — the asymmetric measure search and "
+        "dedup-probe systems use when the query is much smaller than "
+        "the document), then top-k. The query set is a plan-time "
+        "literal array, so scoring is one codegen'd array_intersect "
+        "per row — ZERO shuffles before the top-k "
+        "(TakeOrderedAndProject); the corpus is touched once and "
+        "never moves. The integer permille makes ranking bit-exact. "
+        "At 100 TB this is the map-side filter stage in front of any "
+        "heavier ranker (BM25 here lives in text_bm25_scoring)."
+    ),
+    tags=("text", "search", "similarity"),
+)
+def text_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = F.array(*[F.lit(t) for t in _CONT_QUERY])
+    n_hit = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.col("text"), " ")), q)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_hit.cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_hit",
+            F.expr(f"(1000 * n_hit) div {len(_CONT_QUERY)}").alias(
+                "containment_permille"
+            ),
+        )
+        .orderBy(F.col("n_hit").desc(), "doc_id")
+        .limit(_CONT_TOPK)
+    )
