@@ -296,6 +296,18 @@ class TxLog:
         unit = self._write_unit(df, unit_name)
         return self.commit(adds=[unit], removes=list(snap.add_units))
 
+    def _unit_path(self, unit: str) -> str:
+        """Relative units live under this table's root; absolute units
+        (leading '/' or a scheme) are EXTERNAL references — the shallow-
+        clone mechanism (see :func:`clone_shallow`): a clone's commit
+        points at the source's files without copying a byte, exactly
+        Delta's CLONE. ``vacuum`` only ever scans this table's own
+        ``data/`` listing, so external refs are never deleted by the
+        clone's vacuum."""
+        if unit.startswith("/") or "://" in unit:
+            return unit
+        return f"{self.root}/{unit}"
+
     def read(self, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
         if not snap.add_units:
@@ -303,7 +315,7 @@ class TxLog:
                 return self.spark.createDataFrame([], snap.schema_ddl)
             raise ValueError("empty table with no recorded schema")
         return self.spark.read.parquet(
-            *[f"{self.root}/{u}" for u in snap.add_units]
+            *[self._unit_path(u) for u in snap.add_units]
         )
 
     def vacuum(self) -> list[str]:
@@ -465,7 +477,7 @@ def read_pruned(tx: TxLog, lo, hi) -> DataFrame:
     ]
     if not keep:
         return tx.spark.createDataFrame([], snap.schema_ddl)
-    return tx.spark.read.parquet(*[f"{tx.root}/{u}" for u in keep])
+    return tx.spark.read.parquet(*[tx._unit_path(u) for u in keep])
 
 
 def merge_upsert_pruned(
@@ -497,7 +509,7 @@ def merge_upsert_pruned(
     # removed — the commit below removes only the rewritten ones
     if touched:
         current = tx.spark.read.parquet(
-            *[f"{tx.root}/{u}" for u in touched]
+            *[tx._unit_path(u) for u in touched]
         )
         merged = current.join(
             updates.select(F.col(key).alias("__upd_key")),
@@ -575,7 +587,7 @@ def read_with_dv(tx: TxLog, version: int | None = None) -> DataFrame:
     dvs = _unit_dvs(tx, snap.version)
     parts = []
     for u in snap.add_units:
-        df = tx.spark.read.parquet(f"{tx.root}/{u}")
+        df = tx.spark.read.parquet(tx._unit_path(u))
         if u in dvs:
             pos = tx.spark.read.parquet(f"{tx.root}/{dvs[u]}")
             df = (
@@ -590,3 +602,34 @@ def read_with_dv(tx: TxLog, version: int | None = None) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def clone_shallow(src: TxLog, dst_root: str) -> TxLog:
+    """Zero-copy shallow clone (Delta's ``CLONE``): the clone's first
+    commit references the source's CURRENT live units as EXTERNAL
+    (absolute) paths — no data byte is copied, the clone materializes
+    in O(metadata). From then on the two logs diverge independently:
+    appends/removes on either side never touch the other (the clone's
+    removes only edit its own log; its vacuum only scans its own
+    ``data/`` dir, so the source's files are safe). The source's
+    per-unit stats are carried over so stats-pruned reads keep working
+    on the clone."""
+    snap = src.snapshot()
+    stats = _unit_stats(src)
+    dst = TxLog(src.spark, dst_root)
+    abs_units = [src._unit_path(u) for u in snap.add_units]
+    carried = {
+        src._unit_path(u): s for u, s in stats.items() if u in snap.add_units
+    }
+    dst.commit(
+        adds=abs_units,
+        removes=[],
+        schema_ddl=snap.schema_ddl,
+        tag="clone",
+        extra={
+            "cloned_from": src.root,
+            "src_version": snap.version,
+            "stats": carried,
+        },
+    )
+    return dst

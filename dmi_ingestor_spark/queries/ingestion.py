@@ -1292,3 +1292,88 @@ def ingest_grib2_packing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "packing string, n_timesteps long, n_cells long, value_sum long, "
         "value_min long, value_max long",
     ).orderBy("packing")
+
+
+@register(
+    "ingest_zip_members_csv",
+    oracle="""
+    SELECT 'nation-r' || CAST(n_regionkey AS VARCHAR) || '.csv' AS member,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(length(n_name)) AS BIGINT) AS name_bytes
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY member
+    """,
+    doc=(
+        "Archive ingestion: a ZIP archive (stdlib zipfile, STORED "
+        "entries for byte determinism) whose members are per-region "
+        "CSV extracts of nation, decoded DISTRIBUTED — the binary "
+        "payload rides a DataFrame column into mapInPandas, each "
+        "batch opens its archives with zipfile+io.BytesIO and parses "
+        "members to audited per-member rows. This is the wire shape "
+        "of most public data dumps (Common Crawl segments, Kaggle "
+        "exports, statistical-office bulk files): archives as rows, "
+        "members as the partitioning grain, so a 100 TB dump spread "
+        "over N archives decodes with N-way parallelism and no "
+        "driver-side extraction. The oracle rebuilds the member "
+        "stats relationally from nation; hash-green rows prove the "
+        "render->zip->distributed-unzip->parse loop is lossless."
+    ),
+    tags=("ingest", "source", "archive"),
+)
+def ingest_zip_members_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from dmi_ingestor_spark.catalog import table
+
+    n = (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    by_region: dict[int, list] = {}
+    for r in n:
+        by_region.setdefault(int(r["n_regionkey"]), []).append(r)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for rk in sorted(by_region):
+            lines = ["n_nationkey,n_name,n_regionkey"] + [
+                f"{r['n_nationkey']},{r['n_name']},{r['n_regionkey']}"
+                for r in by_region[rk]
+            ]
+            zf.writestr(f"nation-r{rk}.csv", "\n".join(lines) + "\n")
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [("dump-0001.zip", payload)], "archive string, payload binary"
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(bytes(rec["payload"]))) as zf:
+                    for name in zf.namelist():
+                        body = zf.read(name).decode("utf-8")
+                        data_lines = body.strip().split("\n")[1:]
+                        keysum = namebytes = 0
+                        for ln in data_lines:
+                            k, nm, _rk = ln.split(",")
+                            keysum += int(k)
+                            namebytes += len(nm)
+                        rows.append(
+                            (name, len(data_lines), keysum, namebytes)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["member", "n_rows", "key_checksum", "name_bytes"],
+            )
+
+    return df.mapInPandas(
+        _decode,
+        "member string, n_rows long, key_checksum long, name_bytes long",
+    ).orderBy("member")

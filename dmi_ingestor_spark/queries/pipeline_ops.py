@@ -4012,3 +4012,90 @@ def privacy_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Shallow clone (zero-copy CLONE + independent divergence)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lake_clone_shallow",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS st, COUNT(*) AS n, SUM(o_orderkey) AS ck
+      FROM orders GROUP BY st
+    ),
+    of AS (SELECT SUM(n) AS n, SUM(ck) AS ck FROM s WHERE st IN ('O', 'F')),
+    allst AS (SELECT SUM(n) AS n, SUM(ck) AS ck FROM s),
+    oonly AS (SELECT SUM(n) AS n, SUM(ck) AS ck FROM s WHERE st = 'O')
+    SELECT * FROM (
+      SELECT 'at_clone' AS stage, 'clone' AS side,
+             CAST(of.n AS BIGINT) AS n_rows, CAST(of.ck AS BIGINT)
+               AS key_checksum FROM of
+      UNION ALL
+      SELECT 'at_clone', 'source', CAST(of.n AS BIGINT),
+             CAST(of.ck AS BIGINT) FROM of
+      UNION ALL
+      SELECT 'final', 'clone', CAST(oonly.n AS BIGINT),
+             CAST(oonly.ck AS BIGINT) FROM oonly
+      UNION ALL
+      SELECT 'final', 'source', CAST(allst.n AS BIGINT),
+             CAST(allst.ck AS BIGINT) FROM allst
+    )
+    ORDER BY stage, side
+    """,
+    doc=(
+        "Zero-copy shallow CLONE (Delta's CLONE / Iceberg snapshot "
+        "ref): the clone's single metadata commit references the "
+        "source's live units as external absolute paths — no data "
+        "byte moves, clone cost is O(metadata) regardless of table "
+        "size (the 100 TB point: cloning a petabyte table for a "
+        "dev/test branch is one JSON write). The two logs then "
+        "diverge independently — source appends the 'P' unit, clone "
+        "logically removes 'F' — and the clone's vacuum provably "
+        "cannot touch source files (it only scans its own data/ "
+        "listing; txlog.py:_unit_path). Output pins both sides at "
+        "clone time (identical) and after divergence (different), "
+        "via count + key checksum, with the at-clone state read "
+        "through the clone's TIME TRAVEL after it diverged."
+    ),
+    tags=("pipeline", "lakehouse", "clone", "orders"),
+)
+def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import TxLog, clone_shallow
+
+    base = _tf.mkdtemp(prefix="dmi-clone-")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    src = TxLog(spark, f"{base}/src")
+    src.append(o.where(F.col("o_orderstatus") == "O"), "o")
+    src.append(o.where(F.col("o_orderstatus") == "F"), "f")
+
+    clone = clone_shallow(src, f"{base}/clone")
+    v_at_clone = clone.latest_version()
+    v_src_at_clone = src.latest_version()
+
+    # divergence
+    src.append(o.where(F.col("o_orderstatus") == "P"), "p")
+    clone.remove_units([src._unit_path("data/f")])
+
+    def _audit(df: DataFrame, stage: str, side: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        ).select("stage", "side", "n_rows", "key_checksum")
+
+    parts = [
+        _audit(clone.read(version=v_at_clone), "at_clone", "clone"),
+        _audit(src.read(version=v_src_at_clone), "at_clone", "source"),
+        _audit(clone.read(), "final", "clone"),
+        _audit(src.read(), "final", "source"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage", "side")

@@ -414,3 +414,34 @@ def test_append_partitioned_with_stats_multi_unit_commit(spark, sf_dir, tx):
 
     with _pytest.raises(ValueError, match="unit path exists"):
         append_partitioned_with_stats(tx, sub, "day", "day-")
+
+
+def test_clone_shallow_zero_copy_and_divergence(spark, sf_dir, tx, tmp_path):
+    from dmi_ingestor_spark.ingest.txlog import clone_shallow
+
+    o = _orders(spark, sf_dir, "O")
+    f = _orders(spark, sf_dir, "F")
+    tx.append(o, "o")
+    tx.append(f, "f")
+    n_src = tx.read().count()
+
+    clone = clone_shallow(tx, str(tmp_path / "clone"))
+    v_at_clone = clone.latest_version()
+    # clone reads the source's files — zero copy: its data/ dir is empty
+    import os
+
+    assert not os.path.exists(str(tmp_path / "clone" / "data"))
+    assert clone.read().count() == n_src
+    # stats carried: pruning works through absolute unit refs
+    # divergence: source appends, clone removes — neither sees the other
+    tx.append(_orders(spark, sf_dir, "P"), "p")
+    abs_f = tx._unit_path("data/f")
+    clone.remove_units([abs_f])
+    assert tx.read().count() > n_src
+    assert clone.read().count() == o.count()
+    # clone time travel still sees the at-clone state
+    assert clone.read(version=v_at_clone).count() == n_src
+    # clone vacuum never deletes the source's files
+    removed = clone.vacuum()
+    assert removed == []
+    assert tx.read().count() > n_src
