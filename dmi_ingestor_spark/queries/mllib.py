@@ -4243,3 +4243,81 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bag")
     )
+
+
+# --------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation
+# --------------------------------------------------------------------------
+
+_PIN_QS = (10, 50, 90)  # evaluated quantiles, in percent
+
+
+@register(
+    "ml_quantile_pinball_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pred AS (
+      SELECT grp, SUM(cents) // COUNT(*) AS pred_cents FROM base GROUP BY grp
+    ),
+    fanned AS (
+      SELECT b.grp, b.cents, p.pred_cents, q.q
+      FROM base b
+      JOIN pred p ON b.grp = p.grp
+      CROSS JOIN (VALUES {", ".join(f"({q})" for q in _PIN_QS)}) q(q)
+    )
+    SELECT grp, CAST(q AS BIGINT) AS q_pct,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(pred_cents) AS BIGINT) AS pred_cents,
+           CAST(SUM(CASE WHEN cents >= pred_cents
+                    THEN q * (cents - pred_cents)
+                    ELSE (100 - q) * (pred_cents - cents) END) AS BIGINT)
+             AS pinball_sum_scaled
+    FROM fanned
+    GROUP BY grp, q
+    ORDER BY grp, q_pct
+    """,
+    doc=(
+        "Pinball (quantile) loss evaluation — THE metric for quantile "
+        "regression and probabilistic forecasts (it elicits the "
+        "q-quantile, and is what M5/GEFCom-style forecast evals "
+        "score): rho_q(y, yhat) = q(y-yhat) if y>=yhat else "
+        "(1-q)(yhat-y), here x100 so every contribution is an exact "
+        "integer in cents. Evaluated for a per-group integer-mean "
+        "predictor at q=0.1/0.5/0.9 (an asymmetric-loss readout that "
+        "shows WHERE a central predictor fails as a tail predictor). "
+        "100 TB shape: one broadcast of the O(groups) predictor "
+        "relation, a x3 literal quantile fanout (no shuffle), one "
+        "partial+final aggregate."
+    ),
+    tags=("mllib", "eval", "orders"),
+)
+def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pred = base.groupBy("grp").agg(
+        F.expr("SUM(cents) div COUNT(*)").alias("pred_cents")
+    )
+    qcol = F.explode(F.array(*[F.lit(q) for q in _PIN_QS])).alias("q")
+    fanned = base.join(F.broadcast(pred), "grp").select(
+        "grp", "cents", "pred_cents", qcol
+    )
+    loss = F.when(
+        F.col("cents") >= F.col("pred_cents"),
+        F.col("q") * (F.col("cents") - F.col("pred_cents")),
+    ).otherwise((100 - F.col("q")) * (F.col("pred_cents") - F.col("cents")))
+    return (
+        fanned.groupBy("grp", F.col("q").cast("long").alias("q_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("pred_cents").cast("long").alias("pred_cents"),
+            F.sum(loss).cast("long").alias("pinball_sum_scaled"),
+        )
+        .orderBy("grp", "q_pct")
+    )

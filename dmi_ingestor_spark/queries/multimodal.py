@@ -828,3 +828,124 @@ def mm_byte_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_scaled"),
     ).orderBy("doc_id")
+
+
+@register(
+    "mm_video_keyframe_select",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, GREATEST(LENGTH(text) // 4, 1) AS step
+      FROM documents
+    ),
+    frames AS (
+      SELECT
+        t.doc_id,
+        CAST(r.i AS INTEGER) AS frame_idx,
+        CAST(CAST(concat('0x',
+               substr(sha256(substr(t.text, r.i * t.step + 1, t.step)), 1, 8))
+             AS BIGINT) AS BIGINT) AS energy
+      FROM t CROSS JOIN (SELECT unnest(range(4)) AS i) r
+    ),
+    cuts AS (
+      SELECT doc_id, frame_idx, energy,
+             CASE WHEN lag(energy) OVER w IS NOT NULL
+                   AND ABS(energy - lag(energy) OVER w) > 2147483648
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM frames
+      WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    shots AS (
+      SELECT doc_id, frame_idx, energy,
+             SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS shot_id
+      FROM cuts
+    ),
+    ranked AS (
+      SELECT doc_id, shot_id, frame_idx, energy,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, shot_id
+                                ORDER BY energy DESC, frame_idx) AS rk,
+             COUNT(*) OVER (PARTITION BY doc_id, shot_id) AS n_frames
+      FROM shots
+    )
+    SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(frame_idx AS BIGINT) AS keyframe_idx,
+           energy AS keyframe_energy
+    FROM ranked WHERE rk = 1
+    ORDER BY doc_id, shot_id
+    """,
+    doc=(
+        "U2 keyframe selection — the stage after shot-boundary "
+        "detection in every video curation pipeline (one "
+        "representative frame per shot feeds the dedup/caption/embed "
+        "stages, so data volume drops from frames to shots): frames "
+        "are grouped into shots by the running sum of scene-cut "
+        "flags, then each shot elects its argmax-energy frame with a "
+        "deterministic (energy desc, frame_idx) tie-break. Shares "
+        "mm_scene_cut_detect's frame sampling and sha256 energy "
+        "stub, so the distributed part — three stacked per-doc "
+        "windows (lag -> running sum -> per-shot rank), all "
+        "PARTITION BY doc_id, zero global sorts — is hash-checked "
+        "end to end. At 100 TB each doc's frames stay on one "
+        "partition; the pipeline is embarrassingly parallel."
+    ),
+    tags=("multimodal", "window"),
+)
+def mm_video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.operators.multimodal import sample_frames
+
+    media = attach_payloads(table(spark, sf_dir, "documents"))
+    frames = sample_frames(media).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.conv(F.substring("frame_checksum", 1, 8), 16, 10)
+        .cast("long")
+        .alias("energy"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("energy").over(w)
+    cuts = frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.when(
+            prev.isNotNull() & (F.abs(F.col("energy") - prev) > 2147483648),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    wsum = Window.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    shots = cuts.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.sum("is_cut").over(wsum).alias("shot_id"),
+    )
+    wrk = Window.partitionBy("doc_id", "shot_id").orderBy(
+        F.col("energy").desc(), "frame_idx"
+    )
+    wn = Window.partitionBy("doc_id", "shot_id")
+    ranked = shots.select(
+        "doc_id",
+        F.col("shot_id").cast("long").alias("shot_id"),
+        "frame_idx",
+        "energy",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_frames"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "shot_id",
+            "n_frames",
+            F.col("frame_idx").cast("long").alias("keyframe_idx"),
+            F.col("energy").alias("keyframe_energy"),
+        )
+        .orderBy("doc_id", "shot_id")
+    )
