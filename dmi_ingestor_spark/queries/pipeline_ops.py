@@ -4099,3 +4099,142 @@ def lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("stage", "side")
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance of a JOIN view (delta-join algebra)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lake_ivm_join_view",
+    oracle="""
+    WITH a_new AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey % 7 = 0
+         OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0)
+    ),
+    b_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN (c_nationkey + 1) % 25 ELSE c_nationkey END
+               AS c_nationkey
+      FROM customer
+    )
+    SELECT b.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(a.o_orderkey) AS BIGINT) AS key_checksum
+    FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey
+    GROUP BY b.c_nationkey
+    ORDER BY nationkey
+    """,
+    doc=(
+        "Incremental maintenance of a JOIN view — the delta-join "
+        "algebra (Blakeley/Larson/Tompa; what every streaming "
+        "materialized-view engine implements): for V = gamma(A join "
+        "B), the update is dV = dA join B_old + A_new join dB with "
+        "SIGNED multiplicities (delete = -1, update = its -/+ pair), "
+        "merged into the stored O(groups) view state; groups whose "
+        "maintained count hits zero are dropped. Here A (orders) "
+        "takes inserts and deletes, B (customer) takes nation "
+        "reassignments (a -/+ pair through the join), and the "
+        "maintained view is returned — the oracle recomputes from "
+        "the final base states, so hash-green proves maintained == "
+        "recomputed through BOTH delta paths. 100 TB shape: dA join "
+        "B is delta-sized with the dim broadcast; A_new join dB "
+        "prunes A to the changed keys by a broadcast semi-probe "
+        "before joining; the base tables are never re-aggregated."
+    ),
+    tags=("pipeline", "lakehouse", "ivm", "orders"),
+)
+def lake_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    is_ins_a = F.col("o_orderkey") % 7 == 0
+    is_del_a = (F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 11 == 0)
+    a_old = o.filter(~is_ins_a)
+    a_new = o.filter(is_ins_a | ~is_del_a)
+    da = (
+        o.filter(is_ins_a)
+        .withColumn("sign", F.lit(1))
+        .unionAll(o.filter(is_del_a).withColumn("sign", F.lit(-1)))
+    )
+
+    moved = F.col("c_custkey") % 13 == 0
+    b_old = c
+    b_new = c.select(
+        "c_custkey",
+        F.when(moved, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    db = (
+        c.filter(moved)
+        .select("c_custkey", "c_nationkey")
+        .withColumn("sign_b", F.lit(-1))
+        .unionAll(
+            c.filter(moved)
+            .select("c_custkey", ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"))
+            .withColumn("sign_b", F.lit(1))
+        )
+    )
+
+    def _view(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(F.broadcast(b), a.o_custkey == b.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            )
+        )
+
+    v_old = _view(a_old, b_old)
+
+    # dV term 1: dA join B_old (delta-sized; dim broadcast)
+    t1 = (
+        da.join(F.broadcast(b_old), da.o_custkey == b_old.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("o_orderkey")).alias("dsum"),
+        )
+    )
+    # dV term 2: A_new join dB — A pruned to changed keys by a
+    # broadcast semi-probe first, so the fact side moves O(affected)
+    a_touch = a_new.join(
+        F.broadcast(db.select("c_custkey").distinct()),
+        a_new.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    t2 = (
+        a_touch.join(F.broadcast(db), a_touch.o_custkey == db.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum("sign_b").alias("dn"),
+            F.sum(F.col("sign_b") * F.col("o_orderkey")).alias("dsum"),
+        )
+    )
+    dv = (
+        t1.unionAll(t2)
+        .groupBy("nationkey")
+        .agg(F.sum("dn").alias("dn"), F.sum("dsum").alias("dsum"))
+    )
+    maintained = (
+        v_old.join(dv, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+            (
+                F.coalesce("key_checksum", F.lit(0))
+                + F.coalesce("dsum", F.lit(0))
+            )
+            .cast("long")
+            .alias("key_checksum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return maintained.orderBy("nationkey")

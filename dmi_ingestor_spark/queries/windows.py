@@ -3051,3 +3051,104 @@ def analytics_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Uplift evaluation (two-model difference by segment)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_uplift_eval",
+    oracle="""
+    WITH assigned AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2 AS treated
+      FROM customer c
+    ),
+    outcome AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+      SELECT a.c_mktsegment AS segment, a.treated,
+             COALESCE(o.y, 0) AS y
+      FROM assigned a LEFT JOIN outcome o ON a.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_treated,
+           CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+             AS conv_treated,
+           CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+             AS conv_control,
+           CAST((1000 * SUM(CASE WHEN treated = 1 THEN y ELSE 0 END))
+                // SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                - (1000 * SUM(CASE WHEN treated = 0 THEN y ELSE 0 END))
+                // SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS uplift_permille
+    FROM joined
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    doc=(
+        "Uplift (incrementality) readout — the two-model difference "
+        "T-learner evaluation every growth/experimentation stack "
+        "runs: customers assigned to treatment/control by a "
+        "DETERMINISTIC md5 hash (reproducible randomization, the "
+        "same device as the splits family), binary outcome = placed "
+        "an urgent order, and per-segment uplift = treated rate "
+        "minus control rate in exact integer permille (floor-div on "
+        "non-negative counts, so Spark div == DuckDB //). The "
+        "customer-grain outcome collapse keeps the join "
+        "customer-sized; one partial+final aggregate per side. At "
+        "100 TB: outcome rollup touches facts once; everything else "
+        "is segment-grain."
+    ),
+    tags=("analytics", "experimentation", "customer", "orders"),
+)
+def analytics_uplift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    treated = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    assigned = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"), treated.alias("treated")
+    )
+    outcome = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("long")).alias("y")
+    )
+    joined = assigned.join(
+        outcome, assigned.c_custkey == outcome.o_custkey, "left"
+    ).select("segment", "treated", F.coalesce("y", F.lit(0)).alias("y"))
+    t1 = (F.col("treated") == 1).cast("long")
+    t0 = (F.col("treated") == 0).cast("long")
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.sum(t1).cast("long").alias("n_treated"),
+            F.sum(t1 * F.col("y")).cast("long").alias("conv_treated"),
+            F.sum(t0).cast("long").alias("n_control"),
+            F.sum(t0 * F.col("y")).cast("long").alias("conv_control"),
+        )
+        .select(
+            "segment",
+            "n_treated",
+            "conv_treated",
+            "n_control",
+            "conv_control",
+            F.expr(
+                "CAST((1000 * conv_treated) div n_treated"
+                " - (1000 * conv_control) div n_control AS BIGINT)"
+            ).alias("uplift_permille"),
+        )
+        .orderBy("segment")
+    )
