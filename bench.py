@@ -69,6 +69,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "graph_apsp_minplus",
     "ts_matrix_profile_ssd",
     "join_edit_distance_blocked",
+    # round-5 session additions: the two production LLM-dedup shapes
+    "dedup_exact_span_ngram",
+    "dedup_incremental_delta_probe",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers

@@ -2175,3 +2175,273 @@ def text_containment_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_hit").desc(), "doc_id")
         .limit(_CONT_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-match / token-F1 generation eval (the SQuAD-style reader metric)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_llm_eval_em_f1",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, doc_id % 3 AS bucket,
+             list_slice(string_split(text, ' '), 1, 8) AS ref_toks
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    pairs AS (
+      SELECT doc_id, bucket, ref_toks,
+             CASE bucket
+               WHEN 0 THEN ref_toks
+               WHEN 1 THEN list_reverse(ref_toks)
+               ELSE list_slice(ref_toks, 1, 4)
+             END AS pred_toks
+      FROM base
+    ),
+    ref_c AS (
+      SELECT doc_id, tok, COUNT(*) AS c_ref
+      FROM (SELECT doc_id, unnest(ref_toks) AS tok FROM pairs)
+      GROUP BY doc_id, tok
+    ),
+    pred_c AS (
+      SELECT doc_id, tok, COUNT(*) AS c_pred
+      FROM (SELECT doc_id, unnest(pred_toks) AS tok FROM pairs)
+      GROUP BY doc_id, tok
+    ),
+    overlap AS (
+      SELECT r.doc_id, SUM(LEAST(r.c_ref, p.c_pred)) AS n_common
+      FROM ref_c r JOIN pred_c p
+        ON r.doc_id = p.doc_id AND r.tok = p.tok
+      GROUP BY r.doc_id
+    ),
+    scored AS (
+      SELECT q.doc_id, q.bucket,
+             CASE WHEN array_to_string(q.pred_toks, ' ')
+                     = array_to_string(q.ref_toks, ' ')
+                  THEN 1 ELSE 0 END AS em,
+             (2000 * COALESCE(o.n_common, 0))
+               // (len(q.pred_toks) + len(q.ref_toks)) AS f1_permille
+      FROM pairs q LEFT JOIN overlap o ON q.doc_id = o.doc_id
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((1000 * SUM(em)) // COUNT(*) AS BIGINT) AS em_permille,
+           CAST(SUM(f1_permille) // COUNT(*) AS BIGINT)
+             AS mean_f1_permille
+    FROM scored
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc=(
+        "Generation eval — exact match + token-level F1, the "
+        "SQuAD/DROP reader metric every LLM eval harness computes: "
+        "F1 from the token MULTISET overlap (per-token min of "
+        "occurrence counts — the part naive set-intersect gets "
+        "wrong on repeated tokens), EM from string equality, both "
+        "as exact integer permille. Predictions are a deterministic "
+        "three-bucket transform of the reference (identity / "
+        "reversed / truncated-half), so the expected readout is "
+        "known by construction (EM=1000/0/0; F1=1000/1000/~667) and "
+        "the metric implementation — not the model — is what gets "
+        "hash-checked. 100 TB shape: token-count aggregates keyed "
+        "by (doc, token), one keyed overlap join, one bucket "
+        "rollup; no driver-side scoring loop."
+    ),
+    tags=("text", "llm", "eval"),
+)
+def ml_llm_eval_em_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("bucket"),
+        F.slice(toks, 1, 8).alias("ref_toks"),
+    ).filter(F.size(toks) >= 8)
+    pred = (
+        F.when(F.col("bucket") == 0, F.col("ref_toks"))
+        .when(F.col("bucket") == 1, F.reverse(F.col("ref_toks")))
+        .otherwise(F.slice(F.col("ref_toks"), 1, 4))
+    )
+    pairs = base.withColumn("pred_toks", pred).cache()
+    ref_c = (
+        pairs.select("doc_id", F.explode("ref_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    pred_c = (
+        pairs.select("doc_id", F.explode("pred_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c_pred"))
+    )
+    overlap = (
+        ref_c.join(pred_c, ["doc_id", "tok"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("c_ref", "c_pred")).alias("n_common"))
+    )
+    scored = (
+        pairs.join(overlap, "doc_id", "left")
+        .select(
+            "bucket",
+            (
+                F.array_join("pred_toks", " ") == F.array_join("ref_toks", " ")
+            )
+            .cast("long")
+            .alias("em"),
+            F.expr(
+                "(2000 * COALESCE(n_common, 0))"
+                " div (size(pred_toks) + size(ref_toks))"
+            ).alias("f1_permille"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("(1000 * SUM(em)) div COUNT(*)").alias("em_permille"),
+            F.expr("SUM(f1_permille) div COUNT(*)").alias("mean_f1_permille"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# SFT chat-record format validation (the dataset gate before training)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_sft_format_validate",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN ['user', 'assistant', 'user']
+                  WHEN doc_id % 9 = 0
+                  THEN ['user', 'user', 'user', 'assistant']
+                  ELSE ['user', 'assistant', 'user', 'assistant'] END
+               AS roles,
+             CASE WHEN doc_id % 5 = 0
+                  THEN [t[1], t[2], t[3]]
+                  WHEN doc_id % 7 = 0
+                  THEN [t[1], t[2], '', t[4]]
+                  ELSE [t[1], t[2], t[3], t[4]] END AS contents
+      FROM (
+        SELECT doc_id,
+               [array_to_string(list_slice(w, 1, 5), ' '),
+                array_to_string(list_slice(w, 6, 10), ' '),
+                array_to_string(list_slice(w, 11, 15), ' '),
+                array_to_string(list_slice(w, 16, 20), ' ')] AS t
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 20)
+      )
+    ),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN roles[len(roles)] = 'user' THEN 1 ELSE 0 END
+               AS ends_with_user,
+             CASE WHEN len(list_filter(contents, c -> c = '')) > 0
+                  THEN 1 ELSE 0 END AS empty_message,
+             CASE WHEN len(list_filter(range(1, len(roles)),
+                                       i -> roles[i] = roles[i + 1])) > 0
+                  THEN 1 ELSE 0 END AS role_repeat
+      FROM built
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(ends_with_user) AS BIGINT) AS n_ends_with_user,
+           CAST(SUM(empty_message) AS BIGINT) AS n_empty_message,
+           CAST(SUM(role_repeat) AS BIGINT) AS n_role_repeat,
+           CAST(SUM(CASE WHEN ends_with_user = 0 AND empty_message = 0
+                         AND role_repeat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST((1000 * SUM(CASE WHEN ends_with_user = 0
+                                 AND empty_message = 0
+                                 AND role_repeat = 0 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS clean_permille
+    FROM flagged
+    """,
+    doc=(
+        "SFT dataset format gate — the validation pass a chat-"
+        "template training pipeline runs before a single GPU-hour is "
+        "spent: every record's turn structure is checked for (a) "
+        "ending on a user turn (no training target), (b) empty "
+        "message bodies, (c) consecutive same-role turns (template "
+        "ambiguity). Records are synthesized from documents with "
+        "violations INJECTED deterministically by doc_id residue, so "
+        "the expected violation counts are known by construction and "
+        "the validator itself is what gets hash-checked. All checks "
+        "are codegen'd array HOFs (element_at/filter/exists) — one "
+        "scan, zero shuffles before the 1-row rollup. Companion to "
+        "text_chat_template_render (render assumes valid; this is "
+        "the gate that makes that assumption safe)."
+    ),
+    tags=("text", "llm", "dq"),
+)
+def text_sft_format_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.filter(F.size(w) >= 20).select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_join(F.slice(F.split(F.col("text"), " "), 1 + 5 * i, 5), " ")
+                for i in range(4)
+            ]
+        ).alias("t"),
+    )
+    roles = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("user")),
+        )
+        .when(
+            F.col("doc_id") % 9 == 0,
+            F.array(F.lit("user"), F.lit("user"), F.lit("user"), F.lit("assistant")),
+        )
+        .otherwise(
+            F.array(
+                F.lit("user"), F.lit("assistant"), F.lit("user"), F.lit("assistant")
+            )
+        )
+    )
+    contents = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(F.expr("t[0]"), F.expr("t[1]"), F.expr("t[2]")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.expr("t[0]"), F.expr("t[1]"), F.lit(""), F.expr("t[3]")),
+        )
+        .otherwise(F.col("t"))
+    )
+    built = base.select("doc_id", roles.alias("roles"), contents.alias("contents"))
+    flagged = built.select(
+        F.expr("CASE WHEN element_at(roles, -1) = 'user' THEN 1 ELSE 0 END").alias(
+            "ends_with_user"
+        ),
+        F.expr(
+            "CASE WHEN exists(contents, c -> c = '') THEN 1 ELSE 0 END"
+        ).alias("empty_message"),
+        F.expr(
+            "CASE WHEN exists(sequence(1, size(roles) - 1), "
+            "i -> element_at(roles, i) = element_at(roles, i + 1)) "
+            "THEN 1 ELSE 0 END"
+        ).alias("role_repeat"),
+    )
+    clean = (
+        (F.col("ends_with_user") == 0)
+        & (F.col("empty_message") == 0)
+        & (F.col("role_repeat") == 0)
+    ).cast("long")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("ends_with_user").cast("long").alias("n_ends_with_user"),
+        F.sum("empty_message").cast("long").alias("n_empty_message"),
+        F.sum("role_repeat").cast("long").alias("n_role_repeat"),
+        F.sum(clean).cast("long").alias("n_clean"),
+        F.expr("CAST((1000 * SUM(CASE WHEN ends_with_user = 0 "
+               "AND empty_message = 0 AND role_repeat = 0 THEN 1 ELSE 0 END))"
+               " div COUNT(*) AS BIGINT)").alias("clean_permille"),
+    )
