@@ -4321,3 +4321,216 @@ def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "q_pct")
     )
+
+
+@register(
+    "ml_oob_error_estimate",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT p_partkey, p_size,
+             CASE WHEN p_retailprice > 950 THEN 1 ELSE 0 END AS y
+      FROM part
+    ),
+    fanned AS (
+      SELECT b.b, l.p_partkey, l.p_size, l.y,
+             CAST('0x' || substr(md5(CAST(l.p_partkey AS VARCHAR)
+                                     || '-' || CAST(b.b AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS u
+      FROM labeled l CROSS JOIN UNNEST(generate_series(1, {_RF_B})) AS b(b)
+    ),
+    per_size AS (
+      SELECT b, p_size,
+             SUM({_boot_weight_sql("u")}) AS n,
+             SUM(({_boot_weight_sql("u")}) * y) AS pos
+      FROM fanned GROUP BY b, p_size
+    ),
+    tot AS (
+      SELECT b, SUM(n) AS n_all, SUM(pos) AS pos_all FROM per_size GROUP BY b
+    ),
+    cum AS (
+      SELECT b, p_size,
+             SUM(n) OVER (PARTITION BY b ORDER BY p_size) AS ln,
+             SUM(pos) OVER (PARTITION BY b ORDER BY p_size) AS lpos
+      FROM per_size
+    ),
+    scored AS (
+      SELECT c.b, c.p_size AS threshold, c.ln, c.lpos, t.n_all, t.pos_all,
+             CAST(
+               (CASE WHEN c.ln = 0 THEN 0
+                     ELSE c.ln * ((CAST(2 AS HUGEINT) * c.lpos
+                                   * (c.ln - c.lpos) * {_GINI_SCALE})
+                                  // (c.ln * c.ln)) END
+                + (t.n_all - c.ln) *
+                  CASE WHEN t.n_all - c.ln = 0 THEN 0
+                       ELSE (CAST(2 AS HUGEINT) * (t.pos_all - c.lpos)
+                             * ((t.n_all - c.ln) - (t.pos_all - c.lpos))
+                             * {_GINI_SCALE})
+                            // ((t.n_all - c.ln) * (t.n_all - c.ln)) END
+               ) // t.n_all AS BIGINT) AS gini_scaled
+      FROM cum c JOIN tot t ON c.b = t.b
+      WHERE c.ln < t.n_all
+    ),
+    winners AS (
+      SELECT b, threshold,
+             CASE WHEN 2 * lpos >= ln THEN 1 ELSE 0 END AS label_left,
+             CASE WHEN 2 * (pos_all - lpos) >= (n_all - ln) THEN 1 ELSE 0 END
+               AS label_right
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY b
+                                     ORDER BY gini_scaled, threshold) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    oob AS (
+      SELECT f.b, f.p_size, f.y
+      FROM fanned f
+      WHERE f.u < {_POIS_CUM_MICRO[0]}
+    )
+    SELECT o.b AS bag,
+           CAST(COUNT(*) AS BIGINT) AS n_oob,
+           CAST(SUM(CASE WHEN (CASE WHEN o.p_size <= w.threshold
+                               THEN w.label_left ELSE w.label_right END)
+                          <> o.y THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+           CAST((1000 * SUM(CASE WHEN (CASE WHEN o.p_size <= w.threshold
+                                       THEN w.label_left
+                                       ELSE w.label_right END)
+                                 <> o.y THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS err_permille
+    FROM oob o JOIN winners w ON o.b = w.b
+    GROUP BY o.b
+    ORDER BY bag
+    """,
+    doc=(
+        "Out-of-bag error — the free generalization estimate bagging "
+        "provides (Breiman: rows with bootstrap weight 0 in bag b "
+        "are a held-out set for bag b's model, no extra split "
+        "needed): each bag's exact-Gini stump (same deterministic "
+        "md5-Poisson resample and split sweep as "
+        "ml_random_forest_stumps, extended with integer "
+        "majority-vote leaf labels, ties to 1) is evaluated on "
+        "exactly the rows it never trained on. Per-bag OOB error in "
+        "integer permille; the ~e^-1 OOB fraction is visible in "
+        "n_oob. 100 TB shape: the OOB evaluation is a broadcast join "
+        "of the 5-row winners relation against the fan-out — facts "
+        "are touched once for training stats and once for eval."
+    ),
+    tags=("mllib", "training-pipeline", "ensemble", "part"),
+)
+def ml_oob_error_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    labeled = p.select(
+        "p_partkey",
+        "p_size",
+        (F.col("p_retailprice") > 950).cast("long").alias("y"),
+    )
+    bcol = F.explode(
+        F.array(*[F.lit(b) for b in range(1, _RF_B + 1)])
+    ).alias("b")
+    fanned = labeled.select("p_partkey", "p_size", "y", bcol).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("p_partkey").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000,
+    )
+    wgt = F.coalesce(
+        *[
+            F.when(F.col("u") < t, F.lit(k))
+            for k, t in enumerate(_POIS_CUM_MICRO)
+        ],
+        F.lit(5),
+    )
+    per_size = fanned.groupBy("b", "p_size").agg(
+        F.sum(wgt).alias("n"), F.sum(wgt * F.col("y")).alias("pos")
+    )
+    tot = per_size.groupBy("b").agg(
+        F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all")
+    )
+    w = (
+        Window.partitionBy("b")
+        .orderBy("p_size")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_size.select(
+        "b",
+        "p_size",
+        F.sum("n").over(w).alias("ln"),
+        F.sum("pos").over(w).alias("lpos"),
+    )
+    scored = (
+        cum.join(F.broadcast(tot), "b")
+        .filter(F.col("ln") < F.col("n_all"))
+        .select(
+            "b",
+            F.col("p_size").alias("threshold"),
+            "ln",
+            "lpos",
+            "n_all",
+            "pos_all",
+            F.expr(
+                f"""CAST(
+                  (CASE WHEN ln = 0 THEN 0
+                        ELSE ln * ((CAST(2 AS DECIMAL(38,0)) * lpos
+                                    * (ln - lpos) * {_GINI_SCALE})
+                                   div (ln * ln)) END
+                   + (n_all - ln) *
+                     CASE WHEN n_all - ln = 0 THEN 0
+                          ELSE (CAST(2 AS DECIMAL(38,0)) * (pos_all - lpos)
+                                * ((n_all - ln) - (pos_all - lpos))
+                                * {_GINI_SCALE})
+                               div ((n_all - ln) * (n_all - ln)) END
+                  ) div n_all AS BIGINT)"""
+            ).alias("gini_scaled"),
+        )
+    )
+    wr = Window.partitionBy("b").orderBy("gini_scaled", "threshold")
+    winners = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "b",
+            "threshold",
+            F.expr("CASE WHEN 2 * lpos >= ln THEN 1 ELSE 0 END").alias(
+                "label_left"
+            ),
+            F.expr(
+                "CASE WHEN 2 * (pos_all - lpos) >= (n_all - ln) "
+                "THEN 1 ELSE 0 END"
+            ).alias("label_right"),
+        )
+    )
+    oob = fanned.filter(F.col("u") < _POIS_CUM_MICRO[0]).select(
+        "b", "p_size", "y"
+    )
+    pred = F.when(
+        F.col("p_size") <= F.col("threshold"), F.col("label_left")
+    ).otherwise(F.col("label_right"))
+    err = (pred != F.col("y")).cast("long")
+    return (
+        oob.join(F.broadcast(winners), "b")
+        .groupBy(F.col("b").cast("long").alias("bag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_oob"),
+            F.sum(err).cast("long").alias("n_err"),
+            F.expr(
+                "CAST((1000 * SUM(CASE WHEN (CASE WHEN p_size <= threshold "
+                "THEN label_left ELSE label_right END) <> y "
+                "THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("err_permille"),
+        )
+        .orderBy("bag")
+    )

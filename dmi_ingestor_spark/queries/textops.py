@@ -2445,3 +2445,106 @@ def text_sft_format_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                "AND empty_message = 0 AND role_repeat = 0 THEN 1 ELSE 0 END))"
                " div COUNT(*) AS BIGINT)").alias("clean_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# DPO/RLHF preference-pair construction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dpo_pair_construction",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 12
+    ),
+    cands AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(w, 1, 6), ' ') AS prompt,
+             array_to_string(list_slice(w, 7, 12), ' ') AS comp_a,
+             array_to_string(list_reverse(list_slice(w, 7, 12)), ' ')
+               AS comp_b,
+             len(list_filter(list_slice(w, 7, 12),
+                             t -> len(t) >= 5)) AS score_a,
+             len(list_filter(list_slice(w, 7, 12),
+                             t -> len(t) >= 4)) AS score_b
+      FROM base
+    ),
+    pairs AS (
+      SELECT doc_id, source,
+             CASE WHEN score_a >= score_b THEN comp_a ELSE comp_b END
+               AS chosen,
+             CASE WHEN score_a >= score_b THEN comp_b ELSE comp_a END
+               AS rejected,
+             ABS(score_a - score_b) AS margin
+      FROM cands
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_prompts,
+           CAST(SUM(CASE WHEN margin > 0 AND chosen <> rejected
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN margin = 0 OR chosen = rejected
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN margin > 0 AND chosen <> rejected
+                    THEN margin ELSE 0 END) AS BIGINT) AS margin_sum
+    FROM pairs
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc=(
+        "DPO / RLHF preference-pair construction — the data-"
+        "engineering pass between reward scoring and preference "
+        "tuning: per prompt, two candidate completions are scored "
+        "(here by deterministic token-length heuristics standing in "
+        "for a reward model), the higher-scored one becomes 'chosen' "
+        "with a fixed tie-break, and pairs with NO preference signal "
+        "(zero margin, or textually identical completions — both "
+        "would contribute zero DPO gradient) are dropped and "
+        "accounted. Per-source yield + margin mass is exactly the "
+        "audit a preference-data pipeline reports. One scan, all "
+        "codegen'd array HOFs, one partial+final rollup; at 100 TB "
+        "the per-prompt work is embarrassingly parallel and only "
+        "source-grain aggregates move."
+    ),
+    tags=("text", "llm", "pipeline"),
+)
+def pipeline_dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    base = d.filter(F.size(w) >= 12).select("doc_id", "source", w.alias("w"))
+    mid = F.slice(F.col("w"), 7, 6)
+    cands = base.select(
+        "doc_id",
+        "source",
+        F.array_join(mid, " ").alias("comp_a"),
+        F.array_join(F.reverse(mid), " ").alias("comp_b"),
+        F.size(F.filter(mid, lambda t: F.length(t) >= 5)).alias("score_a"),
+        F.size(F.filter(mid, lambda t: F.length(t) >= 4)).alias("score_b"),
+    )
+    chosen = F.when(
+        F.col("score_a") >= F.col("score_b"), F.col("comp_a")
+    ).otherwise(F.col("comp_b"))
+    rejected = F.when(
+        F.col("score_a") >= F.col("score_b"), F.col("comp_b")
+    ).otherwise(F.col("comp_a"))
+    pairs = cands.select(
+        "source",
+        chosen.alias("chosen"),
+        rejected.alias("rejected"),
+        F.abs(F.col("score_a") - F.col("score_b")).alias("margin"),
+    )
+    keep = (F.col("margin") > 0) & (F.col("chosen") != F.col("rejected"))
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prompts"),
+            F.sum(keep.cast("long")).cast("long").alias("n_pairs"),
+            F.sum((~keep).cast("long")).cast("long").alias("n_dropped"),
+            F.sum(F.when(keep, F.col("margin")).otherwise(0))
+            .cast("long")
+            .alias("margin_sum"),
+        )
+        .orderBy("source")
+    )
