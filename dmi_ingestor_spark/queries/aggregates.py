@@ -4611,3 +4611,122 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged.orderBy("split_after_month")
+
+
+# --------------------------------------------------------------------------
+# Dominant-period detection (seasonal-strength sweep + argmax)
+# --------------------------------------------------------------------------
+
+_PGRAM_PERIODS = (3, 4, 6, 12, 24)
+_PGRAM_S = 10**6
+
+
+@register(
+    "ts_period_detect_argmax",
+    oracle=f"""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS mnum,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY mnum
+    ),
+    idx AS (
+      SELECT mnum, y, ROW_NUMBER() OVER (ORDER BY mnum) - 1 AS i FROM m
+    ),
+    fanned AS (
+      SELECT p.p, idx.i % p.p AS pos, idx.y
+      FROM idx CROSS JOIN
+           (VALUES {", ".join(f"({p})" for p in _PGRAM_PERIODS)}) p(p)
+    ),
+    per_pos AS (
+      SELECT p, pos, SUM(y) AS sp, COUNT(*) AS np
+      FROM fanned GROUP BY p, pos
+    ),
+    tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM idx
+    ),
+    scored AS (
+      SELECT pp.p AS period,
+             CAST(SUM((CAST({_PGRAM_S} AS HUGEINT) * pp.sp * pp.sp) // pp.np)
+                  - (CAST({_PGRAM_S} AS HUGEINT) * t.s * t.s) // t.n
+                  AS BIGINT) AS ssb_scaled
+      FROM per_pos pp CROSS JOIN tot t
+      GROUP BY pp.p, t.s, t.n
+    ),
+    best AS (
+      SELECT period AS bp FROM scored
+      ORDER BY ssb_scaled DESC, period LIMIT 1
+    )
+    SELECT s.period, s.ssb_scaled,
+           CAST(CASE WHEN s.period = b.bp THEN 1 ELSE 0 END AS BIGINT)
+             AS is_best
+    FROM scored s CROSS JOIN best b
+    ORDER BY s.period
+    """,
+    doc=(
+        "Dominant-period detection — the step BEFORE every seasonal "
+        "model in the repo (Holt-Winters, seasonal decompose, "
+        "harmonic regression all take the period as given; this "
+        "finds it): for each candidate period P the monthly series "
+        "is folded to phase positions i mod P and scored by the "
+        "between-position sum of squares SSB(P) = Σ S_p²/n_p − "
+        "S²/N — the ANOVA seasonal-strength statistic, equal to the "
+        "periodogram's energy at that period up to the within-term. "
+        "Every division is a floor-div on the SAME 1e6-scaled "
+        "DECIMAL(38,0)/HUGEINT quantities in both engines, so the "
+        "score table and the (score desc, period) argmax are "
+        "hash-exact. Facts touched once by the month rollup; the "
+        "sweep is a x|P| literal fanout of the O(months) summary."
+    ),
+    tags=("timeseries", "seasonality", "orders"),
+)
+def ts_period_detect_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mnum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    idx = m.select(
+        "y", (F.row_number().over(Window.orderBy("mnum")) - 1).alias("i")
+    )
+    pcol = F.explode(
+        F.array(*[F.lit(p) for p in _PGRAM_PERIODS])
+    ).alias("p")
+    fanned = idx.select("i", "y", pcol).select(
+        "p", (F.col("i") % F.col("p")).alias("pos"), "y"
+    )
+    per_pos = fanned.groupBy("p", "pos").agg(
+        F.sum("y").alias("sp"), F.count(F.lit(1)).alias("np")
+    )
+    tot = idx.agg(
+        F.sum("y").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scored = (
+        per_pos.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("p").alias("period"), "s", "n")
+        .agg(
+            F.expr(
+                f"CAST(SUM((CAST({_PGRAM_S} AS DECIMAL(38,0)) * sp * sp)"
+                f" div np) - (CAST({_PGRAM_S} AS DECIMAL(38,0)) * s * s)"
+                f" div n AS BIGINT)"
+            ).alias("ssb_scaled")
+        )
+        .select("period", "ssb_scaled")
+    )
+    best = (
+        scored.orderBy(F.col("ssb_scaled").desc(), "period")
+        .limit(1)
+        .select(F.col("period").alias("bp"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("period").cast("long").alias("period"),
+            "ssb_scaled",
+            (F.col("period") == F.col("bp")).cast("long").alias("is_best"),
+        )
+        .orderBy("period")
+    )

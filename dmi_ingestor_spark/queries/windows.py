@@ -3152,3 +3152,115 @@ def analytics_uplift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Mix-shift decomposition (rate / mix / interaction effects)
+# --------------------------------------------------------------------------
+
+_MIX_S = 10**6  # ppm scale
+
+
+@register(
+    "analytics_mix_shift_decomposition",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) <= 1997
+                  THEN 1 ELSE 2 END AS period,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+      SELECT segment,
+             SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN period = 1 THEN y ELSE 0 END) AS y1,
+             SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN period = 2 THEN y ELSE 0 END) AS y2
+      FROM assigned GROUP BY segment
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM seg),
+    scaled AS (
+      SELECT s.segment,
+             ({_MIX_S} * s.n1) // t.t1 AS w1_ppm,
+             ({_MIX_S} * s.n2) // t.t2 AS w2_ppm,
+             ({_MIX_S} * s.y1) // s.n1 AS r1_ppm,
+             ({_MIX_S} * s.y2) // s.n2 AS r2_ppm
+      FROM seg s CROSS JOIN tot t
+    )
+    SELECT segment,
+           CAST(w1_ppm AS BIGINT) AS w1_ppm,
+           CAST(w2_ppm AS BIGINT) AS w2_ppm,
+           CAST(r1_ppm AS BIGINT) AS r1_ppm,
+           CAST(r2_ppm AS BIGINT) AS r2_ppm,
+           CAST((w1_ppm * (r2_ppm - r1_ppm)) // {_MIX_S} AS BIGINT)
+             AS rate_effect_ppm,
+           CAST(((w2_ppm - w1_ppm) * r1_ppm) // {_MIX_S} AS BIGINT)
+             AS mix_effect_ppm,
+           CAST(((w2_ppm - w1_ppm) * (r2_ppm - r1_ppm)) // {_MIX_S}
+                AS BIGINT) AS interaction_ppm
+    FROM scaled
+    ORDER BY segment
+    """,
+    doc=(
+        "Mix-shift (Oaxaca / price-volume-mix) decomposition — the "
+        "analytics pass that answers 'did the metric move because "
+        "segments changed BEHAVIOR (rate effect, at old weights), "
+        "because the POPULATION shifted between segments (mix "
+        "effect, at old rates), or both (interaction)': urgent-order "
+        "rate per market segment across two periods, each effect in "
+        "integer ppm via the Laspeyres split Δ = Σ w1·Δr + Σ Δw·r1 "
+        "+ Σ Δw·Δr. Floor-div scaling happens at the SAME points in "
+        "both engines, so the whole decomposition table is "
+        "hash-exact. One fact scan with the dim broadcast, one "
+        "segment-grain aggregate, one 1-row broadcast total — "
+        "segment-grain everything after."
+    ),
+    tags=("analytics", "orders", "customer"),
+)
+def analytics_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    assigned = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.year("o_orderdate") <= 1997, 1).otherwise(2).alias("period"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    p1 = (F.col("period") == 1).cast("long")
+    p2 = (F.col("period") == 2).cast("long")
+    seg = assigned.groupBy("segment").agg(
+        F.sum(p1).alias("n1"),
+        F.sum(p1 * F.col("y")).alias("y1"),
+        F.sum(p2).alias("n2"),
+        F.sum(p2 * F.col("y")).alias("y2"),
+    )
+    tot = seg.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    scaled = seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        F.expr(f"({_MIX_S} * n1) div t1").alias("w1_ppm"),
+        F.expr(f"({_MIX_S} * n2) div t2").alias("w2_ppm"),
+        F.expr(f"({_MIX_S} * y1) div n1").alias("r1_ppm"),
+        F.expr(f"({_MIX_S} * y2) div n2").alias("r2_ppm"),
+    )
+    return scaled.select(
+        "segment",
+        F.col("w1_ppm").cast("long").alias("w1_ppm"),
+        F.col("w2_ppm").cast("long").alias("w2_ppm"),
+        F.col("r1_ppm").cast("long").alias("r1_ppm"),
+        F.col("r2_ppm").cast("long").alias("r2_ppm"),
+        F.expr(f"CAST((w1_ppm * (r2_ppm - r1_ppm)) div {_MIX_S} AS BIGINT)").alias(
+            "rate_effect_ppm"
+        ),
+        F.expr(f"CAST(((w2_ppm - w1_ppm) * r1_ppm) div {_MIX_S} AS BIGINT)").alias(
+            "mix_effect_ppm"
+        ),
+        F.expr(
+            f"CAST(((w2_ppm - w1_ppm) * (r2_ppm - r1_ppm)) div {_MIX_S}"
+            " AS BIGINT)"
+        ).alias("interaction_ppm"),
+    ).orderBy("segment")
