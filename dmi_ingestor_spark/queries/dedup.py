@@ -2190,3 +2190,201 @@ def dedup_incremental_delta_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("delta_id")
     )
+
+
+# --------------------------------------------------------------------------
+# U5: LSH banding hyperparameter sweep (the r-b tuning curve, measured)
+# --------------------------------------------------------------------------
+
+_TUNE_CONFIGS = ((8, 2), (4, 4), (2, 8))  # (bands, rows per band); 16 hashes
+
+
+def _tune_sql_band_key(b: int, r: int, band: int) -> str:
+    parts = " || '|' || ".join(
+        f"CAST(mh{band * r + j} AS VARCHAR)" for j in range(r)
+    )
+    return f"md5({parts})"
+
+
+def _tune_sql() -> str:
+    band_selects = []
+    for b, r in _TUNE_CONFIGS:
+        for band in range(b):
+            band_selects.append(
+                f"SELECT '{b}x{r}' AS cfg, doc_id, {band} AS band_id, "
+                f"{_tune_sql_band_key(b, r, band)} AS band_key FROM sig"
+            )
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+               % {MINHASH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_sql_minhash_cols()} FROM hashed GROUP BY doc_id
+    ),
+    bands AS ({" UNION ALL ".join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.cfg = b.cfg AND a.band_id = b.band_id
+       AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.cfg, c.a_id, c.b_id,
+             CASE WHEN CAST(n.n_common AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n.n_common) >= 0.5
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      JOIN (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+        FROM sh x JOIN sh y
+          ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+        WHERE EXISTS (SELECT 1 FROM cand c2
+                      WHERE c2.a_id = x.doc_id AND c2.b_id = y.doc_id)
+        GROUP BY x.doc_id, y.doc_id
+      ) n ON n.a_id = c.a_id AND n.b_id = c.b_id
+    ),
+    truth AS (
+      SELECT DISTINCT a_id, b_id FROM verified WHERE is_dup = 1
+    ),
+    t AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT v.cfg,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(v.is_dup) AS BIGINT) AS n_verified,
+           CAST((1000 * SUM(v.is_dup)) // COUNT(*) AS BIGINT)
+             AS precision_permille,
+           CAST(CASE WHEN t.n_truth = 0 THEN 1000
+                ELSE (1000 * SUM(v.is_dup)) // t.n_truth END AS BIGINT)
+             AS recall_permille
+    FROM verified v CROSS JOIN t
+    GROUP BY v.cfg, t.n_truth
+    ORDER BY v.cfg
+    """
+
+
+@register(
+    "dedup_lsh_band_tuning",
+    oracle=_tune_sql(),
+    doc=(
+        "LSH banding hyperparameter sweep — the r-b tradeoff curve "
+        "MEASURED on the corpus instead of read off the 1-(1-s^r)^b "
+        "formula: the same 16-permutation MinHash signature is banded "
+        "three ways (8x2 / 4x4 / 2x8), each config's band-collision "
+        "candidates are exact-Jaccard verified, and the sweep reports "
+        "candidates, verified dups, precision, and recall against the "
+        "union of all configs' verified pairs (2x8 is the strict end: "
+        "high precision, low recall; 8x2 the permissive end). This is "
+        "the calibration run a dedup pipeline does ONCE on a sample "
+        "before committing a banding to the full 100 TB pass — "
+        "signatures are built once (array_min map stage, shingles "
+        "never shuffle), the three configs share them, and candidate "
+        "joins stay O(collisions) per config."
+    ),
+    tags=("dedup", "similarity", "tuning"),
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_h = F.transform(
+        "sh_arr",
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P,
+    )
+    docs = (
+        _shingle_arrays(_spread(spark, table(spark, sf_dir, "documents")))
+        .filter(F.size("sh_arr") > 0)
+        .withColumn("h_arr", base_h)
+        .cache()
+    )
+
+    def _perm(i: int) -> Column:
+        a, b, p = MINHASH_A[i], MINHASH_B[i], MINHASH_P
+        return F.array_min(
+            F.transform("h_arr", lambda h: (h * a + b) % p)
+        ).alias(f"mh{i}")
+
+    sig = docs.select("doc_id", *[_perm(i) for i in range(N_HASHES)])
+    entries = []
+    for b, r in _TUNE_CONFIGS:
+        for band in range(b):
+            key = F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{band * r + j}") for j in range(r)]
+                ).cast("binary")
+            )
+            entries.append(
+                F.struct(
+                    F.lit(f"{b}x{r}").alias("cfg"),
+                    F.lit(band).alias("band_id"),
+                    key.alias("band_key"),
+                )
+            )
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*entries)).alias("bb"))
+        .select("doc_id", "bb.cfg", "bb.band_id", "bb.band_key")
+        .cache()
+    )
+    a = bands.select("cfg", F.col("doc_id").alias("a_id"), "band_id", "band_key")
+    b_ = bands.select(
+        F.col("cfg").alias("cfg_b"),
+        F.col("doc_id").alias("b_id"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("cfg") == F.col("cfg_b"))
+            & (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("cfg", "a_id", "b_id")
+        .distinct()
+        .cache()
+    )
+    da = docs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
+    db = docs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
+    pair_keys = cand.select("a_id", "b_id").distinct()
+    pairs = (
+        da.join(F.broadcast(pair_keys), ["a_id"])
+        .join(db, ["b_id"])
+    )
+    n_common = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac_dup = (
+        n_common.cast("double")
+        / (F.size("a_sh") + F.size("b_sh") - n_common)
+        >= 0.5
+    ).cast("long")
+    verified_pairs = pairs.select("a_id", "b_id", jac_dup.alias("is_dup")).cache()
+    truth_n = (
+        verified_pairs.filter(F.col("is_dup") == 1)
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    scored = cand.join(verified_pairs, ["a_id", "b_id"])
+    return (
+        scored.crossJoin(F.broadcast(truth_n))
+        .groupBy("cfg", "n_truth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_dup").cast("long").alias("n_verified"),
+        )
+        .select(
+            "cfg",
+            "n_candidates",
+            "n_verified",
+            F.expr("(1000 * n_verified) div n_candidates").alias(
+                "precision_permille"
+            ),
+            F.expr(
+                "CAST(CASE WHEN n_truth = 0 THEN 1000 "
+                "ELSE (1000 * n_verified) div n_truth END AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+        .orderBy("cfg")
+    )
