@@ -1,0 +1,195 @@
+"""Invariant tests for the round-5 operator wave.
+
+The oracle-parity gate (test_oracle_parity.py) already pins every new
+query hash-exact against DuckDB; these tests assert the ALGORITHMIC
+properties the hashes alone don't articulate — peeling monotonicity,
+banding containment, out-of-bag fractions, decomposition identities —
+so a future refactor that keeps two engines wrong in the same way
+still fails.
+"""
+
+from __future__ import annotations
+
+import math
+
+from dmi_ingestor_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _get(name, spark, sf_dir, cache={}):
+    key = (name, sf_dir)
+    if key not in cache:
+        cache[key] = REGISTRY[name].builder(spark, sf_dir).collect()
+    return cache[key]
+
+
+def test_ktruss_trace_is_consistent_and_monotone(spark, sf_dir):
+    rs = sorted(_get("graph_ktruss_peeling", spark, sf_dir), key=lambda r: r.round)
+    for r in rs:
+        assert 0 <= r.n_surviving <= r.n_edges
+        assert r.n_triangles >= 0
+    # next round starts from this round's survivors
+    for a, b in zip(rs, rs[1:]):
+        assert b.n_edges == a.n_surviving
+
+
+def test_personalized_pagerank_mass_reaches_non_sources(spark, sf_dir):
+    rs = _get("graph_personalized_pagerank", spark, sf_dir)
+    assert all(r.ppr_scaled >= 0 for r in rs)
+    sources = [r for r in rs if r.in_source == 1]
+    others = [r for r in rs if r.in_source == 0]
+    assert sources and others
+    # restart mass keeps every source strictly positive; propagation
+    # must deliver mass to at least one non-source node
+    assert all(r.ppr_scaled > 0 for r in sources)
+    assert any(r.ppr_scaled > 0 for r in others)
+
+
+def test_span_dedup_fractions_bounded(spark, sf_dir):
+    rs = _get("dedup_exact_span_ngram", spark, sf_dir)
+    for r in rs:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0 <= r.dup_permille <= 1000
+
+
+def test_delta_probe_novelty_flag_consistent(spark, sf_dir):
+    rs = _get("dedup_incremental_delta_probe", spark, sf_dir)
+    for r in rs:
+        assert r.delta_id % 10 == 0
+        assert 0 <= r.n_dup <= r.n_candidates
+        assert r.is_novel == (1 if r.n_dup == 0 else 0)
+
+
+def test_binseg_has_unique_argmax_and_consistent_sizes(spark, sf_dir):
+    rs = _get("ts_changepoint_binseg", spark, sf_dir)
+    assert sum(r.is_best for r in rs) == 1
+    n = rs[0].n_left + rs[0].n_right
+    for r in rs:
+        assert r.n_left + r.n_right == n
+        assert r.mean_gap_scaled >= 0
+
+
+def test_forest_stumps_vote_structure(spark, sf_dir):
+    rs = _get("ml_random_forest_stumps", spark, sf_dir)
+    assert len(rs) == 5
+    assert sum(r.is_modal for r in rs) >= 1
+    modal_thresholds = {r.best_threshold for r in rs if r.is_modal}
+    assert len(modal_thresholds) == 1
+
+
+def test_oob_fraction_near_poisson_zero_mass(spark, sf_dir):
+    from dmi_ingestor_spark.catalog import table
+
+    rs = _get("ml_oob_error_estimate", spark, sf_dir)
+    n = table(spark, sf_dir, "part").count()
+    for r in rs:
+        assert 0 <= r.n_err <= r.n_oob
+        assert 0 <= r.err_permille <= 1000
+        # P(weight=0) = e^-1 ~ 0.368; wide tolerance for small sf
+        frac = r.n_oob / n
+        assert abs(frac - math.exp(-1)) < 0.08, frac
+
+
+def test_pinball_loss_nonnegative_and_pred_stable(spark, sf_dir):
+    rs = _get("ml_quantile_pinball_eval", spark, sf_dir)
+    by_grp = {}
+    for r in rs:
+        assert r.pinball_sum_scaled >= 0
+        by_grp.setdefault(r.grp, set()).add(r.pred_cents)
+    for preds in by_grp.values():
+        assert len(preds) == 1  # same predictor at every quantile
+
+
+def test_keyframes_partition_all_frames(spark, sf_dir):
+    rs = _get("mm_video_keyframe_select", spark, sf_dir)
+    by_doc = {}
+    for r in rs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, shots in by_doc.items():
+        assert sum(s.n_frames for s in shots) == 4
+        ids = sorted(s.shot_id for s in shots)
+        assert ids == list(range(len(ids)))
+
+
+def test_ivm_join_view_equals_direct_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dmi_ingestor_spark.catalog import table
+
+    rs = {r.nationkey: (r.n_rows, r.key_checksum)
+          for r in _get("lake_ivm_join_view", spark, sf_dir)}
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a_new = o.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        | ((F.col("o_orderkey") % 7 != 0) & (F.col("o_orderkey") % 11 != 0))
+    )
+    b_new = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    direct = {
+        r.nationkey: (r.n, r.ck)
+        for r in a_new.join(b_new, a_new.o_custkey == b_new.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("ck"),
+        )
+        .collect()
+    }
+    assert rs == direct
+
+
+def test_em_f1_known_by_construction(spark, sf_dir):
+    rs = {r.bucket: r for r in _get("ml_llm_eval_em_f1", spark, sf_dir)}
+    assert rs[0].em_permille == 1000
+    assert rs[0].mean_f1_permille == 1000
+    assert rs[1].mean_f1_permille == 1000  # reversal keeps the multiset
+    assert rs[2].em_permille == 0
+    assert rs[2].mean_f1_permille <= 667  # truncated half: 2*4/(4+8)
+
+
+def test_mix_shift_shares_sum_to_one(spark, sf_dir):
+    rs = _get("analytics_mix_shift_decomposition", spark, sf_dir)
+    for col in ("w1_ppm", "w2_ppm"):
+        total = sum(getattr(r, col) for r in rs)
+        assert 10**6 - len(rs) <= total <= 10**6
+    for r in rs:
+        assert 0 <= r.r1_ppm <= 10**6 and 0 <= r.r2_ppm <= 10**6
+
+
+def test_period_detect_unique_argmax(spark, sf_dir):
+    rs = _get("ts_period_detect_argmax", spark, sf_dir)
+    assert sum(r.is_best for r in rs) == 1
+    assert all(r.ssb_scaled >= -len(rs) for r in rs)
+
+
+def test_lsh_band_tuning_containment_ordering(spark, sf_dir):
+    rs = {r.cfg: r for r in _get("dedup_lsh_band_tuning", spark, sf_dir)}
+    # a 4x4 band match implies both 2-row halves match (8x2 candidates
+    # are a superset); likewise 2x8 vs 4x4
+    assert rs["2x8"].n_candidates <= rs["4x4"].n_candidates <= rs["8x2"].n_candidates
+    assert rs["2x8"].n_verified <= rs["4x4"].n_verified <= rs["8x2"].n_verified
+    for r in rs.values():
+        assert 0 <= r.precision_permille <= 1000
+        assert 0 <= r.recall_permille <= 1000
+
+
+def test_contribution_bounding_caps_hold(spark, sf_dir):
+    rs = _get("privacy_contribution_bounding", spark, sf_dir)
+    for r in rs:
+        assert r.bounded_events <= r.raw_events
+        assert r.bounded_events <= r.n_users * 20
+        assert r.bounded_value_cents <= r.raw_value_cents
+        assert r.l1_sensitivity_cents == 20 * 1500
+
+
+def test_sft_gate_counts_consistent(spark, sf_dir):
+    (r,) = _get("text_sft_format_validate", spark, sf_dir)
+    for c in (r.n_ends_with_user, r.n_empty_message, r.n_role_repeat, r.n_clean):
+        assert 0 <= c <= r.n_records
+    assert r.clean_permille == 1000 * r.n_clean // r.n_records
