@@ -271,3 +271,121 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") != "D").select(
         F.col("k").alias("c_custkey"), F.col("seg").alias("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Bitemporal as-of join (valid time x transaction time)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_bitemporal_as_of",
+    oracle="""
+    WITH dim AS (
+      -- version 1 row: original nation, valid from month 0, known at tx 1
+      SELECT c_custkey, c_nationkey AS nationkey,
+             0 AS valid_from, 1 AS recorded_at
+      FROM customer
+      UNION ALL
+      -- late correction: every 13th customer's nation was actually
+      -- nation+1 from month 6 on — but the warehouse only LEARNED it
+      -- at tx 2
+      SELECT c_custkey, (c_nationkey + 1) % 25, 6, 2
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             EXTRACT(MONTH FROM o_orderdate) - 1 AS ev_month
+      FROM orders
+    ),
+    fanned AS (
+      SELECT f.*, v.tx FROM facts f
+      CROSS JOIN (VALUES (1), (2)) v(tx)
+    ),
+    resolved AS (
+      SELECT x.o_orderkey, x.tx, d.nationkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY x.o_orderkey, x.tx
+               ORDER BY d.valid_from DESC, d.recorded_at DESC
+             ) AS rk
+      FROM fanned x
+      JOIN dim d
+        ON d.c_custkey = x.o_custkey
+       AND d.valid_from <= x.ev_month
+       AND d.recorded_at <= x.tx
+    )
+    SELECT CAST(tx AS BIGINT) AS as_known_at_tx,
+           CAST(nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM resolved WHERE rk = 1
+    GROUP BY tx, nationkey
+    ORDER BY as_known_at_tx, nationkey
+    """,
+    doc=(
+        "Bitemporal as-of join — BOTH time axes at once: each order "
+        "resolves its customer's nation as VALID at the order's event "
+        "month (valid time) and as KNOWN at a given warehouse "
+        "transaction version (transaction time). A late-arriving "
+        "correction (recorded at tx 2, retroactively valid from "
+        "month 6) therefore changes how HISTORY aggregates when read "
+        "at tx 2, while the tx-1 readout reproduces exactly what the "
+        "warehouse would have reported before the correction — the "
+        "reproducibility property regulatory reporting and ML "
+        "training-set freezes depend on, and the relational "
+        "composition of SCD2 (valid time) with txlog time travel "
+        "(transaction time). Resolution is one keyed join plus a "
+        "per-(fact, tx) latest-version window, PARTITIONED by fact "
+        "key — no global sort; at 100 TB the dimension history "
+        "broadcasts and facts never move twice."
+    ),
+    tags=("scd2", "join", "temporal", "bitemporal", "orders"),
+)
+def join_bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    dim = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(0).alias("valid_from"),
+        F.lit(1).alias("recorded_at"),
+    ).unionAll(
+        c.filter(F.col("c_custkey") % 13 == 0).select(
+            "c_custkey",
+            ((F.col("c_nationkey") + 1) % 25).alias("nationkey"),
+            F.lit(6).alias("valid_from"),
+            F.lit(2).alias("recorded_at"),
+        )
+    )
+    facts = o.select(
+        "o_orderkey", "o_custkey", (F.month("o_orderdate") - 1).alias("ev_month")
+    )
+    fanned = facts.select(
+        "o_orderkey",
+        "o_custkey",
+        "ev_month",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("tx"),
+    )
+    joined = fanned.join(
+        F.broadcast(dim),
+        (dim.c_custkey == fanned.o_custkey)
+        & (dim.valid_from <= fanned.ev_month)
+        & (dim.recorded_at <= fanned.tx),
+    )
+    w = Window.partitionBy("o_orderkey", "tx").orderBy(
+        F.col("valid_from").desc(), F.col("recorded_at").desc()
+    )
+    resolved = joined.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        resolved.groupBy(
+            F.col("tx").cast("long").alias("as_known_at_tx"),
+            F.col("nationkey").cast("long").alias("nationkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("as_known_at_tx", "nationkey")
+    )

@@ -1136,3 +1136,116 @@ def vector_quantize_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall audit
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+_MRL_K = 10
+
+
+@register(
+    "sim_matryoshka_prefix_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, d.pd,
+             list_slice(a.qv, 1, d.pd) AS va,
+             list_slice(b.qv, 1, d.pd) AS vb
+      FROM q a
+      JOIN q b ON b.vec_id <> a.vec_id
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _MRL_DIMS))}]) AS pd) d
+      WHERE a.vec_id < {N_QUERY}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pd,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id, pd
+               ORDER BY {sql_cosine("va", "vb")} DESC, neighbor_id
+             ) AS rk
+      FROM pairs
+    ),
+    top AS (
+      SELECT query_id, pd, neighbor_id FROM ranked WHERE rk <= {_MRL_K}
+    ),
+    full_d AS (
+      SELECT query_id, neighbor_id FROM top WHERE pd = {_MRL_DIMS[-1]}
+    )
+    SELECT t.query_id,
+           CAST(t.pd AS BIGINT) AS prefix_dims,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST((1000 * COUNT(f.neighbor_id)) // {_MRL_K} AS BIGINT)
+             AS recall_permille
+    FROM top t
+    LEFT JOIN full_d f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id, t.pd
+    ORDER BY t.query_id, prefix_dims
+    """,
+    doc=(
+        "Matryoshka (MRL) prefix-dimension recall audit — the "
+        "measurement that decides whether truncated embeddings are "
+        "good enough to serve: for each query, top-10 by cosine over "
+        "the first 8/16/32/64 dimensions, scored by overlap with the "
+        "full-dimension top-10 (recall@10 in integer permille). This "
+        "is how retrieval stacks budget their ANN memory: a prefix "
+        "that keeps recall ~1000 serves from a 4x smaller index. "
+        "Quantized integer vectors + identical IEEE cosine trees on "
+        "both engines keep the whole ranking hash-exact; slicing is "
+        "a codegen'd array op, the query side broadcasts, and the "
+        "corpus never shuffles — same 100 TB contract as "
+        "sim_topk_bruteforce, x|prefix grid| in one pass."
+    ),
+    tags=("similarity", "embeddings", "eval"),
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_full")
+    )
+    pd_col = F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("pd")
+    pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_full"))
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_full", "n_full", pd_col)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pd",
+            F.slice(F.col("q_full"), 1, F.col("pd")).alias("va"),
+            F.slice(F.col("n_full"), 1, F.col("pd")).alias("vb"),
+        )
+    )
+    w = Window.partitionBy("query_id", "pd").orderBy(
+        cosine(F.col("va"), F.col("vb")).desc(), "neighbor_id"
+    )
+    top = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MRL_K)
+        .select("query_id", "pd", "neighbor_id")
+        .cache()
+    )
+    full_d = top.filter(F.col("pd") == _MRL_DIMS[-1]).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        top.join(F.broadcast(full_d), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", F.col("pd").cast("long").alias("prefix_dims"))
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "prefix_dims",
+            "n_overlap",
+            F.expr(f"(1000 * n_overlap) div {_MRL_K}").alias("recall_permille"),
+        )
+        .orderBy("query_id", "prefix_dims")
+    )
