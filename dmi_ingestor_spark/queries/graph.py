@@ -2897,3 +2897,117 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("in_source").cast("long").alias("in_source"),
         F.col("rank").alias("ppr_scaled"),
     ).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# Temporal (time-respecting) reachability
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_temporal_reachability",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             MIN(EXTRACT(YEAR FROM o.o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o.o_orderdate)) AS t
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    hop2 AS (
+      SELECT a.src, b.dst AS dst2, MIN(b.t) AS arrive_t
+      FROM e a JOIN e b
+        ON b.src = a.dst AND b.t >= a.t AND b.dst <> a.src
+      GROUP BY a.src, b.dst
+    ),
+    dr AS (
+      SELECT src, COUNT(DISTINCT dst) AS direct_reach FROM e GROUP BY src
+    ),
+    hs AS (
+      SELECT src, COUNT(DISTINCT dst2) AS hop2_reach,
+             SUM(arrive_t) AS cs
+      FROM hop2 GROUP BY src
+    )
+    SELECT dr.src AS nationkey,
+           CAST(dr.direct_reach AS BIGINT) AS direct_reach,
+           CAST(COALESCE(hs.hop2_reach, 0) AS BIGINT) AS hop2_reach,
+           CAST(COALESCE(hs.cs, 0) AS BIGINT) AS arrival_checksum
+    FROM dr LEFT JOIN hs ON hs.src = dr.src
+    ORDER BY nationkey
+    """,
+    doc=(
+        "Time-respecting reachability — the temporal-graph semantics "
+        "static reachability gets WRONG: a 2-hop path src->mid->dst "
+        "only counts if the second edge departs no earlier than the "
+        "first arrives (b.t >= a.t), so influence/contagion can only "
+        "flow forward in time. Edges carry their FIRST-trade month "
+        "(min-aggregate over the fact join); per source the readout "
+        "is direct reach, time-respecting 2-hop reach, and the "
+        "earliest-arrival checksum — the temporal betweenness/"
+        "latency primitives build on exactly this join. 100 TB "
+        "shape: one fact-sized edge build, then joins on the "
+        "O(|nations|^2)-bounded timestamped edge relation; the "
+        "time predicate rides the equi-join as a residual, never a "
+        "range-only join."
+    ),
+    tags=("graph", "temporal", "scale"),
+)
+def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.min(F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "t"
+            )
+        )
+        .cache()
+    )
+    a = e.select(F.col("src"), F.col("dst").alias("mid"), F.col("t").alias("t1"))
+    b = e.select(
+        F.col("src").alias("mid"),
+        F.col("dst").alias("dst2"),
+        F.col("t").alias("t2"),
+    )
+    hop2 = (
+        a.join(b, "mid")
+        .filter((F.col("t2") >= F.col("t1")) & (F.col("dst2") != F.col("src")))
+        .groupBy("src", "dst2")
+        .agg(F.min("t2").alias("arrive_t"))
+        .cache()
+    )
+    direct_reach = e.groupBy("src").agg(
+        F.countDistinct("dst").cast("long").alias("direct_reach")
+    )
+    hop2_stats = hop2.groupBy("src").agg(
+        F.countDistinct("dst2").cast("long").alias("hop2_reach"),
+        F.sum("arrive_t").cast("long").alias("arrival_checksum"),
+    )
+    return (
+        direct_reach.join(hop2_stats, "src", "left")
+        .select(
+            F.col("src").cast("long").alias("nationkey"),
+            "direct_reach",
+            F.coalesce("hop2_reach", F.lit(0)).cast("long").alias("hop2_reach"),
+            F.coalesce("arrival_checksum", F.lit(0))
+            .cast("long")
+            .alias("arrival_checksum"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1491,3 +1491,84 @@ def ingest_avro_container_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec string, n_rows long, key_checksum long, "
         "cents_checksum long, n_null_balance long",
     ).orderBy("codec")
+
+
+@register(
+    "ingest_csv_quoted_multiline",
+    oracle="""
+    WITH src AS (
+      SELECT n_nationkey,
+             'name: ' || n_name || chr(10) || 'region: '
+               || CAST(n_regionkey AS VARCHAR) AS note,
+             n_regionkey
+      FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(length(note)) AS BIGINT) AS note_bytes,
+           CAST(SUM(CASE WHEN note LIKE '%' || chr(10) || '%'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+           CAST(SUM(n_regionkey) AS BIGINT) AS region_checksum
+    FROM src
+    """,
+    doc=(
+        "CSV dialect robustness — the messy half of real CSV feeds: "
+        "fields containing embedded NEWLINES, commas and double "
+        "quotes, written RFC-4180-style (quoted fields, doubled "
+        "quotes) and read back with spark.read.csv(multiLine=True, "
+        "quote/escape pinned). Every note field embeds a newline, so "
+        "a naive line-splitting reader would double the row count "
+        "and shred every record — the checksums prove the quoted "
+        "reader reassembles all of them exactly. multiLine=True is "
+        "the documented scale tradeoff: quoted-newline files are not "
+        "line-splittable, so each FILE becomes the parallelism grain "
+        "(fine for many medium files, the actual shape of vendor "
+        "drops); the oracle rebuilds the expected content "
+        "relationally from nation."
+    ),
+    tags=("ingest", "source", "csv"),
+)
+def ingest_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.catalog import table
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(
+            F.lit("name: "),
+            F.col("n_name"),
+            F.lit("\n"),
+            F.lit("region: "),
+            F.col("n_regionkey").cast("string"),
+        ).alias("note"),
+        "n_regionkey",
+    )
+    out = _tf.mkdtemp(prefix="dmi-csv-ml-")
+    (
+        n.repartition(2)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("inferSchema", False)
+        .csv(out)
+        .select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "note",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_checksum"),
+        F.sum(F.length("note")).cast("long").alias("note_bytes"),
+        F.sum(F.col("note").contains("\n").cast("long"))
+        .cast("long")
+        .alias("n_multiline"),
+        F.sum("n_regionkey").cast("long").alias("region_checksum"),
+    )
