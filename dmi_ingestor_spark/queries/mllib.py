@@ -4534,3 +4534,110 @@ def ml_oob_error_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bag")
     )
+
+
+# --------------------------------------------------------------------------
+# Group fairness metrics (demographic parity / equalized odds gaps)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_fairness_group_metrics",
+    oracle="""
+    WITH scored AS (
+      SELECT c.c_mktsegment AS grp,
+             CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS yhat,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_grp AS (
+      SELECT grp,
+             COUNT(*) AS n,
+             SUM(yhat) AS n_pos_pred,
+             SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+      FROM scored GROUP BY grp
+    ),
+    overall AS (
+      SELECT (1000 * SUM(n_pos_pred)) // SUM(n) AS sel_all,
+             (1000 * SUM(tp)) // SUM(np) AS tpr_all,
+             (1000 * SUM(fp)) // SUM(nn) AS fpr_all
+      FROM per_grp
+    )
+    SELECT g.grp,
+           CAST(g.n AS BIGINT) AS n,
+           CAST((1000 * g.n_pos_pred) // g.n AS BIGINT)
+             AS selection_permille,
+           CAST((1000 * g.tp) // g.np AS BIGINT) AS tpr_permille,
+           CAST((1000 * g.fp) // g.nn AS BIGINT) AS fpr_permille,
+           CAST((1000 * g.n_pos_pred) // g.n - o.sel_all AS BIGINT)
+             AS parity_gap_permille,
+           CAST((1000 * g.tp) // g.np - o.tpr_all AS BIGINT)
+             AS tpr_gap_permille,
+           CAST((1000 * g.fp) // g.nn - o.fpr_all AS BIGINT)
+             AS fpr_gap_permille
+    FROM per_grp g CROSS JOIN overall o
+    ORDER BY g.grp
+    """,
+    doc=(
+        "Group fairness audit — the responsible-AI readout every "
+        "model release gate computes: per protected group (market "
+        "segment as the stand-in attribute), SELECTION RATE "
+        "(demographic parity), TPR and FPR (the two halves of "
+        "equalized odds), each with its gap against the pooled rate, "
+        "all in exact integer permille so the audit table is "
+        "hash-stable run over run. The classifier under audit is a "
+        "deterministic price-threshold rule; the metrics machinery — "
+        "one fact scan with the dim broadcast, one group-grain "
+        "aggregate, one 1-row pooled broadcast — is the part that "
+        "runs at 100 TB and the part this query pins."
+    ),
+    tags=("mllib", "eval", "fairness", "orders"),
+)
+def ml_fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("grp"),
+        (F.col("o_totalprice") > 150000).cast("long").alias("yhat"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    per_grp = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yhat").alias("n_pos_pred"),
+        F.sum(((F.col("y") == 1) & (F.col("yhat") == 1)).cast("long")).alias("tp"),
+        F.sum((F.col("y") == 1).cast("long")).alias("np"),
+        F.sum(((F.col("y") == 0) & (F.col("yhat") == 1)).cast("long")).alias("fp"),
+        F.sum((F.col("y") == 0).cast("long")).alias("nn"),
+    )
+    overall = per_grp.agg(
+        F.expr("(1000 * SUM(n_pos_pred)) div SUM(n)").alias("sel_all"),
+        F.expr("(1000 * SUM(tp)) div SUM(np)").alias("tpr_all"),
+        F.expr("(1000 * SUM(fp)) div SUM(nn)").alias("fpr_all"),
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(overall))
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST((1000 * n_pos_pred) div n AS BIGINT)").alias(
+                "selection_permille"
+            ),
+            F.expr("CAST((1000 * tp) div np AS BIGINT)").alias("tpr_permille"),
+            F.expr("CAST((1000 * fp) div nn AS BIGINT)").alias("fpr_permille"),
+            F.expr(
+                "CAST((1000 * n_pos_pred) div n - sel_all AS BIGINT)"
+            ).alias("parity_gap_permille"),
+            F.expr("CAST((1000 * tp) div np - tpr_all AS BIGINT)").alias(
+                "tpr_gap_permille"
+            ),
+            F.expr("CAST((1000 * fp) div nn - fpr_all AS BIGINT)").alias(
+                "fpr_gap_permille"
+            ),
+        )
+        .orderBy("grp")
+    )

@@ -949,3 +949,178 @@ def mm_video_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "shot_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Bounding-box IoU suppression (layout/detection postprocessing)
+# --------------------------------------------------------------------------
+
+_NMS_BOXES = 6
+_NMS_IOU_NUM, _NMS_IOU_DEN = 3, 10  # threshold 0.3
+
+
+@register(
+    "mm_bbox_iou_suppress",
+    oracle=f"""
+    WITH boxes AS (
+      SELECT d.doc_id, r.i AS box_idx,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '-'
+                                     || CAST(r.i AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_NMS_BOXES})) AS i) r
+    ),
+    geo AS (
+      SELECT doc_id, box_idx,
+             h % 100 AS x, (h // 100) % 100 AS y,
+             10 + (h // 10000) % 20 AS w,
+             10 + (h // 1000000) % 20 AS hh,
+             h % 1000 AS score
+      FROM boxes
+    ),
+    pairs AS (
+      SELECT a.doc_id, a.box_idx,
+             MAX(CASE WHEN
+                 (b.score > a.score
+                  OR (b.score = a.score AND b.box_idx < a.box_idx))
+                 AND GREATEST(LEAST(a.x + a.w, b.x + b.w)
+                              - GREATEST(a.x, b.x), 0)
+                   * GREATEST(LEAST(a.y + a.hh, b.y + b.hh)
+                              - GREATEST(a.y, b.y), 0)
+                   * {_NMS_IOU_DEN}
+                   >= {_NMS_IOU_NUM} *
+                      (a.w * a.hh + b.w * b.hh
+                       - GREATEST(LEAST(a.x + a.w, b.x + b.w)
+                                  - GREATEST(a.x, b.x), 0)
+                         * GREATEST(LEAST(a.y + a.hh, b.y + b.hh)
+                                    - GREATEST(a.y, b.y), 0))
+                 THEN 1 ELSE 0 END) AS suppressed
+      FROM geo a JOIN geo b
+        ON b.doc_id = a.doc_id AND b.box_idx <> a.box_idx
+      GROUP BY a.doc_id, a.box_idx
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_boxes,
+           CAST(SUM(1 - COALESCE(p.suppressed, 0)) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN COALESCE(p.suppressed, 0) = 0
+                    THEN g.score ELSE 0 END) AS BIGINT) AS kept_score_sum,
+           CAST(SUM(CASE WHEN COALESCE(p.suppressed, 0) = 0
+                    THEN g.w * g.hh ELSE 0 END) AS BIGINT) AS kept_area_sum
+    FROM geo g
+    LEFT JOIN pairs p ON p.doc_id = g.doc_id AND p.box_idx = g.box_idx
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    doc=(
+        "Bounding-box suppression — the postprocessing every layout/"
+        "object-detection stage runs before boxes feed OCR or "
+        "crop-and-embed: a box is suppressed when a strictly "
+        "higher-priority box (score, then index — deterministic) "
+        "overlaps it at IoU >= 0.3. IoU is EXACT integer geometry "
+        "(intersection/union cross-multiplied against the rational "
+        "threshold — no float area math), and this is the one-pass "
+        "suppress-against-all-higher variant, which relational "
+        "engines express as a single keyed self-join + MAX — unlike "
+        "sequential greedy NMS, which is order-dependent and needs "
+        "a per-group fold. Boxes are synthesized per doc from md5 "
+        "(decoder stubbed, same policy as the frame/audio family); "
+        "the per-doc pairwise join is bounded by boxes-per-doc², "
+        "embarrassingly parallel across docs at 100 TB."
+    ),
+    tags=("multimodal", "spatial"),
+)
+def mm_bbox_iou_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    idx = F.explode(F.array(*[F.lit(i) for i in range(_NMS_BOXES)])).alias(
+        "box_idx"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("-"),
+                    F.col("box_idx").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    geo = (
+        d.select("doc_id", idx)
+        .withColumn("h", h)
+        .select(
+            "doc_id",
+            "box_idx",
+            (F.col("h") % 100).alias("x"),
+            ((F.col("h") / 100).cast("long") % 100).alias("y"),
+            (10 + (F.col("h") / 10000).cast("long") % 20).alias("w"),
+            (10 + (F.col("h") / 1000000).cast("long") % 20).alias("hh"),
+            (F.col("h") % 1000).alias("score"),
+        )
+        .cache()
+    )
+    a = geo
+    b = geo.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("box_idx").alias("box_idx_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("w").alias("wb"),
+        F.col("hh").alias("hhb"),
+        F.col("score").alias("score_b"),
+    )
+    ix = F.greatest(
+        F.least(F.col("x") + F.col("w"), F.col("xb") + F.col("wb"))
+        - F.greatest(F.col("x"), F.col("xb")),
+        F.lit(0),
+    )
+    iy = F.greatest(
+        F.least(F.col("y") + F.col("hh"), F.col("yb") + F.col("hhb"))
+        - F.greatest(F.col("y"), F.col("yb")),
+        F.lit(0),
+    )
+    inter = ix * iy
+    union = F.col("w") * F.col("hh") + F.col("wb") * F.col("hhb") - inter
+    higher = (F.col("score_b") > F.col("score")) | (
+        (F.col("score_b") == F.col("score"))
+        & (F.col("box_idx_b") < F.col("box_idx"))
+    )
+    sup = (higher & (inter * _NMS_IOU_DEN >= _NMS_IOU_NUM * union)).cast("int")
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id_b") == F.col("doc_id"))
+            & (F.col("box_idx_b") != F.col("box_idx")),
+        )
+        .groupBy("doc_id", "box_idx")
+        .agg(F.max(sup).alias("suppressed"))
+    )
+    return (
+        geo.join(pairs, ["doc_id", "box_idx"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_boxes"),
+            F.sum(1 - F.coalesce("suppressed", F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.coalesce("suppressed", F.lit(0)) == 0, F.col("score"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_score_sum"),
+            F.sum(
+                F.when(
+                    F.coalesce("suppressed", F.lit(0)) == 0,
+                    F.col("w") * F.col("hh"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_area_sum"),
+        )
+        .orderBy("doc_id")
+    )
