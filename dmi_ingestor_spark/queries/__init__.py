@@ -13,10 +13,18 @@ it, so nothing is ever dropped — only rotated.
 
 Round-6+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
-CORRECTNESS_r0N.json files (240 oracle-bearing entered round 5; ~190
-remain after the r5 rotation below). Replace ``_DRIVER_PRIORITY`` with
-the next 50 of that set, oracle-bearing first — compute it directly:
-``set(registry) - union(json keys)``. Remaining families include the
+CORRECTNESS_r0N.json files (240 oracle-bearing entered round 5; the
+round-5 session added 31 more queries, so ~230 remain after the r5
+rotation below — rounds 6-10 at 50/round). Replace
+``_DRIVER_PRIORITY`` with the next 50 of that set, oracle-bearing
+first — compute it directly: ``set(registry) - union(json keys)``.
+Front-load the round-5 session wave (span/delta/band-tuning dedup,
+k-truss, PPR, temporal reachability, GBDT second-order, RF
+stumps+OOB, pinball, EM/F1, fairness, uplift, binseg, period-detect,
+mix-shift, clone, IVM join view, contribution bounding, DPO, SFT
+gate, bitemporal, keyframes, bbox suppress, Matryoshka recall, GRIB2
+packing matrix, Avro matrix, zip members, multiline CSV) — all
+never-checked. Remaining families include the
 agg/ts extras (agg_histogram_equifreq,
 agg_mode_exact follow-ons, ts_cusum_changepoint, ts_obv_indicator,
 ts_runs_test…), the join extras (join_bloom_prefilter,

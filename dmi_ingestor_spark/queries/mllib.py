@@ -4641,3 +4641,88 @@ def ml_fairness_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (inter-annotator / model agreement beyond chance)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_cohen_kappa_agreement",
+    oracle="""
+    WITH rated AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) <= 6
+                  THEN 1 ELSE 0 END AS r2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_seg AS (
+      SELECT segment,
+             COUNT(*) AS n,
+             SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS agree,
+             SUM(r1) AS m1_pos, SUM(r2) AS m2_pos
+      FROM rated GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           CAST((1000 * agree) // n AS BIGINT) AS po_permille,
+           CAST((1000 * (m1_pos * m2_pos + (n - m1_pos) * (n - m2_pos)))
+                // (n * n) AS BIGINT) AS pe_permille,
+           CAST((1000000 * (n * agree
+                            - (m1_pos * m2_pos
+                               + (n - m1_pos) * (n - m2_pos))))
+                // (n * n - (m1_pos * m2_pos
+                             + (n - m1_pos) * (n - m2_pos)))
+                AS BIGINT) AS kappa_ppm
+    FROM per_seg
+    ORDER BY segment
+    """,
+    doc=(
+        "Cohen's kappa — chance-corrected agreement, THE quality "
+        "metric for annotation pipelines (two labelers, or "
+        "model-vs-human audit): kappa = (p_o - p_e)/(1 - p_e) "
+        "computed ENTIRELY in integers by clearing denominators — "
+        "p_o = agree/n and p_e = (m1·m2 + m1'·m2')/n² give kappa = "
+        "(n·agree - Σmm) / (n² - Σmm), emitted ppm-scaled (kappa "
+        "can be negative: worse-than-chance agreement survives the "
+        "truncating div identically on both engines). Raters here "
+        "are two deterministic rules (price threshold vs order "
+        "half-year) so the metric machinery is what's hash-checked, "
+        "per segment. One fact scan, dim broadcast, segment-grain "
+        "sufficient statistics — the 100 TB annotation-QA shape."
+    ),
+    tags=("mllib", "eval", "annotation", "orders"),
+)
+def ml_cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rated = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") > 150000).cast("long").alias("r1"),
+        (F.month("o_orderdate") <= 6).cast("long").alias("r2"),
+    )
+    per_seg = rated.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("r1") == F.col("r2")).cast("long")).alias("agree"),
+        F.sum("r1").alias("m1_pos"),
+        F.sum("r2").alias("m2_pos"),
+    )
+    return per_seg.select(
+        "segment",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((1000 * agree) div n AS BIGINT)").alias("po_permille"),
+        F.expr(
+            "CAST((1000 * (m1_pos * m2_pos + (n - m1_pos) * (n - m2_pos)))"
+            " div (n * n) AS BIGINT)"
+        ).alias("pe_permille"),
+        F.expr(
+            "CAST((1000000 * (n * agree - (m1_pos * m2_pos"
+            " + (n - m1_pos) * (n - m2_pos))))"
+            " div (n * n - (m1_pos * m2_pos + (n - m1_pos) * (n - m2_pos)))"
+            " AS BIGINT)"
+        ).alias("kappa_ppm"),
+    ).orderBy("segment")
