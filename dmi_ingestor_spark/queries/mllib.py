@@ -4726,3 +4726,96 @@ def ml_cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("kappa_ppm"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Error-slice finder (worst-performing cohorts with support floor)
+# --------------------------------------------------------------------------
+
+_SLICE_MIN_N = 50
+_SLICE_TOPK = 5
+
+
+@register(
+    "ml_error_slice_finder",
+    oracle=f"""
+    WITH scored AS (
+      SELECT c.c_mktsegment AS segment,
+             EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+             CASE WHEN (CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END)
+                       <> (CASE WHEN o.o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS err
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT segment, yr, COUNT(*) AS n, SUM(err) AS n_err,
+             (1000 * SUM(err)) // COUNT(*) AS err_permille
+      FROM scored GROUP BY segment, yr
+      HAVING COUNT(*) >= {_SLICE_MIN_N}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY err_permille DESC, segment, yr) AS rk
+      FROM cells
+    )
+    SELECT segment, CAST(yr AS BIGINT) AS yr, CAST(n AS BIGINT) AS n,
+           CAST(n_err AS BIGINT) AS n_err,
+           CAST(err_permille AS BIGINT) AS err_permille,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_SLICE_TOPK}
+    ORDER BY rk
+    """,
+    doc=(
+        "Error-slice finder — the model-debugging pass (SliceFinder/"
+        "SliceLine lite) that answers 'WHERE does the model fail': "
+        "the classifier's disagreement rate is computed over every "
+        f"(segment x year) cohort, cohorts under {_SLICE_MIN_N} rows "
+        "are dropped (a support floor, so noise cells can't top the "
+        "list), and the worst slices surface with a "
+        "deterministic (rate desc, segment, yr) order. Exact integer "
+        "permille keeps the ranking hash-stable. The top-k sort runs "
+        "over the already-aggregated O(segments x years) cell "
+        "relation — at 100 TB only the cell rollup touches facts, "
+        "and richer slice grammars (feature crossings) just widen "
+        "the grouping set."
+    ),
+    tags=("mllib", "eval", "debugging", "orders"),
+)
+def ml_error_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yhat = (F.col("o_totalprice") > 150000).cast("long")
+    y = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    scored = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").alias("yr"),
+        (yhat != y).cast("long").alias("err"),
+    )
+    cells = (
+        scored.groupBy("segment", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("err").alias("n_err"),
+            F.expr("(1000 * SUM(err)) div COUNT(*)").alias("err_permille"),
+        )
+        .filter(F.col("n") >= _SLICE_MIN_N)
+    )
+    w = Window.orderBy(F.col("err_permille").desc(), "segment", "yr")
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SLICE_TOPK)
+        .select(
+            "segment",
+            F.col("yr").cast("long").alias("yr"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_err").cast("long").alias("n_err"),
+            F.col("err_permille").cast("long").alias("err_permille"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("rk")
+    )

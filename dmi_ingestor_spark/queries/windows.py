@@ -3264,3 +3264,100 @@ def analytics_mix_shift_decomposition(
             " AS BIGINT)"
         ).alias("interaction_ppm"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences (temporal quasi-experiment readout)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "analytics_diff_in_diff",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN EXTRACT(YEAR FROM o.o_orderdate) >= 1998
+                  THEN 1 ELSE 0 END AS post,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT treated, post, COUNT(*) AS n, SUM(y) AS pos,
+             (1000000 * SUM(y)) // COUNT(*) AS rate_ppm
+      FROM assigned GROUP BY treated, post
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN rate_ppm END) AS t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN rate_ppm END) AS t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN rate_ppm END) AS c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN rate_ppm END) AS c1
+      FROM cells
+    )
+    SELECT CAST(c.treated AS BIGINT) AS treated,
+           CAST(c.post AS BIGINT) AS post,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST((w.t1 - w.t0) - (w.c1 - w.c0) AS BIGINT) AS did_ppm
+    FROM cells c CROSS JOIN wide w
+    ORDER BY treated, post
+    """,
+    doc=(
+        "Difference-in-differences — the temporal quasi-experiment "
+        "readout when randomization isn't available (policy changes, "
+        "staged rollouts): treated segments vs control segments, "
+        "before vs after the cutover, with the DiD estimate "
+        "(Δtreated − Δcontrol) that nets out both the group baseline "
+        "difference and the common time trend. The four cell rates "
+        "and the estimate are exact integer ppm, so the readout "
+        "table is hash-stable. Complements analytics_uplift_eval "
+        "(randomized, cross-sectional) with the observational "
+        "design. One fact scan, dim broadcast, 4-cell aggregate, "
+        "1-row pivot broadcast."
+    ),
+    tags=("analytics", "experimentation", "orders", "customer"),
+)
+def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    assigned = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment")
+        .isin("BUILDING", "MACHINERY")
+        .cast("long")
+        .alias("treated"),
+        (F.year("o_orderdate") >= 1998).cast("long").alias("post"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    cells = assigned.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("(1000000 * SUM(y)) div COUNT(*)").alias("rate_ppm"),
+    )
+    wide = cells.agg(
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                     F.col("rate_ppm"))).alias("t0"),
+        F.max(F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                     F.col("rate_ppm"))).alias("t1"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                     F.col("rate_ppm"))).alias("c0"),
+        F.max(F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                     F.col("rate_ppm"))).alias("c1"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide))
+        .select(
+            F.col("treated").cast("long").alias("treated"),
+            F.col("post").cast("long").alias("post"),
+            F.col("n").cast("long").alias("n"),
+            F.col("rate_ppm").cast("long").alias("rate_ppm"),
+            (
+                (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+            )
+            .cast("long")
+            .alias("did_ppm"),
+        )
+        .orderBy("treated", "post")
+    )

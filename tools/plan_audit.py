@@ -86,6 +86,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     ),
     "ts_seasonal_decompose": "moving-sum window over the 30-row daily summary spine",
     "dq_anomaly_rolling_zscore": "trailing window over the 30-row daily summary spine",
+    "ml_error_slice_finder": (
+        "worst-k rank window over the O(segments x years) cell "
+        "aggregate (~35 rows after the support floor)"
+    ),
     "ts_period_detect_argmax": (
         "phase-index rank window + top-1 sort over the O(months) "
         "summary series"
