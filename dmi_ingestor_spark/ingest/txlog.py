@@ -77,6 +77,11 @@ class Snapshot:
     version: int
     add_units: tuple[str, ...]
     schema_ddl: str
+    # logical→physical column names as of this version (Delta-style
+    # column mapping: a rename is a metadata commit, data files keep
+    # their original — physical — column names forever). Empty tuple
+    # means identity (no rename has ever happened).
+    column_mapping: tuple[tuple[str, str], ...] = ()
 
 
 class TxLog:
@@ -149,6 +154,7 @@ class TxLog:
             "version": version,
             "live": list(snap.add_units),
             "schema_ddl": snap.schema_ddl,
+            "column_mapping": dict(snap.column_mapping),
             "stats": {u: s for u, s in stats.items() if u in snap.add_units},
         }
         staged = f"{self.stage_path}/ck-{version:08d}.json"
@@ -174,18 +180,25 @@ class TxLog:
             commits = [c for c in commits if c["version"] <= version]
         live = list(ck["live"])
         schema_ddl = ck["schema_ddl"]
+        mapping = dict(ck.get("column_mapping") or {})
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
                     live.remove(r)
             live.extend(c.get("adds", []))
             schema_ddl = c.get("schema_ddl") or schema_ddl
+            mapping = c.get("column_mapping") or mapping
         v = commits[-1]["version"] if commits else ck["version"]
         if version is not None and v != version:
             # mirror snapshot()'s contract: a nonexistent / gap version
             # must raise, not silently resolve to the state below it
             raise ValueError(f"version {version} does not exist")
-        return Snapshot(version=v, add_units=tuple(live), schema_ddl=schema_ddl)
+        return Snapshot(
+            version=v,
+            add_units=tuple(live),
+            schema_ddl=schema_ddl,
+            column_mapping=tuple(sorted(mapping.items())),
+        )
 
     def latest_version(self) -> int:
         commits = self._list_commits()
@@ -199,14 +212,21 @@ class TxLog:
                 raise ValueError(f"version {version} does not exist")
         live: list[str] = []
         schema_ddl = ""
+        mapping: dict[str, str] = {}
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
                     live.remove(r)
             live.extend(c.get("adds", []))
             schema_ddl = c.get("schema_ddl") or schema_ddl
+            mapping = c.get("column_mapping") or mapping
         v = commits[-1]["version"] if commits else -1
-        return Snapshot(version=v, add_units=tuple(live), schema_ddl=schema_ddl)
+        return Snapshot(
+            version=v,
+            add_units=tuple(live),
+            schema_ddl=schema_ddl,
+            column_mapping=tuple(sorted(mapping.items())),
+        )
 
     # -- commit protocol ----------------------------------------------
 
@@ -260,12 +280,58 @@ class TxLog:
 
     # -- table operations ---------------------------------------------
 
+    # -- column mapping (metadata-only rename) ------------------------
+
+    def column_mapping(self) -> dict[str, str]:
+        """Current logical→physical column names. Identity (derived
+        from the recorded physical schema) until the first rename."""
+        snap = self.snapshot()
+        if snap.column_mapping:
+            return dict(snap.column_mapping)
+        if not snap.schema_ddl:
+            return {}
+        from pyspark.sql.types import _parse_datatype_string
+
+        return {n: n for n in _parse_datatype_string(snap.schema_ddl).names}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a logical column WITHOUT touching any data file — a
+        metadata-only commit recording the new logical→physical mapping
+        (Delta Lake's column-mapping rename). Old snapshots replay the
+        mapping as of their version, so time travel still shows the old
+        name; new appends translate logical names back to the physical
+        names the files use."""
+        m = self.column_mapping()
+        if old not in m:
+            raise ValueError(f"no such column: {old!r} (have {sorted(m)})")
+        if new in m:
+            raise ValueError(f"column already exists: {new!r}")
+        m[new] = m.pop(old)
+        return self.commit(
+            adds=[], removes=[], tag="rename", extra={"column_mapping": m}
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Translate a logical-schema DataFrame to physical column
+        names before it hits parquet, so every data file in the table
+        carries one consistent (physical) schema regardless of how many
+        renames the log has seen. Unknown columns (brand-new adds) keep
+        their name — their physical name IS their logical name."""
+        snap = self.snapshot()
+        m = dict(snap.column_mapping)
+        if not m or all(k == v for k, v in m.items()):
+            return df
+        from pyspark.sql import functions as F
+
+        return df.select([F.col(c).alias(m.get(c, c)) for c in df.columns])
+
     def _write_unit(self, df: DataFrame, unit_name: str) -> str:
         """Write ``df`` to a NEW data unit. A reused ``unit_name`` would
         silently overwrite files still referenced by older snapshots
         (breaking snapshot isolation with no trace in the log), so an
         existing target path is an error — callers pick unique names,
         exactly as Delta uniquifies file names with UUIDs."""
+        df = self._to_physical(df)
         unit = f"data/{unit_name}"
         target = f"{self.root}/{unit}"
         fs, jpath = _fs_and_path(self.spark, target)
@@ -279,11 +345,12 @@ class TxLog:
         return unit
 
     def append(self, df: DataFrame, unit_name: str) -> int:
-        """Write ``df`` as a new add-unit and commit it."""
-        unit = self._write_unit(df, unit_name)
-        return self.commit(
-            adds=[unit], removes=[], schema_ddl=df.schema.simpleString()
-        )
+        """Write ``df`` as a new add-unit and commit it. The recorded
+        schema is the PHYSICAL one (post column-mapping translation) —
+        the schema the files actually carry."""
+        schema_ddl = self._to_physical(df).schema.simpleString()
+        unit = self._write_unit(df, unit_name)  # _write_unit translates
+        return self.commit(adds=[unit], removes=[], schema_ddl=schema_ddl)
 
     def remove_units(self, units: list[str]) -> int:
         """Logically delete add-units (files stay for old snapshots)."""
@@ -312,11 +379,23 @@ class TxLog:
         snap = self.snapshot(version)
         if not snap.add_units:
             if snap.schema_ddl:
-                return self.spark.createDataFrame([], snap.schema_ddl)
-            raise ValueError("empty table with no recorded schema")
-        return self.spark.read.parquet(
-            *[self._unit_path(u) for u in snap.add_units]
-        )
+                df = self.spark.createDataFrame([], snap.schema_ddl)
+            else:
+                raise ValueError("empty table with no recorded schema")
+        else:
+            df = self.spark.read.parquet(
+                *[self._unit_path(u) for u in snap.add_units]
+            )
+        m = dict(snap.column_mapping)
+        if m and any(k != v for k, v in m.items()):
+            # files store physical names; present the logical names AS
+            # OF the requested version (time travel before a rename
+            # still shows the old name, replayed from that snapshot)
+            from pyspark.sql import functions as F
+
+            inv = {p: lg for lg, p in m.items()}
+            df = df.select([F.col(c).alias(inv.get(c, c)) for c in df.columns])
+        return df
 
     def vacuum(self) -> list[str]:
         """Physically delete data units not visible in the LATEST

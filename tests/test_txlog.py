@@ -445,3 +445,68 @@ def test_clone_shallow_zero_copy_and_divergence(spark, sf_dir, tx, tmp_path):
     removed = clone.vacuum()
     assert removed == []
     assert tx.read().count() > n_src
+
+
+def test_rename_column_is_metadata_only(spark, sf_dir, tx):
+    """Column-mapping rename: no data file moves, latest read shows the
+    new name, time travel before the rename shows the old one."""
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f, "f-batch")
+    units_before = tx.snapshot().add_units
+    v = tx.rename_column("o_totalprice", "order_value")
+    # metadata-only: the live unit set is byte-identical
+    assert tx.snapshot().add_units == units_before
+    assert tx.read().columns == ["o_orderkey", "o_orderstatus", "order_value"]
+    # time travel: the pre-rename snapshot replays the old logical name
+    assert "o_totalprice" in tx.read(version=v - 1).columns
+    # values unchanged
+    got = tx.read().agg(F.sum("order_value")).first()[0]
+    want = f.agg(F.sum("o_totalprice")).first()[0]
+    assert got == want
+
+
+def test_append_after_rename_translates_to_physical(spark, sf_dir, tx):
+    """New appends use the LOGICAL name; files carry the physical name,
+    so every unit in the table keeps one consistent parquet schema."""
+    f = _orders(spark, sf_dir, "F")
+    o = _orders(spark, sf_dir, "O")
+    tx.append(f, "f-batch")
+    tx.rename_column("o_totalprice", "order_value")
+    tx.append(o.withColumnRenamed("o_totalprice", "order_value"), "o-batch")
+    # logical read unions both units under the logical name
+    got = tx.read().agg(
+        F.count(F.lit(1)), F.sum("order_value")
+    ).first()
+    both = _orders(spark, sf_dir, "F").unionAll(o)
+    want = both.agg(F.count(F.lit(1)), F.sum("o_totalprice")).first()
+    assert tuple(got) == tuple(want)
+    # the new unit's FILES store the physical name (no mixed schemas)
+    raw = spark.read.parquet(f"{tx.root}/data/o-batch")
+    assert "o_totalprice" in raw.columns and "order_value" not in raw.columns
+
+
+def test_rename_column_rejects_unknown_and_duplicate(spark, sf_dir, tx):
+    tx.append(_orders(spark, sf_dir, "F"), "f-batch")
+    with pytest.raises(ValueError, match="no such column"):
+        tx.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        tx.rename_column("o_totalprice", "o_orderkey")
+
+
+def test_rename_survives_checkpointed_replay(spark, sf_dir, tx):
+    """snapshot_fast resolves the mapping through a checkpoint written
+    AFTER the rename (checkpoints persist column_mapping)."""
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f.limit(5), "u0")
+    tx.rename_column("o_totalprice", "order_value")
+    for i in range(1, 6):  # cross the CHECKPOINT_EVERY=5 boundary
+        tx.append(
+            f.limit(1).withColumnRenamed("o_totalprice", "order_value"),
+            f"u{i}",
+        )
+    assert tx._latest_checkpoint() is not None
+    fast = tx.snapshot_fast()
+    full = tx.snapshot()
+    assert fast == full
+    assert dict(fast.column_mapping)["order_value"] == "o_totalprice"
+    assert "order_value" in tx.read().columns
