@@ -4819,3 +4819,451 @@ def ml_error_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# Depth-2 greedy tree: two levels of exact split finding
+# --------------------------------------------------------------------------
+
+_T2_GINI = f"""
+      (ln * ((CAST(2 AS {{big}}) * lpos * (ln - lpos)
+              * {_GINI_SCALE}) {{div}} (ln * ln))
+       + (n_all - ln) *
+         CASE WHEN n_all - ln = 0 THEN 0
+              ELSE (CAST(2 AS {{big}}) * (pos_all - lpos)
+                    * ((n_all - ln) - (pos_all - lpos))
+                    * {_GINI_SCALE})
+                   {{div}} ((n_all - ln) * (n_all - ln)) END
+      ) {{div}} n_all"""
+
+_T2_GINI_SQL = _T2_GINI.format(big="HUGEINT", div="//")
+_T2_GINI_SPARK = _T2_GINI.format(big="DECIMAL(38,0)", div="div")
+
+
+@register(
+    "ml_tree_depth2_exact",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN p_retailprice > 950 THEN 1 ELSE 0 END AS y,
+             CAST(p_size AS BIGINT) AS f_size,
+             CAST(LENGTH(p_name) AS BIGINT) AS f_namelen
+      FROM part
+    ),
+    feats AS (
+      SELECT y, 'p_size' AS feature, f_size AS val FROM labeled
+      UNION ALL
+      SELECT y, 'name_len' AS feature, f_namelen AS val FROM labeled
+    ),
+    g AS (
+      SELECT feature, val, COUNT(*) AS n, SUM(y) AS pos
+      FROM feats GROUP BY feature, val
+    ),
+    tot AS (SELECT COUNT(*) AS n_all, SUM(y) AS pos_all FROM labeled),
+    cum AS (
+      SELECT feature, val,
+             SUM(n) OVER (PARTITION BY feature ORDER BY val) AS ln,
+             SUM(pos) OVER (PARTITION BY feature ORDER BY val) AS lpos
+      FROM g
+    ),
+    scored AS (
+      SELECT feature, val,
+             CAST({_T2_GINI_SQL} AS BIGINT) AS gini_scaled
+      FROM cum CROSS JOIN tot WHERE ln < n_all
+    ),
+    root AS (
+      SELECT feature, val AS thr, gini_scaled
+      FROM scored ORDER BY gini_scaled, feature, val LIMIT 1
+    ),
+    assigned AS (
+      SELECT l.y, l.f_size, l.f_namelen,
+             CASE WHEN (CASE WHEN r.feature = 'p_size' THEN l.f_size
+                        ELSE l.f_namelen END) <= r.thr
+                  THEN 'L' ELSE 'R' END AS node
+      FROM labeled l CROSS JOIN root r
+    ),
+    feats2 AS (
+      SELECT node, y, 'p_size' AS feature, f_size AS val FROM assigned
+      UNION ALL
+      SELECT node, y, 'name_len' AS feature, f_namelen AS val FROM assigned
+    ),
+    g2 AS (
+      SELECT node, feature, val, COUNT(*) AS n, SUM(y) AS pos
+      FROM feats2 GROUP BY node, feature, val
+    ),
+    tot2 AS (
+      SELECT node, COUNT(*) AS n_all, SUM(y) AS pos_all
+      FROM assigned GROUP BY node
+    ),
+    cum2 AS (
+      SELECT node, feature, val,
+             SUM(n) OVER (PARTITION BY node, feature ORDER BY val) AS ln,
+             SUM(pos) OVER (PARTITION BY node, feature ORDER BY val) AS lpos
+      FROM g2
+    ),
+    scored2 AS (
+      SELECT c.node, c.feature, c.val,
+             CAST({_T2_GINI_SQL} AS BIGINT) AS gini_scaled
+      FROM cum2 c JOIN tot2 USING (node) WHERE ln < n_all
+    ),
+    child AS (
+      SELECT node, feature, val AS thr, gini_scaled,
+             ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY gini_scaled, feature, val
+             ) AS rk
+      FROM scored2
+    )
+    SELECT 'root' AS node, r.feature, CAST(r.thr AS BIGINT) AS threshold,
+           CAST(t.n_all AS BIGINT) AS n_node,
+           CAST(t.pos_all AS BIGINT) AS pos_node, r.gini_scaled
+    FROM root r CROSS JOIN tot t
+    UNION ALL
+    SELECT c.node, c.feature, CAST(c.thr AS BIGINT) AS threshold,
+           CAST(t2.n_all AS BIGINT) AS n_node,
+           CAST(t2.pos_all AS BIGINT) AS pos_node, c.gini_scaled
+    FROM child c JOIN tot2 t2 USING (node)
+    WHERE c.rk = 1
+    ORDER BY node
+    """,
+    doc=(
+        "Greedy depth-2 CART: level 1 sweeps BOTH candidate features "
+        "(p_size and name length) with the exact sort-and-scan split "
+        "finder of ml_decision_stump_exact, picks the (gini, feature, "
+        "threshold)-min root, partitions the rows into L/R, and level "
+        "2 repeats the sweep PER NODE to pick each child's split — the "
+        "recursion step that turns stumps into trees, expressed as two "
+        "rounds of grouped-count + cumulative-window (no per-threshold "
+        "rescan, no per-row Python). Weighted Gini stays a 1e8-scaled "
+        "integer (DECIMAL(38,0) / HUGEINT intermediates -> bit-exact "
+        "parity). Output: one row per tree node with its chosen split. "
+        "At 100 TB each level is one grouped aggregate over (node, "
+        "feature, value) histograms — the XGBoost/LightGBM histogram "
+        "pattern — never a resort of the raw rows."
+    ),
+    tags=("mllib", "training-pipeline", "part"),
+)
+def ml_tree_depth2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    labeled = p.select(
+        (F.col("p_retailprice") > 950).cast("long").alias("y"),
+        F.col("p_size").cast("long").alias("f_size"),
+        F.length("p_name").cast("long").alias("f_namelen"),
+    )
+
+    def unpivot(df, extra):
+        # one scan: explode the (feature, val) pairs instead of a
+        # self-union that would read the table twice
+        pairs = F.array(
+            F.struct(
+                F.lit("p_size").alias("feature"), F.col("f_size").alias("val")
+            ),
+            F.struct(
+                F.lit("name_len").alias("feature"),
+                F.col("f_namelen").alias("val"),
+            ),
+        )
+        return df.select(*extra, "y", F.explode(pairs).alias("fv")).select(
+            *extra, "y", "fv.feature", "fv.val"
+        )
+
+    def sweep(feats, keys):
+        g = feats.groupBy(*keys, "feature", "val").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+        )
+        w = (
+            Window.partitionBy(*keys, "feature")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return g.select(
+            *keys,
+            "feature",
+            "val",
+            F.sum("n").over(w).alias("ln"),
+            F.sum("pos").over(w).alias("lpos"),
+        )
+
+    gini = F.expr(f"CAST({_T2_GINI_SPARK} AS BIGINT)").alias("gini_scaled")
+
+    tot = labeled.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("pos_all")
+    )
+    scored = (
+        sweep(unpivot(labeled, []), [])
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("ln") < F.col("n_all"))
+        .select("feature", "val", gini)
+    )
+    root = (
+        scored.agg(F.min(F.struct("gini_scaled", "feature", "val")).alias("b"))
+        .select(
+            F.col("b.feature").alias("r_feature"),
+            F.col("b.val").alias("r_thr"),
+            F.col("b.gini_scaled").alias("r_gini"),
+        )
+    )
+    assigned = labeled.crossJoin(F.broadcast(root)).withColumn(
+        "node",
+        F.when(
+            F.when(F.col("r_feature") == "p_size", F.col("f_size")).otherwise(
+                F.col("f_namelen")
+            )
+            <= F.col("r_thr"),
+            F.lit("L"),
+        ).otherwise(F.lit("R")),
+    )
+    tot2 = assigned.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("pos_all")
+    )
+    scored2 = (
+        sweep(unpivot(assigned, ["node"]), ["node"])
+        .join(F.broadcast(tot2), "node")
+        .filter(F.col("ln") < F.col("n_all"))
+        .select("node", "feature", "val", gini)
+    )
+    child_best = (
+        scored2.groupBy("node")
+        .agg(F.min(F.struct("gini_scaled", "feature", "val")).alias("b"))
+        .join(F.broadcast(tot2), "node")
+        .select(
+            "node",
+            F.col("b.feature").alias("feature"),
+            F.col("b.val").cast("long").alias("threshold"),
+            F.col("n_all").cast("long").alias("n_node"),
+            F.col("pos_all").cast("long").alias("pos_node"),
+            F.col("b.gini_scaled").alias("gini_scaled"),
+        )
+    )
+    root_row = root.crossJoin(F.broadcast(tot)).select(
+        F.lit("root").alias("node"),
+        F.col("r_feature").alias("feature"),
+        F.col("r_thr").cast("long").alias("threshold"),
+        F.col("n_all").cast("long").alias("n_node"),
+        F.col("pos_all").cast("long").alias("pos_node"),
+        F.col("r_gini").alias("gini_scaled"),
+    )
+    return root_row.unionAll(child_best).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# AdaBoost round, exact integer weights
+# --------------------------------------------------------------------------
+
+_AB_ERR_SQL = (
+    "LEAST(lpos, ln - lpos)"
+    " + LEAST(pos_all - lpos, (n_all - ln) - (pos_all - lpos))"
+)
+
+
+@register(
+    "ml_adaboost_round_exact",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT CASE WHEN p_retailprice > 950 THEN 1 ELSE 0 END AS y,
+             CAST(p_size AS BIGINT) AS f_size,
+             CAST(LENGTH(p_name) AS BIGINT) AS f_namelen
+      FROM part
+    ),
+    feats AS (
+      SELECT y, 'p_size' AS feature, f_size AS val FROM labeled
+      UNION ALL
+      SELECT y, 'name_len' AS feature, f_namelen AS val FROM labeled
+    ),
+    g AS (
+      SELECT feature, val, COUNT(*) AS n, SUM(y) AS pos
+      FROM feats GROUP BY feature, val
+    ),
+    tot AS (SELECT COUNT(*) AS n_all, SUM(y) AS pos_all FROM labeled),
+    cum AS (
+      SELECT feature, val,
+             SUM(n) OVER (PARTITION BY feature ORDER BY val) AS ln,
+             SUM(pos) OVER (PARTITION BY feature ORDER BY val) AS lpos
+      FROM g
+    ),
+    scored AS (
+      SELECT feature, val, ln, lpos, n_all, pos_all,
+             CAST({_T2_GINI_SQL} AS BIGINT) AS gini_scaled,
+             {_AB_ERR_SQL} AS err
+      FROM cum CROSS JOIN tot WHERE ln < n_all
+    ),
+    best1 AS (
+      SELECT * FROM scored ORDER BY gini_scaled, feature, val LIMIT 1
+    ),
+    weighted AS (
+      SELECT l.y, l.f_size, l.f_namelen,
+             CASE WHEN (CASE WHEN (CASE WHEN b.feature = 'p_size'
+                                   THEN l.f_size ELSE l.f_namelen END) <= b.val
+                        THEN CASE WHEN 2 * b.lpos > b.ln THEN 1 ELSE 0 END
+                        ELSE CASE WHEN 2 * (b.pos_all - b.lpos)
+                                       > (b.n_all - b.ln)
+                             THEN 1 ELSE 0 END END) <> l.y
+                  THEN b.n_all - b.err
+                  ELSE CASE WHEN b.err = 0 THEN 1 ELSE b.err END
+             END AS w
+      FROM labeled l CROSS JOIN best1 b
+    ),
+    feats2 AS (
+      SELECT y, w, 'p_size' AS feature, f_size AS val FROM weighted
+      UNION ALL
+      SELECT y, w, 'name_len' AS feature, f_namelen AS val FROM weighted
+    ),
+    g2 AS (
+      SELECT feature, val, SUM(w) AS n, SUM(w * y) AS pos
+      FROM feats2 GROUP BY feature, val
+    ),
+    tot2 AS (
+      SELECT SUM(w) AS n_all, SUM(w * y) AS pos_all FROM weighted
+    ),
+    cum2 AS (
+      SELECT feature, val,
+             SUM(n) OVER (PARTITION BY feature ORDER BY val) AS ln,
+             SUM(pos) OVER (PARTITION BY feature ORDER BY val) AS lpos
+      FROM g2
+    ),
+    scored2 AS (
+      SELECT feature, val, ln, lpos, n_all, pos_all,
+             CAST({_T2_GINI_SQL} AS BIGINT) AS gini_scaled,
+             {_AB_ERR_SQL} AS err
+      FROM cum2 CROSS JOIN tot2 WHERE ln < n_all
+    ),
+    best2 AS (
+      SELECT * FROM scored2 ORDER BY gini_scaled, feature, val LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS round, feature,
+           CAST(val AS BIGINT) AS threshold, gini_scaled,
+           CAST(err AS BIGINT) AS err_w, CAST(n_all AS BIGINT) AS tot_w
+    FROM best1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS round, feature,
+           CAST(val AS BIGINT) AS threshold, gini_scaled,
+           CAST(err AS BIGINT) AS err_w, CAST(n_all AS BIGINT) AS tot_w
+    FROM best2
+    ORDER BY round
+    """,
+    doc=(
+        "One exact AdaBoost round: train the min-Gini stump over both "
+        "features (round 1), classify each side by its majority class, "
+        "then reweight — misclassified rows get weight N-M, correct "
+        "rows M (the standard multiplicative exp(2*alpha) = (1-eps)/eps "
+        "update with denominators cleared, so weights stay INTEGERS "
+        "and the round-2 weighted stump is bit-exactly comparable). "
+        "Round 2 re-sweeps both features under the new weights. Output "
+        "is the two chosen weak learners with scaled weighted Gini, "
+        "weighted error and total weight. Same histogram-sweep shape "
+        "as the depth-2 tree: each round is one grouped aggregate + "
+        "one bounded window — boosting at 100 TB is T sequential "
+        "passes, never a per-row Python loop."
+    ),
+    tags=("mllib", "training-pipeline", "part"),
+)
+def ml_adaboost_round_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part")
+    labeled = p.select(
+        (F.col("p_retailprice") > 950).cast("long").alias("y"),
+        F.col("p_size").cast("long").alias("f_size"),
+        F.length("p_name").cast("long").alias("f_namelen"),
+    )
+
+    def unpivot(df, extra):
+        pairs = F.array(
+            F.struct(
+                F.lit("p_size").alias("feature"), F.col("f_size").alias("val")
+            ),
+            F.struct(
+                F.lit("name_len").alias("feature"),
+                F.col("f_namelen").alias("val"),
+            ),
+        )
+        return df.select(*extra, "y", F.explode(pairs).alias("fv")).select(
+            *extra, "y", "fv.feature", "fv.val"
+        )
+
+    err_col = F.expr(_AB_ERR_SQL).alias("err")
+    gini = F.expr(f"CAST({_T2_GINI_SPARK} AS BIGINT)").alias("gini_scaled")
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def sweep(grouped, tot):
+        cum = grouped.select(
+            "feature",
+            "val",
+            F.sum("n").over(w_cum).alias("ln"),
+            F.sum("pos").over(w_cum).alias("lpos"),
+        )
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("ln") < F.col("n_all"))
+            .select(
+                "feature", "val", "ln", "lpos", "n_all", "pos_all",
+                gini, err_col,
+            )
+        )
+
+    def best_of(scored):
+        keep = ["gini_scaled", "feature", "val", "ln", "lpos", "n_all",
+                "pos_all", "err"]
+        return scored.agg(F.min(F.struct(*keep)).alias("b")).select("b.*")
+
+    g1 = unpivot(labeled, []).groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot1 = labeled.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("y").alias("pos_all")
+    )
+    best1 = best_of(sweep(g1, tot1))
+
+    b = F.broadcast(best1.select(
+        F.col("feature").alias("b_feature"),
+        F.col("val").alias("b_val"),
+        F.col("ln").alias("b_ln"),
+        F.col("lpos").alias("b_lpos"),
+        F.col("n_all").alias("b_n"),
+        F.col("pos_all").alias("b_pos"),
+        F.col("err").alias("b_err"),
+    ))
+    side_val = F.when(
+        F.col("b_feature") == "p_size", F.col("f_size")
+    ).otherwise(F.col("f_namelen"))
+    pred = F.when(
+        side_val <= F.col("b_val"),
+        (2 * F.col("b_lpos") > F.col("b_ln")).cast("long"),
+    ).otherwise(
+        (2 * (F.col("b_pos") - F.col("b_lpos"))
+         > (F.col("b_n") - F.col("b_ln"))).cast("long")
+    )
+    weighted = labeled.crossJoin(b).select(
+        "y",
+        "f_size",
+        "f_namelen",
+        F.when(
+            pred != F.col("y"), F.col("b_n") - F.col("b_err")
+        ).otherwise(
+            F.when(F.col("b_err") == 0, F.lit(1)).otherwise(F.col("b_err"))
+        ).alias("w"),
+    )
+    g2 = unpivot(weighted, ["w"]).groupBy("feature", "val").agg(
+        F.sum("w").alias("n"), F.sum(F.col("w") * F.col("y")).alias("pos")
+    )
+    tot2 = weighted.agg(
+        F.sum("w").alias("n_all"),
+        F.sum(F.col("w") * F.col("y")).alias("pos_all"),
+    )
+    best2 = best_of(sweep(g2, tot2))
+
+    def row(best, r):
+        return best.select(
+            F.lit(r).cast("long").alias("round"),
+            "feature",
+            F.col("val").cast("long").alias("threshold"),
+            "gini_scaled",
+            F.col("err").cast("long").alias("err_w"),
+            F.col("n_all").cast("long").alias("tot_w"),
+        )
+
+    return row(best1, 1).unionAll(row(best2, 2)).orderBy("round")

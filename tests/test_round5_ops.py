@@ -193,3 +193,62 @@ def test_sft_gate_counts_consistent(spark, sf_dir):
     for c in (r.n_ends_with_user, r.n_empty_message, r.n_role_repeat, r.n_clean):
         assert 0 <= c <= r.n_records
     assert r.clean_permille == 1000 * r.n_clean // r.n_records
+
+
+def test_tree_depth2_structure_and_gini_improves(spark, sf_dir):
+    rs = {r.node: r for r in _get("ml_tree_depth2_exact", spark, sf_dir)}
+    assert set(rs) == {"root", "L", "R"}
+    root = rs["root"]
+    # children partition the root's rows
+    assert rs["L"].n_node + rs["R"].n_node == root.n_node
+    assert rs["L"].pos_node + rs["R"].pos_node == root.pos_node
+    for r in rs.values():
+        assert 0 <= r.pos_node <= r.n_node
+        # scaled Gini of a binary split is bounded by 0.5 * scale
+        assert 0 <= r.gini_scaled <= 5 * 10**7
+        assert r.feature in ("p_size", "name_len")
+
+
+def test_adaboost_round_errors_bounded(spark, sf_dir):
+    rs = sorted(_get("ml_adaboost_round_exact", spark, sf_dir),
+                key=lambda r: r.round)
+    assert [r.round for r in rs] == [1, 2]
+    r1, r2 = rs
+    # a majority-vote stump can never misclassify more than half
+    assert 0 <= r1.err_w * 2 <= r1.tot_w
+    assert 0 <= r2.err_w * 2 <= r2.tot_w
+    # round-2 total weight = 2 * M * (N - M) by the integer update
+    m, n = r1.err_w, r1.tot_w
+    if m > 0:
+        assert r2.tot_w == 2 * m * (n - m)
+
+
+def test_cohen_kappa_in_range(spark, sf_dir):
+    rs = _get("ml_cohen_kappa_agreement", spark, sf_dir)
+    for r in rs:
+        assert -10**6 <= r.kappa_ppm <= 10**6
+
+
+def test_diff_in_diff_identity(spark, sf_dir):
+    rs = _get("analytics_diff_in_diff", spark, sf_dir)
+    cells = {(r.treated, r.post): r for r in rs}
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    est = (cells[(1, 1)].rate_ppm - cells[(1, 0)].rate_ppm) - (
+        cells[(0, 1)].rate_ppm - cells[(0, 0)].rate_ppm
+    )
+    # every row carries the same DiD estimate, and it satisfies the
+    # four-cell identity
+    assert {r.did_ppm for r in rs} == {est}
+    for r in rs:
+        assert 0 <= r.rate_ppm <= 10**6 and r.n > 0
+
+
+def test_error_slice_finder_support_floor(spark, sf_dir):
+    rs = _get("ml_error_slice_finder", spark, sf_dir)
+    assert 0 < len(rs) <= 5
+    for r in rs:
+        assert 0 <= r.n_err <= r.n
+        assert 0 <= r.err_permille <= 1000
+    # worst-first ordering by the scaled error rate
+    rates = [r.err_permille for r in rs]
+    assert rates == sorted(rates, reverse=True)
