@@ -4300,3 +4300,125 @@ def lake_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Coreset construction: sensitivity-proportional deterministic sampling
+# ---------------------------------------------------------------------------
+
+_CS_DIM = 8
+_CS_Q = 10_000          # embedding quantization grid
+_CS_M = 64              # target coreset size
+_CS_H = 4_294_967_296   # 2^32 — md5-hash range
+_CS_W = 10_000          # weight output scale
+_CS_PPB = 10**9         # sensitivity output scale
+
+_CS_QS_SQL = ", ".join(
+    f"CAST(FLOOR(embedding[{i + 1}] * {_CS_Q}) AS BIGINT) AS q{i}"
+    for i in range(_CS_DIM)
+)
+_CS_SUMS_SQL = ", ".join(f"SUM(q{i}) AS s{i}" for i in range(_CS_DIM))
+_CS_DD_SQL = " + ".join(
+    f"(CAST(n * q{i} - s{i} AS HUGEINT) * CAST(n * q{i} - s{i} AS HUGEINT))"
+    for i in range(_CS_DIM)
+)
+
+
+@register(
+    "sample_coreset_sensitivity",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_CS_QS_SQL} FROM embeddings),
+    s AS (SELECT COUNT(*) AS n, {_CS_SUMS_SQL} FROM q),
+    d AS (
+      SELECT vec_id, n, ({_CS_DD_SQL}) AS dd
+      FROM q CROSS JOIN s
+    ),
+    t AS (SELECT SUM(dd) AS tt FROM d),
+    scored AS (
+      SELECT vec_id, n, dd, tt,
+             CAST(concat('0x', substr(md5(concat('coreset-', vec_id)), 1, 8))
+                  AS BIGINT) AS h32
+      FROM d CROSS JOIN t
+    )
+    SELECT vec_id,
+           CAST(({_CS_PPB} * (tt + n * dd)) // (2 * n * tt) AS BIGINT)
+             AS sens_ppb,
+           CAST(({_CS_W} * 2 * n * tt) // ({_CS_M} * (tt + n * dd))
+                AS BIGINT) AS weight_scaled
+    FROM scored
+    WHERE h32 < ({_CS_H} * {_CS_M} * (tt + n * dd)) // (2 * n * tt)
+    ORDER BY vec_id
+    """,
+    doc=(
+        "Lightweight-coreset construction (Bachem/Lucic/Krause '18): "
+        "per-point k-means sensitivity bound q(x) = 1/(2n) + "
+        "d(x,mean)^2 / (2*sum d^2), kept EXACT by clearing every "
+        "denominator — the quantized grid makes d(x,mean)^2 the "
+        "integer sum((n*x_i - S_i)^2)/n^2, so inclusion tests and "
+        "weights are pure 128-bit integer compares. 'Sampling' is the "
+        "keyed-md5 uniform u(x) < m*q(x) (Poisson importance sampling "
+        "with inclusion prob proportional to sensitivity), so the "
+        "coreset is a property of the DATA — re-runs, retries and "
+        "repartitions reproduce it bit-identically. Selected points "
+        "carry the 1/(m q) inverse-probability weight that makes "
+        "weighted k-means cost on the coreset an unbiased estimate of "
+        "the full cost. Plan: two scans + two 1-row broadcast "
+        "aggregates — no shuffle of the corpus, which is what lets a "
+        "100 TB embedding table shrink to an m-point coreset in one "
+        "pass chain."
+    ),
+    tags=("pipeline", "sampling", "coreset", "embeddings"),
+)
+def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        *[
+            F.floor(F.col("embedding")[i].cast("double") * _CS_Q)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(_CS_DIM)
+        ],
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(_CS_DIM)],
+    )
+    dd = " + ".join(
+        f"(CAST(n * q{i} - s{i} AS DECIMAL(38,0))"
+        f" * CAST(n * q{i} - s{i} AS DECIMAL(38,0)))"
+        for i in range(_CS_DIM)
+    )
+    d = q.crossJoin(F.broadcast(s)).select(
+        "vec_id", "n", F.expr(f"({dd})").alias("dd")
+    )
+    t = d.agg(F.sum("dd").alias("tt"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("coreset-"), F.col("vec_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.crossJoin(F.broadcast(t)).withColumn("h32", h32)
+    return (
+        scored.filter(
+            F.col("h32")
+            < F.expr(
+                f"(CAST({_CS_H} AS DECIMAL(38,0)) * {_CS_M} * (tt + n * dd))"
+                f" div (2 * n * tt)"
+            )
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"CAST((CAST({_CS_PPB} AS DECIMAL(38,0)) * (tt + n * dd))"
+                f" div (2 * n * tt) AS BIGINT)"
+            ).alias("sens_ppb"),
+            F.expr(
+                f"CAST((CAST({_CS_W} AS DECIMAL(38,0)) * 2 * n * tt)"
+                f" div ({_CS_M} * (tt + n * dd)) AS BIGINT)"
+            ).alias("weight_scaled"),
+        )
+        .orderBy("vec_id")
+    )

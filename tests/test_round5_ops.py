@@ -252,3 +252,22 @@ def test_error_slice_finder_support_floor(spark, sf_dir):
     # worst-first ordering by the scaled error rate
     rates = [r.err_permille for r in rs]
     assert rates == sorted(rates, reverse=True)
+
+
+def test_coreset_weights_and_sensitivity_positive(spark, sf_dir):
+    rs = _get("sample_coreset_sensitivity", spark, sf_dir)
+    assert rs  # far outliers have inclusion prob ~1, so never empty
+    for r in rs:
+        assert r.sens_ppb > 0
+        assert r.weight_scaled >= 0
+    # the uniform floor: every point's sensitivity >= 1/(2n) (scaled)
+    assert all(r.sens_ppb >= 1 for r in rs)
+
+
+def test_rowgroup_prune_audit_bounds(spark, sf_dir):
+    (r,) = _get("ingest_rowgroup_prune_audit", spark, sf_dir)
+    assert 0 <= r.n_groups_live <= r.n_rowgroups
+    assert 0 <= r.n_rows_matching <= r.n_rows_total
+    # skipped groups exist whenever the predicate is selective
+    if r.n_rows_matching < r.n_rows_total:
+        assert r.n_groups_live < r.n_rowgroups
