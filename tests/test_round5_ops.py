@@ -271,3 +271,17 @@ def test_rowgroup_prune_audit_bounds(spark, sf_dir):
     # skipped groups exist whenever the predicate is selective
     if r.n_rows_matching < r.n_rows_total:
         assert r.n_groups_live < r.n_rowgroups
+
+
+def test_louvain_sweep_partition_identities(spark, sf_dir):
+    rs = _get("graph_louvain_one_sweep", spark, sf_dir)
+    assert rs
+    # communities partition the nodes; labels are member node ids
+    assert sum(r.n_nodes for r in rs) >= len(rs)
+    total_deg = sum(r.degree_weight for r in rs)
+    total_intra = sum(r.w_intra for r in rs)
+    # sum of community strengths counts every edge twice
+    assert total_deg % 2 == 0 and 2 * total_intra <= total_deg
+    for r in rs:
+        assert 2 * r.w_intra <= r.degree_weight
+        assert r.n_nodes >= 1
