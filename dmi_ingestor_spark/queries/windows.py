@@ -3361,3 +3361,126 @@ def analytics_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("treated", "post")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value multi-touch attribution (exact, 3 channels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_shapley_attribution",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    exact AS (SELECT mask, SUM(conv) AS conv FROM per_user GROUP BY mask),
+    masks AS (SELECT unnest(generate_series(0, 7)) AS s),
+    v AS (
+      SELECT m.s, COALESCE(SUM(e.conv), 0) AS val
+      FROM masks m LEFT JOIN exact e ON (e.mask & m.s) = e.mask
+      GROUP BY m.s
+    ),
+    chan AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+        c(channel, bit)
+    ),
+    contrib AS (
+      SELECT c.channel,
+             SUM(CASE bit_count(s.s)
+                 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 END
+                 * (vi.val - vs.val)) AS shap_x6
+      FROM chan c
+      JOIN masks s ON (s.s & c.bit) = 0
+      JOIN v vs ON vs.s = s.s
+      JOIN v vi ON vi.s = (s.s | c.bit)
+      GROUP BY c.channel
+    )
+    SELECT c.channel, CAST(c.shap_x6 AS BIGINT) AS shap_x6,
+           CAST(vf.val AS BIGINT) AS v_full,
+           CAST(v0.val AS BIGINT) AS v_empty
+    FROM contrib c
+    CROSS JOIN (SELECT val FROM v WHERE s = 7) vf
+    CROSS JOIN (SELECT val FROM v WHERE s = 0) v0
+    ORDER BY c.channel
+    """,
+    doc=(
+        "EXACT Shapley-value multi-touch attribution over the three "
+        "touch channels (view/click/signup), conversion = purchase: "
+        "per-user journeys collapse to a 3-bit channel mask, the "
+        "coalition value v(S) = conversions reachable with S's "
+        "channels (subset-cumulative exact-mask counts), and each "
+        "channel's Shapley value is the permutation-weighted marginal "
+        "sum with 3! cleared (shap_x6 integers; weights 2/1/2 by "
+        "coalition size). The principled upgrade of "
+        "analytics_attribution_linear: order-independent, "
+        "efficiency-axiom-exact (sum shap = 6*(v_full - v_empty), "
+        "test-asserted). Corpus-sized work is ONE groupBy(user); "
+        "everything after runs on the 2^|channels|-row summary — at "
+        "100 TB the exact computation stays bounded because channels, "
+        "not users, set the coalition lattice size."
+    ),
+    tags=("analytics", "attribution", "events"),
+)
+def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.max((F.col("event_type") == "view").cast("long"))
+            + 2 * F.max((F.col("event_type") == "click").cast("long"))
+            + 4 * F.max((F.col("event_type") == "signup").cast("long"))
+        ).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    exact = per_user.groupBy("mask").agg(F.sum("conv").alias("conv"))
+    masks = spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        masks.join(
+            F.broadcast(exact),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("val"))
+    )
+    chan = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit int"
+    )
+    vb = F.broadcast(v)
+    contrib = (
+        chan.join(F.broadcast(masks), F.expr("(s & bit) = 0"))
+        .join(vb.select(F.col("s").alias("s0"), F.col("val").alias("v_s")),
+              F.expr("s0 = s"))
+        .join(vb.select(F.col("s").alias("s1"), F.col("val").alias("v_si")),
+              F.expr("s1 = (s | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1"
+                    " WHEN 2 THEN 2 END"
+                )
+                * (F.col("v_si") - F.col("v_s"))
+            ).alias("shap_x6")
+        )
+    )
+    vf = v.filter(F.col("s") == 7).select(F.col("val").alias("v_full"))
+    v0 = v.filter(F.col("s") == 0).select(F.col("val").alias("v_empty"))
+    return (
+        contrib.crossJoin(F.broadcast(vf))
+        .crossJoin(F.broadcast(v0))
+        .select(
+            "channel",
+            F.col("shap_x6").cast("long").alias("shap_x6"),
+            F.col("v_full").cast("long").alias("v_full"),
+            F.col("v_empty").cast("long").alias("v_empty"),
+        )
+        .orderBy("channel")
+    )

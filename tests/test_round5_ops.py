@@ -285,3 +285,15 @@ def test_louvain_sweep_partition_identities(spark, sf_dir):
     for r in rs:
         assert 2 * r.w_intra <= r.degree_weight
         assert r.n_nodes >= 1
+
+
+def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
+    rs = _get("analytics_shapley_attribution", spark, sf_dir)
+    assert len(rs) == 3
+    v_full = rs[0].v_full
+    v_empty = rs[0].v_empty
+    assert all(r.v_full == v_full and r.v_empty == v_empty for r in rs)
+    # efficiency: the channel values exactly split v(N) - v(empty)
+    assert sum(r.shap_x6 for r in rs) == 6 * (v_full - v_empty)
+    # monotone v => nonnegative Shapley values
+    assert all(r.shap_x6 >= 0 for r in rs)
