@@ -3194,3 +3194,166 @@ def graph_louvain_one_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANF / HyperBall: bottom-k neighborhood-function sketches
+# ---------------------------------------------------------------------------
+
+_ANF_K = 8
+_ANF_H = 4_294_967_296  # 2^32 hash range
+_ANF_T = 2  # ball radius
+
+
+@register(
+    "graph_anf_bottomk",
+    oracle=f"""
+    WITH dir_e AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    und AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM dir_e GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT DISTINCT u AS node FROM und
+      UNION SELECT DISTINCT v FROM und
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM und
+      UNION ALL SELECT v, u FROM und
+      UNION ALL SELECT node, node FROM nodes
+    ),
+    s0 AS (
+      SELECT node,
+             [CAST(concat('0x', substr(md5(concat('anf-',
+                  CAST(node AS VARCHAR))), 1, 8)) AS BIGINT)] AS s
+      FROM nodes
+    ),
+    p1 AS (SELECT e.dst AS node, s0.s FROM sym e JOIN s0 ON s0.node = e.src),
+    s1 AS (
+      SELECT node,
+             list_slice(list_sort(list_distinct(flatten(list(s)))),
+                        1, {_ANF_K}) AS s
+      FROM p1 GROUP BY node
+    ),
+    p2 AS (SELECT e.dst AS node, s1.s FROM sym e JOIN s1 ON s1.node = e.src),
+    s2 AS (
+      SELECT node,
+             list_slice(list_sort(list_distinct(flatten(list(s)))),
+                        1, {_ANF_K}) AS s
+      FROM p2 GROUP BY node
+    ),
+    ball AS (
+      SELECT a.src AS node, CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS ball_exact
+      FROM sym a JOIN sym b ON a.dst = b.src
+      GROUP BY a.src
+    )
+    SELECT s2.node,
+           b.ball_exact,
+           CAST(len(s2.s) AS BIGINT) AS sketch_n,
+           CAST(CASE WHEN len(s2.s) < {_ANF_K} THEN len(s2.s)
+                ELSE ({_ANF_K - 1} * {_ANF_H}) // s2.s[{_ANF_K}] END
+                AS BIGINT) AS ball_est
+    FROM s2 JOIN ball b ON b.node = s2.node
+    ORDER BY s2.node
+    """,
+    doc=(
+        "Approximate Neighborhood Function via bottom-k sketches "
+        "(Palmer/Gibbons/Faloutsos ANF; Boldi/Vigna HyperBall with "
+        "KMV instead of HLL): every node starts with its own 32-bit "
+        "keyed-md5 hash, and each round the sketch becomes the "
+        "bottom-k of the union of neighbor sketches — after T rounds "
+        "the k-th smallest hash estimates |ball(v,T)| as (k-1)*2^32/"
+        "h_k (exact count below k). Bottom-k unions are DETERMINISTIC "
+        "(unlike probabilistic-counter implementations), so the whole "
+        "sketch state is hash-green against the oracle, and the exact "
+        "2-hop ball is emitted beside the estimate for an auditable "
+        "error bound. THE algorithm for diameter / effective-diameter "
+        "estimation on graphs too big for APSP: per round each node "
+        "exchanges O(k) ints with neighbors — at 100 TB that is T "
+        "edge-shaped shuffles of k-int payloads, vs |V| BFS runs for "
+        "the exact answer."
+    ),
+    tags=("graph", "sketch", "iterative", "scale"),
+)
+def graph_anf_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("u", "v")
+        .cache()  # summary-sized; feeds nodes, sym and both rounds
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v"), F.col("u")))
+        .unionAll(nodes.select(F.col("node"), F.col("node")))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("anf-"), F.col("node").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    sk = nodes.select("node", F.array(h).alias("s"))
+    for _ in range(_ANF_T):
+        prop = sym.join(sk, sym.src == sk.node).select(
+            F.col("dst").alias("node"), "s"
+        )
+        sk = prop.groupBy("node").agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))),
+                1,
+                _ANF_K,
+            ).alias("s")
+        )
+    two_hop = sym.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    ball = (
+        two_hop.join(
+            sym.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m"
+        )
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.countDistinct("b").cast("long").alias("ball_exact"))
+    )
+    return (
+        sk.join(ball, "node")
+        .select(
+            "node",
+            "ball_exact",
+            F.size("s").cast("long").alias("sketch_n"),
+            F.when(F.size("s") < _ANF_K, F.size("s").cast("long"))
+            .otherwise(
+                F.expr(
+                    f"CAST(({_ANF_K - 1} * CAST({_ANF_H} AS BIGINT))"
+                    f" div element_at(s, {_ANF_K}) AS BIGINT)"
+                )
+            )
+            .alias("ball_est"),
+        )
+        .orderBy("node")
+    )

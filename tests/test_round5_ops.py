@@ -297,3 +297,16 @@ def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
     assert sum(r.shap_x6 for r in rs) == 6 * (v_full - v_empty)
     # monotone v => nonnegative Shapley values
     assert all(r.shap_x6 >= 0 for r in rs)
+
+
+def test_anf_sketch_estimate_tracks_exact_ball(spark, sf_dir):
+    rs = _get("graph_anf_bottomk", spark, sf_dir)
+    assert rs
+    for r in rs:
+        assert 1 <= r.sketch_n <= 8
+        if r.sketch_n < 8:
+            # below k the sketch IS the ball — exact by construction
+            assert r.ball_est == r.sketch_n == r.ball_exact
+        else:
+            # KMV estimate: loose multiplicative band for k=8
+            assert r.ball_exact / 4 <= r.ball_est <= r.ball_exact * 4
