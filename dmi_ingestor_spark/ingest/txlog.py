@@ -61,6 +61,12 @@ class ConcurrentModificationError(RuntimeError):
     (what Delta Lake raises in the same situation)."""
 
 
+class ConstraintViolation(ValueError):
+    """An append (or ADD CONSTRAINT on existing data) failed a CHECK
+    constraint; the batch is rejected atomically — no file written,
+    no commit published."""
+
+
 def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
     """Create a file with ``data`` through the Hadoop FileSystem API
     (scheme-agnostic; not a local ``open()``)."""
@@ -82,6 +88,10 @@ class Snapshot:
     # their original — physical — column names forever). Empty tuple
     # means identity (no rename has ever happened).
     column_mapping: tuple[tuple[str, str], ...] = ()
+    # CHECK constraints as of this version: (name, sql_predicate)
+    # pairs; every append must satisfy ALL of them (Delta's
+    # ADD CONSTRAINT ... CHECK). Predicates see LOGICAL column names.
+    constraints: tuple[tuple[str, str], ...] = ()
 
 
 class TxLog:
@@ -155,6 +165,7 @@ class TxLog:
             "live": list(snap.add_units),
             "schema_ddl": snap.schema_ddl,
             "column_mapping": dict(snap.column_mapping),
+            "constraints": dict(snap.constraints),
             "stats": {u: s for u, s in stats.items() if u in snap.add_units},
         }
         staged = f"{self.stage_path}/ck-{version:08d}.json"
@@ -181,6 +192,7 @@ class TxLog:
         live = list(ck["live"])
         schema_ddl = ck["schema_ddl"]
         mapping = dict(ck.get("column_mapping") or {})
+        constraints = dict(ck.get("constraints") or {})
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
@@ -188,6 +200,9 @@ class TxLog:
             live.extend(c.get("adds", []))
             schema_ddl = c.get("schema_ddl") or schema_ddl
             mapping = c.get("column_mapping") or mapping
+            constraints = (
+                c["constraints"] if "constraints" in c else constraints
+            )
         v = commits[-1]["version"] if commits else ck["version"]
         if version is not None and v != version:
             # mirror snapshot()'s contract: a nonexistent / gap version
@@ -198,6 +213,7 @@ class TxLog:
             add_units=tuple(live),
             schema_ddl=schema_ddl,
             column_mapping=tuple(sorted(mapping.items())),
+            constraints=tuple(sorted(constraints.items())),
         )
 
     def latest_version(self) -> int:
@@ -213,6 +229,7 @@ class TxLog:
         live: list[str] = []
         schema_ddl = ""
         mapping: dict[str, str] = {}
+        constraints: dict[str, str] = {}
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
@@ -220,12 +237,16 @@ class TxLog:
             live.extend(c.get("adds", []))
             schema_ddl = c.get("schema_ddl") or schema_ddl
             mapping = c.get("column_mapping") or mapping
+            constraints = (
+                c["constraints"] if "constraints" in c else constraints
+            )
         v = commits[-1]["version"] if commits else -1
         return Snapshot(
             version=v,
             add_units=tuple(live),
             schema_ddl=schema_ddl,
             column_mapping=tuple(sorted(mapping.items())),
+            constraints=tuple(sorted(constraints.items())),
         )
 
     # -- commit protocol ----------------------------------------------
@@ -311,6 +332,42 @@ class TxLog:
             adds=[], removes=[], tag="rename", extra={"column_mapping": m}
         )
 
+    # -- CHECK constraints --------------------------------------------
+
+    def add_constraint(self, name: str, predicate: str) -> int:
+        """ADD CONSTRAINT name CHECK (predicate) — a metadata commit.
+        The EXISTING table must already satisfy it (as in Delta), and
+        every later append is validated against it before any commit."""
+        viol = self._count_violations(self.read(), {name: predicate})
+        if viol:
+            raise ConstraintViolation(
+                f"existing rows violate {name!r}: {viol} row(s)"
+            )
+        cur = dict(self.snapshot().constraints)
+        cur[name] = predicate
+        return self.commit(
+            adds=[], removes=[], tag="constraint", extra={"constraints": cur}
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        cur = dict(self.snapshot().constraints)
+        if name not in cur:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cur[name]
+        return self.commit(
+            adds=[], removes=[], tag="constraint", extra={"constraints": cur}
+        )
+
+    @staticmethod
+    def _count_violations(df: DataFrame, constraints: dict[str, str]) -> int:
+        if not constraints:
+            return 0
+        # NULL predicate results count as violations (CHECK must be TRUE)
+        ok = " AND ".join(
+            f"(({p}) <=> TRUE)" for p in constraints.values()
+        )
+        return df.filter(f"NOT ({ok})").count()
+
     def _to_physical(self, df: DataFrame) -> DataFrame:
         """Translate a logical-schema DataFrame to physical column
         names before it hits parquet, so every data file in the table
@@ -348,6 +405,15 @@ class TxLog:
         """Write ``df`` as a new add-unit and commit it. The recorded
         schema is the PHYSICAL one (post column-mapping translation) —
         the schema the files actually carry."""
+        constraints = dict(self.snapshot().constraints)
+        if constraints:
+            viol = self._count_violations(df, constraints)
+            if viol:
+                # reject BEFORE any file is written: nothing to clean up
+                raise ConstraintViolation(
+                    f"append of {unit_name!r} violates CHECK constraints "
+                    f"{sorted(constraints)}: {viol} row(s)"
+                )
         schema_ddl = self._to_physical(df).schema.simpleString()
         unit = self._write_unit(df, unit_name)  # _write_unit translates
         return self.commit(adds=[unit], removes=[], schema_ddl=schema_ddl)

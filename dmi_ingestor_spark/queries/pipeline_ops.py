@@ -4422,3 +4422,83 @@ def sample_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "lake_check_constraint_gate",
+    oracle="""
+    WITH committed AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+    ),
+    rejected AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM committed) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(o_orderkey) FROM committed) AS BIGINT)
+             AS key_checksum,
+           CAST((SELECT COUNT(*) FROM rejected) AS BIGINT) AS n_rejected,
+           CAST((SELECT COUNT(*) FROM rejected WHERE o_orderkey % 3 = 0)
+                AS BIGINT) AS n_violations
+    """,
+    doc=(
+        "CHECK-constraint enforcement on the transaction log (Delta's "
+        "ADD CONSTRAINT ... CHECK): the table takes a base append, "
+        "gains two constraints (non-negative price, priority NOT "
+        "NULL), accepts a conforming batch, and ATOMICALLY rejects a "
+        "batch where every 3rd row carries a negated price — no file "
+        "written, no version published, later snapshots identical to "
+        "pre-attempt (builder-asserted). The committed stats and the "
+        "rejected batch's violation count are both derivable from the "
+        "base table, so a green row proves the gate admits exactly "
+        "the conforming rows. Validation is one distributed "
+        "filter-count BEFORE any write — at 100 TB the failed batch "
+        "costs a scan, never a cleanup."
+    ),
+    tags=("pipeline", "lakehouse", "constraints", "orders"),
+)
+def lake_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dmi_ingestor_spark.ingest.txlog import ConstraintViolation, TxLog
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-check-"))
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    tx.append(o.where(F.col("o_orderstatus") == "F"), "f-batch")
+    tx.add_constraint("nonneg_price", "o_totalprice >= 0")
+    tx.add_constraint("priority_known", "o_orderpriority IS NOT NULL")
+    tx.append(o.where(F.col("o_orderstatus") == "O"), "o-batch")
+
+    bad = o.where(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v_before = tx.latest_version()
+    n_violations = 0
+    try:
+        tx.append(bad, "p-batch")
+    except ConstraintViolation as exc:
+        n_violations = int(str(exc).rsplit(":", 1)[1].split()[0])
+    assert tx.latest_version() == v_before  # atomic rejection
+
+    return (
+        tx.read()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+        .crossJoin(
+            F.broadcast(
+                bad.agg(F.count(F.lit(1)).cast("long").alias("n_rejected"))
+            )
+        )
+        .select(
+            "n_rows",
+            "key_checksum",
+            "n_rejected",
+            F.lit(n_violations).cast("long").alias("n_violations"),
+        )
+    )

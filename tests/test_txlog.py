@@ -510,3 +510,70 @@ def test_rename_survives_checkpointed_replay(spark, sf_dir, tx):
     assert fast == full
     assert dict(fast.column_mapping)["order_value"] == "o_totalprice"
     assert "order_value" in tx.read().columns
+
+
+def test_check_constraint_rejects_bad_append_atomically(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import ConstraintViolation
+
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f, "base")
+    tx.add_constraint("nonneg_price", "o_totalprice >= 0")
+    v_before = tx.latest_version()
+    n_before = tx.read().count()
+    bad = f.limit(20).withColumn(
+        "o_totalprice", F.col("o_totalprice") * -1
+    )
+    with pytest.raises(ConstraintViolation, match="nonneg_price"):
+        tx.append(bad, "bad-batch")
+    # atomic rejection: no new version, no new rows, no orphan unit
+    assert tx.latest_version() == v_before
+    assert tx.read().count() == n_before
+    fs_root = tx.root + "/data/bad-batch"
+    from dmi_ingestor_spark.ingest.fs import _fs_and_path
+
+    fs, jpath = _fs_and_path(spark, fs_root)
+    assert not fs.exists(jpath)
+    # a conforming batch still lands
+    tx.append(f.limit(5), "good-batch")
+    assert tx.read().count() == n_before + 5
+
+
+def test_add_constraint_validates_existing_rows(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import ConstraintViolation
+
+    tx.append(_orders(spark, sf_dir, "F"), "base")
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        tx.add_constraint("impossible", "o_totalprice < 0")
+    # the failed ADD left no metadata behind
+    assert tx.snapshot().constraints == ()
+
+
+def test_constraint_null_predicate_counts_as_violation(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import ConstraintViolation
+
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f, "base")
+    tx.add_constraint("status_known", "o_orderstatus IS NOT NULL")
+    nulled = f.limit(3).withColumn(
+        "o_orderstatus", F.lit(None).cast("string")
+    )
+    with pytest.raises(ConstraintViolation):
+        tx.append(nulled, "null-batch")
+
+
+def test_drop_constraint_reopens_appends(spark, sf_dir, tx):
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f, "base")
+    tx.add_constraint("nonneg_price", "o_totalprice >= 0")
+    tx.drop_constraint("nonneg_price")
+    bad = f.limit(2).withColumn("o_totalprice", F.col("o_totalprice") * -1)
+    tx.append(bad, "now-ok")  # no constraint left to fail
+    assert tx.snapshot().constraints == ()
+    # constraints survive checkpointed replay when re-added
+    tx.add_constraint("nonneg_key", "o_orderkey >= 0")
+    for i in range(5):
+        tx.append(f.limit(1), f"u{i}")
+    assert tx.snapshot_fast() == tx.snapshot()
+    assert dict(tx.snapshot_fast().constraints) == {
+        "nonneg_key": "o_orderkey >= 0"
+    }
