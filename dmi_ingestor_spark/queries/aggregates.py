@@ -4730,3 +4730,169 @@ def ts_period_detect_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --------------------------------------------------------------------------
+# Croston's method for intermittent demand
+# --------------------------------------------------------------------------
+
+_CR_DAYS = 30
+_CR_S = 10**6  # state scale
+_CR_MOD = 97   # order-key sparsifier: keeps ~1% of orders as "demand"
+
+
+def _croston_oracle() -> str:
+    head = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, dayofmonth(o_orderdate) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      WHERE o_orderkey % {_CR_MOD} = 0 AND dayofmonth(o_orderdate) <= {_CR_DAYS}
+      GROUP BY priority, day
+    ),
+    pri AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+    spine AS (
+      SELECT p.priority, s.day
+      FROM pri p CROSS JOIN (
+        SELECT unnest(generate_series(1, {_CR_DAYS})) AS day) s
+    ),
+    obs AS (
+      SELECT s.priority,
+             list(COALESCE(d.cnt, 0) ORDER BY s.day) AS o
+      FROM spine s LEFT JOIN daily d
+        ON s.priority = d.priority AND s.day = d.day
+      GROUP BY s.priority
+    ),
+    h0 AS (
+      SELECT priority, o, CAST(0 AS BIGINT) AS z, CAST(0 AS BIGINT) AS p,
+             CAST(1 AS BIGINT) AS q, 0 AS ini
+      FROM obs
+    )"""
+    parts = [head]
+    for t in range(1, _CR_DAYS + 1):
+        parts.append(f""",
+    h{t} AS (
+      SELECT priority, o,
+        CASE WHEN o[{t}] > 0 THEN
+          CASE WHEN ini = 0 THEN o[{t}] * {_CR_S}
+               ELSE (4 * z + o[{t}] * {_CR_S}) // 5 END
+        ELSE z END AS z,
+        CASE WHEN o[{t}] > 0 THEN
+          CASE WHEN ini = 0 THEN q * {_CR_S}
+               ELSE (4 * p + q * {_CR_S}) // 5 END
+        ELSE p END AS p,
+        CASE WHEN o[{t}] > 0 THEN 1 ELSE q + 1 END AS q,
+        CASE WHEN o[{t}] > 0 THEN 1 ELSE ini END AS ini
+      FROM h{t - 1}
+    )""")
+    parts.append(f"""
+    SELECT priority,
+           CAST(len(list_filter(o, x -> x > 0)) AS BIGINT) AS n_demand,
+           z AS z_scaled, p AS p_scaled,
+           CAST(CASE WHEN ini = 1 THEN (z * {_CR_S}) // p ELSE 0 END
+                AS BIGINT) AS forecast_scaled
+    FROM h{_CR_DAYS}
+    ORDER BY priority""")
+    return "".join(parts)
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=_croston_oracle(),
+    doc=(
+        "Croston's method (1972) — THE forecaster for intermittent "
+        "demand, where plain exponential smoothing biases toward zero: "
+        "demand sizes and inter-demand intervals get separate SES "
+        "streams (updated only when demand occurs), and the rate "
+        "forecast is their ratio z/p. State stays INTEGER: the "
+        "alpha=1/5 update is written in its non-negative form "
+        "(4*state + new*S)//5 so floor and truncate coincide and both "
+        "engines agree bit-exactly; initialization is first-demand "
+        "size / first-arrival interval, per the original paper. One "
+        "series per order priority, demand sparsified to ~1% of "
+        "orders. Spark threads the recursion through ONE in-plan "
+        "F.aggregate fold per group; the oracle unrolls 30 chained "
+        "CTEs. Scale: corpus contributes one groupBy(priority, day); "
+        "the fold is O(days) per key inside the aggregate — the "
+        "per-SKU shape of retail demand pipelines."
+    ),
+    tags=("timeseries", "forecast", "iterative", "orders"),
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(
+            (F.col("o_orderkey") % _CR_MOD == 0)
+            & (F.dayofmonth("o_orderdate") <= _CR_DAYS)
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.dayofmonth("o_orderdate").cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pri = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    spine = pri.crossJoin(
+        spark.range(1, _CR_DAYS + 1).select(F.col("id").alias("day"))
+    )
+    obs = (
+        spine.join(daily, ["priority", "day"], "left")
+        .fillna(0, ["cnt"])
+        .groupBy("priority")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+                lambda x: x["cnt"],
+            ).alias("o")
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("z"),
+        F.lit(0).cast("long").alias("p"),
+        F.lit(1).cast("long").alias("q"),
+        F.lit(0).cast("int").alias("ini"),
+    )
+
+    def step(acc, d):
+        first = acc["ini"] == 0
+        new_z = F.when(
+            d > 0,
+            F.when(first, d * _CR_S).otherwise(
+                F.floor((4 * acc["z"] + d * _CR_S) / 5).cast("long")
+            ),
+        ).otherwise(acc["z"])
+        new_p = F.when(
+            d > 0,
+            F.when(first, acc["q"] * _CR_S).otherwise(
+                F.floor((4 * acc["p"] + acc["q"] * _CR_S) / 5).cast("long")
+            ),
+        ).otherwise(acc["p"])
+        return F.struct(
+            new_z.alias("z"),
+            new_p.alias("p"),
+            F.when(d > 0, F.lit(1).cast("long"))
+            .otherwise(acc["q"] + 1)
+            .alias("q"),
+            F.when(d > 0, F.lit(1)).otherwise(acc["ini"]).alias("ini"),
+        )
+
+    fitted = obs.select(
+        "priority",
+        F.size(F.filter(F.col("o"), lambda x: x > 0))
+        .cast("long")
+        .alias("n_demand"),
+        F.aggregate(F.col("o"), init, step).alias("h"),
+    )
+    h = F.col("h")
+    return fitted.select(
+        "priority",
+        "n_demand",
+        h["z"].alias("z_scaled"),
+        h["p"].alias("p_scaled"),
+        F.when(
+            h["ini"] == 1,
+            F.floor((h["z"] * _CR_S) / h["p"]).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("forecast_scaled"),
+    ).orderBy("priority")

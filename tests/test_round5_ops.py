@@ -310,3 +310,15 @@ def test_anf_sketch_estimate_tracks_exact_ball(spark, sf_dir):
         else:
             # KMV estimate: loose multiplicative band for k=8
             assert r.ball_exact / 4 <= r.ball_est <= r.ball_exact * 4
+
+
+def test_croston_state_identities(spark, sf_dir):
+    rs = _get("ts_croston_intermittent", spark, sf_dir)
+    assert len(rs) == 5
+    for r in rs:
+        if r.n_demand == 0:
+            assert r.z_scaled == r.p_scaled == r.forecast_scaled == 0
+        else:
+            # interval SES stays >= 1 period; rate = z/p <= z
+            assert r.p_scaled >= 10**6
+            assert 0 < r.forecast_scaled <= r.z_scaled
