@@ -322,3 +322,14 @@ def test_croston_state_identities(spark, sf_dir):
             # interval SES stays >= 1 period; rate = z/p <= z
             assert r.p_scaled >= 10**6
             assert 0 < r.forecast_scaled <= r.z_scaled
+
+
+def test_audio_fingerprint_self_match_recovers_offset(spark, sf_dir):
+    rs = _get("mm_audio_fingerprint_match", spark, sf_dir)
+    assert rs
+    hits = [r for r in rs if r.matched_doc == r.qdoc]
+    # the one-frame-delayed snippet must mostly re-identify its source
+    assert len(hits) >= len(rs) * 2 // 3
+    for r in hits:
+        assert r.t_offset == 1  # recovered alignment = the injected delay
+        assert r.n_votes >= 1
