@@ -3484,3 +3484,110 @@ def analytics_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices
+# ---------------------------------------------------------------------------
+
+_PI_S = 10**4   # unit-price scale (cents per unit, 1e4-scaled)
+_PI_PPM = 10**6
+
+
+@register(
+    "analytics_price_index_fisher",
+    oracle=f"""
+    WITH yr AS (
+      SELECT l_partkey AS part, year(o_orderdate) AS y,
+             CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS r,
+             CAST(SUM(l_quantity) AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY part, y
+    ),
+    both_years AS (
+      SELECT b.part,
+             (b.r * {_PI_S}) // b.q AS p0, b.q AS q0,
+             (c.r * {_PI_S}) // c.q AS p1, c.q AS q1
+      FROM yr b JOIN yr c ON b.part = c.part
+      WHERE b.y = 1995 AND c.y = 1996
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n_parts,
+             SUM(p1 * q0) AS l_num, SUM(p0 * q0) AS l_den,
+             SUM(p1 * q1) AS p_num, SUM(p0 * q1) AS p_den
+      FROM both_years
+    )
+    SELECT CAST(n_parts AS BIGINT) AS n_parts,
+           CAST((l_num * {_PI_PPM}) // l_den AS BIGINT) AS laspeyres_ppm,
+           CAST((p_num * {_PI_PPM}) // p_den AS BIGINT) AS paasche_ppm,
+           CAST(FLOOR(SQRT(
+             CAST(((l_num * {_PI_PPM}) // l_den)
+                  * ((p_num * {_PI_PPM}) // p_den) AS DOUBLE)))
+                AS BIGINT) AS fisher_ppm
+    FROM sums
+    """,
+    doc=(
+        "The three classic bilateral price indices over the 1995->1996 "
+        "part basket: Laspeyres (base-period quantities), Paasche "
+        "(current-period) and Fisher (their geometric mean — the "
+        "'ideal' index national statistics agencies publish). Unit "
+        "prices are floored scaled integers (revenue*S div quantity), "
+        "the index ratios are ppm integers, and Fisher's sqrt runs on "
+        "an exactly-representable <2^53 product so the correctly-"
+        "rounded IEEE sqrt + floor agree across engines. Only parts "
+        "traded in BOTH years enter the basket (the standard matched-"
+        "model rule). One fact join + one groupBy(part, year) — the "
+        "index arithmetic runs on the basket summary."
+    ),
+    tags=("analytics", "economics", "lineitem", "orders"),
+)
+def analytics_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    yr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r"),
+            F.sum("l_quantity").cast("long").alias("q"),
+        )
+    )
+    base = yr.filter(F.col("y") == 1995).select(
+        "part",
+        F.expr(f"(r * {_PI_S}) div q").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    cur = yr.filter(F.col("y") == 1996).select(
+        "part",
+        F.expr(f"(r * {_PI_S}) div q").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    sums = base.join(cur, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    return sums.select(
+        "n_parts",
+        F.expr(f"CAST((CAST(l_num AS DECIMAL(38,0)) * {_PI_PPM}) div l_den AS BIGINT)").alias(
+            "laspeyres_ppm"
+        ),
+        F.expr(f"CAST((CAST(p_num AS DECIMAL(38,0)) * {_PI_PPM}) div p_den AS BIGINT)").alias(
+            "paasche_ppm"
+        ),
+        F.expr(
+            f"CAST(FLOOR(SQRT(CAST(((CAST(l_num AS DECIMAL(38,0)) * {_PI_PPM}) div l_den)"
+            f" * ((CAST(p_num AS DECIMAL(38,0)) * {_PI_PPM}) div p_den) AS DOUBLE))) AS BIGINT)"
+        ).alias("fisher_ppm"),
+    )

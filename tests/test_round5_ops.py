@@ -333,3 +333,12 @@ def test_audio_fingerprint_self_match_recovers_offset(spark, sf_dir):
     for r in hits:
         assert r.t_offset == 1  # recovered alignment = the injected delay
         assert r.n_votes >= 1
+
+
+def test_fisher_between_laspeyres_and_paasche(spark, sf_dir):
+    (r,) = _get("analytics_price_index_fisher", spark, sf_dir)
+    assert r.n_parts > 0
+    lo, hi = sorted((r.laspeyres_ppm, r.paasche_ppm))
+    # geometric mean lies between its factors (floor slack of 1)
+    assert lo - 1 <= r.fisher_ppm <= hi + 1
+    assert r.laspeyres_ppm > 0 and r.paasche_ppm > 0
