@@ -3357,3 +3357,178 @@ def graph_anf_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral bisection: deflated power iteration toward the Fiedler vector
+# ---------------------------------------------------------------------------
+
+_SB_S = 10**6
+_SB_T = 4
+
+
+def _spectral_oracle() -> str:
+    head = f"""
+    WITH {_TRI_EDGE_SQL},
+    coef AS (
+      SELECT d.node, d.d, dm.dmax + 1 - d.d AS ci
+      FROM deg d CROSS JOIN (SELECT MAX(d) AS dmax FROM deg) dm
+    ),
+    sym AS (
+      SELECT u AS i, v AS j FROM kept UNION ALL SELECT v, u FROM kept
+    ),
+    v0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node % 2 = 0 THEN {_SB_S} ELSE -{_SB_S} END AS val
+      FROM coef
+    )"""
+    parts = [head]
+    for k in range(1, _SB_T + 1):
+        parts.append(f""",
+    it{k}_u AS MATERIALIZED (
+      SELECT c.node, c.ci * v.val + COALESCE(nb.s, 0) AS u
+      FROM coef c
+      JOIN v{k - 1} v ON v.node = c.node
+      LEFT JOIN (
+        SELECT s.i AS node, SUM(vv.val) AS s
+        FROM sym s JOIN v{k - 1} vv ON vv.node = s.j
+        GROUP BY s.i
+      ) nb ON nb.node = c.node
+    ),
+    it{k}_w AS MATERIALIZED (
+      SELECT a.node, a.u * b.n - b.su AS w
+      FROM it{k}_u a CROSS JOIN
+        (SELECT COUNT(*) AS n, SUM(u) AS su FROM it{k}_u) b
+    ),
+    v{k} AS MATERIALIZED (
+      SELECT a.node,
+             CAST(FLOOR(CAST(a.w * {_SB_S} AS DOUBLE) / m.m) AS BIGINT)
+               AS val
+      FROM it{k}_w a CROSS JOIN
+        (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM it{k}_w) m
+    )""")
+    parts.append(f"""
+    , signs AS (
+      SELECT node, val,
+             CASE WHEN val > 0 THEN 1 ELSE 0 END AS side
+      FROM v{_SB_T}
+    ),
+    cut AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cut_edges
+      FROM kept k
+      JOIN signs a ON a.node = k.u
+      JOIN signs b ON b.node = k.v
+      WHERE a.side <> b.side
+    ),
+    bal AS (SELECT CAST(SUM(side) AS BIGINT) AS n_side1 FROM signs)
+    SELECT s.node, s.val AS v_scaled, CAST(s.side AS BIGINT) AS side,
+           c.cut_edges, b.n_side1
+    FROM signs s CROSS JOIN cut c CROSS JOIN bal b
+    ORDER BY s.node""")
+    return "".join(parts)
+
+
+@register(
+    "graph_spectral_bisection",
+    oracle=_spectral_oracle(),
+    doc=(
+        "Spectral graph bisection: power iteration on B = (dmax+1)I - "
+        "L (so the Laplacian's SMALLEST nontrivial eigenvector becomes "
+        "B's dominant one) with the constant eigenvector DEFLATED by "
+        "exact integer centering (u*n - sum(u) — multiplying by n "
+        "instead of dividing keeps the projection exact), then the "
+        "Fiedler-sign partition with its cut size and balance. The "
+        "per-round renormalization floor(w*S/max|w|) is ONE IEEE "
+        "double division on <2^53-exact integers — bit-identical in "
+        "both engines — so all four iterations of vector state are "
+        "hash-checked, not just the final signs. The classic "
+        "partitioner behind graph-aware data placement; iteration "
+        "runs entirely on the |V|-bounded summary after the one "
+        "fact-sized edge build (matrix-free: B*v is a neighbor-sum "
+        "join, never a materialized matrix)."
+    ),
+    tags=("graph", "spectral", "iterative", "scale"),
+)
+def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _trade_kept_edges(spark, sf_dir)
+    deg = (
+        kept.select(F.col("u").alias("node"))
+        .unionAll(kept.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dmax = deg.agg(F.max("d").alias("dmax"))
+    coef = deg.crossJoin(F.broadcast(dmax)).select(
+        "node", (F.col("dmax") + 1 - F.col("d")).alias("ci")
+    )
+    sym = kept.select(
+        F.col("u").alias("i"), F.col("v").alias("j")
+    ).unionAll(kept.select(F.col("v"), F.col("u")))
+    v = coef.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit(_SB_S))
+        .otherwise(F.lit(-_SB_S))
+        .cast("long")
+        .alias("val"),
+    )
+    for _ in range(_SB_T):
+        nb = (
+            sym.join(v.select(F.col("node").alias("j"), "val"), "j")
+            .groupBy(F.col("i").alias("node"))
+            .agg(F.sum("val").alias("s"))
+        )
+        u = (
+            coef.join(v, "node")
+            .join(nb, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("ci") * F.col("val")
+                    + F.coalesce("s", F.lit(0))
+                ).alias("u"),
+            )
+        )
+        st = u.agg(F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"))
+        w = u.crossJoin(F.broadcast(st)).select(
+            "node", (F.col("u") * F.col("n") - F.col("su")).alias("w")
+        )
+        m = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.floor((F.col("w") * _SB_S).cast("double") / F.col("m"))
+            .cast("long")
+            .alias("val"),
+        )
+        # the |V|-row state re-derives coef/sym (and through them the
+        # fact-sized edge build) in BOTH branches of the next round —
+        # uncut, the lineage doubles per round exactly like the k-core
+        # peel did pre-r4; cut it while the relation is 25 rows
+        v = v.localCheckpoint(eager=True)
+    signs = v.select(
+        "node", "val", (F.col("val") > 0).cast("long").alias("side")
+    )
+    cut = (
+        kept.join(
+            F.broadcast(signs.select(F.col("node").alias("u"),
+                                     F.col("side").alias("sa"))), "u"
+        )
+        .join(
+            F.broadcast(signs.select(F.col("node").alias("v"),
+                                     F.col("side").alias("sb"))), "v"
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    bal = signs.agg(F.sum("side").cast("long").alias("n_side1"))
+    return (
+        signs.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(bal))
+        .select(
+            "node",
+            F.col("val").alias("v_scaled"),
+            F.col("side").cast("long").alias("side"),
+            "cut_edges",
+            "n_side1",
+        )
+        .orderBy("node")
+    )

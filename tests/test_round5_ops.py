@@ -342,3 +342,21 @@ def test_fisher_between_laspeyres_and_paasche(spark, sf_dir):
     # geometric mean lies between its factors (floor slack of 1)
     assert lo - 1 <= r.fisher_ppm <= hi + 1
     assert r.laspeyres_ppm > 0 and r.paasche_ppm > 0
+
+
+def test_spectral_bisection_partition_sane(spark, sf_dir):
+    rs = _get("graph_spectral_bisection", spark, sf_dir)
+    assert rs
+    S = 10**6
+    for r in rs:
+        assert -S <= r.v_scaled <= S
+        assert r.side in (0, 1)
+    # deflation keeps the iterate (approximately) centered: the exact
+    # projection is u*n - sum(u); flooring loses < 1 per node and the
+    # renormalization rescales, so the mean stays near zero
+    vals = [r.v_scaled for r in rs]
+    assert abs(sum(vals)) <= len(vals) * S // 4
+    # both sides populated and the cut is a strict subset of the edges
+    n1 = rs[0].n_side1
+    assert 0 < n1 < len(rs)
+    assert 0 <= rs[0].cut_edges
