@@ -5267,3 +5267,156 @@ def ml_adaboost_round_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(best1, 1).unionAll(row(best2, 2)).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Off-policy evaluation: inverse propensity scoring (IPS + SNIPS)
+# --------------------------------------------------------------------------
+
+_IPS_S = 10**6
+
+
+@register(
+    "ml_offpolicy_ips_eval",
+    oracle=f"""
+    WITH ref AS (
+      SELECT user_id % 4 AS segment, event_type AS action
+      FROM events WHERE event_id % 2 = 0
+    ),
+    logged AS (
+      SELECT user_id % 4 AS segment, event_type AS action,
+             CAST(ROUND(value * 100) AS BIGINT) AS r_cents
+      FROM events WHERE event_id % 2 = 1
+    ),
+    ref_seg AS (SELECT segment, COUNT(*) AS n0_s FROM ref GROUP BY segment),
+    ref_act AS (
+      SELECT segment, action, COUNT(*) AS n0_as
+      FROM ref GROUP BY segment, action
+    ),
+    seg AS (SELECT segment, COUNT(*) AS n_s FROM logged GROUP BY segment),
+    target AS (
+      SELECT segment,
+             CASE WHEN segment % 2 = 0 THEN 'click' ELSE 'view' END
+               AS pi_action
+      FROM seg
+    ),
+    matched AS (
+      SELECT l.segment, COUNT(*) AS n_match, SUM(l.r_cents) AS r_match
+      FROM logged l JOIN target t
+        ON l.segment = t.segment AND l.action = t.pi_action
+      GROUP BY l.segment
+    )
+    SELECT s.segment,
+           CAST(s.n_s AS BIGINT) AS n_rows,
+           CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_matched,
+           CAST(({_IPS_S} * COALESCE(ra.n0_as, 0)) // rs.n0_s AS BIGINT)
+             AS propensity_scaled,
+           CAST(CASE WHEN COALESCE(ra.n0_as, 0) = 0 THEN 0
+                ELSE ({_IPS_S} * COALESCE(m.r_match, 0) * rs.n0_s)
+                     // (ra.n0_as * s.n_s) END
+                AS BIGINT) AS ips_value_scaled,
+           CAST(CASE WHEN COALESCE(m.n_match, 0) = 0 THEN 0
+                ELSE ({_IPS_S} * m.r_match) // m.n_match END
+                AS BIGINT) AS snips_value_scaled
+    FROM seg s
+    JOIN target t ON s.segment = t.segment
+    JOIN ref_seg rs ON rs.segment = s.segment
+    LEFT JOIN ref_act ra
+      ON ra.segment = s.segment AND ra.action = t.pi_action
+    LEFT JOIN matched m ON m.segment = s.segment
+    ORDER BY s.segment
+    """,
+    doc=(
+        "Off-policy evaluation of a deterministic target policy from "
+        "logged bandit feedback, with propensities estimated on a "
+        "HELD-OUT reference split (even event ids) and the value "
+        "evaluated on the disjoint logging split (odd ids) — the "
+        "production shape, where the logging policy's propensity "
+        "model never sees the evaluation traffic. IPS "
+        "(Horvitz-Thompson): (1/n_s) sum r * 1[a=pi(s)] / p_hat(a|s) "
+        "collapses to the exact rational r_match*n0_s/(n0_as*n_s); "
+        "SNIPS (self-normalized, Swaminathan-Joachims) to "
+        "r_match/n_match. Both floored scaled integers; the two "
+        "genuinely diverge exactly when the reference propensity "
+        "disagrees with the evaluation split's empirical rate — the "
+        "variance/bias tradeoff the pair exists to expose. Negative "
+        "rewards flow signed. Plan: three grouped aggregates over two "
+        "disjoint scans; all joins |segments|-bounded and broadcast."
+    ),
+    tags=("mllib", "off-policy", "evaluation", "events"),
+)
+def ml_offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0).select(
+        (F.col("user_id") % 4).alias("segment"),
+        F.col("event_type").alias("action"),
+    )
+    logged = e.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("user_id") % 4).alias("segment"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("r_cents"),
+    )
+    ref_seg = ref.groupBy("segment").agg(F.count(F.lit(1)).alias("n0_s"))
+    ref_act = ref.groupBy("segment", "action").agg(
+        F.count(F.lit(1)).alias("n0_as")
+    )
+    seg = logged.groupBy("segment").agg(F.count(F.lit(1)).alias("n_s"))
+    target = seg.select(
+        "segment",
+        F.when(F.col("segment") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("pi_action"),
+    )
+    tgt = target.select(F.col("segment").alias("t_seg"), "pi_action")
+    matched = (
+        logged.join(
+            F.broadcast(tgt),
+            (logged.segment == F.col("t_seg"))
+            & (logged.action == F.col("pi_action")),
+        )
+        .groupBy(F.col("t_seg").alias("m_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum("r_cents").alias("r_match"),
+        )
+    )
+    ref_seg2 = ref_seg.select(F.col("segment").alias("rs_seg"), "n0_s")
+    ref_act2 = ref_act.select(
+        F.col("segment").alias("ra_seg"),
+        F.col("action").alias("ra_act"),
+        "n0_as",
+    )
+    return (
+        seg.join(target, "segment")
+        .join(F.broadcast(ref_seg2), F.col("rs_seg") == F.col("segment"))
+        .join(
+            F.broadcast(ref_act2),
+            (F.col("ra_seg") == F.col("segment"))
+            & (F.col("ra_act") == F.col("pi_action")),
+            "left",
+        )
+        .join(
+            F.broadcast(matched),
+            F.col("m_seg") == F.col("segment"),
+            "left",
+        )
+        .select(
+            "segment",
+            F.col("n_s").cast("long").alias("n_rows"),
+            F.coalesce("n_match", F.lit(0)).cast("long").alias("n_matched"),
+            F.expr(
+                f"CAST(({_IPS_S} * coalesce(n0_as, 0)) div n0_s AS BIGINT)"
+            ).alias("propensity_scaled"),
+            F.expr(
+                f"CAST(CASE WHEN coalesce(n0_as, 0) = 0 THEN 0"
+                f" ELSE (CAST({_IPS_S} AS DECIMAL(38,0))"
+                f" * coalesce(r_match, 0) * n0_s)"
+                f" div (n0_as * n_s) END AS BIGINT)"
+            ).alias("ips_value_scaled"),
+            F.expr(
+                f"CAST(CASE WHEN coalesce(n_match, 0) = 0 THEN 0"
+                f" ELSE ({_IPS_S} * r_match) div n_match END AS BIGINT)"
+            ).alias("snips_value_scaled"),
+        )
+        .orderBy("segment")
+    )

@@ -893,3 +893,138 @@ def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFram
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_REACH_QUERY)
+
+
+# ---------------------------------------------------------------------------
+# Fagin's Threshold Algorithm: top-k over two ranked lists w/ early stop
+# ---------------------------------------------------------------------------
+
+_TA_K = 10
+
+
+@register(
+    "topk_threshold_algorithm",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v1
+      FROM customer
+    ),
+    s2 AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS v2
+      FROM orders GROUP BY o_custkey
+    ),
+    scores AS (
+      SELECT s1.k, s1.v1, COALESCE(s2.v2, 0) AS v2,
+             s1.v1 + COALESCE(s2.v2, 0) AS score
+      FROM s1 LEFT JOIN s2 ON s1.k = s2.k
+    ),
+    topk AS (
+      SELECT k, v1, v2, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, k) AS rnk
+      FROM scores QUALIFY rnk <= {_TA_K}
+    ),
+    kth AS (SELECT MIN(score) AS kth_score FROM topk),
+    l1 AS (
+      SELECT v1, ROW_NUMBER() OVER (ORDER BY v1 DESC, k) AS d FROM scores
+    ),
+    l2 AS (
+      SELECT v2, ROW_NUMBER() OVER (ORDER BY v2 DESC, k) AS d FROM scores
+    ),
+    thresh AS (
+      SELECT l1.d, l1.v1 + l2.v2 AS t FROM l1 JOIN l2 ON l1.d = l2.d
+    ),
+    stop AS (
+      SELECT MIN(d) AS stop_depth
+      FROM thresh CROSS JOIN kth WHERE t <= kth_score
+    ),
+    n AS (SELECT COUNT(*) AS n_objects FROM scores)
+    SELECT t.rnk, t.k AS custkey, t.v1 AS balance_cents,
+           t.v2 AS spend_cents, t.score,
+           CAST(s.stop_depth AS BIGINT) AS stop_depth,
+           CAST(n.n_objects AS BIGINT) AS n_objects
+    FROM topk t CROSS JOIN stop s CROSS JOIN n
+    ORDER BY t.rnk
+    """,
+    doc=(
+        "Fagin's Threshold Algorithm (Fagin/Lotem/Naor 2001) over two "
+        "ranked lists — account balance and lifetime spend: the top-k "
+        "by summed score plus the PROOF OF EARLY TERMINATION, the "
+        "depth d* at which TA may stop because the threshold "
+        "T(d) = v1@d + v2@d (best score any unseen object could "
+        "still reach under sorted access) falls to the k-th best seen "
+        "score. stop_depth << n_objects is the whole point of the "
+        "algorithm: a middleware rank-join touches d* prefix entries "
+        "of each index, not the full lists — the access-cost model "
+        "behind every top-k pushdown. Expressed relationally (two "
+        "window rankings + a position join), so the oracle pins both "
+        "the answer AND the certified stopping depth."
+    ),
+    tags=("relational", "topk", "rank-join", "customer", "orders"),
+)
+def topk_threshold_algorithm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("v1"),
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("v2")
+        )
+    )
+    scores = (
+        c.join(o, "k", "left")
+        .select(
+            "k",
+            "v1",
+            F.coalesce("v2", F.lit(0)).alias("v2"),
+            (F.col("v1") + F.coalesce("v2", F.lit(0))).alias("score"),
+        )
+        .cache()  # feeds topk + both ranked lists
+    )
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    # all three global orders go through the sharded-rank operator —
+    # range + hash exchanges only, never an Exchange SinglePartition
+    ranked, _n = sharded_row_number(
+        scores, [F.col("score").desc(), F.col("k").asc()], out="rnk"
+    )
+    topk = ranked.filter(F.col("rnk") <= _TA_K)
+    kth = topk.agg(F.min("score").alias("kth_score"))
+    l1_ranked, _ = sharded_row_number(
+        scores.select("k", "v1"),
+        [F.col("v1").desc(), F.col("k").asc()],
+        out="d",
+    )
+    l1 = l1_ranked.select("v1", "d")
+    l2_ranked, _ = sharded_row_number(
+        scores.select("k", "v2"),
+        [F.col("v2").desc(), F.col("k").asc()],
+        out="d",
+    )
+    l2 = l2_ranked.select("v2", "d")
+    thresh = l1.join(l2, "d").select("d", (F.col("v1") + F.col("v2")).alias("t"))
+    stop = (
+        thresh.crossJoin(F.broadcast(kth))
+        .filter(F.col("t") <= F.col("kth_score"))
+        .agg(F.min("d").alias("stop_depth"))
+    )
+    n = scores.agg(F.count(F.lit(1)).alias("n_objects"))
+    return (
+        topk.crossJoin(F.broadcast(stop))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "rnk",
+            F.col("k").alias("custkey"),
+            F.col("v1").alias("balance_cents"),
+            F.col("v2").alias("spend_cents"),
+            "score",
+            F.col("stop_depth").cast("long").alias("stop_depth"),
+            F.col("n_objects").cast("long").alias("n_objects"),
+        )
+        .orderBy("rnk")
+    )

@@ -360,3 +360,38 @@ def test_spectral_bisection_partition_sane(spark, sf_dir):
     n1 = rs[0].n_side1
     assert 0 < n1 < len(rs)
     assert 0 <= rs[0].cut_edges
+
+
+def test_threshold_algorithm_early_stop_certified(spark, sf_dir):
+    rs = _get("topk_threshold_algorithm", spark, sf_dir)
+    assert len(rs) == 10
+    assert [r.rnk for r in rs] == list(range(1, 11))
+    scores = [r.score for r in rs]
+    assert scores == sorted(scores, reverse=True)
+    for r in rs:
+        assert r.score == r.balance_cents + r.spend_cents
+    # TA's point: the certified stop depth is far above the k-th rank
+    # and far below a full scan
+    assert 10 <= rs[0].stop_depth <= rs[0].n_objects
+    assert rs[0].stop_depth < rs[0].n_objects // 2
+
+
+def test_ips_snips_consistency(spark, sf_dir):
+    rs = _get("ml_offpolicy_ips_eval", spark, sf_dir)
+    assert len(rs) == 4
+    for r in rs:
+        assert 0 <= r.n_matched <= r.n_rows
+        assert 0 <= r.propensity_scaled <= 10**6
+        if r.n_matched and r.propensity_scaled:
+            # IPS = SNIPS * (empirical match rate / reference
+            # propensity): reconstruct one from the other and allow
+            # for the independent floors (loose 2% band)
+            expected = (
+                r.snips_value_scaled
+                * r.n_matched
+                * 10**6
+                / (r.propensity_scaled * r.n_rows)
+            )
+            assert abs(r.ips_value_scaled - expected) <= max(
+                0.02 * abs(expected), 3
+            )
