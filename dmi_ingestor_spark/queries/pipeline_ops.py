@@ -4502,3 +4502,127 @@ def lake_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_violations).cast("long").alias("n_violations"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) consistent hashing: resharding movement audit
+# ---------------------------------------------------------------------------
+
+_HRW_OLD = 8
+_HRW_NEW = 10
+
+
+@register(
+    "pipeline_rendezvous_reshard_audit",
+    oracle=f"""
+    WITH cand AS (
+      SELECT d.doc_id, s.s,
+             CAST(concat('0x', substr(md5(concat('hrw-', d.doc_id, '-', s.s)),
+                  1, 8)) AS BIGINT) AS h
+      FROM documents d CROSS JOIN
+        (SELECT unnest(generate_series(0, {_HRW_NEW - 1})) AS s) s
+    ),
+    new_pick AS (
+      SELECT doc_id, s AS shard_new FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s)
+                 AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    old_pick AS (
+      SELECT doc_id, s AS shard_old FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s)
+                 AS rk
+        FROM cand WHERE s < {_HRW_OLD}
+      ) WHERE rk = 1
+    )
+    SELECT n.shard_new,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n.shard_new = o.shard_old
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+           CAST(SUM(CASE WHEN n.shard_new <> o.shard_old
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+    FROM new_pick n JOIN old_pick o USING (doc_id)
+    GROUP BY n.shard_new
+    ORDER BY n.shard_new
+    """,
+    doc=(
+        "Rendezvous / highest-random-weight hashing (Thaler-Ravishankar "
+        "1996) — the consistent-hashing scheme behind cache rings and "
+        "shard maps: every doc scores each shard with a keyed hash and "
+        "lands on the argmax. The audit grows the cluster "
+        f"{_HRW_OLD}->{_HRW_NEW} shards and proves HRW's minimal-"
+        "movement property BY CONSTRUCTION: a doc moves iff one of the "
+        "two NEW shards wins its argmax (expected 2/10 of docs), and "
+        "NOTHING rebalances among surviving shards — the audit's "
+        "n_moved_in must be 0 for every old shard (test-asserted), vs "
+        "mod-N hashing where ~80% of keys would move. Per-doc work is "
+        "|shards| hash evaluations map-side + one keyed argmax window; "
+        "at 100 TB this is how you grow a shard map without a "
+        "full-corpus reshuffle."
+    ),
+    tags=("pipeline", "sharding", "consistent-hashing", "documents"),
+)
+def pipeline_rendezvous_reshard_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    cand = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_HRW_NEW - 1))).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wpick = Window.partitionBy("doc_id").orderBy(F.desc("h"), F.asc("s"))
+    new_pick = (
+        cand.withColumn("rk", F.row_number().over(wpick))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("s").alias("shard_new"))
+    )
+    old_pick = (
+        cand.filter(F.col("s") < _HRW_OLD)
+        .withColumn("rk", F.row_number().over(wpick))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("s").alias("shard_old"))
+    )
+    return (
+        new_pick.join(old_pick, "doc_id")
+        .groupBy("shard_new")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard_new") == F.col("shard_old")).cast("long")
+            )
+            .cast("long")
+            .alias("n_stayed"),
+            F.sum(
+                (F.col("shard_new") != F.col("shard_old")).cast("long")
+            )
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+        .orderBy("shard_new")
+    )

@@ -591,3 +591,87 @@ def st_trending_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("win_start", "event_type", "n", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (batch twin, oracle-bearing)
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_S = 3600  # 1-hour watermark delay
+
+
+@register(
+    "st_watermark_late_audit_batch",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, user_id, ts,
+             MAX(ts) OVER (
+               PARTITION BY user_id % 8
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS max_seen
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id % 8 AS shard,
+             CASE WHEN ts < max_seen - INTERVAL {_WM_DELAY_S} SECONDS
+                  THEN 1 ELSE 0 END AS is_late
+      FROM arr
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late_dropped,
+           CAST((1000000 * SUM(is_late)) // COUNT(*) AS BIGINT)
+             AS late_ppm
+    FROM flagged
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc=(
+        "Watermark lateness audit — the BATCH twin that explains "
+        "exactly which rows a streaming watermark would drop: events "
+        "replay in arrival order (event_id is the arrival sequence), "
+        "the per-shard watermark is the running max event-time minus "
+        f"the {_WM_DELAY_S}s delay, and a row whose event time falls "
+        "behind it is counted as dropped — the same rule "
+        "withWatermark applies per partition in the streaming "
+        "pipeline (tests/test_streaming.py pins the streaming side; "
+        "this query pins the SEMANTICS with a DuckDB oracle, which "
+        "the rows-only streaming checks cannot). The per-shard "
+        "late-data budget is the number you tune a production "
+        "watermark against: too small drops data, too large holds "
+        "state. One running-max window per shard, one grouped "
+        "aggregate — nothing driver-side."
+    ),
+    tags=("streaming", "watermark", "events", "batch-twin"),
+)
+def st_watermark_late_audit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 8).alias("shard"), "ts"
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "shard",
+        (
+            F.col("ts")
+            < F.max("ts").over(w) - F.expr(f"INTERVAL {_WM_DELAY_S} SECONDS")
+        )
+        .cast("long")
+        .alias("is_late"),
+    )
+    return (
+        flagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_late").cast("long").alias("n_late_dropped"),
+            F.expr("CAST((1000000 * SUM(is_late)) div COUNT(*) AS BIGINT)")
+            .alias("late_ppm"),
+        )
+        .orderBy("shard")
+    )

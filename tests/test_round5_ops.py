@@ -395,3 +395,26 @@ def test_ips_snips_consistency(spark, sf_dir):
             assert abs(r.ips_value_scaled - expected) <= max(
                 0.02 * abs(expected), 3
             )
+
+
+def test_watermark_late_audit_bounds(spark, sf_dir):
+    rs = _get("st_watermark_late_audit_batch", spark, sf_dir)
+    assert rs
+    for r in rs:
+        assert 0 <= r.n_late_dropped <= r.n_events
+        assert 0 <= r.late_ppm <= 10**6
+
+
+def test_hrw_reshard_minimal_movement(spark, sf_dir):
+    rs = {r.shard_new: r for r in
+          _get("pipeline_rendezvous_reshard_audit", spark, sf_dir)}
+    n_total = sum(r.n_docs for r in rs.values())
+    n_moved = sum(r.n_moved_in for r in rs.values())
+    # HRW by construction: surviving shards never receive moved docs
+    for s, r in rs.items():
+        if s < 8:
+            assert r.n_moved_in == 0
+        else:
+            assert r.n_stayed == 0  # new shards didn't exist before
+    # minimal movement: ~2/10 of docs move (wide band for small sf)
+    assert 0.08 <= n_moved / n_total <= 0.35
