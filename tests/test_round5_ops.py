@@ -418,3 +418,12 @@ def test_hrw_reshard_minimal_movement(spark, sf_dir):
             assert r.n_stayed == 0  # new shards didn't exist before
     # minimal movement: ~2/10 of docs move (wide band for small sf)
     assert 0.08 <= n_moved / n_total <= 0.35
+
+
+def test_iv_first_stage_nonzero_and_estimates_finite(spark, sf_dir):
+    (r,) = _get("ml_iv_two_stage_least_squares", spark, sf_dir)
+    assert r.n_rows > 0
+    # degenerate instrument would zero the whole readout
+    assert r.first_stage_scaled != 0 or r.beta_iv_scaled == 0
+    for v in (r.beta_iv_scaled, r.beta_ols_scaled, r.first_stage_scaled):
+        assert isinstance(v, int)
