@@ -5502,3 +5502,159 @@ def ml_iv_two_stage_least_squares(
             """CAST(CASE WHEN (n * sxx - sx * sx) = 0 THEN 0 ELSE (CASE WHEN ((n * sxy - sx * sy) > 0) = ((n * sxx - sx * sx) > 0) THEN 1 ELSE -1 END) * ((CAST(1000000 AS DECIMAL(38,0)) * ABS(n * sxy - sx * sy)) div ABS(n * sxx - sx * sx)) END AS BIGINT)"""
         ).alias("beta_ols_scaled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chatterjee's xi correlation (2020), exact integer ranks
+# --------------------------------------------------------------------------
+
+_XI_S = 10**6
+
+
+@register(
+    "ml_xicor_correlation",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(o_custkey AS BIGINT) AS y
+      FROM orders
+    ),
+    xr AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS xpos
+      FROM d
+    ),
+    yr AS (
+      SELECT a.xpos,
+             (SELECT COUNT(*) FROM d b WHERE b.y <= a.y) AS r
+      FROM xr a
+    ),
+    pairs AS (
+      SELECT r, LEAD(r) OVER (ORDER BY xpos) AS rn FROM yr
+    ),
+    s AS (
+      SELECT COUNT(*) + 1 AS n, SUM(ABS(rn - r)) AS sdiff
+      FROM pairs WHERE rn IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(sdiff AS BIGINT) AS rank_jump_sum,
+           CAST({_XI_S} - (CAST(3 AS HUGEINT) * {_XI_S} * sdiff)
+                // (CAST(n AS HUGEINT) * n - 1) AS BIGINT) AS xi_scaled
+    FROM s
+    """,
+    doc=(
+        "Chatterjee's xi correlation (JASA 2020) between order price "
+        "and customer key: sort by x, take the y-ranks r_i (ties "
+        "handled by the <= count definition from the paper), and "
+        "xi = 1 - 3*sum|r_(i+1) - r_i| / (n^2-1) — a coefficient "
+        "that is ~0 iff independent and ->1 iff y is a measurable "
+        "FUNCTION of x, catching oscillating dependence that Pearson "
+        "and Spearman score as zero. All-integer: ranks are exact "
+        "(the x-order via the sharded-rank operator, no "
+        "SinglePartition sort; the y-ranks via a value-domain "
+        "count-less-equal join), the jump sum is an integer, and the "
+        "final xi is one floored scaled division. Complements the "
+        "Pearson/Spearman/Kendall trio already in the registry — the "
+        "consecutive-jump statistic is what makes it O(n log n), not "
+        "O(n^2), at 100 TB."
+    ),
+    tags=("mllib", "statistics", "orders"),
+)
+def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        F.col("o_custkey").cast("long").alias("y"),
+    )
+    xr, _n = sharded_row_number(
+        d, [F.col("x").asc(), F.col("o_orderkey").asc()], out="xpos"
+    )
+    # y-rank r_i = #{j : y_j <= y_i}, computed on the DISTINCT-y
+    # histogram (domain-bounded), never an n^2 pairwise count: range-
+    # partition the domain by y, local cumsum per partition, broadcast
+    # prefix offsets — the same sharded shape as the rank operator
+    yhist = d.groupBy("y").agg(F.count(F.lit(1)).alias("cnt"))
+    ranged = (
+        yhist.repartitionByRange(16, "y")
+        .sortWithinPartitions("y")
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    offs = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("cnt").alias("s")).collect()
+    }
+    acc = 0
+    run: dict[int, int] = {}
+    for pid in sorted(offs):
+        run[pid] = acc
+        acc += offs[pid]
+
+    def _local_cum(batches):
+        base = 0
+        for pdf in batches:
+            c = pdf["cnt"].to_numpy(dtype="int64").cumsum() + base
+            base = int(c[-1]) if len(c) else base
+            yield pdf.assign(_local=c)
+
+    enumerated = ranged.mapInPandas(
+        _local_cum, schema="y long, cnt long, _pid int, _local long"
+    )
+    if run:
+        off_map = F.create_map(*[F.lit(v) for kv in run.items() for v in kv])
+        off = F.coalesce(off_map[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    yrank = enumerated.select("y", (off + F.col("_local")).alias("r"))
+    seq = xr.join(F.broadcast(yrank), "y").select("xpos", "r")
+    wlead = Window.orderBy("xpos")
+    # the lead window needs a global order; the jump terms are
+    # position-local, so shard it: |r_(i+1) - r_i| summed per xpos
+    # shard + the boundary terms joined across shard edges
+    shard = seq.withColumn("shard", (F.col("xpos") / 65536).cast("long"))
+    wlocal = (
+        Window.partitionBy("shard").orderBy("xpos")
+    )
+    local = shard.select(
+        "shard",
+        "xpos",
+        "r",
+        F.lead("r").over(wlocal).alias("rn"),
+    )
+    local_sum = local.filter(F.col("rn").isNotNull()).agg(
+        F.sum(F.abs(F.col("rn") - F.col("r"))).alias("s_local")
+    )
+    # boundary terms: last row of shard k -> first row of shard k+1
+    lasts = local.filter(F.col("rn").isNull()).select(
+        F.col("shard"), F.col("r").alias("r_last")
+    )
+    firsts = (
+        shard.groupBy("shard")
+        .agg(F.min(F.struct("xpos", "r")).alias("f"))
+        .select((F.col("shard") - 1).alias("shard"), F.col("f.r").alias("r_first"))
+    )
+    boundary = lasts.join(firsts, "shard").agg(
+        F.coalesce(F.sum(F.abs(F.col("r_first") - F.col("r_last"))), F.lit(0))
+        .alias("s_bound")
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        local_sum.crossJoin(F.broadcast(boundary))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("s_local") + F.col("s_bound"))
+            .cast("long")
+            .alias("rank_jump_sum"),
+            F.expr(
+                f"CAST({_XI_S} - (CAST(3 AS DECIMAL(38,0)) * {_XI_S}"
+                f" * (s_local + s_bound))"
+                f" div (CAST(n AS DECIMAL(38,0)) * n - 1) AS BIGINT)"
+            ).alias("xi_scaled"),
+        )
+    )

@@ -86,6 +86,19 @@ AUDITED = [
     "sample_neyman_allocation",
     # round-5 wave
     "ingest_hdf5_dense_param_sweep",
+    # round-5 continuation: Python paths (msgpack decode, rowgroup
+    # fixture), the checkpointed spectral iteration, and the new
+    # global-rank / window shapes
+    "ingest_msgpack_stream",
+    "mm_audio_fingerprint_match",
+    "graph_spectral_bisection",
+    "graph_louvain_one_sweep",
+    "graph_anf_bottomk",
+    "topk_threshold_algorithm",
+    "sample_coreset_sensitivity",
+    "st_watermark_late_audit_batch",
+    "pipeline_rendezvous_reshard_audit",
+    "ts_croston_intermittent",
 ]
 
 

@@ -427,3 +427,12 @@ def test_iv_first_stage_nonzero_and_estimates_finite(spark, sf_dir):
     assert r.first_stage_scaled != 0 or r.beta_iv_scaled == 0
     for v in (r.beta_iv_scaled, r.beta_ols_scaled, r.first_stage_scaled):
         assert isinstance(v, int)
+
+
+def test_xicor_in_range_and_jump_sum_positive(spark, sf_dir):
+    (r,) = _get("ml_xicor_correlation", spark, sf_dir)
+    assert r.n_rows > 1
+    # xi in [-0.5, 1] by construction; price vs custkey ~ independent
+    assert -5 * 10**5 <= r.xi_scaled <= 10**6
+    assert abs(r.xi_scaled) < 2 * 10**5  # near zero for independence
+    assert r.rank_jump_sum > 0
