@@ -4626,3 +4626,95 @@ def pipeline_rendezvous_reshard_audit(
         )
         .orderBy("shard_new")
     )
+
+
+@register(
+    "privacy_tokenize_referential",
+    oracle="""
+    WITH c_tok AS (
+      SELECT substr(md5(concat('tok-', c_custkey)), 1, 16) AS token,
+             c_nationkey
+      FROM customer
+    ),
+    o_tok AS (
+      SELECT substr(md5(concat('tok-', o_custkey)), 1, 16) AS token,
+             o_orderkey
+      FROM orders
+    ),
+    token_join AS (
+      SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_tok
+      FROM o_tok o JOIN c_tok c ON o.token = c.token
+      GROUP BY c.c_nationkey
+    ),
+    plain_join AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_plain
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ),
+    inj AS (
+      SELECT COUNT(*) AS n_cust, COUNT(DISTINCT token) AS n_tokens
+      FROM c_tok
+    )
+    SELECT t.nationkey,
+           CAST(t.n_tok AS BIGINT) AS n_orders_token_join,
+           CAST(p.n_plain AS BIGINT) AS n_orders_plain_join,
+           CAST(i.n_cust AS BIGINT) AS n_customers,
+           CAST(i.n_tokens AS BIGINT) AS n_distinct_tokens
+    FROM token_join t
+    JOIN plain_join p USING (nationkey)
+    CROSS JOIN inj i
+    ORDER BY t.nationkey
+    """,
+    doc=(
+        "Consistent pseudonymization with referential integrity: the "
+        "customer key is replaced by a keyed-digest surrogate token in "
+        "BOTH the dimension and the fact, and the audit proves (a) "
+        "injectivity on this corpus — distinct tokens == customers — "
+        "and (b) the token-space join reproduces the plaintext join "
+        "EXACTLY, per nation (the two counts ride side by side and a "
+        "green row pins them equal). This is the de-identification "
+        "pattern that keeps analytics joins working after PII removal "
+        "— tokenize once at ingest with the same key everywhere, and "
+        "every downstream equi-join is oblivious to the swap. Token "
+        "derivation is map-side; the audit costs the same two "
+        "hash-join aggregates the plaintext pipeline already runs."
+    ),
+    tags=("privacy", "pseudonymization", "customer", "orders"),
+)
+def privacy_tokenize_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+
+    def tok(col):
+        return F.substring(
+            F.md5(F.concat(F.lit("tok-"), F.col(col).cast("string"))), 1, 16
+        )
+
+    c_tok = c.select(tok("c_custkey").alias("token"), "c_nationkey")
+    o_tok = o.select(tok("o_custkey").alias("token"))
+    token_join = (
+        o_tok.join(F.broadcast(c_tok), "token")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    plain_join = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_plain"))
+    )
+    inj = c_tok.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.countDistinct("token").alias("n_tokens"),
+    )
+    return (
+        token_join.join(plain_join, "nationkey")
+        .crossJoin(F.broadcast(inj))
+        .select(
+            "nationkey",
+            F.col("n_tok").cast("long").alias("n_orders_token_join"),
+            F.col("n_plain").cast("long").alias("n_orders_plain_join"),
+            F.col("n_cust").cast("long").alias("n_customers"),
+            F.col("n_tokens").cast("long").alias("n_distinct_tokens"),
+        )
+        .orderBy("nationkey")
+    )

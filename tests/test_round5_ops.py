@@ -436,3 +436,11 @@ def test_xicor_in_range_and_jump_sum_positive(spark, sf_dir):
     assert -5 * 10**5 <= r.xi_scaled <= 10**6
     assert abs(r.xi_scaled) < 2 * 10**5  # near zero for independence
     assert r.rank_jump_sum > 0
+
+
+def test_tokenize_referential_integrity_holds(spark, sf_dir):
+    rs = _get("privacy_tokenize_referential", spark, sf_dir)
+    assert rs
+    for r in rs:
+        assert r.n_orders_token_join == r.n_orders_plain_join
+        assert r.n_distinct_tokens == r.n_customers
