@@ -3532,3 +3532,119 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement (2 rounds)
+# ---------------------------------------------------------------------------
+
+_WL_ROUNDS = 2
+
+
+@register(
+    "graph_weisfeiler_lehman",
+    oracle=f"""
+    WITH {{edge_sql}},
+    sym AS (
+      SELECT u AS i, v AS j FROM kept UNION ALL SELECT v, u FROM kept
+    ),
+    c0 AS (
+      SELECT node, CAST(d AS VARCHAR) AS color FROM deg
+    ),
+    c1 AS (
+      SELECT c.node,
+             substr(md5(concat(c.color, '|',
+               (SELECT string_agg(cn.color, ',' ORDER BY cn.color)
+                FROM sym s JOIN c0 cn ON cn.node = s.j
+                WHERE s.i = c.node))), 1, 16) AS color
+      FROM c0 c
+    ),
+    c2 AS (
+      SELECT c.node,
+             substr(md5(concat(c.color, '|',
+               (SELECT string_agg(cn.color, ',' ORDER BY cn.color)
+                FROM sym s JOIN c1 cn ON cn.node = s.j
+                WHERE s.i = c.node))), 1, 16) AS color
+      FROM c1 c
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(DISTINCT color) FROM c0) AS k0,
+             (SELECT COUNT(DISTINCT color) FROM c1) AS k1,
+             (SELECT COUNT(DISTINCT color) FROM c2) AS k2
+    )
+    SELECT c2.node, c2.color,
+           CAST(k0 AS BIGINT) AS n_colors_r0,
+           CAST(k1 AS BIGINT) AS n_colors_r1,
+           CAST(k2 AS BIGINT) AS n_colors_r2
+    FROM c2 CROSS JOIN counts
+    ORDER BY c2.node
+    """.format(edge_sql=_TRI_EDGE_SQL),
+    doc=(
+        "Weisfeiler-Lehman color refinement (the 1-WL graph-"
+        "isomorphism test, and the expressiveness ceiling of "
+        "message-passing GNNs): start from degree colors, then each "
+        "round every node hashes (own color | sorted multiset of "
+        "neighbor colors) into a new color — md5 with a sorted "
+        "string_agg makes the multiset hash deterministic in both "
+        "engines, so the full color assignment is hash-checked, not "
+        "just the histogram. The per-round distinct-color counts ride "
+        "along (refinement is monotone: k0 <= k1 <= k2, "
+        "test-asserted); equal final histograms are the 1-WL "
+        "isomorphism certificate, and per-node colors are the "
+        "structural-role features. One neighbor-join + sorted "
+        "collect per round — the same bounded-summary iteration "
+        "shape as the rest of the graph family."
+    ),
+    tags=("graph", "isomorphism", "iterative", "scale"),
+)
+def graph_weisfeiler_lehman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = _trade_kept_edges(spark, sf_dir)
+    deg = (
+        kept.select(F.col("u").alias("node"))
+        .unionAll(kept.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sym = kept.select(
+        F.col("u").alias("i"), F.col("v").alias("j")
+    ).unionAll(kept.select(F.col("v"), F.col("u")))
+    colors = [deg.select("node", F.col("d").cast("string").alias("color"))]
+    for _ in range(_WL_ROUNDS):
+        prev = colors[-1]
+        nbr = (
+            sym.join(
+                F.broadcast(prev.select(F.col("node").alias("j"),
+                                        F.col("color").alias("ncolor"))),
+                "j",
+            )
+            .groupBy(F.col("i").alias("node"))
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("ncolor")), ","
+                ).alias("agg")
+            )
+        )
+        colors.append(
+            prev.join(nbr, "node").select(
+                "node",
+                F.substring(
+                    F.md5(F.concat(F.col("color"), F.lit("|"), F.col("agg"))),
+                    1,
+                    16,
+                ).alias("color"),
+            )
+        )
+    ks = [
+        c.agg(F.countDistinct("color").alias(f"k{i}"))
+        for i, c in enumerate(colors)
+    ]
+    out = colors[-1]
+    for k in ks:
+        out = out.crossJoin(F.broadcast(k))
+    return out.select(
+        "node",
+        "color",
+        F.col("k0").cast("long").alias("n_colors_r0"),
+        F.col("k1").cast("long").alias("n_colors_r1"),
+        F.col("k2").cast("long").alias("n_colors_r2"),
+    ).orderBy("node")

@@ -444,3 +444,13 @@ def test_tokenize_referential_integrity_holds(spark, sf_dir):
     for r in rs:
         assert r.n_orders_token_join == r.n_orders_plain_join
         assert r.n_distinct_tokens == r.n_customers
+
+
+def test_wl_refinement_monotone(spark, sf_dir):
+    rs = _get("graph_weisfeiler_lehman", spark, sf_dir)
+    assert rs
+    r = rs[0]
+    # refinement never merges color classes
+    assert r.n_colors_r0 <= r.n_colors_r1 <= r.n_colors_r2 <= len(rs)
+    # the final assignment realizes the reported class count
+    assert len({x.color for x in rs}) == r.n_colors_r2
