@@ -4314,7 +4314,7 @@ _CS_W = 10_000          # weight output scale
 _CS_PPB = 10**9         # sensitivity output scale
 
 _CS_QS_SQL = ", ".join(
-    f"CAST(FLOOR(embedding[{i + 1}] * {_CS_Q}) AS BIGINT) AS q{i}"
+    f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {_CS_Q}) AS BIGINT) AS q{i}"
     for i in range(_CS_DIM)
 )
 _CS_SUMS_SQL = ", ".join(f"SUM(q{i}) AS s{i}" for i in range(_CS_DIM))
