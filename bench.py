@@ -72,6 +72,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-5 session additions: the two production LLM-dedup shapes
     "dedup_exact_span_ngram",
     "dedup_incremental_delta_probe",
+    # round-5 continuation additions: the heaviest new shapes — the
+    # synchronous Louvain sweep (fact edge build + summary argmax) and
+    # the checkpointed spectral power iteration
+    "graph_louvain_one_sweep",
+    "graph_spectral_bisection",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers

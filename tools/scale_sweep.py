@@ -71,6 +71,12 @@ DEFAULT_QUERIES = [
     "dedup_incremental_delta_probe",  # delta-vs-base banded probe
     "graph_ktruss_peeling",        # per-round wedge enumeration + support peel
     "ml_gbdt_second_order_gain",   # g/h histograms + O(bins) sweep
+    # round-5 continuation additions
+    "graph_louvain_one_sweep",     # fact edge build + summary gain argmax
+    "graph_spectral_bisection",    # checkpointed deflated power iteration
+    "ml_xicor_correlation",        # 2x sharded rank + boundary-stitched jumps
+    "sample_coreset_sensitivity",  # two 1-row broadcast aggs, zero corpus shuffle
+    "mm_audio_fingerprint_match",  # Arrow decode + hash-join offset voting
 ]
 
 
