@@ -3624,16 +3624,18 @@ def graph_weisfeiler_lehman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("agg")
             )
         )
-        colors.append(
-            prev.join(nbr, "node").select(
-                "node",
-                F.substring(
-                    F.md5(F.concat(F.col("color"), F.lit("|"), F.col("agg"))),
-                    1,
-                    16,
-                ).alias("color"),
-            )
+        nxt = prev.join(nbr, "node").select(
+            "node",
+            F.substring(
+                F.md5(F.concat(F.col("color"), F.lit("|"), F.col("agg"))),
+                1,
+                16,
+            ).alias("color"),
         )
+        # prev feeds both the neighbor aggregate and the rehash join —
+        # uncut, the color lineage doubles per round (plan_audit's 1 MB
+        # formatted-plan cap caught 1.51 MB at 2 rounds)
+        colors.append(nxt.localCheckpoint(eager=True))
     ks = [
         c.agg(F.countDistinct("color").alias(f"k{i}"))
         for i, c in enumerate(colors)
