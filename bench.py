@@ -72,11 +72,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     # round-5 session additions: the two production LLM-dedup shapes
     "dedup_exact_span_ngram",
     "dedup_incremental_delta_probe",
-    # round-5 continuation additions: the heaviest new shapes — the
-    # synchronous Louvain sweep (fact edge build + summary argmax) and
-    # the checkpointed spectral power iteration
+    # round-5 continuation addition: the heaviest new DATA-bound shape
+    # (fact edge build + summary gain argmax). graph_spectral_bisection
+    # is deliberately NOT benched: its wall time is fixed-cost jobs
+    # (eager checkpoint + per-round broadcast builds, slope ~0 in
+    # SCALING.md), so benching it would only measure scheduler latency.
     "graph_louvain_one_sweep",
-    "graph_spectral_bisection",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers

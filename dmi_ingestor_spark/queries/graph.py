@@ -3502,8 +3502,13 @@ def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the |V|-row state re-derives coef/sym (and through them the
         # fact-sized edge build) in BOTH branches of the next round —
         # uncut, the lineage doubles per round exactly like the k-core
-        # peel did pre-r4; cut it while the relation is 25 rows
-        v = v.localCheckpoint(eager=True)
+        # peel did pre-r4; cut it while the relation is 25 rows (and
+        # keep it on 2 partitions — no point scattering 25 rows). The
+        # query's wall time is FIXED-cost dominated either way (~10s
+        # at every sf, slope ~0 in SCALING.md): each round pays the
+        # eager-checkpoint job plus two broadcast-build jobs (st, m),
+        # which is the price of keeping the iteration driver-loop-free
+        v = v.coalesce(2).localCheckpoint(eager=True)
     signs = v.select(
         "node", "val", (F.col("val") > 0).cast("long").alias("side")
     )
