@@ -778,3 +778,36 @@ def clone_shallow(src: TxLog, dst_root: str) -> TxLog:
         },
     )
     return dst
+
+
+def flush_deletion_vectors(tx: TxLog, suffix: str = "flush") -> int:
+    """MERGE-ON-READ -> COPY-ON-WRITE compaction: rewrite every unit
+    that carries a deletion vector WITHOUT its deleted rows, and retire
+    the originals (their DVs retire with them, since the mapping is
+    keyed by unit) in ONE atomic commit. This is Delta's `REORG TABLE
+    ... APPLY (PURGE)` / Iceberg's rewrite of position-delete files:
+    reads before the flush pay the scan-side anti-join; reads after it
+    are plain scans. Old snapshots still resolve the original units +
+    DVs (nothing is physically deleted until vacuum). Cost is O(data
+    in DV-carrying units) — untouched units are not rewritten."""
+    from pyspark.sql import functions as F
+
+    snap = tx.snapshot()
+    dvs = _unit_dvs(tx, snap.version)
+    carrying = [u for u in snap.add_units if u in dvs]
+    if not carrying:
+        return snap.version
+    adds, removes = [], []
+    for u in carrying:
+        df = tx.spark.read.parquet(tx._unit_path(u))
+        pos = tx.spark.read.parquet(f"{tx.root}/{dvs[u]}")
+        clean = (
+            df.withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(pos), F.col("__pos") == pos["pos"], "left_anti"
+            )
+            .drop("__pos")
+        )
+        adds.append(tx._write_unit(clean, f"{u.split('/', 1)[1]}-{suffix}"))
+        removes.append(u)
+    return tx.commit(adds=adds, removes=removes, tag="flush")

@@ -4718,3 +4718,89 @@ def privacy_tokenize_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "lake_mor_flush_compaction",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM kept
+    )
+    SELECT p.phase, s.n_rows, s.key_checksum, p.n_dvs
+    FROM (VALUES (0, CAST(1 AS BIGINT)), (1, CAST(0 AS BIGINT)),
+                 (2, CAST(1 AS BIGINT))) p(phase, n_dvs)
+    CROSS JOIN s
+    ORDER BY p.phase
+    """,
+    doc=(
+        "Merge-on-read -> copy-on-write flush (Delta REORG ... APPLY "
+        "(PURGE) / Iceberg position-delete rewrite): rows are "
+        "soft-deleted via a deletion vector (phase 0 — the MOR read "
+        "pays a scan-side anti-join, 1 DV live), then "
+        "flush_deletion_vectors rewrites ONLY the DV-carrying unit "
+        "without its dead rows in one atomic commit (phase 1 — a "
+        "plain scan with 0 DVs returns the identical rows), while "
+        "time travel to the pre-flush version still resolves the "
+        "original unit + DV (phase 2). All three phases must hash to "
+        "the same surviving-row stats, and the DV counts ride in the "
+        "output. At 100 TB this is the background job that keeps "
+        "read amplification bounded: deletes stay O(deleted bytes) "
+        "online, and the rewrite cost is paid once, off the query "
+        "path, only for units that actually carry deletes."
+    ),
+    tags=("pipeline", "lakehouse", "deletion-vectors", "compaction", "orders"),
+)
+def lake_mor_flush_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.ingest.txlog import (
+        TxLog,
+        _unit_dvs,
+        add_deletion_vector,
+        flush_deletion_vectors,
+        read_with_dv,
+    )
+
+    tx = TxLog(spark, _tf.mkdtemp(prefix="dmi-morflush-"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    base = o.repartition(1).sortWithinPartitions("o_orderkey")
+    tx.append(base, "base")
+    pos = (
+        o.select(
+            "o_orderkey",
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1).alias(
+                "pos"
+            ),
+        )
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("pos")
+    )
+    v_dv = add_deletion_vector(tx, "data/base", pos, "base-dv0")
+
+    def stats(df, phase, n_dvs):
+        return df.agg(
+            F.lit(phase).cast("int").alias("phase"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.lit(n_dvs).cast("long").alias("n_dvs"),
+        ).select("phase", "n_rows", "key_checksum", "n_dvs")
+
+    mor = stats(read_with_dv(tx), 0, len(_unit_dvs(tx)))
+    v_flush = flush_deletion_vectors(tx)
+    assert v_flush == v_dv + 1
+    # post-flush: a PLAIN read (no DV machinery) must see the same rows
+    live_dvs = {
+        u: p for u, p in _unit_dvs(tx).items()
+        if u in tx.snapshot().add_units
+    }
+    flushed = stats(tx.read(), 1, len(live_dvs))
+    # time travel: the pre-flush snapshot still resolves unit + DV
+    tt = stats(read_with_dv(tx, version=v_dv), 2, 1)
+    return mor.unionAll(flushed).unionAll(tt).orderBy("phase")

@@ -3591,3 +3591,114 @@ def analytics_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * ((CAST(p_num AS DECIMAL(38,0)) * {_PI_PPM}) div p_den) AS DOUBLE))) AS BIGINT)"
         ).alias("fisher_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-device identity stitching (components over the identifier graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_identity_stitching",
+    oracle="""
+    WITH RECURSIVE users AS (
+      SELECT DISTINCT user_id AS u FROM events
+    ),
+    ids AS (
+      SELECT u,
+             CASE WHEN u % 5 = 0 THEN u - 1 ELSE u END AS cookie,
+             CASE WHEN u % 7 = 0 THEN u - 1 ELSE u END AS email
+      FROM users
+    ),
+    edges AS (
+      SELECT u * 3 AS a, cookie * 3 + 1 AS b FROM ids
+      UNION SELECT cookie * 3 + 1, u * 3 FROM ids
+      UNION SELECT u * 3, email * 3 + 2 FROM ids
+      UNION SELECT email * 3 + 2, u * 3 FROM ids
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, rr.r FROM edges e JOIN reach rr ON rr.id = e.b
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    user_comp AS (
+      SELECT id / 3 AS user_id, component
+      FROM comp WHERE id % 3 = 0
+    ),
+    ev AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS revenue_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT uc.component AS identity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(ev.n_events) AS BIGINT) AS n_events,
+           CAST(SUM(ev.revenue_cents) AS BIGINT) AS revenue_cents
+    FROM user_comp uc JOIN ev ON ev.user_id = uc.user_id
+    GROUP BY uc.component
+    ORDER BY identity_id
+    """,
+    doc=(
+        "Cross-device identity stitching — the identity-resolution "
+        "workload behind every CDP: users and their identifiers "
+        "(cookies, emails; every 5th/7th user shares one with its "
+        "neighbor) form a tripartite identifier graph, connected "
+        "components over it (operators/components.py pointer doubling, "
+        "O(log diameter) rounds) define the stitched identities, and "
+        "per-identity event/revenue rollups replace per-user ones — "
+        "the metric change that stitching exists to make. The oracle "
+        "closes the same graph with a recursive CTE, so every "
+        "identity assignment AND its rolled-up metrics are hash-"
+        "pinned. Corpus touches: one distinct-user pass + one "
+        "per-user aggregate; the component iteration runs on the "
+        "identifier-edge relation (O(users), not O(events))."
+    ),
+    tags=("analytics", "identity", "components", "events"),
+)
+def analytics_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.components import connected_components
+
+    e = table(spark, sf_dir, "events")
+    users = e.select(F.col("user_id").alias("u")).distinct()
+    ids = users.select(
+        "u",
+        F.when(F.col("u") % 5 == 0, F.col("u") - 1)
+        .otherwise(F.col("u"))
+        .alias("cookie"),
+        F.when(F.col("u") % 7 == 0, F.col("u") - 1)
+        .otherwise(F.col("u"))
+        .alias("email"),
+    )
+    edges = (
+        ids.select(
+            (F.col("u") * 3).alias("a"),
+            (F.col("cookie") * 3 + 1).alias("b"),
+        )
+        .unionAll(
+            ids.select(
+                (F.col("u") * 3).alias("a"),
+                (F.col("email") * 3 + 2).alias("b"),
+            )
+        )
+    )
+    comp = connected_components(edges, "a", "b", checkpoint_every=2)
+    user_comp = comp.filter(F.col("node") % 3 == 0).select(
+        (F.col("node") / 3).cast("long").alias("user_id"), "component"
+    )
+    ev = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    return (
+        ev.join(F.broadcast(user_comp), "user_id")
+        .groupBy(F.col("component").alias("identity_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("identity_id")
+    )

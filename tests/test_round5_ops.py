@@ -454,3 +454,24 @@ def test_wl_refinement_monotone(spark, sf_dir):
     assert r.n_colors_r0 <= r.n_colors_r1 <= r.n_colors_r2 <= len(rs)
     # the final assignment realizes the reported class count
     assert len({x.color for x in rs}) == r.n_colors_r2
+
+
+def test_identity_stitching_partitions_users(spark, sf_dir):
+    from dmi_ingestor_spark.catalog import table
+
+    rs = _get("analytics_identity_stitching", spark, sf_dir)
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rs) == n_users
+    # stitching must actually merge some users (every 5th shares a cookie)
+    assert any(r.n_users > 1 for r in rs)
+    assert len(rs) < n_users
+    for r in rs:
+        assert r.n_events >= r.n_users  # every user has >= 1 event
+
+
+def test_mor_flush_three_phases_agree(spark, sf_dir):
+    rs = {r.phase: r for r in _get("lake_mor_flush_compaction", spark, sf_dir)}
+    assert set(rs) == {0, 1, 2}
+    assert rs[0].n_rows == rs[1].n_rows == rs[2].n_rows
+    assert rs[0].key_checksum == rs[1].key_checksum == rs[2].key_checksum
+    assert (rs[0].n_dvs, rs[1].n_dvs, rs[2].n_dvs) == (1, 0, 1)

@@ -577,3 +577,47 @@ def test_drop_constraint_reopens_appends(spark, sf_dir, tx):
     assert dict(tx.snapshot_fast().constraints) == {
         "nonneg_key": "o_orderkey >= 0"
     }
+
+
+def test_flush_deletion_vectors_mor_to_cow(spark, sf_dir, tx):
+    from dmi_ingestor_spark.ingest.txlog import (
+        _unit_dvs,
+        add_deletion_vector,
+        flush_deletion_vectors,
+        read_with_dv,
+    )
+
+    f = _orders(spark, sf_dir, "F").select("o_orderkey")
+    base = f.repartition(1).sortWithinPartitions("o_orderkey")
+    tx.append(base, "base")
+    tx.append(f.limit(0), "untouched")  # no DV: must NOT be rewritten
+    from pyspark.sql import Window
+
+    pos = (
+        f.select(
+            "o_orderkey",
+            (F.row_number().over(Window.orderBy("o_orderkey")) - 1)
+            .alias("pos"),
+        )
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("pos")
+    )
+    v_dv = add_deletion_vector(tx, "data/base", pos, "dv0")
+    want = sorted(
+        r[0] for r in f.filter(F.col("o_orderkey") % 3 != 0).collect()
+    )
+    v_flush = flush_deletion_vectors(tx)
+    assert v_flush == v_dv + 1
+    # plain read now equals the MOR state; no live unit carries a DV
+    got = sorted(r[0] for r in tx.read().collect())
+    assert got == want
+    live = set(tx.snapshot().add_units)
+    assert not (set(_unit_dvs(tx)) & live)
+    # untouched unit survived un-rewritten; base was replaced
+    assert "data/untouched" in live and "data/base" not in live
+    assert "data/base-flush" in live
+    # time travel to the MOR version still applies the DV
+    tt = sorted(r[0] for r in read_with_dv(tx, version=v_dv).collect())
+    assert tt == want
+    # idempotent: nothing to flush -> no new version
+    assert flush_deletion_vectors(tx) == v_flush
