@@ -54,6 +54,22 @@ LOG_DIR = "_txlog"
 STAGE_DIR = "_txlog_stage"
 CHECKPOINT_EVERY = 5  # write a replay checkpoint every N commits
 
+# Reader feature gate (Delta's protocol/table-features mechanism): a
+# commit that first uses a capability lists it under "features", the
+# set is replayed into every snapshot, and a reader that doesn't
+# support one MUST refuse the whole table rather than silently return
+# wrong results (e.g. ignoring deletion vectors would resurrect
+# deleted rows). This reader supports:
+SUPPORTED_FEATURES = frozenset(
+    {"column-mapping", "check-constraints", "deletion-vectors"}
+)
+
+
+class UnsupportedTableFeature(RuntimeError):
+    """The table requires a reader feature this engine does not
+    implement; refusing is the only safe behavior (Delta does the
+    same via minReaderVersion / readerFeatures)."""
+
 
 class ConcurrentModificationError(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot: some
@@ -65,6 +81,15 @@ class ConstraintViolation(ValueError):
     """An append (or ADD CONSTRAINT on existing data) failed a CHECK
     constraint; the batch is rejected atomically — no file written,
     no commit published."""
+
+
+def _require_features(features: set[str]) -> None:
+    unknown = features - SUPPORTED_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table requires reader features {sorted(unknown)}; this "
+            f"engine supports {sorted(SUPPORTED_FEATURES)}"
+        )
 
 
 def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
@@ -92,6 +117,9 @@ class Snapshot:
     # pairs; every append must satisfy ALL of them (Delta's
     # ADD CONSTRAINT ... CHECK). Predicates see LOGICAL column names.
     constraints: tuple[tuple[str, str], ...] = ()
+    # reader features this snapshot requires (monotone: once a commit
+    # introduces one, every later snapshot carries it)
+    features: tuple[str, ...] = ()
 
 
 class TxLog:
@@ -166,6 +194,7 @@ class TxLog:
             "schema_ddl": snap.schema_ddl,
             "column_mapping": dict(snap.column_mapping),
             "constraints": dict(snap.constraints),
+            "features": list(snap.features),
             "stats": {u: s for u, s in stats.items() if u in snap.add_units},
         }
         staged = f"{self.stage_path}/ck-{version:08d}.json"
@@ -193,6 +222,7 @@ class TxLog:
         schema_ddl = ck["schema_ddl"]
         mapping = dict(ck.get("column_mapping") or {})
         constraints = dict(ck.get("constraints") or {})
+        features = set(ck.get("features") or [])
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
@@ -203,17 +233,20 @@ class TxLog:
             constraints = (
                 c["constraints"] if "constraints" in c else constraints
             )
+            features.update(c.get("features", []))
         v = commits[-1]["version"] if commits else ck["version"]
         if version is not None and v != version:
             # mirror snapshot()'s contract: a nonexistent / gap version
             # must raise, not silently resolve to the state below it
             raise ValueError(f"version {version} does not exist")
+        _require_features(features)
         return Snapshot(
             version=v,
             add_units=tuple(live),
             schema_ddl=schema_ddl,
             column_mapping=tuple(sorted(mapping.items())),
             constraints=tuple(sorted(constraints.items())),
+            features=tuple(sorted(features)),
         )
 
     def latest_version(self) -> int:
@@ -230,6 +263,7 @@ class TxLog:
         schema_ddl = ""
         mapping: dict[str, str] = {}
         constraints: dict[str, str] = {}
+        features: set[str] = set()
         for c in commits:
             for r in c.get("removes", []):
                 if r in live:
@@ -240,6 +274,8 @@ class TxLog:
             constraints = (
                 c["constraints"] if "constraints" in c else constraints
             )
+            features.update(c.get("features", []))
+        _require_features(features)
         v = commits[-1]["version"] if commits else -1
         return Snapshot(
             version=v,
@@ -247,6 +283,7 @@ class TxLog:
             schema_ddl=schema_ddl,
             column_mapping=tuple(sorted(mapping.items())),
             constraints=tuple(sorted(constraints.items())),
+            features=tuple(sorted(features)),
         )
 
     # -- commit protocol ----------------------------------------------
@@ -329,7 +366,10 @@ class TxLog:
             raise ValueError(f"column already exists: {new!r}")
         m[new] = m.pop(old)
         return self.commit(
-            adds=[], removes=[], tag="rename", extra={"column_mapping": m}
+            adds=[],
+            removes=[],
+            tag="rename",
+            extra={"column_mapping": m, "features": ["column-mapping"]},
         )
 
     # -- CHECK constraints --------------------------------------------
@@ -346,7 +386,10 @@ class TxLog:
         cur = dict(self.snapshot().constraints)
         cur[name] = predicate
         return self.commit(
-            adds=[], removes=[], tag="constraint", extra={"constraints": cur}
+            adds=[],
+            removes=[],
+            tag="constraint",
+            extra={"constraints": cur, "features": ["check-constraints"]},
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -704,7 +747,10 @@ def add_deletion_vector(
         "error"
     ).parquet(target)
     return tx.commit(
-        adds=[], removes=[], tag="d", extra={"dv": {unit: dv_path}}
+        adds=[],
+        removes=[],
+        tag="d",
+        extra={"dv": {unit: dv_path}, "features": ["deletion-vectors"]},
     )
 
 

@@ -621,3 +621,55 @@ def test_flush_deletion_vectors_mor_to_cow(spark, sf_dir, tx):
     assert tt == want
     # idempotent: nothing to flush -> no new version
     assert flush_deletion_vectors(tx) == v_flush
+
+
+def test_feature_gate_refuses_unknown_reader_features(spark, sf_dir, tx):
+    import json as _json
+
+    from dmi_ingestor_spark.ingest.txlog import UnsupportedTableFeature
+
+    f = _orders(spark, sf_dir, "F")
+    tx.append(f.limit(5), "base")
+    # forge a commit from a FUTURE writer that uses a feature this
+    # reader does not implement
+    v = tx.latest_version() + 1
+    _write_bytes(
+        spark,
+        tx._commit_file(v),
+        _json.dumps(
+            {"version": v, "adds": [], "removes": [],
+             "features": ["v2-row-tracking"]}
+        ).encode(),
+    )
+    with pytest.raises(UnsupportedTableFeature, match="v2-row-tracking"):
+        tx.read()
+    with pytest.raises(UnsupportedTableFeature):
+        tx.snapshot()
+    # older snapshots (before the feature commit) remain readable
+    assert tx.read(version=0).count() == 5
+
+
+def test_feature_gate_accepts_supported_features(spark, sf_dir, tx):
+    from pyspark.sql import Window
+
+    from dmi_ingestor_spark.ingest.txlog import add_deletion_vector
+
+    f = _orders(spark, sf_dir, "F")
+    base = f.select("o_orderkey").repartition(1).sortWithinPartitions(
+        "o_orderkey"
+    )
+    tx.append(base, "base")
+    tx.rename_column("o_orderkey", "order_key")
+    tx.add_constraint("pos_key", "order_key >= 0")
+    pos = spark.range(1).select(F.lit(0).cast("long").alias("pos"))
+    add_deletion_vector(tx, "data/base", pos, "dv0")
+    snap = tx.snapshot()
+    assert set(snap.features) == {
+        "column-mapping", "check-constraints", "deletion-vectors"
+    }
+    # features survive checkpointed replay (appends use LOGICAL names
+    # post-rename, and must satisfy the live constraint)
+    later = base.limit(0).withColumnRenamed("o_orderkey", "order_key")
+    for i in range(5):
+        tx.append(later, f"u{i}")
+    assert tx.snapshot_fast().features == tx.snapshot().features
