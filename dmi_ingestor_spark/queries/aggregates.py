@@ -4896,3 +4896,158 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("forecast_scaled"),
     ).orderBy("priority")
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test for autocorrelation
+# --------------------------------------------------------------------------
+
+_LB_N = 30   # series length (days)
+_LB_M = 7    # lags tested
+_LB_R = 10**6  # autocorrelation scale
+
+
+def _lb_oracle() -> str:
+    n, m, r = _LB_N, _LB_M, _LB_R
+    cks = ", ".join(
+        f"""list_aggregate(list_transform(range({n - k}),
+             i -> a[i + 1] * a[i + 1 + {k}]), 'sum') AS c{k}"""
+        for k in range(0, m + 1)
+    )
+    lag_rows = " UNION ALL ".join(
+        f"SELECT {k} AS lag, c{k} AS c_k, c0 FROM cs" for k in range(1, m + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT dayofmonth(ts) AS day,
+             CAST(SUM(ROUND(value)) AS BIGINT) AS x
+      FROM events WHERE dayofmonth(ts) <= {n}
+      GROUP BY day
+    ),
+    spine AS (SELECT unnest(generate_series(1, {n})) AS day),
+    obs AS (
+      SELECT list(COALESCE(d.x, 0) ORDER BY s.day) AS o
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    centered AS (
+      SELECT list_transform(o, x ->
+               {n} * x - list_aggregate(o, 'sum')) AS a
+      FROM obs
+    ),
+    cs AS (SELECT {cks} FROM centered),
+    lags AS ({lag_rows}),
+    rr AS (
+      SELECT lag, c_k, c0,
+             CASE WHEN c0 = 0 THEN 0 ELSE
+               (CASE WHEN c_k >= 0 THEN 1 ELSE -1 END)
+               * ((CAST({r} AS HUGEINT) * ABS(c_k)) // c0)
+             END AS r_scaled
+      FROM lags
+    ),
+    terms AS (
+      SELECT lag, c_k, r_scaled,
+             ({n} * {n + 2} * r_scaled * r_scaled) // ({n} - lag) AS term
+      FROM rr
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(c_k AS BIGINT) AS autocov_num,
+           CAST(r_scaled AS BIGINT) AS r_scaled,
+           CAST(term AS BIGINT) AS term_scaled,
+           CAST((SELECT SUM(term) FROM terms) AS BIGINT) AS q_scaled
+    FROM terms
+    ORDER BY lag
+    """
+
+
+@register(
+    "ts_ljung_box_q",
+    oracle=_lb_oracle(),
+    doc=(
+        "Ljung-Box portmanteau test on the daily event-revenue series: "
+        "Q = n(n+2) * sum_k r_k^2/(n-k) over the first 7 lags — THE "
+        "is-it-white-noise gate run on model residuals before trusting "
+        "any forecast. Exact arithmetic end to end: centering is "
+        "n*x_i - S (no division), the truncated-sum autocovariances "
+        "C_k are integer dot products of the shifted series, "
+        "r_k = C_k/C_0 becomes a sign-safe scaled integer "
+        "(|C_k| <= C_0 by Cauchy-Schwarz bounds it to +-1e6), and "
+        "each lag's Q term takes one floored division — both engines "
+        "execute the identical floor sequence, so every intermediate "
+        "(autocovariance, correlation, term) is hash-pinned, not just "
+        "Q. Corpus contact is one groupBy(day); the lag arithmetic "
+        "folds over a 30-element array in-plan (per-key Q at 100 TB = "
+        "the same fold inside groupBy(key))."
+    ),
+    tags=("timeseries", "statistics", "events", "diagnostics"),
+)
+def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, m, r = _LB_N, _LB_M, _LB_R
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.dayofmonth("ts") <= n)
+        .groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(F.sum(F.round("value")).cast("long").alias("x"))
+    )
+    spine = spark.range(1, n + 1).select(F.col("id").cast("int").alias("day"))
+    obs = (
+        spine.join(daily, "day", "left")
+        .fillna(0, ["x"])
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "x"))),
+                lambda s: s["x"],
+            ).alias("o")
+        )
+    )
+    centered = obs.select(
+        F.expr(
+            f"transform(o, x -> {n} * x - aggregate(o, 0L, (acc, v) -> acc + v))"
+        ).alias("a")
+    )
+    cks = [
+        F.expr(
+            f"aggregate(sequence(1, {n - k}), 0L,"
+            f" (acc, i) -> acc + element_at(a, i) * element_at(a, i + {k}))"
+        ).alias(f"c{k}")
+        for k in range(0, m + 1)
+    ]
+    cs = centered.select(*cks)
+    lag_rows = None
+    for k in range(1, m + 1):
+        row = cs.select(
+            F.lit(k).cast("long").alias("lag"),
+            F.col(f"c{k}").alias("c_k"),
+            F.col("c0"),
+        )
+        lag_rows = row if lag_rows is None else lag_rows.unionAll(row)
+    rr = lag_rows.select(
+        "lag",
+        "c_k",
+        F.expr(
+            f"CASE WHEN c0 = 0 THEN 0 ELSE"
+            f" (CASE WHEN c_k >= 0 THEN 1 ELSE -1 END)"
+            f" * ((CAST({r} AS DECIMAL(38,0)) * ABS(c_k)) div c0) END"
+        )
+        .cast("long")
+        .alias("r_scaled"),
+    )
+    terms = rr.select(
+        "lag",
+        "c_k",
+        "r_scaled",
+        F.expr(
+            f"({n} * {n + 2} * r_scaled * r_scaled) div ({n} - lag)"
+        ).alias("term"),
+    )
+    total = terms.agg(F.sum("term").alias("q_scaled"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "lag",
+            F.col("c_k").cast("long").alias("autocov_num"),
+            F.col("r_scaled").cast("long"),
+            F.col("term").cast("long").alias("term_scaled"),
+            F.col("q_scaled").cast("long"),
+        )
+        .orderBy("lag")
+    )

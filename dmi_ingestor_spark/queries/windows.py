@@ -3702,3 +3702,167 @@ def analytics_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("identity_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini / AUUC uplift curve by score decile
+# ---------------------------------------------------------------------------
+
+_QINI_S = 10**6
+
+
+@register(
+    "analytics_qini_auuc",
+    oracle=f"""
+    WITH pop AS (
+      SELECT c.c_custkey,
+             CAST('0x' || substr(md5('auuc-' || CAST(c.c_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS treated,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+             ) THEN 1 ELSE 0 END AS y
+      FROM customer c
+    ),
+    ranked AS (
+      SELECT treated, y,
+             NTILE(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+      FROM pop
+    ),
+    per AS (
+      SELECT decile,
+             SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS yt,
+             SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS yc
+      FROM ranked GROUP BY decile
+    ),
+    cum AS (
+      SELECT a.decile,
+             SUM(b.nt) AS n_t, SUM(b.nc) AS n_c,
+             SUM(b.yt) AS y_t, SUM(b.yc) AS y_c
+      FROM per a JOIN per b ON b.decile <= a.decile
+      GROUP BY a.decile
+    ),
+    q AS (
+      SELECT decile, n_t, n_c, y_t, y_c,
+             CASE WHEN n_c = 0 THEN 0 ELSE
+               (CASE WHEN (y_t * n_c - y_c * n_t) >= 0 THEN 1 ELSE -1 END)
+               * (({_QINI_S} * ABS(y_t * n_c - y_c * n_t)) // n_c)
+             END AS qini_scaled
+      FROM cum
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+           CAST(y_t AS BIGINT) AS y_t, CAST(y_c AS BIGINT) AS y_c,
+           CAST(qini_scaled AS BIGINT) AS qini_scaled,
+           CAST((SELECT SUM(qini_scaled) FROM q) AS BIGINT) AS auuc_scaled
+    FROM q
+    ORDER BY decile
+    """,
+    doc=(
+        "Qini curve + AUUC — the standard uplift-model evaluation "
+        "(Radcliffe 2007): customers rank by the model score "
+        "(balance, as the deterministic proxy), and at each score "
+        "decile the cumulative Qini value y_t - y_c*(n_t/n_c) "
+        "measures incremental conversions vs the randomized control; "
+        "the sum over deciles is the area under the uplift curve. "
+        "Denominators cleared, sign-safe scaled division (Qini goes "
+        "negative when the model ranks anti-persuadables first). The "
+        "curve companion to analytics_uplift_eval's per-segment point "
+        "estimates — this is the number that picks WHICH uplift model "
+        "ships. Ranking via the sharded-rank operator + closed-form "
+        "NTILE; cumulative sums via a 10x10 bounded self-join, no "
+        "global window."
+    ),
+    tags=("analytics", "uplift", "evaluation", "customer", "orders"),
+)
+def analytics_qini_auuc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import (
+        ntile_from_rank,
+        sharded_row_number,
+    )
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    pop = c.join(F.broadcast(urgent), "c_custkey", "left").select(
+        "c_custkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("auuc-"),
+                                   F.col("c_custkey").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("treated"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("score"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    ranked, n = sharded_row_number(
+        pop, [F.col("score").desc(), F.col("c_custkey").asc()], out="rn"
+    )
+    per = (
+        ranked.withColumn("decile", ntile_from_rank(F.col("rn"), n, 10))
+        .groupBy("decile")
+        .agg(
+            F.sum((F.col("treated") == 1).cast("long")).alias("nt"),
+            F.sum((F.col("treated") == 0).cast("long")).alias("nc"),
+            F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+            .alias("yt"),
+            F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+            .alias("yc"),
+        )
+    )
+    b = per.select(
+        F.col("decile").alias("bd"), "nt", "nc", "yt", "yc"
+    )
+    cum = (
+        per.select("decile")
+        .join(F.broadcast(b), F.col("bd") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.sum("nt").alias("n_t"),
+            F.sum("nc").alias("n_c"),
+            F.sum("yt").alias("y_t"),
+            F.sum("yc").alias("y_c"),
+        )
+    )
+    q = cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        F.expr(
+            f"CASE WHEN n_c = 0 THEN 0 ELSE"
+            f" (CASE WHEN (y_t * n_c - y_c * n_t) >= 0 THEN 1 ELSE -1 END)"
+            f" * (({_QINI_S} * ABS(y_t * n_c - y_c * n_t)) div n_c) END"
+        ).alias("qini_scaled"),
+    )
+    total = q.agg(F.sum("qini_scaled").alias("auuc_scaled"))
+    return (
+        q.crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_t").cast("long"),
+            F.col("n_c").cast("long"),
+            F.col("y_t").cast("long"),
+            F.col("y_c").cast("long"),
+            F.col("qini_scaled").cast("long"),
+            F.col("auuc_scaled").cast("long"),
+        )
+        .orderBy("decile")
+    )

@@ -475,3 +475,29 @@ def test_mor_flush_three_phases_agree(spark, sf_dir):
     assert rs[0].n_rows == rs[1].n_rows == rs[2].n_rows
     assert rs[0].key_checksum == rs[1].key_checksum == rs[2].key_checksum
     assert (rs[0].n_dvs, rs[1].n_dvs, rs[2].n_dvs) == (1, 0, 1)
+
+
+def test_qini_auuc_curve_structure(spark, sf_dir):
+    rs = sorted(_get("analytics_qini_auuc", spark, sf_dir),
+                key=lambda r: r.decile)
+    assert [r.decile for r in rs] == list(range(1, 11))
+    # cumulative counts are monotone and the last decile covers everyone
+    for a, b in zip(rs, rs[1:]):
+        assert b.n_t >= a.n_t and b.n_c >= a.n_c
+        assert b.y_t >= a.y_t and b.y_c >= a.y_c
+    assert all(r.auuc_scaled == rs[0].auuc_scaled for r in rs)
+    assert rs[0].auuc_scaled == sum(r.qini_scaled for r in rs)
+    # hash-split treatment ~ half the population
+    tot = rs[-1].n_t + rs[-1].n_c
+    assert abs(rs[-1].n_t - tot / 2) < tot * 0.1
+
+
+def test_ljung_box_bounds(spark, sf_dir):
+    rs = sorted(_get("ts_ljung_box_q", spark, sf_dir), key=lambda r: r.lag)
+    assert [r.lag for r in rs] == list(range(1, 8))
+    for r in rs:
+        # |r_k| <= 1 (scaled) by Cauchy-Schwarz; terms nonnegative
+        assert abs(r.r_scaled) <= 10**6
+        assert r.term_scaled >= 0
+    assert rs[0].q_scaled == sum(r.term_scaled for r in rs)
+    assert rs[0].q_scaled >= 0
