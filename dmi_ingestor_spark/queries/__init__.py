@@ -13,10 +13,10 @@ it, so nothing is ever dropped — only rotated.
 
 Round-6+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
-CORRECTNESS_r0N.json files. End of round 5: 502 registered, 489
-oracle-bearing, 298 oracle-bearing never-checked (the r5 session
-added 55 new queries across its two halves); after the r5 driver
-run checks the 50 front-loaded below, ~248 remain — rounds 6-10 at
+CORRECTNESS_r0N.json files. End of round 5: 504 registered, 491
+oracle-bearing, 300 oracle-bearing never-checked (the r5 session
+added 57 new queries across its two halves); after the r5 driver
+run checks the 50 front-loaded below, ~250 remain — rounds 6-10 at
 50/round. Replace ``_DRIVER_PRIORITY`` with the next 50 of that
 set, oracle-bearing first — compute it directly:
 ``set(registry) - union(json keys)``. The round-5-continuation
@@ -32,7 +32,8 @@ ml_iv_two_stage_least_squares, st_watermark_late_audit_batch,
 pipeline_rendezvous_reshard_audit, ml_xicor_correlation,
 privacy_tokenize_referential, analytics_diff_in_diff,
 ml_error_slice_finder, graph_weisfeiler_lehman,
-lake_mor_flush_compaction, analytics_identity_stitching) are all never-checked — front-load them in
+lake_mor_flush_compaction, analytics_identity_stitching,
+analytics_qini_auuc, ts_ljung_box_q) are all never-checked — front-load them in
 round 6.
 Front-load the round-5 session wave (span/delta/band-tuning dedup,
 k-truss, PPR, temporal reachability, GBDT second-order, RF
