@@ -1764,3 +1764,73 @@ def ingest_msgpack_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk")
     )
+
+
+@register(
+    "ingest_reproject_grid_points",
+    oracle="""
+    WITH c AS (
+      SELECT
+        6371229.0 AS r,
+        SIN(RADIANS(55.5)) AS n,
+        COS(RADIANS(55.5))
+          * POW(TAN(PI() / 4 + RADIANS(55.5) / 2), SIN(RADIANS(55.5)))
+          / SIN(RADIANS(55.5)) AS f
+    ),
+    c2 AS (
+      SELECT r, n, f,
+             r * f / POW(TAN(PI() / 4 + RADIANS(55.5) / 2), n) AS rho0
+      FROM c
+    ),
+    pts AS (
+      SELECT a.n_nationkey AS ik, b.n_nationkey AS jk,
+             (a.n_nationkey - 12) * 40000.0 + 12500.0 AS x_m,
+             (b.n_nationkey - 10) * 35000.0 + 7300.0 AS y_m
+      FROM nation a CROSS JOIN nation b
+    ),
+    inv AS (
+      SELECT ik, jk, x_m, y_m, r, n, f, rho0,
+             SQRT(x_m * x_m + (rho0 - y_m) * (rho0 - y_m)) AS rho,
+             ATAN2(x_m, rho0 - y_m) AS theta
+      FROM pts, c2
+    )
+    SELECT ik, jk,
+      CAST(ROUND(DEGREES(RADIANS(-8.0) + theta / n) * 1000000.0) AS BIGINT)
+        AS lon_udeg,
+      CAST(ROUND(DEGREES(2.0 * ATAN(POW(r * f / rho, 1.0 / n)) - PI() / 2)
+                 * 1000000.0) AS BIGINT) AS lat_udeg
+    FROM inv
+    ORDER BY ik, jk
+    """,
+    doc=(
+        "F7/U1 hash slot: the reference's LCC->WGS84 reprojection "
+        "(ingestor.py:83-87, WKT :28-64) run through the Arrow-batched "
+        "pandas UDF over a deterministic 25x25 synthetic grid (nation x "
+        "nation keys -> metres), with lon/lat quantized to integer "
+        "micro-degrees so the float64 Snyder closed form (functions/"
+        "projection.py:44-54) hash-matches the same equations unrolled "
+        "in DuckDB arithmetic. The 1e-6-degree quantum is ~11 cm - far "
+        "above any libm last-ulp divergence, far below grid spacing."
+    ),
+    tags=("ingest", "reproject", "reference"),
+)
+def ingest_reproject_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.functions.projection import lcc_to_wgs84
+
+    nation = table(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("ik"))
+    b = nation.select(F.col("n_nationkey").alias("jk"))
+    grid = a.crossJoin(F.broadcast(b)).select(
+        "ik",
+        "jk",
+        ((F.col("ik") - F.lit(12)) * 40000.0 + 12500.0).alias("x_m"),
+        ((F.col("jk") - F.lit(10)) * 35000.0 + 7300.0).alias("y_m"),
+    )
+    ll = grid.withColumn("ll", lcc_to_wgs84("x_m", "y_m"))
+    return ll.select(
+        "ik",
+        "jk",
+        F.round(F.col("ll.lon") * 1000000.0).cast("long").alias("lon_udeg"),
+        F.round(F.col("ll.lat") * 1000000.0).cast("long").alias("lat_udeg"),
+    ).orderBy("ik", "jk")
