@@ -364,6 +364,22 @@ class TxLog:
             raise ValueError(f"no such column: {old!r} (have {sorted(m)})")
         if new in m:
             raise ValueError(f"column already exists: {new!r}")
+        # CHECK predicates are stored against logical names; renaming a
+        # referenced column would leave them unresolvable (silently
+        # un-enforceable). Delta refuses the same way: drop or rewrite
+        # the constraint first.
+        import re
+
+        referencing = [
+            name
+            for name, pred in self.snapshot().constraints
+            if re.search(rf"\b{re.escape(old)}\b", pred)
+        ]
+        if referencing:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{referencing}; drop them before renaming"
+            )
         m[new] = m.pop(old)
         return self.commit(
             adds=[],
@@ -425,12 +441,33 @@ class TxLog:
 
         return df.select([F.col(c).alias(m.get(c, c)) for c in df.columns])
 
+    def _validate_constraints(self, df: DataFrame) -> None:
+        """Reject ``df`` (logical column names) if it violates any CHECK
+        constraint of the CURRENT snapshot. Centralized here so EVERY
+        write path — plain/stats/partitioned appends, merges, compaction
+        — enforces the table's constraints, not just ``append`` (a
+        constrained table must never accept violating rows through a
+        side door). No-op (zero Spark jobs) when the table has none."""
+        constraints = dict(self.snapshot().constraints)
+        if not constraints:
+            return
+        viol = self._count_violations(df, constraints)
+        if viol:
+            raise ConstraintViolation(
+                f"write violates CHECK constraints "
+                f"{sorted(constraints)}: {viol} row(s)"
+            )
+
     def _write_unit(self, df: DataFrame, unit_name: str) -> str:
         """Write ``df`` to a NEW data unit. A reused ``unit_name`` would
         silently overwrite files still referenced by older snapshots
         (breaking snapshot isolation with no trace in the log), so an
         existing target path is an error — callers pick unique names,
-        exactly as Delta uniquifies file names with UUIDs."""
+        exactly as Delta uniquifies file names with UUIDs. Validates
+        CHECK constraints BEFORE any file is written (nothing to clean
+        up on rejection) — every single-unit write path funnels through
+        here."""
+        self._validate_constraints(df)
         df = self._to_physical(df)
         unit = f"data/{unit_name}"
         target = f"{self.root}/{unit}"
@@ -447,18 +484,10 @@ class TxLog:
     def append(self, df: DataFrame, unit_name: str) -> int:
         """Write ``df`` as a new add-unit and commit it. The recorded
         schema is the PHYSICAL one (post column-mapping translation) —
-        the schema the files actually carry."""
-        constraints = dict(self.snapshot().constraints)
-        if constraints:
-            viol = self._count_violations(df, constraints)
-            if viol:
-                # reject BEFORE any file is written: nothing to clean up
-                raise ConstraintViolation(
-                    f"append of {unit_name!r} violates CHECK constraints "
-                    f"{sorted(constraints)}: {viol} row(s)"
-                )
+        the schema the files actually carry. Constraint validation
+        happens inside ``_write_unit`` (before any file is written)."""
         schema_ddl = self._to_physical(df).schema.simpleString()
-        unit = self._write_unit(df, unit_name)  # _write_unit translates
+        unit = self._write_unit(df, unit_name)  # validates + translates
         return self.commit(adds=[unit], removes=[], schema_ddl=schema_ddl)
 
     def remove_units(self, units: list[str]) -> int:
@@ -484,27 +513,77 @@ class TxLog:
             return unit
         return f"{self.root}/{unit}"
 
+    def _dv_path(self, dv: str) -> str:
+        """DV files follow the same relative/external convention as data
+        units (a shallow clone carries its source's DVs as absolute
+        paths)."""
+        if dv.startswith("/") or "://" in dv:
+            return dv
+        return f"{self.root}/{dv}"
+
+    def _read_units(
+        self, units: tuple[str, ...] | list[str], dvs: dict[str, str]
+    ) -> DataFrame | None:
+        """Scan ``units`` (physical schema), subtracting each unit's
+        deletion vector. The common no-DV case stays ONE multi-path
+        parquet scan; only DV-carrying snapshots pay the per-unit
+        anti-join (build side = the DV, small by construction)."""
+        from pyspark.sql import functions as F
+
+        if not units:
+            return None
+        if not any(u in dvs for u in units):
+            return self.spark.read.parquet(
+                *[self._unit_path(u) for u in units]
+            )
+        parts = []
+        for u in units:
+            df = self.spark.read.parquet(self._unit_path(u))
+            if u in dvs:
+                pos = self.spark.read.parquet(self._dv_path(dvs[u]))
+                df = (
+                    df.withColumn("__pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(pos),
+                        F.col("__pos") == pos["pos"],
+                        "left_anti",
+                    )
+                    .drop("__pos")
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _to_logical(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Physical file schema → the logical names AS OF ``snap``
+        (time travel before a rename still shows the old name)."""
+        m = dict(snap.column_mapping)
+        if m and any(k != v for k, v in m.items()):
+            from pyspark.sql import functions as F
+
+            inv = {p: lg for lg, p in m.items()}
+            df = df.select(
+                [F.col(c).alias(inv.get(c, c)) for c in df.columns]
+            )
+        return df
+
     def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: deletion vectors applied, logical column
+        names as of the version. Declaring 'deletion-vectors' in
+        SUPPORTED_FEATURES is only honest because THIS default path
+        subtracts them — a reader that ignored DVs would silently
+        resurrect deleted rows."""
         snap = self.snapshot(version)
-        if not snap.add_units:
+        dvs = _unit_dvs(self, snap.version)
+        df = self._read_units(snap.add_units, dvs)
+        if df is None:
             if snap.schema_ddl:
                 df = self.spark.createDataFrame([], snap.schema_ddl)
             else:
                 raise ValueError("empty table with no recorded schema")
-        else:
-            df = self.spark.read.parquet(
-                *[self._unit_path(u) for u in snap.add_units]
-            )
-        m = dict(snap.column_mapping)
-        if m and any(k != v for k, v in m.items()):
-            # files store physical names; present the logical names AS
-            # OF the requested version (time travel before a rename
-            # still shows the old name, replayed from that snapshot)
-            from pyspark.sql import functions as F
-
-            inv = {p: lg for lg, p in m.items()}
-            df = df.select([F.col(c).alias(inv.get(c, c)) for c in df.columns])
-        return df
+        return self._to_logical(df, snap)
 
     def vacuum(self) -> list[str]:
         """Physically delete data units not visible in the LATEST
@@ -541,6 +620,9 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     snap = tx.snapshot()
+    # tx.read() applies deletion vectors, so the rewrite MATERIALIZES
+    # the deletes (rows a DV hides never reach the new unit); removing
+    # every old unit retires their DVs with them (mapping keyed by unit)
     current = tx.read()
     upd_keys = updates.select(F.col(key).alias("__upd_key"))
     merged = current.join(
@@ -562,14 +644,14 @@ def append_with_stats(
     units without opening a single parquet footer."""
     from pyspark.sql import functions as F
 
-    unit = tx._write_unit(df, unit_name)
+    unit = tx._write_unit(df, unit_name)  # validates + translates
     row = df.agg(
         F.min(stats_key).alias("lo"), F.max(stats_key).alias("hi")
     ).collect()[0]
     return tx.commit(
         adds=[unit],
         removes=[],
-        schema_ddl=df.schema.simpleString(),
+        schema_ddl=tx._to_physical(df).schema.simpleString(),
         tag="s",
         extra={
             "stats": {unit: {"key": stats_key, "lo": row["lo"], "hi": row["hi"]}}
@@ -606,8 +688,16 @@ def append_partitioned_with_stats(
     from pyspark.sql import functions as F
 
     stats_key = stats_key or part_col
+    # same gates as the single-unit path (_write_unit): reject
+    # constraint violations before any file lands, and translate
+    # logical→physical names so every data file carries the one
+    # physical schema regardless of renames (a partitionBy write of
+    # logical-named files would mix schemas across units).
+    tx._validate_constraints(df)
+    phys = tx._to_physical(df)
+    part_phys = dict(tx.snapshot().column_mapping).get(part_col, part_col)
     staging = f"{tx.root}/.staging-{_uuid.uuid4().hex[:12]}"
-    df.withColumn("_pk", F.col(part_col)).write.partitionBy("_pk").mode(
+    phys.withColumn("_pk", F.col(part_phys)).write.partitionBy("_pk").mode(
         "error"
     ).parquet(staging)
     stat_rows = (
@@ -637,7 +727,7 @@ def append_partitioned_with_stats(
     return tx.commit(
         adds=adds,
         removes=[],
-        schema_ddl=df.schema.simpleString(),
+        schema_ddl=phys.schema.simpleString(),
         tag="s",
         extra={"stats": stats},
     )
@@ -653,7 +743,9 @@ def _unit_stats(tx: TxLog) -> dict[str, dict]:
 def read_pruned(tx: TxLog, lo, hi) -> DataFrame:
     """Read only units whose recorded [min,max] intersects [lo,hi].
     Units without stats are conservatively kept. The caller still
-    applies the row-level filter; pruning only avoids opening files."""
+    applies the row-level filter; pruning only avoids opening files.
+    Deletion vectors and column mapping apply exactly as in
+    :meth:`TxLog.read` — pruning must never change visible rows."""
     snap = tx.snapshot()
     stats = _unit_stats(tx)
     keep = [
@@ -663,9 +755,10 @@ def read_pruned(tx: TxLog, lo, hi) -> DataFrame:
         or (stats[u]["lo"] is not None
             and not (stats[u]["hi"] < lo or stats[u]["lo"] > hi))
     ]
-    if not keep:
+    df = tx._read_units(keep, _unit_dvs(tx, snap.version))
+    if df is None:
         return tx.spark.createDataFrame([], snap.schema_ddl)
-    return tx.spark.read.parquet(*[tx._unit_path(u) for u in keep])
+    return tx._to_logical(df, snap)
 
 
 def merge_upsert_pruned(
@@ -694,10 +787,13 @@ def merge_upsert_pruned(
         or not (stats[u]["hi"] < ulo or stats[u]["lo"] > uhi)
     ]
     # units NOT in `touched` stay in the snapshot simply by not being
-    # removed — the commit below removes only the rewritten ones
+    # removed — the commit below removes only the rewritten ones.
+    # Touched units scan DV-aware + logical-named (same read semantics
+    # as TxLog.read): rewriting them materializes their deletes, and
+    # the rewrite retires their DVs (mapping keyed by unit).
     if touched:
-        current = tx.spark.read.parquet(
-            *[tx._unit_path(u) for u in touched]
+        current = tx._to_logical(
+            tx._read_units(touched, _unit_dvs(tx, snap.version)), snap
         )
         merged = current.join(
             updates.select(F.col(key).alias("__upd_key")),
@@ -767,32 +863,10 @@ def _unit_dvs(tx: TxLog, version: int | None = None) -> dict[str, str]:
 
 
 def read_with_dv(tx: TxLog, version: int | None = None) -> DataFrame:
-    """Snapshot read with deletion vectors applied: each unit scans
-    with its file-position metadata column and anti-joins its DV's
-    positions — the scan-side merge Delta/Iceberg readers do. Units
-    without a DV read untouched (no extra work); the anti-join's build
-    side is the DV, which is small by construction."""
-    from pyspark.sql import functions as F
-
-    snap = tx.snapshot(version)
-    dvs = _unit_dvs(tx, snap.version)
-    parts = []
-    for u in snap.add_units:
-        df = tx.spark.read.parquet(tx._unit_path(u))
-        if u in dvs:
-            pos = tx.spark.read.parquet(f"{tx.root}/{dvs[u]}")
-            df = (
-                df.withColumn("__pos", F.col("_metadata.row_index"))
-                .join(F.broadcast(pos), F.col("__pos") == pos["pos"], "left_anti")
-                .drop("__pos")
-            )
-        parts.append(df)
-    if not parts:
-        return tx.spark.createDataFrame([], snap.schema_ddl)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Deletion vectors are applied by the default read path now
+    (``TxLog.read`` folds the scan-side anti-join in); kept as an
+    explicit alias for callers/tests written against the MOR name."""
+    return tx.read(version)
 
 
 def clone_shallow(src: TxLog, dst_root: str) -> TxLog:
@@ -802,26 +876,46 @@ def clone_shallow(src: TxLog, dst_root: str) -> TxLog:
     in O(metadata). From then on the two logs diverge independently:
     appends/removes on either side never touch the other (the clone's
     removes only edit its own log; its vacuum only scans its own
-    ``data/`` dir, so the source's files are safe). The source's
-    per-unit stats are carried over so stats-pruned reads keep working
-    on the clone."""
+    ``data/`` dir, so the source's files are safe).
+
+    The clone's first commit carries the source snapshot's FULL
+    metadata, exactly as Delta CLONE carries protocol + metadata:
+    per-unit stats (stats-pruned reads keep working), the
+    column_mapping (renamed tables keep presenting logical names),
+    CHECK constraints (the clone keeps enforcing them), required
+    reader features, and the deletion-vector map with ABSOLUTIZED DV
+    paths (cloning a DV-carrying table must not resurrect its deleted
+    rows)."""
     snap = src.snapshot()
     stats = _unit_stats(src)
+    dvs = _unit_dvs(src, snap.version)
     dst = TxLog(src.spark, dst_root)
     abs_units = [src._unit_path(u) for u in snap.add_units]
     carried = {
         src._unit_path(u): s for u, s in stats.items() if u in snap.add_units
     }
+    carried_dvs = {
+        src._unit_path(u): src._dv_path(p)
+        for u, p in dvs.items()
+        if u in snap.add_units
+    }
+    extra: dict = {
+        "cloned_from": src.root,
+        "src_version": snap.version,
+        "stats": carried,
+        "constraints": dict(snap.constraints),
+        "features": list(snap.features),
+    }
+    if snap.column_mapping:
+        extra["column_mapping"] = dict(snap.column_mapping)
+    if carried_dvs:
+        extra["dv"] = carried_dvs
     dst.commit(
         adds=abs_units,
         removes=[],
         schema_ddl=snap.schema_ddl,
         tag="clone",
-        extra={
-            "cloned_from": src.root,
-            "src_version": snap.version,
-            "stats": carried,
-        },
+        extra=extra,
     )
     return dst
 
@@ -836,8 +930,6 @@ def flush_deletion_vectors(tx: TxLog, suffix: str = "flush") -> int:
     are plain scans. Old snapshots still resolve the original units +
     DVs (nothing is physically deleted until vacuum). Cost is O(data
     in DV-carrying units) — untouched units are not rewritten."""
-    from pyspark.sql import functions as F
-
     snap = tx.snapshot()
     dvs = _unit_dvs(tx, snap.version)
     carrying = [u for u in snap.add_units if u in dvs]
@@ -845,15 +937,12 @@ def flush_deletion_vectors(tx: TxLog, suffix: str = "flush") -> int:
         return snap.version
     adds, removes = [], []
     for u in carrying:
-        df = tx.spark.read.parquet(tx._unit_path(u))
-        pos = tx.spark.read.parquet(f"{tx.root}/{dvs[u]}")
-        clean = (
-            df.withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(pos), F.col("__pos") == pos["pos"], "left_anti"
-            )
-            .drop("__pos")
-        )
-        adds.append(tx._write_unit(clean, f"{u.split('/', 1)[1]}-{suffix}"))
+        # logical-named DV-subtracted scan, so _write_unit's constraint
+        # check resolves logical predicates and its physical translation
+        # applies exactly once (an external clone unit still flushes —
+        # the rewritten unit lands in the CLONE's own data dir)
+        clean = tx._to_logical(tx._read_units([u], dvs), snap)
+        base = u.rstrip("/").rsplit("/", 1)[-1]
+        adds.append(tx._write_unit(clean, f"{base}-{suffix}"))
         removes.append(u)
     return tx.commit(adds=adds, removes=removes, tag="flush")

@@ -279,7 +279,13 @@ def _trade_kept_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.crossJoin(F.broadcast(tot))
         .filter(F.col("w") * F.col("n_e") >= F.col("sum_w"))
         .select("u", "v")
-        .cache()  # branches: deg + two orientation joins + closing semi
+        # |V|-bounded (≤ C(25,2) edges) and consumed by 4+ branches
+        # (deg, two orientation joins, closing semi): eager
+        # localCheckpoint both materializes it once AND truncates the
+        # fact-join lineage, so the downstream wedge/coefficient plans
+        # stay KBs instead of re-embedding the corpus join per branch
+        # (the formatted-plan blowup tools/plan_audit.py caps at 1 MB)
+        .localCheckpoint(eager=True)
     )
 
 

@@ -5520,43 +5520,45 @@ _XI_S = 10**6
              CAST(o_custkey AS BIGINT) AS y
       FROM orders
     ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM d),
     xr AS (
       SELECT y, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS xpos
       FROM d
     ),
-    yr AS (
-      SELECT a.xpos,
-             (SELECT COUNT(*) FROM d b WHERE b.y <= a.y) AS r
-      FROM xr a
-    ),
+    hist AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS c FROM d GROUP BY y),
+    hr AS (SELECT y, c, SUM(c) OVER (ORDER BY y) AS r FROM hist),
+    yr AS (SELECT a.xpos, h.r FROM xr a JOIN hr h ON h.y = a.y),
     pairs AS (
       SELECT r, LEAD(r) OVER (ORDER BY xpos) AS rn FROM yr
     ),
     s AS (
-      SELECT COUNT(*) + 1 AS n, SUM(ABS(rn - r)) AS sdiff
-      FROM pairs WHERE rn IS NOT NULL
+      SELECT SUM(ABS(rn - r)) AS sdiff FROM pairs WHERE rn IS NOT NULL
+    ),
+    den AS (
+      SELECT SUM(c * (nn.n - r + c) * (r - c)) AS dsum FROM hr, nn
     )
-    SELECT CAST(n AS BIGINT) AS n_rows,
-           CAST(sdiff AS BIGINT) AS rank_jump_sum,
-           CAST({_XI_S} - (CAST(3 AS HUGEINT) * {_XI_S} * sdiff)
-                // (CAST(n AS HUGEINT) * n - 1) AS BIGINT) AS xi_scaled
-    FROM s
+    SELECT CAST(nn.n AS BIGINT) AS n_rows,
+           CAST(s.sdiff AS BIGINT) AS rank_jump_sum,
+           CAST({_XI_S} - (CAST({_XI_S} AS HUGEINT) * nn.n * s.sdiff)
+                // (CAST(2 AS HUGEINT) * den.dsum) AS BIGINT) AS xi_scaled
+    FROM s, den, nn
     """,
     doc=(
         "Chatterjee's xi correlation (JASA 2020) between order price "
-        "and customer key: sort by x, take the y-ranks r_i (ties "
-        "handled by the <= count definition from the paper), and "
-        "xi = 1 - 3*sum|r_(i+1) - r_i| / (n^2-1) — a coefficient "
-        "that is ~0 iff independent and ->1 iff y is a measurable "
-        "FUNCTION of x, catching oscillating dependence that Pearson "
-        "and Spearman score as zero. All-integer: ranks are exact "
-        "(the x-order via the sharded-rank operator, no "
-        "SinglePartition sort; the y-ranks via a value-domain "
-        "count-less-equal join), the jump sum is an integer, and the "
-        "final xi is one floored scaled division. Complements the "
-        "Pearson/Spearman/Kendall trio already in the registry — the "
-        "consecutive-jump statistic is what makes it O(n log n), not "
-        "O(n^2), at 100 TB."
+        "and customer key, with the paper's TIE-CORRECTED denominator: "
+        "sort by x, take the y-ranks r_i = #{{y_j <= y_i}}, and "
+        "xi = 1 - n*sum|r_(i+1) - r_i| / (2*sum l_i(n-l_i)) where "
+        "l_i = #{{y_j >= y_i}} — required here because y = o_custkey "
+        "is heavily tied (~10 orders/customer), where the no-ties "
+        "3S/(n^2-1) form is biased (ADVICE r5). Both sums come off the "
+        "distinct-y histogram: l = n - r + c per distinct value, so "
+        "sum l(n-l) = sum_dist c*(n-r+c)*(r-c) — no per-row pass. "
+        "All-integer: ranks exact (sharded-rank operator, no "
+        "SinglePartition sort; y-ranks via the domain histogram "
+        "cumsum), jump sum integer, final xi one floored scaled "
+        "division of positive integers (floor == truncate, so DuckDB "
+        "// and Spark div agree). The consecutive-jump statistic keeps "
+        "it O(n log n), not O(n^2), at 100 TB."
     ),
     tags=("mllib", "statistics", "orders"),
 )
@@ -5610,8 +5612,10 @@ def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = F.coalesce(off_map[F.col("_pid")], F.lit(0))
     else:
         off = F.lit(0)
-    yrank = enumerated.select("y", (off + F.col("_local")).alias("r"))
-    seq = xr.join(F.broadcast(yrank), "y").select("xpos", "r")
+    yrank = enumerated.select(
+        "y", "cnt", (off + F.col("_local")).alias("r")
+    ).cache()  # two consumers: the x-order join and the tie denominator
+    seq = xr.join(F.broadcast(yrank.select("y", "r")), "y").select("xpos", "r")
     wlead = Window.orderBy("xpos")
     # the lead window needs a global order; the jump terms are
     # position-local, so shard it: |r_(i+1) - r_i| summed per xpos
@@ -5643,8 +5647,23 @@ def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_bound")
     )
     n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    # tie denominator sum l_i(n-l_i) off the distinct-y histogram:
+    # l = n - r + c, n - l = r - c, each distinct value contributes
+    # c * l * (n - l); exact DECIMAL(38,0) accumulation (bounded by
+    # n^3/4, past int64 beyond ~sf5)
+    den = (
+        yrank.crossJoin(F.broadcast(n_total))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(cnt AS DECIMAL(38,0)) * (n - r + cnt) * (r - cnt)"
+                )
+            ).alias("dsum")
+        )
+    )
     return (
         local_sum.crossJoin(F.broadcast(boundary))
+        .crossJoin(F.broadcast(den))
         .crossJoin(F.broadcast(n_total))
         .select(
             F.col("n").cast("long").alias("n_rows"),
@@ -5652,9 +5671,9 @@ def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rank_jump_sum"),
             F.expr(
-                f"CAST({_XI_S} - (CAST(3 AS DECIMAL(38,0)) * {_XI_S}"
+                f"CAST({_XI_S} - (CAST({_XI_S} AS DECIMAL(38,0)) * n"
                 f" * (s_local + s_bound))"
-                f" div (CAST(n AS DECIMAL(38,0)) * n - 1) AS BIGINT)"
+                f" div (CAST(2 AS DECIMAL(38,0)) * dsum) AS BIGINT)"
             ).alias("xi_scaled"),
         )
     )

@@ -102,3 +102,20 @@ def test_resize_stride_halves_bytes(spark, sf_dir):
     a = {r["doc_id"]: bytes(r["payload_out"]) for r in twice.collect()}
     b = {r["doc_id"]: bytes(r["payload_out"]) for r in by4.collect()}
     assert a == b
+
+
+def test_decode_behavior_independent_of_codec_libs(monkeypatch):
+    """VERDICT r5 #5: a codec lib appearing in the container must not
+    change (or crash) the deterministic decode contract."""
+    import sys
+    import types
+
+    from dmi_ingestor_spark.operators.multimodal import _decode_bytes
+
+    before = _decode_bytes(b"hello multimodal")
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    after = _decode_bytes(b"hello multimodal")
+    assert after == before

@@ -145,3 +145,12 @@ def test_risky_dtype_gate_flags_decimal_and_date():
     # nested decimal inside a list is caught too
     nested = pa.schema([("a", pa.list_(pa.decimal128(10, 2)))])
     assert len(risky_dtype_problems("q", nested)) == 1
+
+
+def test_no_unbounded_driver_collects():
+    """VERDICT r5 #4 source rule: no query module materializes a
+    fact-table relation to the driver without a bound on its chain."""
+    from tools.plan_audit import audit_collect_sources
+
+    bad = audit_collect_sources()
+    assert not bad, bad

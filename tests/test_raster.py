@@ -180,3 +180,23 @@ def test_lzw_tiles_roundtrip_and_shrink():
     assert d["levels"][1].shape == (20, 20)
     # determinism (the byte-parity property the manifest oracle pins)
     assert encode_geotiff(arr, 0, 0, 1, 1) == encode_geotiff(arr, 0, 0, 1, 1)
+
+
+def test_cog_encode_works_with_rasterio_present(monkeypatch):
+    """VERDICT r5 #5: a GDAL stack appearing in the container must not
+    crash the encoder — the pure-Python path stays the byte contract."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from dmi_ingestor_spark.operators import raster as R
+
+    grid = np.arange(64 * 64, dtype="f4").reshape(64, 64)
+    before = R.encode_geotiff(grid, 0.0, 0.0, 1.0, 1.0)
+    monkeypatch.setattr(R, "_RASTERIO_NOTED", False)
+    monkeypatch.setitem(
+        sys.modules, "rasterio", types.ModuleType("rasterio")
+    )
+    after = R.encode_geotiff(grid, 0.0, 0.0, 1.0, 1.0)
+    assert after == before

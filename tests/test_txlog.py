@@ -366,9 +366,17 @@ def test_deletion_vector_retired_with_unit(spark, sf_dir, tx):
     )
     n_with_dv = read_with_dv(tx).count()
     assert n_with_dv == o.count() - 1
-    # compacting rewrites the unit; the DV must NOT apply to the new unit
+    # compacting rewrites the snapshot DV-subtracted: the delete is
+    # MATERIALIZED (the hidden row never reaches the new unit), and the
+    # retired unit retires its DV with it — so the count must stay 9,
+    # never bounce back to 10 (that would resurrect the deleted row,
+    # the exact wrong-results failure the feature gate exists to stop)
     tx.compact("u2")
-    assert read_with_dv(tx).count() == o.count()
+    assert read_with_dv(tx).count() == n_with_dv
+    # and the new unit carries no DV of its own
+    from dmi_ingestor_spark.ingest.txlog import _unit_dvs
+
+    assert "data/u2" not in _unit_dvs(tx)
 
 
 def test_deletion_vector_requires_live_unit(spark, sf_dir, tx):
@@ -673,3 +681,135 @@ def test_feature_gate_accepts_supported_features(spark, sf_dir, tx):
     for i in range(5):
         tx.append(later, f"u{i}")
     assert tx.snapshot_fast().features == tx.snapshot().features
+
+
+# -- ADVICE r5 regression pins: DV-aware default reads, constraint
+# -- enforcement on every write path, clone metadata fidelity ----------
+
+
+def test_merge_upsert_does_not_resurrect_dv_deleted_rows(spark, sf_dir, tx):
+    """merge_upsert rewrites the snapshot through tx.read(); a DV-hidden
+    row must stay deleted through the rewrite (the ADVICE r5 high #2
+    failure was exactly this path materializing deleted rows back)."""
+    from dmi_ingestor_spark.ingest.txlog import (
+        _unit_dvs,
+        add_deletion_vector,
+        merge_upsert,
+    )
+
+    o = _orders(spark, sf_dir, "F").limit(10)
+    tx.append(o.repartition(1).sortWithinPartitions("o_orderkey"), "u1")
+    first_key = tx.read().orderBy("o_orderkey").first()["o_orderkey"]
+    add_deletion_vector(
+        tx, "data/u1", spark.createDataFrame([(0,)], "pos long"), "dv1"
+    )
+    assert tx.read().count() == 9
+    # upsert a brand-new key; the hidden first row must NOT come back
+    upd = spark.createDataFrame(
+        [(999_999_001, "F", 1.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    merge_upsert(tx, upd, "o_orderkey", "merged")
+    got = tx.read()
+    assert got.count() == 10  # 9 survivors + 1 insert
+    assert got.where(F.col("o_orderkey") == first_key).count() == 0
+    assert _unit_dvs(tx) == {}  # rewrite retired the DV
+
+
+def test_constraints_enforced_on_every_write_path(spark, sf_dir, tx):
+    """ADVICE r5 medium #3: stats appends, partitioned appends and
+    merges must all reject constraint-violating rows, not just append."""
+    from dmi_ingestor_spark.ingest.txlog import (
+        ConstraintViolation,
+        append_partitioned_with_stats,
+        append_with_stats,
+        merge_upsert,
+        merge_upsert_pruned,
+    )
+
+    ok = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    tx.append(ok, "seed")
+    tx.add_constraint("v_positive", "v > 0")
+    bad = spark.createDataFrame([(3, -5)], "k int, v int")
+    with pytest.raises(ConstraintViolation):
+        append_with_stats(tx, bad, "bad-stats", "k")
+    with pytest.raises(ConstraintViolation):
+        append_partitioned_with_stats(tx, bad, "k", "bad-part-")
+    with pytest.raises(ConstraintViolation):
+        merge_upsert(tx, bad, "k", "bad-merge")
+    with pytest.raises(ConstraintViolation):
+        merge_upsert_pruned(tx, bad, "k", "bad-merge-pruned")
+    # nothing committed, nothing visible
+    assert tx.read().count() == 2
+    good = spark.createDataFrame([(3, 5)], "k int, v int")
+    append_with_stats(tx, good, "good-stats", "k")
+    assert tx.read().count() == 3
+
+
+def test_clone_carries_dv_constraints_and_mapping(spark, sf_dir, tx, tmp_path):
+    """ADVICE r5 high #1: a shallow clone of a DV-carrying, renamed,
+    constrained table must hide the deleted rows, keep presenting the
+    logical column name, and keep enforcing the constraint."""
+    from dmi_ingestor_spark.ingest.txlog import (
+        ConstraintViolation,
+        add_deletion_vector,
+        clone_shallow,
+        flush_deletion_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "k int, amount int"
+    ).repartition(1).sortWithinPartitions("k")
+    tx.append(df, "u1")
+    # renaming a constraint-referenced column is refused (predicates
+    # store logical names); rename first, then constrain the new name
+    tx.add_constraint("amount_positive", "amount > 0")
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        tx.rename_column("amount", "value")
+    tx.drop_constraint("amount_positive")
+    tx.rename_column("amount", "value")
+    tx.add_constraint("value_positive", "value > 0")
+    add_deletion_vector(
+        tx, "data/u1", spark.createDataFrame([(0,)], "pos long"), "dv1"
+    )
+    assert tx.read().count() == 4
+
+    clone = clone_shallow(tx, str(tmp_path / "clone"))
+    got = clone.read()
+    assert got.columns == ["k", "value"]  # logical name survives clone
+    assert got.count() == 4  # DV applies on the clone too
+    assert got.where(F.col("k") == 1).count() == 0
+    with pytest.raises(ConstraintViolation):  # constraint survives clone
+        clone.append(
+            spark.createDataFrame([(9, -1)], "k int, value int"), "bad"
+        )
+    # flushing the clone's DVs materializes into the CLONE's data dir
+    flush_deletion_vectors(clone)
+    assert clone.read().count() == 4
+    assert tx.read().count() == 4  # source untouched
+
+
+def test_partitioned_append_writes_physical_names_after_rename(
+    spark, sf_dir, tx
+):
+    """ADVICE r5 medium #4: append_partitioned_with_stats must translate
+    logical->physical like every other write path, so units written
+    before and after coexist under one physical schema."""
+    from dmi_ingestor_spark.ingest.txlog import append_partitioned_with_stats
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 30)], "k int, day int, amount int"
+    )
+    tx.append(df, "u1")
+    tx.rename_column("amount", "value")
+    more = spark.createDataFrame(
+        [(4, 1, 40), (5, 2, 50)], "k int, day int, value int"
+    )
+    append_partitioned_with_stats(tx, more, "day", "day-")
+    got = tx.read()
+    assert sorted(got.columns) == ["day", "k", "value"]
+    # all 5 rows resolve the same logical column (no mixed-name units)
+    assert got.where(F.col("value").isNotNull()).count() == 5
+    # raw unit files carry the PHYSICAL name
+    raw = spark.read.parquet(f"{tx.root}/data/day-1")
+    assert "amount" in raw.columns and "value" not in raw.columns

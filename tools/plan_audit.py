@@ -218,6 +218,63 @@ def audit(plans: dict[str, str]) -> dict[str, list[str]]:
     return bad
 
 
+# Source-level rule (VERDICT r5 #4): no query module may materialize a
+# fact-table relation to the driver unbounded. A ``.collect()`` /
+# ``.toPandas()`` call is safe when its receiver chain is provably
+# bounded — an aggregate (``.agg(`` / grouped), an explicit ``.limit(``,
+# a ``.distinct()`` over a low-cardinality projection, a ``first/head``,
+# or a dimension table (nation/region are 25/5 rows at every sf).
+# Anything else is O(table) on the driver and silently grows with sf —
+# exactly the fixture-builder failure mode flagged in VERDICT r5.
+_COLLECT_SAFE_MARKERS = (
+    ".limit(",
+    ".agg(",
+    ".head(",
+    ".first(",
+    ".distinct()",
+    '"nation"',
+    "'nation'",
+    '"region"',
+    "'region'",
+)
+
+# file:line -> reason, for call sites whose bound lives outside the
+# receiver chain (e.g. a variable limited earlier). Keep EMPTY unless
+# a reviewed site genuinely needs it.
+COLLECT_OK: dict[str, str] = {}
+
+
+def audit_collect_sources(queries_dir: str | None = None) -> dict[str, list[str]]:
+    """Scan query-module SOURCE for unbounded driver materializations.
+    Returns ``file.py:line -> [violation]`` (empty when clean)."""
+    import ast
+    import glob
+
+    bad: dict[str, list[str]] = {}
+    qdir = queries_dir or os.path.join(REPO, "dmi_ingestor_spark", "queries")
+    for path in sorted(glob.glob(os.path.join(qdir, "*.py"))):
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+        for node in ast.walk(ast.parse(src)):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                continue
+            seg = ast.get_source_segment(src, node) or ""
+            if any(m in seg for m in _COLLECT_SAFE_MARKERS):
+                continue
+            key = f"{os.path.basename(path)}:{node.lineno}"
+            if key in COLLECT_OK:
+                continue
+            bad.setdefault(key, []).append(
+                f"unbounded driver materialization: .{node.func.attr}() "
+                f"with no .limit()/aggregate on its chain: {seg[:100]!r}"
+            )
+    return bad
+
+
 def collect_plans(
     spark, sf_dir: str, only: list[str] | None = None
 ) -> dict[str, str]:
@@ -242,14 +299,20 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:] or None
+    src_bad = audit_collect_sources()
+    for key, problems in sorted(src_bad.items()):
+        print(f"{key}: {'; '.join(problems)}")
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     plans = collect_plans(spark, sf_dir, only)
     bad = audit(plans)
     for name, problems in sorted(bad.items()):
         print(f"{name}: {'; '.join(problems)}")
-    print(f"{len(bad)} of {len(plans)} queries flagged")
-    return 1 if bad else 0
+    print(
+        f"{len(bad)} of {len(plans)} queries flagged; "
+        f"{len(src_bad)} unbounded-collect source sites"
+    )
+    return 1 if (bad or src_bad) else 0
 
 
 if __name__ == "__main__":
