@@ -200,3 +200,33 @@ def test_cog_encode_works_with_rasterio_present(monkeypatch):
     )
     after = R.encode_geotiff(grid, 0.0, 0.0, 1.0, 1.0)
     assert after == before
+
+
+def test_cog_overview_ladder_depth_and_parity():
+    """VERDICT r5 #7: a >=256px grid gets the FULL 2x^n pyramid down to
+    one tile (GDAL COG-driver behavior), each level the exact 2x2 mean
+    of its parent, with per-level pixel scale doubling."""
+    import numpy as np
+
+    from dmi_ingestor_spark.operators.raster import (
+        TILE,
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    rng = np.arange(256 * 256, dtype="f4").reshape(256, 256)
+    data = encode_geotiff(rng, 10.0, 55.0, 0.01, 0.01)
+    out = decode_geotiff(data)
+    shapes = [lv.shape for lv in out["levels"]]
+    # 256 -> 128 -> 64 -> 32 -> 16: ladder bottoms out at one tile
+    assert shapes == [(256, 256), (128, 128), (64, 64), (32, 32), (16, 16)]
+    assert shapes[-1] == (TILE, TILE)
+    for parent, child in zip(out["levels"], out["levels"][1:]):
+        ny2, nx2 = child.shape[0] * 2, child.shape[1] * 2
+        expect = (
+            parent[:ny2, :nx2]
+            .reshape(child.shape[0], 2, child.shape[1], 2)
+            .mean(axis=(1, 3), dtype="f8")
+            .astype("f4")
+        )
+        np.testing.assert_array_equal(child, expect)
