@@ -4804,3 +4804,263 @@ def lake_mor_flush_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time travel: the pre-flush snapshot still resolves unit + DV
     tt = stats(read_with_dv(tx, version=v_dv), 2, 1)
     return mor.unionAll(flushed).unionAll(tt).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Systematic (every-k-th) sampling on the sharded global order
+# ---------------------------------------------------------------------------
+
+_SYS_K = 7  # keep every 7th row of the key order
+
+
+@register(
+    "sample_systematic_every_k",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ),
+    kept AS (
+      SELECT * FROM ranked WHERE rn % {_SYS_K} = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents_sum
+    FROM kept
+    """,
+    doc=(
+        "Systematic sampling (every k-th element of a total order) — "
+        "the survey-statistics design that guarantees even coverage of "
+        "the key range, unlike Bernoulli draws: rank every row by "
+        "o_orderkey with the SHARDED global row number "
+        "(operators/ranks.py: repartitionByRange + local sort + "
+        "broadcast prefix offsets — no Exchange SinglePartition, the "
+        "zipWithIndex shape), keep rn % k = 1, and audit the kept set "
+        "(count, key checksum, range ends, exact price-cents sum). At "
+        "100 TB the plan is one range shuffle + one map-side filter — "
+        "systematic sampling is exactly as cheap as a scan once the "
+        "global order is sharded."
+    ),
+    tags=("sample", "pipeline", "orders"),
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked, _n = sharded_row_number(o, [F.col("o_orderkey").asc()], out="rn")
+    kept = ranked.filter(F.col("rn") % _SYS_K == 1)
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.min("o_orderkey").cast("long").alias("first_key"),
+        F.max("o_orderkey").cast("long").alias("last_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("price_cents_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ: field-validity drift between time periods
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT_DAY = 15      # days 1-15 = baseline, 16+ = current
+_DRIFT_VALID_MAX = 90      # props.k < 90 is "valid"
+_DRIFT_ALERT_PERMILLE = 20  # |rate delta| > 2.0pp flags the type
+
+
+@register(
+    "dq_invalid_rate_drift",
+    oracle=f"""
+    WITH parsed AS (
+      SELECT event_type,
+             CASE WHEN dayofmonth(ts) <= {_DRIFT_SPLIT_DAY}
+                  THEN 'baseline' ELSE 'current' END AS period,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       < {_DRIFT_VALID_MAX}
+                  THEN 0 ELSE 1 END AS invalid
+      FROM events
+    ),
+    rates AS (
+      SELECT event_type, period,
+             COUNT(*) AS n,
+             SUM(invalid) AS n_invalid,
+             (1000 * SUM(invalid)) // COUNT(*) AS permille
+      FROM parsed GROUP BY event_type, period
+    ),
+    wide AS (
+      SELECT event_type,
+             MAX(CASE WHEN period = 'baseline' THEN n END) AS n_base,
+             MAX(CASE WHEN period = 'baseline' THEN permille END) AS base_permille,
+             MAX(CASE WHEN period = 'current' THEN n END) AS n_cur,
+             MAX(CASE WHEN period = 'current' THEN permille END) AS cur_permille
+      FROM rates GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(base_permille AS BIGINT) AS base_permille,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(cur_permille AS BIGINT) AS cur_permille,
+           CAST(cur_permille - base_permille AS BIGINT) AS drift_permille,
+           CAST(CASE WHEN abs(cur_permille - base_permille)
+                          > {_DRIFT_ALERT_PERMILLE}
+                THEN 1 ELSE 0 END AS BIGINT) AS alert
+    FROM wide
+    ORDER BY event_type
+    """,
+    doc=(
+        "Data-quality drift monitor — the schema-on-read failure mode "
+        "where an upstream producer starts emitting out-of-contract "
+        "values and nothing crashes: per event type, the "
+        "out-of-range rate of a JSON payload field (props.k) is "
+        "compared between a baseline period and the current period, "
+        "and types whose rate moved more than the alert threshold are "
+        "flagged. Rates are integer permille (floored scaled division "
+        "of exact counts) so the comparison is hash-exact; both "
+        "periods come out of ONE pass (conditional aggregation over "
+        "the period tag), i.e. one scan + one keyed agg at any scale. "
+        "This is the drift gate a 100 TB daily ingest runs before "
+        "publishing a partition (compare dq_freshness_lag, "
+        "ml_psi_drift: same family, different statistic)."
+    ),
+    tags=("dq", "drift", "events"),
+)
+def dq_invalid_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= _DRIFT_SPLIT_DAY, "baseline")
+        .otherwise("current")
+        .alias("period"),
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") < _DRIFT_VALID_MAX,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("invalid"),
+    )
+    rates = ev.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("invalid").alias("n_invalid"),
+        F.expr("(1000 * sum(invalid)) div count(*)").alias("permille"),
+    )
+    wide = rates.groupBy("event_type").agg(
+        F.max(F.when(F.col("period") == "baseline", F.col("n")))
+        .cast("long")
+        .alias("n_base"),
+        F.max(F.when(F.col("period") == "baseline", F.col("permille")))
+        .cast("long")
+        .alias("base_permille"),
+        F.max(F.when(F.col("period") == "current", F.col("n")))
+        .cast("long")
+        .alias("n_cur"),
+        F.max(F.when(F.col("period") == "current", F.col("permille")))
+        .cast("long")
+        .alias("cur_permille"),
+    )
+    return wide.select(
+        "event_type",
+        "n_base",
+        "base_permille",
+        "n_cur",
+        "cur_permille",
+        (F.col("cur_permille") - F.col("base_permille"))
+        .cast("long")
+        .alias("drift_permille"),
+        (
+            F.abs(F.col("cur_permille") - F.col("base_permille"))
+            > _DRIFT_ALERT_PERMILLE
+        )
+        .cast("long")
+        .alias("alert"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# DQ: key-sequence gap audit (sharded, no global window)
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKET = 1024  # orderkey range per audit bucket
+
+
+@register(
+    "dq_sequence_gap_audit",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS key FROM orders WHERE o_orderstatus = 'F'
+    ),
+    gaps AS (
+      SELECT key - LAG(key) OVER (ORDER BY key) - 1 AS missing
+      FROM k
+    ),
+    g AS (SELECT missing FROM gaps WHERE missing IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN missing > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps,
+           CAST(SUM(missing) AS BIGINT) AS n_missing,
+           CAST(MAX(missing) AS BIGINT) AS max_gap
+    FROM g
+    """,
+    doc=(
+        "Sequence-completeness audit — 'which orderkeys went missing "
+        "from the F-status stream' (the CDC/event-log integrity check: "
+        "a monotone producer sequence with holes means dropped "
+        "records). The naive form is LAG over a GLOBAL key order — an "
+        "Exchange SinglePartition scale cliff. Here gaps are counted "
+        "per key-range bucket (key div 1024: within-bucket LAG is a "
+        "PARTITIONED window after one hash shuffle) and the "
+        "cross-bucket boundary gaps are recovered from the per-bucket "
+        "(min, max) summary — per-bucket extrema join to the NEXT "
+        "non-empty bucket's head on the O(buckets) summary, the same "
+        "shard-then-stitch shape as the sharded row number. Totals "
+        "(gap count, total missing keys, widest gap) are exact "
+        "integers. At 100 TB: one hash shuffle + an O(buckets) "
+        "stitch, no single-task funnel."
+    ),
+    tags=("dq", "integrity", "orders"),
+)
+def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("key"))
+    )
+    b = k.withColumn("bucket", F.expr(f"key div {_GAP_BUCKET}"))
+    w = Window.partitionBy("bucket").orderBy("key")
+    inner = b.select(
+        "bucket", (F.col("key") - F.lag("key").over(w) - 1).alias("missing")
+    ).filter(F.col("missing").isNotNull())
+    # O(buckets) summary: stitch each bucket's max key to the next
+    # non-empty bucket's min key (lead over the bucket-grain summary —
+    # a tiny partitioned-by-nothing window over ~n/1024 rows is still
+    # bounded; buckets are the audit grain, not the row grain)
+    span = b.groupBy("bucket").agg(
+        F.min("key").alias("head"), F.max("key").alias("tail")
+    )
+    wb = Window.orderBy("bucket")
+    boundary = span.select(
+        (F.lead("head").over(wb) - F.col("tail") - 1).alias("missing")
+    ).filter(F.col("missing").isNotNull())
+    gaps = inner.select("missing").unionByName(boundary)
+    n_keys = k.agg(F.count(F.lit(1)).alias("n_keys"))
+    return (
+        gaps.agg(
+            F.sum((F.col("missing") > 0).cast("long"))
+            .cast("long")
+            .alias("n_gaps"),
+            F.sum("missing").cast("long").alias("n_missing"),
+            F.max("missing").cast("long").alias("max_gap"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "n_gaps",
+            "n_missing",
+            "max_gap",
+        )
+    )

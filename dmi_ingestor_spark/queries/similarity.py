@@ -1249,3 +1249,337 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "prefix_dims")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction (ColBERT-style) MaxSim retrieval
+# ---------------------------------------------------------------------------
+
+_MAXSIM_NQ = 4        # vec_id < 4 are the "queries"
+_MAXSIM_CHUNK = 16    # 64-dim embedding -> 4 x 16-dim "token" vectors
+_MAXSIM_K = 3
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    toks AS (
+      SELECT vec_id, label, t,
+             list_slice(qv, t * {_MAXSIM_CHUNK} + 1, (t + 1) * {_MAXSIM_CHUNK}) AS tv
+      FROM q, (SELECT unnest(generate_series(0, 3)) AS t)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id, a.t AS qt,
+             MAX({sql_cosine("a.tv", "b.tv")}) AS ms
+      FROM toks a
+      JOIN toks b ON b.label = a.label AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_MAXSIM_NQ}
+      GROUP BY query_id, cand_id, qt
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             ROUND(MAX(CASE WHEN qt = 0 THEN ms END)
+                 + MAX(CASE WHEN qt = 1 THEN ms END)
+                 + MAX(CASE WHEN qt = 2 THEN ms END)
+                 + MAX(CASE WHEN qt = 3 THEN ms END), 9) AS maxsim
+      FROM pairs GROUP BY query_id, cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, maxsim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY maxsim DESC, cand_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, cand_id, maxsim, rk
+    FROM ranked WHERE rk <= {_MAXSIM_K}
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "Late-interaction retrieval (ColBERT's MaxSim, Khattab & "
+        "Zaharia SIGIR 2020): each embedding is treated as 4 "
+        "16-dim 'token' vectors (contiguous chunks), and "
+        "score(q, d) = sum over query tokens of max over doc tokens "
+        "of cos — the operator family behind multi-vector retrieval "
+        "plugins. Candidates are LABEL-BLOCKED (the IVF-list analogue), "
+        "never all-pairs; the token-pair max and the per-pair sum are "
+        "keyed aggregates. The 4 MaxSim terms are summed in FIXED "
+        "qt order via conditional aggregation (never a float SUM whose "
+        "partial order varies), every cos is a quotient of exact "
+        "integer dot products (quantized chunks, sums < 2^53), and the "
+        "final round(. , 9) grid is ~1e7 ulps wide — hash-exact. "
+        "At 100 TB the same plan holds: chunking is a map-side "
+        "transform, blocking bounds candidates, the heavy join is one "
+        "hash shuffle on (label)."
+    ),
+    tags=("similarity", "embeddings", "multivector"),
+)
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    )
+    toks = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, 3), t -> struct(t AS t, "
+                f"slice(qv, t * {_MAXSIM_CHUNK} + 1, {_MAXSIM_CHUNK}) AS tv))"
+            )
+        ).alias("tok"),
+    ).select("vec_id", "label", F.col("tok.t").alias("t"), F.col("tok.tv").alias("tv"))
+    qt = toks.filter(F.col("vec_id") < _MAXSIM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("t").alias("qt"),
+        F.col("tv").alias("qtv"),
+    )
+    # label-blocked candidate join (broadcast: the query token side is
+    # NQ x 4 rows), then per-(query, cand, query-token) max over the
+    # candidate's tokens and a fixed-order 4-term sum
+    pairs = (
+        toks.join(
+            F.broadcast(qt),
+            (toks.label == qt.qlabel) & (toks.vec_id != qt.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"), "qt")
+        .agg(F.max(cosine(F.col("qtv"), F.col("tv"))).alias("ms"))
+    )
+    scored = pairs.groupBy("query_id", "cand_id").agg(
+        F.round(
+            F.max(F.when(F.col("qt") == 0, F.col("ms")))
+            + F.max(F.when(F.col("qt") == 1, F.col("ms")))
+            + F.max(F.when(F.col("qt") == 2, F.col("ms")))
+            + F.max(F.when(F.col("qt") == 3, F.col("ms"))),
+            9,
+        ).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MAXSIM_K)
+        .select("query_id", "cand_id", "maxsim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIPS via the norm-augmentation reduction (Bachrach et al., RecSys 2014)
+# ---------------------------------------------------------------------------
+
+_MIPS_NQ = 4
+
+
+@register(
+    "vector_mips_norm_augment",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nsq
+      FROM v
+    ),
+    m AS (SELECT MAX(nsq) AS m2 FROM n WHERE vec_id >= {_MIPS_NQ}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS ip,
+             ROUND(list_dot_product(a.qv, b.qv)
+                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(m.m2 AS DOUBLE))),
+                   9) AS cos_aug
+      FROM n a JOIN n b ON b.vec_id >= {_MIPS_NQ} AND b.vec_id <> a.vec_id
+      CROSS JOIN m
+      WHERE a.vec_id < {_MIPS_NQ}
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, ip, cos_aug,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY ip DESC, cand_id
+             ) AS rk_ip,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_aug DESC, cand_id
+             ) AS rk_aug
+      FROM scored
+    )
+    SELECT query_id, cand_id, ip, cos_aug, rk_aug
+    FROM ranked WHERE rk_ip = 1
+    ORDER BY query_id
+    """,
+    doc=(
+        "Maximum-inner-product search reduced to cosine search by norm "
+        "augmentation (Bachrach et al., RecSys 2014; the trick behind "
+        "serving dot-product recommender scores on cosine-ANN "
+        "infrastructure): append sqrt(M^2 - ||d||^2) to every corpus "
+        "vector and 0 to the query — then cos(q', d') = "
+        "dot(q, d) / (||q|| * M), MONOTONE in the inner product for a "
+        "fixed query, so any cosine index answers MIPS unchanged. The "
+        "returned row per query is the exact MIPS argmax carrying both "
+        "the integer inner product and the augmented cosine, with "
+        "rk_aug = 1 proving the reduction preserved the argmax. The "
+        "closed form keeps every hashed number exact: integer dots "
+        "(quantized, < 2^53), one correctly-rounded sqrt each, a "
+        "single division, round(. , 9). Scale: M^2 is a 1-row "
+        "broadcast aggregate; scoring is the same broadcast-query "
+        "brute-force pass as sim_topk_bruteforce, or any LSH/IVF "
+        "bucketed variant since the reduction is index-agnostic."
+    ),
+    tags=("similarity", "embeddings", "mips"),
+)
+def vector_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.functions.vector import dot, norm_sq
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    n = emb.withColumn("nsq", norm_sq(F.col("qv")).cast("long"))
+    cands = n.filter(F.col("vec_id") >= _MIPS_NQ).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
+    )
+    m2 = cands.agg(
+        F.max(norm_sq(F.col("cv")).cast("long")).alias("m2")
+    )
+    queries = n.filter(F.col("vec_id") < _MIPS_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("nsq").alias("qnsq"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "query_id",
+            "cand_id",
+            dot(F.col("qqv"), F.col("cv")).cast("long").alias("ip"),
+            F.round(
+                dot(F.col("qqv"), F.col("cv"))
+                / (
+                    F.sqrt(F.col("qnsq").cast("double"))
+                    * F.sqrt(F.col("m2").cast("double"))
+                ),
+                9,
+            ).alias("cos_aug"),
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("cand_id")
+    )
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.col("cos_aug").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rk_ip", F.row_number().over(w_ip))
+        .withColumn("rk_aug", F.row_number().over(w_aug))
+        .filter(F.col("rk_ip") == 1)
+        .select("query_id", "cand_id", "ip", "cos_aug", "rk_aug")
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary sign-sketch Hamming top-k (the 8-byte/vector rerank primitive)
+# ---------------------------------------------------------------------------
+
+_HAM_NQ = 8
+_HAM_K = 5
+
+
+def _sql_signword(v: str, lo: int) -> str:
+    """DuckDB: pack sign bits of elements [lo, lo+32) into a BIGINT."""
+    return (
+        f"(SELECT COALESCE(SUM(CASE WHEN e.x > 0 "
+        f"AND e.i > {lo} AND e.i <= {lo + 32} "
+        f"THEN CAST(1 AS BIGINT) << (e.i - {lo} - 1) ELSE 0 END), 0) "
+        f"FROM (SELECT unnest({v}) AS x, "
+        f"generate_subscripts({v}, 1) AS i) e)"
+    )
+
+
+@register(
+    "vector_hamming_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT vec_id,
+             {_sql_signword("embedding", 0)} AS w0,
+             {_sql_signword("embedding", 32)} AS w1
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                  AS BIGINT) AS hamming
+      FROM w a JOIN w b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_HAM_NQ}
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY hamming, cand_id
+             ) AS rk
+      FROM scored
+    )
+    SELECT query_id, cand_id, hamming, rk
+    FROM ranked WHERE rk <= {_HAM_K}
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "Binary sign-sketch similarity: each 64-dim embedding collapses "
+        "to TWO 32-bit sign words (8 bytes total, a 32x shrink), and "
+        "neighbor search is Hamming distance = popcount(xor) — the "
+        "classic compact-code primitive (Charikar STOC 2002 sign "
+        "hashes; the rerank stage of every binary-quantized vector "
+        "index). The packing is a zero-shuffle JVM fold over the array "
+        "(transform-with-index + aggregate, no explode), scoring is "
+        "bit_count(xor) on two BIGINTs per pair — integers end to end, "
+        "hash-exact with no float anywhere. At 100 TB the sketch table "
+        "is ~1% of the float corpus; brute-force Hamming over it is a "
+        "bandwidth-bound linear scan (SIMD popcount), the standard "
+        "first-stage filter before exact rerank."
+    ),
+    tags=("similarity", "embeddings", "binary"),
+)
+def vector_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def signword(lo: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
+            f"(x, i) -> IF(x > CAST(0.0 AS FLOAT), "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    w = emb.select(
+        "vec_id", signword(0).alias("w0"), signword(32).alias("w1")
+    )
+    queries = w.filter(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = w.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.bit_count(F.expr("q0 ^ w0")) + F.bit_count(F.expr("q1 ^ w1"))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    wnd = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= _HAM_K)
+        .select("query_id", "cand_id", "hamming", "rk")
+        .orderBy("query_id", "rk")
+    )

@@ -481,3 +481,95 @@ def spatial_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stations",
         (fold("wv") / fold("w")).alias("idw_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory path statistics (telemetry / GPS-track analytics)
+# ---------------------------------------------------------------------------
+
+# Integer lattice coordinates keyed off event_id (fixtures carry no
+# lat/lon): staying in INTEGER grid units end to end makes every step
+# distance exact — no trig, no doubles, hash-green by construction.
+_TRAJ_LAT_MOD = 97
+_TRAJ_LON_MOD = 83
+_TRAJ_JUMP_D2 = 4000  # squared-grid-units threshold: a "teleport" jump
+
+
+@register(
+    "spatial_trajectory_path_stats",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(event_id % {_TRAJ_LAT_MOD} AS BIGINT) AS iy,
+             CAST(event_id % {_TRAJ_LON_MOD} AS BIGINT) AS ix
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id,
+             iy - LAG(iy) OVER w AS dy,
+             ix - LAG(ix) OVER w AS dx
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT user_id, dy * dy + dx * dx AS d2
+      FROM steps WHERE dy IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(d2) AS BIGINT) AS total_d2,
+           CAST(MAX(d2) AS BIGINT) AS max_d2,
+           CAST(SUM(CASE WHEN d2 > {_TRAJ_JUMP_D2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_jumps
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc=(
+        "Per-entity trajectory statistics — the GPS-track / telemetry "
+        "shape (total path length, largest hop, teleport-jump count "
+        "for fraud/sensor-glitch detection): events become lattice "
+        "points, consecutive-step deltas come from LAG over "
+        "(PARTITION BY user_id ORDER BY ts), and everything reduces "
+        "to one keyed aggregate. The window is PARTITIONED — each "
+        "user's track sorts locally after one hash shuffle on "
+        "user_id, the scalable sessionization pattern (never a "
+        "global sort). Squared distances on integer grid coordinates "
+        "keep the whole computation exact. At 100 TB: one shuffle, "
+        "one agg; skewed mega-users are the known hazard and would "
+        "take the same salting treatment as any hot key."
+    ),
+    tags=("spatial", "trajectory", "events"),
+)
+def spatial_trajectory_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") % _TRAJ_LAT_MOD).cast("long").alias("iy"),
+        (F.col("event_id") % _TRAJ_LON_MOD).cast("long").alias("ix"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        (F.col("iy") - F.lag("iy").over(w)).alias("dy"),
+        (F.col("ix") - F.lag("ix").over(w)).alias("dx"),
+    ).filter(F.col("dy").isNotNull())
+    d = steps.select(
+        "user_id",
+        (F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx")).alias("d2"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum("d2").cast("long").alias("total_d2"),
+            F.max("d2").cast("long").alias("max_d2"),
+            F.sum((F.col("d2") > _TRAJ_JUMP_D2).cast("long"))
+            .cast("long")
+            .alias("n_jumps"),
+        )
+        .orderBy("user_id")
+    )

@@ -98,6 +98,11 @@ SINGLE_PARTITION_OK: dict[str, str] = {
         "prefix/rank windows + pairwise argmax over the O(months) "
         "summary series (~79 rows)"
     ),
+    "dq_sequence_gap_audit": (
+        "boundary-stitch lead window over the O(key-range/1024) bucket "
+        "summary (min,max per bucket) — the row-grain LAG is bucket-"
+        "partitioned; only the bucket-grain stitch funnels"
+    ),
     "sample_neyman_allocation": (
         "largest-remainder rank window over the O(strata) summary "
         "(~5 event-type rows; the corpus-scale pass is the one "
