@@ -1848,3 +1848,133 @@ def ingest_reproject_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ll.lon") * 1000000.0).cast("long").alias("lon_udeg"),
         F.round(F.col("ll.lat") * 1000000.0).cast("long").alias("lat_udeg"),
     ).orderBy("ik", "jk")
+
+
+@register(
+    "ingest_gorilla_timeseries",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM (SELECT * FROM events ORDER BY epoch_ms(ts), event_id LIMIT 20000)
+    ),
+    seq AS (
+      SELECT event_type, ts_ms, cents,
+             LAG(ts_ms) OVER w AS pt,
+             LAG(cents) OVER w AS pv
+      FROM src
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
+    ),
+    d AS (
+      SELECT event_type, ts_ms, cents, pv,
+             ts_ms - pt AS delta,
+             LAG(ts_ms - pt) OVER (
+               PARTITION BY event_type ORDER BY ts_ms, cents, pt
+             ) AS pdelta
+      FROM seq
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ms)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ts_ms) AS BIGINT) AS ts_checksum,
+           CAST(SUM(cents) AS BIGINT) AS cents_checksum,
+           CAST(SUM(CASE WHEN delta IS NOT NULL AND delta = pdelta
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dod_zero,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND cents = pv
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+    FROM d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc=(
+        "Gorilla time-series block codec end to end (Pelkonen et al., "
+        "VLDB 2015 — sources/gorilla.py implements the paper's "
+        "delta-of-delta timestamp ladder and XOR value windows from "
+        "the published spec): per-event-type (ts_ms, cents) series are "
+        "encoded into blocks (driver-side fixture build, capped), the "
+        "blocks ride a binary column and are decoded DISTRIBUTED via "
+        "mapInPandas, and the audit reports per-block sample count, "
+        "checksums, and two structure probes the oracle recomputes "
+        "from the raw series with window functions: the number of "
+        "1-bit (dod = 0) timestamps and of 1-bit (XOR = 0) repeated "
+        "values — green rows prove the bit-ladder round-trips the "
+        "exact sequence, not merely the multiset. This is the block "
+        "format family of every modern TSDB (Prometheus/Influx "
+        "descend from this paper); at 100 TB blocks are the scan "
+        "unit and decode parallelism is per-block."
+    ),
+    tags=("ingest", "source", "formats", "timeseries"),
+)
+def ingest_gorilla_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.sources.gorilla import encode_block
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .orderBy("ts_ms", "event_id")
+        # fixture-builder cap (same policy as the msgpack/avro fixtures)
+        .limit(20000)
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(
+            (int(r["ts_ms"]), int(r["cents"]))
+        )
+    payloads = [(et, encode_block(s)) for et, s in sorted(series.items())]
+    df = spark.createDataFrame(payloads, "event_type string, block binary")
+
+    def _decode(batches):
+        from dmi_ingestor_spark.sources.gorilla import decode_block
+
+        for pdf in batches:
+            out = []
+            for _, rec in pdf.iterrows():
+                s = decode_block(bytes(rec["block"]))
+                n_dod0 = sum(
+                    1
+                    for i in range(2, len(s))
+                    if s[i][0] - s[i - 1][0] == s[i - 1][0] - s[i - 2][0]
+                )
+                n_rep = sum(
+                    1 for i in range(1, len(s)) if s[i][1] == s[i - 1][1]
+                )
+                out.append(
+                    (
+                        rec["event_type"],
+                        len(s),
+                        sum(t for t, _ in s),
+                        sum(v for _, v in s),
+                        n_dod0,
+                        n_rep,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type",
+                    "n_samples",
+                    "ts_checksum",
+                    "cents_checksum",
+                    "n_dod_zero",
+                    "n_repeats",
+                ],
+            )
+
+    return (
+        df.repartition(4, "event_type")
+        .mapInPandas(
+            _decode,
+            "event_type string, n_samples long, ts_checksum long, "
+            "cents_checksum long, n_dod_zero long, n_repeats long",
+        )
+        .orderBy("event_type")
+    )
