@@ -1030,3 +1030,145 @@ def scalar_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("valid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic-version parse + precedence (semver.org 2.0.0)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_semver_compare",
+    oracle="""
+    WITH v AS (
+      SELECT p_brand,
+             CAST(p_partkey % 5 AS BIGINT) AS maj0,
+             concat(
+               CAST(p_partkey % 5 AS VARCHAR), '.',
+               CAST(p_partkey % 12 AS VARCHAR), '.',
+               CAST(p_partkey % 30 AS VARCHAR),
+               CASE WHEN p_partkey % 7 = 0
+                    THEN concat('-rc.', CAST(p_partkey % 3 + 1 AS VARCHAR))
+                    ELSE '' END
+             ) AS ver
+      FROM part
+    ),
+    parsed AS (
+      SELECT p_brand, ver,
+             CAST(regexp_extract(ver, '^(\\d+)\\.(\\d+)\\.(\\d+)', 1)
+                  AS BIGINT) AS major,
+             CAST(regexp_extract(ver, '^(\\d+)\\.(\\d+)\\.(\\d+)', 2)
+                  AS BIGINT) AS minor,
+             CAST(regexp_extract(ver, '^(\\d+)\\.(\\d+)\\.(\\d+)', 3)
+                  AS BIGINT) AS patch,
+             CASE WHEN ver LIKE '%-%' THEN 0 ELSE 1 END AS is_release,
+             COALESCE(TRY_CAST(regexp_extract(ver, '-rc\\.(\\d+)$', 1)
+                               AS BIGINT), 0) AS rc
+      FROM v
+    ),
+    keyed AS (
+      SELECT p_brand, ver, is_release,
+             ((major * 100 + minor) * 100 + patch) * 1000
+               + is_release * 100 + rc AS prec
+      FROM parsed
+    ),
+    ranked AS (
+      SELECT p_brand, ver, prec,
+             ROW_NUMBER() OVER (
+               PARTITION BY p_brand ORDER BY prec DESC, ver
+             ) AS rk
+      FROM keyed
+    )
+    SELECT k.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(DISTINCT k.ver) AS BIGINT) AS n_distinct,
+           CAST(SUM(1 - k.is_release) AS BIGINT) AS n_prerelease,
+           MAX(CASE WHEN r.rk = 1 THEN r.ver END) AS max_version
+    FROM keyed k
+    LEFT JOIN ranked r ON r.p_brand = k.p_brand AND r.ver = k.ver AND r.rk = 1
+       AND r.prec = k.prec
+    GROUP BY k.p_brand
+    ORDER BY k.p_brand
+    """,
+    doc=(
+        "Semantic-version parsing + precedence (semver.org 2.0.0): "
+        "version strings are PARSED back with regexp groups (never the "
+        "generating arithmetic), mapped to an integer precedence key "
+        "implementing the spec's ordering — numeric triple "
+        "major.minor.patch, any pre-release sorts BELOW its release "
+        "(spec rule 11), pre-release numeric identifiers compare "
+        "numerically — and each manufacturer reports its version "
+        "census plus the precedence-max version. The package-registry "
+        "/ dependency-audit scalar pack: per-group max-by-precedence "
+        "is a partitioned rank window after one hash shuffle, and the "
+        "parse is pure JVM regexp — at 100 TB this is a scan plus one "
+        "keyed agg."
+    ),
+    tags=("scalar", "parse", "part"),
+)
+def scalar_semver_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.concat(
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 12).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 30).cast("string"),
+            F.when(
+                F.col("p_partkey") % 7 == 0,
+                F.concat(F.lit("-rc."), (F.col("p_partkey") % 3 + 1).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("ver"),
+    )
+    parsed = p.select(
+        "p_brand",
+        "ver",
+        F.regexp_extract("ver", r"^(\d+)\.(\d+)\.(\d+)", 1)
+        .cast("long")
+        .alias("major"),
+        F.regexp_extract("ver", r"^(\d+)\.(\d+)\.(\d+)", 2)
+        .cast("long")
+        .alias("minor"),
+        F.regexp_extract("ver", r"^(\d+)\.(\d+)\.(\d+)", 3)
+        .cast("long")
+        .alias("patch"),
+        F.when(F.col("ver").contains("-"), F.lit(0)).otherwise(F.lit(1)).alias(
+            "is_release"
+        ),
+        F.coalesce(
+            F.regexp_extract("ver", r"-rc\.(\d+)$", 1).try_cast("long"),
+            F.lit(0),
+        ).alias("rc"),
+    )
+    keyed = parsed.select(
+        "p_brand",
+        "ver",
+        "is_release",
+        (
+            ((F.col("major") * 100 + F.col("minor")) * 100 + F.col("patch"))
+            * 1000
+            + F.col("is_release") * 100
+            + F.col("rc")
+        ).alias("prec"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("prec").desc(), F.col("ver"))
+    top = (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_brand", F.col("ver").alias("max_version"))
+    )
+    census = keyed.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.countDistinct("ver").cast("long").alias("n_distinct"),
+        F.sum(1 - F.col("is_release")).cast("long").alias("n_prerelease"),
+    )
+    return (
+        census.join(F.broadcast(top), "p_brand")
+        .select(
+            "p_brand", "n_versions", "n_distinct", "n_prerelease", "max_version"
+        )
+        .orderBy("p_brand")
+    )

@@ -2548,3 +2548,93 @@ def pipeline_dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage / OOV-rate audit
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 400  # train-split vocabulary size
+
+
+@register(
+    "text_vocab_oov_coverage",
+    oracle=f"""
+    WITH train_toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM train_toks
+        WHERE tok <> '' GROUP BY tok
+      ) ORDER BY cnt DESC, tok LIMIT {_VOCAB_V}
+    ),
+    eval_toks AS (
+      SELECT lang, tok FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 2 = 1
+      ) WHERE tok <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((1000 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM eval_toks e LEFT JOIN vocab v ON v.tok = e.tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=(
+        "Tokenizer-vocabulary coverage audit — the question every "
+        "LLM-data team asks before committing a vocab: freeze the "
+        "top-V tokens of the TRAIN split, then measure the "
+        "out-of-vocabulary token rate per language on the held-out "
+        "split (high OOV = the tokenizer will shatter that slice into "
+        "bytes/unk). Plan shape: train token counts are one keyed agg; "
+        "the top-V cut is orderBy+limit — Spark plans "
+        "TakeOrderedAndProject, the per-partition-heap + driver-merge "
+        "idiom that never funnels the token table through one task; "
+        "the vocab then BROADCASTS into a left join against the eval "
+        "token stream (map-side, no shuffle of the corpus). Counts and "
+        "floored permille rates are exact integers. At 100 TB the "
+        "vocab stays V rows regardless of corpus size — the join side "
+        "scales, the broadcast side never does."
+    ),
+    tags=("text", "llm-pipeline", "documents"),
+)
+def text_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    train_toks = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        train_toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    eval_toks = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    joined = eval_toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END))"
+                " div count(*) AS BIGINT)"
+            ).alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )
