@@ -78,6 +78,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     # (eager checkpoint + per-round broadcast builds, slope ~0 in
     # SCALING.md), so benching it would only measure scheduler latency.
     "graph_louvain_one_sweep",
+    # round-6 session additions: the multivector retrieval shape (token
+    # explode + label-blocked join + two keyed aggs), the LLM vocab
+    # gate (token agg + TakeOrdered cut + broadcast join over the eval
+    # stream), and the sharded-global-order systematic sample
+    "sim_maxsim_late_interaction",
+    "text_vocab_oov_coverage",
+    "sample_systematic_every_k",
 )
 
 # Environment-drift canaries (VERDICT r3 item 5): round-3's wall numbers
