@@ -5051,3 +5051,58 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-phase exact COUNT(DISTINCT) — the hot-key skew rewrite
+# ---------------------------------------------------------------------------
+
+_SALT_N = 16
+
+
+@register(
+    "agg_distinct_salted_twophase",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Exact per-key COUNT(DISTINCT) via SALTED two-phase aggregation "
+        "— the rewrite for the hot-key cliff: a plain "
+        "groupBy(key).agg(countDistinct(v)) must co-locate EVERY row of "
+        "a hot key on one task. Phase 1 groups by (key, "
+        "hash(v) % 16) — the salt is derived from the DISTINCT-counted "
+        "value itself, so equal values always land in the same salt "
+        "bucket and per-bucket distinct counts are disjoint; phase 2 "
+        "SUMS the 16 partial distinct counts per key. Each phase-1 "
+        "task sees at most 1/16th of a hot key's rows; adding salt "
+        "width scales the skew relief linearly. The companion count(*) "
+        "rides the same shuffle. The oracle is the direct one-phase "
+        "form — hash-green proves the rewrite exact, which is the "
+        "whole point (approx-distinct is the OTHER answer to this "
+        "problem; this one stays exact)."
+    ),
+    tags=("aggregate", "skew", "orders"),
+)
+def agg_distinct_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    phase1 = (
+        o.withColumn("salt", F.pmod(F.hash("o_custkey"), F.lit(_SALT_N)))
+        .groupBy("o_orderstatus", "salt")
+        .agg(
+            F.countDistinct("o_custkey").alias("d_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    return (
+        phase1.groupBy("o_orderstatus")
+        .agg(
+            F.sum("d_part").cast("long").alias("n_distinct_cust"),
+            F.sum("n_part").cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

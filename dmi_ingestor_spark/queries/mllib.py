@@ -5677,3 +5677,160 @@ def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xi_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-score nearest-neighbor matching with caliper (causal inference)
+# ---------------------------------------------------------------------------
+
+_PSM_CALIPER = 5_000   # cents: max |score gap| for a valid match
+_PSM_BUCKET = 5_000    # block width >= caliper => neighbors live in
+                       # the same or an adjacent block, never farther
+
+
+@register(
+    "ml_propensity_caliper_matching",
+    oracle=f"""
+    WITH outc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+      SELECT c.c_custkey AS uid,
+             CAST(concat('0x', substr(md5(concat('psm-',
+                  CAST(c.c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 2
+               AS treated,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+             COALESCE(o.spend_cents, 0) AS outcome
+      FROM customer c LEFT JOIN outc o ON o.o_custkey = c.c_custkey
+    ),
+    pairs AS (
+      SELECT t.uid AS t_uid, t.outcome AS t_out,
+             c.uid AS c_uid, c.outcome AS c_out,
+             abs(t.score - c.score) AS gap,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.uid ORDER BY abs(t.score - c.score), c.uid
+             ) AS rk
+      FROM units t JOIN units c
+        ON c.treated = 0 AND abs(t.score - c.score) <= {_PSM_CALIPER}
+      WHERE t.treated = 1
+    ),
+    matched AS (SELECT * FROM pairs WHERE rk = 1),
+    nt AS (SELECT COUNT(*) AS n_treated FROM units WHERE treated = 1)
+    SELECT CAST(nt.n_treated AS BIGINT) AS n_treated,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST((1000 * COUNT(*)) // nt.n_treated AS BIGINT)
+             AS match_permille,
+           CAST(SUM(gap) AS BIGINT) AS total_gap,
+           CAST(SUM(t_out - c_out) AS BIGINT) AS att_cents_sum
+    FROM matched, nt
+    GROUP BY nt.n_treated
+    """,
+    doc=(
+        "Propensity-score matching with a caliper (Rosenbaum & Rubin "
+        "1983; the workhorse of observational causal studies): each "
+        "TREATED unit (deterministic hash split) is matched to its "
+        "nearest CONTROL by score distance, with replacement, only if "
+        "the gap is within the caliper; the output is the matching "
+        "audit (match rate, total gap) and the matched-pair ATT sum "
+        "in exact cents. Scale shape: candidate generation is BLOCKED "
+        "— scores bucket at width >= caliper, treated rows explode to "
+        "their 3 adjacent buckets, and the join is an equi-join on "
+        "the bucket id, so candidates per treated are O(local "
+        "density), never O(controls); the block-width>=caliper "
+        "invariant makes the blocked nearest identical to the global "
+        "nearest (the oracle computes the UNBLOCKED form — hash-green "
+        "proves the equivalence). Argmin per treated is a partitioned "
+        "rank window. All quantities integer cents."
+    ),
+    tags=("mllib", "causal", "customer", "orders"),
+)
+def ml_propensity_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    outc = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    units = (
+        table(spark, sf_dir, "customer")
+        .join(outc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("uid"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("psm-"),
+                                F.col("c_custkey").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("treated"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("score"),
+            F.coalesce("spend_cents", F.lit(0)).alias("outcome"),
+        )
+    )
+    controls = units.filter(F.col("treated") == 0).select(
+        F.col("uid").alias("c_uid"),
+        F.expr(f"score div {_PSM_BUCKET}").alias("blk"),
+        F.col("score").alias("c_score"),
+        F.col("outcome").alias("c_out"),
+    )
+    treated = units.filter(F.col("treated") == 1).select(
+        F.col("uid").alias("t_uid"),
+        F.col("score").alias("t_score"),
+        F.col("outcome").alias("t_out"),
+        F.explode(
+            F.array(
+                F.expr(f"score div {_PSM_BUCKET} - 1"),
+                F.expr(f"score div {_PSM_BUCKET}"),
+                F.expr(f"score div {_PSM_BUCKET} + 1"),
+            )
+        ).alias("blk"),
+    )
+    pairs = (
+        treated.join(controls, "blk")
+        .withColumn("gap", F.abs(F.col("t_score") - F.col("c_score")))
+        .filter(F.col("gap") <= _PSM_CALIPER)
+    )
+    w = Window.partitionBy("t_uid").orderBy("gap", "c_uid")
+    matched = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    nt = units.filter(F.col("treated") == 1).agg(
+        F.count(F.lit(1)).alias("n_treated")
+    )
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.sum("gap").cast("long").alias("total_gap"),
+            F.sum(F.col("t_out") - F.col("c_out"))
+            .cast("long")
+            .alias("att_cents_sum"),
+        )
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("n_treated").cast("long").alias("n_treated"),
+            "n_matched",
+            F.expr("CAST((1000 * n_matched) div n_treated AS BIGINT)").alias(
+                "match_permille"
+            ),
+            "total_gap",
+            "att_cents_sum",
+        )
+    )
