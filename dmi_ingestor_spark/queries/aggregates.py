@@ -5106,3 +5106,274 @@ def agg_distinct_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adstock (geometric carryover) transform — marketing-mix preprocessing
+# ---------------------------------------------------------------------------
+
+_AD_DAYS = 30
+
+
+def _adstock_oracle() -> str:
+    head = f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS channel, dayofmonth(o_orderdate) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders
+      WHERE dayofmonth(o_orderdate) <= {_AD_DAYS}
+      GROUP BY channel, day
+    ),
+    ch AS (SELECT DISTINCT o_orderpriority AS channel FROM orders),
+    spine AS (
+      SELECT c.channel, s.day
+      FROM ch c CROSS JOIN (
+        SELECT unnest(generate_series(1, {_AD_DAYS})) AS day) s
+    ),
+    obs AS (
+      SELECT s.channel,
+             list(COALESCE(d.spend, 0) ORDER BY s.day) AS o
+      FROM spine s LEFT JOIN daily d
+        ON s.channel = d.channel AND s.day = d.day
+      GROUP BY s.channel
+    ),
+    a0 AS (
+      SELECT channel, o, CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS tot,
+             CAST(0 AS BIGINT) AS pk, CAST(0 AS BIGINT) AS pkday
+      FROM obs
+    )"""
+    parts = [head]
+    for t in range(1, _AD_DAYS + 1):
+        parts.append(f""",
+    a{t} AS (
+      SELECT channel, o,
+        o[{t}] + a // 2 AS a,
+        tot + o[{t}] + a // 2 AS tot,
+        CASE WHEN o[{t}] + a // 2 > pk THEN o[{t}] + a // 2 ELSE pk END AS pk,
+        CASE WHEN o[{t}] + a // 2 > pk THEN {t} ELSE pkday END AS pkday
+      FROM a{t - 1}
+    )""")
+    parts.append(f"""
+    SELECT channel,
+           a AS adstock_final,
+           tot AS adstock_total,
+           pk AS adstock_peak,
+           CAST(pkday AS BIGINT) AS peak_day
+    FROM a{_AD_DAYS}
+    ORDER BY channel""")
+    return "".join(parts)
+
+
+@register(
+    "analytics_adstock_carryover",
+    oracle=_adstock_oracle(),
+    doc=(
+        "Adstock / geometric carryover transform (Broadbent 1979) — "
+        "the marketing-mix-model preprocessing step that spreads each "
+        "period's ad spend into following periods: a_t = x_t + "
+        "lambda*a_(t-1) with lambda = 1/2 written in INTEGER form "
+        "(a//2, floor == truncate on non-negatives) so 30 chained "
+        "updates stay bit-exact across engines — the same "
+        "integer-recursion discipline as ts_croston_intermittent. "
+        "Emits per channel the final carried stock, the total "
+        "carried exposure, and the peak (value, day). Spark threads "
+        "the recursion through ONE in-plan F.aggregate fold per "
+        "channel; the oracle unrolls 30 CTEs. Scale: the corpus "
+        "contributes one groupBy(channel, day); the fold runs on the "
+        "O(days) summary inside the aggregate."
+    ),
+    tags=("analytics", "timeseries", "iterative", "orders"),
+)
+def analytics_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.dayofmonth("o_orderdate") <= _AD_DAYS)
+        .groupBy(
+            F.col("o_orderpriority").alias("channel"),
+            F.dayofmonth("o_orderdate").cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("spend")
+        )
+    )
+    ch = o.select(F.col("o_orderpriority").alias("channel")).distinct()
+    spine = ch.crossJoin(
+        spark.range(1, _AD_DAYS + 1).select(F.col("id").alias("day"))
+    )
+    obs = (
+        spine.join(daily, ["channel", "day"], "left")
+        .fillna(0, ["spend"])
+        .groupBy("channel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "spend"))),
+                lambda x: x["spend"],
+            ).alias("o")
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("tot"),
+        F.lit(0).cast("long").alias("pk"),
+        F.lit(0).cast("long").alias("pkday"),
+        F.lit(0).cast("long").alias("t"),
+    )
+
+    def step(acc, x):
+        t = acc["t"] + 1
+        a = x + F.floor(acc["a"] / 2).cast("long")
+        return F.struct(
+            a.alias("a"),
+            (acc["tot"] + a).alias("tot"),
+            F.when(a > acc["pk"], a).otherwise(acc["pk"]).alias("pk"),
+            F.when(a > acc["pk"], t).otherwise(acc["pkday"]).alias("pkday"),
+            t.alias("t"),
+        )
+
+    fitted = obs.select("channel", F.aggregate(F.col("o"), init, step).alias("h"))
+    h = F.col("h")
+    return fitted.select(
+        "channel",
+        h["a"].alias("adstock_final"),
+        h["tot"].alias("adstock_total"),
+        h["pk"].alias("adstock_peak"),
+        h["pkday"].alias("peak_day"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Statistical process control: Nelson rules 1-3 on exact integers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_control_chart_nelson",
+    oracle="""
+    WITH x AS (
+      SELECT dayofmonth(o_orderdate) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE dayofmonth(o_orderdate) <= 30
+      GROUP BY day
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cnt) AS BIGINT) AS sx,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+      FROM x
+    ),
+    flagged AS (
+      SELECT x.day, x.cnt,
+             CASE WHEN (s.n * x.cnt - s.sx) * (s.n * x.cnt - s.sx)
+                       > 9 * (s.n * s.sxx - s.sx * s.sx)
+                  THEN 1 ELSE 0 END AS rule1_beyond_3sigma,
+             CASE WHEN s.n * x.cnt - s.sx > 0 THEN 1
+                  WHEN s.n * x.cnt - s.sx < 0 THEN -1 ELSE 0 END AS side,
+             CASE WHEN x.cnt > LAG(x.cnt) OVER w THEN 1
+                  WHEN x.cnt < LAG(x.cnt) OVER w THEN -1 ELSE 0 END AS trend
+      FROM x, s
+      WINDOW w AS (ORDER BY x.day)
+    ),
+    runs AS (
+      SELECT day, cnt, rule1_beyond_3sigma, side, trend,
+             CASE WHEN COUNT(*) OVER w9 = 9
+                       AND (SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                              OVER w9 = 9
+                         OR SUM(CASE WHEN side = -1 THEN 1 ELSE 0 END)
+                              OVER w9 = 9)
+                  THEN 1 ELSE 0 END AS rule2_nine_one_side,
+             CASE WHEN COUNT(*) OVER w5 = 5
+                       AND (SUM(CASE WHEN trend = 1 THEN 1 ELSE 0 END)
+                              OVER w5 = 5
+                         OR SUM(CASE WHEN trend = -1 THEN 1 ELSE 0 END)
+                              OVER w5 = 5)
+                  THEN 1 ELSE 0 END AS rule3_six_trending
+      FROM flagged
+      WINDOW w9 AS (ORDER BY day ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w5 AS (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, cnt,
+           CAST(rule1_beyond_3sigma AS BIGINT) AS rule1_beyond_3sigma,
+           CAST(rule2_nine_one_side AS BIGINT) AS rule2_nine_one_side,
+           CAST(rule3_six_trending AS BIGINT) AS rule3_six_trending
+    FROM runs
+    ORDER BY day
+    """,
+    doc=(
+        "Control-chart monitoring — Nelson rules 1-3 (Nelson, JQT "
+        "1984) over the daily order-count series: rule 1 (a point "
+        "beyond 3 sigma) is evaluated in EXACT integer form by "
+        "cross-multiplication — (n*x - S)^2 > 9*(n*Sxx - S^2) avoids "
+        "both the mean division and the sigma sqrt; rule 2 (nine "
+        "consecutive points one side of the mean, sides from the "
+        "integer sign of n*x - S) and rule 3 (six points steadily "
+        "in/decreasing = five monotone steps) are rolling-frame "
+        "window counts. The corpus pass is ONE groupBy(day); every "
+        "window runs on the O(days) summary series (allowlisted "
+        "funnel, same as the other ts_* summary windows). This is "
+        "the anomaly gate SRE/manufacturing dashboards run on every "
+        "metric stream."
+    ),
+    tags=("timeseries", "quality", "orders"),
+)
+def ts_control_chart_nelson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    x = (
+        table(spark, sf_dir, "orders")
+        .filter(F.dayofmonth("o_orderdate") <= 30)
+        .groupBy(F.dayofmonth("o_orderdate").cast("long").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sxx"),
+    )
+    w = Window.orderBy("day")
+    flagged = x.crossJoin(F.broadcast(s)).select(
+        "day",
+        "cnt",
+        (
+            (F.col("n") * F.col("cnt") - F.col("sx"))
+            * (F.col("n") * F.col("cnt") - F.col("sx"))
+            > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("rule1_beyond_3sigma"),
+        F.signum((F.col("n") * F.col("cnt") - F.col("sx")).cast("double"))
+        .cast("long")
+        .alias("side"),
+        F.when(F.col("cnt") > F.lag("cnt").over(w), F.lit(1))
+        .when(F.col("cnt") < F.lag("cnt").over(w), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("trend"),
+    )
+    w9 = Window.orderBy("day").rowsBetween(-8, 0)
+    w5 = Window.orderBy("day").rowsBetween(-4, 0)
+    runs = flagged.select(
+        "day",
+        "cnt",
+        "rule1_beyond_3sigma",
+        (
+            (F.count(F.lit(1)).over(w9) == 9)
+            & (
+                (F.sum((F.col("side") == 1).cast("long")).over(w9) == 9)
+                | (F.sum((F.col("side") == -1).cast("long")).over(w9) == 9)
+            )
+        )
+        .cast("long")
+        .alias("rule2_nine_one_side"),
+        (
+            (F.count(F.lit(1)).over(w5) == 5)
+            & (
+                (F.sum((F.col("trend") == 1).cast("long")).over(w5) == 5)
+                | (F.sum((F.col("trend") == -1).cast("long")).over(w5) == 5)
+            )
+        )
+        .cast("long")
+        .alias("rule3_six_trending"),
+    )
+    return runs.orderBy("day")

@@ -45,6 +45,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "ts_cusum_changepoint": "prefix window over the O(months) summary series",
     "ml_poisson_bootstrap_ci": "order statistics over the 20 replicate means",
     "ts_obv_indicator": "lag/prefix windows over the O(months) summary series",
+    "ts_control_chart_nelson": "lag/rolling windows over the O(days) summary series",
     "ts_runs_test": "median selection + lag over the O(months) summary series",
     "ts_max_drawdown": "prefix windows over the O(months) summary series",
     "pivot_status_by_flag": "sorted pivot output, O(status x flag)",
