@@ -1978,3 +1978,125 @@ def ingest_gorilla_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ingest_protobuf_delimited_stream",
+    oracle="""
+    WITH src AS (
+      SELECT event_id % 4 AS chunk, event_id, user_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN 0
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 20000)
+    )
+    SELECT chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(event_id) AS BIGINT) AS key_checksum,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN -cents ELSE cents END)
+                AS BIGINT) AS cents_checksum,
+           CAST(SUM(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_default_elided,
+           CAST(SUM(length(event_type)) AS BIGINT) AS type_bytes
+    FROM src
+    GROUP BY chunk
+    ORDER BY chunk
+    """,
+    doc=(
+        "Protocol Buffers wire-format ingestion (sources/protowire.py "
+        "— from the published proto3 encoding spec; no protobuf "
+        "library is deployed here): events render into varint/ZigZag/"
+        "length-delimited messages with proto3 DEFAULT ELISION (every "
+        "7th event's cents is 0 and is genuinely absent from the "
+        "wire — the decoder restores the default, and the audit "
+        "counts exactly those), framed with writeDelimitedTo varint "
+        "length prefixes — the Kafka/gRPC event-transport shape. Every "
+        "3rd event's cents is negated so the sint64 ZigZag path "
+        "round-trips real negatives. Streams ride a binary column and "
+        "decode DISTRIBUTED via mapInPandas; an unknown field (99) is "
+        "injected into every message and must be SKIPPED by wire type "
+        "— the forward-compatibility contract. Fixture build capped; "
+        "decode is the distributed part, per the msgpack/avro/gorilla "
+        "policy."
+    ),
+    tags=("ingest", "source", "formats", "protobuf"),
+)
+def ingest_protobuf_delimited_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dmi_ingestor_spark.catalog import table
+    from dmi_ingestor_spark.sources.protowire import encode_delimited_stream
+
+    rows = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .limit(20000)
+        .collect()
+    )
+    chunks: dict[int, list] = {0: [], 1: [], 2: [], 3: []}
+    for r in rows:
+        eid = int(r["event_id"])
+        cents = 0 if eid % 7 == 0 else int(round(r["value"] * 100))
+        if eid % 3 == 0:
+            cents = -cents
+        chunks[eid % 4].append(
+            [
+                (1, "varint", eid),
+                (2, "varint", int(r["user_id"])),
+                (3, "string", r["event_type"]),
+                (4, "sint", cents),
+                # unknown field every reader must skip by wire type
+                (99, "string", "x"),
+            ]
+        )
+    payloads = [
+        (chunk, encode_delimited_stream(msgs)) for chunk, msgs in chunks.items()
+    ]
+    df = spark.createDataFrame(payloads, "chunk long, payload binary")
+
+    def _decode(batches):
+        from dmi_ingestor_spark.sources.protowire import (
+            decode_delimited_stream,
+            unzigzag,
+        )
+
+        for pdf in batches:
+            out = []
+            for _, rec in pdf.iterrows():
+                msgs = decode_delimited_stream(bytes(rec["payload"]))
+                n_elided = sum(1 for m in msgs if 4 not in m)
+                out.append(
+                    (
+                        rec["chunk"],
+                        len(msgs),
+                        sum(m.get(1, 0) for m in msgs),
+                        sum(m.get(2, 0) for m in msgs),
+                        sum(unzigzag(m[4]) for m in msgs if 4 in m),
+                        n_elided,
+                        sum(len(m.get(3, b"")) for m in msgs),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "chunk",
+                    "n_msgs",
+                    "key_checksum",
+                    "user_checksum",
+                    "cents_checksum",
+                    "n_default_elided",
+                    "type_bytes",
+                ],
+            )
+
+    return (
+        df.repartition(4, "chunk")
+        .mapInPandas(
+            _decode,
+            "chunk long, n_msgs long, key_checksum long, "
+            "user_checksum long, cents_checksum long, "
+            "n_default_elided long, type_bytes long",
+        )
+        .orderBy("chunk")
+    )
