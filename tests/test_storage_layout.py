@@ -209,3 +209,30 @@ def test_sorted_write_narrows_file_ranges(spark, sf_dir, tmp_path):
     dom_lo = min(lo for lo, _ in u)
     dom_hi = max(hi for _, hi in u)
     assert all(hi - lo > (dom_hi - dom_lo) * 0.9 for lo, hi in u), u
+
+
+def test_roaring_container_codec():
+    """operators/bitmap.py: encoding choice follows the size rule, both
+    encodings round-trip, set algebra is exact."""
+    from dmi_ingestor_spark.operators.bitmap import (
+        ARRAY,
+        RUNS,
+        container_and,
+        container_or,
+        decode_container,
+        encode_container,
+    )
+
+    dense = list(range(100, 400))          # 1 run -> RUN container wins
+    sparse = list(range(0, 4000, 7))       # scattered -> ARRAY wins
+    e_dense, e_sparse = encode_container(dense), encode_container(sparse)
+    assert e_dense[0] == RUNS and len(e_dense) == 3 + 4
+    assert e_sparse[0] == ARRAY and len(e_sparse) == 3 + 2 * len(sparse)
+    assert decode_container(e_dense) == dense
+    assert decode_container(e_sparse) == sparse
+    both = container_and(e_dense, e_sparse)
+    assert both == sorted(set(dense) & set(sparse))
+    assert container_or(e_dense, e_sparse) == sorted(set(dense) | set(sparse))
+    # edge: empty and singleton
+    assert decode_container(encode_container([])) == []
+    assert decode_container(encode_container([65535])) == [65535]
