@@ -99,6 +99,26 @@ AUDITED = [
     "st_watermark_late_audit_batch",
     "pipeline_rendezvous_reshard_audit",
     "ts_croston_intermittent",
+    # round-6 wave: the new codec decodes (gorilla/protobuf/bitmap),
+    # the reprojection Arrow hop, the multivector/binary retrieval
+    # shapes, the sharded sample, and the allowlisted summary windows
+    "ingest_reproject_grid_points",
+    "ingest_gorilla_timeseries",
+    "ingest_protobuf_delimited_stream",
+    "layout_roaring_bitmap_index",
+    "sim_maxsim_late_interaction",
+    "vector_mips_norm_augment",
+    "vector_hamming_topk",
+    "spatial_trajectory_path_stats",
+    "sample_systematic_every_k",
+    "dq_invalid_rate_drift",
+    "dq_sequence_gap_audit",
+    "text_vocab_oov_coverage",
+    "scalar_semver_compare",
+    "agg_distinct_salted_twophase",
+    "ml_propensity_caliper_matching",
+    "analytics_adstock_carryover",
+    "ts_control_chart_nelson",
 ]
 
 
