@@ -5834,3 +5834,181 @@ def ml_propensity_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFram
             "att_cents_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust off-policy evaluation (direct model + IPS correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_offpolicy_doubly_robust",
+    oracle=f"""
+    WITH ref AS (
+      SELECT user_id % 4 AS segment, event_type AS action,
+             CAST(ROUND(value * 100) AS BIGINT) AS r_cents
+      FROM events WHERE event_id % 2 = 0
+    ),
+    logged AS (
+      SELECT user_id % 4 AS segment, event_type AS action,
+             CAST(ROUND(value * 100) AS BIGINT) AS r_cents
+      FROM events WHERE event_id % 2 = 1
+    ),
+    ref_seg AS (SELECT segment, COUNT(*) AS n0_s FROM ref GROUP BY segment),
+    qhat AS (
+      SELECT segment, action,
+             CAST(SUM(r_cents) AS HUGEINT) AS qn,
+             CAST(COUNT(*) AS HUGEINT) AS qd
+      FROM ref GROUP BY segment, action
+    ),
+    seg AS (SELECT segment, COUNT(*) AS n_s FROM logged GROUP BY segment),
+    target AS (
+      SELECT segment,
+             CASE WHEN segment % 2 = 0 THEN 'click' ELSE 'view' END
+               AS pi_action
+      FROM seg
+    ),
+    matched AS (
+      SELECT l.segment, COUNT(*) AS n_match, SUM(l.r_cents) AS r_match
+      FROM logged l JOIN target t
+        ON l.segment = t.segment AND l.action = t.pi_action
+      GROUP BY l.segment
+    ),
+    parts AS (
+      SELECT s.segment, s.n_s,
+             COALESCE(m.n_match, 0) AS n_match,
+             COALESCE(m.r_match, 0) AS r_match,
+             rs.n0_s,
+             COALESCE(ra.n0_as, 0) AS n0_as,
+             q.qn, q.qd
+      FROM seg s
+      JOIN target t ON t.segment = s.segment
+      JOIN ref_seg rs ON rs.segment = s.segment
+      LEFT JOIN (
+        SELECT segment, action, COUNT(*) AS n0_as FROM ref
+        GROUP BY segment, action
+      ) ra ON ra.segment = s.segment AND ra.action = t.pi_action
+      JOIN qhat q ON q.segment = s.segment AND q.action = t.pi_action
+      LEFT JOIN matched m ON m.segment = s.segment
+    ),
+    dr AS (
+      SELECT segment, n_s, n_match,
+             -- V_DR = qhat + n0_s*(r_match - n_match*qhat)/(n0_as*n_s)
+             -- cleared to one signed rational num/den
+             CAST(qn AS HUGEINT) * n0_as * n_s
+               + CAST(n0_s AS HUGEINT)
+                 * (CAST(r_match AS HUGEINT) * qd
+                    - CAST(n_match AS HUGEINT) * qn) AS num,
+             CAST(qd AS HUGEINT) * n0_as * n_s AS den
+      FROM parts
+    )
+    SELECT segment,
+           CAST(n_s AS BIGINT) AS n_rows,
+           CAST(n_match AS BIGINT) AS n_matched,
+           CAST(CASE WHEN den = 0 THEN 0
+                ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                     * (({_IPS_S} * abs(num)) // den) END AS BIGINT)
+             AS dr_value_scaled
+    FROM dr
+    ORDER BY segment
+    """,
+    doc=(
+        "Doubly-robust off-policy value (Dudik, Langford & Li, ICML "
+        "2011): V_DR = qhat(s, pi(s)) + 1[a = pi(s)]*(r - qhat)/p_hat, "
+        "combining the direct-model estimate with the IPS correction — "
+        "unbiased if EITHER the reward model or the propensity model "
+        "is right, the estimator production bandit evaluation actually "
+        "ships. Same held-out discipline as ml_offpolicy_ips_eval: "
+        "both q_hat (per-(segment,action) mean reward, kept as an "
+        "exact integer rational) and propensities come from the even-"
+        "id reference split; the value is evaluated on the odd-id "
+        "logging split. The whole estimator is cleared to ONE signed "
+        "integer rational per segment and emitted as a sign-safe "
+        "floored scaled division (abs-divide, reapply sign — floor and "
+        "truncate agree), exact in HUGEINT/DECIMAL(38,0). Plan: three "
+        "keyed aggregates + broadcast joins on the O(segments) "
+        "summary; the corpus is scanned twice (ref/logged), never "
+        "shuffled beyond the segment aggs."
+    ),
+    tags=("mllib", "bandit", "events"),
+)
+def ml_offpolicy_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("segment"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("r_cents"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    ref = ev.filter(F.col("half") == 0)
+    logged = ev.filter(F.col("half") == 1)
+    ref_seg = ref.groupBy("segment").agg(F.count(F.lit(1)).alias("n0_s"))
+    ref_act = ref.groupBy("segment", "action").agg(
+        F.count(F.lit(1)).alias("n0_as"),
+        F.sum("r_cents").alias("qn"),
+    )
+    seg = logged.groupBy("segment").agg(F.count(F.lit(1)).alias("n_s"))
+    target = seg.select(
+        "segment",
+        F.when(F.col("segment") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("pi_action"),
+    )
+    tgt = target.select(F.col("segment").alias("t_seg"), "pi_action")
+    matched = (
+        logged.join(
+            F.broadcast(tgt),
+            (logged.segment == F.col("t_seg"))
+            & (logged.action == F.col("pi_action")),
+        )
+        .groupBy(F.col("t_seg").alias("m_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum("r_cents").alias("r_match"),
+        )
+    )
+    ref_seg2 = ref_seg.select(F.col("segment").alias("rs_seg"), "n0_s")
+    qhat = ref_act.select(
+        F.col("segment").alias("q_seg"),
+        F.col("action").alias("q_act"),
+        "qn",
+        F.col("n0_as").alias("qd"),
+        "n0_as",
+    )
+    # build the summary row explicitly (all O(segments) relations)
+    parts = (
+        seg.join(target, "segment")
+        .join(F.broadcast(ref_seg2), F.col("rs_seg") == F.col("segment"))
+        .join(
+            F.broadcast(qhat),
+            (F.col("q_seg") == F.col("segment"))
+            & (F.col("q_act") == F.col("pi_action")),
+        )
+        .join(
+            F.broadcast(matched),
+            F.col("m_seg") == F.col("segment"),
+            "left",
+        )
+        .fillna(0, ["n_match", "r_match"])
+    )
+    dr = parts.select(
+        "segment",
+        "n_s",
+        "n_match",
+        F.expr(
+            "CAST(qn AS DECIMAL(38,0)) * n0_as * n_s"
+            " + CAST(n0_s AS DECIMAL(38,0))"
+            "   * (CAST(r_match AS DECIMAL(38,0)) * qd"
+            "      - CAST(n_match AS DECIMAL(38,0)) * qn)"
+        ).alias("num"),
+        F.expr("CAST(qd AS DECIMAL(38,0)) * n0_as * n_s").alias("den"),
+    )
+    return dr.select(
+        "segment",
+        F.col("n_s").cast("long").alias("n_rows"),
+        F.col("n_match").cast("long").alias("n_matched"),
+        F.expr(
+            f"CAST(CASE WHEN den = 0 THEN 0"
+            f" ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            f"      * (({_IPS_S} * abs(num)) div den) END AS BIGINT)"
+        ).alias("dr_value_scaled"),
+    ).orderBy("segment")

@@ -77,6 +77,14 @@ DEFAULT_QUERIES = [
     "ml_xicor_correlation",        # 2x sharded rank + boundary-stitched jumps
     "sample_coreset_sensitivity",  # two 1-row broadcast aggs, zero corpus shuffle
     "mm_audio_fingerprint_match",  # Arrow decode + hash-join offset voting
+    # round-6 session additions
+    "sim_maxsim_late_interaction",  # token explode + label-blocked join
+    "text_vocab_oov_coverage",     # token agg + TakeOrdered cut + broadcast join
+    "sample_systematic_every_k",   # sharded global order + map-side filter
+    "layout_roaring_bitmap_index", # container groupBy + Arrow codec pass
+    "vector_hamming_topk",         # zero-shuffle sign fold + broadcast popcount
+    "dq_sequence_gap_audit",       # bucket-partitioned lag + O(buckets) stitch
+    "ml_propensity_caliper_matching",  # score-bucket blocked nearest match
 ]
 
 
