@@ -1583,3 +1583,120 @@ def vector_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "hamming", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# e2e retrieval pipeline: binary-sketch prefilter -> exact cosine rerank
+# ---------------------------------------------------------------------------
+
+_RET_NQ = 4
+_RET_SHORTLIST = 32
+_RET_K = 5
+
+
+@register(
+    "pipeline_retrieval_e2e",
+    oracle=f"""
+    WITH w AS (
+      SELECT vec_id,
+             {_sql_signword("embedding", 0)} AS w0,
+             {_sql_signword("embedding", 32)} AS w1,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+               AS qv
+      FROM embeddings
+    ),
+    pre AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             a.qv AS qqv, b.qv AS cv,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                  AS BIGINT) AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY bit_count(xor(a.w0, b.w0))
+                        + bit_count(xor(a.w1, b.w1)), b.vec_id
+             ) AS prk
+      FROM w a JOIN w b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_RET_NQ}
+    ),
+    shortlist AS (SELECT * FROM pre WHERE prk <= {_RET_SHORTLIST}),
+    reranked AS (
+      SELECT query_id, cand_id, hamming,
+             ROUND({sql_cosine("qqv", "cv")}, 9) AS sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY {sql_cosine("qqv", "cv")} DESC, cand_id
+             ) AS rk
+      FROM shortlist
+    )
+    SELECT query_id, cand_id, hamming, sim, rk
+    FROM reranked WHERE rk <= {_RET_K}
+    ORDER BY query_id, rk
+    """,
+    doc=(
+        "End-to-end two-stage retrieval in ONE plan — the production "
+        "vector-search architecture (binary-quantized first stage + "
+        "exact second stage, the FAISS/ScaNN deployment shape): stage "
+        "1 scans the 8-byte sign-sketch table and keeps a 32-candidate "
+        "Hamming shortlist per query; stage 2 reranks ONLY the "
+        "shortlist with exact quantized cosine and emits top-5. "
+        "Composes vector_hamming_topk's zero-shuffle sign fold with "
+        "sim_topk_bruteforce's exact scoring; both stages are "
+        "broadcast-query passes over the corpus (no corpus shuffle), "
+        "and the expensive float math touches 32 rows per query "
+        "instead of the corpus — the 100 TB story is the sketch scan "
+        "is bandwidth-bound and the rerank is O(shortlist). "
+        "Integer Hamming + exact-integer-dot cosine rounded at 9 dp: "
+        "hash-exact end to end."
+    ),
+    tags=("similarity", "embeddings", "pipeline"),
+)
+def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", quantize(F.col("embedding")).alias("qv")
+    )
+
+    def signword(lo: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
+            f"(x, i) -> IF(x > CAST(0.0 AS FLOAT), "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+
+    w = emb.select(
+        "vec_id", signword(0).alias("w0"), signword(32).alias("w1"), "qv"
+    )
+    queries = w.filter(F.col("vec_id") < _RET_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+        F.col("qv").alias("qqv"),
+    )
+    pre = w.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "qqv",
+        F.col("qv").alias("cv"),
+        (
+            F.bit_count(F.expr("q0 ^ w0")) + F.bit_count(F.expr("q1 ^ w1"))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    wpre = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    shortlist = (
+        pre.withColumn("prk", F.row_number().over(wpre))
+        .filter(F.col("prk") <= _RET_SHORTLIST)
+    )
+    wrk = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("qqv"), F.col("cv")).desc(), F.col("cand_id")
+    )
+    return (
+        shortlist.withColumn("sim", F.round(cosine(F.col("qqv"), F.col("cv")), 9))
+        .withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") <= _RET_K)
+        .select("query_id", "cand_id", "hamming", "sim", "rk")
+        .orderBy("query_id", "rk")
+    )
