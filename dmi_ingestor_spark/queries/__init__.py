@@ -10,10 +10,15 @@ Round-7+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-Entering round 6 the oracle-bearing never-checked backlog is 250;
-this rotation takes 43 of them (plus the 6 stale-err re-presents and
-the new reprojection slot), leaving ~207 for rounds 7-10 at 50/round.
-Compute the next rotation directly::
+End of the round-6 session: 523 registered, 510 oracle-bearing; the
+oracle-bearing never-checked backlog is 269 (the r6 session added 19
+new queries). The r6 rotation takes 43 of the backlog (plus the 6
+stale-err re-presents and the new reprojection slot), so ~226 remain
+for rounds 7-11 at 50/round — front-load the r6 session additions
+(gorilla/protobuf/bitmap decodes, MaxSim/MIPS/Hamming retrieval,
+retrieval e2e, DR off-policy, salted distinct, propensity matching,
+adstock, Nelson rules, trajectory, systematic sample, dq drift/gap,
+vocab OOV, semver) in round 7. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
                                   glob.glob("CORRECTNESS_r0*.json")))
