@@ -149,6 +149,17 @@ def main() -> int:
         "  corpus-sized stage (per-order co-purchase pair build + distinct);",
         "  peel rounds are incremental since r5 (shuffle O(edges incident to",
         "  removed), measured slope 0.29 solo vs ~0.42 under sweep load).",
+        "- `ml_propensity_caliper_matching`: candidate pairs per treated",
+        "  unit grow with local score DENSITY (controls per 5k-cent bucket",
+        "  scale linearly with sf), so pair volume is O(n × density) — the",
+        "  caliper bounds it, the block width >= caliper keeps generation",
+        "  an equi-join; at fixed caliper the slope trends to ~1 (linear),",
+        "  never quadratic.",
+        "- `graph_spectral_bisection`: wall time is FIXED-COST (per-round",
+        "  eager checkpoint + broadcast-build jobs across ~30 tiny rounds,",
+        "  pinned to 2 partitions); slope ~0 at every sf — scale-safe but",
+        "  latency-heavy, which is why it is tracked here and deliberately",
+        "  NOT in bench.py.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
