@@ -6012,3 +6012,100 @@ def ml_offpolicy_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"      * (({_IPS_S} * abs(num)) div den) END AS BIGINT)"
         ).alias("dr_value_scaled"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (earth-mover) drift on binned integer mass
+# ---------------------------------------------------------------------------
+
+_WS_BIN = 10_000  # cents per bin
+_WS_S = 10**6
+
+
+@register(
+    "ml_wasserstein_drift_binned",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // {_WS_BIN} AS bin,
+             CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS half
+      FROM orders
+    ),
+    h AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM h),
+    c AS (
+      SELECT bin, n0, n1,
+             SUM(n0) OVER (ORDER BY bin) AS c0,
+             SUM(n1) OVER (ORDER BY bin) AS c1
+      FROM h
+    )
+    SELECT CAST(t.t0 AS BIGINT) AS n_ref,
+           CAST(t.t1 AS BIGINT) AS n_cur,
+           CAST(SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)) AS BIGINT)
+             AS emd_mass_crossnorm,
+           CAST(({_WS_S} * SUM(abs(c.c0 * t.t1 - c.c1 * t.t0)))
+                // (CAST(t.t0 AS HUGEINT) * t.t1
+                    * (SELECT COUNT(*) FROM h)) AS BIGINT)
+             AS emd_scaled
+    FROM c, t
+    GROUP BY t.t0, t.t1
+    """,
+    doc=(
+        "Exact 1-D Wasserstein-1 (earth mover's) distance between the "
+        "even/odd order-key halves of the price distribution, on "
+        "binned integer mass: in 1-D, W1 = sum over bins of "
+        "|CDF_ref - CDF_cur| x bin width, and with counts "
+        "cross-normalized (c0*t1 - c1*t0 instead of c0/t0 - c1/t1) "
+        "every term is an exact integer — no float CDFs, hash-exact. "
+        "Complements ml_psi_drift (ratio-based, unstable on empty "
+        "bins) and ml_ks_drift_binned (max-statistic, ignores how far "
+        "mass moved): EMD is the drift metric that weights "
+        "displacement, the standard choice for detecting gradual "
+        "price/feature shift. Plan: one binned conditional agg + a "
+        "prefix window over the O(bins) summary + a 1-row reduce."
+    ),
+    tags=("mllib", "drift", "orders"),
+)
+def ml_wasserstein_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    b = table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_WS_BIN}").alias(
+            "bin"
+        ),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    h = b.groupBy("bin").agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("half") == 1).cast("long")).alias("n1"),
+    )
+    t = h.agg(
+        F.sum("n0").alias("t0"),
+        F.sum("n1").alias("t1"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    w = Window.orderBy("bin")
+    c = h.select(
+        "bin",
+        F.sum("n0").over(w).alias("c0"),
+        F.sum("n1").over(w).alias("c1"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("t0").cast("long").alias("n_ref"),
+            F.max("t1").cast("long").alias("n_cur"),
+            F.sum(F.abs(F.col("c0") * F.col("t1") - F.col("c1") * F.col("t0")))
+            .cast("long")
+            .alias("emd_mass_crossnorm"),
+            F.expr(
+                f"CAST(({_WS_S} * sum(abs(c0 * t1 - c1 * t0)))"
+                f" div (CAST(max(t0) AS DECIMAL(38,0)) * max(t1)"
+                f" * max(n_bins)) AS BIGINT)"
+            ).alias("emd_scaled"),
+        )
+    )

@@ -5064,3 +5064,121 @@ def dq_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal interval coalescing (the temporal-DB "coalesce" operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transform_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST((o_orderkey % 30 + 5) AS INTEGER) AS e
+      FROM orders
+    ),
+    marked AS (
+      SELECT custkey, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) OR MAX(e) OVER (
+               PARTITION BY custkey ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT custkey, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY custkey ORDER BY s, e
+             ) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT custkey, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST((SELECT COUNT(*) FROM iv i WHERE i.custkey = m.custkey)
+                AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_periods,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_days,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_days
+    FROM merged m
+    GROUP BY custkey
+    ORDER BY custkey
+    """,
+    doc=(
+        "Temporal interval coalescing — the temporal-database COALESCE "
+        "operator (merge overlapping/adjacent validity periods per "
+        "key), the step every SCD/contract/subscription pipeline runs "
+        "before computing coverage: per customer, service periods "
+        "[orderdate, orderdate + 5..34 days] merge via the cumulative-"
+        "max island trick (a new period starts exactly when its start "
+        "exceeds the running max end — one partitioned window, no "
+        "self-join), then per-island min/max gives the merged periods "
+        "and exact covered-day arithmetic on DATE integers. Plan: one "
+        "hash shuffle on custkey + partitioned windows + one keyed "
+        "agg; at 100 TB identical, with hot keys taking the usual "
+        "salting treatment."
+    ),
+    tags=("transform", "temporal", "orders"),
+)
+def transform_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    iv = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30 + 5).cast("int"),
+        ).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "custkey",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(wprev).isNull()
+            | (F.col("s") > F.max("e").over(wprev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    wcum = Window.partitionBy("custkey").orderBy("s", "e")
+    islands = marked.withColumn("island", F.sum("new_island").over(wcum))
+    merged = islands.groupBy("custkey", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    n_iv = iv.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        merged.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged_periods"),
+            F.sum(F.datediff("me", "ms")).cast("long").alias("covered_days"),
+            F.max(F.datediff("me", "ms")).cast("long").alias("longest_days"),
+        )
+        .join(n_iv, "custkey")
+        .select(
+            "custkey",
+            "n_intervals",
+            "n_merged_periods",
+            "covered_days",
+            "longest_days",
+        )
+        .orderBy("custkey")
+    )

@@ -67,6 +67,7 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "ts_bollinger_bands": "trailing window over the O(months) summary series",
     "ts_longest_growth_streak": "lag/prefix windows over the O(months) summary series",
     "ml_ks_drift_binned": "CDF window over the O(price-domain/100) bin summary",
+    "ml_wasserstein_drift_binned": "CDF prefix window over the O(price-bins) summary (~60 rows)",
     "ml_decision_stump_exact": (
         "cumulative window over the per-threshold aggregate "
         "(O(distinct feature values) rows; real split-finders bin to <=256)"
