@@ -1287,3 +1287,101 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_votes")
         .orderBy("qdoc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multipart / chunked-transfer reassembly (S3 multipart, MQTT chunking)
+# ---------------------------------------------------------------------------
+
+_CHUNKS = 4
+
+
+@register(
+    "mm_multipart_reassembly",
+    oracle=f"""
+    WITH parts AS (
+      SELECT doc_id,
+             i AS part_no,
+             substr(text,
+                    1 + (i - 1) * ((length(text) + {_CHUNKS} - 1) // {_CHUNKS}),
+                    ((length(text) + {_CHUNKS} - 1) // {_CHUNKS})) AS chunk
+      FROM documents, (SELECT unnest(generate_series(1, {_CHUNKS})) AS i)
+      WHERE doc_id < 200
+    ),
+    reassembled AS (
+      SELECT doc_id,
+             string_agg(chunk, '' ORDER BY part_no) AS body,
+             COUNT(*) AS n_parts
+      FROM parts GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           CAST(r.n_parts AS BIGINT) AS n_parts,
+           CAST(length(r.body) AS BIGINT) AS n_chars,
+           md5(r.body) AS digest,
+           CAST(CASE WHEN r.body = d.text THEN 1 ELSE 0 END AS BIGINT)
+             AS intact
+    FROM reassembled r JOIN documents d ON d.doc_id = r.doc_id
+    ORDER BY r.doc_id
+    """,
+    doc=(
+        "Multipart payload reassembly — the S3-multipart / chunked-"
+        "message ingest step: each document arrives as 4 out-of-order "
+        "parts (part_no, bytes), and reassembly is "
+        "groupBy(doc).sort-within-group + concat, with an md5 digest "
+        "and an intact flag proving byte-level reconstruction against "
+        "the original (the oracle reassembles independently with "
+        "string_agg ORDER BY and compares to the source). The Spark "
+        "side deliberately SCRAMBLES part order (repartition by a "
+        "part-derived key) before reassembling via "
+        "array_sort(collect_list(struct(part_no, chunk))) — order "
+        "restoration is the thing under test. At scale parts shuffle "
+        "once on doc_id and each group is one document's parts — "
+        "bounded memory, the exact shape of multipart uploads landing "
+        "out of order from a fleet of producers."
+    ),
+    tags=("multimodal", "ingest", "documents"),
+)
+def mm_multipart_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    csize = F.expr(f"CAST((length(text) + {_CHUNKS - 1}) div {_CHUNKS} AS INT)")
+    parts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_CHUNKS))).alias("part_no"),
+            csize.alias("csize"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "part_no",
+            F.expr(
+                "substring(text, 1 + (part_no - 1) * csize, csize)"
+            ).alias("chunk"),
+        )
+        # scramble: parts land wherever their producer shard put them
+        .repartition(8, (F.col("doc_id") * 7 + F.col("part_no")) % 8)
+    )
+    reassembled = parts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("part_no", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            "",
+        ).alias("body"),
+    )
+    orig = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("orig")
+    )
+    return (
+        reassembled.join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_parts",
+            F.length("body").cast("long").alias("n_chars"),
+            F.md5(F.col("body").cast("binary")).alias("digest"),
+            (F.col("body") == F.col("orig")).cast("long").alias("intact"),
+        )
+        .orderBy("doc_id")
+    )
