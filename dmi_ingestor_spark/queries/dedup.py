@@ -2391,3 +2391,137 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cfg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic-key blocking (Soundex-family consonant classes)
+# ---------------------------------------------------------------------------
+
+# Consonant classes per the Soundex family (Odell & Russell's patent
+# groups): labials=1, gutturals/sibilants=2, dentals=3, L=4, M/N=5, R=6.
+_PH_FROM = "bfpvcgjkqsxzdtlmnr"
+_PH_TO = "111122222222334556"
+
+
+def _collapse_digit_runs(col):
+    """Collapse runs of equal class digits. Six chained single-digit
+    patterns instead of a backreference — DuckDB's RE2 regex engine has
+    no backreferences, so the oracle must (and both sides do) use the
+    backref-free form."""
+    for d in "123456":
+        col = F.regexp_replace(col, d + "{2,}", d)
+    return col
+
+
+@register(
+    "dedup_phonetic_block_join",
+    oracle=f"""
+    WITH words AS (
+      SELECT p_partkey, p_brand,
+             regexp_extract(p_name, '^([a-z]+)', 1) AS w
+      FROM part
+    ),
+    keyed AS (
+      SELECT p_partkey, p_brand, w,
+             upper(substr(w, 1, 1)) ||
+             substr(
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(
+                   translate(substr(w, 2), '{_PH_FROM}', '{_PH_TO}'),
+                   '[^1-6]', '', 'g'),
+                 '1{{2,}}', '1', 'g'), '2{{2,}}', '2', 'g'),
+                 '3{{2,}}', '3', 'g'), '4{{2,}}', '4', 'g'),
+                 '5{{2,}}', '5', 'g'), '6{{2,}}', '6', 'g') || '000',
+               1, 3) AS pkey
+      FROM words
+    ),
+    blocks AS (
+      SELECT pkey,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+      FROM keyed GROUP BY pkey
+    ),
+    pairs AS (
+      SELECT a.pkey, COUNT(*) AS n_candidate_pairs
+      FROM keyed a JOIN keyed b
+        ON b.pkey = a.pkey AND b.p_partkey > a.p_partkey AND b.w <> a.w
+      GROUP BY a.pkey
+    )
+    SELECT b.pkey, b.n_parts, b.n_distinct_words, b.n_brands,
+           CAST(COALESCE(p.n_candidate_pairs, 0) AS BIGINT)
+             AS n_candidate_pairs
+    FROM blocks b LEFT JOIN pairs p ON p.pkey = b.pkey
+    ORDER BY b.pkey
+    """,
+    doc=(
+        "Phonetic-key blocking for name matching — the third classic "
+        "fuzzy-blocking family beside edit-distance neighborhoods "
+        "(join_edit_distance_blocked) and token blocking "
+        "(join_fuzzy_token_blocked): words map to a Soundex-family "
+        "key (first letter + consonant-class digits with adjacent "
+        "dedup, the Odell-Russell patent groups), records sharing a "
+        "key become candidate pairs, and the audit reports per-block "
+        "cardinality and DIFFERENT-word candidate counts (the pairs a "
+        "matcher would verify). The key is built from the same "
+        "translate + regexp pipeline on both engines, so the blocking "
+        "function itself is hash-checked, not just the counts. "
+        "Blocking keys bound candidates to O(sum block^2) with "
+        "phonetically-coherent blocks — the record-linkage shape "
+        "census bureaus run at national scale."
+    ),
+    tags=("dedup", "blocking", "part"),
+)
+def dedup_phonetic_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("w"),
+    ).select(
+        "p_partkey",
+        "p_brand",
+        "w",
+        F.concat(
+            F.upper(F.substring("w", 1, 1)),
+            F.substring(
+                F.concat(
+                    _collapse_digit_runs(
+                        F.regexp_replace(
+                            F.translate(
+                                F.expr("substr(w, 2)"), _PH_FROM, _PH_TO
+                            ),
+                            "[^1-6]",
+                            "",
+                        )
+                    ),
+                    F.lit("000"),
+                ),
+                1,
+                3,
+            ),
+        ).alias("pkey"),
+    )
+    keyed = keyed.cache()  # blocks + self-join pairs
+    blocks = keyed.groupBy("pkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.countDistinct("w").cast("long").alias("n_distinct_words"),
+        F.countDistinct("p_brand").cast("long").alias("n_brands"),
+    )
+    a = keyed.select("pkey", F.col("p_partkey").alias("ka"), F.col("w").alias("wa"))
+    b = keyed.select("pkey", F.col("p_partkey").alias("kb"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "pkey")
+        .filter((F.col("kb") > F.col("ka")) & (F.col("wb") != F.col("wa")))
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    )
+    return (
+        blocks.join(pairs, "pkey", "left")
+        .fillna(0, ["n_candidate_pairs"])
+        .select(
+            "pkey", "n_parts", "n_distinct_words", "n_brands",
+            F.col("n_candidate_pairs").cast("long").alias("n_candidate_pairs"),
+        )
+        .orderBy("pkey")
+    )

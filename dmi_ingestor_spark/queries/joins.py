@@ -1171,3 +1171,113 @@ def join_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO inventory costing: sequential allocation as interval overlap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_fifo_cost_allocation",
+    oracle="""
+    WITH lots AS (
+      SELECT l_partkey AS pk,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT)
+               AS unit_cents,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w AS cb,
+             COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb0
+      FROM lineitem WHERE l_orderkey % 2 = 0
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber)
+    ),
+    sales AS (
+      SELECT l_partkey AS pk,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w AS cs,
+             COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs0
+      FROM lineitem WHERE l_orderkey % 2 = 1
+      WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber)
+    ),
+    alloc AS (
+      SELECT l.pk,
+             LEAST(l.cb, s.cs) - GREATEST(l.cb0, s.cs0) AS aq,
+             l.unit_cents
+      FROM lots l JOIN sales s
+        ON s.pk = l.pk AND l.cb0 < s.cs AND s.cs0 < l.cb
+    )
+    SELECT pk AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_allocations,
+           CAST(SUM(aq) AS BIGINT) AS qty_allocated,
+           CAST(SUM(aq * unit_cents) AS BIGINT) AS cogs_cents
+    FROM alloc
+    GROUP BY pk
+    ORDER BY pk
+    """,
+    doc=(
+        "FIFO inventory cost allocation — the financial-costing "
+        "operator usually written as a slow procedural loop: purchases "
+        "(even orderkeys, as lots) are consumed by sales (odd "
+        "orderkeys) strictly in arrival order, and cost of goods sold "
+        "prices each sold unit at ITS lot's unit cost. The scalable "
+        "rewrite: cumulative-quantity windows turn every lot and sale "
+        "into an interval on the per-part consumption axis, and FIFO "
+        "allocation becomes an INTERVAL-OVERLAP EQUI-JOIN on partkey "
+        "(overlap = min(cb,cs) - max(cb0,cs0)) — one hash shuffle, "
+        "per-key-bounded pair counts, no loop, no recursion. "
+        "Quantities are exact integers; unit cost is one shared "
+        "round() both engines evaluate identically. The same rewrite "
+        "powers queue-draining, budget-exhaustion and ad-pacing "
+        "allocations at 100 TB."
+    ),
+    tags=("join", "interval", "finance", "lineitem"),
+)
+def join_fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+        .cast("long")
+        .alias("unit_cents"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    lots = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_partkey").alias("pk"),
+        "unit_cents",
+        F.sum("qty").over(w).alias("cb"),
+        F.coalesce(F.sum("qty").over(wprev), F.lit(0)).alias("cb0"),
+    )
+    sales = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        F.col("l_partkey").alias("pk"),
+        F.sum("qty").over(w).alias("cs"),
+        F.coalesce(F.sum("qty").over(wprev), F.lit(0)).alias("cs0"),
+    )
+    alloc = (
+        lots.join(sales, "pk")
+        .filter((F.col("cb0") < F.col("cs")) & (F.col("cs0") < F.col("cb")))
+        .select(
+            "pk",
+            (F.least("cb", "cs") - F.greatest("cb0", "cs0")).alias("aq"),
+            "unit_cents",
+        )
+    )
+    return (
+        alloc.groupBy(F.col("pk").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_allocations"),
+            F.sum("aq").cast("long").alias("qty_allocated"),
+            F.sum(F.col("aq") * F.col("unit_cents"))
+            .cast("long")
+            .alias("cogs_cents"),
+        )
+        .orderBy("partkey")
+    )
