@@ -3849,3 +3849,100 @@ def graph_triad_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_reciprocal"),
         F.sum("n_arcs").cast("long").alias("total_arcs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bill-of-materials explosion (recursive descent with quantity product)
+# ---------------------------------------------------------------------------
+
+_BOM_ROUNDS = 7  # ceil(log4(max partkey)) at every tested sf
+
+
+@register(
+    "graph_bom_explosion",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey // 4 AS parent, p_partkey AS child,
+             CAST(p_partkey % 3 + 1 AS BIGINT) AS qty_per
+      FROM part WHERE p_partkey >= 4
+    ),
+    paths (anc, descendant, qty, depth) AS (
+      SELECT parent, child, qty_per, 1 FROM edges
+      UNION ALL
+      SELECT p.anc, e.child, p.qty * e.qty_per, p.depth + 1
+      FROM paths p JOIN edges e ON e.parent = p.descendant
+    )
+    SELECT anc AS assembly,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(qty) AS BIGINT) AS total_units,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM paths
+    GROUP BY anc
+    HAVING COUNT(*) >= 16
+    ORDER BY assembly
+    """,
+    doc=(
+        "Bill-of-materials explosion — THE classic recursive query "
+        "(every MRP system's core operation): a part hierarchy "
+        "(parent = key div 4, 1-3 units per child) is exploded to all "
+        "(assembly, descendant) pairs with the QUANTITY PRODUCT "
+        "multiplied along each path, then rolled up per assembly "
+        "(component count, total units required, max depth). Spark "
+        "side: iterative frontier join — paths(d+1) = paths(d) join "
+        "edges on the descendant — with per-round localCheckpoint "
+        "lineage truncation, rounds bounded by the hierarchy depth "
+        "(log4 of the key domain, 7 here); the oracle is the "
+        "textbook WITH RECURSIVE. Products stay small exact integers "
+        "(3^depth). At 100 TB the frontier join is one hash shuffle "
+        "per level and depth is the data's property — the same shape "
+        "as the production BOM/org-chart/menu-tree descent."
+    ),
+    tags=("graph", "recursive", "part"),
+)
+def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") >= 4)
+        .select(
+            F.expr("p_partkey div 4").alias("parent"),
+            F.col("p_partkey").alias("child"),
+            (F.col("p_partkey") % 3 + 1).cast("long").alias("qty_per"),
+        )
+        .cache()  # consumed once per descent round
+    )
+    paths = edges.select(
+        F.col("parent").alias("anc"),
+        F.col("child").alias("descendant"),
+        F.col("qty_per").alias("qty"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=True)
+    frontier = paths
+    for _ in range(_BOM_ROUNDS - 1):
+        nxt = (
+            frontier.join(
+                edges, frontier.descendant == edges.parent
+            )
+            .select(
+                frontier.anc.alias("anc"),
+                edges.child.alias("descendant"),
+                (frontier.qty * edges.qty_per).alias("qty"),
+                (frontier.depth + 1).alias("depth"),
+            )
+        )
+        # frontier shrinks geometrically; checkpoint keeps each round's
+        # plan flat instead of compounding the join lineage
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        paths = paths.unionByName(nxt)
+        frontier = nxt
+    return (
+        paths.groupBy(F.col("anc").alias("assembly"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("qty").cast("long").alias("total_units"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+        .filter(F.col("n_components") >= 16)
+        .orderBy("assembly")
+    )
