@@ -2100,3 +2100,116 @@ def ingest_protobuf_delimited_stream(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("chunk")
     )
+
+
+@register(
+    "ingest_mime_header_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'Message-ID: <' || CAST(doc_id AS VARCHAR) || '@example.org>' ||
+             chr(10) || 'Subject: doc ' || CAST(doc_id AS VARCHAR) ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || chr(9) || '(folded continuation)'
+                  ELSE '' END ||
+             chr(10) || 'received: relay' || CAST(doc_id % 5 AS VARCHAR) ||
+             chr(10) || 'RECEIVED: relay' || CAST(doc_id % 7 AS VARCHAR) ||
+             chr(10) || 'X-Lang: ' || lang AS hdr
+      FROM documents WHERE doc_id < 500
+    ),
+    unfolded AS (
+      SELECT doc_id,
+             regexp_replace(hdr, chr(10) || '[ ' || chr(9) || ']+', ' ', 'g')
+               AS h
+      FROM raw
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(h, chr(10))) AS line
+      FROM unfolded
+    ),
+    fields AS (
+      SELECT doc_id,
+             lower(regexp_extract(line, '^([^:]+):', 1)) AS k,
+             trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS v
+      FROM lines WHERE line LIKE '%:%'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fields,
+           CAST(SUM(CASE WHEN k = 'received' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_received,
+           CAST(MAX(CASE WHEN k = 'subject' THEN length(v) END) AS BIGINT)
+             AS subject_len,
+           MAX(CASE WHEN k = 'x-lang' THEN v END) AS lang,
+           CAST(SUM(length(v)) AS BIGINT) AS value_bytes
+    FROM fields
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=(
+        "RFC 5322 message-header parsing — the mbox/email-corpus "
+        "ingest shape (Enron-style datasets, support-ticket dumps): "
+        "header blocks with FOLDED continuation lines (a newline "
+        "followed by whitespace is part of the previous field, "
+        "exercised on every 3rd doc), case-insensitive field names "
+        "(two Received headers differing only in case must both "
+        "count toward the relay-hop census), and colon field "
+        "splitting — all pure JVM regexp/split/explode, no Python. "
+        "The audit is per-message: field count, Received hop count, "
+        "unfolded subject length, extracted value. Scale: unfold is "
+        "a map-side regexp, the explode is line-grain, the rollup is "
+        "one keyed agg — scan-shaped at any corpus size."
+    ),
+    tags=("ingest", "source", "formats", "mime"),
+)
+def ingest_mime_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dmi_ingestor_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hdr = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Message-ID: <"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org>\n"),
+            F.lit("Subject: doc "),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n\t(folded continuation)")
+            ).otherwise(F.lit("")),
+            F.lit("\nreceived: relay"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\nRECEIVED: relay"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nX-Lang: "),
+            F.col("lang"),
+        ).alias("hdr"),
+    )
+    unfolded = hdr.select(
+        "doc_id",
+        F.regexp_replace("hdr", "\n[ \t]+", " ").alias("h"),
+    )
+    lines = unfolded.select(
+        "doc_id", F.explode(F.split("h", "\n")).alias("line")
+    )
+    fields = lines.filter(F.col("line").contains(":")).select(
+        "doc_id",
+        F.lower(F.regexp_extract("line", "^([^:]+):", 1)).alias("k"),
+        F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1)).alias("v"),
+    )
+    return (
+        fields.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fields"),
+            F.sum((F.col("k") == "received").cast("long"))
+            .cast("long")
+            .alias("n_received"),
+            F.max(
+                F.when(F.col("k") == "subject", F.length("v"))
+            )
+            .cast("long")
+            .alias("subject_len"),
+            F.max(F.when(F.col("k") == "x-lang", F.col("v"))).alias("lang"),
+            F.sum(F.length("v")).cast("long").alias("value_bytes"),
+        )
+        .orderBy("doc_id")
+    )
