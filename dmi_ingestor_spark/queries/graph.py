@@ -3946,3 +3946,86 @@ def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_components") >= 16)
         .orderBy("assembly")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted bipartite projection (supplier-part -> part co-supply graph)
+# ---------------------------------------------------------------------------
+
+_BP_TOP = 12   # parts kept per supplier before pairing (the density cap)
+_BP_MIN_W = 2  # report pairs co-supplied by >= 2 suppliers
+
+
+@register(
+    "graph_bipartite_projection",
+    oracle=f"""
+    WITH sp AS (
+      SELECT l_suppkey AS s, l_partkey AS p, COUNT(*) AS cnt
+      FROM lineitem GROUP BY s, p
+    ),
+    ranked AS (
+      SELECT s, p,
+             ROW_NUMBER() OVER (
+               PARTITION BY s ORDER BY cnt DESC, p
+             ) AS rk
+      FROM sp
+    ),
+    kept AS (SELECT s, p FROM ranked WHERE rk <= {_BP_TOP}),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS w
+      FROM kept a JOIN kept b ON b.s = a.s AND b.p > a.p
+      GROUP BY p1, p2
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(w AS BIGINT) AS n_common_suppliers
+    FROM pairs WHERE w >= {_BP_MIN_W}
+    ORDER BY n_common_suppliers DESC, p1, p2
+    """,
+    doc=(
+        "Weighted bipartite projection — the network-science step that "
+        "turns a two-mode graph (supplier-supplies-part) into a "
+        "one-mode co-occurrence graph (part-part, weighted by common "
+        "suppliers): the substrate of co-purchase recommendations, "
+        "collaboration networks, and item-item graphs. The known "
+        "scale hazard is hub blowup (a supplier carrying k parts "
+        "emits k^2/2 pairs), handled the production way: each "
+        "supplier's part list is CAPPED to its top-12 parts by "
+        "supply count before pairing (rank window, per-key bounded), "
+        "so pair volume is O(suppliers x cap^2) by construction — "
+        "the documented-cap pattern the MinHash shingle bound uses "
+        "(dedup.py MAX_SHINGLE_DF). Pure integer counts, one hash "
+        "shuffle on supplier for pairing and one on the pair key for "
+        "the weight rollup."
+    ),
+    tags=("graph", "bipartite", "lineitem"),
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sp = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("s").orderBy(F.col("cnt").desc(), F.col("p"))
+    kept = (
+        sp.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BP_TOP)
+        .select("s", "p")
+        .cache()  # both sides of the pairing self-join
+    )
+    a = kept.select("s", F.col("p").alias("p1"))
+    b = kept.select("s", F.col("p").alias("p2"))
+    return (
+        a.join(b, "s")
+        .filter(F.col("p2") > F.col("p1"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common_suppliers"))
+        .filter(F.col("n_common_suppliers") >= _BP_MIN_W)
+        .select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            "n_common_suppliers",
+        )
+        .orderBy(F.col("n_common_suppliers").desc(), "p1", "p2")
+    )
