@@ -2638,3 +2638,117 @@ def text_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose routing heuristic (pre-training corpus router)
+# ---------------------------------------------------------------------------
+
+_CODE_S = 1000  # permille scale
+
+
+@register(
+    "text_code_detection_router",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text,
+               '[{{}}();=<>\\[\\]]', '', 'g')) AS n_symbols,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             CASE WHEN doc_id % 11 = 0 THEN
+               'def f_' || CAST(doc_id AS VARCHAR) ||
+               '(x): {{ return (x[0] <= 1); }};'
+             ELSE '' END AS injected
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             n_chars + length(injected) AS n_chars,
+             n_symbols
+               + length(injected)
+               - length(regexp_replace(injected,
+                   '[{{}}();=<>\\[\\]]', '', 'g')) AS n_symbols
+      FROM feats
+    ),
+    flagged AS (
+      SELECT doc_id, lang, n_chars, n_symbols,
+             ({_CODE_S} * n_symbols) // n_chars AS symbol_permille,
+             CASE WHEN ({_CODE_S} * n_symbols) // n_chars >= 15
+                  THEN 1 ELSE 0 END AS is_code
+      FROM scored WHERE n_chars > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code,
+           CAST(SUM(CASE WHEN is_code = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS code_chars,
+           CAST(MAX(symbol_permille) AS BIGINT) AS max_symbol_permille
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=(
+        "Code-vs-prose routing — the pre-training corpus router that "
+        "decides whether a document goes to the code pipeline (its own "
+        "dedup/quality rules) or the text pipeline: a symbol-density "
+        "heuristic over the characters natural prose rarely uses "
+        "({{}}();=<>[]), thresholded at 15 permille. Every 11th doc "
+        "gets a code snippet INJECTED so both router branches carry "
+        "real mass and the threshold genuinely separates (a router "
+        "audit with an empty branch proves nothing). Pure JVM "
+        "regexp-strip length arithmetic, integer permille — the "
+        "one-scan shape of every corpus-routing pass; compare "
+        "text_quality_score (prose quality) and "
+        "mm_modality_router (binary payloads): same family, "
+        "different signal."
+    ),
+    tags=("text", "llm-pipeline", "documents"),
+)
+def text_code_detection_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sym = "[{}();=<>\\[\\]]"
+    injected = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit("def f_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(x): { return (x[0] <= 1); };"),
+        ),
+    ).otherwise(F.lit(""))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        (F.length("text") + F.length(injected)).alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", sym, ""))
+            + F.length(injected)
+            - F.length(F.regexp_replace(injected, sym, ""))
+        ).alias("n_symbols"),
+    )
+    flagged = feats.filter(F.col("n_chars") > 0).select(
+        "lang",
+        "n_chars",
+        "n_symbols",
+        F.expr(f"({_CODE_S} * n_symbols) div n_chars").alias(
+            "symbol_permille"
+        ),
+        (
+            F.expr(f"({_CODE_S} * n_symbols) div n_chars") >= 15
+        )
+        .cast("long")
+        .alias("is_code"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_code").cast("long").alias("n_code"),
+            F.sum(F.when(F.col("is_code") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("code_chars"),
+            F.max("symbol_permille").cast("long").alias("max_symbol_permille"),
+        )
+        .orderBy("lang")
+    )
