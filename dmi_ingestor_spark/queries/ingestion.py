@@ -2213,3 +2213,110 @@ def ingest_mime_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ingest_met_derive_wind_dewpoint",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID}),
+    met AS (
+      SELECT t, iy, ix,
+             -- u/v wind components and T/RH from the grid formula
+             CAST(10.0 * sin(CAST(iy AS DOUBLE) * 0.7)
+                  + 0.01 * (ix % 13) AS DOUBLE) AS u,
+             CAST(8.0 * cos(CAST(ix AS DOUBLE) * 0.5)
+                  + 0.01 * (iy % 11) AS DOUBLE) AS v,
+             CAST(2.0 + 0.3 * iy + 0.05 * (t % 7) AS DOUBLE) AS temp_c,
+             CAST(40.0 + (ix * 7 + iy * 3) % 55 AS DOUBLE) AS rh
+      FROM grid
+    ),
+    derived AS (
+      SELECT t,
+             round(sqrt(u * u + v * v) * 1000000) AS speed_u,
+             round((degrees(atan2(-u, -v)) + 360.0
+                    - 360.0 * floor((degrees(atan2(-u, -v)) + 360.0)
+                                    / 360.0)) * 1000) AS dir_u,
+             round(243.04 * (ln(rh / 100.0)
+                             + 17.625 * temp_c / (243.04 + temp_c))
+                   / (17.625 - ln(rh / 100.0)
+                      - 17.625 * temp_c / (243.04 + temp_c))
+                   * 1000) AS dew_u
+      FROM met
+    )
+    SELECT t AS timestep,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CAST(speed_u AS BIGINT)) AS BIGINT)
+             AS speed_micro_sum,
+           CAST(SUM(CAST(dir_u AS BIGINT)) AS BIGINT) AS dir_milli_sum,
+           CAST(SUM(CAST(dew_u AS BIGINT)) AS BIGINT)
+             AS dewpoint_milli_sum,
+           CAST(MAX(CAST(dew_u AS BIGINT)) AS BIGINT) AS dewpoint_milli_max
+    FROM derived
+    GROUP BY t
+    ORDER BY t
+    """,
+    doc=(
+        "Meteorological variable derivation — what every consumer of "
+        "the reference's cubes (ingestor.py serves HARMONIE forecast "
+        "fields) computes next: wind SPEED sqrt(u^2+v^2) and "
+        "meteorological DIRECTION (degrees-from-north the wind blows "
+        "FROM: atan2(-u,-v) normalized to [0,360)), and DEWPOINT via "
+        "the Magnus-Tetens approximation (Alduchov-Eskridge 1996 "
+        "constants b=17.625, c=243.04). Float discipline: both "
+        "engines evaluate the IDENTICAL expression tree and the "
+        "outputs quantize at 1e-3/1e-6 grids, ~1e7 ulps above any "
+        "libm last-ulp divergence (the reprojection query's "
+        "argument, SURVEY F7). One map-side derivation + keyed "
+        "rollup per timestep — the post-decode step of every NWP "
+        "ingest, scan-shaped at any cube count."
+    ),
+    tags=("ingest", "met", "reference"),
+)
+def ingest_met_derive_wind_dewpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _spark_grid(spark)
+    met = g.select(
+        "t",
+        (
+            F.lit(10.0) * F.sin(F.col("iy").cast("double") * 0.7)
+            + F.lit(0.01) * (F.col("ix") % 13)
+        ).alias("u"),
+        (
+            F.lit(8.0) * F.cos(F.col("ix").cast("double") * 0.5)
+            + F.lit(0.01) * (F.col("iy") % 11)
+        ).alias("v"),
+        (F.lit(2.0) + 0.3 * F.col("iy") + 0.05 * (F.col("t") % 7)).alias(
+            "temp_c"
+        ),
+        (F.lit(40.0) + (F.col("ix") * 7 + F.col("iy") * 3) % 55)
+        .cast("double")
+        .alias("rh"),
+    )
+    deg_dir = F.degrees(F.atan2(-F.col("u"), -F.col("v"))) + 360.0
+    dir_norm = deg_dir - 360.0 * F.floor(deg_dir / 360.0)
+    gamma = F.log(F.col("rh") / 100.0) + 17.625 * F.col("temp_c") / (
+        243.04 + F.col("temp_c")
+    )
+    derived = met.select(
+        "t",
+        F.round(F.sqrt(F.col("u") * F.col("u") + F.col("v") * F.col("v")) * 1e6)
+        .alias("speed_u"),
+        F.round(dir_norm * 1000).alias("dir_u"),
+        F.round(243.04 * gamma / (17.625 - gamma) * 1000).alias("dew_u"),
+    )
+    return (
+        derived.groupBy(F.col("t").alias("timestep"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.col("speed_u").cast("long"))
+            .cast("long")
+            .alias("speed_micro_sum"),
+            F.sum(F.col("dir_u").cast("long")).cast("long").alias("dir_milli_sum"),
+            F.sum(F.col("dew_u").cast("long"))
+            .cast("long")
+            .alias("dewpoint_milli_sum"),
+            F.max(F.col("dew_u").cast("long"))
+            .cast("long")
+            .alias("dewpoint_milli_max"),
+        )
+        .orderBy("timestep")
+    )
