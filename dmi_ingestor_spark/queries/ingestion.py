@@ -2320,3 +2320,115 @@ def ingest_met_derive_wind_dewpoint(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("timestep")
     )
+
+
+@register(
+    "ingest_regrid_conservative",
+    oracle=f"""
+    WITH grid AS ({_SQL_GRID}),
+    src AS (
+      -- integer milli-degree cell edges: source cells are 100 wide
+      SELECT t, value,
+             iy * 100 AS ylo, iy * 100 + 100 AS yhi,
+             ix * 100 AS xlo, ix * 100 + 100 AS xhi
+      FROM grid
+    ),
+    cand AS (
+      SELECT s.*, ty.ty, tx.tx
+      FROM src s,
+           (SELECT unnest(generate_series(0, 1)) AS dy) oy,
+           (SELECT unnest(generate_series(0, 1)) AS dx) ox,
+           LATERAL (SELECT s.ylo // 250 + oy.dy AS ty) ty,
+           LATERAL (SELECT s.xlo // 250 + ox.dx AS tx) tx
+      WHERE ty.ty * 250 < s.yhi AND (ty.ty + 1) * 250 > s.ylo
+        AND tx.tx * 250 < s.xhi AND (tx.tx + 1) * 250 > s.xlo
+    ),
+    weighted AS (
+      SELECT t, ty, tx,
+             (LEAST(yhi, (ty + 1) * 250) - GREATEST(ylo, ty * 250))
+             * (LEAST(xhi, (tx + 1) * 250) - GREATEST(xlo, tx * 250))
+               AS w,
+             value
+      FROM cand
+    )
+    SELECT t AS timestep, CAST(ty AS BIGINT) AS cell_y,
+           CAST(tx AS BIGINT) AS cell_x,
+           CAST(SUM(w) AS BIGINT) AS area_milli2,
+           CAST(SUM(w * CAST(value AS BIGINT)) AS BIGINT) AS weighted_sum,
+           CAST((1000000 * SUM(w * CAST(value AS BIGINT))) // SUM(w)
+                AS BIGINT) AS mean_micro
+    FROM weighted
+    GROUP BY t, ty, tx
+    ORDER BY t, ty, tx
+    """,
+    doc=(
+        "Conservative (area-weighted) regridding — the remap method "
+        "flux fields REQUIRE (bilinear redistributes mass, "
+        "conservative preserves it; ESMF/CDO 'remapcon'): 0.1-degree "
+        "source cells map onto a 0.25-degree target grid with EXACT "
+        "integer overlap areas (cell edges in milli-degrees, overlap "
+        "= clipped-interval products), and each target cell reports "
+        "its total covered area, mass-weighted sum and scaled mean. "
+        "Candidate targets per source cell are the <=4 cells its "
+        "corners touch (a 2x2 explode on div arithmetic — never a "
+        "grid-cross join). Complements ingest_regrid_bilinear "
+        "(point interpolation) and ingest_regrid_coarsen (integer "
+        "block mean). Conservation is checkable in-row: sum of "
+        "area_milli2 over targets = total source area. One explode + "
+        "one keyed agg — scan-shaped at cube scale."
+    ),
+    tags=("ingest", "regrid", "reference"),
+)
+def ingest_regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _spark_grid(spark)
+    src = g.select(
+        "t",
+        F.col("value").cast("long").alias("value"),
+        (F.col("iy") * 100).alias("ylo"),
+        (F.col("iy") * 100 + 100).alias("yhi"),
+        (F.col("ix") * 100).alias("xlo"),
+        (F.col("ix") * 100 + 100).alias("xhi"),
+    )
+    cand = (
+        src.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr("ylo div 250"), F.expr("(yhi - 1) div 250")
+                )
+            ).alias("ty"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr("xlo div 250"), F.expr("(xhi - 1) div 250")
+                )
+            ).alias("tx"),
+        )
+    )
+    weighted = cand.select(
+        "t",
+        "ty",
+        "tx",
+        (
+            (F.least("yhi", (F.col("ty") + 1) * 250) - F.greatest("ylo", F.col("ty") * 250))
+            * (F.least("xhi", (F.col("tx") + 1) * 250) - F.greatest("xlo", F.col("tx") * 250))
+        ).alias("w"),
+        "value",
+    )
+    return (
+        weighted.groupBy(
+            F.col("t").alias("timestep"),
+            F.col("ty").cast("long").alias("cell_y"),
+            F.col("tx").cast("long").alias("cell_x"),
+        )
+        .agg(
+            F.sum("w").cast("long").alias("area_milli2"),
+            F.sum(F.col("w") * F.col("value")).cast("long").alias("weighted_sum"),
+            F.expr(
+                "CAST((1000000 * sum(w * value)) div sum(w) AS BIGINT)"
+            ).alias("mean_micro"),
+        )
+        .orderBy("timestep", "cell_y", "cell_x")
+    )
