@@ -10,18 +10,18 @@ Round-7+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-End of the round-6 session: 534 registered, 521 oracle-bearing; the
-oracle-bearing never-checked backlog is 280 (the r6 session added 30
-new queries). The r6 rotation takes 43 of the backlog (plus the 6
-stale-err re-presents and the new reprojection slot), so ~237 remain
+End of the round-6 session: 536 registered, 523 oracle-bearing; the
+oracle-bearing never-checked backlog is 282 (the r6 session added 32
+new queries; full plan audit 0/536 flagged, 0 unbounded collects). The r6 rotation takes 43 of the backlog (plus the 6
+stale-err re-presents and the new reprojection slot), so ~239 remain
 for rounds 7-11 at 50/round — front-load the r6 session additions
 (gorilla/protobuf/bitmap decodes, MaxSim/MIPS/Hamming retrieval,
 retrieval e2e, DR off-policy, salted distinct, propensity matching,
 adstock, Nelson rules, trajectory, systematic sample, dq drift/gap,
 vocab OOV, semver, Wasserstein EMD, interval coalesce, triad census,
 multipart reassembly, FIFO costing, phonetic blocking, BOM explosion,
-MIME headers, bipartite projection, TWAP/VWAP, code router) in
-round 7. Compute the next rotation directly::
+MIME headers, bipartite projection, TWAP/VWAP, code router, met
+wind/dewpoint derivation, conservative regrid) in round 7. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
                                   glob.glob("CORRECTNESS_r0*.json")))

@@ -119,6 +119,24 @@ AUDITED = [
     "ml_propensity_caliper_matching",
     "analytics_adstock_carryover",
     "ts_control_chart_nelson",
+    # round-6 continuation: the composed retrieval pipeline, the
+    # iterative BOM descent, the interval-overlap costing join, the
+    # summary-window EMD, and the two met-domain derivations
+    "pipeline_retrieval_e2e",
+    "graph_bom_explosion",
+    "join_fifo_cost_allocation",
+    "ml_wasserstein_drift_binned",
+    "ml_offpolicy_doubly_robust",
+    "graph_triad_motif_census",
+    "graph_bipartite_projection",
+    "mm_multipart_reassembly",
+    "transform_interval_coalesce",
+    "dedup_phonetic_block_join",
+    "ingest_mime_header_parse",
+    "analytics_twap_vwap",
+    "text_code_detection_router",
+    "ingest_met_derive_wind_dewpoint",
+    "ingest_regrid_conservative",
 ]
 
 
