@@ -757,7 +757,10 @@ def read_pruned(tx: TxLog, lo, hi) -> DataFrame:
     ]
     df = tx._read_units(keep, _unit_dvs(tx, snap.version))
     if df is None:
-        return tx.spark.createDataFrame([], snap.schema_ddl)
+        # fully-pruned: still route through _to_logical so a
+        # column-mapped (renamed) table exposes LOGICAL names on the
+        # empty frame, exactly as TxLog.read does
+        df = tx.spark.createDataFrame([], snap.schema_ddl)
     return tx._to_logical(df, snap)
 
 

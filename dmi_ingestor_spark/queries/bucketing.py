@@ -331,6 +331,10 @@ def layout_roaring_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("pred") == 0, F.col("offs"))).alias("a_offs"),
             F.max(F.when(F.col("pred") == 1, F.col("offs"))).alias("b_offs"),
         )
+        # the oracle inner-joins a_runs with b_runs, so a container whose
+        # rows satisfy only one predicate is dropped there — drop it here
+        # too (and never hand encode_container a NULL offset list)
+        .filter(F.col("a_offs").isNotNull() & F.col("b_offs").isNotNull())
     )
 
     def _index(pdf_iter):

@@ -3855,7 +3855,13 @@ def graph_triad_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bill-of-materials explosion (recursive descent with quantity product)
 # ---------------------------------------------------------------------------
 
-_BOM_ROUNDS = 7  # ceil(log4(max partkey)) at every tested sf
+# Safety cap on descent rounds, NOT the expected depth: the loop breaks
+# as soon as the frontier is empty, so the true bound is the hierarchy
+# depth (ceil(log4(max partkey)) — 7 at sf0.1, 9 at sf1). 48 covers any
+# 64-bit key domain (log4(2^63) < 32) with margin; hitting it would mean
+# a cycle in the edge data, which the parent = key div 4 construction
+# cannot produce.
+_BOM_MAX_ROUNDS = 48
 
 
 @register(
@@ -3890,9 +3896,11 @@ _BOM_ROUNDS = 7  # ceil(log4(max partkey)) at every tested sf
         "(component count, total units required, max depth). Spark "
         "side: iterative frontier join — paths(d+1) = paths(d) join "
         "edges on the descendant — with per-round localCheckpoint "
-        "lineage truncation, rounds bounded by the hierarchy depth "
-        "(log4 of the key domain, 7 here); the oracle is the "
-        "textbook WITH RECURSIVE. Products stay small exact integers "
+        "lineage truncation, looping until the frontier is EMPTY so "
+        "the depth is discovered from the data (log4 of the key "
+        "domain: 7 at sf0.1, 9 at sf1), exactly matching the "
+        "unbounded WITH RECURSIVE oracle at any sf. Products stay "
+        "small exact integers "
         "(3^depth). At 100 TB the frontier join is one hash shuffle "
         "per level and depth is the data's property — the same shape "
         "as the production BOM/org-chart/menu-tree descent."
@@ -3917,7 +3925,7 @@ def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("depth"),
     ).localCheckpoint(eager=True)
     frontier = paths
-    for _ in range(_BOM_ROUNDS - 1):
+    for _ in range(_BOM_MAX_ROUNDS):
         nxt = (
             frontier.join(
                 edges, frontier.descendant == edges.parent

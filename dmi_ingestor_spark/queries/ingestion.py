@@ -1859,20 +1859,22 @@ def ingest_reproject_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT * FROM events ORDER BY epoch_ms(ts), event_id LIMIT 20000)
     ),
     seq AS (
-      SELECT event_type, ts_ms, cents,
+      SELECT event_type, ts_ms, event_id, cents,
              LAG(ts_ms) OVER w AS pt,
              LAG(cents) OVER w AS pv
       FROM src
       WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id)
     ),
     d AS (
+      -- pdelta MUST use the same (ts_ms, event_id) order as the encoded
+      -- series: epoch-ms ties within an event_type would otherwise let
+      -- this window reorder deltas relative to the block construction
       SELECT event_type, ts_ms, cents, pv,
              ts_ms - pt AS delta,
              LAG(ts_ms - pt) OVER (
-               PARTITION BY event_type ORDER BY ts_ms, cents, pt
+               PARTITION BY event_type ORDER BY ts_ms, event_id
              ) AS pdelta
       FROM seq
-      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ms)
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
