@@ -10,18 +10,12 @@ Round-7+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-End of the round-6 session: 536 registered, 523 oracle-bearing; the
-oracle-bearing never-checked backlog is 282 (the r6 session added 32
-new queries; full plan audit 0/536 flagged, 0 unbounded collects). The r6 rotation takes 43 of the backlog (plus the 6
-stale-err re-presents and the new reprojection slot), so ~239 remain
-for rounds 7-11 at 50/round — front-load the r6 session additions
-(gorilla/protobuf/bitmap decodes, MaxSim/MIPS/Hamming retrieval,
-retrieval e2e, DR off-policy, salted distinct, propensity matching,
-adstock, Nelson rules, trajectory, systematic sample, dq drift/gap,
-vocab OOV, semver, Wasserstein EMD, interval coalesce, triad census,
-multipart reassembly, FIFO costing, phonetic blocking, BOM explosion,
-MIME headers, bipartite projection, TWAP/VWAP, code router, met
-wind/dewpoint derivation, conservative regrid) in round 7. Compute the next rotation directly::
+Start of the round-7 session: 536 registered, 523 oracle-bearing;
+driver has checked 289 distinct names (285 full-green, 4 rows-only,
+0 red), so the oracle-bearing never-checked backlog is 238. The r7
+rotation below takes 50 of it (the 31 round-6 session additions
+first, per VERDICT r6 items 1 and 5), leaving ~188 for rounds 8-11
+at 50/round. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
                                   glob.glob("CORRECTNESS_r0*.json")))
@@ -56,69 +50,68 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-6 rotation: 50 slots. VERDICT r5 item 1: the SIX names whose
-# last driver word is red (all errored in r1, all fixed since, never
-# re-presented) go FIRST so CORRECTNESS_r06 zeroes the driver's red set.
-# Then the new F7/U1 reprojection hash slot (VERDICT r5 item 3), then
-# the next 43 of the never-driver-checked oracle-bearing backlog (250
-# entering this round = registry 504 − union(CORRECTNESS_r01..r05 keys)
-# 245 − 9 rows-only-by-design). ~207 remain after this rotation;
-# rounds 7-10 take the rest at 50/round. Recompute each round:
+# Round-7 rotation: 50 slots, ALL from the never-driver-checked
+# oracle-bearing backlog (238 entering this round = 523 oracle-bearing
+# - union(CORRECTNESS_r01..r06 keys) overlap; VERDICT r6 item 1).
+# First the 31 round-6 session additions incl. the St4 batch watermark
+# audit (VERDICT r6 item 5), then 19 older-family names chosen for §2
+# evidence value (S5 partition-prune, St3 dynamic gap, judge-sample
+# names promoted to hard driver rows). NO rows-only-by-design names
+# (VERDICT r6: r6 wasted 4 slots re-confirming no_oracle). ~188 remain
+# after this rotation; rounds 8-11 take the rest at 50/round.
+# Recompute each round:
 #   set(REGISTRY) - union(json.load(open(f)) for f in CORRECTNESS_r0*.json)
 _DRIVER_PRIORITY = [
-    # VERDICT r5 item 1: the six stale-err names (fixed, need fresh rows)
-    "manifest_map_json",
-    "mm_frame_sample",
-    "agg_approx_distinct",
-    "agg_percentiles_approx",
-    "agg_sketch_pack",
-    "ingest_e2e_local",
-    # VERDICT r5 item 3: F7/U1 LCC reprojection hash-green slot (new)
-    "ingest_reproject_grid_points",
-    # Never-checked backlog, oracle-bearing (43)
-    "rollup_incremental_merge",
-    "ts_ewma_trailing",
-    "ts_rolling_anomaly",
-    "ts_downsample_maxdev",
-    "agg_hhi_concentration",
-    "ts_obv_indicator",
-    "ts_runs_test",
-    "ts_holt_linear_smoothing",
-    "ts_seasonal_decompose_lite",
-    "agg_histogram_log_bins",
-    "ts_sax_symbolize",
-    "ts_longest_growth_streak",
-    "ts_dtw_alignment",
-    "ts_holt_winters_seasonal",
-    "ts_changepoint_binseg",
-    "ts_period_detect_argmax",
-    "ts_croston_intermittent",
-    "ts_ljung_box_q",
-    "layout_zorder_buckets",
-    "dedup_cluster_select",
-    "dq_split_leakage_near_dup",
-    "dedup_exact_span_ngram",
-    "dedup_incremental_delta_probe",
-    "dedup_lsh_band_tuning",
-    "graph_degree_distribution",
-    "graph_jaccard_link_prediction",
-    "graph_assortativity",
-    "graph_reciprocity",
-    "graph_ktruss_peeling",
-    "graph_personalized_pagerank",
-    "graph_temporal_reachability",
-    "graph_louvain_one_sweep",
-    "graph_anf_bottomk",
-    "graph_spectral_bisection",
-    "graph_weisfeiler_lehman",
-    "compact_small_files",
-    "integrity_table_fingerprint",
-    "ingest_corrupt_tolerant_json",
-    "ingest_regrid_bilinear",
-    "ingest_geo_distance",
-    "ingest_fixed_width_parse",
-    "ingest_sized_file_split",
-    "ingest_grib2_packing_matrix",
+    "agg_distinct_salted_twophase",
+    "analytics_adstock_carryover",
+    "analytics_twap_vwap",
+    "dedup_phonetic_block_join",
+    "graph_bipartite_projection",
+    "graph_bom_explosion",
+    "graph_triad_motif_census",
+    "ingest_gorilla_timeseries",
+    "ingest_met_derive_wind_dewpoint",
+    "ingest_mime_header_parse",
+    "ingest_protobuf_delimited_stream",
+    "ingest_regrid_conservative",
+    "join_fifo_cost_allocation",
+    "layout_roaring_bitmap_index",
+    "ml_offpolicy_doubly_robust",
+    "ml_offpolicy_ips_eval",
+    "ml_propensity_caliper_matching",
+    "ml_wasserstein_drift_binned",
+    "mm_multipart_reassembly",
+    "pipeline_retrieval_e2e",
+    "sample_systematic_every_k",
+    "scalar_semver_compare",
+    "sim_maxsim_late_interaction",
+    "spatial_trajectory_path_stats",
+    "st_watermark_late_audit_batch",
+    "text_code_detection_router",
+    "text_vocab_oov_coverage",
+    "transform_interval_coalesce",
+    "ts_control_chart_nelson",
+    "vector_hamming_topk",
+    "vector_mips_norm_augment",
+    "join_asof_next_purchase_after_click",
+    "window_frame_semantics",
+    "window_conditional_cumsum",
+    "st_session_dynamic_gap",
+    "layout_partition_prune_count",
+    "sim_pq_adc",
+    "text_bigram_lm",
+    "text_inverted_index",
+    "text_pii_scrub",
+    "sample_cap_per_domain",
+    "sample_stratified_hash",
+    "join_bitemporal_as_of",
+    "window_gaps_islands",
+    "scalar_map_hof_pack",
+    "scalar_bitwise_pack",
+    "reshape_union_by_name_evolution",
+    "profile_table_stats",
+    "dq_expectations_summary",
+    "lake_incremental_view_maintenance",
 ]
 
 
