@@ -1,0 +1,65 @@
+"""Generate sf1-scale customer/lineitem fixtures for the spot-bench of
+the two steepest-slope queries (VERDICT r6 item 3).
+
+/root/testdata is read-only and has no sf1, so this reproduces the
+driver fixtures' observed generation law one decade up (seed 42,
+deterministic):
+
+- customer: 150000*sf rows, keys 0..n-1, names ``Customer#%09d``
+  (verified against sf0.001/0.01/0.1: counts 150/1500/15000, dense
+  sequential keys, that exact name format).
+- lineitem: 1500000*sf orders, lines per order ~ 1 + Poisson(3)
+  (sf0.1 histogram: range 1..17, mean 4.0, mode 3-4), l_partkey
+  uniform over 0..200000*sf-1 (sf0.1 per-part counts: min 11 max 53
+  mean 30 — multinomial-uniform).
+
+Only the columns the two spot queries read are emitted; parquet is
+columnar, so absent columns change nothing for them.
+
+Usage::
+
+    python tools/gen_sf1_spot.py [--sf 1.0] [--out /tmp/sf1_spot]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def generate(sf: float, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    n_cust = int(150_000 * sf)
+    keys = np.arange(n_cust, dtype=np.int64)
+    names = np.char.add(
+        "Customer#", np.char.zfill(keys.astype(str), 9)
+    )
+    pq.write_table(
+        pa.table({"c_custkey": keys, "c_name": names}),
+        f"{out}/customer.parquet",
+    )
+
+    n_orders = int(1_500_000 * sf)
+    n_parts = int(200_000 * sf)
+    lines = 1 + rng.poisson(3.0, n_orders)
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines)
+    partkeys = rng.integers(0, n_parts, orderkeys.shape[0], dtype=np.int64)
+    pq.write_table(
+        pa.table({"l_orderkey": orderkeys, "l_partkey": partkeys}),
+        f"{out}/lineitem.parquet",
+    )
+    print(f"wrote sf={sf}: customer={n_cust} lineitem={orderkeys.shape[0]} -> {out}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default="/tmp/sf1_spot")
+    args = ap.parse_args()
+    generate(args.sf, args.out)
