@@ -230,3 +230,175 @@ def test_cog_overview_ladder_depth_and_parity():
             .astype("f4")
         )
         np.testing.assert_array_equal(child, expect)
+
+
+# -- lib-backed writer parity (VERDICT r6 item 4) ---------------------------
+
+
+def _install_fake_rasterio(monkeypatch):
+    """A FUNCTIONAL fake of the rasterio surface encode_geotiff_rasterio
+    touches. It executes the writer's real marshalling path — transform,
+    factor ladder, compress flags, the COG copy — and renders the final
+    bytes through the pure encoder from the CAPTURED geo, so a wrong
+    Affine / missing build_overviews / skipped copy_src_overviews all
+    surface as decoded-parity or assertion failures."""
+    import sys
+    import types
+
+    from dmi_ingestor_spark.operators import raster as R
+
+    registry = {}
+
+    class Affine:
+        def __init__(self, a, b, c, d, e, f):
+            self.a, self.b, self.c, self.d, self.e, self.f = a, b, c, d, e, f
+
+    class FakeDataset:
+        def __init__(self, mem, profile):
+            self.mem = mem
+            if profile:
+                mem.profile = profile
+            self.profile = mem.profile
+
+        def write(self, arr, band):
+            assert band == 1
+            self.mem.array = np.asarray(arr)
+
+        def build_overviews(self, factors, resampling):
+            assert resampling == "average"
+            self.mem.factors = list(factors)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class MemoryFile:
+        _n = 0
+
+        def __init__(self):
+            MemoryFile._n += 1
+            self.name = f"/vsimem/fake{MemoryFile._n}.tif"
+            self.profile = None
+            self.array = None
+            self.factors = []
+            self.rendered = None
+            registry[self.name] = self
+
+        def open(self, **profile):
+            return FakeDataset(self, profile or None)
+
+        def read(self):
+            assert self.rendered is not None, "copy step never ran"
+            return self.rendered
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            registry.pop(self.name, None)
+            return False
+
+    def rio_copy(src, dst_name, **opts):
+        assert opts.get("copy_src_overviews"), "overviews must be copied"
+        assert opts.get("tiled") and opts.get("blockxsize") == R.TILE
+        mem = src.mem
+        t = mem.profile["transform"]
+        # render through the pure encoder from the CAPTURED geo: top-left
+        # edge (t.c, t.f), pixel size (t.a, -t.e)
+        assert t.b == 0.0 and t.d == 0.0 and t.e < 0
+        # the requested ladder must be the shared one
+        assert mem.factors == R._overview_factors(mem.array.shape)
+        registry[dst_name].rendered = R.encode_geotiff(
+            mem.array,
+            t.c,
+            t.f,
+            t.a,
+            -t.e,
+            compress=opts.get("compress") == "lzw",
+        )
+
+    rio = types.ModuleType("rasterio")
+    rio_enums = types.ModuleType("rasterio.enums")
+    rio_enums.Resampling = types.SimpleNamespace(average="average")
+    rio_io = types.ModuleType("rasterio.io")
+    rio_io.MemoryFile = MemoryFile
+    rio_shutil = types.ModuleType("rasterio.shutil")
+    rio_shutil.copy = rio_copy
+    rio_transform = types.ModuleType("rasterio.transform")
+    rio_transform.Affine = Affine
+    rio.enums, rio.io, rio.shutil, rio.transform = (
+        rio_enums,
+        rio_io,
+        rio_shutil,
+        rio_transform,
+    )
+    for name, mod in (
+        ("rasterio", rio),
+        ("rasterio.enums", rio_enums),
+        ("rasterio.io", rio_io),
+        ("rasterio.shutil", rio_shutil),
+        ("rasterio.transform", rio_transform),
+    ):
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+def test_rasterio_backend_parity_via_functional_fake(monkeypatch):
+    """Parity both ways on the same grid: pure-encoder output vs the
+    lib-backed writer driven through the functional fake — identical
+    decoded pixels, pyramid depth, pixel scale, and tiepoint."""
+    _install_fake_rasterio(monkeypatch)
+    rng = np.random.default_rng(7)
+    grid = rng.normal(size=(67, 80)).astype("f4")
+    pure = encode_geotiff(grid, 10.0, 55.0, 0.25, 0.5)
+    lib = encode_geotiff(grid, 10.0, 55.0, 0.25, 0.5, backend="rasterio")
+    dp, dl = decode_geotiff(pure), decode_geotiff(lib)
+    assert len(dp["levels"]) == len(dl["levels"]) == 3
+    for a, b in zip(dp["levels"], dl["levels"]):
+        assert np.array_equal(a, b)
+    assert dp["pixel_scale"] == dl["pixel_scale"]
+    assert dp["tiepoint"] == dl["tiepoint"]
+    # auto backend prefers the lib when present
+    auto = encode_geotiff(grid, 10.0, 55.0, 0.25, 0.5, backend="auto")
+    assert auto == lib
+
+
+def test_rasterio_backend_parity_real_lib():
+    """The real-rasterio leg: runs wherever the GDAL stack exists (skip
+    here — the container has no rasterio, same gating as the live-S3
+    tests). Pixel/geo/pyramid parity between the two writers, with the
+    lib's bytes decoded by OUR reader — spec conformance both ways."""
+    pytest.importorskip("rasterio")
+    from dmi_ingestor_spark.operators.raster import encode_geotiff_rasterio
+
+    rng = np.random.default_rng(7)
+    grid = rng.normal(size=(67, 80)).astype("f4")
+    pure = decode_geotiff(encode_geotiff(grid, 10.0, 55.0, 0.25, 0.5))
+    lib = decode_geotiff(
+        encode_geotiff_rasterio(grid, 10.0, 55.0, 0.25, 0.5)
+    )
+    assert len(lib["levels"]) == len(pure["levels"])
+    assert np.array_equal(lib["levels"][0], pure["levels"][0])
+    # GDAL's average resampling may differ in the last ulp on overview
+    # cells; pixel parity is exact on the base level, close on overviews
+    for a, b in zip(pure["levels"][1:], lib["levels"][1:]):
+        assert a.shape == b.shape
+        assert np.allclose(a, b, atol=1e-4)
+    assert lib["pixel_scale"] == pure["pixel_scale"]
+    assert lib["tiepoint"] == pure["tiepoint"]
+
+
+def test_rasterio_backend_absent_raises_and_auto_falls_back():
+    """Without the lib: backend='rasterio' is an explicit ImportError,
+    backend='auto' falls back to the pure contract bytes."""
+    import importlib.util
+
+    if importlib.util.find_spec("rasterio") is not None:
+        pytest.skip("rasterio present; covered by the real-lib leg")
+    grid = np.arange(64 * 64, dtype="f4").reshape(64, 64)
+    with pytest.raises(ImportError):
+        encode_geotiff(grid, 0.0, 0.0, 1.0, 1.0, backend="rasterio")
+    assert encode_geotiff(
+        grid, 0.0, 0.0, 1.0, 1.0, backend="auto"
+    ) == encode_geotiff(grid, 0.0, 0.0, 1.0, 1.0)
