@@ -40,8 +40,18 @@ def generate(sf: float, out: str) -> None:
     names = np.char.add(
         "Customer#", np.char.zfill(keys.astype(str), 9)
     )
+    segments = np.array(
+        ["AUTOMOBILE", "MACHINERY", "FURNITURE", "BUILDING", "HOUSEHOLD"]
+    )
     pq.write_table(
-        pa.table({"c_custkey": keys, "c_name": names}),
+        pa.table(
+            {
+                "c_custkey": keys,
+                "c_name": names,
+                "c_mktsegment": segments[rng.integers(0, 5, n_cust)],
+                "c_acctbal": np.round(rng.uniform(-999.85, 9999.8, n_cust), 2),
+            }
+        ),
         f"{out}/customer.parquet",
     )
 
@@ -49,12 +59,40 @@ def generate(sf: float, out: str) -> None:
     n_parts = int(200_000 * sf)
     lines = 1 + rng.poisson(3.0, n_orders)
     orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines)
-    partkeys = rng.integers(0, n_parts, orderkeys.shape[0], dtype=np.int64)
+    n = orderkeys.shape[0]
+    partkeys = rng.integers(0, n_parts, n, dtype=np.int64)
+    # value columns matching the observed sf0.1 marginals (uniform
+    # quantity 1..50, discount/tax on cent grids, ~uniform flag/status,
+    # shipdate over the 1995-2001 span) — enough for the scan-agg
+    # spot queries (q1-shaped) to be representative at sf1
+    quantity = rng.integers(1, 51, n).astype(np.float64)
+    extprice = np.round(rng.uniform(900.0, 105000.0, n), 2)
+    discount = rng.integers(0, 11, n) / 100.0
+    tax = rng.integers(0, 9, n) / 100.0
+    returnflag = np.array(["A", "N", "R"])[rng.integers(0, 3, n)]
+    linestatus = np.array(["F", "O"])[rng.integers(0, 2, n)]
+    shipdate = np.datetime64("1995-01-02") + rng.integers(
+        0, 2500, n
+    ).astype("timedelta64[D]")
     pq.write_table(
-        pa.table({"l_orderkey": orderkeys, "l_partkey": partkeys}),
+        pa.table(
+            {
+                "l_orderkey": orderkeys,
+                "l_partkey": partkeys,
+                "l_suppkey": partkeys % max(int(10_000 * sf), 1),
+                "l_linenumber": np.ones(n, dtype=np.int32),
+                "l_quantity": quantity,
+                "l_extendedprice": extprice,
+                "l_discount": discount,
+                "l_tax": tax,
+                "l_returnflag": returnflag,
+                "l_linestatus": linestatus,
+                "l_shipdate": shipdate.astype("datetime64[us]"),
+            }
+        ),
         f"{out}/lineitem.parquet",
     )
-    print(f"wrote sf={sf}: customer={n_cust} lineitem={orderkeys.shape[0]} -> {out}")
+    print(f"wrote sf={sf}: customer={n_cust} lineitem={n} -> {out}")
 
 
 if __name__ == "__main__":
