@@ -858,3 +858,106 @@ def test_random_expression_tree_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_expr_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Null-ordering × frame fuzzing (dimension 14, r7): windows over a
+# NULLABLE order key with EXPLICIT NULLS FIRST/LAST and a random frame
+# kind. This is a real divergence class: Spark's default null placement
+# (NULLS FIRST for ASC) differs from DuckDB's (NULLS LAST), so any
+# window the engine emits without an explicit placement is a latent
+# parity bug — this dimension sweeps the explicit combinations.
+# ---------------------------------------------------------------------------
+
+_NULLKEY_SPARK = lambda: F.nullif(F.col("o_custkey") % 5, F.lit(2)).cast("long")  # noqa: E731
+_NULLKEY_SQL = "CAST(nullif(o_custkey % 5, 2) AS BIGINT)"
+
+_NW_FUNCS = [
+    # rank/dense_rank: tie-stable, frame-free
+    (lambda w: F.rank().over(w).cast("long").alias("wv"), "RANK", None),
+    (
+        lambda w: F.dense_rank().over(w).cast("long").alias("wv"),
+        "DENSE_RANK",
+        None,
+    ),
+    # count over a RANGE value frame: null rows form one peer group,
+    # the frame spans [key-1, key+1] in VALUE space
+    (
+        lambda w: F.count(F.lit(1)).over(w.rangeBetween(-1, 1)).cast("long").alias("wv"),
+        "COUNT_RANGE",
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    ),
+    # sum over a bounded ROWS frame
+    (
+        lambda w: F.sum((F.col("o_orderkey") % 100).cast("long"))
+        .over(w.rowsBetween(-2, 0))
+        .cast("long")
+        .alias("wv"),
+        "SUM_ROWS",
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_null_ordering_window_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(14_000 + seed)
+    fn, fname, frame = rng.choice(_NW_FUNCS)
+    desc = rng.random() < 0.5
+    nulls_first = rng.random() < 0.5
+
+    okey = _NULLKEY_SPARK()
+    if desc:
+        order = okey.desc_nulls_first() if nulls_first else okey.desc_nulls_last()
+    else:
+        order = okey.asc_nulls_first() if nulls_first else okey.asc_nulls_last()
+    # ROWS frames and rank ties need a deterministic total order:
+    # o_orderkey is unique, appended as the tiebreak on BOTH engines —
+    # EXCEPT for the RANGE value frame, which both engines restrict to
+    # exactly one (numeric) order key (Spark: RANGE_FRAME_MULTI_ORDER).
+    if fname == "COUNT_RANGE":
+        w = Window.partitionBy("o_orderstatus").orderBy(order)
+    else:
+        w = Window.partitionBy("o_orderstatus").orderBy(
+            order, F.col("o_orderkey")
+        )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    sdf = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        okey.alias("okey"),
+        fn(w),
+    )
+
+    dir_sql = "DESC" if desc else "ASC"
+    nf_sql = "NULLS FIRST" if nulls_first else "NULLS LAST"
+    over = (
+        f"PARTITION BY o_orderstatus "
+        f"ORDER BY {_NULLKEY_SQL} {dir_sql} {nf_sql}, o_orderkey"
+    )
+    if fname == "RANK":
+        expr = f"CAST(RANK() OVER ({over}) AS BIGINT)"
+    elif fname == "DENSE_RANK":
+        expr = f"CAST(DENSE_RANK() OVER ({over}) AS BIGINT)"
+    elif fname == "COUNT_RANGE":
+        # a RANGE frame requires exactly ONE order key: drop the tiebreak
+        over1 = (
+            f"PARTITION BY o_orderstatus "
+            f"ORDER BY {_NULLKEY_SQL} {dir_sql} {nf_sql}"
+        )
+        expr = f"CAST(COUNT(*) OVER ({over1} {frame}) AS BIGINT)"
+    else:
+        expr = (
+            f"CAST(SUM(CAST(o_orderkey % 100 AS BIGINT)) "
+            f"OVER ({over} {frame}) AS BIGINT)"
+        )
+    sql = f"""
+      SELECT o_orderkey, o_orderstatus, {_NULLKEY_SQL} AS okey, {expr} AS wv
+      FROM orders
+      WHERE o_orderkey % 11 = 0
+    """
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_nullwin_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed} fn={fname}: {problems}\nSQL: {sql}"
