@@ -1182,26 +1182,47 @@ def join_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fifo_cost_allocation",
     oracle="""
     WITH lots AS (
+      -- (l_orderkey, l_linenumber) is NOT unique per part (linenumber
+      -- cycles within large orders), so the arrival order carries qty
+      -- and unit cost as deterministic tiebreaks; rows identical in
+      -- all four are interchangeable (same intervals, same cost), so
+      -- the allocation is total-order-stable on both engines
       SELECT l_partkey AS pk,
              CAST(l_quantity AS BIGINT) AS qty,
              CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT)
                AS unit_cents,
              SUM(CAST(l_quantity AS BIGINT)) OVER w AS cb,
              COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER (
-               PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               PARTITION BY l_partkey
+               ORDER BY l_orderkey, l_linenumber,
+                        CAST(l_quantity AS BIGINT),
+                        CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                             AS BIGINT)
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb0
       FROM lineitem WHERE l_orderkey % 2 = 0
-      WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber)
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_orderkey, l_linenumber,
+                            CAST(l_quantity AS BIGINT),
+                            CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                                 AS BIGINT))
     ),
     sales AS (
       SELECT l_partkey AS pk,
              CAST(l_quantity AS BIGINT) AS qty,
              SUM(CAST(l_quantity AS BIGINT)) OVER w AS cs,
              COALESCE(SUM(CAST(l_quantity AS BIGINT)) OVER (
-               PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+               PARTITION BY l_partkey
+               ORDER BY l_orderkey, l_linenumber,
+                        CAST(l_quantity AS BIGINT),
+                        CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                             AS BIGINT)
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs0
       FROM lineitem WHERE l_orderkey % 2 = 1
-      WINDOW w AS (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber)
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_orderkey, l_linenumber,
+                            CAST(l_quantity AS BIGINT),
+                            CAST(ROUND(l_extendedprice * 100 / l_quantity)
+                                 AS BIGINT))
     ),
     alloc AS (
       SELECT l.pk,
@@ -1248,7 +1269,12 @@ def join_fifo_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unit_cents"),
     )
-    w = Window.partitionBy("l_partkey").orderBy("l_orderkey", "l_linenumber")
+    # (l_orderkey, l_linenumber) ties per part exist (linenumber cycles
+    # within large orders): qty + unit_cents complete the total order;
+    # fully-identical rows commute, so the allocation is deterministic
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_orderkey", "l_linenumber", "qty", "unit_cents"
+    )
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     lots = li.filter(F.col("l_orderkey") % 2 == 0).select(
         F.col("l_partkey").alias("pk"),
