@@ -426,7 +426,7 @@ def _lp_oracle() -> str:
     """Unrolled K-round synchronous label propagation as a CTE chain."""
     parts = [
         """
-    WITH dedges AS (
+    WITH dedges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l
@@ -434,31 +434,31 @@ def _lp_oracle() -> str:
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY src, dst
-    ), und AS (
+    ), und AS MATERIALIZED (
       SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
         SELECT src, dst, w FROM dedges WHERE src <> dst
         UNION ALL
         SELECT dst AS src, src AS dst, w FROM dedges WHERE src <> dst
       ) GROUP BY src, dst
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT src AS node FROM und
-    ), l0 AS (
+    ), l0 AS MATERIALIZED (
       SELECT node, node AS label FROM nodes
     )"""
     ]
     for k in range(_LP_K):
         parts.append(
-            f""", t{k} AS (
+            f""", t{k} AS MATERIALIZED (
       SELECT und.dst AS node, l{k}.label AS label, SUM(und.w) AS wsum
       FROM und JOIN l{k} ON und.src = l{k}.node
       GROUP BY und.dst, l{k}.label
-    ), m{k} AS (
+    ), m{k} AS MATERIALIZED (
       SELECT node, MAX(wsum) AS mw FROM t{k} GROUP BY node
-    ), n{k} AS (
+    ), n{k} AS MATERIALIZED (
       SELECT t.node, MIN(t.label) AS label
       FROM t{k} t JOIN m{k} m ON t.node = m.node AND t.wsum = m.mw
       GROUP BY t.node
-    ), l{k + 1} AS (
+    ), l{k + 1} AS MATERIALIZED (
       SELECT nodes.node, COALESCE(n{k}.label, l{k}.label) AS label
       FROM nodes
       JOIN l{k} ON nodes.node = l{k}.node
