@@ -5479,16 +5479,22 @@ def ml_iv_two_stage_least_squares(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
         F.month("l_shipdate").cast("long").alias("z"),
     )
+    # DuckDB's SUM(BIGINT) auto-widens to HUGEINT, so its n*S products
+    # are 128-bit for free; Spark's stays LONG and n*szy overflows int64
+    # from sf0.1 up (~2e19) — widen every sufficient statistic to
+    # DECIMAL(38,0) so both engines run the cleared-denominator algebra
+    # in 128-bit (caught by the round-7 full sf0.1 sweep)
+    dec = "decimal(38,0)"
     s = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("z") * F.col("y")).alias("szy"),
-        F.sum(F.col("z") * F.col("x")).alias("szx"),
-        F.sum(F.col("z") * F.col("z")).alias("szz"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum("z").cast(dec).alias("sz"),
+        F.sum(F.col("z") * F.col("y")).cast(dec).alias("szy"),
+        F.sum(F.col("z") * F.col("x")).cast(dec).alias("szx"),
+        F.sum(F.col("z") * F.col("z")).cast(dec).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
     )
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
