@@ -3185,12 +3185,17 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.orderBy("month_start").rowsBetween(-(_BOLL_N - 1), 0)
     )
+    # monthly totals grow with sf: x ~ 2.7e9 at sf1, so x*x and its
+    # 6-month sum pass 2^63 in LONG while DuckDB's SUM auto-widens to
+    # HUGEINT — keep the sufficient statistics in DECIMAL(38,0) so the
+    # cleared-form band test survives any scale (2SLS overflow class)
+    xd = F.col("x").cast("decimal(38,0)")
     framed = monthly.select(
         "month_start",
         "x",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(xd * xd).over(w).alias("sxx"),
     )
     return framed.select(
         "month_start",
@@ -3201,7 +3206,10 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_num"),
         (
-            F.expr("((x * n - sx) * (x * n - sx)) div 4")
+            F.expr(
+                "((CAST(x AS DECIMAL(38,0)) * n - sx)"
+                " * (CAST(x AS DECIMAL(38,0)) * n - sx)) div 4"
+            )
             > F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
         )
         .cast("long")
