@@ -961,3 +961,91 @@ def test_random_null_ordering_window_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_nullwin_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed} fn={fname}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# String-function chain fuzzing (dimension 15, r7): random pipelines of
+# 2-4 string transforms over `documents.text` / `customer.c_name` /
+# `part.p_name`, closed by a measuring terminal. This is a known
+# divergence class across engines: 1-based substring indexing, the
+# not-found sentinel of instr/strpos, lpad/rpad truncation when the
+# input is already longer, out-of-range split_part, and levenshtein
+# tie behavior. All atoms below are chosen (and where needed, SQL-
+# translated) so Spark and DuckDB define identical semantics; the
+# fuzzer sweeps their compositions, which is where implicit-cast and
+# null-propagation bugs hide. ASCII-only inputs keep collation out.
+# ---------------------------------------------------------------------------
+
+_STR_BASES = [
+    ("documents", "doc_id", "text", 7),
+    ("customer", "c_custkey", "c_name", 23),
+    ("part", "p_partkey", "p_name", 31),
+]
+
+# (spark_transform, sql_template) — each maps string -> string
+_STR_TRANSFORMS = [
+    (lambda c: F.upper(c), "upper({0})"),
+    (lambda c: F.lower(c), "lower({0})"),
+    (lambda c: F.reverse(c), "reverse({0})"),
+    (lambda c: F.translate(c, "aeiou", "AEIOU"), "translate({0}, 'aeiou', 'AEIOU')"),
+    (lambda c: F.lpad(c, 24, "*"), "lpad({0}, 24, '*')"),
+    (lambda c: F.rpad(c, 24, "#"), "rpad({0}, 24, '#')"),
+    (lambda c: F.substring(c, 3, 15), "substring({0}, 3, 15)"),
+    (lambda c: F.left(c, F.lit(12)), "left({0}, 12)"),
+    (lambda c: F.right(c, F.lit(12)), "right({0}, 12)"),
+    (lambda c: F.repeat(c, 2), "repeat({0}, 2)"),
+    (lambda c: F.concat(F.lit("<"), c, F.lit(">")), "concat('<', {0}, '>')"),
+    (
+        lambda c: F.split_part(c, F.lit(" "), F.lit(2)),
+        "split_part({0}, ' ', 2)",
+    ),
+    (lambda c: F.btrim(c, F.lit("*#")), "trim({0}, '*#')"),
+]
+
+# (spark_terminal, sql_template) — each maps string -> measured value
+_STR_TERMINALS = [
+    (lambda c: F.length(c).cast("long").alias("mv"), "CAST(length({0}) AS BIGINT)"),
+    (lambda c: F.md5(c).alias("mv"), "md5({0})"),
+    (
+        lambda c: F.instr(c, "ar").cast("long").alias("mv"),
+        "CAST(instr({0}, 'ar') AS BIGINT)",
+    ),
+    (
+        lambda c: F.levenshtein(F.left(c, F.lit(16)), F.lit("spark table")).cast("long").alias("mv"),
+        "CAST(levenshtein(left({0}, 16), 'spark table') AS BIGINT)",
+    ),
+    (lambda c: c.alias("mv"), "{0}"),
+    (
+        lambda c: F.ascii(F.md5(c)).cast("long").alias("mv"),
+        "CAST(ascii(md5({0})) AS BIGINT)",
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_string_chain_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(15_000 + seed)
+    tbl, keycol, strcol, mod = rng.choice(_STR_BASES)
+    chain = [rng.choice(_STR_TRANSFORMS) for _ in range(rng.randint(2, 4))]
+    term_fn, term_sql = rng.choice(_STR_TERMINALS)
+
+    col = F.col(strcol)
+    sql_expr = strcol
+    for fn, tmpl in chain:
+        col = fn(col)
+        sql_expr = tmpl.format(sql_expr)
+
+    sdf = (
+        table(spark, sf_dir, tbl)
+        .filter(F.col(keycol) % mod == 0)
+        .select(F.col(keycol).alias("k"), term_fn(col))
+    )
+    sql = (
+        f"SELECT {keycol} AS k, {term_sql.format(sql_expr)} AS mv "
+        f"FROM {tbl} WHERE {keycol} % {mod} = 0"
+    )
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_strchain_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
