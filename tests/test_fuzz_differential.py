@@ -1049,3 +1049,77 @@ def test_random_string_chain_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_strchain_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Decimal-arithmetic fuzzing (dimension 16, r7): random +/-/* trees over
+# DECIMAL-cast integer-derived operands, aggregated and cast to DOUBLE.
+# The divergence class: Spark and DuckDB widen decimal precision/scale
+# differently (Spark mult (12,2)x(12,2)->(25,4), DuckDB ->(18,4); SUM
+# ->(38,s) on both), so any engine expression that leans on implicit
+# result types can silently round. Operands are bounded (<1000.00) so
+# every intermediate and every full-table SUM is exactly representable
+# in DOUBLE -- the final CAST TO DOUBLE is lossless on both engines and
+# the comparison stays bit-exact. Division is deliberately excluded:
+# DuckDB types decimal/decimal as DOUBLE, so there is no shared exact
+# semantics to pin.
+# ---------------------------------------------------------------------------
+
+_DEC_ATOMS = [
+    (
+        lambda: (F.col("o_orderkey") % 997).cast("decimal(12,2)"),
+        "CAST(o_orderkey % 997 AS DECIMAL(12,2))",
+    ),
+    (
+        lambda: (F.col("o_custkey") % 101).cast("decimal(8,2)"),
+        "CAST(o_custkey % 101 AS DECIMAL(8,2))",
+    ),
+    (
+        lambda: F.lit("7.31").cast("decimal(4,2)"),
+        "CAST('7.31' AS DECIMAL(4,2))",
+    ),
+    (
+        lambda: (F.col("o_orderkey") % 89 / F.lit(100)).cast("decimal(6,2)"),
+        "CAST((o_orderkey % 89) / 100 AS DECIMAL(6,2))",
+    ),
+]
+
+_DEC_OPS = [
+    (lambda a, b: a + b, "({0} + {1})"),
+    (lambda a, b: a - b, "({0} - {1})"),
+    (lambda a, b: a * b, "({0} * {1})"),
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_decimal_tree_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(16_000 + seed)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            fn, sql = rng.choice(_DEC_ATOMS)
+            return fn(), sql
+        op, opsql = rng.choice(_DEC_OPS)
+        (la, lsql), (ra, rsql) = tree(depth - 1), tree(depth - 1)
+        return op(la, ra), opsql.format(lsql, rsql)
+
+    expr, esql = tree(rng.randint(1, 3))
+    key = rng.choice(["o_orderstatus", "o_orderpriority"])
+    agg, asql = rng.choice(
+        [
+            (lambda c: F.sum(c), "SUM"),
+            (lambda c: F.min(c), "MIN"),
+            (lambda c: F.max(c), "MAX"),
+        ]
+    )
+    o = table(spark, sf_dir, "orders")
+    sdf = o.groupBy(key).agg(agg(expr).cast("double").alias("dv"))
+    sql = (
+        f"SELECT {key}, CAST({asql}({esql}) AS DOUBLE) AS dv "
+        f"FROM orders GROUP BY {key}"
+    )
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_dectree_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
