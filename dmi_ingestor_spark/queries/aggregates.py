@@ -1362,11 +1362,13 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union / intersection / difference — the audience-overlap "
         "query families (clicked AND purchased, clicked NOT purchased) "
         "— evaluate on the tiny sketch blobs, never re-scanning users. "
-        "The fixture's user cardinality (≤1.5k at sf0.1) is below the "
-        "sketch's 4096-entry exact threshold, so all five counts are "
-        "EXACT and hash-match the DISTINCT/INTERSECT/EXCEPT oracle; "
-        "beyond it the identical plan returns ~2% relative-error "
-        "estimates. At 100 TB the sketches are partial+final "
+        "lgNomEntries=16 keeps the sketch in its EXACT regime through "
+        "65536 distinct users (~sf4) at 512 KiB of state per cohort — "
+        "the r7 sf0.5 cross-sf sweep caught the default lgK=12 "
+        "crossing into ~0.2%-error estimation at 7500 users — so all "
+        "five counts hash-match the DISTINCT/INTERSECT/EXCEPT oracle "
+        "at every testable scale; beyond the threshold the identical "
+        "plan returns ~2% relative-error estimates. At 100 TB the sketches are partial+final "
         "aggregates (bytes per cohort, broadcast-size state) where the "
         "exact oracle would need three full distinct shuffles."
     ),
@@ -1376,17 +1378,17 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     sk = ev.agg(
         F.expr(
-            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'click')"
+            "theta_sketch_agg(user_id, 16) FILTER (WHERE event_type = 'click')"
         ).alias("cs"),
         F.expr(
-            "theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase')"
+            "theta_sketch_agg(user_id, 16) FILTER (WHERE event_type = 'purchase')"
         ).alias("ps"),
     )
     est = lambda e, a: F.expr(f"CAST(theta_sketch_estimate({e}) AS BIGINT)").alias(a)  # noqa: E731
     return sk.select(
         est("cs", "n_click"),
         est("ps", "n_purchase"),
-        est("theta_union(cs, ps)", "n_union"),
+        est("theta_union(cs, ps, 16)", "n_union"),
         est("theta_intersection(cs, ps)", "n_inter"),
         est("theta_difference(cs, ps)", "n_diff"),
     )
@@ -3145,8 +3147,8 @@ _BOLL_S = 10**6
     framed AS (
       SELECT month_start, x,
              COUNT(*) OVER w AS n,
-             SUM(x) OVER w AS sx,
-             SUM(x * x) OVER w AS sxx
+             SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS sxx
       FROM monthly
       WINDOW w AS (ORDER BY month_start
                    ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
@@ -3155,9 +3157,10 @@ _BOLL_S = 10**6
            CAST(x AS BIGINT) AS monthly_total,
            CAST(n AS BIGINT) AS trailing_n,
            CAST((sx * {_BOLL_S}) // n AS BIGINT) AS mean_scaled,
-           CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
-           CAST(CASE WHEN ((x * n - sx) * (x * n - sx)) // 4
-                     > n * sxx - sx * sx
+           CAST(n * sxx - sx * sx AS VARCHAR) AS var_num,
+           CAST(CASE WHEN (CAST(x AS HUGEINT) * n - sx)
+                           * (CAST(x AS HUGEINT) * n - sx)
+                     > 4 * (n * sxx - sx * sx)
                 THEN 1 ELSE 0 END AS BIGINT) AS outside_band
     FROM framed
     ORDER BY month_start
@@ -3202,15 +3205,22 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("long").alias("monthly_total"),
         F.col("n").cast("long").alias("trailing_n"),
         F.expr(f"(sx * {_BOLL_S}) div n").cast("long").alias("mean_scaled"),
+        # var_num itself passes 2^63 at sf>=0.5 (r7 sf0.5 sweep catch:
+        # 2.67e19 at 80 months of ~2.3e12 cents) — emit the exact
+        # DECIMAL(38,0) value as its digit string on both engines
+        # rather than a lossy/raising BIGINT or DOUBLE cast
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long")
+        .cast("string")
         .alias("var_num"),
+        # multiply-by-4 form, not //4: Spark's `div` yields BIGINT and
+        # overflows on the squared term at sf>=0.5; a^2 > 4*var_num is
+        # the same +-2-sigma test in pure DECIMAL(38,0) arithmetic
         (
             F.expr(
                 "((CAST(x AS DECIMAL(38,0)) * n - sx)"
-                " * (CAST(x AS DECIMAL(38,0)) * n - sx)) div 4"
+                " * (CAST(x AS DECIMAL(38,0)) * n - sx))"
             )
-            > F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            > F.lit(4) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         )
         .cast("long")
         .alias("outside_band"),
