@@ -144,3 +144,29 @@ def test_read_pruned_fully_pruned_keeps_logical_names(spark, tmp_path):
     assert pruned.columns == tx.read().columns
     assert "order_value" in pruned.columns
     assert "o_totalprice" not in pruned.columns
+
+
+def test_bollinger_bands_survives_2e19_var_num(spark, tmp_path):
+    """r7 sf0.5 cross-sf sweep catch: n*sxx - sx^2 itself passes 2^63
+    once monthly totals reach ~2.3e12 cents, so the old BIGINT cast
+    raised CAST_OVERFLOW on Spark (and would raise in DuckDB). var_num
+    is now emitted as the exact DECIMAL(38,0)/HUGEINT digit string and
+    the band test uses the multiply-by-4 form (Spark `div` returns
+    BIGINT and overflowed on the squared term)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 240  # 20 orders x 12 months, totals ~5e9 each -> x ~ 1e11
+    months = np.repeat(np.arange(12), 20)
+    pd.DataFrame(
+        {
+            "o_orderdate": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(months * 31, unit="D")
+            ).astype("datetime64[us]"),
+            "o_totalprice": rng.uniform(4.9e9, 5.1e9, n),
+        }
+    ).to_parquet(str(tmp_path / "orders.parquet"))
+    sdf = _run_both("ts_bollinger_bands", spark, str(tmp_path), ["orders"])
+    # the overflow regime is actually reached: some var_num has >19 digits
+    assert sdf["var_num"].astype(str).str.len().max() >= 19

@@ -32,6 +32,14 @@ SF_DIRS = [
     ("/root/testdata/sf0.1", 0.1),
 ]
 
+# Optional 4th point one half-decade up, from a tools/gen_full_sf.py
+# fixture (the shipped testdata stops at sf0.1). Enabled when the env
+# var points at a generated directory; the slope for this step is
+# normalized per-decade: log10(t4/t3) / log10(5).
+EXTRA_SF_DIR = os.environ.get("SCALE_SWEEP_SF05_DIR", "")
+if EXTRA_SF_DIR and os.path.isdir(EXTRA_SF_DIR):
+    SF_DIRS = SF_DIRS + [(EXTRA_SF_DIR, 0.5)]
+
 DEFAULT_QUERIES = [
     "q1_pricing_summary",          # scan + partial/final agg
     "q9_product_profit",           # multiway broadcast + fact join
@@ -118,12 +126,22 @@ def main() -> int:
         "log10(t_sf0.1 / t_sf0.01) — the growth exponent over a 10× data step",
         "(1.0 = linear, 2.0 = quadratic; <1 = fixed costs still dominate).",
         "",
-        "| query | sf0.001 | sf0.01 | sf0.1 | slope (0.01→0.1) |",
-        "|---|---|---|---|---|",
+        (
+            "| query | sf0.001 | sf0.01 | sf0.1 | slope (0.01→0.1) "
+            "| sf0.5 | slope/decade (0.1→0.5) |"
+            if len(SF_DIRS) == 4
+            else "| query | sf0.001 | sf0.01 | sf0.1 | slope (0.01→0.1) |"
+        ),
+        "|---|---|---|---|---|---|---|" if len(SF_DIRS) == 4 else "|---|---|---|---|---|",
     ]
-    for name, (t1, t2, t3) in rows:
+    for name, times in rows:
+        t1, t2, t3 = times[:3]
         slope = math.log10(t3 / t2) if t2 > 0 else float("nan")
-        out.append(f"| {name} | {t1:.2f}s | {t2:.2f}s | {t3:.2f}s | {slope:.2f} |")
+        line = f"| {name} | {t1:.2f}s | {t2:.2f}s | {t3:.2f}s | {slope:.2f} |"
+        if len(times) == 4:
+            s4 = math.log10(times[3] / t3) / math.log10(5) if t3 > 0 else float("nan")
+            line += f" {times[3]:.2f}s | {s4:.2f} |"
+        out.append(line)
     out += [
         "",
         "Every slope ≤ ~1 is evidence the plan scales linearly in input size —",
