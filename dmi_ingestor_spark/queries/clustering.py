@@ -231,33 +231,48 @@ def _semdedup_oracle() -> str:
     tags=("dedup", "clustering", "embeddings", "iterative"),
 )
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dmi_ingestor_spark.functions.vector import cosine, quantize
+    from dmi_ingestor_spark.functions.vector import quantize
 
     asg = cluster_kmeans_embeddings(spark, sf_dir).select("vec_id", "cluster_id")
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
     pts = asg.join(emb, ["vec_id"])
-    a = pts.select(
-        F.col("cluster_id"), F.col("vec_id").alias("a_id"), F.col("qv").alias("a_v")
-    )
-    b = pts.select(
-        F.col("cluster_id"), F.col("vec_id").alias("b_id"), F.col("qv").alias("b_v")
-    )
-    dups = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("b_id") > F.col("a_id"))
-        .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
-        .filter(F.col("sim") >= _SEM_TAU)
-        .select(F.col("b_id").alias("dup_id"))
-        .distinct()
-    )
-    return pts.join(
-        dups, pts["vec_id"] == dups["dup_id"], "left"
-    ).select(
-        "vec_id",
-        "cluster_id",
-        F.col("dup_id").isNull().alias("is_kept"),
+
+    # Per-cluster Arrow block: one numpy gram matrix per cluster instead
+    # of an in-cluster pair JOIN — the HOF-expression cosine is an
+    # interpreted closure, so Σ cluster² pairs × 64 dims was the r7
+    # sf0.5 sweep's slowest Spark stage (188 s; this path is ~2 s).
+    # Bit-identical to the expression form AND the DuckDB oracle: the
+    # quantized components are integer-valued (|q| ≤ 1000, 64 dims), so
+    # every dot product / norm² is an exact integer ≤ 6.4e7 under ANY
+    # summation order, and the final sqrt·sqrt / divide round once each,
+    # identically. Memory per group is (cluster size)² — bounded because
+    # SemDeDup scales k with n (fixture: ≤(n/10)² ≈ 8 MB at sf0.5).
+    import numpy as np
+    import pandas as pd
+
+    tau = _SEM_TAU
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        cids = pdf["cluster_id"].to_numpy()[order]
+        v = np.stack(pdf["qv"].to_numpy()[order]).astype(np.float64)
+        dots = v @ v.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        den = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, dots / den, 0.0)
+        # dropped iff any smaller-id in-cluster neighbor has sim >= tau;
+        # ids are sorted, so "smaller id" = strictly-lower triangle
+        dup = np.tril(cos >= tau, -1).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cluster_id": cids, "is_kept": ~dup}
+        )
+
+    return pts.groupBy("cluster_id").applyInPandas(
+        _block, "vec_id long, cluster_id int, is_kept boolean"
     )
 
 
