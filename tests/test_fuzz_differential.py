@@ -1123,3 +1123,66 @@ def test_random_decimal_tree_matches_duckdb(spark, sf_dir, duck, seed):
         f"fuzz_dectree_{seed}", normalize(sdf.toPandas()), normalize(ddf)
     )
     assert not problems, f"seed {seed}: {problems}\nSQL: {sql}"
+
+
+# ---------------------------------------------------------------------------
+# Subquery-predicate fuzzing (dimension 17, r7): IN / NOT IN / EXISTS /
+# NOT EXISTS / scalar-subquery predicates with a NULLABLE key on either
+# side, run through spark.sql (the S9 SQL front end) and DuckDB. The
+# divergence class is three-valued logic: `x NOT IN (subquery)` is
+# UNKNOWN — not TRUE — when the subquery yields any NULL, and engines
+# historically differ in the null-aware anti-join rewrite. Keys are
+# made nullable with nullif() on a deterministic residue so every seed
+# actually exercises the NULL path.
+# ---------------------------------------------------------------------------
+
+_SUBQ_OUTER_KEY = [
+    ("o_custkey", "o_custkey"),
+    ("nullif(o_custkey % 700, 13)", "nullif(o_custkey % 700, 13)"),
+]
+_SUBQ_INNER_KEY = [
+    ("c_custkey", "c_custkey"),
+    ("nullif(c_custkey, 42)", "nullif(c_custkey, 42)"),
+    ("nullif(c_custkey % 900, 7)", "nullif(c_custkey % 900, 7)"),
+]
+_SUBQ_INNER_PRED = [
+    "c_acctbal > 0.0",
+    "c_mktsegment = 'BUILDING'",
+    "c_custkey % 3 = 0",
+]
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_subquery_predicate_matches_duckdb(spark, sf_dir, duck, seed):
+    rng = random.Random(17_000 + seed)
+    form = rng.choice(["IN", "NOT IN", "EXISTS", "NOT EXISTS", "SCALAR"])
+    okey, _ = rng.choice(_SUBQ_OUTER_KEY)
+    ikey, _ = rng.choice(_SUBQ_INNER_KEY)
+    ipred = rng.choice(_SUBQ_INNER_PRED)
+
+    if form in ("IN", "NOT IN"):
+        where = f"{okey} {form} (SELECT {ikey} FROM customer WHERE {ipred})"
+    elif form in ("EXISTS", "NOT EXISTS"):
+        where = (
+            f"{form} (SELECT 1 FROM customer"
+            f" WHERE {ikey} = {okey} AND {ipred})"
+        )
+    else:
+        # scalar subquery: compare against a grand aggregate
+        where = (
+            f"{okey} < (SELECT CAST(COUNT(*) AS BIGINT) / 2 FROM customer"
+            f" WHERE {ipred})"
+        )
+    sql = (
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(o_orderkey) AS min_key "
+        f"FROM orders WHERE {where} GROUP BY o_orderstatus"
+    )
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    sdf = spark.sql(sql)
+    ddf = duck.execute(sql).fetchdf()
+    problems = compare(
+        f"fuzz_subq_{seed}", normalize(sdf.toPandas()), normalize(ddf)
+    )
+    assert not problems, f"seed {seed} form={form}: {problems}\nSQL: {sql}"
