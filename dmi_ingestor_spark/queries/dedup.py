@@ -681,7 +681,7 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.doc_id AS container_id, q.doc_id AS contained_id
     FROM docs p, docs q
     WHERE p.doc_id <> q.doc_id
-      AND position(q.text IN p.text) > 0
+      AND position(' ' || q.text || ' ' IN ' ' || p.text || ' ') > 0
     """,
     doc=(
         "U5: substring-containment dedup — finds documents wholly "
@@ -723,8 +723,14 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = p.join(q, "shingle").filter(
         F.col("container_id") != F.col("contained_id")
     )
+    # Space-padded TOKEN-ALIGNED containment on both engines (r7): the
+    # unpadded char-level form admitted mid-token matches ("…data agg…"
+    # contains "a agg…") that the first-shingle blocking can't see —
+    # padding makes the blocking provably lossless: if ' q ' occurs in
+    # ' p ', every q token is space-delimited in p, so q's first
+    # 3-token shingle IS one of p's token-aligned shingles.
     return cand.filter(
-        F.expr("position(q_text IN p_text) > 0")
+        F.expr("position(concat(' ', q_text, ' ') IN concat(' ', p_text, ' ')) > 0")
     ).select("container_id", "contained_id").distinct()
 
 

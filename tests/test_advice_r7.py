@@ -170,3 +170,30 @@ def test_bollinger_bands_survives_2e19_var_num(spark, tmp_path):
     sdf = _run_both("ts_bollinger_bands", spark, str(tmp_path), ["orders"])
     # the overflow regime is actually reached: some var_num has >19 digits
     assert sdf["var_num"].astype(str).str.len().max() >= 19
+
+
+def test_substring_containment_is_token_aligned(spark, tmp_path):
+    """r7 self-audit catch: the unpadded char-level verify admitted
+    mid-token containments ('data agg ...' contains 'a agg ...') that
+    the first-3-token-shingle blocking cannot see — Spark and the
+    oracle would diverge on any fixture with vocabulary suffix
+    overlaps. Both engines now test space-padded token-aligned
+    containment, under which the blocking is provably lossless."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "data agg batch big column",
+                "a agg batch big column",   # mid-token inside doc 1 only
+                "agg batch big",            # token-aligned inside 1 AND 2
+                "zz yy xx",                 # contained nowhere
+            ],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    sdf = _run_both(
+        "dedup_substring_containment", spark, str(tmp_path), ["documents"]
+    )
+    pairs = set(zip(sdf["container_id"], sdf["contained_id"]))
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 2) not in pairs  # mid-token match must be excluded
