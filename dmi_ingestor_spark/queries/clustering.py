@@ -505,14 +505,29 @@ def cluster_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DBSCAN stage 2: full cluster labels (core graph components + border assign)
 # ---------------------------------------------------------------------------
 
-_DB2_EPS = 200  # tighter than stage 1: 17 clusters at sf0.01, not one blob
 _DB2_MINPTS = 5
+# Density-normalized eps (r7): eps^2 = _DB2_EPS2N / n, i.e. the exact
+# integer predicate is  dist^2 * n <= _DB2_EPS2N.  At the driver's
+# sf0.01 (n=200 embeddings) this is eps=200 — identical to the old
+# fixed constant, so every recorded driver row is unchanged. Why
+# normalize: with eps FIXED, expected neighbors grow linearly in n, the
+# eps-graph crosses the 2-D percolation threshold (~4.5 neighbors) by
+# sf~0.05 and fuses into one giant component — the r7 sf0.5 sweep
+# watched the oracle's transitive closure on that component allocate
+# 35 GB before being killed. eps ~ 1/sqrt(n) holds expected neighbors
+# (and therefore the subcritical 17-cluster regime) constant at every
+# scale, which is also the honest way to run density clustering as the
+# corpus grows.
+_DB2_EPS2N = 200 * 200 * 200  # eps^2 * n  (= 8e6)
 
 
-def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFrame:
-    """(a_id, b_id) for every ordered pair within ``eps`` (self included),
-    via the same lossless 9-cell grid blocking as stage 1 — an equi-join
-    on the cell key, never an n^2 self-join."""
+def _grid_neighbor_pairs(
+    spark: SparkSession, sf_dir: str, cell: int, n_emb: int
+) -> DataFrame:
+    """(a_id, b_id) for every ordered pair with dist^2 * n_emb <=
+    _DB2_EPS2N (self included), via lossless 9-cell grid blocking with
+    ``cell`` >= eps — an equi-join on the cell key, never an n^2
+    self-join."""
     e = table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -526,8 +541,8 @@ def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFram
         "vec_id",
         "q0",
         "q1",
-        F.floor(F.col("q0").cast("double") / eps).cast("long").alias("cx"),
-        F.floor(F.col("q1").cast("double") / eps).cast("long").alias("cy"),
+        F.floor(F.col("q0").cast("double") / cell).cast("long").alias("cx"),
+        F.floor(F.col("q1").cast("double") / cell).cast("long").alias("cy"),
     )
     offsets = F.array(
         *[
@@ -554,7 +569,7 @@ def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFram
             build,
             (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
         )
-        .where(d0 * d0 + d1 * d1 <= F.lit(eps * eps))
+        .where((d0 * d0 + d1 * d1) * F.lit(n_emb) <= F.lit(_DB2_EPS2N))
         .select(F.col("vec_id").alias("a_id"), "b_id")
     )
 
@@ -568,10 +583,12 @@ def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFram
              CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {_SCALE}) AS BIGINT) AS q1
       FROM embeddings
     ),
+    nn AS (SELECT COUNT(*) AS n_emb FROM embeddings),
     n AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM p a JOIN p b
-        ON (a.q0 - b.q0) * (a.q0 - b.q0)
-         + (a.q1 - b.q1) * (a.q1 - b.q1) <= {_DB2_EPS * _DB2_EPS}
+        ON ((a.q0 - b.q0) * (a.q0 - b.q0)
+          + (a.q1 - b.q1) * (a.q1 - b.q1))
+           * (SELECT n_emb FROM nn) <= {_DB2_EPS2N}
     ),
     cnt AS (SELECT a_id, COUNT(*) AS c FROM n GROUP BY a_id),
     core AS (SELECT a_id AS vec_id FROM cnt WHERE c >= {_DB2_MINPTS}),
@@ -615,18 +632,30 @@ def _grid_neighbor_pairs(spark: SparkSession, sf_dir: str, eps: int) -> DataFram
         "deterministic pin of DBSCAN's arbitrary border tie-break, so "
         "the whole labeling is hash-checkable against the oracle's "
         "recursive-CTE transitive closure. Everything else is noise "
-        "(cluster -1). Tighter eps than stage 1 (200 vs 300 quantized "
-        "units) so sf0.01 yields 17 real clusters, not one blob. At "
-        "100 TB: pair generation is the grid equi-join, components "
-        "iterate on the core-core edge set (<< corpus), border assign "
-        "is one more equi-join — no stage touches n^2."
+        "(cluster -1). eps is DENSITY-NORMALIZED (eps^2 = 8e6/n, an "
+        "exact dist^2*n <= 8e6 integer predicate; = the old fixed 200 "
+        "at the driver's sf0.01): a fixed eps crosses the 2-D "
+        "percolation threshold as n grows and fuses one giant "
+        "component (the r7 sf0.5 sweep's 35 GB oracle blow-up); "
+        "eps ~ 1/sqrt(n) pins expected neighbors, keeping the "
+        "17-cluster regime at every sf. At 100 TB: pair generation is "
+        "the grid equi-join, components iterate on the core-core edge "
+        "set (<< corpus), border assign is one more equi-join — no "
+        "stage touches n^2."
     ),
     tags=("clustering", "density", "iterative", "embeddings"),
 )
 def cluster_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from math import isqrt
+
     from dmi_ingestor_spark.operators.components import connected_components
 
-    pairs = _grid_neighbor_pairs(spark, sf_dir, _DB2_EPS).cache()
+    # metadata-cheap scalar: n drives the density-normalized eps; the
+    # grid cell just needs cell >= eps = sqrt(_DB2_EPS2N / n) for the
+    # 9-cell blocking to stay lossless
+    n_emb = table(spark, sf_dir, "embeddings").count()
+    cell = isqrt(_DB2_EPS2N // max(n_emb, 1)) + 1
+    pairs = _grid_neighbor_pairs(spark, sf_dir, cell, n_emb).cache()
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("c"))
     core = counts.where(F.col("c") >= _DB2_MINPTS).select(
         F.col("a_id").alias("core_id")
