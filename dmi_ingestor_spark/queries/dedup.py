@@ -697,12 +697,29 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_substring_containment",
     oracle="""
-    WITH docs AS (
-      SELECT doc_id, text FROM documents
+    WITH tok AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
       WHERE len(string_split(text, ' ')) >= 3
+    ),
+    -- contained side keyed by its first 3-token shingle; container side
+    -- explodes all token-aligned 3-shingles. LOSSLESS under the padded
+    -- token-aligned containment below: if ' q ' occurs in ' p ', q's
+    -- tokens align with p's token boundaries, so q's first shingle IS
+    -- one of p's shingles. (The raw quadratic FROM docs p, docs q form
+    -- computes the identical result but needs n^2 position() calls —
+    -- 6.25e8 at sf0.5, minutes of sweep time for no extra evidence.)
+    qk AS (
+      SELECT doc_id, text,
+             t[1] || ' ' || t[2] || ' ' || t[3] AS shingle
+      FROM tok
+    ),
+    psh AS (
+      SELECT DISTINCT doc_id, text,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
     )
-    SELECT p.doc_id AS container_id, q.doc_id AS contained_id
-    FROM docs p, docs q
+    SELECT DISTINCT p.doc_id AS container_id, q.doc_id AS contained_id
+    FROM psh p JOIN qk q USING (shingle)
     WHERE p.doc_id <> q.doc_id
       AND position(' ' || q.text || ' ' IN ' ' || p.text || ' ') > 0
     """,
