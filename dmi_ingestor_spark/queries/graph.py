@@ -2917,15 +2917,23 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_temporal_reachability",
     oracle="""
-    WITH e AS (
-      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-             MIN(EXTRACT(YEAR FROM o.o_orderdate) * 12
-                 + EXTRACT(MONTH FROM o.o_orderdate)) AS t
+    WITH f AS MATERIALIZED (
+      -- MATERIALIZED pins the equi-join tree: with the src <> dst
+      -- inequality in the same scope, DuckDB 1.0 joins customer x
+      -- supplier on the inequality first (3.7e8 rows; spilled >80 GB
+      -- of temp at sf0.5 in the r7 cross-sf sweep)
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, o.o_orderdate
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    e AS (
+      SELECT src, dst,
+             MIN(EXTRACT(YEAR FROM o_orderdate) * 12
+                 + EXTRACT(MONTH FROM o_orderdate)) AS t
+      FROM f
+      WHERE src <> dst
       GROUP BY src, dst
     ),
     hop2 AS (
