@@ -964,12 +964,14 @@ _LR_NUM, _LR_DEN = 1, 1000  # learning rate 0.001 as an exact ratio
     SELECT n, g0_x2, g1_x2, g2_x2,
            -- w_new = -lr/n * grad, emitted in exact nano units:
            -- w_j_nano = -(g_j/2) * 1e9 * {_LR_NUM} // ({_LR_DEN} * n)
-           CAST(-(g0_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
-                AS BIGINT) AS w0_nano,
-           CAST(-(g1_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
-                AS BIGINT) AS w1_nano,
-           CAST(-(g2_x2 * 500000000 * {_LR_NUM}) // ({_LR_DEN} * n)
-                AS BIGINT) AS w2_nano
+           -- HUGEINT: g1_x2 * 5e8 passes 2^63 once |g1| > 1.8e10
+           -- (r7 sf0.5 sweep catch; n=750k orders puts g1 ~ 6e10)
+           CAST(-(CAST(g0_x2 AS HUGEINT) * 500000000 * {_LR_NUM})
+                // ({_LR_DEN} * n) AS BIGINT) AS w0_nano,
+           CAST(-(CAST(g1_x2 AS HUGEINT) * 500000000 * {_LR_NUM})
+                // ({_LR_DEN} * n) AS BIGINT) AS w1_nano,
+           CAST(-(CAST(g2_x2 AS HUGEINT) * 500000000 * {_LR_NUM})
+                // ({_LR_DEN} * n) AS BIGINT) AS w2_nano
     FROM g
     """,
     doc=(
@@ -1006,8 +1008,11 @@ def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     def w(gc):
         # DuckDB `//` and Spark div() both TRUNCATE toward zero for
         # integers (pinned: SELECT (-7)//2 = -3), so plain div matches
+        # DECIMAL(38,0): the g*5e8 product passes 2^63 at sf>=0.5
+        # (r7 sweep catch); the quotient itself fits BIGINT
         return F.expr(
-            f"div(-({gc} * 500000000 * {_LR_NUM}), ({_LR_DEN} * n))"
+            f"div(-(CAST({gc} AS DECIMAL(38,0)) * 500000000 * {_LR_NUM}),"
+            f" CAST({_LR_DEN} * n AS DECIMAL(38,0)))"
         ).cast("long")
     return g.select(
         "n",
