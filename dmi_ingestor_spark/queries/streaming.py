@@ -210,7 +210,7 @@ SESSION_GAP_S = 1800
     WITH gaps AS (
       SELECT event_id, user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-                  WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S} THEN 1
+                  WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S} * 1000000 THEN 1
                   ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -236,8 +236,16 @@ def sessionize_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # exact MICROSECOND gap on both engines (r7 sf0.5 sweep catch):
+    # unix_timestamp() truncates to whole seconds while the oracle's
+    # epoch() kept the fraction, so any true gap inside (1800, 1801)s
+    # opened a session in DuckDB but not in Spark — ~2.4e-5 of gaps,
+    # invisible until the fixture had ~1e5 of them
     new_sess = F.when(prev_ts.isNull(), 1).when(
-        F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > SESSION_GAP_S, 1
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(prev_ts.cast("timestamp"))
+        > SESSION_GAP_S * 1_000_000,
+        1,
     ).otherwise(0)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -479,7 +487,7 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
       SELECT event_id, user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-                  WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S} THEN 1
+                  WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S} * 1000000 THEN 1
                   ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -1825,15 +1825,14 @@ DEBOUNCE_S = 600
     SELECT event_id, user_id, event_type
     FROM lagged
     WHERE prev_ts IS NULL
-       OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT)
-          >= {DEBOUNCE_S}
+       OR epoch_us(ts) - epoch_us(prev_ts) >= {DEBOUNCE_S} * 1000000
     """,
     doc=(
         "Alert debouncing: keep an event only if the previous event of "
         "the same (user, type) is at least 10 minutes older — the "
         "monitoring-pipeline rule that turns a 500-row error storm "
         "into one page. One lag window per (user,type) partition, "
-        "integer epoch-second comparison. NOTE the documented "
+        "exact integer epoch-microsecond comparison. NOTE the documented "
         "semantic: this is lag-based debounce (gap from the PREVIOUS "
         "EVENT), not cooldown-from-last-ALERT — the latter is "
         "inherently sequential state and lives in "
@@ -1851,8 +1850,13 @@ def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lag("ts").over(w).alias("prev_ts"),
     )
+    # exact microsecond gap on both engines (r7 sf0.5 sweep catch: the
+    # oracle CAST(epoch(..) AS BIGINT) ROUNDS the fraction while Spark
+    # unix_timestamp() truncates — sub-second boundary gaps flipped)
     keep = F.col("prev_ts").isNull() | (
-        F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= DEBOUNCE_S
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+        >= DEBOUNCE_S * 1_000_000
     )
     return lagged.where(keep).select("event_id", "user_id", "event_type")
 
