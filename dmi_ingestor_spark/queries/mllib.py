@@ -3328,7 +3328,10 @@ def ml_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("priority").orderBy("y", "o_orderkey"))
         .alias("ry"),
     )
-    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    # long ranks: row_number() is INT, and d^2 passes 2^31 once ranks
+    # exceed ~46k per group (sf>=0.25; r7 sf0.5 sweep catch)
+    d = F.col("rx").cast("long") - F.col("ry").cast("long")
+    d2 = d * d
     return (
         ranked.groupBy("priority")
         .agg(
@@ -4830,15 +4833,20 @@ def ml_error_slice_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Depth-2 greedy tree: two levels of exact split finding
 # --------------------------------------------------------------------------
 
+# every product runs in {big}: Spark's window SUMs are LONG, so the
+# raw ln*ln / (n_all-ln)^2 denominators overflowed once AdaBoost
+# round-2 weights pushed n_all to ~1e10 (r7 sf0.5 sweep catch); DuckDB
+# was already safe because its SUM yields HUGEINT
 _T2_GINI = f"""
-      (ln * ((CAST(2 AS {{big}}) * lpos * (ln - lpos)
-              * {_GINI_SCALE}) {{div}} (ln * ln))
-       + (n_all - ln) *
+      (CAST(ln AS {{big}}) * ((CAST(2 AS {{big}}) * lpos * (ln - lpos)
+              * {_GINI_SCALE}) {{div}} (CAST(ln AS {{big}}) * ln))
+       + CAST(n_all - ln AS {{big}}) *
          CASE WHEN n_all - ln = 0 THEN 0
               ELSE (CAST(2 AS {{big}}) * (pos_all - lpos)
                     * ((n_all - ln) - (pos_all - lpos))
                     * {_GINI_SCALE})
-                   {{div}} ((n_all - ln) * (n_all - ln)) END
+                   {{div}} (CAST(n_all - ln AS {{big}})
+                            * (n_all - ln)) END
       ) {{div}} n_all"""
 
 _T2_GINI_SQL = _T2_GINI.format(big="HUGEINT", div="//")
