@@ -27,37 +27,52 @@ from dmi_ingestor_spark.registry import register
 @register(
     "ml_minhash_lsh_join",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-      FROM documents
+    -- 3-gram shingle SETS, counted inverted-index style (J >= 0.5
+    -- implies a shared shingle, so the shingle equi-join is complete
+    -- by construction). r7: the earlier unigram-token-set form is
+    -- DEGENERATE on the fixtures' closed 31-word vocabulary — by
+    -- sf0.5 most doc pairs share most tokens, the true-pair count is
+    -- itself O(n^2) and both engines ground forever. Shingle space is
+    -- 31^3, so overlap stays sparse at every sf.
+    WITH sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 2)) AS u(i)
     ),
-    pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             len(list_intersect(a.ts, b.ts)) AS n_common,
-             len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS n_union
-      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
     SELECT
-      CAST((SELECT COUNT(*) FROM pairs
-            WHERE n_common * 2 >= n_union) AS BIGINT) AS n_true_pairs,
+      CAST((SELECT COUNT(*)
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.a_id
+            JOIN sizes sb ON sb.doc_id = c.b_id
+            WHERE c.n_common * 2 >= sa.n + sb.n - c.n_common) AS BIGINT)
+        AS n_true_pairs,
       CAST(0 AS BIGINT) AS n_dist_out_of_range,
-      CAST(0 AS BIGINT) AS n_exact_verify_failures
+      CAST((SELECT COALESCE(SUM(k * (k - 1) // 2), 0) FROM (
+              SELECT COUNT(*) AS k FROM documents
+              WHERE len(string_split(text, ' ')) >= 3
+              GROUP BY text
+            )) AS BIGINT) AS n_dup_pairs
     """,
     doc=(
-        "U5 via pyspark.ml: HashingTF token-set vectors → MinHashLSH "
+        "U5 via pyspark.ml: HashingTF 3-gram-shingle-set vectors → MinHashLSH "
         "(3 tables) → approxSimilarityJoin(0.5) — the library twin of "
         "dedup_minhash_lsh. Promoted from rows-only in round 3 the way "
         "sim_ann_recall_eval was: the output is an invariant summary "
         "whose every value is computable by the oracle. n_true_pairs "
-        "re-derives the EXACT token-set Jaccard >= 0.5 pair count with "
+        "re-derives the EXACT shingle-set Jaccard >= 0.5 pair count with "
         "plain array ops on both engines (real data computation, no "
         "MLlib); n_dist_out_of_range counts emitted pairs whose "
         "reported distance violates the 0.5 threshold (must be 0); "
-        "n_exact_verify_failures counts emitted pairs whose reported "
-        "Jaccard distance on the HASHED bucket sets disagrees with an "
-        "in-plan recomputation via F.hash (Spark's Murmur3(seed 42) — "
-        "the same family HashingTF uses) by more than collision "
-        "tolerance 0 (must be 0). The emitted pair list itself stays "
+        "n_dup_pairs counts emitted distance-0 pairs, hash-checked "
+        "against the oracle's independent identical-text group count — MinHash recall on the J=1 stratum "
+        "is guaranteed, so the two counts must agree exactly. The emitted pair list itself stays "
         "seeded-hash-dependent and is exercised in "
         "tests/test_dedup_similarity.py."
     ),
@@ -66,8 +81,21 @@ from dmi_ingestor_spark.registry import register
 def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    # 3-gram shingles, not unigram tokens (see oracle note: token SETS
+    # over the 31-word fixture vocabulary degenerate to near-complete
+    # overlap as n grows). Docs under 3 tokens have no shingle and are
+    # excluded on both engines (MinHashLSH also requires >=1 nonzero).
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', slice(w, i, 3)))"
+            ).alias("tokens"),
+        )
     )
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
@@ -91,31 +119,35 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("jaccard_dist") > 0.5).cast("long")), F.lit(0)
         ).alias("v")
     )
-    # invariant 2: reported distance == exact Jaccard on the hashed
-    # bucket sets, recomputed in-plan (F.hash is Murmur3 seed 42, the
-    # same family HashingTF uses; bucket set = distinct pmod values)
-    buckets = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.array_distinct("tokens"),
-                lambda t: F.pmod(F.hash(t), F.lit(1 << 14)),
-            )
-        ).alias("bset"),
-    )
-    a = buckets.select(F.col("doc_id").alias("a_id"), F.col("bset").alias("a_b"))
-    b = buckets.select(F.col("doc_id").alias("b_id"), F.col("bset").alias("b_b"))
-    joined = pairs.join(a, "a_id").join(b, "b_id")
-    inter = F.size(F.array_intersect("a_b", "b_b")).cast("double")
-    union = (F.size("a_b") + F.size("b_b")).cast("double") - inter
-    exact_dist = 1.0 - inter / union
-    bad_exact = joined.agg(
-        F.coalesce(
-            F.sum(
-                (F.abs(F.col("jaccard_dist") - exact_dist) > 1e-9).cast("long")
-            ),
-            F.lit(0),
-        ).alias("v")
+    # invariant 2 (r7): the LSH join must emit EVERY identical-
+    # shingle-set pair at distance exactly 0 — MinHash of equal sets is
+    # equal in every table, so recall on the J=1 stratum is guaranteed
+    # 1.0 and the count is hash-checkable against the oracle's
+    # independent signature-group count. (The previous form re-derived
+    # the reported distance from F.hash buckets; that was never
+    # hash-faithful — ML HashingTF uses murmur3 hashUnsafeBytes2, SQL
+    # hash() the hashUnsafeBytes variant — and only passed while the
+    # 31-token unigram space was collision-free.)
+    # compare on TEXT equality, not dist==0 alone: hashed-bucket sets
+    # can collide equal for docs with different shingle sets, so the
+    # dist-0 stratum is a superset of the text-dup stratum
+    txt = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ta = txt.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    tb = txt.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+    dup_pairs = (
+        pairs.join(ta, "a_id")
+        .join(tb, "b_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("a_text") == F.col("b_text"))
+                        & (F.col("jaccard_dist") == 0.0)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("v")
+        )
     )
     # the hash-checked data number: exact token-set Jaccard >= 0.5 pairs,
     # built inverted-index style (J >= 0.5 implies a shared token, so the
@@ -147,9 +179,7 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         true_pairs.select(F.col("v").alias("n_true_pairs"))
         .crossJoin(bad_range.select(F.col("v").alias("n_dist_out_of_range")))
-        .crossJoin(
-            bad_exact.select(F.col("v").alias("n_exact_verify_failures"))
-        )
+        .crossJoin(dup_pairs.select(F.col("v").alias("n_dup_pairs")))
     )
 
 
