@@ -161,16 +161,23 @@ MAX_SHINGLE_DF = 100
       JOIN freq f ON a.shingle = f.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
-    arrs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+    -- n_common via a group-by join, not per-pair list_intersect: the
+    -- intersect form cost |cand| * L^2 scalar ops (r7: 598 s at sf0.5);
+    -- this is one hash join + aggregate with identical results
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
-      SELECT
-        c.a_id, c.b_id,
-        CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-          / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
-          AS jaccard
+      SELECT c.a_id, c.b_id,
+             CAST(cm.n_common AS DOUBLE)
+               / (sa.n + sb.n - cm.n_common) AS jaccard
       FROM cand c
-      JOIN arrs sa ON sa.doc_id = c.a_id
-      JOIN arrs sb ON sb.doc_id = c.b_id
+      JOIN common cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
     )
     SELECT a_id, b_id, jaccard FROM scored
     WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -205,15 +212,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
-    sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
-    n_common = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    jac = n_common.cast("double") / (
-        F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - n_common
+    # n_common via count-join (one shuffle), not per-pair
+    # array_intersect over the full lists — same results, no
+    # |cand| * L^2 scalar work (r7 sf0.5 sweep finding)
+    common = (
+        sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        cand.join(sa, ["a_id"])
-        .join(sb, ["b_id"])
+        cand.join(common, ["a_id", "b_id"])
+        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), ["a_id"])
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), ["b_id"])
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
@@ -1639,15 +1655,20 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
       JOIN freq f ON a.shingle = f.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
-    arrs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
       SELECT c.a_id, c.b_id,
-             CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-               / (len(sa.shs) + len(sb.shs)
-                  - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+             CAST(cm.n_common AS DOUBLE)
+               / (sa.n + sb.n - cm.n_common) AS jaccard
       FROM cand c
-      JOIN arrs sa ON sa.doc_id = c.a_id
-      JOIN arrs sb ON sb.doc_id = c.b_id
+      JOIN common cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
     )
     SELECT s.a_id, s.b_id,
            fa.fold AS a_fold, fb.fold AS b_fold, s.jaccard
@@ -1713,17 +1734,33 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = arrs.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh"))
-    sb = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    uni = F.size("a_sh") + F.size("b_sh") - inter
+    # count-join n_common (r7 sf0.5 sweep: per-pair array_intersect
+    # over full lists was the query's dominant cost at 137 s)
+    common = (
+        sh.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
     scored = (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(common, ["a_id", "b_id"])
+        .join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
+            ["a_id"],
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")),
+            ["b_id"],
+        )
         .select(
             "a_id",
             "b_id",
-            (inter.cast("double") / uni).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -1766,16 +1803,32 @@ def _sweep_oracle() -> str:
       JOIN freq{n} f ON a.shingle = f.shingle
       JOIN sh{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
-    arrs{n} AS (
-      SELECT doc_id, list(shingle) AS shs FROM sh{n} GROUP BY doc_id
+    -- restrict the count-join to candidate docs first: at n=2 the
+    -- 31-word vocab has ~961 bigrams with df ~ n/961, so the uncapped
+    -- join is Sigma df^2 ~ 1.8e9 rows at sf0.5 (filled the disk) while
+    -- almost no doc survives the DF cap into cand2
+    cdocs{n} AS (
+      SELECT a_id AS doc_id FROM cand{n}
+      UNION SELECT b_id FROM cand{n}
     ),
+    shc{n} AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh{n} sh JOIN cdocs{n} d ON sh.doc_id = d.doc_id
+    ),
+    common{n} AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM shc{n} a
+      JOIN shc{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes{n} AS (SELECT doc_id, COUNT(*) AS n FROM sh{n} GROUP BY doc_id),
     scored{n} AS (
-      SELECT (len(list_intersect(sa.shs, sb.shs)) * {_SWEEP_JS})
-               // (len(sa.shs) + len(sb.shs)
-                   - len(list_intersect(sa.shs, sb.shs))) AS j_scaled
+      SELECT (cm.n_common * {_SWEEP_JS})
+               // (sa.n + sb.n - cm.n_common) AS j_scaled
       FROM cand{n} c
-      JOIN arrs{n} sa ON sa.doc_id = c.a_id
-      JOIN arrs{n} sb ON sb.doc_id = c.b_id
+      JOIN common{n} cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
+      JOIN sizes{n} sa ON sa.doc_id = c.a_id
+      JOIN sizes{n} sb ON sb.doc_id = c.b_id
     ),
     row{n} AS (
       SELECT {n} AS shingle_n,
@@ -1834,26 +1887,52 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .cache()
         )
-        sa = arrs.select(
-            F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("a_sh")
+        cdocs = (
+            cand.select(F.col("a_id").alias("doc_id"))
+            .union(cand.select(F.col("b_id").alias("doc_id")))
+            .distinct()
         )
-        sb = arrs.select(
-            F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("b_sh")
+        shc = sh.join(cdocs, ["doc_id"])
+        common = (
+            shc.select(F.col("doc_id").alias("a_id"), "shingle")
+            .join(
+                shc.select(F.col("doc_id").alias("b_id"), "shingle"),
+                ["shingle"],
+            )
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        inter = F.size(F.array_intersect("a_sh", "b_sh"))
-        uni = F.size("a_sh") + F.size("b_sh") - inter
+        sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
         scored = (
-            cand.join(sa, "a_id")
-            .join(sb, "b_id")
-            .select(F.expr(f"""
-                (size(array_intersect(a_sh, b_sh)) * {_SWEEP_JS})
-                div (size(a_sh) + size(b_sh)
-                     - size(array_intersect(a_sh, b_sh)))
-            """).alias("j_scaled"))
+            cand.join(common, ["a_id", "b_id"])
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")
+                ),
+                ["a_id"],
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")
+                ),
+                ["b_id"],
+            )
+            .select(
+                F.expr(
+                    f"(n_common * {_SWEEP_JS}) div (na + nb - n_common)"
+                ).alias("j_scaled")
+            )
         )
         n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
         summary = scored.agg(
-            F.sum((F.col("j_scaled") >= _SWEEP_JS // 5).cast("long"))
+            # coalesce: the n=2 rung has ZERO candidates once every
+            # bigram crosses the DF cap (sf>=~0.2), and SUM over no
+            # rows is NULL while the oracle's COUNT FILTER is 0
+            F.coalesce(
+                F.sum((F.col("j_scaled") >= _SWEEP_JS // 5).cast("long")),
+                F.lit(0),
+            )
             .cast("long")
             .alias("n_pairs_over_j02"),
             F.coalesce(F.sum("j_scaled"), F.lit(0))
