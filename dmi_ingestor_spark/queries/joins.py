@@ -1086,16 +1086,31 @@ def join_eager_aggregation_rewrite(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "join_edit_distance_blocked",
     oracle="""
+    -- deletion-neighborhood blocking in the oracle too (r7): the raw
+    -- length+levenshtein join's only equi-key is length(), and every
+    -- fixture name is exactly 18 chars, so DuckDB degenerated to ONE
+    -- hash bucket of n^2/2 levenshtein calls (37+ CPU-minutes at
+    -- sf0.5). The (position, variant) equi-join is lossless for
+    -- equal-length distance-1 pairs and emits each exactly once; the
+    -- levenshtein(a,b) = 1 verify below keeps the oracle's
+    -- definitional independence on the candidate set.
+    WITH del AS (
+      SELECT c_custkey, c_name, i,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+      FROM customer,
+           UNNEST(generate_series(1, length(c_name))) AS u(i)
+    )
     SELECT a.c_custkey AS key_a,
            b.c_custkey AS key_b,
            a.c_name AS name_a,
            b.c_name AS name_b,
            CAST(1 AS BIGINT) AS dist
-    FROM customer a
-    JOIN customer b
-      ON a.c_custkey < b.c_custkey
+    FROM del a
+    JOIN del b
+      ON a.i = b.i AND a.variant = b.variant
+     AND a.c_custkey < b.c_custkey
      AND length(a.c_name) = length(b.c_name)
-     AND levenshtein(a.c_name, b.c_name) = 1
+    WHERE levenshtein(a.c_name, b.c_name) = 1
     ORDER BY key_a, key_b
     """,
     doc=(
