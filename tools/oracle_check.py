@@ -30,6 +30,10 @@ from dmi_ingestor_spark.session import get_spark  # noqa: E402
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # bound the oracle's memory so a mis-planned join spills to temp
+    # instead of OOM-killing the whole sweep subprocess (r7: the
+    # pre-fix DBSCAN closure allocated 35 GB before being killed)
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
