@@ -2342,25 +2342,47 @@ def _tune_sql() -> str:
                 f"SELECT '{b}x{r}' AS cfg, doc_id, {band} AS band_id, "
                 f"{_tune_sql_band_key(b, r, band)} AS band_key FROM sig"
             )
+    # every chain CTE MATERIALIZED: DuckDB 1.0 inlines plain CTEs, and
+    # nc's shc x shc self-join would re-expand the whole
+    # sh->sig->bands->cand pipeline exponentially (r7 sf0.5: filled
+    # 80 GB of temp; same class as the graph_label_propagation catch)
     return f"""
-    WITH sh AS ({_SQL_SHINGLES}),
-    hashed AS (
+    WITH sh AS MATERIALIZED ({_SQL_SHINGLES}),
+    hashed AS MATERIALIZED (
       SELECT doc_id,
              CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
                % {MINHASH_P} AS h
       FROM sh
     ),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id, {_sql_minhash_cols()} FROM hashed GROUP BY doc_id
     ),
-    bands AS ({" UNION ALL ".join(band_selects)}),
-    cand AS (
+    bands AS MATERIALIZED ({" UNION ALL ".join(band_selects)}),
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.cfg, a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a
       JOIN bands b ON a.cfg = b.cfg AND a.band_id = b.band_id
        AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    -- restrict the shared-shingle count-join to candidate DOCS and drop
+    -- the correlated EXISTS (r7: DuckDB 1.0 decorrelated it across the
+    -- uncapped Sigma df^2 shingle join and filled 80 GB of temp at
+    -- sf0.5 even though the candidate set itself is ~14k pairs)
+    cpairs AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM cand),
+    cdocs AS MATERIALIZED (
+      SELECT a_id AS doc_id FROM cpairs
+      UNION SELECT b_id FROM cpairs
+    ),
+    shc AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN cdocs USING (doc_id)
+    ),
+    nc AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
+      FROM shc x JOIN shc y
+        ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
     verified AS (
       SELECT c.cfg, c.a_id, c.b_id,
              CASE WHEN CAST(n.n_common AS DOUBLE)
@@ -2369,14 +2391,7 @@ def _tune_sql() -> str:
       FROM cand c
       JOIN sizes sa ON sa.doc_id = c.a_id
       JOIN sizes sb ON sb.doc_id = c.b_id
-      JOIN (
-        SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
-        FROM sh x JOIN sh y
-          ON y.shingle = x.shingle AND x.doc_id < y.doc_id
-        WHERE EXISTS (SELECT 1 FROM cand c2
-                      WHERE c2.a_id = x.doc_id AND c2.b_id = y.doc_id)
-        GROUP BY x.doc_id, y.doc_id
-      ) n ON n.a_id = c.a_id AND n.b_id = c.b_id
+      JOIN nc n ON n.a_id = c.a_id AND n.b_id = c.b_id
     ),
     truth AS (
       SELECT DISTINCT a_id, b_id FROM verified WHERE is_dup = 1
