@@ -579,7 +579,7 @@ def _bfs_oracle() -> str:
     """Unrolled K-round min-plus BFS as a CTE chain."""
     parts = [
         f"""
-    WITH dedges AS (
+    WITH dedges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -705,7 +705,7 @@ def graph_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_degree_distribution",
     oracle="""
-    WITH dedges AS (
+    WITH dedges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2346,7 +2346,7 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_mst_boruvka",
     oracle="""
-    WITH RECURSIVE dir_e AS (
+    WITH RECURSIVE dir_e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l
