@@ -169,10 +169,18 @@ def main() -> int:
         "  removed), measured slope 0.29 solo vs ~0.42 under sweep load).",
         "- `ml_propensity_caliper_matching`: candidate pairs per treated",
         "  unit grow with local score DENSITY (controls per 5k-cent bucket",
-        "  scale linearly with sf), so pair volume is O(n × density) — the",
-        "  caliper bounds it, the block width >= caliper keeps generation",
-        "  an equi-join; at fixed caliper the slope trends to ~1 (linear),",
-        "  never quadratic.",
+        "  scale linearly with sf), so pair volume is O(n x density) and the",
+        "  sf0.5 point confirms the quadratic trend (slope/decade 1.79 on the",
+        "  0.1->0.5 step). The output is O(treated) — only the nearest",
+        "  control survives — so the scale-correct formulation is a sorted",
+        "  as-of nearest-control join (O(n log n), machinery already in",
+        "  operators/asof.py); queued as the round-8 rewrite.",
+        "- `spatial_radius_join_grid` (slope/decade 1.65): OUTPUT-bound by",
+        "  the fixture's synthetic geometry — lat/lon derive from c_custkey",
+        "  residues onto a fixed lattice, so co-located points pile up",
+        "  linearly with sf and within-radius pairs grow ~n^2/positions.",
+        "  The plan stays one 9-cell equi-join; the cost is writing the",
+        "  result set, same category as join_edit_distance_blocked.",
         "- `graph_spectral_bisection`: wall time is FIXED-COST (per-round",
         "  eager checkpoint + broadcast-build jobs across ~30 tiny rounds,",
         "  pinned to 2 partitions); slope ~0 at every sf — scale-safe but",
