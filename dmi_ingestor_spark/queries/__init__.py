@@ -6,16 +6,16 @@ front-loads the queries that most need a fresh driver row this round.
 Queries not in the priority list keep their import-order position
 after it, so nothing is ever dropped — only rotated.
 
-Round-7+ note (repeat each round until the backlog drains): the
+Round-8+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-Start of the round-7 session: 536 registered, 523 oracle-bearing;
-driver has checked 289 distinct names (285 full-green, 4 rows-only,
-0 red), so the oracle-bearing never-checked backlog is 238. The r7
-rotation below takes 50 of it (the 31 round-6 session additions
-first, per VERDICT r6 items 1 and 5), leaving ~188 for rounds 8-11
-at 50/round. Compute the next rotation directly::
+Start of the round-8 session: 536 registered, 523 oracle-bearing;
+driver has checked 339 distinct names (335 full-green, 4 rows-only,
+0 red), so the oracle-bearing never-checked backlog is 188. The r8
+rotation below takes the first 50 in registry order (oldest families
+first, per VERDICT r7 item 2), leaving 138 for rounds 9-11 at
+50/round. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
                                   glob.glob("CORRECTNESS_r0*.json")))
@@ -50,68 +50,68 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-7 rotation: 50 slots, ALL from the never-driver-checked
-# oracle-bearing backlog (238 entering this round = 523 oracle-bearing
-# - union(CORRECTNESS_r01..r06 keys) overlap; VERDICT r6 item 1).
-# First the 31 round-6 session additions incl. the St4 batch watermark
-# audit (VERDICT r6 item 5), then 19 older-family names chosen for §2
-# evidence value (S5 partition-prune, St3 dynamic gap, judge-sample
-# names promoted to hard driver rows). NO rows-only-by-design names
-# (VERDICT r6: r6 wasted 4 slots re-confirming no_oracle). ~188 remain
-# after this rotation; rounds 8-11 take the rest at 50/round.
-# Recompute each round:
+# Round-8 rotation: 50 slots, ALL from the never-driver-checked
+# oracle-bearing backlog (188 entering this round = 523 oracle-bearing
+# - union(CORRECTNESS_r01..r07 keys); VERDICT r7 item 2). Oldest
+# families first in registry insertion order: the remaining ingest
+# format matrices, the join-semantics pack, the entire never-checked
+# mllib family (31 names — includes the sf0.5-overflow-fixed 2SLS,
+# logreg step, Spearman, adaboost/tree GINI), the multimodal pack,
+# and the first pipeline_ops names. NO rows-only-by-design names.
+# ~138 remain after this rotation; rounds 9-11 take the rest at
+# 50/round. Recompute each round:
 #   set(REGISTRY) - union(json.load(open(f)) for f in CORRECTNESS_r0*.json)
 _DRIVER_PRIORITY = [
-    "agg_distinct_salted_twophase",
-    "analytics_adstock_carryover",
-    "analytics_twap_vwap",
-    "dedup_phonetic_block_join",
-    "graph_bipartite_projection",
-    "graph_bom_explosion",
-    "graph_triad_motif_census",
-    "ingest_gorilla_timeseries",
-    "ingest_met_derive_wind_dewpoint",
-    "ingest_mime_header_parse",
-    "ingest_protobuf_delimited_stream",
-    "ingest_regrid_conservative",
-    "join_fifo_cost_allocation",
-    "layout_roaring_bitmap_index",
-    "ml_offpolicy_doubly_robust",
-    "ml_offpolicy_ips_eval",
-    "ml_propensity_caliper_matching",
-    "ml_wasserstein_drift_binned",
-    "mm_multipart_reassembly",
-    "pipeline_retrieval_e2e",
-    "sample_systematic_every_k",
-    "scalar_semver_compare",
-    "sim_maxsim_late_interaction",
-    "spatial_trajectory_path_stats",
-    "st_watermark_late_audit_batch",
-    "text_code_detection_router",
-    "text_vocab_oov_coverage",
-    "transform_interval_coalesce",
-    "ts_control_chart_nelson",
-    "vector_hamming_topk",
-    "vector_mips_norm_augment",
-    "join_asof_next_purchase_after_click",
-    "window_frame_semantics",
-    "window_conditional_cumsum",
-    "st_session_dynamic_gap",
-    "layout_partition_prune_count",
-    "sim_pq_adc",
-    "text_bigram_lm",
-    "text_inverted_index",
-    "text_pii_scrub",
-    "sample_cap_per_domain",
-    "sample_stratified_hash",
-    "join_bitemporal_as_of",
-    "window_gaps_islands",
-    "scalar_map_hof_pack",
-    "scalar_bitwise_pack",
-    "reshape_union_by_name_evolution",
-    "profile_table_stats",
-    "dq_expectations_summary",
-    "lake_incremental_view_maintenance",
+    "ingest_zip_members_csv",
+    "ingest_avro_container_matrix",
+    "ingest_csv_quoted_multiline",
+    "ingest_rowgroup_prune_audit",
+    "ingest_msgpack_stream",
+    "join_range_binned_funnel",
+    "join_null_safe_semantics",
+    "join_right_outer_lineitem_customer",
+    "join_eager_aggregation_rewrite",
+    "ml_minhash_lsh_join",
+    "ml_brp_lsh_ann",
+    "ml_feature_hashing",
+    "ml_target_encoding",
+    "ml_calibration_reliability",
+    "ml_kfold_assignment",
+    "ml_embedding_covariance_matrix",
+    "ml_logreg_gradient_step",
+    "ml_pr_curve_sweep",
+    "ml_poisson_bootstrap_ci",
+    "ml_gbdt_histogram_build",
+    "ml_logreg_inference_batch",
+    "ml_mrr_ranking_eval",
+    "ml_linear_contributions",
+    "ml_learning_curve_subsample",
+    "ml_naive_bayes_train",
+    "ml_map_at_k_eval",
+    "ml_woe_encoding",
+    "ml_uncertainty_sampling_rank",
+    "ml_grouped_ols_multifeature",
+    "ml_gbdt_second_order_gain",
+    "ml_random_forest_stumps",
+    "ml_quantile_pinball_eval",
+    "ml_oob_error_estimate",
+    "ml_fairness_group_metrics",
+    "ml_cohen_kappa_agreement",
+    "ml_error_slice_finder",
+    "ml_tree_depth2_exact",
+    "ml_adaboost_round_exact",
+    "ml_iv_two_stage_least_squares",
+    "ml_xicor_correlation",
+    "mm_resize_stride",
+    "mm_audio_energy",
+    "mm_modality_router",
+    "mm_phash_near_dup",
+    "mm_video_keyframe_select",
+    "mm_bbox_iou_suppress",
+    "mm_audio_fingerprint_match",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_cumsum",
+    "text_repetition_filter",
 ]
 
 

@@ -163,10 +163,20 @@ MAX_SHINGLE_DF = 100
     ),
     -- n_common via a group-by join, not per-pair list_intersect: the
     -- intersect form cost |cand| * L^2 scalar ops (r7: 598 s at sf0.5);
-    -- this is one hash join + aggregate with identical results
+    -- this is one hash join + aggregate with identical results. The
+    -- count-join is restricted to candidate docs (r8): unrestricted it
+    -- costs Sigma df^2 rows — quadratic in corpus size.
+    cdocs AS MATERIALIZED (
+      SELECT a_id AS doc_id FROM cand
+      UNION SELECT b_id FROM cand
+    ),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN cdocs d ON sh.doc_id = d.doc_id
+    ),
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -188,8 +198,10 @@ MAX_SHINGLE_DF = 100
         f"with document frequency <= {MAX_SHINGLE_DF} (hot shingles are "
         "both uninformative and the quadratic-blowup hazard of a raw "
         "shingle equi-join); the Jaccard value is then verified EXACTLY "
-        "per candidate pair via array_intersect over the full per-doc "
-        "shingle sets — the cap bounds the join, not the arithmetic. "
+        "via a shingle count-join restricted to candidate docs — full "
+        "(uncapped) shingle sets, so the cap bounds WHICH pairs are "
+        "scored, never the arithmetic, and the count-join row count is "
+        "bounded by the candidate set instead of Sigma df^2. "
         "Integer ratio ⇒ bit-exact vs the oracle. The MinHash variant "
         "below remains the 100 TB path."
     ),
@@ -211,13 +223,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .cache()
     )
     # n_common via count-join (one shuffle), not per-pair
     # array_intersect over the full lists — same results, no
-    # |cand| * L^2 scalar work (r7 sf0.5 sweep finding)
+    # |cand| * L^2 scalar work (r7 sf0.5 sweep finding). The count-join
+    # is restricted to CANDIDATE docs first (r8, ADVICE): an uncapped
+    # shingle self-join costs Sigma df^2 rows — quadratic in corpus
+    # size, the exact hazard MAX_SHINGLE_DF exists to bound. Results
+    # are identical because the final join keeps only cand pairs.
+    cdocs = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cdocs, ["doc_id"])
     common = (
-        sh.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        shc.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(shc.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -589,8 +612,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    # label.isNotNull(): the oracle's a.label = b.label join drops NULL
+    # labels, but groupBy would keep a NULL-label group and emit pairs
+    # the oracle never sees (latent parity divergence — ADVICE r8;
+    # current fixtures are non-null, this pins the semantics).
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
     )
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1655,9 +1684,19 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
       JOIN freq f ON a.shingle = f.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
+    -- count-join restricted to candidate docs (r8, ADVICE): the full
+    -- shingle self-join costs Sigma df^2 rows, quadratic in corpus size
+    cdocs AS MATERIALIZED (
+      SELECT a_id AS doc_id FROM cand
+      UNION SELECT b_id FROM cand
+    ),
+    shc AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN cdocs d ON sh.doc_id = d.doc_id
+    ),
     common AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1733,12 +1772,21 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
+        .cache()
     )
     # count-join n_common (r7 sf0.5 sweep: per-pair array_intersect
-    # over full lists was the query's dominant cost at 137 s)
+    # over full lists was the query's dominant cost at 137 s),
+    # restricted to candidate docs (r8, ADVICE): unrestricted the
+    # self-join costs Sigma df^2 rows — quadratic in corpus size
+    cdocs = (
+        cand.select(F.col("a_id").alias("doc_id"))
+        .union(cand.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(cdocs, ["doc_id"])
     common = (
-        sh.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        shc.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(shc.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -184,9 +184,18 @@ def test_ml_minhash_invariant_summary(spark, sf_dir):
     is nonzero on this data."""
     from dmi_ingestor_spark.registry import load_all
 
+    import pandas as pd
+
     row = load_all()["ml_minhash_lsh_join"].builder(spark, sf_dir).collect()[0]
     assert row.n_dist_out_of_range == 0
-    assert row.n_dup_pairs >= 0
+    # J=1-recall invariant, validated locally (ADVICE r8: `>= 0` was
+    # vacuous): the LSH join must emit EVERY identical-text pair among
+    # docs with >= 3 tokens (3-gram shingles), so n_dup_pairs equals
+    # the fixture's own identical-text group pair count.
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    k = docs[docs["text"].str.split(" ").str.len() >= 3].groupby("text").size()
+    expected_dup_pairs = int((k * (k - 1) // 2).sum())
+    assert row.n_dup_pairs == expected_dup_pairs
     assert row.n_true_pairs > 0
 
 
