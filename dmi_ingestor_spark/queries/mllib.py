@@ -5733,8 +5733,6 @@ def ml_xicor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PSM_CALIPER = 5_000   # cents: max |score gap| for a valid match
-_PSM_BUCKET = 5_000    # block width >= caliper => neighbors live in
-                       # the same or an adjacent block, never farther
 
 
 @register(
@@ -5784,15 +5782,21 @@ _PSM_BUCKET = 5_000    # block width >= caliper => neighbors live in
         "nearest CONTROL by score distance, with replacement, only if "
         "the gap is within the caliper; the output is the matching "
         "audit (match rate, total gap) and the matched-pair ATT sum "
-        "in exact cents. Scale shape: candidate generation is BLOCKED "
-        "— scores bucket at width >= caliper, treated rows explode to "
-        "their 3 adjacent buckets, and the join is an equi-join on "
-        "the bucket id, so candidates per treated are O(local "
-        "density), never O(controls); the block-width>=caliper "
-        "invariant makes the blocked nearest identical to the global "
-        "nearest (the oracle computes the UNBLOCKED form — hash-green "
-        "proves the equivalence). Argmin per treated is a partitioned "
-        "rank window. All quantities integer cents."
+        "in exact cents. Scale shape (r8 rewrite — the r7 bucketed "
+        "pair-explode was the repo's one measured scale-killer, "
+        "slope/decade 1.79, because candidate pairs grow O(n x local "
+        "density)): SORTED nearest-neighbor. Controls reduce to one "
+        "representative per DISTINCT cent score (the (gap, uid) "
+        "tie-break can only ever pick the min-uid control of a score, "
+        "so per-score min(struct(uid, outcome)) is lossless); prev/"
+        "next control per treated score come from last/first-ignore-"
+        "nulls windows over the SCORE-GRAIN relation, whose size is "
+        "bounded by the acctbal cent domain (~1.1e6 values) — "
+        "CONSTANT in corpus size, the same bounded-funnel pattern as "
+        "ml_auc_exact; treated rows then equi-join the lookup on "
+        "score. O(n log n) total, output O(treated). The oracle keeps "
+        "the UNBLOCKED quadratic form — hash-green proves the sorted "
+        "formulation equivalent. All quantities integer cents."
     ),
     tags=("mllib", "causal", "customer", "orders"),
 )
@@ -5834,32 +5838,77 @@ def ml_propensity_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("spend_cents", F.lit(0)).alias("outcome"),
         )
     )
-    controls = units.filter(F.col("treated") == 0).select(
-        F.col("uid").alias("c_uid"),
-        F.expr(f"score div {_PSM_BUCKET}").alias("blk"),
-        F.col("score").alias("c_score"),
-        F.col("outcome").alias("c_out"),
+    units = units.cache()
+    cval_t = "struct<c_score:bigint,c_uid:bigint,c_out:bigint>"
+    # one representative control per DISTINCT score: the (gap, c_uid)
+    # tie-break can only ever select the min-uid control of a score,
+    # so min(struct(uid, outcome)) per score is lossless
+    crep = (
+        units.filter(F.col("treated") == 0)
+        .groupBy("score")
+        .agg(F.min(F.struct(F.col("uid"), F.col("outcome"))).alias("c"))
+        .select(
+            "score",
+            F.lit(0).alias("src"),
+            F.struct(
+                F.col("score").alias("c_score"),
+                F.col("c.uid").alias("c_uid"),
+                F.col("c.outcome").alias("c_out"),
+            ).alias("cval"),
+        )
     )
-    treated = units.filter(F.col("treated") == 1).select(
-        F.col("uid").alias("t_uid"),
-        F.col("score").alias("t_score"),
-        F.col("outcome").alias("t_out"),
-        F.explode(
-            F.array(
-                F.expr(f"score div {_PSM_BUCKET} - 1"),
-                F.expr(f"score div {_PSM_BUCKET}"),
-                F.expr(f"score div {_PSM_BUCKET} + 1"),
-            )
-        ).alias("blk"),
+    tsc = (
+        units.filter(F.col("treated") == 1)
+        .select("score")
+        .distinct()
+        .select("score", F.lit(1).alias("src"), F.lit(None).cast(cval_t).alias("cval"))
     )
-    pairs = (
-        treated.join(controls, "blk")
-        .withColumn("gap", F.abs(F.col("t_score") - F.col("c_score")))
-        .filter(F.col("gap") <= _PSM_CALIPER)
+    # prev = largest control score <= t (src 0 sorts before src 1, so a
+    # control AT the treated score lands in the backward window); next =
+    # smallest control score strictly > t. Global windows are over the
+    # SCORE-GRAIN union — bounded by the cent-score domain, not n.
+    # BOTH directions are RUNNING frames (unboundedPreceding..current):
+    # next uses a descending sort + last(ignorenulls) instead of a
+    # (current..unboundedFollowing) frame, because Spark evaluates
+    # shrinking frames by rescanning the tail per row — O(rows^2)
+    # (measured: 182 s at sf0.5 vs ~2 s for the two running frames).
+    merged = crep.unionByName(tsc)
+    wprev = Window.orderBy("score", "src").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w = Window.partitionBy("t_uid").orderBy("gap", "c_uid")
-    matched = pairs.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
+    wnext = Window.orderBy(F.desc("score"), F.desc("src")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    look = (
+        merged.withColumn("prev", F.last("cval", ignorenulls=True).over(wprev))
+        .withColumn("nxt", F.last("cval", ignorenulls=True).over(wnext))
+        .filter(F.col("src") == 1)
+        .select("score", "prev", "nxt")
+    )
+    t = units.filter(F.col("treated") == 1).select(
+        F.col("uid").alias("t_uid"), "score", F.col("outcome").alias("t_out")
+    )
+    gp = F.col("score") - F.col("prev.c_score")
+    gn = F.col("nxt.c_score") - F.col("score")
+    prev_ok = F.col("prev").isNotNull() & (gp <= _PSM_CALIPER)
+    next_ok = F.col("nxt").isNotNull() & (gn <= _PSM_CALIPER)
+    pick_prev = prev_ok & (
+        ~F.coalesce(next_ok, F.lit(False))
+        | (gp < gn)
+        | ((gp == gn) & (F.col("prev.c_uid") < F.col("nxt.c_uid")))
+    )
+    matched = (
+        t.join(look, "score")
+        .select(
+            "t_uid",
+            "t_out",
+            "score",
+            F.when(pick_prev, F.col("prev"))
+            .when(next_ok, F.col("nxt"))
+            .alias("m"),
+        )
+        .filter(F.col("m").isNotNull())
+        .withColumn("gap", F.abs(F.col("score") - F.col("m.c_score")))
     )
     nt = units.filter(F.col("treated") == 1).agg(
         F.count(F.lit(1)).alias("n_treated")
@@ -5868,7 +5917,7 @@ def ml_propensity_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFram
         matched.agg(
             F.count(F.lit(1)).cast("long").alias("n_matched"),
             F.sum("gap").cast("long").alias("total_gap"),
-            F.sum(F.col("t_out") - F.col("c_out"))
+            F.sum(F.col("t_out") - F.col("m.c_out"))
             .cast("long")
             .alias("att_cents_sum"),
         )

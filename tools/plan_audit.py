@@ -38,6 +38,10 @@ SINGLE_PARTITION_OK: dict[str, str] = {
     "agg_cube_status_priority": "sorted cube output, O(groups) rows",
     "agg_grouping_sets": "sorted grouping-sets output, O(groups) rows",
     "ml_auc_exact": "rank window over the SCORE-GRAIN relation (distinct scores)",
+    "ml_propensity_caliper_matching": (
+        "prev/next-control windows over the SCORE-GRAIN union "
+        "(distinct cent scores, bounded by the acctbal domain ~1.1e6)"
+    ),
     "ml_chi2_feature_selection": "final top-k sort of token-grain chi2 rows",
     "recursive_month_spine": "84-row generated month spine",
     "ts_gapfill_interpolate": "spine join output, O(series x buckets)",

@@ -92,8 +92,17 @@ DEFAULT_QUERIES = [
     "layout_roaring_bitmap_index", # container groupBy + Arrow codec pass
     "vector_hamming_topk",         # zero-shuffle sign fold + broadcast popcount
     "dq_sequence_gap_audit",       # bucket-partitioned lag + O(buckets) stitch
-    "ml_propensity_caliper_matching",  # score-bucket blocked nearest match
+    "ml_propensity_caliper_matching",  # sorted score-grain nearest match (r8 rewrite)
 ]
+
+# Everything in SCALING.md from this line onward is MANUAL content
+# (slope footnotes, spot-bench sections): regeneration preserves it
+# verbatim. Round-7 lesson: a regeneration without this clobbered the
+# sf1 spot-bench section (VERDICT r7 item 3).
+MANUAL_MARKER = (
+    "<!-- MANUAL SECTIONS — scale_sweep.py preserves everything below "
+    "this line verbatim on regeneration -->"
+)
 
 
 def main() -> int:
@@ -150,47 +159,21 @@ def main() -> int:
         "setup, shuffle latency floors) still dominates at these SFs; at",
         "cluster scale those amortize while the linear term parallelizes.",
         "",
-        "## Slope footnotes (known, justified)",
-        "",
-        "- `join_edit_distance_blocked`: the steepest slope is OUTPUT-bound,",
-        "  not plan-bound — customer names densify with sf, so each name has",
-        "  more distance-1 neighbors (1.3k pairs at sf0.001 → 262k at sf0.1).",
-        "  Blocking rows stay 18n and the join stays one hash shuffle; result",
-        "  cardinality growth is the data's property, not the operator's.",
-        "- `dedup_exact_span_ngram`: span-df shuffle volume is O(total",
-        "  distinct 13-gram spans), linear in corpus; the r5 measurement also",
-        "  carries the generator's repeated-passage rate rising with sf.",
-        "  Caching the span relation (it fed both the aggregate and the",
-        "  rollup join, with no ReusedExchange) cut the solo slope to 0.11",
-        "  (1.26s -> 1.63s over the 10x step).",
-        "- `graph_kcore_decomposition`: the remaining growth is the one",
-        "  corpus-sized stage (per-order co-purchase pair build + distinct);",
-        "  peel rounds are incremental since r5 (shuffle O(edges incident to",
-        "  removed), measured slope 0.29 solo vs ~0.42 under sweep load).",
-        "- `ml_propensity_caliper_matching`: candidate pairs per treated",
-        "  unit grow with local score DENSITY (controls per 5k-cent bucket",
-        "  scale linearly with sf), so pair volume is O(n x density) and the",
-        "  sf0.5 point confirms the quadratic trend (slope/decade 1.79 on the",
-        "  0.1->0.5 step). The output is O(treated) — only the nearest",
-        "  control survives — so the scale-correct formulation is a sorted",
-        "  as-of nearest-control join (O(n log n), machinery already in",
-        "  operators/asof.py); queued as the round-8 rewrite.",
-        "- `spatial_radius_join_grid` (slope/decade 1.65): OUTPUT-bound by",
-        "  the fixture's synthetic geometry — lat/lon derive from c_custkey",
-        "  residues onto a fixed lattice, so co-located points pile up",
-        "  linearly with sf and within-radius pairs grow ~n^2/positions.",
-        "  The plan stays one 9-cell equi-join; the cost is writing the",
-        "  result set, same category as join_edit_distance_blocked.",
-        "- `graph_spectral_bisection`: wall time is FIXED-COST (per-round",
-        "  eager checkpoint + broadcast-build jobs across ~30 tiny rounds,",
-        "  pinned to 2 partitions); slope ~0 at every sf — scale-safe but",
-        "  latency-heavy, which is why it is tracked here and deliberately",
-        "  NOT in bench.py.",
-        "",
     ]
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
-        f.write("\n".join(out))
-    print("wrote SCALING.md")
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+    # Preserve everything from the manual marker onward (footnotes,
+    # spot-bench sections) — regeneration must never eat hand-written
+    # analysis again.
+    manual = None
+    if os.path.exists(path):
+        existing = open(path).read()
+        if MANUAL_MARKER in existing:
+            manual = existing[existing.index(MANUAL_MARKER):].rstrip() + "\n"
+    if manual is None:
+        manual = MANUAL_MARKER + "\n\n## Slope footnotes (known, justified)\n\n(none yet)\n"
+    with open(path, "w") as f:
+        f.write("\n".join(out) + manual)
+    print("wrote SCALING.md (manual sections preserved)")
     return 0
 
 
