@@ -92,7 +92,25 @@ def generate(sf: float, out: str) -> None:
         ),
         f"{out}/lineitem.parquet",
     )
-    print(f"wrote sf={sf}: customer={n_cust} lineitem={n} -> {out}")
+    # orders: one row per order, o_custkey uniform over customers,
+    # o_totalprice on the cent grid (sf0.1 marginals) — feeds the r8
+    # caliper-matching spot row (outcome = per-customer spend sum).
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": np.arange(n_orders, dtype=np.int64),
+                "o_custkey": rng.integers(0, n_cust, n_orders, dtype=np.int64),
+                "o_totalprice": np.round(
+                    rng.uniform(850.0, 560000.0, n_orders), 2
+                ),
+            }
+        ),
+        f"{out}/orders.parquet",
+    )
+    print(
+        f"wrote sf={sf}: customer={n_cust} lineitem={n} "
+        f"orders={n_orders} -> {out}"
+    )
 
 
 if __name__ == "__main__":
