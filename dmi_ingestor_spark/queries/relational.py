@@ -285,6 +285,11 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def local_skyline(pts: DataFrame, part_cols: list[str]) -> DataFrame:
         """Drop points dominated WITHIN each partition — a sound filter,
         because in-partition domination implies global domination."""
+        # rangeBetween(1, unboundedFollowing) is safe HERE (unlike the
+        # rowsBetween shrinking frames fixed in r8): the frame's lower
+        # bound moves only when x changes, and x = p_size has a ~50-value
+        # domain, so Spark re-aggregates at most 50 times per partition —
+        # O(50n), not O(n^2).
         w_gt = (
             Window.partitionBy(*part_cols)
             .orderBy("x")

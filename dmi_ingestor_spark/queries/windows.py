@@ -521,15 +521,22 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_before = (
         Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_after = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    # forward neighbor via a DESCENDING running frame, not
+    # (currentRow, unboundedFollowing): Spark re-scans a shrinking
+    # frame from each row to the end (O(spine^2)); the desc running
+    # last(ignorenulls) is the same value in O(spine) (same class as
+    # the caliper-matching r8 finding).
+    w_after = Window.orderBy(F.desc("h")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
     f = joined.select(
         "h",
         "v",
         F.last("v", ignorenulls=True).over(w_before).alias("pv"),
         F.last(obs_h, ignorenulls=True).over(w_before).alias("ph"),
-        F.first("v", ignorenulls=True).over(w_after).alias("nv"),
-        F.first(obs_h, ignorenulls=True).over(w_after).alias("nh"),
+        F.last("v", ignorenulls=True).over(w_after).alias("nv"),
+        F.last(obs_h, ignorenulls=True).over(w_after).alias("nh"),
     )
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
