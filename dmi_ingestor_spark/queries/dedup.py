@@ -151,108 +151,116 @@ MAX_SHINGLE_DF = 100
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
-    freq AS (
-      SELECT shingle FROM sh GROUP BY shingle
-      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    freq AS MATERIALIZED (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM sh a
-      JOIN freq f ON a.shingle = f.shingle
-      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    shr AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN freq USING (shingle) WHERE df <= {MAX_SHINGLE_DF}
     ),
-    -- n_common via a group-by join, not per-pair list_intersect: the
-    -- intersect form cost |cand| * L^2 scalar ops (r7: 598 s at sf0.5);
-    -- this is one hash join + aggregate with identical results. The
-    -- count-join is restricted to candidate docs (r8): unrestricted it
-    -- costs Sigma df^2 rows — quadratic in corpus size.
-    cdocs AS MATERIALIZED (
-      SELECT a_id AS doc_id FROM cand
-      UNION SELECT b_id FROM cand
+    shh AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN freq USING (shingle) WHERE df > {MAX_SHINGLE_DF}
     ),
-    shc AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN cdocs d ON sh.doc_id = d.doc_id
+    -- ONE count-join over RARE shingle instances yields candidacy
+    -- (n_rare >= 1) and the rare-common count in a single aggregation:
+    -- no candidate DISTINCT, no second corpus-scale self-join (r8 —
+    -- the sf0.75 sweep caught the old cand+count-join+4-way-join plan
+    -- spilling 64 GB at 60M candidate pairs)
+    common_rare AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_rare
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ),
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    -- hot-shingle completion in PROBE form: cost |candidates| x
+    -- hot-shingles-per-doc (linear in candidates), never Sigma df^2
+    -- over boilerplate shingles
+    common_hot AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
+      FROM common_rare c
+      JOIN shh x ON x.doc_id = c.a_id
+      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
       GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
-      SELECT c.a_id, c.b_id,
-             CAST(cm.n_common AS DOUBLE)
-               / (sa.n + sb.n - cm.n_common) AS jaccard
-      FROM cand c
-      JOIN common cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
-      JOIN sizes sa ON sa.doc_id = c.a_id
-      JOIN sizes sb ON sb.doc_id = c.b_id
+      SELECT cr.a_id, cr.b_id,
+             CAST(cr.n_rare + COALESCE(ch.n_hot, 0) AS DOUBLE)
+               / (sa.n + sb.n - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+               AS jaccard
+      FROM common_rare cr
+      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      JOIN sizes sa ON sa.doc_id = cr.a_id
+      JOIN sizes sb ON sb.doc_id = cr.b_id
     )
     SELECT a_id, b_id, jaccard FROM scored
     WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     doc=(
         "U5 baseline: exact 3-gram Jaccard, skew-capped. Candidate pairs "
-        "come from the shared-shingle self-join restricted to shingles "
-        f"with document frequency <= {MAX_SHINGLE_DF} (hot shingles are "
-        "both uninformative and the quadratic-blowup hazard of a raw "
-        "shingle equi-join); the Jaccard value is then verified EXACTLY "
-        "via a shingle count-join restricted to candidate docs — full "
-        "(uncapped) shingle sets, so the cap bounds WHICH pairs are "
-        "scored, never the arithmetic, and the count-join row count is "
-        "bounded by the candidate set instead of Sigma df^2. "
-        "Integer ratio ⇒ bit-exact vs the oracle. The MinHash variant "
-        "below remains the 100 TB path."
+        "are those sharing at least one shingle with document frequency "
+        f"<= {MAX_SHINGLE_DF} (hot shingles are both uninformative and "
+        "the quadratic-blowup hazard of a raw shingle equi-join); the "
+        "Jaccard arithmetic is over FULL shingle sets — the cap bounds "
+        "WHICH pairs are scored, never the arithmetic. Plan shape (r8): "
+        "one count-join over rare shingle instances produces candidacy "
+        "AND the rare-common count in a single aggregation; shared HOT "
+        "shingles are completed per candidate pair in probe form "
+        "(|cand| x hot-per-doc rows, linear in candidates). Integer "
+        "ratio => bit-exact vs the oracle. The MinHash variant below "
+        "remains the 100 TB path."
     ),
     tags=("dedup", "similarity"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _shingle_arrays(table(spark, sf_dir, "documents")).cache()
     sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+    sh_rare = sh.join(
+        freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
     )
-    sh_rare = sh.join(rare, ["shingle"])
-    cand = (
+    sh_hot = sh.join(
+        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
+    )
+    # ONE count-join over rare instances: candidacy (n_rare >= 1) and
+    # the rare-common count in a single map-side-combining aggregation
+    # — no candidate DISTINCT, no second corpus-scale self-join (r8:
+    # the sf0.75 sweep caught the old plan spilling at 60M candidates)
+    common_rare = (
         sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
         .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
         .cache()
     )
-    # n_common via count-join (one shuffle), not per-pair
-    # array_intersect over the full lists — same results, no
-    # |cand| * L^2 scalar work (r7 sf0.5 sweep finding). The count-join
-    # is restricted to CANDIDATE docs first (r8, ADVICE): an uncapped
-    # shingle self-join costs Sigma df^2 rows — quadratic in corpus
-    # size, the exact hazard MAX_SHINGLE_DF exists to bound. Results
-    # are identical because the final join keeps only cand pairs.
-    cdocs = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    shc = sh.join(cdocs, ["doc_id"])
-    common = (
-        shc.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(shc.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
-        .filter(F.col("a_id") < F.col("b_id"))
+    # hot completion in PROBE form: linear in candidates x hot-per-doc,
+    # never Sigma df^2 over boilerplate shingles
+    common_hot = (
+        common_rare.select("a_id", "b_id")
+        .join(
+            sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"]
+        )
+        .join(
+            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n_hot"))
     )
     sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
+    n_common = F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+    jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        cand.join(common, ["a_id", "b_id"])
-        .join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")), ["a_id"])
-        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")), ["b_id"])
+        common_rare.join(common_hot, ["a_id", "b_id"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
+            ["a_id"],
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")),
+            ["b_id"],
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
@@ -1164,18 +1172,20 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_lsh_recall_eval",
     oracle=f"""
     WITH {_SQL_MINHASH_CTES},
-    shared AS (
-      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
+    -- truth pairs with per-doc sizes CARRIED THROUGH the count-join and
+    -- the J >= 0.5 test applied in the HAVING (r8 sf0.75 catch: the
+    -- shared-pairs relation is ~60M rows in the fixtures' closed-vocab
+    -- regime, and materializing it + two size joins spilled; filtering
+    -- at aggregation keeps only the tiny truth set)
+    she AS (
+      SELECT sh.doc_id, sh.shingle, s.n_sh
+      FROM sh JOIN sizes s USING (doc_id)
     ),
-    truth AS (
-      SELECT s.a_id, s.b_id
-      FROM shared s
-      JOIN sizes sa ON sa.doc_id = s.a_id
-      JOIN sizes sb ON sb.doc_id = s.b_id
-      WHERE CAST(s.n_common AS DOUBLE)
-            / (sa.n_sh + sb.n_sh - s.n_common) >= 0.5
+    truth AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM she x JOIN she y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id, x.n_sh, y.n_sh
+      HAVING COUNT(*) * 2 >= x.n_sh + y.n_sh - COUNT(*)
     ),
     hit AS (
       SELECT t.a_id FROM truth t
@@ -1197,10 +1207,12 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingle-Jaccard >= 0.5) come from a shared-shingle equi-join "
         "— complete, because any pair at J >= 0.5 shares shingles — "
         "never an n^2 cross join; candidates are the production "
-        "banding join, re-used verbatim. The shared-shingle join is "
-        "the audit's cost and carries the known hot-shingle skew: at "
-        "100 TB this eval runs on a stratified sample, while the "
-        "production path stays banded."
+        "banding join, re-used verbatim. Per-doc sizes ride the "
+        "shingle explode so the J test applies inside the count-join's "
+        "aggregation — the shared-pairs relation is never materialized "
+        "(r8). The count-join itself is the audit's cost and carries "
+        "the known hot-shingle skew: at 100 TB this eval runs on a "
+        "stratified sample, while the production path stays banded."
     ),
     tags=("dedup", "evaluation", "similarity", "documents"),
 )
@@ -1247,28 +1259,29 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
-    sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    sizes = docs.select("doc_id", F.size("sh_arr").alias("n_sh"))
-    shared = (
-        sh.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # per-doc sizes ride the explode (free — no join), so the J >= 0.5
+    # test applies INSIDE the count-join's aggregation and the ~60M
+    # shared-pairs relation is never materialized (r8 sf0.75 catch:
+    # shared + two size joins spilled in the closed-vocab regime).
+    # 2c >= na + nb - c is the exact integer form of c/(na+nb-c) >= 0.5.
+    she = docs.select(
+        "doc_id", F.size("sh_arr").alias("n_sh"), F.explode("sh_arr").alias("shingle")
     )
     truth = (
-        shared.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("a_id"),
-                                     F.col("n_sh").alias("na"))), "a_id"
+        she.select(
+            F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"), "shingle"
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"),
-                                     F.col("n_sh").alias("nb"))), "b_id"
+            she.select(
+                F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"), "shingle"
+            ),
+            "shingle",
         )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
-            >= 0.5
+            F.col("n_common") * 2 >= F.col("na") + F.col("nb") - F.col("n_common")
         )
         .select("a_id", "b_id")
         .cache()
@@ -1674,40 +1687,42 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
                   THEN 'train' ELSE 'val' END AS fold
       FROM documents
     ),
-    freq AS (
-      SELECT shingle FROM sh GROUP BY shingle
-      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    freq AS MATERIALIZED (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM sh a
-      JOIN freq f ON a.shingle = f.shingle
-      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    shr AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN freq USING (shingle) WHERE df <= {MAX_SHINGLE_DF}
     ),
-    -- count-join restricted to candidate docs (r8, ADVICE): the full
-    -- shingle self-join costs Sigma df^2 rows, quadratic in corpus size
-    cdocs AS MATERIALIZED (
-      SELECT a_id AS doc_id FROM cand
-      UNION SELECT b_id FROM cand
+    shh AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN freq USING (shingle) WHERE df > {MAX_SHINGLE_DF}
     ),
-    shc AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN cdocs d ON sh.doc_id = d.doc_id
+    -- same single-count-join + probe-form hot completion as
+    -- dedup_ngram_jaccard (r8 sf0.75 catch: the cand-DISTINCT +
+    -- second self-join plan spilled at 60M candidate pairs)
+    common_rare AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_rare
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ),
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    common_hot AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
+      FROM common_rare c
+      JOIN shh x ON x.doc_id = c.a_id
+      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
       GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
-      SELECT c.a_id, c.b_id,
-             CAST(cm.n_common AS DOUBLE)
-               / (sa.n + sb.n - cm.n_common) AS jaccard
-      FROM cand c
-      JOIN common cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
-      JOIN sizes sa ON sa.doc_id = c.a_id
-      JOIN sizes sb ON sb.doc_id = c.b_id
+      SELECT cr.a_id, cr.b_id,
+             CAST(cr.n_rare + COALESCE(ch.n_hot, 0) AS DOUBLE)
+               / (sa.n + sb.n - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+               AS jaccard
+      FROM common_rare cr
+      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      JOIN sizes sa ON sa.doc_id = cr.a_id
+      JOIN sizes sb ON sb.doc_id = cr.b_id
     )
     SELECT s.a_id, s.b_id,
            fa.fold AS a_fold, fb.fold AS b_fold, s.jaccard
@@ -1757,43 +1772,38 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = d.select("doc_id", fold.alias("fold"))
     arrs = _shingle_arrays(d).cache()
     sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+    sh_rare = sh.join(
+        freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
     )
-    sh_rare = sh.join(rare, ["shingle"])
-    cand = (
+    sh_hot = sh.join(
+        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
+    )
+    # same single-count-join + probe-form hot completion as
+    # dedup_ngram_jaccard (r8 sf0.75 catch: the cand-DISTINCT + second
+    # corpus-scale self-join plan spilled at 60M candidate pairs)
+    common_rare = (
         sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(
-            sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"]
-        )
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-        .cache()
-    )
-    # count-join n_common (r7 sf0.5 sweep: per-pair array_intersect
-    # over full lists was the query's dominant cost at 137 s),
-    # restricted to candidate docs (r8, ADVICE): unrestricted the
-    # self-join costs Sigma df^2 rows — quadratic in corpus size
-    cdocs = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .union(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    shc = sh.join(cdocs, ["doc_id"])
-    common = (
-        shc.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(shc.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .cache()
+    )
+    common_hot = (
+        common_rare.select("a_id", "b_id")
+        .join(sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"])
+        .join(
+            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
     )
     sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
+    n_common = F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
     scored = (
-        cand.join(common, ["a_id", "b_id"])
+        common_rare.join(common_hot, ["a_id", "b_id"], "left")
         .join(
             sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
             ["a_id"],
@@ -1806,8 +1816,8 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "b_id",
             (
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common"))
+                n_common.cast("double")
+                / (F.col("na") + F.col("nb") - n_common)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -1841,46 +1851,52 @@ def _sweep_oracle() -> str:
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
     ),
-    freq{n} AS (
-      SELECT shingle FROM sh{n} GROUP BY shingle
-      HAVING COUNT(*) <= {MAX_SHINGLE_DF}
-    ),
-    cand{n} AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM sh{n} a
-      JOIN freq{n} f ON a.shingle = f.shingle
-      JOIN sh{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    ),
-    -- restrict the count-join to candidate docs first: at n=2 the
-    -- 31-word vocab has ~961 bigrams with df ~ n/961, so the uncapped
-    -- join is Sigma df^2 ~ 1.8e9 rows at sf0.5 (filled the disk) while
-    -- almost no doc survives the DF cap into cand2
-    cdocs{n} AS (
-      SELECT a_id AS doc_id FROM cand{n}
-      UNION SELECT b_id FROM cand{n}
-    ),
-    shc{n} AS (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh{n} sh JOIN cdocs{n} d ON sh.doc_id = d.doc_id
-    ),
-    common{n} AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM shc{n} a
-      JOIN shc{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    freq{n} AS MATERIALIZED (
+      SELECT shingle, COUNT(*) AS df FROM sh{n} GROUP BY shingle
     ),
     sizes{n} AS (SELECT doc_id, COUNT(*) AS n FROM sh{n} GROUP BY doc_id),
+    -- r8: same single-count-join + probe-form hot completion as
+    -- dedup_ngram_jaccard — candidacy (>=1 shared rare shingle) and the
+    -- rare-common count come from ONE aggregation with per-doc sizes
+    -- carried through; no candidate DISTINCT, no cdocs re-join. (The
+    -- n=2 rung's 31-word vocab makes every bigram hot — the rare join
+    -- is tiny; the hot probe is bounded by candidates x hot-per-doc.)
+    shr{n} AS (
+      SELECT sh.doc_id, sh.shingle, s.n
+      FROM sh{n} sh
+      JOIN freq{n} f ON f.shingle = sh.shingle AND f.df <= {MAX_SHINGLE_DF}
+      JOIN sizes{n} s ON s.doc_id = sh.doc_id
+    ),
+    shh{n} AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh{n} sh
+      JOIN freq{n} f ON f.shingle = sh.shingle AND f.df > {MAX_SHINGLE_DF}
+    ),
+    common_rare{n} AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS na, b.n AS nb, COUNT(*) AS n_rare
+      FROM shr{n} a
+      JOIN shr{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    common_hot{n} AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
+      FROM common_rare{n} c
+      JOIN shh{n} x ON x.doc_id = c.a_id
+      JOIN shh{n} y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
     scored{n} AS (
-      SELECT (cm.n_common * {_SWEEP_JS})
-               // (sa.n + sb.n - cm.n_common) AS j_scaled
-      FROM cand{n} c
-      JOIN common{n} cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
-      JOIN sizes{n} sa ON sa.doc_id = c.a_id
-      JOIN sizes{n} sb ON sb.doc_id = c.b_id
+      SELECT ((cr.n_rare + COALESCE(ch.n_hot, 0)) * {_SWEEP_JS})
+               // (cr.na + cr.nb - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+               AS j_scaled
+      FROM common_rare{n} cr
+      LEFT JOIN common_hot{n} ch
+        ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
     ),
     row{n} AS (
       SELECT {n} AS shingle_n,
-             CAST((SELECT COUNT(*) FROM cand{n}) AS BIGINT)
+             CAST((SELECT COUNT(*) FROM common_rare{n}) AS BIGINT)
                AS n_candidate_pairs,
              CAST(COUNT(*) FILTER (WHERE j_scaled >= {_SWEEP_JS} // 5)
                   AS BIGINT) AS n_pairs_over_j02,
@@ -1916,55 +1932,62 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for n in _SWEEP_NS:
         arrs = _shingle_arrays(d, n=n).cache()
-        sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= MAX_SHINGLE_DF)
-            .select("shingle")
+        # r8: same single-count-join + probe-form hot completion as
+        # dedup_ngram_jaccard (sf0.75 catch) — per-doc sizes ride the
+        # explode, candidacy and n_rare come from ONE aggregation
+        she = arrs.select(
+            "doc_id",
+            F.size("sh_arr").alias("n_sh"),
+            F.explode("sh_arr").alias("shingle"),
         )
-        sh_rare = sh.join(rare, ["shingle"])
-        cand = (
-            sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
+        freq = (
+            she.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+        )
+        sh_rare = she.join(
+            freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"),
+            ["shingle"],
+        )
+        sh_hot = she.select("doc_id", "shingle").join(
+            freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"),
+            ["shingle"],
+        )
+        common_rare = (
+            sh_rare.select(
+                F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"), "shingle"
+            )
             .join(
-                sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"),
+                sh_rare.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("n_sh").alias("nb"),
+                    "shingle",
+                ),
                 ["shingle"],
             )
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .distinct()
+            .groupBy("a_id", "b_id", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_rare"))
             .cache()
         )
-        cdocs = (
-            cand.select(F.col("a_id").alias("doc_id"))
-            .union(cand.select(F.col("b_id").alias("doc_id")))
-            .distinct()
-        )
-        shc = sh.join(cdocs, ["doc_id"])
-        common = (
-            shc.select(F.col("doc_id").alias("a_id"), "shingle")
+        common_hot = (
+            common_rare.select("a_id", "b_id")
             .join(
-                shc.select(F.col("doc_id").alias("b_id"), "shingle"),
-                ["shingle"],
+                sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"]
             )
-            .filter(F.col("a_id") < F.col("b_id"))
+            .join(
+                sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
+                ["b_id", "shingle"],
+            )
             .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .agg(F.count(F.lit(1)).alias("n_hot"))
         )
-        sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
         scored = (
-            cand.join(common, ["a_id", "b_id"])
-            .join(
-                sizes.select(
-                    F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")
-                ),
-                ["a_id"],
-            )
-            .join(
-                sizes.select(
-                    F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb")
-                ),
-                ["b_id"],
+            common_rare.join(common_hot, ["a_id", "b_id"], "left")
+            .select(
+                "na",
+                "nb",
+                (
+                    F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+                ).alias("n_common"),
             )
             .select(
                 F.expr(
@@ -1972,7 +1995,9 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("j_scaled")
             )
         )
-        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+        n_cand = common_rare.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
         summary = scored.agg(
             # coalesce: the n=2 rung has ZERO candidates once every
             # bigram crosses the DF cap (sf>=~0.2), and SUM over no
