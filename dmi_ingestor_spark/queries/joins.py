@@ -814,15 +814,21 @@ def join_asof_tolerance_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = clicks.select(
         "event_id",
         "user_id",
+        "ts",
         "ts_s",
         F.explode(F.array(b - 1, b)).alias("bk"),
     )
+    # upper bound at FULL timestamp precision (p.ts <= c.ts), exactly as
+    # the oracle ranks: the second-grain p_s <= ts_s form admitted a
+    # same-second purchase whose sub-second fraction is AFTER the click
+    # (r8 sf0.75 catch — 1 of 52,953 rows; the r7 truncation class).
+    # The tolerance lower bound stays second-grain on both engines.
     j = probe.join(
         purchases,
         (probe.user_id == purchases.p_user) & (probe.bk == purchases.bk),
         "inner",
     ).where(
-        (F.col("p_s") <= F.col("ts_s"))
+        (F.col("purchase_ts") <= F.col("ts"))
         & (F.col("p_s") >= F.col("ts_s") - ASOF_TOL_S)
     )
     best = j.groupBy("event_id").agg(
