@@ -1440,11 +1440,42 @@ def _sql_bbit_packed() -> str:
       FROM hashed GROUP BY doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+    -- r8: candidate pairs from the DF-capped shingle join (same rare/
+    -- hot split as dedup_ngram_jaccard — the uncapped self-join is
+    -- Sigma df^2, boilerplate-quadratic on real corpora), with sizes
+    -- and packed signatures CARRIED THROUGH the join so nothing joins
+    -- the pair relation afterwards except the probe-form hot counts.
+    -- Candidacy: >=1 shared rare shingle AND >=2 shared total.
+    freq AS MATERIALIZED (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ),
+    shr AS (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh
+      JOIN freq f ON f.shingle = sh.shingle AND f.df <= {MAX_SHINGLE_DF}
+    ),
+    shh AS MATERIALIZED (
+      SELECT sh.doc_id, sh.shingle
+      FROM sh JOIN freq f ON f.shingle = sh.shingle AND f.df > {MAX_SHINGLE_DF}
+    ),
+    common_rare AS MATERIALIZED (
+      SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_rare
+      FROM shr x JOIN shr y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
-      HAVING COUNT(*) >= 2
+    ),
+    common_hot AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
+      FROM common_rare c
+      JOIN shh x ON x.doc_id = c.a_id
+      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
+    shared AS MATERIALIZED (
+      SELECT cr.a_id, cr.b_id,
+             cr.n_rare + COALESCE(ch.n_hot, 0) AS n_common
+      FROM common_rare cr
+      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      WHERE cr.n_rare + COALESCE(ch.n_hot, 0) >= 2
     )
     SELECT s.a_id, s.b_id,
            CAST({BBIT_K} - bit_count(xor(pa.packed, pb.packed)) AS BIGINT)
@@ -1469,9 +1500,13 @@ def _sql_bbit_packed() -> str:
         "similarity re-estimate is pure bit arithmetic (popcount of "
         "XNOR; E[match frac] = (1+J)/2 for b=1, so J-hat = 2f-1), "
         "reported next to the exact Jaccard so the estimator's error "
-        "is itself hash-checked. Signatures build map-side over the "
-        "per-doc shingle arrays; only doc_id + one BIGINT ever "
-        "shuffle."
+        "is itself hash-checked. Candidacy (r8) is >=1 shared DF-capped "
+        "shingle and >=2 shared total — the same rare/hot split as the "
+        "exact-Jaccard family, so the pair join is never Sigma df^2 "
+        "over boilerplate shingles. Signatures build map-side over the "
+        "per-doc shingle arrays and join the pair relation AFTER the "
+        ">=2 filter (pairs << shingle-join input, so post-joins beat "
+        "widening the corpus-scale shuffle — measured both ways)."
     ),
     tags=("dedup", "similarity", "sketch", "scale"),
 )
@@ -1499,14 +1534,48 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * (1 << i)
 
     packed = sum(_bit(i) for i in range(BBIT_K)).cast("long")
+    # candidacy from the DF-capped rare join + probe-form hot completion
+    # (r8; same rare/hot split as dedup_ngram_jaccard — the uncapped
+    # self-join is Sigma df^2, boilerplate-quadratic on real corpora).
+    # Signatures/sizes join AFTER the >=2 filter, on the much smaller
+    # pair relation — carrying them through the corpus-scale shingle
+    # join doubled its shuffle width (measured 151 s vs 75 s at sf0.75).
     sig = docs.select("doc_id", packed.alias("packed"))
     sh = docs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    shared = (
-        sh.select(F.col("doc_id").alias("a_id"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "shingle"), "shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
+    sh_rare = sh.join(
+        freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
+    )
+    sh_hot = sh.join(
+        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
+    )
+    common_rare = (
+        sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .cache()
+    )
+    common_hot = (
+        common_rare.select("a_id", "b_id")
+        .join(sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"])
+        .join(
+            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    shared = (
+        common_rare.join(common_hot, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                "n_common"
+            ),
+        )
         .filter(F.col("n_common") >= 2)
     )
     sizes = docs.select("doc_id", F.size("sh_arr").alias("n_sh"))
