@@ -40,18 +40,23 @@ from dmi_ingestor_spark.registry import register
            UNNEST(generate_series(1, len(t) - 2)) AS u(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    -- per-doc sizes carried through the count-join so the J >= 0.5
+    -- test applies in the HAVING — the shared-pairs relation (~60M
+    -- rows in the closed-vocab regime at sf0.75) is never
+    -- materialized or re-joined (r8)
+    she AS (
+      SELECT sh.doc_id, sh.shingle, s.n
+      FROM sh JOIN sizes s USING (doc_id)
+    ),
+    truth AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM she a JOIN she b ON a.shingle = b.shingle
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      HAVING COUNT(*) * 2 >= a.n + b.n - COUNT(*)
     )
     SELECT
-      CAST((SELECT COUNT(*)
-            FROM common c
-            JOIN sizes sa ON sa.doc_id = c.a_id
-            JOIN sizes sb ON sb.doc_id = c.b_id
-            WHERE c.n_common * 2 >= sa.n + sb.n - c.n_common) AS BIGINT)
+      CAST((SELECT COUNT(*) FROM truth) AS BIGINT)
         AS n_true_pairs,
       CAST(0 AS BIGINT) AS n_dist_out_of_range,
       CAST((SELECT COALESCE(SUM(k * (k - 1) // 2), 0) FROM (
@@ -151,26 +156,28 @@ def ml_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the hash-checked data number: exact token-set Jaccard >= 0.5 pairs,
     # built inverted-index style (J >= 0.5 implies a shared token, so the
-    # token self-join is complete by construction — never an n^2 cross)
+    # token self-join is complete by construction — never an n^2 cross).
+    # Per-doc sizes ride the explode so the J test applies inside the
+    # aggregation — the shared-pairs relation is never materialized or
+    # size-joined (r8 sf0.75: the post-join form was the hash-agg that
+    # OOMed the vanilla 1g JVM)
     toks = d.select("doc_id", F.array_distinct("tokens").alias("ts")).cache()
-    sh = toks.select("doc_id", F.explode("ts").alias("tok"))
-    shared = (
-        sh.select(F.col("doc_id").alias("a_id"), "tok")
-        .join(sh.select(F.col("doc_id").alias("b_id"), "tok"), "tok")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    she = toks.select(
+        "doc_id", F.size("ts").alias("n_tok"), F.explode("ts").alias("tok")
     )
-    sizes = toks.select("doc_id", F.size("ts").alias("n_tok"))
     true_pairs = (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("a_id"), F.col("n_tok").alias("na")),
-            "a_id",
+        she.select(
+            F.col("doc_id").alias("a_id"), F.col("n_tok").alias("na"), "tok"
         )
         .join(
-            sizes.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("nb")),
-            "b_id",
+            she.select(
+                F.col("doc_id").alias("b_id"), F.col("n_tok").alias("nb"), "tok"
+            ),
+            "tok",
         )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(
             F.col("n_common") * 2 >= F.col("na") + F.col("nb") - F.col("n_common")
         )
