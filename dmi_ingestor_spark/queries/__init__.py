@@ -10,11 +10,11 @@ Round-8+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-Start of the round-8 session: 536 registered, 523 oracle-bearing;
-driver has checked 339 distinct names (335 full-green, 4 rows-only,
-0 red), so the oracle-bearing never-checked backlog is 188. The r8
+Start of the round-9 session: 536 registered, 523 oracle-bearing;
+driver has checked 389 distinct names (385 full-green, 4 rows-only,
+0 red), so the oracle-bearing never-checked backlog is 138. The r9
 rotation below takes the first 50 in registry order (oldest families
-first, per VERDICT r7 item 2), leaving 138 for rounds 9-11 at
+first, per VERDICT r8 item 1), leaving 88 for rounds 10-11 at
 50/round. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
@@ -50,68 +50,66 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-8 rotation: 50 slots, ALL from the never-driver-checked
-# oracle-bearing backlog (188 entering this round = 523 oracle-bearing
-# - union(CORRECTNESS_r01..r07 keys); VERDICT r7 item 2). Oldest
-# families first in registry insertion order: the remaining ingest
-# format matrices, the join-semantics pack, the entire never-checked
-# mllib family (31 names — includes the sf0.5-overflow-fixed 2SLS,
-# logreg step, Spearman, adaboost/tree GINI), the multimodal pack,
-# and the first pipeline_ops names. NO rows-only-by-design names.
-# ~138 remain after this rotation; rounds 9-11 take the rest at
-# 50/round. Recompute each round:
+# Round-9 rotation: 50 slots, ALL from the never-driver-checked
+# oracle-bearing backlog (138 entering this round = 523 oracle-bearing
+# - union(CORRECTNESS_r01..r08 keys); VERDICT r8 item 1). Oldest
+# families first in registry insertion order: the pipeline_ops
+# sampling/mixing/sharding/privacy/dq/lake names, the first raster
+# and relational stragglers, and the sql_api surface pack. NO
+# rows-only-by-design names. 88 remain after this rotation;
+# rounds 10-11 take the rest at 50/round. Recompute each round:
 #   set(REGISTRY) - union(json.load(open(f)) for f in CORRECTNESS_r0*.json)
 _DRIVER_PRIORITY = [
-    "ingest_zip_members_csv",
-    "ingest_avro_container_matrix",
-    "ingest_csv_quoted_multiline",
-    "ingest_rowgroup_prune_audit",
-    "ingest_msgpack_stream",
-    "join_range_binned_funnel",
-    "join_null_safe_semantics",
-    "join_right_outer_lineitem_customer",
-    "join_eager_aggregation_rewrite",
-    "ml_minhash_lsh_join",
-    "ml_brp_lsh_ann",
-    "ml_feature_hashing",
-    "ml_target_encoding",
-    "ml_calibration_reliability",
-    "ml_kfold_assignment",
-    "ml_embedding_covariance_matrix",
-    "ml_logreg_gradient_step",
-    "ml_pr_curve_sweep",
-    "ml_poisson_bootstrap_ci",
-    "ml_gbdt_histogram_build",
-    "ml_logreg_inference_batch",
-    "ml_mrr_ranking_eval",
-    "ml_linear_contributions",
-    "ml_learning_curve_subsample",
-    "ml_naive_bayes_train",
-    "ml_map_at_k_eval",
-    "ml_woe_encoding",
-    "ml_uncertainty_sampling_rank",
-    "ml_grouped_ols_multifeature",
-    "ml_gbdt_second_order_gain",
-    "ml_random_forest_stumps",
-    "ml_quantile_pinball_eval",
-    "ml_oob_error_estimate",
-    "ml_fairness_group_metrics",
-    "ml_cohen_kappa_agreement",
-    "ml_error_slice_finder",
-    "ml_tree_depth2_exact",
-    "ml_adaboost_round_exact",
-    "ml_iv_two_stage_least_squares",
-    "ml_xicor_correlation",
-    "mm_resize_stride",
-    "mm_audio_energy",
-    "mm_modality_router",
-    "mm_phash_near_dup",
-    "mm_video_keyframe_select",
-    "mm_bbox_iou_suppress",
-    "mm_audio_fingerprint_match",
-    "decontaminate_ngram_overlap",
-    "pack_sequences_cumsum",
-    "text_repetition_filter",
+    "mix_strata_weighted",
+    "table_diff_rowhash",
+    "shuffle_deterministic_hash",
+    "pipeline_e2e_corpus",
+    "sample_bernoulli_hash",
+    "text_chunk_sliding",
+    "sample_exact_stratified",
+    "privacy_k_anonymity",
+    "profile_skew_keys",
+    "sample_weighted_reservoir",
+    "dq_freshness_lag",
+    "pipeline_run_manifest",
+    "privacy_l_diversity",
+    "pipeline_curriculum_order",
+    "mix_temperature_sampling",
+    "lake_mv_rollup_rewrite",
+    "pipeline_shard_balanced",
+    "dq_cross_table_reconciliation",
+    "privacy_t_closeness",
+    "analytics_dau_mau_stickiness",
+    "pipeline_data_contract_check",
+    "dq_duplicate_key_audit",
+    "pipeline_quality_filter_cascade",
+    "privacy_generalization_ladder",
+    "pipeline_featurize_infer_eval_e2e",
+    "pipeline_dataset_card",
+    "dq_anomaly_rolling_zscore",
+    "transform_delta_varint_audit",
+    "privacy_contribution_bounding",
+    "lake_clone_shallow",
+    "lake_ivm_join_view",
+    "lake_column_mapping_rename",
+    "sample_coreset_sensitivity",
+    "lake_check_constraint_gate",
+    "pipeline_rendezvous_reshard_audit",
+    "privacy_tokenize_referential",
+    "lake_mor_flush_compaction",
+    "dq_invalid_rate_drift",
+    "dq_sequence_gap_audit",
+    "raster_overview_stats",
+    "skyline_pareto_parts",
+    "sql_api_join_hints",
+    "anomaly_zscore_acctbal",
+    "sql_api_filter_clause",
+    "sql_api_pipe_syntax",
+    "sql_api_session_variables",
+    "sql_api_identifier_clause",
+    "sql_api_values_inline_table",
+    "sql_api_distinct_on",
+    "sql_api_recursive_reachability",
 ]
 
 

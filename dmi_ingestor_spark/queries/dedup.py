@@ -1503,7 +1503,13 @@ def _sql_bbit_packed() -> str:
         "is itself hash-checked. Candidacy (r8) is >=1 shared DF-capped "
         "shingle and >=2 shared total — the same rare/hot split as the "
         "exact-Jaccard family, so the pair join is never Sigma df^2 "
-        "over boilerplate shingles. Signatures build map-side over the "
+        "over boilerplate shingles. NOTE this is a result-set CONTRACT "
+        "(not just plan) change vs the pre-r8 '>=2 shared (any)' form: "
+        "pairs sharing only hot (df>MAX_SHINGLE_DF) shingles are "
+        "dropped by spec — such pairs are near-zero-Jaccard boilerplate "
+        "(rationale below at the MAX_SHINGLE_DF derivation), and "
+        "tests/test_dedup_similarity.py::test_df_cap_candidacy_lossless "
+        "pins that no J>=0.5 pair can be hot-only. Signatures build map-side over the "
         "per-doc shingle arrays and join the pair relation AFTER the "
         ">=2 filter (pairs << shingle-join input, so post-joins beat "
         "widening the corpus-scale shuffle — measured both ways)."

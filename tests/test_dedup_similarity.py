@@ -209,3 +209,150 @@ def test_ml_brp_ann_invariant_summary(spark, sf_dir):
     assert row.self_included == 1
     assert row.self_dist_nano == 0
     assert row.n_dist_mismatch == 0
+
+
+# ---------------------------------------------------------------------------
+# DF-cap candidacy invariant (VERDICT r8 item 3 / ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def _py_shingles(text: str) -> set:
+    """Python twin of ``_shingle_arrays``: distinct 3-gram shingles over a
+    single-space token split (same semantics as ``F.split(text, ' ')``)."""
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@pytest.fixture(scope="module")
+def hot_only_corpus(spark, tmp_path_factory):
+    """Adversarial corpus for the DF-cap candidacy invariant.
+
+    A 4-token boilerplate phrase opens 110 documents — strictly more
+    than MAX_SHINGLE_DF=100 — so its two internal 3-gram shingles are
+    HOT and every boilerplate-only pair (110*109/2 = 5,995 of them) is
+    a candidate the r8 DF-capped candidacy DROPS. Each such doc carries
+    20 unique filler tokens, so every hot-only pair is provably
+    sub-threshold: J = 2/(22+22-2) ~= 0.048 < 0.20 < 0.5. Planted on
+    top: one true near-dup pair (200, 201) sharing only RARE shingles
+    (J = 7/9), and one MIXED pair (210, 211) that shares the hot
+    boilerplate AND a rare segment (J = 11/13) — the cap must keep both.
+    """
+    rows = []
+    boiler = "please subscribe to newsletter"
+    for i in range(110):
+        filler = " ".join(f"u{i}t{k}" for k in range(20))
+        text = f"{boiler} {filler}"
+        rows.append((i, text, "en", f"src{i}", len(text)))
+    d1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows.append((200, d1, "en", "src200", len(d1)))
+    rows.append((201, d2, "en", "src201", len(d2)))
+    m1 = f"{boiler} shared one two three four five six seven eight m1x"
+    m2 = f"{boiler} shared one two three four five six seven eight m2x"
+    rows.append((210, m1, "en", "src210", len(m1)))
+    rows.append((211, m2, "en", "src211", len(m2)))
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = tmp_path_factory.mktemp("hotonly")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    # Python brute-force reference state shared by both tests
+    sets = {doc_id: _py_shingles(text) for doc_id, text, *_ in rows}
+    df_count: dict = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    return str(d), sets, df_count
+
+
+def test_df_cap_candidacy_lossless(spark, hot_only_corpus):
+    """The DF-capped candidacy of dedup_ngram_jaccard never drops a
+    pair at or above JACCARD_THRESHOLD: the capped query output equals
+    the UNCAPPED all-pairs brute force at the threshold, on a fixture
+    where the cap demonstrably bites (thousands of hot-only candidate
+    pairs exist and are all sub-threshold by construction)."""
+    from dmi_ingestor_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        MAX_SHINGLE_DF,
+    )
+
+    sf_dir, sets, df_count = hot_only_corpus
+    ids = sorted(sets)
+    expected = {}
+    n_hot_only_cands = 0
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = sets[a] & sets[b]
+            if not inter:
+                continue
+            if all(df_count[g] > MAX_SHINGLE_DF for g in inter):
+                n_hot_only_cands += 1
+                hot_j = len(inter) / (len(sets[a]) + len(sets[b]) - len(inter))
+                # fixture property that makes the cap lossless here:
+                # every hot-only pair is far below the threshold
+                assert hot_j < JACCARD_THRESHOLD
+            j = len(inter) / (len(sets[a]) + len(sets[b]) - len(inter))
+            if j >= JACCARD_THRESHOLD:
+                expected[(a, b)] = j
+    # the adversarial premise is non-vacuous: the cap bites on this
+    # fixture (every boilerplate pair is a hot-only candidate)
+    assert n_hot_only_cands >= 5995
+    assert (200, 201) in expected and (210, 211) in expected
+
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, j in expected.items():
+        assert got[pair] == pytest.approx(j)
+
+
+def test_df_cap_candidacy_bbit_contract(spark, hot_only_corpus):
+    """dedup_minhash_b_bit's r8 candidacy narrowing (>=1 shared rare
+    AND >=2 shared total, vs the pre-r8 '>=2 shared (any)') is a
+    documented contract change: the pairs it drops are exactly the
+    hot-only ones, and on this fixture every dropped pair is far below
+    J=0.5 — so the narrowing never loses a J>=0.5 pair. Emitted
+    exact_permille values are pinned against the brute force."""
+    from dmi_ingestor_spark.queries.dedup import MAX_SHINGLE_DF
+
+    sf_dir, sets, df_count = hot_only_corpus
+    ids = sorted(sets)
+    uncapped = {}   # pre-r8 candidacy: >=2 shared shingles of any df
+    capped_ref = {}  # r8 candidacy: >=1 shared rare AND >=2 shared total
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = sets[a] & sets[b]
+            if len(inter) < 2:
+                continue
+            j = len(inter) / (len(sets[a]) + len(sets[b]) - len(inter))
+            uncapped[(a, b)] = j
+            if any(df_count[g] <= MAX_SHINGLE_DF for g in inter):
+                capped_ref[(a, b)] = j
+
+    got = {
+        (r.a_id, r.b_id): r.exact_permille
+        for r in REGISTRY["dedup_minhash_b_bit"].builder(spark, sf_dir).collect()
+    }
+    # capped query output == the capped-candidacy brute force
+    assert set(got) == set(capped_ref)
+    for (a, b), j in capped_ref.items():
+        assert got[(a, b)] == int(1000 * len(sets[a] & sets[b])) // (
+            len(sets[a]) + len(sets[b]) - len(sets[a] & sets[b])
+        )
+    # the narrowing's loss set is exactly the hot-only pairs...
+    dropped = set(uncapped) - set(capped_ref)
+    assert len(dropped) >= 5995  # the cap bites: every boilerplate pair
+    # ...and NO dropped pair reaches J=0.5 — the contract's rationale,
+    # pinned (this is the assertion that fails if candidacy narrowing
+    # ever drops a qualifying pair on a fixture)
+    for pair in dropped:
+        assert uncapped[pair] < 0.5
+    # every J>=0.5 uncapped candidate survives the cap
+    for pair, j in uncapped.items():
+        if j >= 0.5:
+            assert pair in got

@@ -167,8 +167,19 @@ def main() -> int:
     manual = None
     if os.path.exists(path):
         existing = open(path).read()
-        if MANUAL_MARKER in existing:
-            manual = existing[existing.index(MANUAL_MARKER):].rstrip() + "\n"
+        if MANUAL_MARKER not in existing:
+            # An existing SCALING.md without the marker means someone
+            # edited it away — regenerating would silently clobber every
+            # hand-written footnote (the exact failure the marker
+            # prevents). Refuse instead of falling back to the stub.
+            print(
+                "ERROR: SCALING.md exists but lacks the MANUAL_MARKER line; "
+                "refusing to overwrite (re-add the marker or delete the "
+                "file first).",
+                file=sys.stderr,
+            )
+            return 1
+        manual = existing[existing.index(MANUAL_MARKER):].rstrip() + "\n"
     if manual is None:
         manual = MANUAL_MARKER + "\n\n## Slope footnotes (known, justified)\n\n(none yet)\n"
     with open(path, "w") as f:
