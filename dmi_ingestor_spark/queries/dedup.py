@@ -132,6 +132,76 @@ _SQL_SHINGLES = """
 """
 
 
+def _band_completions(sh, freq, common_rare):
+    """Banded hot-shingle completion for candidate pairs (r9).
+
+    Returns ``(common_warm, common_blaze)`` — per-pair shared-shingle
+    counts for the WARM (count-join) and BLAZING (probe) df bands; see
+    the PROBE_MIN_DF note for the cost model and the sf1 measurement
+    that motivated the split. ``sh`` must be exactly (doc_id, shingle);
+    ``common_rare`` supplies the candidate pairs (a_id, b_id, ...).
+    """
+    sh_warm = sh.join(
+        freq.filter(
+            (F.col("df") > MAX_SHINGLE_DF) & (F.col("df") <= PROBE_MIN_DF)
+        ).select("shingle"),
+        ["shingle"],
+    )
+    sh_blaze = sh.join(
+        freq.filter(F.col("df") > PROBE_MIN_DF).select("shingle"), ["shingle"]
+    )
+    common_warm = (
+        sh_warm.select(F.col("doc_id").alias("a_id"), "shingle")
+        .join(sh_warm.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_warm"))
+    )
+    common_blaze = (
+        common_rare.select("a_id", "b_id")
+        .join(sh_blaze.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"])
+        .join(
+            sh_blaze.select(F.col("doc_id").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_blaze"))
+    )
+    return common_warm, common_blaze
+
+
+def _sql_band_ctes(sh: str, freq: str, cand: str, sfx: str = "") -> str:
+    """Oracle twin of ``_band_completions``: the shw/shb instance CTEs
+    plus common_warm/common_blaze, names suffixed with ``sfx`` so the
+    shingle-size sweep can instantiate one block per rung."""
+    return f"""
+    shw{sfx} AS (
+      SELECT s.doc_id, s.shingle FROM {sh} s
+      JOIN {freq} f ON f.shingle = s.shingle
+      WHERE f.df > {MAX_SHINGLE_DF} AND f.df <= {PROBE_MIN_DF}
+    ),
+    shb{sfx} AS MATERIALIZED (
+      SELECT s.doc_id, s.shingle FROM {sh} s
+      JOIN {freq} f ON f.shingle = s.shingle WHERE f.df > {PROBE_MIN_DF}
+    ),
+    -- WARM band completes by count-join (Sigma df^2 <= PROBE_MIN_DF x
+    -- instances, |cand|-independent); BLAZING boilerplate completes by
+    -- per-candidate probe (|cand| x blazing-per-doc). See PROBE_MIN_DF.
+    common_warm{sfx} AS MATERIALIZED (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_warm
+      FROM shw{sfx} a JOIN shw{sfx} b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    common_blaze{sfx} AS MATERIALIZED (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_blaze
+      FROM {cand} c
+      JOIN shb{sfx} x ON x.doc_id = c.a_id
+      JOIN shb{sfx} y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )"""
+
+
 # --------------------------------------------------------------------------
 # U5 n-gram Jaccard (exact pairwise over shared-shingle candidates)
 # --------------------------------------------------------------------------
@@ -145,6 +215,28 @@ JACCARD_THRESHOLD = 0.20
 # below any useful Jaccard threshold anyway (hot shingles are by
 # definition uninformative).
 MAX_SHINGLE_DF = 100
+# Completion-band boundary (r9). Shared-HOT-shingle counts for the
+# candidate pairs can be completed two ways with identical results:
+#   * count-join over the band's instances — cost Sigma df^2 over the
+#     band, independent of |candidates|;
+#   * probe per candidate pair — cost |candidates| x band-per-doc.
+# The regimes flip: true boilerplate (df ~ 1e6) makes Sigma df^2
+# catastrophic (probe wins), while a dense mid band — many shingles
+# just over MAX_SHINGLE_DF, as in the fixtures' closed 31-word vocab
+# at sf >= 1 — makes the probe's |cand| x hot-per-doc product the
+# blow-up (count-join wins: r9 sf1 catch — 3,306 shingles with
+# 100 < df <= 126 put ~7 hot shingles on every doc, so the probe
+# shuffled ~1e9 rows and dedup_ngram_jaccard went 54 s at sf0.75 to
+# 1126 s at sf1, while the same counts cost Sigma df^2/2 = 1.8e7
+# join rows as a count-join — 30x less). So the hot side splits:
+# WARM (MAX_SHINGLE_DF < df <= PROBE_MIN_DF) completes by count-join
+# — Sigma df^2 <= PROBE_MIN_DF x warm instances, linear in corpus
+# size with a bounded constant — and BLAZING (df > PROBE_MIN_DF, the
+# real boilerplate) stays in probe form, bounded by |cand| x
+# blazing-per-doc (a handful per doc in any open corpus). One static
+# plan, near-optimal in both regimes; candidacy (>= 1 shared rare
+# shingle) and the exact Jaccard arithmetic are unchanged.
+PROBE_MIN_DF = 1000
 
 
 @register(
@@ -158,10 +250,6 @@ MAX_SHINGLE_DF = 100
       SELECT sh.doc_id, sh.shingle FROM sh
       JOIN freq USING (shingle) WHERE df <= {MAX_SHINGLE_DF}
     ),
-    shh AS MATERIALIZED (
-      SELECT sh.doc_id, sh.shingle FROM sh
-      JOIN freq USING (shingle) WHERE df > {MAX_SHINGLE_DF}
-    ),
     -- ONE count-join over RARE shingle instances yields candidacy
     -- (n_rare >= 1) and the rare-common count in a single aggregation:
     -- no candidate DISTINCT, no second corpus-scale self-join (r8 —
@@ -171,25 +259,18 @@ MAX_SHINGLE_DF = 100
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_rare
       FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ),
-    -- hot-shingle completion in PROBE form: cost |candidates| x
-    -- hot-shingles-per-doc (linear in candidates), never Sigma df^2
-    -- over boilerplate shingles
-    common_hot AS MATERIALIZED (
-      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
-      FROM common_rare c
-      JOIN shh x ON x.doc_id = c.a_id
-      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
-      GROUP BY 1, 2
-    ),
+    ),{_sql_band_ctes("sh", "freq", "common_rare")},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
       SELECT cr.a_id, cr.b_id,
-             CAST(cr.n_rare + COALESCE(ch.n_hot, 0) AS DOUBLE)
-               / (sa.n + sb.n - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+             CAST(cr.n_rare + COALESCE(cw.n_warm, 0)
+                  + COALESCE(cb.n_blaze, 0) AS DOUBLE)
+               / (sa.n + sb.n - (cr.n_rare + COALESCE(cw.n_warm, 0)
+                                 + COALESCE(cb.n_blaze, 0)))
                AS jaccard
       FROM common_rare cr
-      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      LEFT JOIN common_warm cw ON cw.a_id = cr.a_id AND cw.b_id = cr.b_id
+      LEFT JOIN common_blaze cb ON cb.a_id = cr.a_id AND cb.b_id = cr.b_id
       JOIN sizes sa ON sa.doc_id = cr.a_id
       JOIN sizes sb ON sb.doc_id = cr.b_id
     )
@@ -202,13 +283,14 @@ MAX_SHINGLE_DF = 100
         f"<= {MAX_SHINGLE_DF} (hot shingles are both uninformative and "
         "the quadratic-blowup hazard of a raw shingle equi-join); the "
         "Jaccard arithmetic is over FULL shingle sets — the cap bounds "
-        "WHICH pairs are scored, never the arithmetic. Plan shape (r8): "
-        "one count-join over rare shingle instances produces candidacy "
-        "AND the rare-common count in a single aggregation; shared HOT "
-        "shingles are completed per candidate pair in probe form "
-        "(|cand| x hot-per-doc rows, linear in candidates). Integer "
-        "ratio => bit-exact vs the oracle. The MinHash variant below "
-        "remains the 100 TB path."
+        "WHICH pairs are scored, never the arithmetic. Plan shape (r8, "
+        "banded r9): one count-join over rare shingle instances "
+        "produces candidacy AND the rare-common count in a single "
+        "aggregation; shared WARM shingles (df <= PROBE_MIN_DF) "
+        "complete by a second count-join, BLAZING boilerplate by a "
+        "per-candidate probe — see the PROBE_MIN_DF cost model. "
+        "Integer ratio => bit-exact vs the oracle. The MinHash variant "
+        "below remains the 100 TB path."
     ),
     tags=("dedup", "similarity"),
 )
@@ -218,9 +300,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).cache()
     sh_rare = sh.join(
         freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
-    )
-    sh_hot = sh.join(
-        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
     )
     # ONE count-join over rare instances: candidacy (n_rare >= 1) and
     # the rare-common count in a single map-side-combining aggregation
@@ -234,25 +313,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rare"))
         .cache()
     )
-    # hot completion in PROBE form: linear in candidates x hot-per-doc,
-    # never Sigma df^2 over boilerplate shingles
-    common_hot = (
-        common_rare.select("a_id", "b_id")
-        .join(
-            sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"]
-        )
-        .join(
-            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
-            ["b_id", "shingle"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
+    # banded hot completion (r9): warm count-join + blazing probe
+    common_warm, common_blaze = _band_completions(sh, freq, common_rare)
     sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
-    n_common = F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+    n_common = (
+        F.col("n_rare")
+        + F.coalesce(F.col("n_warm"), F.lit(0))
+        + F.coalesce(F.col("n_blaze"), F.lit(0))
+    )
     jac = n_common.cast("double") / (F.col("na") + F.col("nb") - n_common)
     return (
-        common_rare.join(common_hot, ["a_id", "b_id"], "left")
+        common_rare.join(common_warm, ["a_id", "b_id"], "left")
+        .join(common_blaze, ["a_id", "b_id"], "left")
         .join(
             sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
             ["a_id"],
@@ -1442,10 +1514,9 @@ def _sql_bbit_packed() -> str:
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     -- r8: candidate pairs from the DF-capped shingle join (same rare/
     -- hot split as dedup_ngram_jaccard — the uncapped self-join is
-    -- Sigma df^2, boilerplate-quadratic on real corpora), with sizes
-    -- and packed signatures CARRIED THROUGH the join so nothing joins
-    -- the pair relation afterwards except the probe-form hot counts.
-    -- Candidacy: >=1 shared rare shingle AND >=2 shared total.
+    -- Sigma df^2, boilerplate-quadratic on real corpora), hot counts
+    -- completed in the banded warm/blazing form (r9; see
+    -- PROBE_MIN_DF). Candidacy: >=1 shared rare AND >=2 shared total.
     freq AS MATERIALIZED (
       SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
     ),
@@ -1454,28 +1525,19 @@ def _sql_bbit_packed() -> str:
       FROM sh
       JOIN freq f ON f.shingle = sh.shingle AND f.df <= {MAX_SHINGLE_DF}
     ),
-    shh AS MATERIALIZED (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh JOIN freq f ON f.shingle = sh.shingle AND f.df > {MAX_SHINGLE_DF}
-    ),
     common_rare AS MATERIALIZED (
       SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_rare
       FROM shr x JOIN shr y ON y.shingle = x.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
-    ),
-    common_hot AS MATERIALIZED (
-      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
-      FROM common_rare c
-      JOIN shh x ON x.doc_id = c.a_id
-      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
-      GROUP BY 1, 2
-    ),
+    ),{_sql_band_ctes("sh", "freq", "common_rare")},
     shared AS MATERIALIZED (
       SELECT cr.a_id, cr.b_id,
-             cr.n_rare + COALESCE(ch.n_hot, 0) AS n_common
+             cr.n_rare + COALESCE(cw.n_warm, 0) + COALESCE(cb.n_blaze, 0)
+               AS n_common
       FROM common_rare cr
-      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
-      WHERE cr.n_rare + COALESCE(ch.n_hot, 0) >= 2
+      LEFT JOIN common_warm cw ON cw.a_id = cr.a_id AND cw.b_id = cr.b_id
+      LEFT JOIN common_blaze cb ON cb.a_id = cr.a_id AND cb.b_id = cr.b_id
+      WHERE cr.n_rare + COALESCE(cw.n_warm, 0) + COALESCE(cb.n_blaze, 0) >= 2
     )
     SELECT s.a_id, s.b_id,
            CAST({BBIT_K} - bit_count(xor(pa.packed, pb.packed)) AS BIGINT)
@@ -1552,9 +1614,6 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rare = sh.join(
         freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
     )
-    sh_hot = sh.join(
-        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
-    )
     common_rare = (
         sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
         .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
@@ -1563,24 +1622,19 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rare"))
         .cache()
     )
-    common_hot = (
-        common_rare.select("a_id", "b_id")
-        .join(sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"])
-        .join(
-            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
-            ["b_id", "shingle"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
+    # banded hot completion (r9): warm count-join + blazing probe
+    common_warm, common_blaze = _band_completions(sh, freq, common_rare)
     shared = (
-        common_rare.join(common_hot, ["a_id", "b_id"], "left")
+        common_rare.join(common_warm, ["a_id", "b_id"], "left")
+        .join(common_blaze, ["a_id", "b_id"], "left")
         .select(
             "a_id",
             "b_id",
-            (F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
-                "n_common"
-            ),
+            (
+                F.col("n_rare")
+                + F.coalesce(F.col("n_warm"), F.lit(0))
+                + F.coalesce(F.col("n_blaze"), F.lit(0))
+            ).alias("n_common"),
         )
         .filter(F.col("n_common") >= 2)
     )
@@ -1769,33 +1823,26 @@ def dedup_content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT sh.doc_id, sh.shingle FROM sh
       JOIN freq USING (shingle) WHERE df <= {MAX_SHINGLE_DF}
     ),
-    shh AS MATERIALIZED (
-      SELECT sh.doc_id, sh.shingle FROM sh
-      JOIN freq USING (shingle) WHERE df > {MAX_SHINGLE_DF}
-    ),
-    -- same single-count-join + probe-form hot completion as
+    -- same single-count-join + BANDED hot completion as
     -- dedup_ngram_jaccard (r8 sf0.75 catch: the cand-DISTINCT +
-    -- second self-join plan spilled at 60M candidate pairs)
+    -- second self-join plan spilled at 60M candidate pairs; r9 sf1
+    -- catch: the probe form blew up in the dense warm band)
     common_rare AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_rare
       FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ),
-    common_hot AS MATERIALIZED (
-      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
-      FROM common_rare c
-      JOIN shh x ON x.doc_id = c.a_id
-      JOIN shh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
-      GROUP BY 1, 2
-    ),
+    ),{_sql_band_ctes("sh", "freq", "common_rare")},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     scored AS (
       SELECT cr.a_id, cr.b_id,
-             CAST(cr.n_rare + COALESCE(ch.n_hot, 0) AS DOUBLE)
-               / (sa.n + sb.n - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+             CAST(cr.n_rare + COALESCE(cw.n_warm, 0)
+                  + COALESCE(cb.n_blaze, 0) AS DOUBLE)
+               / (sa.n + sb.n - (cr.n_rare + COALESCE(cw.n_warm, 0)
+                                 + COALESCE(cb.n_blaze, 0)))
                AS jaccard
       FROM common_rare cr
-      LEFT JOIN common_hot ch ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      LEFT JOIN common_warm cw ON cw.a_id = cr.a_id AND cw.b_id = cr.b_id
+      LEFT JOIN common_blaze cb ON cb.a_id = cr.a_id AND cb.b_id = cr.b_id
       JOIN sizes sa ON sa.doc_id = cr.a_id
       JOIN sizes sb ON sb.doc_id = cr.b_id
     )
@@ -1851,12 +1898,10 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rare = sh.join(
         freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"), ["shingle"]
     )
-    sh_hot = sh.join(
-        freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"), ["shingle"]
-    )
-    # same single-count-join + probe-form hot completion as
+    # same single-count-join + BANDED hot completion as
     # dedup_ngram_jaccard (r8 sf0.75 catch: the cand-DISTINCT + second
-    # corpus-scale self-join plan spilled at 60M candidate pairs)
+    # corpus-scale self-join plan spilled at 60M candidate pairs; r9
+    # sf1 catch: probe form blew up in the dense warm band)
     common_rare = (
         sh_rare.select(F.col("doc_id").alias("a_id"), "shingle")
         .join(sh_rare.select(F.col("doc_id").alias("b_id"), "shingle"), ["shingle"])
@@ -1865,20 +1910,16 @@ def dq_split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rare"))
         .cache()
     )
-    common_hot = (
-        common_rare.select("a_id", "b_id")
-        .join(sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"])
-        .join(
-            sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
-            ["b_id", "shingle"],
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
+    common_warm, common_blaze = _band_completions(sh, freq, common_rare)
     sizes = arrs.select("doc_id", F.size("sh_arr").alias("n_sh"))
-    n_common = F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+    n_common = (
+        F.col("n_rare")
+        + F.coalesce(F.col("n_warm"), F.lit(0))
+        + F.coalesce(F.col("n_blaze"), F.lit(0))
+    )
     scored = (
-        common_rare.join(common_hot, ["a_id", "b_id"], "left")
+        common_rare.join(common_warm, ["a_id", "b_id"], "left")
+        .join(common_blaze, ["a_id", "b_id"], "left")
         .join(
             sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na")),
             ["a_id"],
@@ -1930,22 +1971,17 @@ def _sweep_oracle() -> str:
       SELECT shingle, COUNT(*) AS df FROM sh{n} GROUP BY shingle
     ),
     sizes{n} AS (SELECT doc_id, COUNT(*) AS n FROM sh{n} GROUP BY doc_id),
-    -- r8: same single-count-join + probe-form hot completion as
+    -- r8/r9: same single-count-join + BANDED hot completion as
     -- dedup_ngram_jaccard — candidacy (>=1 shared rare shingle) and the
     -- rare-common count come from ONE aggregation with per-doc sizes
     -- carried through; no candidate DISTINCT, no cdocs re-join. (The
     -- n=2 rung's 31-word vocab makes every bigram hot — the rare join
-    -- is tiny; the hot probe is bounded by candidates x hot-per-doc.)
+    -- is tiny; warm counts by count-join, blazing by probe.)
     shr{n} AS (
       SELECT sh.doc_id, sh.shingle, s.n
       FROM sh{n} sh
       JOIN freq{n} f ON f.shingle = sh.shingle AND f.df <= {MAX_SHINGLE_DF}
       JOIN sizes{n} s ON s.doc_id = sh.doc_id
-    ),
-    shh{n} AS MATERIALIZED (
-      SELECT sh.doc_id, sh.shingle
-      FROM sh{n} sh
-      JOIN freq{n} f ON f.shingle = sh.shingle AND f.df > {MAX_SHINGLE_DF}
     ),
     common_rare{n} AS MATERIALIZED (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -1953,21 +1989,19 @@ def _sweep_oracle() -> str:
       FROM shr{n} a
       JOIN shr{n} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
-    ),
-    common_hot{n} AS MATERIALIZED (
-      SELECT c.a_id, c.b_id, COUNT(*) AS n_hot
-      FROM common_rare{n} c
-      JOIN shh{n} x ON x.doc_id = c.a_id
-      JOIN shh{n} y ON y.doc_id = c.b_id AND y.shingle = x.shingle
-      GROUP BY 1, 2
-    ),
+    ),{_sql_band_ctes(f"sh{n}", f"freq{n}", f"common_rare{n}", sfx=str(n))},
     scored{n} AS (
-      SELECT ((cr.n_rare + COALESCE(ch.n_hot, 0)) * {_SWEEP_JS})
-               // (cr.na + cr.nb - (cr.n_rare + COALESCE(ch.n_hot, 0)))
+      SELECT ((cr.n_rare + COALESCE(cw.n_warm, 0) + COALESCE(cb.n_blaze, 0))
+               * {_SWEEP_JS})
+               // (cr.na + cr.nb
+                   - (cr.n_rare + COALESCE(cw.n_warm, 0)
+                      + COALESCE(cb.n_blaze, 0)))
                AS j_scaled
       FROM common_rare{n} cr
-      LEFT JOIN common_hot{n} ch
-        ON ch.a_id = cr.a_id AND ch.b_id = cr.b_id
+      LEFT JOIN common_warm{n} cw
+        ON cw.a_id = cr.a_id AND cw.b_id = cr.b_id
+      LEFT JOIN common_blaze{n} cb
+        ON cb.a_id = cr.a_id AND cb.b_id = cr.b_id
     ),
     row{n} AS (
       SELECT {n} AS shingle_n,
@@ -2007,9 +2041,9 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for n in _SWEEP_NS:
         arrs = _shingle_arrays(d, n=n).cache()
-        # r8: same single-count-join + probe-form hot completion as
-        # dedup_ngram_jaccard (sf0.75 catch) — per-doc sizes ride the
-        # explode, candidacy and n_rare come from ONE aggregation
+        # r8/r9: same single-count-join + BANDED hot completion as
+        # dedup_ngram_jaccard (sf0.75 + sf1 catches) — per-doc sizes
+        # ride the explode, candidacy and n_rare from ONE aggregation
         she = arrs.select(
             "doc_id",
             F.size("sh_arr").alias("n_sh"),
@@ -2020,10 +2054,6 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sh_rare = she.join(
             freq.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"),
-            ["shingle"],
-        )
-        sh_hot = she.select("doc_id", "shingle").join(
-            freq.filter(F.col("df") > MAX_SHINGLE_DF).select("shingle"),
             ["shingle"],
         )
         common_rare = (
@@ -2043,25 +2073,19 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rare"))
             .cache()
         )
-        common_hot = (
-            common_rare.select("a_id", "b_id")
-            .join(
-                sh_hot.select(F.col("doc_id").alias("a_id"), "shingle"), ["a_id"]
-            )
-            .join(
-                sh_hot.select(F.col("doc_id").alias("b_id"), "shingle"),
-                ["b_id", "shingle"],
-            )
-            .groupBy("a_id", "b_id")
-            .agg(F.count(F.lit(1)).alias("n_hot"))
+        common_warm, common_blaze = _band_completions(
+            she.select("doc_id", "shingle"), freq, common_rare
         )
         scored = (
-            common_rare.join(common_hot, ["a_id", "b_id"], "left")
+            common_rare.join(common_warm, ["a_id", "b_id"], "left")
+            .join(common_blaze, ["a_id", "b_id"], "left")
             .select(
                 "na",
                 "nb",
                 (
-                    F.col("n_rare") + F.coalesce(F.col("n_hot"), F.lit(0))
+                    F.col("n_rare")
+                    + F.coalesce(F.col("n_warm"), F.lit(0))
+                    + F.coalesce(F.col("n_blaze"), F.lit(0))
                 ).alias("n_common"),
             )
             .select(

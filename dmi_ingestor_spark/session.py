@@ -26,9 +26,13 @@ def get_spark(app_name: str = "dmi-ingestor-spark") -> SparkSession:
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # the oracle-parity harness collects full results to compare;
-        # output-bound queries (radius join: 62M pairs at sf0.75) top
-        # the 1g default — a harness ceiling, not a plan property
-        .config("spark.driver.maxResultSize", "4g")
+        # output-bound queries (radius join: 62M pairs at sf0.75, ~110M
+        # extrapolated at sf1) top the 1g default — a harness ceiling,
+        # not a plan property; env-overridable for big-scale sweeps
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

@@ -213,6 +213,7 @@ def main() -> int:
             part = names[i : i + args.chunk]
             cmd = [
                 sys.executable,
+                "-u",  # unbuffered: the child's PASS lines stream live
                 os.path.abspath(__file__),
                 "--sf-dir",
                 args.sf_dir,
@@ -221,10 +222,26 @@ def main() -> int:
             ]
             if args.vanilla:
                 cmd.append("--vanilla")
-            proc = subprocess.run(cmd + part, capture_output=True, text=True)
-            sys.stdout.write(proc.stdout)
+            # Stream the subprocess output line-by-line instead of
+            # capturing: on big-scale sweeps a chunk can run for an
+            # hour, and a captured pipe hides WHICH query is slow or
+            # wedged (r9 sf1 sweep: 47 min of silence inside one
+            # chunk). Live lines also make the grep-PASS-and-resume
+            # recipe work on an interrupted sweep.
+            proc = subprocess.Popen(
+                cmd + part,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            out_lines = []
+            for line in proc.stdout:
+                sys.stdout.write(line)
+                sys.stdout.flush()
+                out_lines.append(line)
+            proc.wait()
             m = re.search(
-                r"(\d+) pass, (\d+) fail, (\d+) rows-only", proc.stdout or ""
+                r"(\d+) pass, (\d+) fail, (\d+) rows-only", "".join(out_lines)
             )
             if m:
                 tot["pass"] += int(m.group(1))
@@ -233,7 +250,6 @@ def main() -> int:
             else:
                 # Subprocess died before printing its summary — count the
                 # whole chunk as failed rather than silently dropping it.
-                sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
                 print(f"FAIL chunk {i}-{i+len(part)}: no summary (crashed?)")
                 tot["fail"] += len(part)
         print(
