@@ -1262,8 +1262,6 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
-    num = F.lit(1000000) * F.col("nxy") * F.col("n_tok")
-    den = F.col("nx") * F.col("ny")
     joined = (
         pairs.join(uni.select(F.col("tok").alias("w1"), F.col("n").alias("nx")), "w1")
         .join(uni.select(F.col("tok").alias("w2"), F.col("n").alias("ny")), "w2")
@@ -1276,7 +1274,13 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxy").cast("long").alias("nxy"),
             F.col("nx").cast("long").alias("nx"),
             F.col("ny").cast("long").alias("ny"),
-            ((num - num % den) / den).cast("long").alias("pmi_ratio_micro"),
+            # integral `div`, not float `/`: num = 1e6*nxy*n_tok exceeds
+            # 2^53 at sf1 (n_tok ~ 3e7), where float division goes
+            # off-by-one vs DuckDB's exact BIGINT `//` (caught by the
+            # r9 sf1 sweep: 4/50 rows off by 1 ulp-of-int)
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * nxy * n_tok) div (nx * ny)"
+            ).alias("pmi_ratio_micro"),
         )
         .orderBy(F.desc("pmi_ratio_micro"), "w1", "w2")
         .limit(50)

@@ -34,6 +34,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # instead of OOM-killing the whole sweep subprocess (r7: the
     # pre-fix DBSCAN closure allocated 35 GB before being killed)
     con.execute("SET memory_limit='24GB'")
+    # per-process spill dir: concurrent oracle_check processes sharing
+    # the cwd-default .tmp/duckdb_temp_storage-*.tmp clobber each
+    # other's spill files (observed as a spurious IOException FAIL
+    # mid-sweep at sf1 when an ad-hoc check ran alongside)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
