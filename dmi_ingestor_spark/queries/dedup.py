@@ -2755,11 +2755,19 @@ def _collapse_digit_runs(col):
              CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
       FROM keyed GROUP BY pkey
     ),
+    wcnt AS (
+      SELECT pkey, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM keyed GROUP BY pkey, w
+    ),
     pairs AS (
-      SELECT a.pkey, COUNT(*) AS n_candidate_pairs
-      FROM keyed a JOIN keyed b
-        ON b.pkey = a.pkey AND b.p_partkey > a.p_partkey AND b.w <> a.w
-      GROUP BY a.pkey
+      -- closed form, NOT a self-join: rows are unique by p_partkey, so
+      -- different-word pairs per block = C(N,2) - sum_w C(c_w,2)
+      --                                = (N*(N-1) - sum c*(c-1)) / 2.
+      -- The r9 sf1 sweep caught the join form materializing ~5e9 pair
+      -- rows (8 blocks x ~25k parts) just to count them (350 s).
+      SELECT pkey,
+             (SUM(c)*(SUM(c)-1) - SUM(c*(c-1))) // 2 AS n_candidate_pairs
+      FROM wcnt GROUP BY pkey
     )
     SELECT b.pkey, b.n_parts, b.n_distinct_words, b.n_brands,
            CAST(COALESCE(p.n_candidate_pairs, 0) AS BIGINT)
@@ -2814,19 +2822,25 @@ def dedup_phonetic_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pkey"),
     )
-    keyed = keyed.cache()  # blocks + self-join pairs
+    keyed = keyed.cache()  # blocks + per-word counts
     blocks = keyed.groupBy("pkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.countDistinct("w").cast("long").alias("n_distinct_words"),
         F.countDistinct("p_brand").cast("long").alias("n_brands"),
     )
-    a = keyed.select("pkey", F.col("p_partkey").alias("ka"), F.col("w").alias("wa"))
-    b = keyed.select("pkey", F.col("p_partkey").alias("kb"), F.col("w").alias("wb"))
-    pairs = (
-        a.join(b, "pkey")
-        .filter((F.col("kb") > F.col("ka")) & (F.col("wb") != F.col("wa")))
-        .groupBy("pkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"))
+    # Closed-form candidate count — see the oracle comment: the r9 sf1
+    # sweep caught the self-join form shuffling ~5e9 pair rows to count
+    # them. Per-word counts are all the formula needs; the aggregation
+    # is map-side-combining and O(distinct words) regardless of block
+    # skew, so a 100x bigger corpus with the same 8-block key space
+    # costs 100x the scan, not 10000x the join.
+    wcnt = keyed.groupBy("pkey", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = wcnt.groupBy("pkey").agg(
+        F.expr(
+            "(sum(c)*(sum(c)-1) - sum(c*(c-1))) div 2"
+        ).alias("n_candidate_pairs")
     )
     return (
         blocks.join(pairs, "pkey", "left")
