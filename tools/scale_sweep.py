@@ -93,6 +93,11 @@ DEFAULT_QUERIES = [
     "vector_hamming_topk",         # zero-shuffle sign fold + broadcast popcount
     "dq_sequence_gap_audit",       # bucket-partitioned lag + O(buckets) stitch
     "ml_propensity_caliper_matching",  # sorted score-grain nearest match (r8 rewrite)
+    # round-9 additions: the sf1 sweep's catch shapes, tracked so a
+    # future plan change that re-quadratizes them shows as a slope jump
+    "dedup_ngram_jaccard",         # rare count-join + warm/blazing band completion
+    "dedup_phonetic_block_join",   # closed-form candidate count (r9 rewrite)
+    "text_cooccurrence_pmi",       # windowed token self-join, integral div ratio
 ]
 
 # Everything in SCALING.md from this line onward is MANUAL content
