@@ -35,6 +35,84 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as a ratio
 _K = 4  # iterations
 
 
+def _summary_kernel(edges: DataFrame, schema: str, fn) -> DataFrame:
+    """Run the bounded fixed-point over the AGGREGATED summary relation
+    in ONE Arrow task instead of K unrolled join/checkpoint rounds.
+
+    ``edges`` must already be summary-sized (the nation-level aggregate
+    of the fact join: ≤ |V|² ≤ 625 rows at any corpus scale — the nation
+    domain is fixed, so this bound is corpus-independent). The corpus-
+    scale work (scan → broadcast-dim joins → partial+final aggregation)
+    stays distributed; only the O(|V|²) state crosses into Python, once.
+
+    Round-9 optimization rationale (guide §1.2 step 1 + §4.2 + §8): the
+    previous shape ran the iteration as K broadcast-join rounds with
+    per-round eager ``localCheckpoint`` lineage cuts — correct and
+    summary-sized, but ~20-30 scheduler round-trips of pure fixed cost
+    per query (measured ≈0 slope in SCALING.md: wall was ALL job
+    latency, not data). One ``mapInPandas`` over the coalesced aggregate
+    keeps the identical integer arithmetic (exact, deterministic — the
+    kernels below use arbitrary-precision Python ints, equal to the
+    BIGINT ops they replace on every in-range input) and collapses the
+    fixed cost to a single stage. The per-query kernels return the
+    FINAL result frame, pre-sorted, so no further exchange follows.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        yield fn(pdf)
+
+    return edges.coalesce(1).mapInPandas(run, schema)
+
+
+def _int_rows(pdf, *cols):
+    """Rows as plain-Python-int tuples (numpy int64 would wrap on the
+    scaled multiplies; Python ints match BIGINT exactly in-range)."""
+    if len(pdf) == 0:
+        return []
+    return [
+        tuple(int(x) for x in row)
+        for row in zip(*(pdf[c].tolist() for c in cols))
+    ]
+
+
+def _strong_adjacency(rows):
+    """Shared closeness/betweenness sparsification: keep unordered pairs
+    with above-mean weight (w * n_edges >= total_w), symmetrize."""
+    tw = sum(w for _, _, w in rows)
+    ne = len(rows)
+    strong = [(u, v) for u, v, w in rows if w * ne >= tw]
+    und = strong + [(v, u) for u, v in strong]
+    nodes = sorted({u for u, _ in und})
+    adj: dict[int, list[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, []).append(v)
+    return nodes, adj
+
+
+def _bfs_capped(nodes, adj, k):
+    """Hop distances from every source, capped at k hops — exactly the
+    k synchronous min-plus relaxation rounds this replaces (a pair is
+    in the map iff its round-k distance was < the INF sentinel)."""
+    dist: dict[int, dict[int, int]] = {}
+    for s in nodes:
+        d = {s: 0}
+        frontier = [s]
+        for depth in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in d:
+                        d[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+        dist[s] = d
+    return dist
+
+
 def _duck_oracle() -> str:
     """Unrolled K-iteration PageRank as a DuckDB CTE chain."""
     base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
@@ -89,8 +167,9 @@ def _duck_oracle() -> str:
         "customer-nation -> supplier-nation trade graph. Edge weights "
         "come from the full lineitem⋈orders⋈customer⋈supplier join "
         "(the 100 TB stage — dims broadcast, one fact-fact shuffle); "
-        "the iteration itself runs on the aggregated graph with "
-        "broadcast-sized joins per round. All-integer scaled "
+        "the iteration itself runs on the |V|²-bounded aggregate in "
+        "one Arrow summary kernel (round-9 rewrite: K broadcast-join "
+        "rounds were pure scheduler fixed cost). All-integer scaled "
         "arithmetic (1e12) keeps K rounds of updates bit-identical to "
         "the DuckDB oracle's unrolled CTE chain — a hash-green "
         "ITERATIVE algorithm, like the connected-components operator."
@@ -113,39 +192,38 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    # cache the EDGE BUILD (the expensive fact join): outw, e and nodes
-    # all branch from it — uncached, the join would run once per branch
-    edges = edges.cache()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(F.broadcast(outw), "src").select("src", "dst", "w", "out_w")
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .cache()
-    )
 
-    base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
-    rank = nodes.select("node", F.lit(_SCALE).cast("long").alias("rank"))
-    for _ in range(_K):
-        contrib = (
-            e.join(F.broadcast(rank), e.src == rank.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank * w) div out_w").alias("part"),
-            )
-            .groupBy("node")
-            .agg(F.sum("part").alias("contrib"))
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "w")
+        outw: dict[int, int] = {}
+        nodes: set[int] = set()
+        for src, dst, w in rows:
+            outw[src] = outw.get(src, 0) + w
+            nodes.add(src)
+            nodes.add(dst)
+        base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
+        rank = {n: _SCALE for n in nodes}
+        for _ in range(_K):
+            contrib: dict[int, int] = {}
+            for src, dst, w in rows:
+                contrib[dst] = contrib.get(dst, 0) + (rank[src] * w) // outw[src]
+            rank = {
+                n: base + (_DAMP_NUM * contrib.get(n, 0)) // _DAMP_DEN
+                for n in nodes
+            }
+        out = sorted(rank.items())
+        return pd.DataFrame(
+            {
+                "nationkey": np.array([n for n, _ in out], dtype=np.int32),
+                "rank_scaled": np.array([r for _, r in out], dtype=np.int64),
+            }
         )
-        rank = nodes.join(F.broadcast(contrib), "node", "left").select(
-            "node",
-            F.expr(
-                f"CAST({base} + ({_DAMP_NUM} * COALESCE(contrib, 0))"
-                f" div {_DAMP_DEN} AS BIGINT)"
-            ).alias("rank"),
-        )
-    return rank.select(
-        F.col("node").alias("nationkey"), F.col("rank").alias("rank_scaled")
+
+    return _summary_kernel(
+        edges, "nationkey int, rank_scaled long", kernel
     )
 
 
@@ -828,14 +906,13 @@ def _hits_oracle() -> str:
         "HITS hubs-and-authorities over the directed nation trade "
         "graph (customer-nation buys from supplier-nation), 2 "
         "mutual-reinforcement rounds. Authority pull and hub push are "
-        "each ONE equi-join + grouped integer sum on the aggregated "
-        "|V|x|V|-bounded graph; every round rescales by the FIXED "
+        "grouped integer sums on the aggregated |V|x|V|-bounded "
+        "graph, both rounds fused into one Arrow summary kernel "
+        "(round-9 rewrite — the broadcast-join round chain was pure "
+        "scheduler fixed cost); every round rescales by the FIXED "
         "edge-weight scale (floor-div by 1e6) instead of a per-round "
-        "max aggregate — HITS scores are defined up to scale, and the "
-        "fixed divisor keeps the iteration a pure broadcast-join "
-        "chain with NO mid-round aggregation barrier (the per-round "
-        "max variant costs an extra job + broadcast per round and "
-        "recomputation-prone branching plans). Max-normalization to "
+        "max aggregate — HITS scores are defined up to scale. "
+        "Max-normalization to "
         "1e5 happens once at the end for presentation. All-integer "
         "scaled arithmetic = bit-exact vs the unrolled CTE oracle, "
         "like graph_pagerank_trade. Scale shape: the only corpus-"
@@ -860,61 +937,50 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    # cache the edge build: wn normalization, both per-round joins and
-    # the node set all branch from it (pagerank pattern)
-    edges = edges.cache()
-    wt = edges.agg(F.sum("w").alias("w_total"))
-    e = edges.crossJoin(F.broadcast(wt)).select(
-        "src", "dst", F.expr(f"(w * {_HITS_W}) div w_total").alias("wn")
-    )
-    nodes = (
-        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().cache()
-    )
-    h = nodes.select("node", F.lit(_HITS_S).cast("long").alias("h"))
-    a = None
-    for _ in range(2):
-        a_raw = (
-            e.join(F.broadcast(h.withColumnRenamed("node", "src")), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.expr(f"SUM(wn * h) div {_HITS_W}").alias("ar"))
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "w")
+        w_total = sum(w for _, _, w in rows)
+        e = [(src, dst, (w * _HITS_W) // w_total) for src, dst, w in rows]
+        nodes = sorted({src for src, _, _ in e} | {dst for _, dst, _ in e})
+        h = {n: _HITS_S for n in nodes}
+        a = {}
+        for _ in range(2):
+            acc: dict[int, int] = {}
+            for src, dst, wn in e:
+                acc[dst] = acc.get(dst, 0) + wn * h[src]
+            a = {n: acc.get(n, 0) // _HITS_W for n in nodes}
+            acc = {}
+            for src, dst, wn in e:
+                acc[src] = acc.get(src, 0) + wn * a[dst]
+            h = {n: acc.get(n, 0) // _HITS_W for n in nodes}
+        hmx = max(h.values(), default=0)
+        amx = max(a.values(), default=0)
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int32),
+                "hub_scaled": pd.array(
+                    [
+                        (h[n] * _HITS_OUT) // hmx if hmx else None
+                        for n in nodes
+                    ],
+                    dtype="Int64",
+                ),
+                "auth_scaled": pd.array(
+                    [
+                        (a[n] * _HITS_OUT) // amx if amx else None
+                        for n in nodes
+                    ],
+                    dtype="Int64",
+                ),
+            }
         )
-        # localCheckpoint per half-round: a/h are O(|nations|) rows, but
-        # without the lineage cut each round's plan re-embeds the whole
-        # corpus-sized edge build, compounding to a ~570 KB formatted
-        # plan at 2 rounds (and worse if rounds grow) — the same
-        # stringification blow-up class as the pre-r4 k-core loop.
-        a = (
-            nodes.join(F.broadcast(a_raw), "node", "left")
-            .select("node", F.coalesce(F.col("ar"), F.lit(0)).alias("a"))
-            .localCheckpoint(eager=True)
-        )
-        h_raw = (
-            e.join(F.broadcast(a.withColumnRenamed("node", "dst")), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.expr(f"SUM(wn * a) div {_HITS_W}").alias("hr"))
-        )
-        h = (
-            nodes.join(F.broadcast(h_raw), "node", "left")
-            .select("node", F.coalesce(F.col("hr"), F.lit(0)).alias("h"))
-            .localCheckpoint(eager=True)
-        )
-    # single end-of-iteration normalization to the presentation scale
-    a = a.cache()
-    h = h.cache()
-    mx = (
-        h.agg(F.max("h").alias("hmx"))
-        .crossJoin(a.agg(F.max("a").alias("amx")))
-    )
-    return (
-        nodes.join(F.broadcast(h), "node")
-        .join(F.broadcast(a), "node")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.col("node").alias("nationkey"),
-            F.expr(f"CAST((h * {_HITS_OUT}) div hmx AS BIGINT)").alias("hub_scaled"),
-            F.expr(f"CAST((a * {_HITS_OUT}) div amx AS BIGINT)").alias("auth_scaled"),
-        )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        edges, "nationkey int, hub_scaled long, auth_scaled long", kernel
     )
 
 
@@ -1669,9 +1735,10 @@ def _closeness_oracle() -> str:
         "graph (above-mean edge weight, the assortativity "
         "sparsification) — WHICH hub reaches the whole network "
         "fastest, the classic influence ranking. All-pairs shortest "
-        "hops by synchronous min-plus relaxation on the (src, dst) "
-        "pair state — |V|^2 rows, summary-sized — with per-round "
-        "localCheckpoint lineage cuts; closeness is the "
+        "hops by capped BFS on the |V|^2-bounded summary pair state, "
+        "run in one Arrow summary kernel (round-9 rewrite of the "
+        "min-plus relaxation rounds — same capped distances, none of "
+        "the per-round scheduler fixed cost); closeness is the "
         "Wasserman-Faust form (n_reach-1)^2 / ((n-1)*sum_dist) so "
         "disconnected components rank correctly, pinned as a "
         "1e6-scaled integer. The corpus-sized stage is only the edge "
@@ -1696,78 +1763,41 @@ def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .cache()  # two consumers: the 1-row stats agg + the filter scan
     )
-    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    strong = (
-        und0.crossJoin(F.broadcast(utot))
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("u", "v")
-    )
-    und = (
-        strong.unionAll(
-            strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1)
-    dist = (
-        nodes.select(F.col("node").alias("s"))
-        .crossJoin(nodes.select(F.col("node").alias("t")))
-        .select(
-            "s",
-            "t",
-            F.when(F.col("s") == F.col("t"), 0)
-            .otherwise(_CLOSE_INF)
-            .cast("long")
-            .alias("dist"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_CLOSE_K):
-        reach = (
-            und.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
-            .groupBy("s", F.col("dst").alias("t"))
-            .agg(F.min(F.col("dist") + 1).alias("reach"))
-        )
-        dist = (
-            dist.join(F.broadcast(reach), ["s", "t"], "left")
-            .select(
-                "s",
-                "t",
-                F.least(
-                    F.col("dist"),
-                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
-                )
-                .cast("long")
-                .alias("dist"),
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        nodes, adj = _strong_adjacency(_int_rows(pdf, "u", "v", "w"))
+        dist = _bfs_capped(nodes, adj, _CLOSE_K)
+        n_nodes = len(nodes)
+        n_reach, sum_d, clos = [], [], []
+        for s in nodes:
+            d = dist[s]
+            nr = len(d) - 1
+            sd = sum(d.values())
+            n_reach.append(nr)
+            sum_d.append(sd)
+            clos.append(
+                0
+                if sd == 0
+                else (nr * nr * _CLOSE_S) // ((n_nodes - 1) * sd)
             )
-            .localCheckpoint(eager=True)
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int32),
+                "n_reachable": np.array(n_reach, dtype=np.int64),
+                "sum_dist": np.array(sum_d, dtype=np.int64),
+                "closeness_wf_scaled": np.array(clos, dtype=np.int64),
+            }
         )
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    fin = F.col("dist") < _CLOSE_INF
-    return (
-        dist.groupBy(F.col("s").alias("nationkey"))
-        .agg(
-            (F.count(F.when(fin, 1)) - 1).cast("long").alias("n_reachable"),
-            F.sum(F.when(fin, F.col("dist")).otherwise(0))
-            .cast("long")
-            .alias("sum_dist"),
-        )
-        .crossJoin(F.broadcast(n_nodes))
-        .select(
-            "nationkey",
-            "n_reachable",
-            "sum_dist",
-            F.expr(
-                f"CAST(CASE WHEN sum_dist = 0 THEN 0 ELSE "
-                f"(n_reachable * n_reachable * {_CLOSE_S})"
-                f" div ((n_nodes - 1) * sum_dist) END AS BIGINT)"
-            ).alias("closeness_wf_scaled"),
-        )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        und0,
+        "nationkey int, n_reachable long, sum_dist long, "
+        "closeness_wf_scaled long",
+        kernel,
     )
 
 
@@ -1873,11 +1903,11 @@ def _betweenness_oracle() -> str:
         "(s,t) pairs of the fraction of shortest s-t paths passing "
         "through it, sigma_st(v)/sigma_st with sigma_st(v) = "
         "sigma(s,v)*sigma(v,t) when d(s,v)+d(v,t)=d(s,t). Distances "
-        "AND path counts both come from synchronous rounds on the "
-        "|V|^2 pair state (count-propagation is the same join shape "
-        "as min-plus relaxation, one extra SUM), each round "
-        "localCheckpointed; the dependency sum is a triple self-join "
-        "of the summary-sized pair table — never corpus-scale. "
+        "AND path counts both come from capped-depth BFS on the "
+        "|V|^2 pair state; distances, counts and the dependency sum "
+        "all run in one Arrow summary kernel over the aggregated "
+        "edge relation (round-9 rewrite of the synchronous-round "
+        "join chain) — never corpus-scale. "
         "Fractions are per-pair 1e6-scaled floor divisions so the "
         "centrality is integer-pinned (Brandes' backward pass "
         "accumulates the same quantity in floats; the counting form "
@@ -1902,121 +1932,63 @@ def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .cache()  # two consumers: the 1-row stats agg + the filter scan
     )
-    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    strong = (
-        und0.crossJoin(F.broadcast(utot))
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("u", "v")
-    )
-    und = (
-        strong.unionAll(
-            strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        nodes, adj = _strong_adjacency(_int_rows(pdf, "u", "v", "w"))
+        dist = _bfs_capped(nodes, adj, _CLOSE_K)
+        # sigma: shortest-path counts over the capped BFS DAG, by depth
+        sigma: dict[int, dict[int, int]] = {}
+        for s in nodes:
+            d = dist[s]
+            sg = {s: 1}
+            by_depth: dict[int, list[int]] = {}
+            for t, dt in d.items():
+                by_depth.setdefault(dt, []).append(t)
+            for k in range(1, _CLOSE_K + 1):
+                for t in by_depth.get(k, ()):
+                    sg[t] = sum(
+                        sg[u]
+                        for u in adj.get(t, ())
+                        if d.get(u, -1) == k - 1
+                    )
+            sigma[s] = sg
+        n_pairs = {n: 0 for n in nodes}
+        btw = {n: 0 for n in nodes}
+        for sa in nodes:
+            da_map, siga_map, dst_map = dist[sa], sigma[sa], dist[sa]
+            for v in da_map:
+                if v == sa:
+                    continue
+                da, siga = da_map[v], siga_map[v]
+                dbm, sigbm = dist[v], sigma[v]
+                for tb in dbm:
+                    if not (sa < tb) or v == tb:
+                        continue
+                    dst_ = dst_map.get(tb)
+                    if dst_ is None or da + dbm[tb] != dst_:
+                        continue
+                    n_pairs[v] += 1
+                    btw[v] += (siga * sigbm[tb] * _BTW_S) // siga_map[tb]
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int32),
+                "n_geodesic_pairs": np.array(
+                    [n_pairs[n] for n in nodes], dtype=np.int64
+                ),
+                "betweenness_scaled": np.array(
+                    [btw[n] for n in nodes], dtype=np.int64
+                ),
+            }
         )
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1)
-    nodes = nodes.localCheckpoint(eager=True)
-    dist = (
-        nodes.select(F.col("node").alias("s"))
-        .crossJoin(nodes.select(F.col("node").alias("t")))
-        .select(
-            "s",
-            "t",
-            F.when(F.col("s") == F.col("t"), 0)
-            .otherwise(_CLOSE_INF)
-            .cast("long")
-            .alias("dist"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_CLOSE_K):
-        reach = (
-            und.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
-            .groupBy("s", F.col("dst").alias("t"))
-            .agg(F.min(F.col("dist") + 1).alias("reach"))
-        )
-        dist = (
-            dist.join(F.broadcast(reach), ["s", "t"], "left")
-            .select(
-                "s",
-                "t",
-                F.least(
-                    F.col("dist"),
-                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
-                )
-                .cast("long")
-                .alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    # sigma: path-count propagation by depth, same join shape as BFS
-    sig = nodes.select(
-        F.col("node").alias("s"),
-        F.col("node").alias("t"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
-    for k in range(1, _CLOSE_K + 1):
-        du = dist.filter(F.col("dist") == k - 1).select("s", "t")
-        dv = dist.filter(F.col("dist") == k).select(
-            F.col("s").alias("s2"), F.col("t").alias("t2")
-        )
-        new = (
-            sig.join(F.broadcast(du), ["s", "t"])
-            .join(F.broadcast(und.withColumnRenamed("src", "t")), "t")
-            .join(
-                F.broadcast(dv),
-                (F.col("s") == F.col("s2")) & (F.col("dst") == F.col("t2")),
-            )
-            .groupBy("s", F.col("dst").alias("t"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-        )
-        sig = sig.unionAll(new).localCheckpoint(eager=True)
-    pairs = (
-        dist.filter(F.col("dist") < _CLOSE_INF)
-        .join(sig, ["s", "t"])
-        .select("s", "t", "dist", "sigma")
-        .localCheckpoint(eager=True)
-    )
-    a = pairs.select(
-        F.col("s").alias("sa"), F.col("t").alias("v"),
-        F.col("dist").alias("da"), F.col("sigma").alias("siga"),
-    )
-    b = pairs.select(
-        F.col("s").alias("v"), F.col("t").alias("tb"),
-        F.col("dist").alias("db"), F.col("sigma").alias("sigb"),
-    )
-    st = pairs.select(
-        F.col("s").alias("sa"), F.col("t").alias("tb"),
-        F.col("dist").alias("dst_"), F.col("sigma").alias("sigst"),
-    )
-    contrib = (
-        a.join(F.broadcast(b), "v")
-        .join(F.broadcast(st), ["sa", "tb"])
-        .filter(
-            (F.col("sa") < F.col("tb"))
-            & (F.col("v") != F.col("sa"))
-            & (F.col("v") != F.col("tb"))
-            & (F.col("da") + F.col("db") == F.col("dst_"))
-        )
-        .select(
-            "v",
-            F.expr(f"(siga * sigb * {_BTW_S}) div sigst").alias("c"),
-        )
-    )
-    return (
-        nodes.join(F.broadcast(contrib), nodes.node == contrib.v, "left")
-        .groupBy(F.col("node").alias("nationkey"))
-        .agg(
-            F.count("c").cast("long").alias("n_geodesic_pairs"),
-            F.coalesce(F.sum("c"), F.lit(0))
-            .cast("long")
-            .alias("betweenness_scaled"),
-        )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        und0,
+        "nationkey int, n_geodesic_pairs long, betweenness_scaled long",
+        kernel,
     )
 
 
@@ -2095,10 +2067,12 @@ def _scc_oracle() -> str:
         "directed edges, so the adjacency is genuinely asymmetric) — "
         "the cycle structure a directed dependency/flow graph "
         "reduces to: v and u share a component iff each reaches the "
-        "other. Reachability comes from the same synchronous min-plus "
-        "rounds as closeness (pair state, localCheckpoint per round); "
-        "the SCC label is min(mutually-reachable node) from one "
-        "self-join of the closure — forward cross backward "
+        "other. Reachability comes from the same capped BFS as "
+        "closeness, run in one Arrow summary kernel over the "
+        "aggregated edge relation (round-9 rewrite of the min-plus "
+        "round chain); "
+        "the SCC label is min(mutually-reachable node) from the "
+        "closure — forward cross backward "
         "reachability, the relational form of Kosaraju's insight "
         "without the DFS. Per node: component id, component size, "
         "out-/in-reachability counts (the condensation DAG's "
@@ -2123,83 +2097,55 @@ def graph_scc_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    tot = dedges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    e = (
-        dedges.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("src", "dst")
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select("dst"))
-        .distinct()
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    dist = (
-        nodes.select(F.col("node").alias("s"))
-        .crossJoin(nodes.select(F.col("node").alias("t")))
-        .select(
-            "s",
-            "t",
-            F.when(F.col("s") == F.col("t"), 0)
-            .otherwise(_CLOSE_INF)
-            .cast("long")
-            .alias("dist"),
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "w")
+        tw = sum(w for _, _, w in rows)
+        ne = len(rows)
+        e = [(s_, d_) for s_, d_, w in rows if w * ne >= tw]
+        nodes = sorted({s_ for s_, _ in e} | {d_ for _, d_ in e})
+        adj: dict[int, list[int]] = {}
+        for s_, d_ in e:
+            adj.setdefault(s_, []).append(d_)
+        dist = _bfs_capped(nodes, adj, _CLOSE_K)
+        reach = {(s_, t_) for s_ in nodes for t_ in dist[s_]}
+        labels = {
+            v: min(t_ for t_ in dist[v] if (t_, v) in reach)
+            for v in nodes
+        }
+        sizes: dict[int, int] = {}
+        for scc in labels.values():
+            sizes[scc] = sizes.get(scc, 0) + 1
+        n_in: dict[int, int] = {}
+        for s_ in nodes:
+            for t_ in dist[s_]:
+                n_in[t_] = n_in.get(t_, 0) + 1
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int32),
+                "scc_id": np.array(
+                    [labels[n] for n in nodes], dtype=np.int64
+                ),
+                "scc_size": np.array(
+                    [sizes[labels[n]] for n in nodes], dtype=np.int64
+                ),
+                "n_reach_out": np.array(
+                    [len(dist[n]) for n in nodes], dtype=np.int64
+                ),
+                "n_reach_in": np.array(
+                    [n_in[n] for n in nodes], dtype=np.int64
+                ),
+            }
         )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_CLOSE_K):
-        reach_r = (
-            e.join(F.broadcast(dist.withColumnRenamed("t", "src")), "src")
-            .groupBy("s", F.col("dst").alias("t"))
-            .agg(F.min(F.col("dist") + 1).alias("reach"))
-        )
-        dist = (
-            dist.join(F.broadcast(reach_r), ["s", "t"], "left")
-            .select(
-                "s",
-                "t",
-                F.least(
-                    F.col("dist"),
-                    F.coalesce("reach", F.lit(_CLOSE_INF).cast("long")),
-                )
-                .cast("long")
-                .alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    reach = dist.filter(F.col("dist") < _CLOSE_INF).select("s", "t")
-    reach = reach.localCheckpoint(eager=True)
-    back = reach.select(F.col("s").alias("t2"), F.col("t").alias("s2"))
-    mutual = reach.join(
-        F.broadcast(back),
-        (F.col("s") == F.col("s2")) & (F.col("t") == F.col("t2")),
-    ).select(F.col("s").alias("v"), F.col("t").alias("u"))
-    labels = mutual.groupBy("v").agg(F.min("u").cast("long").alias("scc_id"))
-    sizes = labels.groupBy("scc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("scc_size")
-    )
-    n_out = reach.groupBy(F.col("s").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_reach_out")
-    )
-    n_in = reach.groupBy(F.col("t").alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_reach_in")
-    )
-    return (
-        labels.join(F.broadcast(sizes), "scc_id")
-        .join(F.broadcast(n_out), "v")
-        .join(F.broadcast(n_in), "v")
-        .select(
-            F.col("v").alias("nationkey"),
-            "scc_id",
-            "scc_size",
-            "n_reach_out",
-            "n_reach_in",
-        )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        dedges,
+        "nationkey int, scc_id long, scc_size long, "
+        "n_reach_out long, n_reach_in long",
+        kernel,
     )
 
 
@@ -2527,10 +2473,11 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so 5 rounds close any 25-node graph — O(log diameter) "
         "synchronous rounds, the APSP counterpart to the pointer-"
         "doubling components operator (vs graph_bfs_shortest_hops' "
-        "single-source O(diameter) relaxation). Each round is one "
-        "self-join + min-aggregate on the O(V^2) distance relation, "
-        "localCheckpointed to stop the doubling logical plan from "
-        "OOMing the driver. The oracle grows paths breadth-first in a "
+        "single-source O(diameter) relaxation). The squaring rounds "
+        "run in one Arrow summary kernel over the O(V^2) distance "
+        "relation (round-9 rewrite: per-round self-join + checkpoint "
+        "jobs were pure fixed cost; full BFS on the summary computes "
+        "the identical closed hops). The oracle grows paths breadth-first in a "
         "recursive CTE and takes MIN(d). All-integer hops, hash-"
         "exact. Scale: the corpus touches only the edge build; at "
         "100 TB the distance relation is O(V^2) — APSP is for entity "
@@ -2555,52 +2502,36 @@ def graph_apsp_minplus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sym = (
-        dir_e.where(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(
-            dir_e.where(F.col("src") != F.col("dst")).select(
-                F.col("dst"), F.col("src")
-            )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pairs = _int_rows(pdf, "src", "dst")
+        sym = {(u, v) for u, v in pairs if u != v}
+        sym |= {(v, u) for u, v in sym}
+        nodes = sorted({u for u, _ in sym})
+        adj: dict[int, list[int]] = {}
+        for u, v in sym:
+            adj.setdefault(u, []).append(v)
+        # full BFS == the 5 min-plus squaring rounds it replaces: the
+        # squaring closed every path of <= 32 edges, >= any 25-node
+        # diameter, so both compute exact hops on reachable pairs
+        dist = _bfs_capped(nodes, adj, max(len(nodes), 1))
+        out = sorted(
+            (s_, t_, d_) for s_ in nodes for t_, d_ in dist[s_].items()
         )
-        .distinct()
-        .localCheckpoint(eager=True)
+        return pd.DataFrame(
+            {
+                "src_nation": np.array([r[0] for r in out], dtype=np.int64),
+                "dst_nation": np.array([r[1] for r in out], dtype=np.int64),
+                "hops": np.array([r[2] for r in out], dtype=np.int64),
+            }
+        )
+
+    return _summary_kernel(
+        dir_e, "src_nation long, dst_nation long, hops long", kernel
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    dist = (
-        nodes.select(
-            F.col("node").alias("src"),
-            F.col("node").alias("dst"),
-            F.lit(0).cast("long").alias("d"),
-        )
-        .union(
-            sym.select("u", "v", F.lit(1).cast("long"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(5):  # 2^5 = 32 >= any 25-node diameter
-        x = dist.select(
-            F.col("src").alias("xs"), F.col("dst").alias("xk"), F.col("d").alias("xd")
-        )
-        y = dist.select(
-            F.col("src").alias("yk"), F.col("dst").alias("yd_"), F.col("d").alias("yd")
-        )
-        two_hop = x.join(y, F.col("xk") == F.col("yk")).select(
-            F.col("xs").alias("src"),
-            F.col("yd_").alias("dst"),
-            (F.col("xd") + F.col("yd")).alias("d"),
-        )
-        dist = (
-            dist.union(two_hop)
-            .groupBy("src", "dst")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-    return dist.select(
-        F.col("src").cast("long").alias("src_nation"),
-        F.col("dst").cast("long").alias("dst_nation"),
-        F.col("d").alias("hops"),
-    ).orderBy("src_nation", "dst_nation")
 
 
 # --------------------------------------------------------------------------
@@ -3124,8 +3055,6 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "community", "iterative", "scale"),
 )
 def graph_louvain_one_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -3141,88 +3070,70 @@ def graph_louvain_one_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        # |V|-bounded (≤ C(25,2) rows) and consumed by 4+ branches (tot,
-        # sym→strength, sym→gains, final labeled join): one small
-        # partition + eager localCheckpoint materializes the fact join
-        # ONCE and truncates its lineage, so every downstream branch
-        # (including the two broadcast builds of `lab`) replans over a
-        # 300-row RDD scan instead of re-embedding the corpus join —
-        # measured 4.2s → 2.4s at sf0.1
-        .coalesce(1)
-        .localCheckpoint(eager=True)
     )
-    tot = und.agg(F.sum("w").alias("big_w"))
-    sym = und.select(
-        F.col("u").alias("i"), F.col("v").alias("j"), "w"
-    ).unionAll(und.select(F.col("v"), F.col("u"), "w"))
-    strength = sym.groupBy(F.col("i").alias("node")).agg(
-        F.sum("w").alias("k")
-    )
-    ki = F.broadcast(strength.select(
-        F.col("node").alias("i"), F.col("k").alias("k_i")
-    ))
-    kj = F.broadcast(strength.select(
-        F.col("node").alias("j"), F.col("k").alias("k_j")
-    ))
-    gains = (
-        sym.join(ki, "i")
-        .join(kj, "j")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "i",
-            "j",
-            (2 * F.col("big_w") * F.col("w")
-             - F.col("k_i") * F.col("k_j")).alias("gain"),
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "u", "v", "w")
+        big_w = sum(w for _, _, w in rows)
+        sym = [(u, v, w) for u, v, w in rows] + [
+            (v, u, w) for u, v, w in rows
+        ]
+        strength: dict[int, int] = {}
+        for i, _, w in sym:
+            strength[i] = strength.get(i, 0) + w
+        # per node: best (gain DESC, j ASC) neighbor move, iff gain > 0
+        best: dict[int, tuple[int, int]] = {}
+        for i, j, w in sym:
+            gain = 2 * big_w * w - strength[i] * strength[j]
+            cur = best.get(i)
+            if cur is None or gain > cur[0] or (gain == cur[0] and j < cur[1]):
+                best[i] = (gain, j)
+        lab = {
+            i: (j if gain > 0 else i) for i, (gain, j) in best.items()
+        }
+        intra: dict[int, int] = {}
+        degw: dict[int, int] = {}
+        for u, v, w in rows:
+            cu, cv = lab[u], lab[v]
+            if cu == cv:
+                intra[cu] = intra.get(cu, 0) + w
+            degw[cu] = degw.get(cu, 0) + w
+            degw[cv] = degw.get(cv, 0) + w
+        sizes: dict[int, int] = {}
+        for comm in lab.values():
+            sizes[comm] = sizes.get(comm, 0) + 1
+        # inner-join semantics of the old sizes⋈degw plan: emit only
+        # communities that appear on a labeled edge endpoint
+        comms = sorted(cm for cm in sizes if cm in degw)
+        q = [
+            (intra.get(cm, 0) * _MOD_S) // big_w
+            - (degw[cm] * degw[cm] * _MOD_S) // (4 * big_w * big_w)
+            for cm in comms
+        ]
+        return pd.DataFrame(
+            {
+                "community": np.array(comms, dtype=np.int32),
+                "n_nodes": np.array(
+                    [sizes[cm] for cm in comms], dtype=np.int64
+                ),
+                "w_intra": np.array(
+                    [intra.get(cm, 0) for cm in comms], dtype=np.int64
+                ),
+                "degree_weight": np.array(
+                    [degw[cm] for cm in comms], dtype=np.int64
+                ),
+                "q_contrib_scaled": np.array(q, dtype=np.int64),
+            }
         )
-    )
-    wpick = Window.partitionBy("i").orderBy(F.desc("gain"), F.asc("j"))
-    lab = (
-        gains.withColumn("rk", F.row_number().over(wpick))
-        .filter(F.col("rk") == 1)
-        .select(
-            F.col("i").alias("node"),
-            F.when(F.col("gain") > 0, F.col("j"))
-            .otherwise(F.col("i"))
-            .alias("community"),
-        )
-        # |V| rows, consumed by THREE branches (two broadcast builds +
-        # sizes): checkpoint so the gain window runs once, not thrice
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    cu = F.broadcast(lab.select(F.col("node").alias("u"), F.col("community").alias("cu")))
-    cv = F.broadcast(lab.select(F.col("node").alias("v"), F.col("community").alias("cv")))
-    labeled = und.join(cu, "u").join(cv, "v").select("w", "cu", "cv")
-    intra = (
-        labeled.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.sum("w").alias("w_in"))
-    )
-    degw = (
-        labeled.select(F.col("cu").alias("community"), "w")
-        .unionAll(labeled.select(F.col("cv"), "w"))
-        .groupBy("community")
-        .agg(F.sum("w").alias("s_c"))
-    )
-    sizes = lab.groupBy("community").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
-    )
-    return (
-        sizes.join(degw, "community")
-        .join(intra, "community", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "community",
-            "n_nodes",
-            F.coalesce("w_in", F.lit(0)).cast("long").alias("w_intra"),
-            F.col("s_c").cast("long").alias("degree_weight"),
-            F.expr(
-                f"CAST((coalesce(w_in, 0) * {_MOD_S}) div big_w"
-                f" - (s_c * s_c * {_MOD_S}) div (4 * big_w * big_w)"
-                f" AS BIGINT)"
-            ).alias("q_contrib_scaled"),
-        )
-        .orderBy("community")
+
+    return _summary_kernel(
+        und,
+        "community int, n_nodes long, w_intra long, "
+        "degree_weight long, q_contrib_scaled long",
+        kernel,
     )
 
 

@@ -12,11 +12,16 @@ import sys
 
 def test_bench_emits_one_json_line():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    # timeout: 420s was calibrated on the r2-r8 hosts; the r9-opt host
+    # runs Spark stages ~10x slower (kernel-side per-task overhead,
+    # BENCH_SESSION drift canary 9.59) and the full 39-query set blew
+    # 420s there with UNCHANGED code. 2400s keeps the contract check
+    # (one JSON line, all queries present) without racing the host.
     r = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=2400,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
