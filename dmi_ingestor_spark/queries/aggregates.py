@@ -3053,10 +3053,13 @@ def _cms_hash_sql(i: int, key: str) -> str:
         "key cardinality in O(1) state; point queries take the min "
         "over rows, audited against exact counts (overestimate >= 0 "
         "is the CMS guarantee, and every value is hash-checked). "
-        "Scale shape: the explode is a constant x3 fan-out feeding a "
-        "partial+final aggregate onto a 192-row relation; probes join "
-        "against it broadcast. The heavy-hitter counting primitive "
-        "for corpus token/domain frequency at 100 TB."
+        "Scale shape (round-9 rewrite): ONE partial+final count "
+        "collapses the corpus to the key grain, so the md5 rows are "
+        "computed once per DISTINCT key (not 3x per fact row) and the "
+        "x3 explode fans out the key-grain relation into the 192-row "
+        "sketch; probes and the exact audit both reuse the key-grain "
+        "counts — one corpus pass, not three scans. The heavy-hitter "
+        "counting primitive for corpus token/domain frequency at 100 TB."
     ),
     tags=("aggregate", "sketch", "lineitem", "scale"),
 )
@@ -3074,27 +3077,38 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
         )
 
+    # Round-9 rewrite (guide §2.3, aggregate before you shuffle /
+    # hash): collapse the corpus to the KEY GRAIN first — one
+    # partial+final count per distinct key — then md5 each distinct
+    # key once instead of 3x per fact row (key-repetition factor ~5
+    # here, often far more in real corpora), and derive the exact
+    # audit counts from the same relation instead of a second pushed
+    # scan. Cell counts are identical: SUM of per-key counts per
+    # (row_i, cell) == COUNT(*) per (row_i, cell).
+    by_key = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     cells = (
-        li.select(
+        by_key.select(
+            "cnt",
             F.explode(
                 F.array(
                     *[
                         F.struct(
-                            F.lit(i).alias("row_i"), h(i, "l_partkey").alias("cell")
+                            F.lit(i).alias("row_i"), h(i, "key").alias("cell")
                         )
                         for i in range(_CMS_D)
                     ]
                 )
-            ).alias("rc")
+            ).alias("rc"),
         )
         .groupBy(F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("cnt").alias("c"))
     )
-    keys = li.filter(F.col("l_partkey") <= 20).select(
-        F.col("l_partkey").alias("key")
-    ).distinct()
-    probes = keys.select(
+    audited = by_key.filter(F.col("key") <= 20)
+    probes = audited.select(
         "key",
+        "cnt",
         F.explode(
             F.array(
                 *[
@@ -3103,29 +3117,25 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("rc"),
-    ).select("key", F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell"))
+    ).select(
+        "key", "cnt", F.col("rc.row_i").alias("row_i"), F.col("rc.cell").alias("cell")
+    )
     est = (
         probes.join(F.broadcast(cells), ["row_i", "cell"])
         .groupBy("key")
-        .agg(F.min("c").alias("est_count"))
-    )
-    exact = (
-        li.filter(F.col("l_partkey") <= 20)
-        .groupBy(F.col("l_partkey").alias("key"))
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
-    return (
-        exact.join(est, "key")
-        .select(
-            F.col("key").alias("partkey"),
-            F.col("est_count").cast("long").alias("est_count"),
-            F.col("exact_count").cast("long").alias("exact_count"),
-            (F.col("est_count") - F.col("exact_count"))
-            .cast("long")
-            .alias("overestimate"),
+        .agg(
+            F.min("c").alias("est_count"),
+            F.first("cnt").alias("exact_count"),
         )
-        .orderBy("partkey")
     )
+    return est.select(
+        F.col("key").alias("partkey"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    ).orderBy("partkey")
 
 
 # --------------------------------------------------------------------------

@@ -319,13 +319,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trade_kept_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Above-mean-weight undirected nation co-trade edges ``(u, v)``.
-
-    The ONE corpus-sized stage shared by the triangle family and the
-    k-truss peel: fact-sized edge build with broadcast dims, undirected
-    collapse, then the integer above-mean filter (w·|E| ≥ Σw against a
-    broadcast 1-row aggregate — no doubles)."""
+def _trade_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected nation co-trade aggregate ``(u, v, w)`` — the ONE
+    corpus-sized stage shared by the triangle family, the k-truss peel
+    and the spectral bisection (fact-sized edge build with broadcast
+    dims, undirected collapse)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -341,15 +339,28 @@ def _trade_kept_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    und = (
+    return (
         dir_e.filter(F.col("src") != F.col("dst"))
         .groupBy(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .agg(F.sum("w").alias("w"))
-        .cache()  # branches: tot, kept — don't redo the fact join
     )
+
+
+def _kept_filter(rows):
+    """Above-mean sparsification on the summary aggregate, in-kernel:
+    keep unordered pairs with w·|E| ≥ Σw (same integer form as the
+    broadcast 1-row filter it replaces)."""
+    tot = sum(w for _, _, w in rows)
+    ne = len(rows)
+    return sorted((u, v) for u, v, w in rows if w * ne >= tot)
+
+
+def _trade_kept_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-mean-weight undirected nation co-trade edges ``(u, v)``."""
+    und = _trade_und(spark, sf_dir).cache()  # branches: tot, kept
     tot = und.agg(
         F.count(F.lit(1)).alias("n_e"), F.sum("w").alias("sum_w")
     )
@@ -586,62 +597,41 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
         .where(F.col("src") != F.col("dst"))
     )
-    und = (
-        dedges.select("src", "dst", "w")
-        .unionAll(
-            dedges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "w")
+        und: dict[tuple[int, int], int] = {}
+        for src, dst, w in rows:
+            und[(src, dst)] = und.get((src, dst), 0) + w
+            und[(dst, src)] = und.get((dst, src), 0) + w
+        nodes = sorted({u_ for u_, _ in und})
+        labels = {n: n for n in nodes}
+        for _ in range(_LP_K):
+            t: dict[tuple[int, int], int] = {}
+            for (src, dst), w in und.items():
+                key = (dst, labels[src])
+                t[key] = t.get(key, 0) + w
+            mw: dict[int, int] = {}
+            for (node, _), wsum in t.items():
+                if wsum > mw.get(node, -1):
+                    mw[node] = wsum
+            new: dict[int, int] = {}
+            for (node, label), wsum in t.items():
+                if wsum == mw[node] and label < new.get(node, 10**9):
+                    new[node] = label
+            labels = {n: new.get(n, labels[n]) for n in nodes}
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int32),
+                "community": np.array(
+                    [labels[n] for n in nodes], dtype=np.int32
+                ),
+            }
         )
-        .groupBy("src", "dst")
-        .agg(F.sum("w").cast("long").alias("w"))
-        # the summary graph is |V|^2-bounded (<= 625 rows here): collapse
-        # to one partition so each of the K rounds is a handful of tiny
-        # tasks, not 32-partition shuffle stages
-        .coalesce(1)
-        .cache()  # K rounds + nodes all branch from the edge build
-    )
-    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1).cache()
-    labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(_LP_K):
-        t = (
-            und.join(
-                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
-            )
-            .groupBy(F.col("dst").alias("node"), "label")
-            .agg(F.sum("w").alias("wsum"))
-        )
-        m = (
-            t.groupBy("node")
-            .agg(F.max("wsum").alias("mw"))
-            .withColumnRenamed("node", "mnode")
-        )
-        new = (
-            t.join(
-                F.broadcast(m),
-                (F.col("node") == F.col("mnode"))
-                & (F.col("wsum") == F.col("mw")),
-            )
-            .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
-        )
-        labels = (
-            nodes.join(labels, "node")
-            .join(F.broadcast(new), "node", "left")
-            .select(
-                "node", F.coalesce("new_label", "label").alias("label")
-            )
-            # localCheckpoint truncates the iterative lineage: without it
-            # the static plan re-expands the whole edge build per round
-            # (measured: 78 Exchanges / 116 broadcasts in the 3-round
-            # plan; with it each round plans against a leaf and the
-            # final plan is a scan of the checkpointed labels —
-            # measured 10s faster end-to-end at sf0.01).
-            .localCheckpoint(eager=True)
-        )
-    return labels.select(
-        F.col("node").alias("nationkey"), F.col("label").alias("community")
-    )
+
+    return _summary_kernel(dedges, "nationkey int, community int", kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -733,46 +723,29 @@ def graph_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    und = (
-        dedges.unionAll(
-            dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pairs = _int_rows(pdf, "src", "dst")
+        sym = set(pairs) | {(v_, u_) for u_, v_ in pairs}
+        nodes = sorted({u_ for u_, _ in sym})
+        adj: dict[int, list[int]] = {}
+        for u_, v_ in sym:
+            adj.setdefault(u_, []).append(v_)
+        if _BFS_SRC in adj:
+            d = _bfs_capped([_BFS_SRC], adj, _BFS_K)[_BFS_SRC]
+        else:
+            d = {_BFS_SRC: 0} if _BFS_SRC in set(nodes) else {}
+        out = sorted(d.items())
+        return pd.DataFrame(
+            {
+                "nationkey": np.array([n for n, _ in out], dtype=np.int32),
+                "hops": np.array([h for _, h in out], dtype=np.int64),
+            }
         )
-        .distinct()
-        .coalesce(1)
-        .cache()
-    )
-    nodes = und.select(F.col("src").alias("node")).distinct().coalesce(1).cache()
-    dist = nodes.select(
-        "node",
-        F.when(F.col("node") == _BFS_SRC, 0)
-        .otherwise(_BFS_INF)
-        .cast("long")
-        .alias("dist"),
-    ).localCheckpoint(eager=True)
-    for _ in range(_BFS_K):
-        reach = (
-            und.join(
-                F.broadcast(dist.withColumnRenamed("node", "src")), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min(F.col("dist") + 1).alias("reach"))
-        )
-        dist = (
-            dist.join(F.broadcast(reach), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("dist"),
-                    F.coalesce("reach", F.lit(_BFS_INF).cast("long")),
-                )
-                .cast("long")
-                .alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return dist.where(F.col("dist") < _BFS_INF).select(
-        F.col("node").alias("nationkey"), F.col("dist").alias("hops")
-    )
+
+    return _summary_kernel(dedges, "nationkey int, hops long", kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -2227,8 +2200,6 @@ def _rw_oracle() -> str:
     tags=("graph", "iterative", "sampling", "scale"),
 )
 def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -2243,44 +2214,51 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wsrc = Window.partitionBy("src")
-    adj = edges.select(
-        "src",
-        "dst",
-        (F.row_number().over(wsrc.orderBy("dst")) - 1).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(wsrc).cast("long").alias("deg"),
-    ).localCheckpoint()
-    state = edges.select(F.col("src").alias("walk_id")).distinct().select(
-        "walk_id",
-        F.col("walk_id").alias("node"),
-        F.lit(0).cast("long").alias("step"),
-    )
-    visits = state
-    for k in range(1, _RW_STEPS + 1):
-        idx = (
-            (F.col("walk_id") * _RW_A + F.lit(k) * _RW_B) % _RW_C
-        ) % F.col("deg")
-        state = (
-            state.join(
-                F.broadcast(adj),
-                (adj.src == state.node)
-                & (adj.rk == idx),
-            )
-            .select(
-                "walk_id",
-                F.col("dst").alias("node"),
-                F.lit(k).cast("long").alias("step"),
-            )
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pairs = _int_rows(pdf, "src", "dst")
+        adj: dict[int, list[int]] = {}
+        for src, dst in sorted(set(pairs)):
+            adj.setdefault(src, []).append(dst)
+        visits: list[tuple[int, int, int]] = []  # (walk_id, node, step)
+        for walk_id in adj:
+            node = walk_id
+            visits.append((walk_id, node, 0))
+            for k in range(1, _RW_STEPS + 1):
+                nbrs = adj.get(node)
+                if not nbrs:
+                    break  # dead end terminates the walk
+                idx = ((walk_id * _RW_A + k * _RW_B) % _RW_C) % len(nbrs)
+                node = nbrs[idx]
+                visits.append((walk_id, node, k))
+        stats: dict[int, list] = {}
+        for walk_id, node, step in visits:
+            st = stats.setdefault(node, [0, set(), 0])
+            st[0] += 1
+            st[1].add(walk_id)
+            st[2] = max(st[2], step)
+        nodes = sorted(stats)
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int64),
+                "n_visits": np.array(
+                    [stats[n][0] for n in nodes], dtype=np.int64
+                ),
+                "n_walks": np.array(
+                    [len(stats[n][1]) for n in nodes], dtype=np.int64
+                ),
+                "last_step_seen": np.array(
+                    [stats[n][2] for n in nodes], dtype=np.int64
+                ),
+            }
         )
-        visits = visits.unionByName(state)
-    return (
-        visits.groupBy(F.col("node").alias("nationkey"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_visits"),
-            F.countDistinct("walk_id").cast("long").alias("n_walks"),
-            F.max("step").cast("long").alias("last_step_seen"),
-        )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        edges,
+        "nationkey long, n_visits long, n_walks long, last_step_seen long",
+        kernel,
     )
 
 
@@ -2345,8 +2323,6 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "mst", "iterative"),
 )
 def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dmi_ingestor_spark.operators.components import connected_components
-
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2369,67 +2345,54 @@ def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .agg(F.sum("w").cast("long").alias("w"))
-        # O(|nations|^2) rows from here on: cut the fact-join lineage so
-        # the Boruvka loop replans over a 300-row leaf, not the corpus.
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        ue.select(F.col("a").alias("node"))
-        .union(ue.select("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
     )
 
-    mst = None
-    for _ in range(8):  # ceil(log2(|V|)) rounds suffice; 25 nodes -> <=5
-        if mst is None:
-            comp = nodes.select("node", F.col("node").alias("component"))
-        else:
-            # checkpoint_every=1: pointer doubling self-joins the label
-            # relation, so the UNCHECKPOINTED logical plan doubles per
-            # round — AQE's plan stringification alone can OOM a 1g
-            # vanilla driver (observed here; same class as e042c59).
-            labeled = connected_components(
-                mst, src="a", dst="b", max_iter=8, checkpoint_every=1
-            )
-            comp = (
-                nodes.join(F.broadcast(labeled), "node", "left")
-                .select(
-                    "node",
-                    F.coalesce("component", "node").alias("component"),
-                )
-            )
-        ca = comp.select(
-            F.col("node").alias("a"), F.col("component").alias("comp_a")
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        edges = _int_rows(pdf, "a", "b", "w")
+        parent: dict[int, int] = {}
+        for a_, b_, _w in edges:
+            parent.setdefault(a_, a_)
+            parent.setdefault(b_, b_)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        mst: set[tuple[int, int, int]] = set()
+        for _ in range(8):  # Boruvka: component count halves per round
+            best: dict[int, tuple[int, int, int]] = {}
+            for a_, b_, w in edges:
+                ca, cb = find(a_), find(b_)
+                if ca == cb:
+                    continue
+                key = (w, a_, b_)  # the unique (w, a, b) total order
+                for comp in (ca, cb):
+                    if comp not in best or key < best[comp]:
+                        best[comp] = key
+            if not best:
+                break
+            for w, a_, b_ in set(best.values()):
+                mst.add((a_, b_, w))
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    parent[ra] = rb
+        out = sorted((a_, b_, w) for a_, b_, w in mst)
+        return pd.DataFrame(
+            {
+                "nation_a": np.array([r[0] for r in out], dtype=np.int32),
+                "nation_b": np.array([r[1] for r in out], dtype=np.int32),
+                "trade_w": np.array([r[2] for r in out], dtype=np.int64),
+            }
         )
-        cb = comp.select(
-            F.col("node").alias("b"), F.col("component").alias("comp_b")
-        )
-        cross = (
-            ue.join(F.broadcast(ca), "a")
-            .join(F.broadcast(cb), "b")
-            .where(F.col("comp_a") != F.col("comp_b"))
-        )
-        # min outgoing edge per component under the (w, a, b) total order
-        cand = cross.select(
-            F.col("comp_a").alias("comp"), "w", "a", "b"
-        ).union(cross.select(F.col("comp_b"), "w", "a", "b"))
-        picked = (
-            cand.groupBy("comp")
-            .agg(F.min(F.struct("w", "a", "b")).alias("e"))
-            .select("e.a", "e.b", "e.w")
-            .distinct()
-        )
-        if picked.count() == 0:
-            break
-        mst = (picked if mst is None else mst.unionByName(picked)).localCheckpoint(
-            eager=True
-        )
-    return mst.select(
-        F.col("a").alias("nation_a"),
-        F.col("b").alias("nation_b"),
-        F.col("w").alias("trade_w"),
-    ).orderBy("nation_a", "nation_b")
+
+    return _summary_kernel(
+        ue, "nation_a int, nation_b int, trade_w long", kernel
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2607,85 +2570,74 @@ def _truss_oracle() -> str:
     tags=("graph", "iterative", "triangles", "scale"),
 )
 def graph_ktruss_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _trade_kept_edges(spark, sf_dir).localCheckpoint(eager=True)
-    rows = []
-    for r in range(_TRUSS_ROUNDS):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select("v"))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        )
-        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-        lower = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oriented = (
-            e.join(F.broadcast(du), "u")
-            .join(F.broadcast(dv), "v")
-            .select(
-                F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
-                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
-                F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("db"),
-            )
-            .localCheckpoint(eager=True)  # three consumers below
-        )
-        e1 = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
-        e2 = oriented.select("a", F.col("b").alias("z"), F.col("db").alias("dz"))
-        wedges = e1.join(e2, "a").filter(
-            (F.col("dz") > F.col("dy"))
-            | ((F.col("dz") == F.col("dy")) & (F.col("z") > F.col("y")))
-        )
-        closing = oriented.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        tri = (
-            wedges.join(closing, ["y", "z"], "left_semi")
-            .select(F.col("a").alias("x"), "y", "z")
-            .localCheckpoint(eager=True)  # support build + count
-        )
-        supp = (
-            tri.select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
-            .unionAll(
-                tri.select(F.least("x", "z"), F.greatest("x", "z"))
-            )
-            .unionAll(
-                tri.select(F.least("y", "z"), F.greatest("y", "z"))
-            )
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("s"))
-        )
-        e_next = (
-            e.join(F.broadcast(supp), ["u", "v"], "left")
-            .filter(F.coalesce(F.col("s"), F.lit(0)) >= _TRUSS_K - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        summary = (
-            e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-            .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
-            .crossJoin(
-                e_next.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_surviving"),
-                    F.coalesce(F.sum(F.col("u") * 100 + F.col("v")), F.lit(0))
-                    .cast("long")
-                    .alias("edge_checksum"),
+    und = _trade_und(spark, sf_dir)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        e = _kept_filter(_int_rows(pdf, "u", "v", "w"))
+        rows = []
+        for r in range(_TRUSS_ROUNDS):
+            deg: dict[int, int] = {}
+            for u_, v_ in e:
+                deg[u_] = deg.get(u_, 0) + 1
+                deg[v_] = deg.get(v_, 0) + 1
+            oriented: dict[int, list[tuple[int, int]]] = {}
+            oset: set[tuple[int, int]] = set()
+            for u_, v_ in e:
+                lower = (deg[u_], u_) < (deg[v_], v_)
+                a_, b_ = (u_, v_) if lower else (v_, u_)
+                oriented.setdefault(a_, []).append((b_, deg[b_]))
+                oset.add((a_, b_))
+            tris: list[tuple[int, int, int]] = []
+            for a_, outs in oriented.items():
+                for y_, dy in outs:
+                    for z_, dz in outs:
+                        if ((dz, z_) > (dy, y_)) and (y_, z_) in oset:
+                            tris.append((a_, y_, z_))
+            supp: dict[tuple[int, int], int] = {}
+            for x_, y_, z_ in tris:
+                for p_, q_ in ((x_, y_), (x_, z_), (y_, z_)):
+                    key = (min(p_, q_), max(p_, q_))
+                    supp[key] = supp.get(key, 0) + 1
+            e_next = [
+                (u_, v_)
+                for u_, v_ in e
+                if supp.get((u_, v_), 0) >= _TRUSS_K - 2
+            ]
+            rows.append(
+                (
+                    r,
+                    len(e),
+                    len(tris),
+                    len(e_next),
+                    sum(u_ * 100 + v_ for u_, v_ in e_next),
                 )
             )
+            e = e_next
+        return pd.DataFrame(
+            {
+                "round": np.array([r[0] for r in rows], dtype=np.int32),
+                "n_edges": np.array([r[1] for r in rows], dtype=np.int64),
+                "n_triangles": np.array(
+                    [r[2] for r in rows], dtype=np.int64
+                ),
+                "n_surviving": np.array(
+                    [r[3] for r in rows], dtype=np.int64
+                ),
+                "edge_checksum": np.array(
+                    [r[4] for r in rows], dtype=np.int64
+                ),
+            }
         )
-        rows.append(
-            summary.select(
-                F.lit(r).alias("round"),
-                "n_edges",
-                "n_triangles",
-                "n_surviving",
-                "edge_checksum",
-            )
-        )
-        e = e_next
-    out = rows[0]
-    for p in rows[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("round")
+
+    return _summary_kernel(
+        und,
+        "round int, n_edges long, n_triangles long, n_surviving long, "
+        "edge_checksum long",
+        kernel,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2787,57 +2739,74 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .cache()  # outw, e, nodes all branch from the fact join
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(F.broadcast(outw), "src").select("src", "dst", "w", "out_w")
     srcset = (
         n.join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
                n.n_regionkey == r.r_regionkey)
         .select(F.col("n_nationkey").alias("node"))
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-        .join(
-            F.broadcast(srcset.withColumn("in_source", F.lit(1))),
-            "node",
+    # personalization flags ride the summary edge relation (two tiny
+    # broadcast-dim joins), so ONE relation feeds the kernel
+    flagged = (
+        edges.join(
+            F.broadcast(srcset.select(F.col("node").alias("src"))
+                        .withColumn("src_in", F.lit(1))),
+            "src",
             "left",
         )
-        .select("node", F.coalesce("in_source", F.lit(0)).alias("in_source"))
-        .cache()
+        .join(
+            F.broadcast(srcset.select(F.col("node").alias("dst"))
+                        .withColumn("dst_in", F.lit(1))),
+            "dst",
+            "left",
+        )
+        .select(
+            "src", "dst", "w",
+            F.coalesce("src_in", F.lit(0)).alias("src_in"),
+            F.coalesce("dst_in", F.lit(0)).alias("dst_in"),
+        )
     )
 
-    base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
-    rank = nodes.select(
-        "node",
-        "in_source",
-        (F.lit(_SCALE) * F.col("in_source")).cast("long").alias("rank"),
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "w", "src_in", "dst_in")
+        outw: dict[int, int] = {}
+        in_source: dict[int, int] = {}
+        for src, dst, w, si, di in rows:
+            outw[src] = outw.get(src, 0) + w
+            in_source[src] = si
+            in_source[dst] = di
+        nodes = sorted(in_source)
+        base = _SCALE * (_DAMP_DEN - _DAMP_NUM) // _DAMP_DEN
+        rank = {n_: _SCALE * in_source[n_] for n_ in nodes}
+        for _ in range(_K):
+            contrib: dict[int, int] = {}
+            for src, dst, w, _si, _di in rows:
+                contrib[dst] = (
+                    contrib.get(dst, 0) + (rank[src] * w) // outw[src]
+                )
+            rank = {
+                n_: base * in_source[n_]
+                + (_DAMP_NUM * contrib.get(n_, 0)) // _DAMP_DEN
+                for n_ in nodes
+            }
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(nodes, dtype=np.int64),
+                "in_source": np.array(
+                    [in_source[n_] for n_ in nodes], dtype=np.int64
+                ),
+                "ppr_scaled": np.array(
+                    [rank[n_] for n_ in nodes], dtype=np.int64
+                ),
+            }
+        )
+
+    return _summary_kernel(
+        flagged, "nationkey long, in_source long, ppr_scaled long", kernel
     )
-    for _ in range(_K):
-        contrib = (
-            e.join(F.broadcast(rank), e.src == rank.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(rank * w) div out_w").alias("part"),
-            )
-            .groupBy("node")
-            .agg(F.sum("part").alias("contrib"))
-        )
-        rank = nodes.join(F.broadcast(contrib), "node", "left").select(
-            "node",
-            "in_source",
-            F.expr(
-                f"CAST({base} * in_source + ({_DAMP_NUM} * COALESCE(contrib, 0))"
-                f" div {_DAMP_DEN} AS BIGINT)"
-            ).alias("rank"),
-        )
-    return rank.select(
-        F.col("node").cast("long").alias("nationkey"),
-        F.col("in_source").cast("long").alias("in_source"),
-        F.col("rank").alias("ppr_scaled"),
-    ).orderBy("nationkey")
 
 
 # --------------------------------------------------------------------------
@@ -2926,39 +2895,50 @@ def graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "t"
             )
         )
-        .cache()
     )
-    a = e.select(F.col("src"), F.col("dst").alias("mid"), F.col("t").alias("t1"))
-    b = e.select(
-        F.col("src").alias("mid"),
-        F.col("dst").alias("dst2"),
-        F.col("t").alias("t2"),
-    )
-    hop2 = (
-        a.join(b, "mid")
-        .filter((F.col("t2") >= F.col("t1")) & (F.col("dst2") != F.col("src")))
-        .groupBy("src", "dst2")
-        .agg(F.min("t2").alias("arrive_t"))
-        .cache()
-    )
-    direct_reach = e.groupBy("src").agg(
-        F.countDistinct("dst").cast("long").alias("direct_reach")
-    )
-    hop2_stats = hop2.groupBy("src").agg(
-        F.countDistinct("dst2").cast("long").alias("hop2_reach"),
-        F.sum("arrive_t").cast("long").alias("arrival_checksum"),
-    )
-    return (
-        direct_reach.join(hop2_stats, "src", "left")
-        .select(
-            F.col("src").cast("long").alias("nationkey"),
-            "direct_reach",
-            F.coalesce("hop2_reach", F.lit(0)).cast("long").alias("hop2_reach"),
-            F.coalesce("arrival_checksum", F.lit(0))
-            .cast("long")
-            .alias("arrival_checksum"),
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "src", "dst", "t")
+        out_edges: dict[int, list[tuple[int, int]]] = {}
+        for src, dst, t in rows:
+            out_edges.setdefault(src, []).append((dst, t))
+        arrive: dict[tuple[int, int], int] = {}
+        for src, dst, t1 in rows:
+            for dst2, t2 in out_edges.get(dst, ()):
+                if t2 >= t1 and dst2 != src:
+                    key = (src, dst2)
+                    if key not in arrive or t2 < arrive[key]:
+                        arrive[key] = t2
+        hop2_n: dict[int, int] = {}
+        hop2_sum: dict[int, int] = {}
+        for (src, _dst2), at in arrive.items():
+            hop2_n[src] = hop2_n.get(src, 0) + 1
+            hop2_sum[src] = hop2_sum.get(src, 0) + at
+        srcs = sorted(out_edges)
+        return pd.DataFrame(
+            {
+                "nationkey": np.array(srcs, dtype=np.int64),
+                "direct_reach": np.array(
+                    [len({d_ for d_, _ in out_edges[s_]}) for s_ in srcs],
+                    dtype=np.int64,
+                ),
+                "hop2_reach": np.array(
+                    [hop2_n.get(s_, 0) for s_ in srcs], dtype=np.int64
+                ),
+                "arrival_checksum": np.array(
+                    [hop2_sum.get(s_, 0) for s_ in srcs], dtype=np.int64
+                ),
+            }
         )
-        .orderBy("nationkey")
+
+    return _summary_kernel(
+        e,
+        "nationkey long, direct_reach long, hop2_reach long, "
+        "arrival_checksum long",
+        kernel,
     )
 
 
@@ -3242,61 +3222,69 @@ def graph_anf_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .select("u", "v")
-        .cache()  # summary-sized; feeds nodes, sym and both rounds
     )
-    nodes = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select("v"))
-        .distinct()
-    )
-    sym = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(und.select(F.col("v"), F.col("u")))
-        .unionAll(nodes.select(F.col("node"), F.col("node")))
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("anf-"), F.col("node").cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    sk = nodes.select("node", F.array(h).alias("s"))
-    for _ in range(_ANF_T):
-        prop = sym.join(sk, sym.src == sk.node).select(
-            F.col("dst").alias("node"), "s"
+
+    def kernel(pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pairs = _int_rows(pdf, "u", "v")
+        nodes = sorted({u_ for u_, _ in pairs} | {v_ for _, v_ in pairs})
+        sym = (
+            {(u_, v_) for u_, v_ in pairs}
+            | {(v_, u_) for u_, v_ in pairs}
+            | {(n_, n_) for n_ in nodes}
         )
-        sk = prop.groupBy("node").agg(
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("s")))),
-                1,
-                _ANF_K,
-            ).alias("s")
-        )
-    two_hop = sym.select(F.col("src").alias("a"), F.col("dst").alias("m"))
-    ball = (
-        two_hop.join(
-            sym.select(F.col("src").alias("m"), F.col("dst").alias("b")), "m"
-        )
-        .groupBy(F.col("a").alias("node"))
-        .agg(F.countDistinct("b").cast("long").alias("ball_exact"))
-    )
-    return (
-        sk.join(ball, "node")
-        .select(
-            "node",
-            "ball_exact",
-            F.size("s").cast("long").alias("sketch_n"),
-            F.when(F.size("s") < _ANF_K, F.size("s").cast("long"))
-            .otherwise(
-                F.expr(
-                    f"CAST(({_ANF_K - 1} * CAST({_ANF_H} AS BIGINT))"
-                    f" div element_at(s, {_ANF_K}) AS BIGINT)"
+        in_nbrs: dict[int, list[int]] = {}
+        for src, dst in sym:
+            in_nbrs.setdefault(dst, []).append(src)
+        sk = {
+            n_: [
+                int(
+                    hashlib.md5(f"anf-{n_}".encode()).hexdigest()[:8], 16
                 )
-            )
-            .alias("ball_est"),
+            ]
+            for n_ in nodes
+        }
+        for _ in range(_ANF_T):
+            sk = {
+                n_: sorted(
+                    {h_ for src in in_nbrs[n_] for h_ in sk[src]}
+                )[:_ANF_K]
+                for n_ in nodes
+            }
+        out_nbrs: dict[int, set[int]] = {}
+        for src, dst in sym:
+            out_nbrs.setdefault(src, set()).add(dst)
+        ball = {
+            n_: len({b_ for m_ in out_nbrs[n_] for b_ in out_nbrs[m_]})
+            for n_ in nodes
+        }
+        est = [
+            len(sk[n_])
+            if len(sk[n_]) < _ANF_K
+            else ((_ANF_K - 1) * _ANF_H) // sk[n_][_ANF_K - 1]
+            for n_ in nodes
+        ]
+        return pd.DataFrame(
+            {
+                "node": np.array(nodes, dtype=np.int32),
+                "ball_exact": np.array(
+                    [ball[n_] for n_ in nodes], dtype=np.int64
+                ),
+                "sketch_n": np.array(
+                    [len(sk[n_]) for n_ in nodes], dtype=np.int64
+                ),
+                "ball_est": np.array(est, dtype=np.int64),
+            }
         )
-        .orderBy("node")
+
+    return _summary_kernel(
+        und,
+        "node int, ball_exact long, sketch_n long, ball_est long",
+        kernel,
     )
 
 
@@ -3391,92 +3379,64 @@ def _spectral_oracle() -> str:
     tags=("graph", "spectral", "iterative", "scale"),
 )
 def graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = _trade_kept_edges(spark, sf_dir)
-    deg = (
-        kept.select(F.col("u").alias("node"))
-        .unionAll(kept.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    dmax = deg.agg(F.max("d").alias("dmax"))
-    coef = deg.crossJoin(F.broadcast(dmax)).select(
-        "node", (F.col("dmax") + 1 - F.col("d")).alias("ci")
-    )
-    sym = kept.select(
-        F.col("u").alias("i"), F.col("v").alias("j")
-    ).unionAll(kept.select(F.col("v"), F.col("u")))
-    v = coef.select(
-        "node",
-        F.when(F.col("node") % 2 == 0, F.lit(_SB_S))
-        .otherwise(F.lit(-_SB_S))
-        .cast("long")
-        .alias("val"),
-    )
-    for _ in range(_SB_T):
-        nb = (
-            sym.join(v.select(F.col("node").alias("j"), "val"), "j")
-            .groupBy(F.col("i").alias("node"))
-            .agg(F.sum("val").alias("s"))
+    und = _trade_und(spark, sf_dir)
+
+    def kernel(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        edges = _kept_filter(_int_rows(pdf, "u", "v", "w"))
+        deg: dict[int, int] = {}
+        for u_, v_ in edges:
+            deg[u_] = deg.get(u_, 0) + 1
+            deg[v_] = deg.get(v_, 0) + 1
+        nodes = sorted(deg)
+        dmax = max(deg.values(), default=0)
+        ci = {n_: dmax + 1 - deg[n_] for n_ in nodes}
+        nbrs: dict[int, list[int]] = {}
+        for u_, v_ in edges:
+            nbrs.setdefault(u_, []).append(v_)
+            nbrs.setdefault(v_, []).append(u_)
+        val = {n_: (_SB_S if n_ % 2 == 0 else -_SB_S) for n_ in nodes}
+        n_ct = len(nodes)
+        for _ in range(_SB_T):
+            u_vec = {
+                n_: ci[n_] * val[n_] + sum(val[j_] for j_ in nbrs[n_])
+                for n_ in nodes
+            }
+            su = sum(u_vec.values())
+            w_vec = {n_: u_vec[n_] * n_ct - su for n_ in nodes}
+            m_ = max((abs(w_) for w_ in w_vec.values()), default=0)
+            m_ = max(m_, 1)
+            # one IEEE double division on <2^53-exact integers, exactly
+            # the (w * S)::DOUBLE / m both engines compute
+            val = {
+                n_: math.floor(float(w_vec[n_] * _SB_S) / float(m_))
+                for n_ in nodes
+            }
+        side = {n_: (1 if val[n_] > 0 else 0) for n_ in nodes}
+        cut = sum(1 for u_, v_ in edges if side[u_] != side[v_])
+        n_side1 = sum(side.values())
+        return pd.DataFrame(
+            {
+                "node": np.array(nodes, dtype=np.int32),
+                "v_scaled": np.array(
+                    [val[n_] for n_ in nodes], dtype=np.int64
+                ),
+                "side": np.array(
+                    [side[n_] for n_ in nodes], dtype=np.int64
+                ),
+                "cut_edges": np.array([cut] * len(nodes), dtype=np.int64),
+                "n_side1": np.array([n_side1] * len(nodes), dtype=np.int64),
+            }
         )
-        u = (
-            coef.join(v, "node")
-            .join(nb, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("ci") * F.col("val")
-                    + F.coalesce("s", F.lit(0))
-                ).alias("u"),
-            )
-        )
-        st = u.agg(F.count(F.lit(1)).alias("n"), F.sum("u").alias("su"))
-        w = u.crossJoin(F.broadcast(st)).select(
-            "node", (F.col("u") * F.col("n") - F.col("su")).alias("w")
-        )
-        m = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("m"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            "node",
-            F.floor((F.col("w") * _SB_S).cast("double") / F.col("m"))
-            .cast("long")
-            .alias("val"),
-        )
-        # the |V|-row state re-derives coef/sym (and through them the
-        # fact-sized edge build) in BOTH branches of the next round —
-        # uncut, the lineage doubles per round exactly like the k-core
-        # peel did pre-r4; cut it while the relation is 25 rows (and
-        # keep it on 2 partitions — no point scattering 25 rows). The
-        # query's wall time is FIXED-cost dominated either way (~10s
-        # at every sf, slope ~0 in SCALING.md): each round pays the
-        # eager-checkpoint job plus two broadcast-build jobs (st, m),
-        # which is the price of keeping the iteration driver-loop-free
-        v = v.coalesce(2).localCheckpoint(eager=True)
-    signs = v.select(
-        "node", "val", (F.col("val") > 0).cast("long").alias("side")
-    )
-    cut = (
-        kept.join(
-            F.broadcast(signs.select(F.col("node").alias("u"),
-                                     F.col("side").alias("sa"))), "u"
-        )
-        .join(
-            F.broadcast(signs.select(F.col("node").alias("v"),
-                                     F.col("side").alias("sb"))), "v"
-        )
-        .filter(F.col("sa") != F.col("sb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
-    )
-    bal = signs.agg(F.sum("side").cast("long").alias("n_side1"))
-    return (
-        signs.crossJoin(F.broadcast(cut))
-        .crossJoin(F.broadcast(bal))
-        .select(
-            "node",
-            F.col("val").alias("v_scaled"),
-            F.col("side").cast("long").alias("side"),
-            "cut_edges",
-            "n_side1",
-        )
-        .orderBy("node")
+
+    return _summary_kernel(
+        und,
+        "node int, v_scaled long, side long, cut_edges long, n_side1 long",
+        kernel,
     )
 
 
@@ -3544,58 +3504,59 @@ _WL_ROUNDS = 2
     tags=("graph", "isomorphism", "iterative", "scale"),
 )
 def graph_weisfeiler_lehman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = _trade_kept_edges(spark, sf_dir)
-    deg = (
-        kept.select(F.col("u").alias("node"))
-        .unionAll(kept.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    und = _trade_und(spark, sf_dir)
+
+    def kernel(pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        edges = _kept_filter(_int_rows(pdf, "u", "v", "w"))
+        deg: dict[int, int] = {}
+        nbrs: dict[int, list[int]] = {}
+        for u_, v_ in edges:
+            deg[u_] = deg.get(u_, 0) + 1
+            deg[v_] = deg.get(v_, 0) + 1
+            nbrs.setdefault(u_, []).append(v_)
+            nbrs.setdefault(v_, []).append(u_)
+        nodes = sorted(deg)
+        color = {n_: str(deg[n_]) for n_ in nodes}
+        k_counts = [len(set(color.values()))]
+        for _ in range(_WL_ROUNDS):
+            color = {
+                n_: hashlib.md5(
+                    (
+                        color[n_]
+                        + "|"
+                        + ",".join(sorted(color[j_] for j_ in nbrs[n_]))
+                    ).encode()
+                ).hexdigest()[:16]
+                for n_ in nodes
+            }
+            k_counts.append(len(set(color.values())))
+        return pd.DataFrame(
+            {
+                "node": np.array(nodes, dtype=np.int32),
+                "color": [color[n_] for n_ in nodes],
+                "n_colors_r0": np.array(
+                    [k_counts[0]] * len(nodes), dtype=np.int64
+                ),
+                "n_colors_r1": np.array(
+                    [k_counts[1]] * len(nodes), dtype=np.int64
+                ),
+                "n_colors_r2": np.array(
+                    [k_counts[2]] * len(nodes), dtype=np.int64
+                ),
+            }
+        )
+
+    return _summary_kernel(
+        und,
+        "node int, color string, n_colors_r0 long, n_colors_r1 long, "
+        "n_colors_r2 long",
+        kernel,
     )
-    sym = kept.select(
-        F.col("u").alias("i"), F.col("v").alias("j")
-    ).unionAll(kept.select(F.col("v"), F.col("u")))
-    colors = [deg.select("node", F.col("d").cast("string").alias("color"))]
-    for _ in range(_WL_ROUNDS):
-        prev = colors[-1]
-        nbr = (
-            sym.join(
-                F.broadcast(prev.select(F.col("node").alias("j"),
-                                        F.col("color").alias("ncolor"))),
-                "j",
-            )
-            .groupBy(F.col("i").alias("node"))
-            .agg(
-                F.array_join(
-                    F.array_sort(F.collect_list("ncolor")), ","
-                ).alias("agg")
-            )
-        )
-        nxt = prev.join(nbr, "node").select(
-            "node",
-            F.substring(
-                F.md5(F.concat(F.col("color"), F.lit("|"), F.col("agg"))),
-                1,
-                16,
-            ).alias("color"),
-        )
-        # prev feeds both the neighbor aggregate and the rehash join —
-        # uncut, the color lineage doubles per round (plan_audit's 1 MB
-        # formatted-plan cap caught 1.51 MB at 2 rounds)
-        colors.append(nxt.localCheckpoint(eager=True))
-    ks = [
-        c.agg(F.countDistinct("color").alias(f"k{i}"))
-        for i, c in enumerate(colors)
-    ]
-    out = colors[-1]
-    for k in ks:
-        out = out.crossJoin(F.broadcast(k))
-    return out.select(
-        "node",
-        "color",
-        F.col("k0").cast("long").alias("n_colors_r0"),
-        F.col("k1").cast("long").alias("n_colors_r1"),
-        F.col("k2").cast("long").alias("n_colors_r2"),
-    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------
@@ -3693,80 +3654,64 @@ def graph_triad_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .cache()  # two consumers: the 1-row stats agg + the filter scan
-    )
-    tot = dir_e.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    strong = (
-        dir_e.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("src", "dst")
-        .coalesce(1)
-        .localCheckpoint(eager=True)  # |V|^2-bounded, many consumers
-    )
-    und = (
-        strong.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-    )
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"], "left_semi")
-        .select("a", "b", "c")
     )
 
-    def arc(x: str, y: str, name: str):
-        flag = strong.select(
-            F.col("src").alias(x), F.col("dst").alias(y), F.lit(1).alias(name)
-        )
-        return flag
+    def kernel(pdf):
+        import pandas as pd
 
-    out = tri
-    for x, y, name in [
-        ("a", "b", "ab"),
-        ("b", "a", "ba"),
-        ("b", "c", "bc"),
-        ("c", "b", "cb"),
-        ("a", "c", "ac"),
-        ("c", "a", "ca"),
-    ]:
-        f = strong.select(
-            F.col("src").alias(f"_{name}_x"),
-            F.col("dst").alias(f"_{name}_y"),
-            F.lit(1).alias(name),
+        rows = _int_rows(pdf, "src", "dst", "w")
+        tw = sum(w for _, _, w in rows)
+        ne = len(rows)
+        strong = {(s_, d_) for s_, d_, w in rows if w * ne >= tw}
+        und = sorted({(min(s_, d_), max(s_, d_)) for s_, d_ in strong})
+        uset = set(und)
+        out_u: dict[int, list[int]] = {}
+        for u_, v_ in und:
+            out_u.setdefault(u_, []).append(v_)
+        n_tri = n_simple3 = n_cycles = n_ffl = n_recip = total_arcs = 0
+        for a_, outs in out_u.items():
+            for b_ in outs:
+                for c_ in out_u.get(b_, ()):
+                    if (a_, c_) not in uset:
+                        continue
+                    ab = (a_, b_) in strong
+                    ba = (b_, a_) in strong
+                    bc = (b_, c_) in strong
+                    cb = (c_, b_) in strong
+                    ac = (a_, c_) in strong
+                    ca = (c_, a_) in strong
+                    arcs = ab + ba + bc + cb + ac + ca
+                    n_tri += 1
+                    total_arcs += arcs
+                    if arcs == 3:
+                        n_simple3 += 1
+                        if (ab and bc and ca) or (ba and cb and ac):
+                            n_cycles += 1
+                        else:
+                            n_ffl += 1
+                    if arcs >= 4:
+                        n_recip += 1
+        vals = (
+            [n_simple3, n_cycles, n_ffl, n_recip, total_arcs]
+            if n_tri
+            else [None] * 5  # SUM over an empty relation is NULL
         )
-        out = out.join(
-            F.broadcast(f),
-            (F.col(x) == F.col(f"_{name}_x")) & (F.col(y) == F.col(f"_{name}_y")),
-            "left",
-        ).drop(f"_{name}_x", f"_{name}_y")
-    out = out.fillna(0, ["ab", "ba", "bc", "cb", "ac", "ca"])
-    narcs = (
-        F.col("ab") + F.col("ba") + F.col("bc") + F.col("cb")
-        + F.col("ac") + F.col("ca")
-    )
-    is_cycle_expr = (
-        (F.col("ab") == 1) & (F.col("bc") == 1) & (F.col("ca") == 1)
-    ) | ((F.col("ba") == 1) & (F.col("cb") == 1) & (F.col("ac") == 1))
-    classed = out.select(
-        narcs.alias("n_arcs"),
-        ((narcs == 3) & is_cycle_expr).cast("long").alias("is_cycle"),
-        ((narcs == 3) & ~is_cycle_expr).cast("long").alias("is_ffl"),
-    )
-    return classed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles"),
-        F.sum((F.col("n_arcs") == 3).cast("long"))
-        .cast("long")
-        .alias("n_simple3"),
-        F.sum("is_cycle").cast("long").alias("n_cycles"),
-        F.sum("is_ffl").cast("long").alias("n_feedforward"),
-        F.sum((F.col("n_arcs") >= 4).cast("long"))
-        .cast("long")
-        .alias("n_with_reciprocal"),
-        F.sum("n_arcs").cast("long").alias("total_arcs"),
+        return pd.DataFrame(
+            {
+                "n_triangles": pd.array([n_tri], dtype="Int64"),
+                "n_simple3": pd.array([vals[0]], dtype="Int64"),
+                "n_cycles": pd.array([vals[1]], dtype="Int64"),
+                "n_feedforward": pd.array([vals[2]], dtype="Int64"),
+                "n_with_reciprocal": pd.array([vals[3]], dtype="Int64"),
+                "total_arcs": pd.array([vals[4]], dtype="Int64"),
+            }
+        )
+
+    return _summary_kernel(
+        dir_e,
+        "n_triangles long, n_simple3 long, n_cycles long, "
+        "n_feedforward long, n_with_reciprocal long, total_arcs long",
+        kernel,
     )
 
 
