@@ -9,9 +9,12 @@ the shuffle pattern a 1000-executor cluster wants:
    and ordered by partition id (one parallel range shuffle);
 2. ``sortWithinPartitions`` — parallel local sorts;
 3. a partitions-sized count aggregate (collected: #parts rows, bounded);
-4. one Arrow ``mapInPandas`` pass adding the local index (zero extra
-   shuffle — the iterator sees each partition's batches in sorted
-   order);
+4. the per-partition local index from ``monotonically_increasing_id``'s
+   documented layout (partition id in the upper bits, in-partition row
+   number in the low 33): a pure-JVM bitmask over the sorted rows —
+   round 9 replaced the Arrow ``mapInPandas`` enumeration pass, which
+   paid a JVM→Python→JVM transpose of EVERY ranked row for an index
+   the JVM already tracks (guide §4: eliminate the Python boundary);
 5. the broadcast prefix-sum offset turns local index into global rank.
 
 ``transform_global_row_number`` (queries/pipeline_ops.py) pioneered the
@@ -25,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 
 def sharded_row_number(
@@ -41,8 +43,6 @@ def sharded_row_number(
     for determinism). The plan contains range + hash exchanges only —
     never an Exchange SinglePartition.
     """
-    import numpy as np
-
     ranged = (
         df.repartitionByRange(parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -60,18 +60,16 @@ def sharded_row_number(
         acc += counts[pid]
     n_total = acc
 
-    out_schema = StructType(
-        [f for f in ranged.schema.fields] + [StructField("_local", LongType())]
+    # monotonically_increasing_id() = (partition id << 33) + row index
+    # within the partition, assigned in row order — i.e. in SORT order,
+    # since it is evaluated right after the deterministic local sort
+    # (and re-evaluated identically on recompute: the total order has a
+    # unique tiebreaker). Masking the low 33 bits recovers the local
+    # index entirely JVM-side.
+    enumerated = ranged.withColumn(
+        "_local",
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
     )
-
-    def _add_local(batches):
-        base = 0
-        for pdf in batches:
-            m = len(pdf)
-            yield pdf.assign(_local=np.arange(base, base + m, dtype="int64"))
-            base += m
-
-    enumerated = ranged.mapInPandas(_add_local, schema=out_schema)
     if offsets:
         off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
         off = F.coalesce(off_map[F.col("_pid")], F.lit(0))

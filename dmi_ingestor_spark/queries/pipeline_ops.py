@@ -1205,8 +1205,6 @@ _GRN_PARTS = 8  # range partitions for the enumeration (tune to cluster)
     tags=("training-pipeline", "enumeration", "orders", "scale"),
 )
 def transform_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranged = (
         o.repartitionByRange(_GRN_PARTS, "o_orderkey")
@@ -1224,16 +1222,14 @@ def transform_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets[pid] = acc
         acc += counts[pid]
 
-    def _add_local(batches):
-        base = 0
-        for pdf in batches:
-            n = len(pdf)
-            yield pdf.assign(_local=np.arange(base, base + n, dtype="int64"))
-            base += n
-
-    enumerated = ranged.mapInPandas(
-        _add_local,
-        schema="o_orderkey long, o_totalprice double, _pid int, _local long",
+    # round-9: local index from monotonically_increasing_id's documented
+    # (pid << 33) + row-number layout over the sorted rows — the Arrow
+    # enumeration pass shipped every ranked row through Python for an
+    # index the JVM already tracks (guide §4; same change as
+    # operators/ranks.py, kept in the pioneer site's inline form)
+    enumerated = ranged.withColumn(
+        "_local",
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
     )
     if offsets:
         off_map = F.create_map(
