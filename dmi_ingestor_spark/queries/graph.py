@@ -61,7 +61,7 @@ def _summary_kernel(edges: DataFrame, schema: str, fn) -> DataFrame:
     def run(batches):
         import pandas as pd
 
-        parts = list(batches)
+        parts = [p for p in batches if len(p)]
         pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         yield fn(pdf)
 
