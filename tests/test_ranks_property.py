@@ -59,3 +59,12 @@ def test_ntile_front_loaded_fill(spark, n):
     """NTILE's closed form matches Spark's ntile for sizes around the
     divisibility boundaries (n % k == 0, +-1)."""
     _check(spark, [(i, i % 13) for i in range(n)], k=10)
+
+
+def test_large_multi_partition_bitmask_index(spark):
+    """Round-9 pin: the JVM local index (monotonically_increasing_id's
+    low 33 bits over the sorted cache) must equal the old Arrow
+    enumeration exactly when every range partition holds thousands of
+    rows — i.e. across Arrow-batch-sized and task-sized boundaries."""
+    rows = [(i, (i * 2654435761) % 997) for i in range(20000)]
+    _check(spark, rows, desc=True)
