@@ -573,10 +573,10 @@ def _lp_oracle() -> str:
         "even the iteration is hash-green against the oracle's "
         "unrolled CTE chain. Same scale shape as PageRank/connected "
         "components: the expensive stage is the one fact-join edge "
-        "build; each round is then a broadcast-sized join + two "
-        "aggregates on the |V|^2-bounded summary graph. The "
-        "max-then-argmin update is two stacked aggregates (no "
-        "window), all BIGINT."
+        "build; the K rounds run in one Arrow summary kernel over the "
+        "|V|^2-bounded aggregate (round-9 rewrite of the per-round "
+        "broadcast-join chain). The max-then-argmin update is all "
+        "BIGINT."
     ),
     tags=("graph", "iterative", "communities", "scale"),
 )
@@ -697,11 +697,11 @@ def _bfs_oracle() -> str:
         "relaxation (distributed BFS), 4 rounds over the undirected "
         "nation-trade graph from nation 0 — the reachability/radius "
         "primitive under fraud rings, dependency closures, social "
-        "degrees. Same iterative contract as the label-propagation and "
-        "connected-components operators: edge build is the only "
-        "fact-scale stage; each round is a join + min-aggregate on "
-        "the |V|^2-bounded summary graph with per-round "
-        "localCheckpoint lineage truncation. All-integer distances, "
+        "degrees. Same summary contract as the label-propagation "
+        "family: edge build is the only fact-scale stage; the capped "
+        "relaxation runs in one Arrow summary kernel over the "
+        "|V|^2-bounded aggregate (round-9 rewrite of the per-round "
+        "join + checkpoint chain). All-integer distances, "
         "hash-green against the unrolled-CTE oracle."
     ),
     tags=("graph", "iterative", "bfs", "scale"),
@@ -2193,8 +2193,9 @@ def _rw_oracle() -> str:
         "unrolled DuckDB CTE chain traverse bit-identical paths. Visit "
         "counts approximate stationary mass the way DeepWalk/node2vec "
         "corpus generation does at 100 TB: the corpus-sized work is the "
-        "one distinct edge build; each step is then a broadcast join "
-        "against the |E|-sized adjacency with rank/degree columns, and "
+        "one distinct edge build; the 6 steps walk the |E|-bounded "
+        "adjacency inside one Arrow summary kernel (round-9 rewrite "
+        "of the per-step broadcast-join chain), and "
         "dead-end nodes terminate walks on both engines identically."
     ),
     tags=("graph", "iterative", "sampling", "scale"),
@@ -2311,8 +2312,9 @@ def graph_random_walk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minimum outgoing edge under the total order (w, a, b), the "
         "picked edges merge components (pointer-doubling connected "
         "components on the accumulated tree), and the loop ends when "
-        "one component remains — O(log V) rounds, each a handful of "
-        "broadcast joins on the O(|nations|^2) edge summary. The total "
+        "one component remains — O(log V) rounds, all run in one Arrow "
+        "summary kernel over the O(|nations|^2) edge aggregate "
+        "(round-9 rewrite of the per-round CC + count() chain). The total "
         "tie-break order makes the MST unique, so the oracle's "
         "sequential Prim (same order) returns the identical 24 edges. "
         "Scale: the one corpus-sized job is the fact-fact edge build; "
@@ -2560,8 +2562,9 @@ def _truss_oracle() -> str:
         "orientation: wedges only at each triangle's lowest-degree "
         "apex, closing edge confirmed by a left-semi join — O(Σ "
         "min-deg²), never O(Σ deg²)), then one support aggregate and "
-        "one left-join filter; per-round state is localCheckpointed so "
-        "the unrolled plan stays O(1) per round. The corpus-sized "
+        "one filter; both rounds run in one Arrow summary kernel over "
+        "the aggregated edge relation (round-9 rewrite of the "
+        "per-round checkpoint chain). The corpus-sized "
         "stage (fact join → nation edge weights) runs ONCE; peeling "
         "iterates on the O(|nations|²)-bounded edge relation. Output "
         "is the per-round (edges, triangles, survivors, checksum) "
@@ -2714,10 +2717,10 @@ def _ppr_oracle() -> str:
         "(seed-set expansion, related-entity retrieval) that global "
         "PageRank cannot express. Same 100 TB shape as "
         "graph_pagerank_trade: one fact-sized edge build with "
-        "broadcast dims, then K broadcast-joined rounds on the "
-        "aggregated graph; the source-set membership flag rides the "
-        "node relation, so personalization costs one broadcast dim "
-        "join, not an extra pass. All-integer scaled arithmetic (1e12) "
+        "broadcast dims, then the K rounds in one Arrow summary "
+        "kernel (round-9 rewrite); the source-set membership flags "
+        "ride the summary edge relation via two broadcast dim joins, "
+        "not an extra pass. All-integer scaled arithmetic (1e12) "
         "keeps the trace bit-identical to the oracle's unrolled CTEs."
     ),
     tags=("graph", "iterative", "pagerank"),
@@ -2867,10 +2870,10 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is direct reach, time-respecting 2-hop reach, and the "
         "earliest-arrival checksum — the temporal betweenness/"
         "latency primitives build on exactly this join. 100 TB "
-        "shape: one fact-sized edge build, then joins on the "
-        "O(|nations|^2)-bounded timestamped edge relation; the "
-        "time predicate rides the equi-join as a residual, never a "
-        "range-only join."
+        "shape: one fact-sized edge build; the 2-hop time-respecting "
+        "expansion runs in one Arrow summary kernel over the "
+        "O(|nations|^2)-bounded timestamped edge relation (round-9 "
+        "rewrite of the self-join + three aggregate branches)."
     ),
     tags=("graph", "temporal", "scale"),
 )
@@ -3201,7 +3204,9 @@ _ANF_T = 2  # ball radius
         "estimation on graphs too big for APSP: per round each node "
         "exchanges O(k) ints with neighbors — at 100 TB that is T "
         "edge-shaped shuffles of k-int payloads, vs |V| BFS runs for "
-        "the exact answer."
+        "the exact answer. (Here the summary is nation-bounded, so the "
+        "rounds run in one Arrow kernel over the aggregate — round-9 "
+        "rewrite; an unbounded-graph ANF would keep the shuffle form.)"
     ),
     tags=("graph", "sketch", "iterative", "scale"),
 )
@@ -3371,10 +3376,12 @@ def _spectral_oracle() -> str:
         "double division on <2^53-exact integers — bit-identical in "
         "both engines — so all four iterations of vector state are "
         "hash-checked, not just the final signs. The classic "
-        "partitioner behind graph-aware data placement; iteration "
-        "runs entirely on the |V|-bounded summary after the one "
-        "fact-sized edge build (matrix-free: B*v is a neighbor-sum "
-        "join, never a materialized matrix)."
+        "partitioner behind graph-aware data placement; the four "
+        "power-iteration rounds run in one Arrow summary kernel over "
+        "the |V|-bounded aggregate after the one fact-sized edge "
+        "build (round-9 rewrite of the per-round checkpoint + "
+        "broadcast chain; matrix-free: B*v is a neighbor sum, never "
+        "a materialized matrix)."
     ),
     tags=("graph", "spectral", "iterative", "scale"),
 )
@@ -3497,9 +3504,9 @@ _WL_ROUNDS = 2
         "along (refinement is monotone: k0 <= k1 <= k2, "
         "test-asserted); equal final histograms are the 1-WL "
         "isomorphism certificate, and per-node colors are the "
-        "structural-role features. One neighbor-join + sorted "
-        "collect per round — the same bounded-summary iteration "
-        "shape as the rest of the graph family."
+        "structural-role features. Both refinement rounds run in one "
+        "Arrow summary kernel over the aggregated edge relation — the "
+        "same bounded-summary shape as the rest of the graph family."
     ),
     tags=("graph", "isomorphism", "iterative", "scale"),
 )
