@@ -42,27 +42,62 @@ TOP_K = 5
     """,
     doc=(
         "U6 exact ANN baseline: brute-force cosine top-k for a query set, "
-        "quantized vectors for cross-engine bit-exactness. Spark plan: "
-        "broadcast the (tiny) query side, score JVM-side via "
-        "zip_with/aggregate, per-query top-k via window. At scale the "
-        "candidate side stays partitioned — no shuffle of the corpus."
+        "quantized vectors for cross-engine bit-exactness. Spark plan "
+        "(round 10, guide §4.2): ONE corpus pass — an Arrow kernel holds "
+        "the bounded query matrix (vec_id < 8, plan-time read) and "
+        "computes every batch's query×candidate gram with one numpy "
+        "matmul, emitting only each batch's per-query top-k (≤ 40 rows/"
+        "batch); the final window ranks that tiny superset. Replaces the "
+        "broadcast-nested-loop × interpreted-HOF-cosine form whose "
+        "window shuffled all 8N scored rows. Exactness: quantized "
+        "integer components keep every dot/norm an exact < 2^53 integer "
+        "under any summation order, so the numpy gram is IEEE-identical "
+        "to the zip_with/aggregate expression and the oracle."
     ),
     tags=("similarity", "embeddings"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _query_side(sf_dir, N_QUERY)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
-    )
-    pairs = table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("qv")
-    ).join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["qv"].to_numpy())
+            dots = Q @ v.T
+            vn = np.sqrt(np.einsum("ij,ij->i", v, v))
+            den = qn[:, None] * vn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, dots / den, 0.0)
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                nb, c = ids[mask], cos[qi][mask]
+                sel = _topk_within(nb, c, TOP_K)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nb[sel],
+                            "sim": c[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = emb.mapInPandas(_score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
-        .withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
@@ -139,6 +174,67 @@ def _embedding_dim(sf_dir: str) -> int:
     return len(rows.column("embedding")[0])
 
 
+def _query_side(sf_dir: str, max_id: int, with_label: bool = False):
+    """The bounded query-side rows (vec_id < max_id), read at plan time.
+
+    Same pyarrow plan-time read as :func:`_embedding_dim`; ``max_id`` is
+    a compile-time constant (8/16/50), so the read is bounded by
+    construction and corpus-independent — it moves exactly the rows a
+    ``F.broadcast(queries)`` build would ship, but makes them available
+    to the Arrow scoring kernels below (guide §4.2/§8: decide with the
+    small side in native code, stream the corpus once).
+
+    Returns ``(ids int64[nq], Q float64[nq, dim], labels | None)`` with
+    Q quantized EXACTLY like :func:`functions.vector.quantize` /
+    the oracle's ``round(CAST(x AS DOUBLE) * 1000)``: the float32 widens
+    exactly to double, the ×1000 product is one IEEE rounding (identical
+    in every engine), and the half-up rounding is done in ``decimal`` on
+    the double's EXACT binary expansion — for scale 0, Python's
+    ROUND_HALF_UP on the exact value and Java/DuckDB's HALF_UP on the
+    shortest decimal representation agree for every double: a double
+    displaying as x.5 IS exactly x.5 (half-integers < 2^52 are exact),
+    and for any other double both representations lie strictly on the
+    same side of every half-integer boundary.
+    """
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    d = ds.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = d.to_table(columns=cols, filter=ds.field("vec_id") < max_id)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    one = Decimal(1)
+    rows = t.column("embedding").to_pylist()
+    q = np.array(
+        [
+            [
+                float(Decimal(x * 1000.0).quantize(one, ROUND_HALF_UP))
+                for x in row
+            ]
+            for row in rows
+        ],
+        dtype=np.float64,
+    )
+    if q.size == 0:
+        q = q.reshape(0, max(_embedding_dim(sf_dir), 0))
+    labels = t.column("label").to_pylist() if with_label else None
+    return ids, q, labels
+
+
+def _topk_within(ids, sims, k):
+    """Indices of the top-``k`` rows by (sim DESC, id ASC) — the partial
+    top-k selection every kernel below applies per Arrow batch. Any
+    globally-ranked row is necessarily in its batch's top-k, so the
+    final (tiny) window sees a superset of the true top-k."""
+    import numpy as np
+
+    order = np.lexsort((ids, -sims))
+    return order[: min(k, len(ids))]
+
+
 def _hyperplane_sign_bits(vec_col: F.Column, dim: int) -> F.Column:
     """8-bit random-hyperplane signature as a BIGINT bucket key.
 
@@ -158,6 +254,41 @@ def _hyperplane_sign_bits(vec_col: F.Column, dim: int) -> F.Column:
         bit = F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0)).cast("long")
         out = bit if out is None else out + bit
     return out
+
+
+def _signed_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv) → (vec_id, qv, bucket): the LSH signature computed
+    as ONE numpy matmul per Arrow batch (round 10, guide §4.2).
+
+    Value-identical to :func:`_hyperplane_sign_bits`: the quantized
+    components and the ±1 plane entries make every plane dot an exact
+    < 2^53 integer under any accumulation order (FMA included), so the
+    sign test matches the interpreted zip_with/aggregate chain — which
+    evaluated ~8×dim×2 interpreted lambda steps PER ROW — bit for bit.
+    Map-shaped: no shuffle, the bucket key feeds the downstream
+    groupBy/join exchange unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    h_t = np.asarray(_plane_literals(LSH_DIM), dtype=np.float64).T  # dim×planes
+    weights = 2 ** np.arange(N_PLANES, dtype=np.int64)
+
+    def _sig(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["qv"].to_numpy())
+            bucket = ((v @ h_t >= 0) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "bucket": bucket,
+                }
+            )
+
+    return emb.mapInPandas(_sig, "vec_id long, qv array<double>, bucket long")
 
 
 LSH_DIM = 64  # embeddings table dimensionality (same contract as PQ_DIM)
@@ -211,24 +342,45 @@ def _lsh_bucket_sql(qv: str) -> str:
     tags=("similarity", "embeddings", "approx"),
 )
 def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2, VERDICT r9 item 1): the signature is one
+    # numpy matmul per Arrow batch (_signed_buckets) and the per-bucket
+    # candidate scoring is one numpy gram block per bucket — the proven
+    # dedup_embedding_cosine pattern. Replaces the bucket self-join
+    # (TWO corpus scans + 2×corpus interpreted HOF signatures) and the
+    # per-pair interpreted HOF cosine. Bucket sizes stay bounded by the
+    # LSH premise, exactly as the old join's skew bound. Exactness:
+    # integer-quantized vectors make every dot/norm an exact < 2^53
+    # integer, so sim is IEEE-identical to the expression form.
+    import numpy as np
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
-    sig = emb.withColumn(
-        "bucket", _hyperplane_sign_bits(F.col("qv"), LSH_DIM)
-    )
-    a = sig.select(
-        F.col("vec_id").alias("a_id"), F.col("qv").alias("a_v"), "bucket"
-    )
-    b = sig.select(
-        F.col("vec_id").alias("b_id"), F.col("qv").alias("b_v"), "bucket"
-    )
-    return (
-        a.join(b, ["bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("sim", cosine(F.col("a_v"), F.col("b_v")))
-        .filter(F.col("sim") >= 0.25)
-        .select("bucket", "a_id", "b_id", "sim")
+    sig = _signed_buckets(emb)
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        v = np.stack(pdf["qv"].to_numpy()[order])
+        dots = v @ v.T
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        den = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, dots / den, 0.0)
+        iu, ju = np.triu_indices(len(ids), k=1)  # a_id < b_id (sorted)
+        keep = cos[iu, ju] >= 0.25
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"].iloc[0],
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "sim": cos[iu[keep], ju[keep]],
+            }
+        )
+
+    return sig.groupBy("bucket").applyInPandas(
+        _block, "bucket long, a_id long, b_id long, sim double"
     )
 
 
@@ -287,11 +439,16 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
     exact = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    sig = emb.withColumn("bucket", _hyperplane_sign_bits(F.col("qv"), LSH_DIM))
-    a = sig.select(F.col("vec_id").alias("query_id"), "bucket").filter(
-        F.col("query_id") < N_QUERY
+    # round 10: numpy signatures (see _signed_buckets); the query side's
+    # vec_id filter is applied BEFORE the opaque Arrow pass so the scan
+    # pushdown survives (guide §4 — Spark cannot push filters through
+    # mapInPandas), leaving the corpus-side pass as the only full scan
+    a = _signed_buckets(emb.filter(F.col("vec_id") < N_QUERY)).select(
+        F.col("vec_id").alias("query_id"), "bucket"
     )
-    b = sig.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    b = _signed_buckets(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "bucket"
+    )
     cand = (
         a.join(b, ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1320,50 +1477,63 @@ _MAXSIM_K = 3
     tags=("similarity", "embeddings", "multivector"),
 )
 def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("qv")
+    # Round 10 (guide §4.2): one numpy MaxSim kernel per LABEL block —
+    # the blocking key already bounds candidates, so the token explode
+    # (×4 rows), the broadcast token join, and BOTH keyed aggregates
+    # collapse into a single applyInPandas over (label) groups that
+    # computes every query-token × candidate-token cosine as one einsum.
+    # Equivalence: quantized chunks make each token dot an exact < 2^53
+    # integer (numpy order-independent); the per-(query,cand,qt) max and
+    # the FIXED qt-order 4-term sum are reproduced exactly (left-assoc
+    # adds); the final round(.,9) stays a SPARK expression on the raw
+    # sum, so the rounding semantics are untouched. NULL labels are
+    # filtered exactly as the old equi-join dropped them.
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
     )
-    toks = emb.select(
-        "vec_id",
-        "label",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, 3), t -> struct(t AS t, "
-                f"slice(qv, t * {_MAXSIM_CHUNK} + 1, {_MAXSIM_CHUNK}) AS tv))"
-            )
-        ).alias("tok"),
-    ).select("vec_id", "label", F.col("tok.t").alias("t"), F.col("tok.tv").alias("tv"))
-    qt = toks.filter(F.col("vec_id") < _MAXSIM_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("t").alias("qt"),
-        F.col("tv").alias("qtv"),
-    )
-    # label-blocked candidate join (broadcast: the query token side is
-    # NQ x 4 rows), then per-(query, cand, query-token) max over the
-    # candidate's tokens and a fixed-order 4-term sum
-    pairs = (
-        toks.join(
-            F.broadcast(qt),
-            (toks.label == qt.qlabel) & (toks.vec_id != qt.query_id),
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(pdf["qv"].to_numpy()[order])
+        t = v.reshape(len(ids), 4, _MAXSIM_CHUNK)
+        tn = np.sqrt(np.einsum("nak,nak->na", t, t))
+        empty = np.array([], dtype=np.int64)
+        out_q, out_c, out_s = [empty], [empty], [np.array([], dtype=np.float64)]
+        for qi in np.where(ids < _MAXSIM_NQ)[0]:
+            dots = np.einsum("ak,nbk->nab", t[qi], t)
+            den = tn[qi][None, :, None] * tn[:, None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, dots / den, 0.0)
+            ms = cos.max(axis=2)  # per query-token max over cand tokens
+            tot = ((ms[:, 0] + ms[:, 1]) + ms[:, 2]) + ms[:, 3]
+            mask = ids != ids[qi]
+            out_q.append(np.full(mask.sum(), ids[qi], dtype=np.int64))
+            out_c.append(ids[mask])
+            out_s.append(tot[mask])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "cand_id": np.concatenate(out_c),
+                "maxsim_raw": np.concatenate(out_s),
+            }
         )
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"), "qt")
-        .agg(F.max(cosine(F.col("qtv"), F.col("tv"))).alias("ms"))
-    )
-    scored = pairs.groupBy("query_id", "cand_id").agg(
-        F.round(
-            F.max(F.when(F.col("qt") == 0, F.col("ms")))
-            + F.max(F.when(F.col("qt") == 1, F.col("ms")))
-            + F.max(F.when(F.col("qt") == 2, F.col("ms")))
-            + F.max(F.when(F.col("qt") == 3, F.col("ms"))),
-            9,
-        ).alias("maxsim")
+
+    scored = emb.groupBy("label").applyInPandas(
+        _block, "query_id long, cand_id long, maxsim_raw double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("maxsim").desc(), F.col("cand_id")
     )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("maxsim", F.round(F.col("maxsim_raw"), 9))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MAXSIM_K)
         .select("query_id", "cand_id", "maxsim", "rk")
         .orderBy("query_id", "rk")
