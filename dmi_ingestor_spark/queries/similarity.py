@@ -224,6 +224,52 @@ def _query_side(sf_dir: str, max_id: int, with_label: bool = False):
     return ids, q, labels
 
 
+def _raw_query_side(sf_dir: str, max_id: int):
+    """Like :func:`_query_side` but returns the RAW float components
+    (exactly widened float32→double, no quantization) — for the
+    sign-sketch kernels whose bit test is ``x > 0`` on the raw value."""
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = d.to_table(
+        columns=["vec_id", "embedding"], filter=ds.field("vec_id") < max_id
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    rows = t.column("embedding").to_pylist()
+    r = np.array(rows, dtype=np.float64) if rows else np.zeros((0, 0))
+    return ids, r
+
+
+def _sign_words(v):
+    """Two 32-bit sign words per row: bit i of word w is set iff
+    v[:, 32w + i] > 0 — the numpy twin of the transform/aggregate sign
+    fold (exact: the test is a raw comparison, no arithmetic)."""
+    import numpy as np
+
+    weights = 1 << np.arange(32, dtype=np.int64)
+    w0 = ((v[:, :32] > 0) * weights).sum(axis=1)
+    w1 = ((v[:, 32:64] > 0) * weights).sum(axis=1)
+    return w0, w1
+
+
+_POP8 = None
+
+
+def _popcount64(x):
+    """Per-element popcount of an int64 array via a 256-entry byte LUT
+    (numpy < 2.0 has no bitwise_count)."""
+    import numpy as np
+
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return _POP8[b].sum(axis=1)
+
+
 def _topk_within(ids, sims, k):
     """Indices of the top-``k`` rows by (sim DESC, id ASC) — the partial
     top-k selection every kernel below applies per Arrow batch. Any
@@ -574,101 +620,80 @@ def _int_vec(vec: F.Column) -> F.Column:
         "deterministic centroids per subspace (argmin via array_min "
         "over (dist, k) structs — pure codegen, map-only, no shuffle): "
         "64 floats become 8 codes, a 32× compression, which is what "
-        "lets a 100 TB corpus fit a memory-resident index. Queries "
-        "compute asymmetric distance (exact query subvector vs coded "
-        "centroid, looked up from the literal codebook with "
-        "element_at) against the broadcast query side; the corpus "
-        "never shuffles. All-integer arithmetic end-to-end, so even "
-        "the ENCODE step is hash-checked against the DuckDB oracle's "
-        "unrolled argmin. [ext — absent from the reference, "
+        "lets a 100 TB corpus fit a memory-resident index. One Arrow "
+        "pass per batch encodes (numpy squared-distance argmin per "
+        "subspace) and scores asymmetric distance via the classic "
+        "per-query LUT gather, emitting only per-batch top-k; the "
+        "corpus never shuffles. All-integer arithmetic end-to-end, so "
+        "even the ENCODE step is hash-checked against the DuckDB "
+        "oracle's unrolled argmin. [ext — absent from the reference, "
         "dmi_ingestor/ingestor.py has no vector ops]"
     ),
     tags=("similarity", "embeddings", "scale"),
 )
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): encode + ADC in ONE Arrow pass. The old
+    # plan evaluated ~PQ_M×PQ_K×PQ_SUB interpreted HOF steps PER ROW to
+    # encode, then a broadcast join + 8 more HOF aggregates per pair
+    # for ADC, then an 8N-row window. Now: per batch, one numpy
+    # squared-distance block per subspace encodes all rows (argmin's
+    # first-min == the old array_min (d, k) tiebreak), ADC is the
+    # classic per-query LUT gather (lut[q, m, code]), and only each
+    # batch's top-k leave. Everything is exact small-integer arithmetic
+    # in float64 (every distance < 2^27 ≪ 2^53), so values equal the
+    # old LONG chains bit for bit.
+    import numpy as np
+    import pandas as pd
+
     dim = _embedding_dim(sf_dir)
     assert dim in (PQ_DIM, -1), "codebook is built for dim 64"
-    cb = _pq_codebook()
+    cb = np.asarray(_pq_codebook(), dtype=np.float64)  # (M, K, SUB)
+    qids, Q, _ = _query_side(sf_dir, N_QUERY)
+    if len(qids):
+        qsub = Q.reshape(len(qids), PQ_M, PQ_SUB)
+        diff = qsub[:, :, None, :] - cb[None, :, :, :]
+        lut = np.einsum("qmks,qmks->qmk", diff, diff)  # (nq, M, K)
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _int_vec(F.col("embedding")).alias("iv")
     )
-    # materialize each subvector once — HOF lambdas are not CSE'd, so the
-    # slice must not live inside the per-centroid transform
-    subs = emb.select(
-        "vec_id",
-        "iv",
-        *[
-            F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias(f"s{m}")
-            for m in range(PQ_M)
-        ],
-    )
 
-    # literal codebook, subspace m: array of 16 (cent array, k) structs —
-    # keeps the plan small vs unrolling 16×8 squared-diff terms per code
-    cb_structs = [
-        F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(c) for c in cb[m][k]]).alias("cent"),
-                    F.lit(k).alias("k"),
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["iv"].to_numpy()).astype(np.float64)
+            vs = v.reshape(len(ids), PQ_M, PQ_SUB)
+            adc = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            for m in range(PQ_M):
+                d = vs[:, m, None, :] - cb[m][None, :, :]  # (nb, K, SUB)
+                dist = np.einsum("nks,nks->nk", d, d)
+                code = np.argmin(dist, axis=1)  # first min = lowest k
+                adc += lut[:, m, :][:, code]  # (nq, nb) gather
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                nb, dd = ids[mask], adc[qi][mask]
+                sel = np.lexsort((nb, dd))[: min(TOP_K, len(nb))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nb[sel],
+                            "adc_dist": dd[sel].astype(np.int64),
+                        }
+                    )
                 )
-                for k in range(PQ_K)
-            ]
-        )
-        for m in range(PQ_M)
-    ]
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    def d2(sub: F.Column, cent: F.Column) -> F.Column:
-        return F.aggregate(
-            F.zip_with(sub, cent, lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    # encode: code_m = argmin_k d2(s_m, C[m][k]), ties → min k, via
-    # array_min over (dist, k) structs
-    def code_for(m: int) -> F.Column:
-        scored = F.transform(
-            cb_structs[m],
-            lambda s: F.struct(
-                d2(F.col(f"s{m}"), s["cent"]).alias("d"), s["k"].alias("k")
-            ),
-        )
-        return F.array_min(scored)["k"]
-
-    coded = subs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[code_for(m).alias(f"c{m}") for m in range(PQ_M)],
+    part = emb.mapInPandas(
+        _score, "query_id long, neighbor_id long, adc_dist long"
     )
-
-    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
-    )
-
-    # ADC: Σ_m Σ_j (q_sub[j] - C[m][code_m][j])², codebook as literal
-    cb_lits = [
-        F.array(*[F.array(*[F.lit(c) for c in cb[m][k]]) for k in range(PQ_K)])
-        for m in range(PQ_M)
-    ]
-    dist = None
-    for m in range(PQ_M):
-        cent = F.element_at(cb_lits[m], F.col(f"c{m}") + 1)
-        dm = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("q_iv"), m * PQ_SUB + 1, PQ_SUB),
-                cent,
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        dist = dm if dist is None else dist + dm
-
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
-        coded.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist", dist)
-        .withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
     )
@@ -680,24 +705,6 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 4
-
-
-def _cell_assignments(emb: DataFrame, seeds: DataFrame, top: int) -> DataFrame:
-    """Assign each vector to its `top` nearest coarse cells.
-
-    seeds is tiny (N_CELLS rows) and broadcast; the corpus streams
-    through one narrow join — at 100 TB the assignment pass is a single
-    map-shaped stage, and the per-vector window ranks only N_CELLS rows.
-    """
-    scored = emb.join(F.broadcast(seeds), F.col("vec_id") != F.lit(-1)).withColumn(
-        "cell_sim", cosine(F.col("v"), F.col("cell_v"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
-    return (
-        scored.withColumn("cell_rk", F.row_number().over(w))
-        .filter(F.col("cell_rk") <= top)
-        .select("vec_id", "v", "cell_id", "cell_rk")
-    )
 
 
 @register(
@@ -753,25 +760,74 @@ def _cell_assignments(emb: DataFrame, seeds: DataFrame, top: int) -> DataFrame:
     tags=("similarity", "embeddings", "approx"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2/§8): seeds (vec_id < 16) and queries
+    # (vec_id < 8) are both bounded-by-construction plan-time reads, so
+    # probe lists (4 cells/query) are decided in numpy BEFORE the scan
+    # and the whole index — cell assignment (argmax cosine vs 16 seeds),
+    # probe matching, candidate scoring, per-batch top-5 — runs as ONE
+    # Arrow pass over the corpus. Replaces: a window over 16N rows for
+    # cell assignment (N-partition row_number shuffle!), the probe
+    # window, the lists⋈probes join, and per-pair HOF cosines.
+    # Exactness: integer-quantized cosines everywhere; argmax tie →
+    # lowest cell_id == the old row_number(cell_sim DESC, cell_id)
+    # (np.argmax returns the first maximal index).
+    import numpy as np
+    import pandas as pd
+
+    sids, S, _ = _query_side(sf_dir, N_CELLS)
+    qids, Q, _ = _query_side(sf_dir, N_QUERY)
+    # sort seeds by cell_id so argmax's first-max tiebreak = lowest id
+    s_order = np.argsort(sids)
+    sids, S = sids[s_order], S[s_order]
+
+    def _cos(a, b):  # (na,d) x (nb,d) exact-integer gram cosine
+        dots = a @ b.T
+        an = np.sqrt(np.einsum("ij,ij->i", a, a))
+        bn = np.sqrt(np.einsum("ij,ij->i", b, b))
+        den = an[:, None] * bn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(den > 0, dots / den, 0.0)
+
+    # probes[qi] = the N_PROBE cells of query qi by (sim DESC, cell_id)
+    probe_cells: dict[int, np.ndarray] = {}
+    if len(qids) and len(sids):
+        qs = _cos(Q, S)
+        for qi in range(len(qids)):
+            order = np.lexsort((sids, -qs[qi]))[:N_PROBE]
+            probe_cells[qi] = sids[order]
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("v")
     )
-    seeds = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("v").alias("cell_v")
-    )
-    # inverted lists: each corpus vector in exactly one cell
-    lists = _cell_assignments(emb, seeds, 1).select(
-        F.col("cell_id"), F.col("vec_id").alias("neighbor_id"), F.col("v").alias("n_v")
-    )
-    # queries probe their N_PROBE nearest cells
-    probes = _cell_assignments(
-        emb.filter(F.col("vec_id") < N_QUERY), seeds, N_PROBE
-    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_v"), "cell_id")
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not probe_cells:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["v"].to_numpy())
+            cell = sids[np.argmax(_cos(v, S), axis=1)]  # first max = min id
+            qcos = _cos(Q, v)
+            out = []
+            for qi, cells in probe_cells.items():
+                mask = np.isin(cell, cells)  # self-match included, as before
+                sel = _topk_within(ids[mask], qcos[qi][mask], TOP_K)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": ids[mask][sel],
+                            "sim": qcos[qi][mask][sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = emb.mapInPandas(_score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        lists.join(F.broadcast(probes), ["cell_id"])
-        .withColumn("sim", cosine(F.col("q_v"), F.col("n_v")))
-        .withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
@@ -899,57 +955,124 @@ NEG_K = 4  # negatives per anchor
         "chosen by md5(anchor-candidate) order — deterministic hashed "
         "sampling, so the 'random' negatives are reproducible, "
         "retry-safe, and hash-checked cross-engine (the same property "
-        "sample_bernoulli_hash relies on). Plan: the tiny anchor set "
-        "broadcasts against the corpus for both the positive scan and "
-        "the negative hash-rank — the corpus never shuffles; per-anchor "
-        "ranking windows see only that anchor's candidates. At 100 TB "
-        "you'd first hash-prefilter candidates (md5 < threshold) so "
-        "the rank window is bounded — same two-stage shape as "
+        "sample_bernoulli_hash relies on). Plan: ONE Arrow pass over "
+        "the corpus emits per-batch best-positive and 4-smallest-hash "
+        "negative candidates per anchor (the anchor set is bounded, "
+        "read at plan time) — the corpus never shuffles; the ranking "
+        "windows see ≤ 5 rows/anchor/batch. At 100 TB you'd first "
+        "hash-prefilter candidates (md5 < threshold) so the rank "
+        "window is bounded — same two-stage shape as "
         "sample_cap_per_domain."
     ),
     tags=("similarity", "embeddings", "ml", "sampling"),
 )
 def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): ONE corpus pass emits both candidate kinds
+    # — per-batch top-1 same-label neighbor by exact cosine (kind 0)
+    # and per-batch 4 smallest (md5, id) different-label rows (kind 1)
+    # — replacing TWO broadcast-join corpus scans and two 8N-row window
+    # shuffles with one Arrow pass + windows over ≤ 5 rows/anchor/batch.
+    # Exactness: same integer cosine as sim_topk_bruteforce;
+    # hashlib.md5 over f"{anchor}-{cand}" equals Spark's
+    # md5(concat_ws('-', ...)) (lowercase hex, long→string digits), and
+    # hex-string ordering is byte-lexicographic in both engines. The
+    # old joins' NULL semantics are reproduced: label == a_label and
+    # label <> a_label are both NULL-rejecting.
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, qlabels = _query_side(sf_dir, N_QUERY, with_label=True)
+    anchors = [
+        (int(qids[i]), Q[i], qlabels[i])
+        for i in range(len(qids))
+        if qlabels[i] is not None
+    ]
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantize(F.col("embedding")).alias("qv")
     )
-    anchors = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("qv").alias("a_qv"),
-    )
+
+    def _cand(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not anchors:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            lab_ok = pdf["label"].notna().to_numpy()
+            v = np.stack(pdf["qv"].to_numpy())
+            vn = np.sqrt(np.einsum("ij,ij->i", v, v))
+            out = []
+            for aid, aq, alab in anchors:
+                an = np.sqrt(aq @ aq)
+                # positives: same label, not self — batch top-1
+                pmask = lab_ok & (labels == alab) & (ids != aid)
+                if pmask.any():
+                    den = an * vn[pmask]
+                    dots = v[pmask] @ aq
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(den > 0, dots / den, 0.0)
+                    sel = _topk_within(ids[pmask], cos, 1)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "kind": 0,
+                                "anchor_id": aid,
+                                "cand_id": ids[pmask][sel],
+                                "sim": cos[sel],
+                                "h": "",
+                            }
+                        )
+                    )
+                # negatives: different label — batch 4 smallest (h, id)
+                nmask = lab_ok & (labels != alab)
+                if nmask.any():
+                    nids = ids[nmask]
+                    hs = np.array(
+                        [
+                            hashlib.md5(f"{aid}-{c}".encode()).hexdigest()
+                            for c in nids
+                        ]
+                    )
+                    sel = np.lexsort((nids, hs))[:NEG_K]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "kind": 1,
+                                "anchor_id": aid,
+                                "cand_id": nids[sel],
+                                "sim": 0.0,
+                                "h": hs[sel],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    # cached: both branches below read it — without the (tiny,
+    # ≤ 5 rows/anchor/batch) cache the corpus pass would run twice
+    part = emb.mapInPandas(
+        _cand, "kind int, anchor_id long, cand_id long, sim double, h string"
+    ).cache()
     wpos = Window.partitionBy("anchor_id").orderBy(
-        F.col("sim").desc(), F.col("pos_id")
+        F.col("sim").desc(), F.col("cand_id")
     )
     pos = (
-        emb.select(F.col("vec_id").alias("pos_id"), "label", "qv")
-        .join(
-            F.broadcast(anchors),
-            (F.col("label") == F.col("a_label"))
-            & (F.col("pos_id") != F.col("anchor_id")),
-        )
-        .withColumn("sim", cosine(F.col("a_qv"), F.col("qv")))
+        part.filter(F.col("kind") == 0)
         .withColumn("rk", F.row_number().over(wpos))
         .filter(F.col("rk") == 1)
-        .select("anchor_id", "pos_id")
+        .select("anchor_id", F.col("cand_id").alias("pos_id"))
     )
-    wneg = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    wneg = Window.partitionBy("anchor_id").orderBy("h", "cand_id")
     neg = (
-        emb.select(F.col("vec_id").alias("neg_id"), "label")
-        .join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
-        .withColumn(
-            "h",
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    F.col("anchor_id").cast("string"),
-                    F.col("neg_id").cast("string"),
-                )
-            ),
-        )
+        part.filter(F.col("kind") == 1)
         .withColumn("neg_rank", F.row_number().over(wneg))
         .filter(F.col("neg_rank") <= NEG_K)
-        .select("anchor_id", "neg_id", F.col("neg_rank").cast("int").alias("neg_rank"))
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
     )
     return neg.join(pos, ["anchor_id"]).select(
         "anchor_id", "pos_id", "neg_id", "neg_rank"
@@ -1073,32 +1196,68 @@ _KNN_ACC_S = 10**6
         "cosine over a 50-vector eval fold, majority vote with a "
         "deterministic (count, label) tiebreak, per-class accuracy "
         "as scaled integers. Same quantized-vector bit-exactness and "
-        "broadcast-the-small-fold plan as sim_topk_bruteforce: the "
-        "corpus side never shuffles, the fold is the broadcast side, "
-        "and the vote/argmax is two windows over fold-sized rows."
+        "one-pass Arrow-kernel plan as sim_topk_bruteforce: the corpus "
+        "side never shuffles, the bounded fold rides into the kernel "
+        "at plan time, and the vote/argmax is two windows over "
+        "fold-sized rows."
     ),
     tags=("similarity", "mllib", "embeddings"),
 )
 def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): same one-pass Arrow kernel as
+    # sim_topk_bruteforce, with the 50-row eval fold (bounded by
+    # construction) as the plan-time query matrix — replaces the
+    # broadcast-nested-loop's 50N interpreted HOF cosines and the
+    # 50N-row window shuffle with per-batch numpy grams + a window over
+    # ≤ 150 rows/batch. Exactness: quantized integer vectors, identical
+    # IEEE cosine tree (see sim_topk_bruteforce).
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, qlabels = _query_side(sf_dir, _KNN_EVAL, with_label=True)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", quantize(F.col("embedding")).alias("qv")
     )
-    fold = emb.filter(F.col("vec_id") < _KNN_EVAL).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("qv").alias("query_vec"),
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["qv"].to_numpy())
+            dots = Q @ v.T
+            vn = np.sqrt(np.einsum("ij,ij->i", v, v))
+            den = qn[:, None] * vn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, dots / den, 0.0)
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                sel = _topk_within(ids[mask], cos[qi][mask], _KNN_K)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "true_label": qlabels[qi],
+                            "nb_id": ids[mask][sel],
+                            "nb_label": pdf["label"].to_numpy()[mask][sel],
+                            "sim": cos[qi][mask][sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = emb.mapInPandas(
+        _score,
+        "query_id long, true_label int, nb_id long, nb_label int, sim double",
     )
-    pairs = emb.select(
-        F.col("vec_id").alias("nb_id"),
-        F.col("label").alias("nb_label"),
-        "qv",
-    ).join(F.broadcast(fold), F.col("nb_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("nb_id")
     )
     topk = (
-        pairs.withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
-        .withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KNN_K)
     )
     votes = topk.groupBy("query_id", "true_label", "nb_label").agg(
@@ -1162,28 +1321,60 @@ _RANGE_TAU_NUM = 15  # tau = 0.15 as a ratio (x100)
         "RANGE search — the other ANN query type beside top-k: every "
         "neighbor whose cosine clears a fixed threshold, however many "
         "or few that is (dedup wants thresholds; recsys wants top-k). "
-        "Same quantized-vector bit-exactness and broadcast-query-side "
+        "Same quantized-vector bit-exactness and one-pass Arrow-kernel "
         "plan as sim_topk_bruteforce, but the selection is a pure "
-        "filter — no window, no rank state, fully map-side after the "
-        "broadcast join; at scale the LSH-bucketed variants "
+        "filter applied inside the kernel — no window, no rank state, "
+        "fully map-shaped; at scale the LSH-bucketed variants "
         "(sim_ann_lsh_buckets) provide the candidate set and this "
         "threshold verify runs on candidates only."
     ),
     tags=("similarity", "embeddings"),
 )
 def sim_range_search_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): one Arrow pass, per-batch numpy gram vs the
+    # bounded plan-time query matrix; the threshold is applied inside
+    # the kernel so only qualifying pairs leave the batch — replaces
+    # the broadcast-nested-loop's 8N interpreted HOF cosines. Pure
+    # filter semantics: no window at all. Same exact-integer cosine as
+    # sim_topk_bruteforce; the 0.15 literal is the identical double.
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _query_side(sf_dir, N_QUERY)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    tau = _RANGE_TAU_NUM / 100.0
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_vec")
-    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["qv"].to_numpy())
+            dots = Q @ v.T
+            vn = np.sqrt(np.einsum("ij,ij->i", v, v))
+            den = qn[:, None] * vn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, dots / den, 0.0)
+            out = []
+            for qi in range(len(qids)):
+                keep = (cos[qi] >= tau) & (ids != qids[qi])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": ids[keep],
+                            "sim": cos[qi][keep],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
     return (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "qv")
-        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("query_vec"), F.col("qv")))
-        .filter(F.col("sim") >= _RANGE_TAU_NUM / 100.0)
-        .select("query_id", "neighbor_id", "sim")
+        emb.mapInPandas(_score, "query_id long, neighbor_id long, sim double")
         .orderBy("query_id", "neighbor_id")
     )
 
@@ -1355,38 +1546,67 @@ _MRL_K = 10
         "is how retrieval stacks budget their ANN memory: a prefix "
         "that keeps recall ~1000 serves from a 4x smaller index. "
         "Quantized integer vectors + identical IEEE cosine trees on "
-        "both engines keep the whole ranking hash-exact; slicing is "
-        "a codegen'd array op, the query side broadcasts, and the "
+        "both engines keep the whole ranking hash-exact; all four "
+        "prefix grams run in the same Arrow kernel batch, and the "
         "corpus never shuffles — same 100 TB contract as "
         "sim_topk_bruteforce, x|prefix grid| in one pass."
     ),
     tags=("similarity", "embeddings", "eval"),
 )
 def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): one Arrow pass computes all four prefix
+    # grams per batch (numpy matmuls over V[:, :pd]) and emits only
+    # per-(query, prefix) batch top-10 — replaces the ×4 explode of the
+    # broadcast-nested-loop join (32N rows of sliced HOF cosines) and
+    # its 32N-row window. Same exact-integer cosine argument; prefix
+    # slices of exact integers stay exact.
+    import numpy as np
+    import pandas as pd
+
+    qids, Q, _ = _query_side(sf_dir, N_QUERY)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_full")
-    )
-    pd_col = F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("pd")
-    pairs = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("n_full"))
-        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_full", "n_full", pd_col)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "pd",
-            F.slice(F.col("q_full"), 1, F.col("pd")).alias("va"),
-            F.slice(F.col("n_full"), 1, F.col("pd")).alias("vb"),
-        )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["qv"].to_numpy())
+            out = []
+            for d in _MRL_DIMS:
+                qp, vp = Q[:, :d], v[:, :d]
+                dots = qp @ vp.T
+                qn = np.sqrt(np.einsum("ij,ij->i", qp, qp))
+                vn = np.sqrt(np.einsum("ij,ij->i", vp, vp))
+                den = qn[:, None] * vn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, dots / den, 0.0)
+                for qi in range(len(qids)):
+                    mask = ids != qids[qi]
+                    sel = _topk_within(ids[mask], cos[qi][mask], _MRL_K)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[qi],
+                                "pd": d,
+                                "neighbor_id": ids[mask][sel],
+                                "sim": cos[qi][mask][sel],
+                            }
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = emb.mapInPandas(
+        _score, "query_id long, pd int, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id", "pd").orderBy(
-        cosine(F.col("va"), F.col("vb")).desc(), "neighbor_id"
+        F.col("sim").desc(), "neighbor_id"
     )
     top = (
-        pairs.withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MRL_K)
         .select("query_id", "pd", "neighbor_id")
         .cache()
@@ -1622,6 +1842,10 @@ def vector_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("qqv"),
         F.col("nsq").alias("qnsq"),
     )
+    # round 10: the dot product is evaluated ONCE (HOF lambdas are not
+    # CSE'd, so the old twin dot(...) calls each walked the arrays);
+    # cos_aug derives from the long ip — exact, since the dot is an
+    # exact < 2^53 integer and long→double widens it losslessly
     scored = (
         cands.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
         .crossJoin(F.broadcast(m2))
@@ -1629,8 +1853,15 @@ def vector_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             dot(F.col("qqv"), F.col("cv")).cast("long").alias("ip"),
+            "qnsq",
+            "m2",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "ip",
             F.round(
-                dot(F.col("qqv"), F.col("cv"))
+                F.col("ip").cast("double")
                 / (
                     F.sqrt(F.col("qnsq").cast("double"))
                     * F.sqrt(F.col("m2").cast("double"))
@@ -1706,9 +1937,9 @@ def _sql_signword(v: str, lo: int) -> str:
         "neighbor search is Hamming distance = popcount(xor) — the "
         "classic compact-code primitive (Charikar STOC 2002 sign "
         "hashes; the rerank stage of every binary-quantized vector "
-        "index). The packing is a zero-shuffle JVM fold over the array "
-        "(transform-with-index + aggregate, no explode), scoring is "
-        "bit_count(xor) on two BIGINTs per pair — integers end to end, "
+        "index). The packing is a zero-shuffle numpy sign-pack per "
+        "Arrow batch; scoring is XOR + byte-LUT popcount on two 64-bit "
+        "words per pair with per-batch top-k — integers end to end, "
         "hash-exact with no float anywhere. At 100 TB the sketch table "
         "is ~1% of the float corpus; brute-force Hamming over it is a "
         "bandwidth-bound linear scan (SIMD popcount), the standard "
@@ -1717,38 +1948,51 @@ def _sql_signword(v: str, lo: int) -> str:
     tags=("similarity", "embeddings", "binary"),
 )
 def vector_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 (guide §4.2): sketch + score + per-batch top-k in one
+    # Arrow pass — the old plan's per-row transform/aggregate sign fold
+    # (64 interpreted lambda steps/row), broadcast-nested-loop join,
+    # and 8N-row window become one numpy sign-pack, an XOR + byte-LUT
+    # popcount, and a window over ≤ 40 rows/batch. Pure integer/compare
+    # arithmetic — trivially exact.
+    import numpy as np
+    import pandas as pd
+
+    qids, R = _raw_query_side(sf_dir, _HAM_NQ)
+    if len(qids):
+        q0, q1 = _sign_words(R)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def signword(lo: int) -> F.Column:
-        return F.expr(
-            f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
-            f"(x, i) -> IF(x > CAST(0.0 AS FLOAT), "
-            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
-            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            w0, w1 = _sign_words(v)
+            out = []
+            for qi in range(len(qids)):
+                ham = _popcount64(w0 ^ q0[qi]) + _popcount64(w1 ^ q1[qi])
+                mask = ids != qids[qi]
+                nb, hh = ids[mask], ham[mask]
+                sel = np.lexsort((nb, hh))[: min(_HAM_K, len(nb))]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "cand_id": nb[sel],
+                            "hamming": hh[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    w = emb.select(
-        "vec_id", signword(0).alias("w0"), signword(32).alias("w1")
-    )
-    queries = w.filter(F.col("vec_id") < _HAM_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
-    )
-    scored = w.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        (
-            F.bit_count(F.expr("q0 ^ w0")) + F.bit_count(F.expr("q1 ^ w1"))
-        )
-        .cast("long")
-        .alias("hamming"),
+    part = emb.mapInPandas(
+        _score, "query_id long, cand_id long, hamming long"
     )
     wnd = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
     return (
-        scored.withColumn("rk", F.row_number().over(wnd))
+        part.withColumn("rk", F.row_number().over(wnd))
         .filter(F.col("rk") <= _HAM_K)
         .select("query_id", "cand_id", "hamming", "rk")
         .orderBy("query_id", "rk")
@@ -1809,9 +2053,9 @@ _RET_K = 5
         "1 scans the 8-byte sign-sketch table and keeps a 32-candidate "
         "Hamming shortlist per query; stage 2 reranks ONLY the "
         "shortlist with exact quantized cosine and emits top-5. "
-        "Composes vector_hamming_topk's zero-shuffle sign fold with "
-        "sim_topk_bruteforce's exact scoring; both stages are "
-        "broadcast-query passes over the corpus (no corpus shuffle), "
+        "Composes vector_hamming_topk's numpy sign-pack with "
+        "sim_topk_bruteforce's exact scoring in a single Arrow pass "
+        "over the corpus (no corpus shuffle), "
         "and the expensive float math touches 32 rows per query "
         "instead of the corpus — the 100 TB story is the sketch scan "
         "is bandwidth-bound and the rerank is O(shortlist). "
@@ -1821,50 +2065,75 @@ _RET_K = 5
     tags=("similarity", "embeddings", "pipeline"),
 )
 def pipeline_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", quantize(F.col("embedding")).alias("qv")
-    )
+    # Round 10 (guide §4.2): both retrieval stages run inside ONE Arrow
+    # pass per batch — numpy sign-pack + XOR/LUT-popcount Hamming, a
+    # per-batch 32-candidate shortlist per query, and the exact cosine
+    # computed for shortlisted rows only. The global shortlist window
+    # then sees ≤ 32 rows/query/batch instead of all 4N sketch pairs,
+    # and the rerank stays a Spark window + round(.,9) expression.
+    # Exactness: the corpus qv is quantized IN the kernel with the
+    # exact half-up identity round(t) = sign(t)·floor(|t|+0.5) (|t|+0.5
+    # is exactly representable for |t| < 2^52, and ties x.5 are exact
+    # doubles), so it equals F.round/`quantize` bit for bit; cosine is
+    # the usual exact-integer gram; prk/rk windows keep their original
+    # orderings over a provable superset of the true shortlist.
+    import numpy as np
+    import pandas as pd
 
-    def signword(lo: int) -> F.Column:
-        return F.expr(
-            f"aggregate(transform(slice(embedding, {lo + 1}, 32), "
-            f"(x, i) -> IF(x > CAST(0.0 AS FLOAT), "
-            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
-            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        )
+    qids, R = _raw_query_side(sf_dir, _RET_NQ)
+    if len(qids):
+        q0, q1 = _sign_words(R)
+        t = R * 1000.0
+        Q = np.sign(t) * np.floor(np.abs(t) + 0.5)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    w = emb.select(
-        "vec_id", signword(0).alias("w0"), signword(32).alias("w1"), "qv"
-    )
-    queries = w.filter(F.col("vec_id") < _RET_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("q0"),
-        F.col("w1").alias("q1"),
-        F.col("qv").alias("qqv"),
-    )
-    pre = w.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("cand_id"),
-        "qqv",
-        F.col("qv").alias("cv"),
-        (
-            F.bit_count(F.expr("q0 ^ w0")) + F.bit_count(F.expr("q1 ^ w1"))
-        )
-        .cast("long")
-        .alias("hamming"),
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            w0, w1 = _sign_words(v)
+            tt = v * 1000.0
+            qv = np.sign(tt) * np.floor(np.abs(tt) + 0.5)
+            vn = np.sqrt(np.einsum("ij,ij->i", qv, qv))
+            out = []
+            for qi in range(len(qids)):
+                ham = _popcount64(w0 ^ q0[qi]) + _popcount64(w1 ^ q1[qi])
+                mask = ids != qids[qi]
+                nb, hh = ids[mask], ham[mask]
+                sel = np.lexsort((nb, hh))[: min(_RET_SHORTLIST, len(nb))]
+                dots = qv[mask][sel] @ Q[qi]
+                den = qn[qi] * vn[mask][sel]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(den > 0, dots / den, 0.0)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "cand_id": nb[sel],
+                            "hamming": hh[sel],
+                            "sim_raw": cos,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    part = emb.mapInPandas(
+        _score, "query_id long, cand_id long, hamming long, sim_raw double"
     )
     wpre = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
     shortlist = (
-        pre.withColumn("prk", F.row_number().over(wpre))
+        part.withColumn("prk", F.row_number().over(wpre))
         .filter(F.col("prk") <= _RET_SHORTLIST)
     )
     wrk = Window.partitionBy("query_id").orderBy(
-        cosine(F.col("qqv"), F.col("cv")).desc(), F.col("cand_id")
+        F.col("sim_raw").desc(), F.col("cand_id")
     )
     return (
-        shortlist.withColumn("sim", F.round(cosine(F.col("qqv"), F.col("cv")), 9))
+        shortlist.withColumn("sim", F.round(F.col("sim_raw"), 9))
         .withColumn("rk", F.row_number().over(wrk))
         .filter(F.col("rk") <= _RET_K)
         .select("query_id", "cand_id", "hamming", "sim", "rk")
