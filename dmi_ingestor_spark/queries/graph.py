@@ -301,21 +301,38 @@ _TRI_EDGE_SQL = """
         "idiom (Suri & Vassilvitskii 2011): wedge count is bounded by "
         "Σ min-degree² instead of Σ degree², which is what keeps "
         "hub-heavy 100 TB graphs from exploding at the wedge join; "
-        "all joins are equi-joins on vertex keys, closing check is a "
-        "left-semi (no row multiplication). The above-mean weight "
-        "filter is an integer cross-compare (w·|E| ≥ Σw) against a "
-        "broadcast 1-row aggregate — no doubles anywhere."
+        "the edge build is the one corpus-scale stage, and since round 10 "
+        "the degree-ordered enumeration itself runs in one Arrow summary "
+        "kernel over the |V|²-bounded aggregate (above-mean w·|E| ≥ Σw "
+        "sparsification included) — integers end to end."
     ),
     tags=("graph", "triangles", "scale"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _deg, tri = _tri_decomposition(spark, sf_dir)
-    return (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select("y"))
-        .unionAll(tri.select("z"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # round-10 kernelization: everything past the |V|²-bounded
+    # undirected aggregate — sparsification, degree build, the two
+    # orientation joins, the wedge self-join and the closing semi-join
+    # (plus an eager checkpoint and two caches holding the tiny
+    # relations still) — is one Python pass in _tri_node_counts; the
+    # degree-ordered enumeration is preserved verbatim so each triangle
+    # is found exactly once
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        _deg, tcount = _tri_node_counts(_int_rows(pdf, "u", "v", "w"))
+        out = sorted(tcount.items())
+        return pd.DataFrame(
+            {
+                "node": np.array([n for n, _ in out], dtype=np.int32),
+                "n_triangles": np.array(
+                    [t for _, t in out], dtype=np.int64
+                ),
+            }
+        )
+
+    return _summary_kernel(
+        _trade_und(spark, sf_dir), "node int, n_triangles long", kernel
     )
 
 
@@ -358,71 +375,33 @@ def _kept_filter(rows):
     return sorted((u, v) for u, v, w in rows if w * ne >= tot)
 
 
-def _trade_kept_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Above-mean-weight undirected nation co-trade edges ``(u, v)``."""
-    und = _trade_und(spark, sf_dir).cache()  # branches: tot, kept
-    tot = und.agg(
-        F.count(F.lit(1)).alias("n_e"), F.sum("w").alias("sum_w")
-    )
-    return (
-        und.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") * F.col("n_e") >= F.col("sum_w"))
-        .select("u", "v")
-        # |V|-bounded (≤ C(25,2) edges) and consumed by 4+ branches
-        # (deg, two orientation joins, closing semi): eager
-        # localCheckpoint both materializes it once AND truncates the
-        # fact-join lineage, so the downstream wedge/coefficient plans
-        # stay KBs instead of re-embedding the corpus join per branch
-        # (the formatted-plan blowup tools/plan_audit.py caps at 1 MB)
-        .localCheckpoint(eager=True)
-    )
-
-
-def _tri_decomposition(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(degree, triangles) of the above-mean-weight nation co-trade graph.
-
-    Shared by graph_triangle_count and graph_clustering_coefficient so
-    both queries enumerate the identical degree-ordered wedge set.
-    Returns ``deg(node, d)`` and ``tri(x, y, z)`` (each triangle once).
-    """
-    kept = _trade_kept_edges(spark, sf_dir)
-    deg = (
-        kept.select(F.col("u").alias("node"))
-        .unionAll(kept.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .cache()  # consumed by orientation AND the coefficient join
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    lower = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        kept.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        )
-        .cache()  # three consumers below
-    )
-    e1 = oriented.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
-    e2 = oriented.select("a", F.col("b").alias("z"), F.col("db").alias("dz"))
-    wedges = e1.join(e2, "a").filter(
-        (F.col("dz") > F.col("dy"))
-        | ((F.col("dz") == F.col("dy")) & (F.col("z") > F.col("y")))
-    )
-    closing = oriented.select(
-        F.col("a").alias("y"), F.col("b").alias("z")
-    )
-    tri = wedges.join(closing, ["y", "z"], "left_semi").select(
-        F.col("a").alias("x"), "y", "z"
-    )
-    return deg, tri
+def _tri_node_counts(rows):
+    """(degree, per-node triangle count) of the above-mean-weight
+    undirected graph — the in-kernel twin of the old _tri_decomposition
+    DataFrame pipeline (shared by graph_triangle_count and
+    graph_clustering_coefficient so both enumerate the identical
+    degree-ordered wedge set): orient each kept edge from its lower
+    (degree, id) endpoint, enumerate wedges at the lowest apex with the
+    (degree, id)-ordered leg pair, confirm the closing oriented edge."""
+    kept = _kept_filter(rows)
+    deg: dict[int, int] = {}
+    for u, v in kept:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    oriented: dict[int, list[int]] = {}
+    oset: set[tuple[int, int]] = set()
+    for u, v in kept:
+        a, b = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        oriented.setdefault(a, []).append(b)
+        oset.add((a, b))
+    tcount: dict[int, int] = {}
+    for a, outs in oriented.items():
+        for y in outs:
+            for z in outs:
+                if (deg[z], z) > (deg[y], y) and (y, z) in oset:
+                    for node in (a, y, z):
+                        tcount[node] = tcount.get(node, 0) + 1
+    return deg, tcount
 
 
 @register(
@@ -474,33 +453,48 @@ def _tri_decomposition(
     tags=("graph", "triangles", "scale"),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deg, tri = _tri_decomposition(spark, sf_dir)
-    pernode = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select("y"))
-        .unionAll(tri.select("z"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-    )
-    return (
-        deg.join(F.broadcast(pernode), "node", "left")
-        .select(
-            F.col("node").alias("nationkey"),
-            F.col("d").alias("degree"),
-            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
-            F.when(
-                F.col("d") >= 2,
-                F.round(
-                    2.0
-                    * F.coalesce(F.col("t"), F.lit(0))
-                    / (F.col("d") * (F.col("d") - 1)),
-                    9,
+    # round-10 kernelization: shares _tri_node_counts with
+    # graph_triangle_count (the old _tri_decomposition pipeline in one
+    # Python pass); the integer (degree, triangles) pairs come out of
+    # the kernel and the single float division + round(.,9) STAYS a
+    # Spark expression, so rounding semantics are untouched
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        deg, tcount = _tri_node_counts(_int_rows(pdf, "u", "v", "w"))
+        out = sorted(deg.items())
+        return pd.DataFrame(
+            {
+                "nationkey": np.array([n for n, _ in out], dtype=np.int32),
+                "degree": np.array([d for _, d in out], dtype=np.int64),
+                "n_triangles": np.array(
+                    [tcount.get(n, 0) for n, _ in out], dtype=np.int64
                 ),
-            )
-            .otherwise(F.lit(0.0))
-            .cast("double")
-            .alias("clustering_coef"),
+            }
         )
+
+    counts = _summary_kernel(
+        _trade_und(spark, sf_dir),
+        "nationkey int, degree long, n_triangles long",
+        kernel,
+    )
+    return counts.select(
+        "nationkey",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("clustering_coef"),
     )
 
 
@@ -783,8 +777,9 @@ def graph_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first thing to look at before running any graph algorithm "
         "(hub detection feeds the salting/skew decisions the "
         "triangle-count and LP operators make). Edge build is the "
-        "one fact-scale stage; degree and histogram are two "
-        "bounded-key aggregates. Completes the graph family's "
+        "one fact-scale stage; degree and histogram run in one Arrow "
+        "summary kernel over the |V|²-bounded distinct aggregate "
+        "(round 10). Completes the graph family's "
         "observability next to profile_skew_keys' join-key view."
     ),
     tags=("graph", "profiling", "scale"),
@@ -805,15 +800,34 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    und = dedges.unionAll(
-        dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    return (
-        deg.groupBy("degree")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .orderBy("degree")
-    )
+
+    # round-10 kernelization (same argument as the iterative kernels):
+    # everything past the |V|²-bounded distinct aggregate — the
+    # symmetrize-distinct, degree count and histogram, i.e. two more
+    # exchanges + a sort — is pure integer counting over ≤ 600 rows
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        und = set()
+        for src, dst in _int_rows(pdf, "src", "dst"):
+            und.add((src, dst))
+            und.add((dst, src))
+        deg: dict[int, int] = {}
+        for src, _ in und:
+            deg[src] = deg.get(src, 0) + 1
+        hist: dict[int, int] = {}
+        for d in deg.values():
+            hist[d] = hist.get(d, 0) + 1
+        out = sorted(hist.items())
+        return pd.DataFrame(
+            {
+                "degree": np.array([d for d, _ in out], dtype=np.int64),
+                "n_nodes": np.array([n for _, n in out], dtype=np.int64),
+            }
+        )
+
+    return _summary_kernel(dedges, "degree long, n_nodes long", kernel)
 
 
 # --------------------------------------------------------------------------
@@ -1050,61 +1064,71 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    und0 = (
-        dir_e.groupBy(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    und0 = dir_e.groupBy(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).agg(F.sum("w").alias("w"))
+
+    # round-10 kernelization: sparsification, adjacency build, wedge
+    # self-join, existing-edge anti-join, and the three degree joins
+    # all ran over the ≤ 300-row summary (with a cache + a lazy
+    # checkpoint to hold it still) — one Python pass over sets/dicts.
+    # All-integer arithmetic; every div operand is non-negative so
+    # Python // equals Spark's truncating div.
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "u", "v", "w")
+        # above-mean sparsification keeps a non-adjacent candidate set
+        # at every SF (the co-trade graph saturates when dense)
+        tw = sum(w for _, _, w in rows)
+        ne = len(rows)
+        und = {(u, v) for u, v, w in rows if w * ne >= tw}
+        nbrs: dict[int, list[int]] = {}
+        deg: dict[int, int] = {}
+        for u, v in und:
+            nbrs.setdefault(u, []).append(v)
+            nbrs.setdefault(v, []).append(u)
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        cn: dict[tuple[int, int], int] = {}
+        ra: dict[tuple[int, int], int] = {}
+        for z, nb in nbrs.items():
+            share = _LP_S // deg[z]
+            for i in range(len(nb)):
+                for j in range(len(nb)):
+                    a_, b_ = nb[i], nb[j]
+                    if a_ < b_ and (a_, b_) not in und:
+                        cn[(a_, b_)] = cn.get((a_, b_), 0) + 1
+                        ra[(a_, b_)] = ra.get((a_, b_), 0) + share
+        out = sorted(cn)
+        return pd.DataFrame(
+            {
+                "a": np.array([a_ for a_, _ in out], dtype=np.int32),
+                "b": np.array([b_ for _, b_ in out], dtype=np.int32),
+                "common_neighbors": np.array(
+                    [cn[p] for p in out], dtype=np.int64
+                ),
+                "union_neighbors": np.array(
+                    [deg[p[0]] + deg[p[1]] - cn[p] for p in out],
+                    dtype=np.int64,
+                ),
+                "jaccard_scaled": np.array(
+                    [
+                        (cn[p] * _LP_S) // (deg[p[0]] + deg[p[1]] - cn[p])
+                        for p in out
+                    ],
+                    dtype=np.int64,
+                ),
+                "ra_scaled": np.array([ra[p] for p in out], dtype=np.int64),
+            }
         )
-        .agg(F.sum("w").alias("w"))
-        .cache()  # two consumers: the 1-row stats agg + the filter scan
-    )
-    tot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    und = (
-        und0.crossJoin(F.broadcast(tot))
-        # keep only above-mean-weight edges (integer cross-compare, no
-        # doubles): sparsifies the co-trade graph so a non-adjacent
-        # candidate set exists at every SF
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("u", "v")
-        .localCheckpoint(eager=False)
-    )
-    nbr = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    )
-    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    n1 = nbr.select(F.col("node").alias("z"), F.col("nb").alias("a"))
-    n2 = nbr.select(F.col("node").alias("z"), F.col("nb").alias("b"))
-    wedge = n1.join(n2, "z").filter(F.col("a") < F.col("b"))
-    cand = (
-        wedge.join(
-            und,
-            (wedge.a == und.u) & (wedge.b == und.v),
-            "left_anti",
-        )
-        .join(deg.withColumnRenamed("node", "z"), "z")
-        .groupBy("a", "b")
-        .agg(
-            F.count(F.lit(1)).alias("cn"),
-            F.sum(F.expr(f"{_LP_S} div d")).alias("ra_scaled"),
-        )
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
-    return (
-        cand.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .select(
-            "a",
-            "b",
-            F.col("cn").cast("long").alias("common_neighbors"),
-            (F.col("da") + F.col("db") - F.col("cn"))
-            .cast("long")
-            .alias("union_neighbors"),
-            F.expr(f"(cn * {_LP_S}) div (da + db - cn)")
-            .cast("long")
-            .alias("jaccard_scaled"),
-            F.col("ra_scaled").cast("long").alias("ra_scaled"),
-        )
-        .orderBy("a", "b")
+
+    return _summary_kernel(
+        und0,
+        "a int, b int, common_neighbors long, union_neighbors long, "
+        "jaccard_scaled long, ra_scaled long",
+        kernel,
     )
 
 
@@ -1326,8 +1350,8 @@ _MOD_S = 10**6  # s_c^2 * S <= 4W^2 * 1e6 stays in int64 for W <= ~1.5e6
         "quality metric that pairs with graph_label_propagation / "
         "dedup_components: those produce communities, this scores "
         "them. Corpus-sized work is the edge build only; the scoring "
-        "runs on the |V|-bounded summary with a broadcast 1-row "
-        "total."
+        "runs in one Arrow summary kernel over the |V|-bounded "
+        "labeled aggregate (round 10)."
     ),
     tags=("graph", "community", "scale"),
 )
@@ -1351,7 +1375,9 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    tot = und.agg(F.sum("w").alias("big_w"))
+    # the community labels ride the summary relation via two broadcast
+    # dim joins (no exchange), exactly like the personalized-pagerank
+    # kernel's source flags
     labeled = (
         und.join(
             F.broadcast(n.withColumnRenamed("node", "u").withColumnRenamed("community", "cu")),
@@ -1363,32 +1389,50 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w", "cu", "cv")
     )
-    intra = (
-        labeled.filter(F.col("cu") == F.col("cv"))
-        .groupBy(F.col("cu").alias("community"))
-        .agg(F.sum("w").alias("w_in"))
-    )
-    deg = (
-        labeled.select(F.col("cu").alias("community"), "w")
-        .unionAll(labeled.select(F.col("cv").alias("community"), "w"))
-        .groupBy("community")
-        .agg(F.sum("w").alias("s_c"))
-    )
-    return (
-        deg.join(intra, "community", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "community",
-            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_intra"),
-            F.col("s_c").cast("long").alias("degree_weight"),
-            F.expr(
-                f"(COALESCE(w_in, 0) * {_MOD_S}) div big_w"
-                f" - (s_c * s_c * {_MOD_S}) div (4 * big_w * big_w)"
-            )
-            .cast("long")
-            .alias("q_contrib_scaled"),
+
+    # round-10 kernelization: the 1-row total, the intra/degree
+    # aggregates, their join and the cross-join all ran over the
+    # ≤ 300-row labeled summary — one Python pass; div operands are
+    # non-negative so Python // equals Spark's truncating div
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "w", "cu", "cv")
+        big_w = sum(w for w, _, _ in rows)
+        w_in: dict[int, int] = {}
+        s_c: dict[int, int] = {}
+        for w, cu, cv in rows:
+            if cu == cv:
+                w_in[cu] = w_in.get(cu, 0) + w
+            s_c[cu] = s_c.get(cu, 0) + w
+            s_c[cv] = s_c.get(cv, 0) + w
+        out = sorted(s_c.items())
+        return pd.DataFrame(
+            {
+                "community": np.array([cc for cc, _ in out], dtype=np.int32),
+                "w_intra": np.array(
+                    [w_in.get(cc, 0) for cc, _ in out], dtype=np.int64
+                ),
+                "degree_weight": np.array(
+                    [sc for _, sc in out], dtype=np.int64
+                ),
+                "q_contrib_scaled": np.array(
+                    [
+                        (w_in.get(cc, 0) * _MOD_S) // big_w
+                        - (sc * sc * _MOD_S) // (4 * big_w * big_w)
+                        for cc, sc in out
+                    ],
+                    dtype=np.int64,
+                ),
+            }
         )
-        .orderBy("community")
+
+    return _summary_kernel(
+        labeled,
+        "community int, w_intra long, degree_weight long, "
+        "q_contrib_scaled long",
+        kernel,
     )
 
 
@@ -1483,37 +1527,57 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .cache()  # two consumers: the 1-row stats agg + the filter scan
     )
-    utot = und0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    # above-mean sparsification: the full co-trade graph saturates to
-    # near-complete at larger SFs, where every degree is equal and r
-    # is degenerate; the strong-tie subgraph has real degree structure
-    und = (
-        und0.crossJoin(F.broadcast(utot))
-        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
-        .select("u", "v")
-        .cache()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select("v"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("d_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("d_v"))
-    joined = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
-    ends = joined.select(
-        F.col("d_u").alias("x"), F.col("d_v").alias("y")
-    ).unionAll(joined.select(F.col("d_v").alias("x"), F.col("d_u").alias("y")))
-    stats = ends.agg(
-        F.count(F.lit(1)).cast("long").alias("m2"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+
+    # round-10 kernelization: the above-mean sparsification (the reason
+    # und0 was cached and cross-joined), the degree build, both
+    # orientation joins and the 6-sum aggregate all operate on the
+    # ≤ 300-row summary — one Python pass. The exact BIGINT power sums
+    # come out of the kernel; the single float op (Pearson + round)
+    # STAYS a Spark expression on those sums, so rounding semantics are
+    # untouched.
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        rows = _int_rows(pdf, "u", "v", "w")
+        # above-mean sparsification (integer cross-compare, no doubles):
+        # the full co-trade graph saturates to near-complete at larger
+        # SFs where r is degenerate; strong ties keep degree structure
+        tw = sum(w for _, _, w in rows)
+        ne = len(rows)
+        und = [(u, v) for u, v, w in rows if w * ne >= tw]
+        deg: dict[int, int] = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        m2 = sx = sy = sxx = syy = sxy = 0
+        for u, v in und:
+            for x, y in ((deg[u], deg[v]), (deg[v], deg[u])):
+                m2 += 1
+                sx += x
+                sy += y
+                sxx += x * x
+                syy += y * y
+                sxy += x * y
+        return pd.DataFrame(
+            {
+                k: np.array([val], dtype=np.int64)
+                for k, val in (
+                    ("m2", m2),
+                    ("sx", sx),
+                    ("sy", sy),
+                    ("sxx", sxx),
+                    ("syy", syy),
+                    ("sxy", sxy),
+                )
+            }
+        )
+
+    stats = _summary_kernel(
+        und0,
+        "m2 long, sx long, sy long, sxx long, syy long, sxy long",
+        kernel,
     )
     return stats.select(
         "m2",
@@ -1591,8 +1655,9 @@ _RECIP_S = 10**6
         "diagnostics a graph pipeline runs before committing to "
         "heavier algorithms (reciprocity ~1 means the directed "
         "graph is effectively undirected — skip the directed "
-        "machinery). One left-semi self-join on the aggregated "
-        "|V|x|V| edge list; scaled-integer ratio."
+        "machinery). The corpus-scale stage is the distinct edge "
+        "aggregate; the membership test and ratio run in one Arrow "
+        "summary kernel over the ≤|V|² rows (round 10)."
     ),
     tags=("graph", "diagnostics"),
 )
@@ -1611,22 +1676,33 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .distinct()
-        .cache()
     )
-    rev = dir_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_recip = dir_e.join(F.broadcast(rev), ["src", "dst"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_recip")
-    )
-    n_all = dir_e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        n_all.crossJoin(F.broadcast(n_recip))
-        .select(
-            F.col("n_edges").cast("long").alias("n_directed_edges"),
-            F.col("n_recip").cast("long").alias("n_reciprocated"),
-            F.expr(f"(n_recip * {_RECIP_S}) div n_edges")
-            .cast("long")
-            .alias("reciprocity_scaled"),
+
+    # round-10 kernelization: the reciprocated-count semi-join, both
+    # 1-row aggregates, and the cross-join were all over the ≤ 600-row
+    # distinct aggregate (plus a cache to scan it twice) — one set
+    # membership pass in the kernel; div operands are non-negative so
+    # Python // equals Spark's truncating div
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        edges = set(_int_rows(pdf, "src", "dst"))
+        n_all = len(edges)
+        n_recip = sum(1 for s_, d_ in edges if (d_, s_) in edges)
+        ratio = (n_recip * _RECIP_S) // n_all if n_all else None
+        return pd.DataFrame(
+            {
+                "n_directed_edges": np.array([n_all], dtype=np.int64),
+                "n_reciprocated": np.array([n_recip], dtype=np.int64),
+                "reciprocity_scaled": pd.array([ratio], dtype="Int64"),
+            }
         )
+
+    return _summary_kernel(
+        dir_e,
+        "n_directed_edges long, n_reciprocated long, reciprocity_scaled long",
+        kernel,
     )
 
 
@@ -3809,9 +3885,13 @@ def graph_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # frontier shrinks geometrically; checkpoint keeps each round's
-        # plan flat instead of compounding the join lineage
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # plan flat instead of compounding the join lineage. Lazy
+        # checkpoint + count fuses the materialization job and the
+        # emptiness probe into ONE action per round (round 10: the
+        # eager checkpoint + isEmpty pair was 2 scheduler round-trips
+        # per level for the same answer)
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         paths = paths.unionByName(nxt)
         frontier = nxt
