@@ -526,7 +526,7 @@ def transform_with_state_user_stats(spark: SparkSession, sf_dir: str) -> DataFra
     Sandbox gate: the transformWithState Python worker speaks a
     protobuf state protocol (`pyspark.sql.streaming.proto`), and
     `google.protobuf` is not installed in this container (re-verified
-    round 9, 2026-08-16: `import google.protobuf`
+    round 10, 2026-08-18: `import google.protobuf`
     still raises ModuleNotFoundError). When the
     import fails we fall back to `applyInPandasWithState` with the
     IDENTICAL state semantics (same (n, mx) record, same emissions), so

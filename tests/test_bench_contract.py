@@ -8,20 +8,48 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 
 def test_bench_emits_one_json_line():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
     # timeout: 420s was calibrated on the r2-r8 hosts; the r9-opt host
-    # runs Spark stages ~10x slower (kernel-side per-task overhead,
-    # BENCH_SESSION drift canary 9.59) and the full 39-query set blew
-    # 420s there with UNCHANGED code. 2400s keeps the contract check
-    # (one JSON line, all queries present) without racing the host.
+    # ran Spark stages ~10x slower and blew 420s with UNCHANGED code,
+    # so r9 raised it to a flat 2400s. Round 10 (ADVICE r9): calibrate
+    # per host instead of a fixed worst-case constant, so a genuine
+    # 5-10x engine slowdown still fails here on a healthy host — one
+    # tiny reference Spark job is timed and the budget scales with it,
+    # clamped to [420s, 2400s]. SPARK_GRAFT_BENCH_TIMEOUT overrides.
+    override = os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT")
+    if override:
+        budget = float(override)
+    else:
+        t0 = time.perf_counter()
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "from dmi_ingestor_spark.session import get_spark;"
+                "s = get_spark('bench-timeout-probe');"
+                "s.sparkContext.setLogLevel('ERROR');"
+                "s.range(10**6).selectExpr('sum(id)').collect()",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert probe.returncode == 0, probe.stderr[-1000:]
+        ref = time.perf_counter() - t0
+        # ~10s session+job on the r2-r8 hosts -> 420s budget (42x);
+        # a 10x-slower host calibrates to the old 2400s ceiling
+        budget = min(max(42.0 * ref, 420.0), 2400.0)
     r = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=2400,
+        timeout=budget,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )

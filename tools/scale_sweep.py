@@ -98,6 +98,19 @@ DEFAULT_QUERIES = [
     "dedup_ngram_jaccard",         # rare count-join + warm/blazing band completion
     "dedup_phonetic_block_join",   # closed-form candidate count (r9 rewrite)
     "text_cooccurrence_pmi",       # windowed token self-join, integral div ratio
+    # round-10 additions: the Arrow-kernel similarity rewrites and the
+    # newly kernelized single-shot graph shapes (VERDICT r9 items 1/5/6)
+    "agg_count_min_sketch",        # key-grain sketch build (r9 rewrite)
+    "sim_ann_lsh_buckets",         # numpy signature + per-bucket gram (r10)
+    "sim_ann_ivf",                 # one-pass assign/probe/score kernel (r10)
+    "sim_pq_adc",                  # numpy encode + ADC LUT kernel (r10)
+    "ml_knn_classifier_eval",      # 50-fold gram kernel + vote windows (r10)
+    "pipeline_retrieval_e2e",      # sign-pack + shortlist + rerank kernel (r10)
+    "ml_negative_sampling",        # one-pass pos+neg candidate kernel (r10)
+    "graph_triangle_count",        # summary kernel wedge enumeration (r10)
+    "graph_jaccard_link_prediction",  # summary kernel wedge prediction (r10)
+    "graph_degree_distribution",   # summary kernel histogram (r10)
+    "graph_bom_explosion",         # frontier descent, fused per-level probe (r10)
 ]
 
 # Everything in SCALING.md from this line onward is MANUAL content
