@@ -1721,33 +1721,47 @@ def ml_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id")))
         .alias("pos"),
     )
-    ideal = ranked.select(
+    # round 10 (guide §2.4): the dcg and idcg branches each re-ran the
+    # scan + user_id window (subtrees are not CSE'd) and met again in a
+    # join — but ipos is a second window over the SAME partitioning, so
+    # one relation carrying (pos, ipos) feeds BOTH sums as conditional
+    # aggregates: 2 scans + 4 Exchange + join → 1 scan + 1 Exchange +
+    # 1 aggregate, no join. Equivalence: pos starts at 1 ≤ K for every
+    # user, so both filtered sums were non-empty for every user (the
+    # inner join kept all users) and sum(when(cond, x)) ≡ the filtered
+    # sum exactly.
+    both = ranked.select(
         "user_id",
         "rel",
+        "pos",
         F.row_number()
         .over(Window.partitionBy("user_id").orderBy(F.desc("rel"), F.asc("pos")))
         .alias("ipos"),
     )
-    dcg = (
-        ranked.filter(F.col("pos") <= _NDCG_K)
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.expr(f"(rel * {_NDCG_SCALE}) div pos")).alias("dcg_scaled")
-        )
-    )
-    idcg = (
-        ideal.filter(F.col("ipos") <= _NDCG_K)
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.expr(f"(rel * {_NDCG_SCALE}) div ipos")).alias("idcg_scaled")
-        )
-    )
     return (
-        dcg.join(idcg, "user_id")
+        both.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pos") <= _NDCG_K,
+                    F.expr(f"(rel * {_NDCG_SCALE}) div pos"),
+                )
+            )
+            .cast("long")
+            .alias("dcg_scaled"),
+            F.sum(
+                F.when(
+                    F.col("ipos") <= _NDCG_K,
+                    F.expr(f"(rel * {_NDCG_SCALE}) div ipos"),
+                )
+            )
+            .cast("long")
+            .alias("idcg_scaled"),
+        )
         .select(
             "user_id",
-            F.col("dcg_scaled").cast("long").alias("dcg_scaled"),
-            F.col("idcg_scaled").cast("long").alias("idcg_scaled"),
+            "dcg_scaled",
+            "idcg_scaled",
             F.when(
                 F.col("idcg_scaled") > 0,
                 F.expr(f"(dcg_scaled * {_NDCG_RATIO_SCALE}) div idcg_scaled"),
