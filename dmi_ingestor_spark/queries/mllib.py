@@ -1479,13 +1479,16 @@ def ml_mrr_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").desc(), "event_id"
     )
     ranked = ev.withColumn("rk", F.row_number().over(w))
-    first_hit = (
-        ranked.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rk").alias("hit_rank"))
+    # round 10 (guide §2.4): every user appears in ranked, so the
+    # distinct-users branch (a second scan + exchange) and its left
+    # join are redundant — one conditional MIN per user over the SAME
+    # window partitioning (no extra exchange) yields the identical
+    # hit_rank, NULL for purchase-less users exactly like the join miss
+    j = ranked.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).alias("hit_rank")
     )
-    users = ev.select("user_id").distinct()
-    j = users.join(first_hit, "user_id", "left")
     rr = F.when(
         F.col("hit_rank").isNotNull(),
         (
@@ -2061,7 +2064,15 @@ def ml_map_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id")))
         .alias("pos"),
     )
-    topk = ranked.filter(F.col("pos") <= _MAP_K).select(
+    # round 10 (guide §2.4): the ap and rtot branches each re-ran the
+    # scan + pos window and met in a join. cum_rel over the UNFILTERED
+    # relation equals the filtered running sum for every pos ≤ K row
+    # (it only looks backward, and all lower pos are in the top-k), so
+    # one relation carrying (pos, cum_rel) feeds ap_num, r_hits AND
+    # n_rel as conditional aggregates over the same window
+    # partitioning: 2 scans + 4 Exchange + join → 1 scan + 2 Exchange,
+    # no join.
+    both = ranked.select(
         "user_id",
         "rel",
         "pos",
@@ -2073,18 +2084,20 @@ def ml_map_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_rel"),
     )
-    ap = topk.groupBy("user_id").agg(
+    ap = both.groupBy("user_id").agg(
         F.sum(
             F.when(
-                F.col("rel") == 1,
+                (F.col("pos") <= _MAP_K) & (F.col("rel") == 1),
                 F.expr(f"(cum_rel * {_MAP_SCALE}) div pos"),
             ).otherwise(0)
         ).alias("ap_num"),
-        F.sum("rel").alias("r_hits"),
+        F.sum(
+            F.when(F.col("pos") <= _MAP_K, F.col("rel")).otherwise(0)
+        ).alias("r_hits"),
+        F.sum("rel").alias("n_rel"),
     )
-    rtot = ranked.groupBy("user_id").agg(F.sum("rel").alias("n_rel"))
     return (
-        ap.join(rtot, "user_id")
+        ap
         .select(
             "user_id",
             F.col("r_hits").cast("long").alias("hits_at_k"),

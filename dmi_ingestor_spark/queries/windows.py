@@ -3671,7 +3671,18 @@ def analytics_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dmi_ingestor_spark.operators.components import connected_components
 
     e = table(spark, sf_dir, "events")
-    users = e.select(F.col("user_id").alias("u")).distinct()
+    # round 10 (guide §2.4): the distinct-user pass and the per-user
+    # rollup each scanned the corpus; the rollup's grouping keys ARE
+    # the distinct users, so one cached user-grain aggregate (bounded
+    # by |users|) feeds both the identifier graph and the final join —
+    # 2 corpus scans + a distinct exchange → 1 scan + 1 exchange
+    ev = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    ).cache()
+    users = ev.select(F.col("user_id").alias("u"))
     ids = users.select(
         "u",
         F.when(F.col("u") % 5 == 0, F.col("u") - 1)
@@ -3696,12 +3707,6 @@ def analytics_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(edges, "a", "b", checkpoint_every=2)
     user_comp = comp.filter(F.col("node") % 3 == 0).select(
         (F.col("node") / 3).cast("long").alias("user_id"), "component"
-    )
-    ev = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-            "revenue_cents"
-        ),
     )
     return (
         ev.join(F.broadcast(user_comp), "user_id")
