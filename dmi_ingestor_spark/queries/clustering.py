@@ -783,7 +783,23 @@ def _dbl_oracle() -> str:
     tags=("clustering", "density", "lsh", "embeddings", "scale"),
 )
 def cluster_dbscan_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _dbl_planes()
+    # Round 10 (guide §4.2, same pattern as sim_ann_lsh_buckets): the
+    # 8-plane signature was ~8×64×2 interpreted HOF lambda steps per
+    # row, and the eps-ball count ran one interpreted HOF squared
+    # distance per CANDIDATE PAIR after a bucket self-join (plus a
+    # cache + left join to restore zero-neighbor rows). Now: one numpy
+    # sign-pack per Arrow batch, then one gram block per bucket that
+    # counts neighbors for EVERY member (zero-neighbor rows included,
+    # so the join disappears). Exactness: q is the Spark-computed
+    # floor(x*1000) long vector; plane dots and the expanded
+    # ‖a‖²+‖b‖²−2a·b distance are exact integers far below 2^53 under
+    # any accumulation order, so the eps2 comparison is bit-identical
+    # to the (a−b)² HOF chain and the oracle.
+    import numpy as np
+    import pandas as pd
+
+    h_t = np.asarray(_dbl_planes(), dtype=np.float64).T  # dim × planes
+    weights = 2 ** np.arange(len(_dbl_planes()), dtype=np.int64)
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -791,50 +807,40 @@ def cluster_dbscan_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _DBL_SCALE).cast("long"),
         ).alias("q"),
     )
-    bucket = None
-    for j, row in enumerate(planes):
-        lit = F.array(*[F.lit(h) for h in row])
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+
+    def _sig(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+            bucket = ((v @ h_t >= 0) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "q": pdf["q"], "bucket": bucket}
+            )
+
+    keyed = e.mapInPandas(_sig, "vec_id long, q array<bigint>, bucket long")
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        v = np.stack(pdf["q"].to_numpy()).astype(np.float64)
+        nsq = np.einsum("ij,ij->i", v, v)
+        d2 = nsq[:, None] + nsq[None, :] - 2.0 * (v @ v.T)
+        close = d2 <= _DBL_EPS2
+        np.fill_diagonal(close, False)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": pdf["bucket"].iloc[0],
+                "n_neighbors": close.sum(axis=1).astype(np.int64),
+            }
         )
-        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    keyed = e.select(
-        "vec_id", "q", bucket.cast("long").alias("bucket")
-    ).cache()
-    b_side = keyed.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("q").alias("bq"),
-        F.col("bucket").alias("b_bucket"),
+
+    counts = keyed.groupBy("bucket").applyInPandas(
+        _block, "vec_id long, bucket long, n_neighbors long"
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("bq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    neigh = (
-        keyed.join(
-            b_side,
-            (F.col("bucket") == F.col("b_bucket"))
-            & (F.col("vec_id") != F.col("b_id")),
-        )
-        .filter(d2 <= _DBL_EPS2)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"))
-    )
-    return (
-        keyed.join(F.broadcast(neigh), "vec_id", "left")
-        .select(
-            "vec_id",
-            "bucket",
-            (F.coalesce(F.col("n_neighbors"), F.lit(0)) + 1)
-            .cast("long")
-            .alias("eps_ball_count"),
-            (F.coalesce(F.col("n_neighbors"), F.lit(0)) + 1 >= _DBL_MINPTS)
-            .cast("long")
-            .alias("is_core"),
-        )
-        .orderBy("vec_id")
-    )
+    return counts.select(
+        "vec_id",
+        "bucket",
+        (F.col("n_neighbors") + 1).cast("long").alias("eps_ball_count"),
+        (F.col("n_neighbors") + 1 >= _DBL_MINPTS).cast("long").alias("is_core"),
+    ).orderBy("vec_id")
